@@ -1,0 +1,89 @@
+"""Per-frame adaptive CDF context.
+
+Mirrors the reference's FRAME_CONTEXT init (ref:
+Source/Lib/Codec/cabac_context_model.c svt_av1_default_coef_probs /
+init_mode_probs): at frame start every CDF is a fresh copy of the normative
+default, with the coefficient families selected by the base-qindex bin.
+Symbols adapt the copies in place during tile coding; a future frame may start
+from a kept context (primary_ref) — copy() supports that.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from svt_av1_psy_tpu.constants import coef_qctx, tables
+
+
+class FrameContext:
+    """Mutable CDF store for one frame's tile coding."""
+
+    # (attribute, table key, is_q_binned)
+    _SPEC = [
+        ("partition", "cdf_partition_cdf", False),
+        ("skip", "cdf_skip_cdfs", False),
+        ("kf_y", "cdf_kf_y_cdf", False),
+        ("y_mode", "cdf_y_mode_cdf", False),
+        ("uv_mode", "cdf_uv_mode_cdf", False),
+        ("angle_delta", "cdf_angle_delta_cdf", False),
+        ("filter_intra", "cdf_filter_intra_cdfs", False),
+        ("filter_intra_mode", "cdf_filter_intra_mode_cdf", False),
+        ("cfl_sign", "cdf_cfl_sign_cdf", False),
+        ("cfl_alpha", "cdf_cfl_alpha_cdf", False),
+        ("tx_size", "cdf_tx_size_cdf", False),
+        ("txfm_partition", "cdf_txfm_partition_cdf", False),
+        ("intra_ext_tx", "cdf_intra_ext_tx_cdf", False),
+        ("inter_ext_tx", "cdf_inter_ext_tx_cdf", False),
+        ("delta_q", "cdf_delta_q_cdf", False),
+        # coefficient families (selected by qindex bin at init)
+        ("txb_skip", "cdf_txb_skip_q", True),
+        ("eob_flag16", "cdf_eob_flag16_q", True),
+        ("eob_flag32", "cdf_eob_flag32_q", True),
+        ("eob_flag64", "cdf_eob_flag64_q", True),
+        ("eob_flag128", "cdf_eob_flag128_q", True),
+        ("eob_flag256", "cdf_eob_flag256_q", True),
+        ("eob_flag512", "cdf_eob_flag512_q", True),
+        ("eob_flag1024", "cdf_eob_flag1024_q", True),
+        ("eob_extra", "cdf_eob_extra_q", True),
+        ("coeff_base_eob", "cdf_coeff_base_eob_multi_q", True),
+        ("coeff_base", "cdf_coeff_base_multi_q", True),
+        ("coeff_br", "cdf_coeff_lps_multi_q", True),
+        ("dc_sign", "cdf_dc_sign_q", True),
+        # inter-frame families (present for parity; used by the inter path)
+        ("intra_inter", "cdf_intra_inter_cdf", False),
+        ("skip_mode", "cdf_skip_mode_cdfs", False),
+        ("newmv", "cdf_newmv_cdf", False),
+        ("zeromv", "cdf_zeromv_cdf", False),
+        ("refmv", "cdf_refmv_cdf", False),
+        ("drl", "cdf_drl_cdf", False),
+        ("single_ref", "cdf_single_ref_cdf", False),
+        ("comp_inter", "cdf_comp_inter_cdf", False),
+        ("switchable_interp", "cdf_switchable_interp_cdf", False),
+        ("nmv_joints", "cdf_nmv_joints_cdf", False),
+    ]
+
+    def __init__(self, base_qindex: int):
+        t = tables()
+        q = coef_qctx(base_qindex)
+        for attr, key, qbin in self._SPEC:
+            arr = t[key]
+            if qbin:
+                arr = arr[q]
+            setattr(self, attr, arr.astype(np.uint16).copy())
+        # nmv component CDFs: comp 0/1 × {classes, class0, bits, class0_fp,
+        # fp, sign, class0_hp, hp}
+        self.nmv_comp = {}
+        for k in t:
+            if k.startswith("cdf_nmv_comp"):
+                self.nmv_comp[k[len("cdf_nmv_"):]] = \
+                    t[k].astype(np.uint16).copy()
+
+    def eob_flag(self, eob_multi_size: int) -> np.ndarray:
+        return getattr(self, f"eob_flag{16 << eob_multi_size}")
+
+    def copy(self) -> "FrameContext":
+        out = object.__new__(FrameContext)
+        for attr, _, _ in self._SPEC:
+            setattr(out, attr, getattr(self, attr).copy())
+        out.nmv_comp = {k: v.copy() for k, v in self.nmv_comp.items()}
+        return out
