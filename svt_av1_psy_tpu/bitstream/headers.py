@@ -264,16 +264,48 @@ def write_frame_header_bits(w: BitWriter, seq: SequenceParams,
         w.bit(0)                              # apply_grain (off for now)
 
 
+def tile_log2(blk_size: int, target: int) -> int:
+    k = 0
+    while (blk_size << k) < target:
+        k += 1
+    return k
+
+
+def tile_info_bounds(seq: SequenceParams):
+    """spec 5.9.15 derived bounds (uniform spacing):
+    (min_log2_tile_cols, max_log2_tile_cols, min_log2_tile_rows_base,
+    max_log2_tile_rows, min_log2_tiles)."""
+    sb_shift = 7 if seq.use_128x128_superblock else 6
+    sb_cols = (seq.width + (1 << sb_shift) - 1) >> sb_shift
+    sb_rows = (seq.height + (1 << sb_shift) - 1) >> sb_shift
+    max_tile_width_sb = 4096 >> sb_shift
+    max_tile_area_sb = (4096 * 2304) >> (2 * sb_shift)
+    min_log2_tile_cols = tile_log2(max_tile_width_sb, sb_cols)
+    max_log2_tile_cols = tile_log2(1, min(sb_cols, 64))
+    max_log2_tile_rows = tile_log2(1, min(sb_rows, 64))
+    min_log2_tiles = max(min_log2_tile_cols,
+                         tile_log2(max_tile_area_sb, sb_rows * sb_cols))
+    return (min_log2_tile_cols, max_log2_tile_cols, max_log2_tile_rows,
+            min_log2_tiles)
+
+
 def _write_tile_info(w: BitWriter, seq: SequenceParams, fr: FrameParams):
-    """spec 5.9.15, uniform spacing only."""
+    """spec 5.9.15, uniform spacing only. Min/max bounds are DERIVED from the
+    frame geometry (writing a stop bit when max==min shifts every later
+    field and desyncs the whole frame)."""
+    (min_log2_tile_cols, max_log2_tile_cols, max_log2_tile_rows,
+     min_log2_tiles) = tile_info_bounds(seq)
+    assert fr.tile_cols_log2 >= min_log2_tile_cols, "too few tile cols"
     w.bit(1)                                  # uniform_tile_spacing_flag
-    for _ in range(fr.tile_cols_log2 - fr.min_tile_cols_log2):
+    for _ in range(fr.tile_cols_log2 - min_log2_tile_cols):
         w.bit(1)
-    if fr.tile_cols_log2 < fr.max_tile_cols_log2:
+    if fr.tile_cols_log2 < max_log2_tile_cols:
         w.bit(0)
-    for _ in range(fr.tile_rows_log2 - fr.min_tile_rows_log2):
+    min_log2_tile_rows = max(min_log2_tiles - fr.tile_cols_log2, 0)
+    assert fr.tile_rows_log2 >= min_log2_tile_rows, "too few tile rows"
+    for _ in range(fr.tile_rows_log2 - min_log2_tile_rows):
         w.bit(1)
-    if fr.tile_rows_log2 < fr.max_tile_rows_log2:
+    if fr.tile_rows_log2 < max_log2_tile_rows:
         w.bit(0)
     if fr.tile_cols_log2 > 0 or fr.tile_rows_log2 > 0:
         w.f(fr.context_update_tile_id, fr.tile_rows_log2 + fr.tile_cols_log2)

@@ -1,0 +1,281 @@
+"""AV1 sequence/frame header parsers (decode side of bitstream/headers.py).
+
+Part of the in-repo conformance decoder (the role libaom's RefDecoder plays
+for the reference, ref: test/e2e_test/RefDecoder.cc). Parses the feature
+subset the TPU encoder emits plus what SVT-AV1 emits at simple settings;
+asserts loudly on anything unsupported so tile parsing never silently
+desyncs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from svt_av1_psy_tpu.bitstream.bitwriter import BitReader
+
+
+@dataclass
+class SeqInfo:
+    profile: int = 0
+    still_picture: bool = False
+    width: int = 0
+    height: int = 0
+    frame_width_bits: int = 0
+    frame_height_bits: int = 0
+    use_128x128_superblock: bool = False
+    enable_filter_intra: bool = False
+    enable_intra_edge_filter: bool = False
+    enable_order_hint: bool = False
+    order_hint_bits: int = 0
+    force_screen_content_tools: int = 0
+    force_integer_mv: int = 0
+    enable_superres: bool = False
+    enable_cdef: bool = False
+    enable_restoration: bool = False
+    bit_depth: int = 8
+    mono: bool = False
+    separate_uv_delta_q: bool = False
+    film_grain_params_present: bool = False
+
+
+def parse_sequence_header(payload: bytes) -> SeqInfo:
+    r = BitReader(payload)
+    s = SeqInfo()
+    s.profile = r.f(3)
+    s.still_picture = bool(r.f(1))
+    reduced = r.f(1)
+    assert not reduced, "reduced_still_picture_header unsupported"
+    if r.f(1):                                 # timing_info_present
+        raise NotImplementedError("timing_info")
+    r.f(1)                                     # initial_display_delay_present
+    op_cnt = r.f(5) + 1
+    for i in range(op_cnt):
+        r.f(12)                                # operating_point_idc
+        level = r.f(5)
+        if level > 7:
+            r.f(1)                             # seq_tier
+    s.frame_width_bits = r.f(4) + 1
+    s.frame_height_bits = r.f(4) + 1
+    s.width = r.f(s.frame_width_bits) + 1
+    s.height = r.f(s.frame_height_bits) + 1
+    assert r.f(1) == 0, "frame_id_numbers unsupported"
+    s.use_128x128_superblock = bool(r.f(1))
+    s.enable_filter_intra = bool(r.f(1))
+    s.enable_intra_edge_filter = bool(r.f(1))
+    r.f(1)                                     # enable_interintra_compound
+    r.f(1)                                     # enable_masked_compound
+    r.f(1)                                     # enable_warped_motion
+    r.f(1)                                     # enable_dual_filter
+    s.enable_order_hint = bool(r.f(1))
+    if s.enable_order_hint:
+        r.f(1)                                 # enable_jnt_comp
+        r.f(1)                                 # enable_ref_frame_mvs
+    if r.f(1):                                 # seq_choose_screen_content
+        s.force_screen_content_tools = 2
+    else:
+        s.force_screen_content_tools = r.f(1)
+    if s.force_screen_content_tools > 0:
+        if r.f(1):                             # seq_choose_integer_mv
+            s.force_integer_mv = 2
+        else:
+            s.force_integer_mv = r.f(1)
+    if s.enable_order_hint:
+        s.order_hint_bits = r.f(3) + 1
+    s.enable_superres = bool(r.f(1))
+    s.enable_cdef = bool(r.f(1))
+    s.enable_restoration = bool(r.f(1))
+    # color_config
+    high_bd = r.f(1)
+    assert s.profile <= 1
+    s.bit_depth = 10 if high_bd else 8
+    s.mono = bool(r.f(1))
+    assert not s.mono
+    if r.f(1):                                 # color_description_present
+        r.f(8), r.f(8), r.f(8)
+    r.f(1)                                     # color_range
+    if s.profile == 0:
+        pass                                   # 420 implied
+    r.f(2)                                     # chroma_sample_position
+    s.separate_uv_delta_q = bool(r.f(1))
+    s.film_grain_params_present = bool(r.f(1))
+    return s
+
+
+@dataclass
+class FrameInfo:
+    frame_type: int = 0
+    show_frame: bool = True
+    disable_cdf_update: bool = False
+    allow_screen_content_tools: bool = False
+    order_hint: int = 0
+    base_q_idx: int = 0
+    delta_q_y_dc: int = 0
+    delta_q_u_dc: int = 0
+    delta_q_u_ac: int = 0
+    delta_q_v_dc: int = 0
+    delta_q_v_ac: int = 0
+    using_qmatrix: bool = False
+    qm_y: int = 0
+    qm_u: int = 0
+    qm_v: int = 0
+    segmentation_enabled: bool = False
+    delta_q_present: bool = False
+    delta_lf_present: bool = False
+    filter_level: tuple = (0, 0)
+    cdef_bits: int = 0
+    tx_mode_select: bool = False
+    reduced_tx_set: bool = False
+    tile_cols_log2: int = 0
+    tile_rows_log2: int = 0
+    allow_intrabc: bool = False
+    coded_lossless: bool = False
+    header_bytes: int = 0      # byte offset where tile data starts (OBU_FRAME)
+
+
+def _read_delta_q(r: BitReader) -> int:
+    return r.su(7) if r.f(1) else 0
+
+
+def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
+    """Parse an intra (KEY) uncompressed_header from an OBU_FRAME payload."""
+    r = BitReader(payload)
+    fi = FrameInfo()
+    assert r.f(1) == 0, "show_existing_frame unsupported"
+    fi.frame_type = r.f(2)
+    assert fi.frame_type in (0, 2), "inter frames arrive with the inter pass"
+    fi.show_frame = bool(r.f(1))
+    if not fi.show_frame:
+        r.f(1)                                 # showable_frame
+    if not (fi.frame_type == 3 or (fi.frame_type == 0 and fi.show_frame)):
+        r.f(1)                                 # error_resilient_mode
+    fi.disable_cdf_update = bool(r.f(1))
+    if seq.force_screen_content_tools == 2:
+        fi.allow_screen_content_tools = bool(r.f(1))
+    else:
+        fi.allow_screen_content_tools = bool(seq.force_screen_content_tools)
+    size_override = r.f(1)
+    assert not size_override
+    if seq.enable_order_hint:
+        fi.order_hint = r.f(seq.order_hint_bits)
+    if fi.frame_type in (0, 2) and not fi.show_frame:
+        r.f(8)                                 # refresh_frame_flags
+    elif fi.frame_type == 2:
+        r.f(8)
+    if seq.enable_superres:
+        assert r.f(1) == 0, "superres unsupported"
+    assert r.f(1) == 0, "render size unsupported"
+    if fi.allow_screen_content_tools:
+        fi.allow_intrabc = bool(r.f(1))
+        assert not fi.allow_intrabc, "intrabc unsupported"
+    if not fi.disable_cdf_update:
+        r.f(1)                                 # disable_frame_end_update_cdf
+    # tile_info (uniform only)
+    sb_shift = 7 if seq.use_128x128_superblock else 6
+    sb_cols = (seq.width + (1 << sb_shift) - 1) >> sb_shift
+    sb_rows = (seq.height + (1 << sb_shift) - 1) >> sb_shift
+    sb_size_log2 = sb_shift
+    max_tile_width_sb = 4096 >> sb_size_log2
+    max_tile_area_sb = (4096 * 2304) >> (2 * sb_size_log2)
+    min_log2_tile_cols = _tile_log2(max_tile_width_sb, sb_cols)
+    max_log2_tile_cols = _tile_log2(1, min(sb_cols, 64))
+    max_log2_tile_rows = _tile_log2(1, min(sb_rows, 64))
+    min_log2_tiles = max(min_log2_tile_cols,
+                         _tile_log2(max_tile_area_sb, sb_rows * sb_cols))
+    assert r.f(1) == 1, "non-uniform tiles unsupported"
+    fi.tile_cols_log2 = min_log2_tile_cols
+    while fi.tile_cols_log2 < max_log2_tile_cols:
+        if not r.f(1):
+            break
+        fi.tile_cols_log2 += 1
+    min_log2_tile_rows = max(min_log2_tiles - fi.tile_cols_log2, 0)
+    fi.tile_rows_log2 = min_log2_tile_rows
+    while fi.tile_rows_log2 < max_log2_tile_rows:
+        if not r.f(1):
+            break
+        fi.tile_rows_log2 += 1
+    if fi.tile_cols_log2 or fi.tile_rows_log2:
+        r.f(fi.tile_cols_log2 + fi.tile_rows_log2)  # context_update_tile_id
+        r.f(2)                                       # tile_size_bytes_minus_1
+    # quantization_params
+    fi.base_q_idx = r.f(8)
+    fi.delta_q_y_dc = _read_delta_q(r)
+    if seq.separate_uv_delta_q:
+        diff_uv = bool(r.f(1))
+    else:
+        diff_uv = False
+    fi.delta_q_u_dc = _read_delta_q(r)
+    fi.delta_q_u_ac = _read_delta_q(r)
+    if diff_uv:
+        fi.delta_q_v_dc = _read_delta_q(r)
+        fi.delta_q_v_ac = _read_delta_q(r)
+    else:
+        fi.delta_q_v_dc = fi.delta_q_u_dc
+        fi.delta_q_v_ac = fi.delta_q_u_ac
+    fi.using_qmatrix = bool(r.f(1))
+    if fi.using_qmatrix:
+        fi.qm_y = r.f(4)
+        fi.qm_u = r.f(4)
+        if seq.separate_uv_delta_q and diff_uv:
+            fi.qm_v = r.f(4)
+        else:
+            fi.qm_v = fi.qm_u
+    fi.segmentation_enabled = bool(r.f(1))
+    assert not fi.segmentation_enabled, "segmentation unsupported"
+    fi.coded_lossless = (fi.base_q_idx == 0 and fi.delta_q_y_dc == 0 and
+                         fi.delta_q_u_dc == 0 and fi.delta_q_u_ac == 0 and
+                         fi.delta_q_v_dc == 0 and fi.delta_q_v_ac == 0)
+    # delta_q_params
+    if fi.base_q_idx > 0:
+        fi.delta_q_present = bool(r.f(1))
+    if fi.delta_q_present:
+        r.f(2)                                 # delta_q_res
+        fi.delta_lf_present = bool(r.f(1))
+        if fi.delta_lf_present:
+            r.f(2)                             # delta_lf_res
+            r.f(1)                             # delta_lf_multi
+    # loop_filter_params
+    if not (fi.coded_lossless or fi.allow_intrabc):
+        l0 = r.f(6)
+        l1 = r.f(6)
+        fi.filter_level = (l0, l1)
+        if l0 or l1:
+            r.f(6), r.f(6)                     # chroma levels
+        r.f(3)                                 # sharpness
+        if r.f(1):                             # delta_enabled
+            if r.f(1):                         # delta_update
+                for _ in range(8):
+                    if r.f(1):
+                        r.su(7)
+                for _ in range(2):
+                    if r.f(1):
+                        r.su(7)
+    # cdef_params
+    if not (fi.coded_lossless or fi.allow_intrabc) and seq.enable_cdef:
+        r.f(2)                                 # damping
+        fi.cdef_bits = r.f(2)
+        for _ in range(1 << fi.cdef_bits):
+            r.f(4), r.f(2), r.f(4), r.f(2)
+    # lr_params
+    if not (fi.coded_lossless or fi.allow_intrabc) and seq.enable_restoration:
+        types = [r.f(2) for _ in range(3)]
+        if any(types):
+            raise NotImplementedError("loop restoration parse")
+    # read_tx_mode
+    if not fi.coded_lossless:
+        fi.tx_mode_select = bool(r.f(1))
+    # intra frame: no reference mode / skip mode / warped motion
+    fi.reduced_tx_set = bool(r.f(1))
+    # film grain
+    if seq.film_grain_params_present and fi.show_frame:
+        if r.f(1):
+            raise NotImplementedError("film grain parse")
+    r.byte_align()
+    fi.header_bytes = r.bit_pos // 8
+    return fi
+
+
+def _tile_log2(blk_size: int, target: int) -> int:
+    k = 0
+    while (blk_size << k) < target:
+        k += 1
+    return k

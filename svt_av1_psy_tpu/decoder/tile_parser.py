@@ -1,0 +1,492 @@
+"""Tile symbol parser — the decode-side mirror of entropy/tile_writer.py.
+
+Part of the in-repo conformance decoder (role of libaom's RefDecoder in the
+reference's e2e tests). Decodes KEY-frame tile data into block records +
+quantized coefficients, maintaining the same normative neighbor contexts as
+the writer. Used to (a) cross-parse bitstreams from other AV1 encoders to
+validate context derivation, and (b) trace-diff our own encoder's streams.
+
+Every symbol is appended to `trace` as (name, value) for debugging.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from svt_av1_psy_tpu.constants import (BLOCK_SIZE_HIGH, BLOCK_SIZE_WIDE,
+                                       TX_SIZE_HIGH, TX_SIZE_SQR,
+                                       TX_SIZE_SQR_UP, TX_SIZE_WIDE,
+                                       BlockSize, PredMode, TxSize, TxType,
+                                       get_scan)
+from svt_av1_psy_tpu.entropy import coeff_coder as cc
+from svt_av1_psy_tpu.entropy.frame_context import FrameContext
+from svt_av1_psy_tpu.entropy.range_coder import RangeDecoder
+from svt_av1_psy_tpu.entropy.tile_writer import (_INTRA_MODE_CTX, _PART_CTX,
+                                                 MAX_TX_SIZE_RECT,
+                                                 cfl_allowed, is_directional,
+                                                 use_angle_delta)
+
+# depth -> tx size for a given max rect tx (spec depth_to_tx_size)
+_SUB_TX = [  # tx_size -> next smaller (spec Split_Tx_Size)
+    TxSize.TX_4X4, TxSize.TX_4X4, TxSize.TX_8X8, TxSize.TX_16X16,
+    TxSize.TX_32X32, TxSize.TX_4X4, TxSize.TX_4X4, TxSize.TX_8X8,
+    TxSize.TX_8X8, TxSize.TX_16X16, TxSize.TX_16X16, TxSize.TX_32X32,
+    TxSize.TX_32X32, TxSize.TX_4X8, TxSize.TX_8X4, TxSize.TX_8X16,
+    TxSize.TX_16X8, TxSize.TX_16X32, TxSize.TX_32X16,
+]
+
+# intra mode -> tx type (libaom intra_mode_to_tx_type / ref mode2txfm)
+_MODE2TXFM = [
+    TxType.DCT_DCT, TxType.ADST_DCT, TxType.DCT_ADST, TxType.DCT_DCT,
+    TxType.ADST_ADST, TxType.ADST_DCT, TxType.DCT_ADST, TxType.DCT_ADST,
+    TxType.ADST_DCT, TxType.ADST_ADST, TxType.ADST_DCT, TxType.DCT_ADST,
+    TxType.ADST_ADST, TxType.DCT_DCT,  # UV_CFL -> DCT
+]
+
+# ext-tx set inverse permutations (spec Ext_Tx_Inv tables)
+EXT_TX_INV = {
+    1: [9, 0, 3, 1, 2, 10, 11],        # DTT4_IDTX_1DDCT (7 syms)
+    2: [9, 0, 3, 1, 2],                # DTT4_IDTX (5 syms)
+}
+EXT_TX_SET_SIZES = {0: 1, 1: 7, 2: 5}
+
+
+def intra_tx_set(tx_size: int, reduced: bool) -> int:
+    """Returns intra ext-tx-set index: 0 DCTONLY, 1 DTT4_IDTX_1DDCT,
+    2 DTT4_IDTX (libaom get_ext_tx_set_type for is_inter=0)."""
+    if TX_SIZE_SQR_UP[tx_size] > int(TxSize.TX_32X32):
+        return 0
+    if TX_SIZE_SQR_UP[tx_size] == int(TxSize.TX_32X32):
+        return 0
+    if reduced:
+        return 2
+    return 2 if TX_SIZE_SQR[tx_size] == int(TxSize.TX_16X16) else 1
+
+
+@dataclass
+class ParsedBlock:
+    mi_row: int
+    mi_col: int
+    bsize: int
+    y_mode: int
+    uv_mode: int
+    angle_delta_y: int = 0
+    angle_delta_uv: int = 0
+    skip: bool = False
+    tx_size: int = 0
+    txbs: list = field(default_factory=list)   # (plane, u_row, u_col, TxSize, TxType, qcoeff|None)
+
+
+class TileParser:
+    def __init__(self, fc: FrameContext, data: bytes, mi_rows: int,
+                 mi_cols: int, *, sb_size: int = 64, tx_mode_select: bool = False,
+                 reduced_tx_set: bool = False, delta_q_present: bool = False,
+                 allow_update_cdf: bool = True):
+        self.fc = fc
+        self.dec = RangeDecoder(data)
+        self.mi_rows, self.mi_cols = mi_rows, mi_cols
+        self.sb_mi = sb_size // 4
+        self.tx_mode_select = tx_mode_select
+        self.reduced_tx_set = reduced_tx_set
+        self.delta_q_present = delta_q_present
+        self.adapt = allow_update_cdf
+        self.ss_x = self.ss_y = 1
+        self.trace: list = []
+        self.blocks: list[ParsedBlock] = []
+        self.read_deltas = False
+
+        self.above_part = np.zeros(mi_cols, np.uint8)
+        self.left_part = np.zeros(mi_rows, np.uint8)
+        self.above_mode = np.full(mi_cols, int(PredMode.DC_PRED), np.uint8)
+        self.left_mode = np.full(mi_rows, int(PredMode.DC_PRED), np.uint8)
+        self.above_skip = np.zeros(mi_cols, np.uint8)
+        self.left_skip = np.zeros(mi_rows, np.uint8)
+        # txfm context: above stores tx widths, left tx heights (px per 4-unit)
+        self.above_txw = np.full(mi_cols, 64, np.int32)
+        self.left_txh = np.full(mi_rows, 64, np.int32)
+        self.above_coef = [np.zeros(mi_cols, np.uint8),
+                           np.zeros((mi_cols + 1) >> 1, np.uint8),
+                           np.zeros((mi_cols + 1) >> 1, np.uint8)]
+        self.left_coef = [np.zeros(mi_rows, np.uint8),
+                          np.zeros((mi_rows + 1) >> 1, np.uint8),
+                          np.zeros((mi_rows + 1) >> 1, np.uint8)]
+
+    # --- symbol helpers --------------------------------------------------
+    def _sym(self, name, cdf, nsyms=None):
+        v = self.dec.decode_symbol(cdf, nsyms=nsyms, adapt=self.adapt)
+        self.trace.append((name, v))
+        return v
+
+    def _lit(self, name, bits):
+        v = self.dec.decode_literal(bits)
+        self.trace.append((name, v))
+        return v
+
+    # --- top level -------------------------------------------------------
+    def parse_tile(self):
+        for sbr in range(0, self.mi_rows, self.sb_mi):
+            for sbc in range(0, self.mi_cols, self.sb_mi):
+                self.read_deltas = self.delta_q_present
+                self._parse_partition(sbr, sbc, int(BlockSize.BLOCK_64X64))
+        return self.blocks
+
+    def _parse_partition(self, r, c, bsize):
+        if r >= self.mi_rows or c >= self.mi_cols:
+            return
+        w4 = BLOCK_SIZE_WIDE[bsize] // 4
+        h4 = BLOCK_SIZE_HIGH[bsize] // 4
+        has_rows = r + h4 // 2 < self.mi_rows
+        has_cols = c + w4 // 2 < self.mi_cols
+        bsl = w4.bit_length() - 1
+        if bsize == int(BlockSize.BLOCK_8X8):
+            nsyms = 4
+        elif bsize == int(BlockSize.BLOCK_128X128):
+            nsyms = 8
+        else:
+            nsyms = 10
+        if bsize < int(BlockSize.BLOCK_8X8):
+            part = 0
+        elif has_rows and has_cols:
+            above = (int(self.above_part[c]) >> bsl) & 1
+            left = (int(self.left_part[r]) >> bsl) & 1
+            ctx = (bsl - 1) * 4 + left * 2 + above
+            part = self._sym(f"partition@{r},{c},{bsize}",
+                             self.fc.partition[ctx], nsyms=nsyms)
+        else:
+            raise NotImplementedError("boundary partitions")
+
+        half4 = w4 // 2
+        sub = _subsize(bsize, part)
+        if part == 0:                       # NONE
+            self._parse_block(r, c, bsize)
+            self._update_part_ctx(r, c, bsize, bsize)
+        elif part == 3:                     # SPLIT
+            self._parse_partition(r, c, sub)
+            self._parse_partition(r, c + half4, sub)
+            self._parse_partition(r + half4, c, sub)
+            self._parse_partition(r + half4, c + half4, sub)
+        elif part == 1:                     # HORZ
+            self._parse_block(r, c, sub)
+            if r + h4 // 2 < self.mi_rows:
+                self._parse_block(r + half4, c, sub)
+            self._update_part_ctx(r, c, bsize, sub)
+        elif part == 2:                     # VERT
+            self._parse_block(r, c, sub)
+            if c + w4 // 2 < self.mi_cols:
+                self._parse_block(r, c + half4, sub)
+            self._update_part_ctx(r, c, bsize, sub)
+        else:
+            raise NotImplementedError(f"ext partition {part}")
+
+    def _update_part_ctx(self, r, c, bsize, subsize):
+        w4 = BLOCK_SIZE_WIDE[bsize] // 4
+        h4 = BLOCK_SIZE_HIGH[bsize] // 4
+        self.above_part[c:c + w4] = _PART_CTX[BLOCK_SIZE_WIDE[subsize]]
+        self.left_part[r:r + h4] = _PART_CTX[BLOCK_SIZE_HIGH[subsize]]
+
+    # --- block -----------------------------------------------------------
+    def _parse_block(self, r, c, bsize):
+        fc = self.fc
+        w4 = BLOCK_SIZE_WIDE[bsize] // 4
+        h4 = BLOCK_SIZE_HIGH[bsize] // 4
+        have_above = r > 0
+        have_left = c > 0
+
+        skip_ctx = int(self.above_skip[c]) + int(self.left_skip[r])
+        skip = bool(self._sym(f"skip@{r},{c}", fc.skip[skip_ctx]))
+
+        # read_delta_qindex (sb-size blocks with skip don't read)
+        if self.read_deltas:
+            if not (w4 == self.sb_mi and h4 == self.sb_mi and skip):
+                abs_q = self._sym("delta_q_abs", fc.delta_q)
+                if abs_q == 3:
+                    rem = self._lit("delta_q_rem_bits", 3) + 1
+                    abs_q = self._lit("delta_q_abs_bits", rem) + (1 << rem) + 1
+                if abs_q:
+                    self._lit("delta_q_sign", 1)
+            self.read_deltas = False
+
+        am = int(self.above_mode[c]) if have_above else int(PredMode.DC_PRED)
+        lm = int(self.left_mode[r]) if have_left else int(PredMode.DC_PRED)
+        y_mode = self._sym(
+            f"y_mode@{r},{c}",
+            fc.kf_y[_INTRA_MODE_CTX[am]][_INTRA_MODE_CTX[lm]])
+        ad_y = 0
+        if is_directional(y_mode) and use_angle_delta(bsize):
+            ad_y = self._sym("angle_y",
+                             fc.angle_delta[y_mode - PredMode.V_PRED]) - 3
+
+        has_chroma = True  # 4:2:0, blocks >= 8x8 handled; small-block rules TBD
+        cfl_ok = cfl_allowed(bsize)
+        uv_mode = self._sym(f"uv_mode@{r},{c}",
+                            fc.uv_mode[int(cfl_ok)][y_mode],
+                            nsyms=14 if cfl_ok else 13)
+        ad_uv = 0
+        if uv_mode == int(PredMode.UV_CFL_PRED):
+            raise NotImplementedError("CfL parse")
+        elif is_directional(uv_mode) and use_angle_delta(bsize):
+            ad_uv = self._sym("angle_uv",
+                              fc.angle_delta[uv_mode - PredMode.V_PRED]) - 3
+
+        # palette: requires allow_screen_content_tools (assumed off)
+        # filter_intra: requires seq flag (assumed off)
+
+        # tx size
+        max_tx = int(MAX_TX_SIZE_RECT[bsize])
+        tx_size = max_tx
+        if self.tx_mode_select and bsize > int(BlockSize.BLOCK_4X4) \
+                and not skip:
+            max_depth = _max_tx_depth(bsize)
+            if max_depth > 0:
+                cat = _tx_size_cat(bsize)
+                ctx = self._tx_size_ctx(r, c, bsize, have_above, have_left)
+                depth = self._sym(f"tx_depth@{r},{c}",
+                                  fc.tx_size[cat][ctx],
+                                  nsyms=max_depth + 1)
+                for _ in range(depth):
+                    tx_size = int(_SUB_TX[tx_size])
+        blk = ParsedBlock(mi_row=r, mi_col=c, bsize=bsize, y_mode=y_mode,
+                          uv_mode=uv_mode, angle_delta_y=ad_y,
+                          angle_delta_uv=ad_uv, skip=skip, tx_size=tx_size)
+
+        # txfm context update
+        self.above_txw[c:c + w4] = TX_SIZE_WIDE[tx_size]
+        self.left_txh[r:r + h4] = TX_SIZE_HIGH[tx_size]
+        self.above_mode[c:c + w4] = y_mode
+        self.left_mode[r:r + h4] = y_mode
+        self.above_skip[c:c + w4] = int(skip)
+        self.left_skip[r:r + h4] = int(skip)
+
+        if skip:
+            self.above_coef[0][c:c + w4] = 0
+            self.left_coef[0][r:r + h4] = 0
+            for p in (1, 2):
+                cw4 = max(1, w4 >> 1)
+                ch4 = max(1, h4 >> 1)
+                self.above_coef[p][(c >> 1):(c >> 1) + cw4] = 0
+                self.left_coef[p][(r >> 1):(r >> 1) + ch4] = 0
+        else:
+            self._parse_residual(blk)
+        self.blocks.append(blk)
+
+    def _tx_size_ctx(self, r, c, bsize, have_above, have_left) -> int:
+        max_tx = int(MAX_TX_SIZE_RECT[bsize])
+        aw = int(self.above_txw[c]) >= TX_SIZE_WIDE[max_tx]
+        lh = int(self.left_txh[r]) >= TX_SIZE_HIGH[max_tx]
+        if have_above and have_left:
+            return int(aw) + int(lh)
+        if have_above:
+            return int(aw)
+        if have_left:
+            return int(lh)
+        return 0
+
+    # --- residual --------------------------------------------------------
+    def _parse_residual(self, blk: ParsedBlock):
+        bsize = blk.bsize
+        for plane in range(3):
+            ss = 1 if plane else 0
+            bw = BLOCK_SIZE_WIDE[bsize] >> ss
+            bh = BLOCK_SIZE_HIGH[bsize] >> ss
+            if plane == 0:
+                tx = blk.tx_size
+            else:
+                tx = _chroma_tx_size(bsize)
+            tw, th = TX_SIZE_WIDE[tx], TX_SIZE_HIGH[tx]
+            base_r = blk.mi_row >> ss
+            base_c = blk.mi_col >> ss
+            for oy in range(0, bh, th):
+                for ox in range(0, bw, tw):
+                    self._parse_txb(blk, plane, tx,
+                                    base_r + oy // 4, base_c + ox // 4,
+                                    bw, bh)
+
+    def _parse_txb(self, blk, plane, tx_size, u_row, u_col, bw, bh):
+        fc = self.fc
+        tw4 = TX_SIZE_WIDE[tx_size] // 4
+        th4 = TX_SIZE_HIGH[tx_size] // 4
+        above = self.above_coef[plane][u_col:u_col + tw4]
+        left = self.left_coef[plane][u_row:u_row + th4]
+        ptype = 1 if plane else 0
+        txs_ctx = cc.txs_entropy_ctx(tx_size)
+        covers = (TX_SIZE_WIDE[tx_size] >= bw and TX_SIZE_HIGH[tx_size] >= bh)
+        larger = bw * bh > TX_SIZE_WIDE[tx_size] * TX_SIZE_HIGH[tx_size]
+        sctx = cc.txb_skip_ctx(above, left, plane, covers, larger)
+        all_zero = self._sym(f"txb_skip p{plane}@{u_row},{u_col}",
+                             fc.txb_skip[txs_ctx][sctx])
+        if all_zero:
+            self.above_coef[plane][u_col:u_col + tw4] = 0
+            self.left_coef[plane][u_row:u_row + th4] = 0
+            blk.txbs.append((plane, u_row, u_col, tx_size,
+                             int(TxType.DCT_DCT), None))
+            return
+
+        # tx type
+        if plane == 0:
+            tx_set = intra_tx_set(tx_size, self.reduced_tx_set)
+            if tx_set == 0:
+                tx_type = int(TxType.DCT_DCT)
+            else:
+                # filter-intra off: mode used directly
+                s = self._sym(
+                    "tx_type",
+                    fc.intra_ext_tx[tx_set][TX_SIZE_SQR[tx_size]][blk.y_mode],
+                    nsyms=EXT_TX_SET_SIZES[tx_set])
+                tx_type = EXT_TX_INV[tx_set][s]
+        else:
+            tx_type = _uv_tx_type(blk.uv_mode, tx_size, self.reduced_tx_set)
+
+        qcoeff, cul = self._parse_coeffs(tx_size, tx_type, ptype, above, left)
+        self.above_coef[plane][u_col:u_col + tw4] = cul
+        self.left_coef[plane][u_row:u_row + th4] = cul
+        blk.txbs.append((plane, u_row, u_col, tx_size, tx_type, qcoeff))
+
+    def _parse_coeffs(self, tx_size, tx_type, ptype, above, left):
+        from svt_av1_psy_tpu.ops.quant import adjusted_tx_size
+
+        fc = self.fc
+        adj = adjusted_tx_size(tx_size)
+        w, h = TX_SIZE_WIDE[adj], TX_SIZE_HIGH[adj]
+        bwl = w.bit_length() - 1
+        txs_ctx = cc.txs_entropy_ctx(tx_size)
+        tx_class = cc.tx_class_of(tx_type)
+        scan = get_scan(tx_size, tx_type)
+
+        ems = cc.eob_multi_size(tx_size)
+        eob_multi_ctx = 0 if tx_class == cc.TX_CLASS_2D else 1
+        eob_pt = 1 + self._sym("eob_pt",
+                               fc.eob_flag(ems)[ptype][eob_multi_ctx],
+                               nsyms=ems + 5)
+        _, _, nbits = cc.get_eob_pos_token_from_pt(eob_pt)
+        if nbits > 0:
+            hi = self._sym("eob_hi", fc.eob_extra[txs_ctx][ptype][eob_pt])
+            extra = hi << (nbits - 1)
+            for i in range(1, nbits):
+                extra |= self._lit("eob_bit", 1) << (nbits - 1 - i)
+        else:
+            extra = 0
+        group_start = 1 if eob_pt == 1 else (
+            2 if eob_pt == 2 else (1 << (eob_pt - 2)) + 1)
+        eob = group_start + extra
+
+        qcoeff = np.zeros((h, w), np.int32)
+        levels = np.zeros((h + 4, w + cc.TX_PAD_HOR), np.uint8)
+        for ci in range(eob - 1, -1, -1):
+            pos = int(scan[ci])
+            row, col = pos >> bwl, pos & (w - 1)
+            if ci == eob - 1:
+                ctx = cc.base_eob_ctx(ci, w, h)
+                level = 1 + self._sym(
+                    "base_eob", fc.coeff_base_eob[txs_ctx][ptype][ctx])
+            else:
+                ctx = cc.base_ctx(levels, row, col, w, h, tx_class)
+                level = self._sym("base",
+                                  fc.coeff_base[txs_ctx][ptype][ctx])
+            if level > cc.NUM_BASE_LEVELS:
+                bctx = cc.br_ctx(levels, row, col, tx_class)
+                cdf_br = fc.coeff_br[min(txs_ctx, cc.MAX_TX_32_CTX)][ptype][bctx]
+                idx = 0
+                while idx < cc.COEFF_BASE_RANGE:
+                    k = self._sym("br", cdf_br, nsyms=cc.BR_CDF_SIZE)
+                    level += k
+                    if k < cc.BR_CDF_SIZE - 1:
+                        break
+                    idx += cc.BR_CDF_SIZE - 1
+            levels[row, col] = min(level, 127)
+            qcoeff[row, col] = level
+
+        sctx = cc.dc_sign_ctx(above, left)
+        cul = 0
+        for ci in range(eob):
+            pos = int(scan[ci])
+            row, col = pos >> bwl, pos & (w - 1)
+            level = int(qcoeff[row, col])
+            if level:
+                if ci == 0:
+                    sign = self._sym("dc_sign", fc.dc_sign[ptype][sctx])
+                else:
+                    sign = self._lit("sign", 1)
+                if level > cc.COEFF_BASE_RANGE + cc.NUM_BASE_LEVELS:
+                    level += self._read_golomb()
+                qcoeff[row, col] = -level if sign else level
+                cul += level
+        cul = min(cc.COEFF_CONTEXT_MASK, cul)
+        dc = int(qcoeff[0, 0])
+        if dc < 0:
+            cul |= 1 << cc.COEFF_CONTEXT_BITS
+        elif dc > 0:
+            cul += 2 << cc.COEFF_CONTEXT_BITS
+        return qcoeff, cul
+
+    def _read_golomb(self) -> int:
+        length = 1
+        while self.dec.decode_literal(1) == 0:
+            length += 1
+            if length > 32:
+                raise ValueError("golomb desync")
+        v = 1
+        for _ in range(length - 1):
+            v = (v << 1) | self.dec.decode_literal(1)
+        self.trace.append(("golomb", v - 1))
+        return v - 1
+
+
+def _subsize(bsize: int, part: int) -> int:
+    """spec Partition_Subsize for NONE/HORZ/VERT/SPLIT."""
+    b = BlockSize(bsize)
+    table = {
+        BlockSize.BLOCK_8X8: (BlockSize.BLOCK_8X8, BlockSize.BLOCK_8X4,
+                              BlockSize.BLOCK_4X8, BlockSize.BLOCK_4X4),
+        BlockSize.BLOCK_16X16: (BlockSize.BLOCK_16X16, BlockSize.BLOCK_16X8,
+                                BlockSize.BLOCK_8X16, BlockSize.BLOCK_8X8),
+        BlockSize.BLOCK_32X32: (BlockSize.BLOCK_32X32, BlockSize.BLOCK_32X16,
+                                BlockSize.BLOCK_16X32, BlockSize.BLOCK_16X16),
+        BlockSize.BLOCK_64X64: (BlockSize.BLOCK_64X64, BlockSize.BLOCK_64X32,
+                                BlockSize.BLOCK_32X64, BlockSize.BLOCK_32X32),
+        BlockSize.BLOCK_128X128: (BlockSize.BLOCK_128X128,
+                                  BlockSize.BLOCK_128X64,
+                                  BlockSize.BLOCK_64X128,
+                                  BlockSize.BLOCK_64X64),
+    }
+    return int(table[b][part])
+
+
+def _max_tx_depth(bsize: int) -> int:
+    """bsize_to_max_depth (libaom): how many times tx can split for intra."""
+    tx = int(MAX_TX_SIZE_RECT[bsize])
+    depth = 0
+    while tx != int(TxSize.TX_4X4) and depth < 2:
+        depth += 1
+        tx = int(_SUB_TX[tx])
+    return depth
+
+
+def _tx_size_cat(bsize: int) -> int:
+    """bsize_to_tx_size_cat: TX_SIZE_SQR_UP(max rect tx) - 1, max 3."""
+    tx = int(MAX_TX_SIZE_RECT[bsize])
+    return min(TX_SIZE_SQR_UP[tx], 4) - 1
+
+
+def _chroma_tx_size(bsize: int) -> int:
+    """Max chroma tx for a 4:2:0 block: max rect tx of the ss'd bsize,
+    capped at 32x32."""
+    w = max(4, BLOCK_SIZE_WIDE[bsize] >> 1)
+    h = max(4, BLOCK_SIZE_HIGH[bsize] >> 1)
+    for ts in range(19):
+        if TX_SIZE_WIDE[ts] == min(w, 32) and TX_SIZE_HIGH[ts] == min(h, 32):
+            return ts
+    raise ValueError((w, h))
+
+
+def _uv_tx_type(uv_mode: int, tx_size: int, reduced: bool) -> int:
+    """Chroma intra tx type (derived, spec compute_tx_type for plane>0)."""
+    if TX_SIZE_SQR_UP[tx_size] > int(TxSize.TX_32X32):
+        return int(TxType.DCT_DCT)
+    t = int(_MODE2TXFM[uv_mode])
+    tx_set = intra_tx_set(tx_size, reduced)
+    if tx_set == 0:
+        return int(TxType.DCT_DCT)
+    allowed = EXT_TX_INV[tx_set]
+    return t if t in allowed else int(TxType.DCT_DCT)

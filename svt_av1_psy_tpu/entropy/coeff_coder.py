@@ -75,6 +75,12 @@ def get_eob_pos_token(eob: int) -> tuple[int, int, int]:
     return t, extra, bits
 
 
+def get_eob_pos_token_from_pt(eob_pt: int) -> tuple[int, None, int]:
+    """Offset-bit count for a given eob_pt (decode side)."""
+    bits = 0 if eob_pt < 3 else eob_pt - 2
+    return eob_pt, None, bits
+
+
 # --- levels buffer ----------------------------------------------------------
 
 def init_levels(qcoeff: np.ndarray) -> np.ndarray:
