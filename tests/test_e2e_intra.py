@@ -63,7 +63,7 @@ def test_multi_frame_ivf_roundtrip(tmp_path):
         for i in range(n):
             y, u, v = _make_planes(w, h, seed=i)
             f = enc.encode_frame(y, u, v)
-            ivf.write_frame(i, f.payload)
+            ivf.write_frame(f.payload, i)
             recons.append(f)
         ivf.close()
     frames = decode_ivf(str(path))
