@@ -1,0 +1,213 @@
+"""JAX/TPU device backend: batched exact transforms, quantization and intra
+prediction over superblock batches.
+
+This is the device compute path that replaces the reference's 250k-LoC SIMD
+backends (ref: Source/Lib/ASM_AVX2 et al, SURVEY.md §2.8): the same normative
+integer math as the numpy trusted path (ops/transforms.py, ops/quant.py,
+ops/intra.py), expressed over batched int32 tensors that XLA fuses onto the
+VPU/MXU. Equivalence tests pin device results to the numpy path bit-exactly.
+
+All functions are jit-compatible with static tx/block geometry.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svt_av1_psy_tpu.constants import PredMode
+from svt_av1_psy_tpu.ops import transforms as tx
+from svt_av1_psy_tpu.ops.intra import _SM_WEIGHTS
+from svt_av1_psy_tpu.ops.quant import AOM_QM_BITS, PlaneQuant, tx_scale
+
+
+# --- transforms -------------------------------------------------------------
+
+def forward_transform_batch(resid: jnp.ndarray, tx_size: int,
+                            tx_type: int, bd: int = 8) -> jnp.ndarray:
+    """Batched exact forward transform: (..., h, w) int32 -> (..., ch, cw)."""
+    return tx.forward_transform_2d(resid, tx_size, tx_type, bd, xp=jnp)
+
+
+def inverse_transform_batch(coeff: jnp.ndarray, tx_size: int,
+                            tx_type: int, bd: int = 8) -> jnp.ndarray:
+    """Batched normative inverse transform: (..., ch, cw) -> (..., h, w)."""
+    return tx.inverse_transform_2d(coeff, tx_size, tx_type, bd, xp=jnp)
+
+
+def inverse_transform_add_batch(coeff, pred, tx_size, tx_type, bd=8):
+    resid = inverse_transform_batch(coeff, tx_size, tx_type, bd)
+    rec = pred.astype(jnp.int32) + resid
+    return jnp.clip(rec, 0, (1 << bd) - 1)
+
+
+# --- quantization -----------------------------------------------------------
+
+def quantize_b_batch(coeff: jnp.ndarray, ts: int, pq: PlaneQuant,
+                     qm: np.ndarray | None = None,
+                     iqm: np.ndarray | None = None):
+    """int32 quantize_b identical to ops/quant.quantize_b.
+
+    Uses the identity (x * 2^(16-l)) >> (16-ls) == x >> (l-ls) so every
+    product stays inside int32 (quant_shift is always a power of two)."""
+    log_scale = tx_scale(ts)
+    ch, cw = coeff.shape[-2:]
+    is_dc = np.zeros((ch, cw), bool)
+    is_dc[0, 0] = True
+
+    def sel(pair):
+        return jnp.where(is_dc, jnp.int32(int(pair[0])),
+                         jnp.int32(int(pair[1])))
+
+    rnd_half = (1 << log_scale) >> 1
+    zbin = np.where(is_dc, (int(pq.zbin[0]) + rnd_half) >> log_scale,
+                    (int(pq.zbin[1]) + rnd_half) >> log_scale).astype(np.int32)
+    rnd = np.where(is_dc, (int(pq.round[0]) + rnd_half) >> log_scale,
+                   (int(pq.round[1]) + rnd_half) >> log_scale).astype(np.int32)
+    quant = sel(pq.quant)
+    deq = sel(pq.dequant)
+    # quant_shift = 1 << (16 - l)  ->  right shift by (l - log_scale)
+    lshift = np.where(
+        is_dc, 16 - int(np.log2(int(pq.quant_shift[0]))),
+        16 - int(np.log2(int(pq.quant_shift[1])))).astype(np.int32)
+
+    c = coeff.astype(jnp.int32)
+    sign = jnp.where(c < 0, jnp.int32(-1), jnp.int32(1))
+    abs_c = jnp.abs(c)
+
+    wt = jnp.int32(1 << AOM_QM_BITS) if qm is None else jnp.asarray(
+        qm, jnp.int32)
+    iwt = jnp.int32(1 << AOM_QM_BITS) if iqm is None else jnp.asarray(
+        iqm, jnp.int32)
+    nz = abs_c * wt >= (jnp.asarray(zbin) << AOM_QM_BITS)
+
+    tmp = jnp.clip(abs_c + jnp.asarray(rnd), -32768, 32767)
+    if qm is None:
+        tmp32 = (((tmp * quant) >> 16) + tmp) >> (
+            jnp.asarray(lshift) - log_scale)
+    else:
+        # QM path: ((tmpw*quant)>>16)+tmpw == (tmpw*m)>>16 with
+        # m = quant+2^16 > 0, and the nonnegative product splits exactly
+        # into int32 pieces: tmpw = hi*2^11 + lo ->
+        # (tmpw*m)>>16 == (hi*m + ((lo*m)>>11)) >> 5.
+        tmpw = tmp * wt                      # <= 2^22, nonnegative
+        m = quant + (1 << 16)                # <= 2^17, positive
+        hi = tmpw >> 11
+        lo = tmpw & 2047
+        x = (hi * m + ((lo * m) >> 11)) >> 5
+        tmp32 = x >> (jnp.asarray(lshift) - log_scale + AOM_QM_BITS)
+    tmp32 = jnp.where(nz, tmp32, 0)
+    dequant_w = (deq * iwt + (1 << (AOM_QM_BITS - 1))) >> AOM_QM_BITS
+    abs_dq = (tmp32 * dequant_w) >> log_scale
+    return (tmp32 * sign), (abs_dq * sign)
+
+
+# --- intra prediction (batched over superblocks) ----------------------------
+
+def predict_modes_batch(above: jnp.ndarray, left: jnp.ndarray,
+                        above_left: jnp.ndarray, have_above: jnp.ndarray,
+                        have_left: jnp.ndarray, w: int, h: int,
+                        bd: int = 8) -> jnp.ndarray:
+    """All supported non-directional predictors for a batch of blocks.
+
+    above: (N, w) int32, left: (N, h), above_left/have_*: (N,).
+    Returns (N, n_modes, h, w) with modes in SUPPORTED_MODES order:
+    DC, V, H, SMOOTH, SMOOTH_V, SMOOTH_H, PAETH."""
+    n = above.shape[0]
+    base = 1 << (bd - 1)
+    a = above.astype(jnp.int32)
+    l = left.astype(jnp.int32)
+    al = above_left.astype(jnp.int32).reshape(n, 1, 1)
+
+    # DC
+    sum_a = a.sum(axis=1)
+    sum_l = l.sum(axis=1)
+    log2w = w.bit_length() - 1
+    log2h = h.bit_length() - 1
+    dc_both = (sum_a + sum_l + ((w + h) >> 1)) // (w + h)
+    dc_a = (sum_a + (w >> 1)) >> log2w
+    dc_l = (sum_l + (h >> 1)) >> log2h
+    dc = jnp.where(have_above & have_left, dc_both,
+                   jnp.where(have_above, dc_a,
+                             jnp.where(have_left, dc_l, base)))
+    dc_pred = jnp.broadcast_to(dc.reshape(n, 1, 1), (n, h, w))
+
+    v_pred = jnp.broadcast_to(a.reshape(n, 1, w), (n, h, w))
+    h_pred = jnp.broadcast_to(l.reshape(n, h, 1), (n, h, w))
+
+    wx = jnp.asarray(_SM_WEIGHTS[w], jnp.int32).reshape(1, 1, w)
+    wy = jnp.asarray(_SM_WEIGHTS[h], jnp.int32).reshape(1, h, 1)
+    below = l[:, h - 1].reshape(n, 1, 1)
+    right = a[:, w - 1].reshape(n, 1, 1)
+    a3 = a.reshape(n, 1, w)
+    l3 = l.reshape(n, h, 1)
+    smooth = ((wy * a3 + (256 - wy) * below + wx * l3 + (256 - wx) * right
+               + 256) >> 9)
+    smooth_v = ((wy * a3 + (256 - wy) * below + 128) >> 8)
+    smooth_h = ((wx * l3 + (256 - wx) * right + 128) >> 8)
+
+    pbase = a3 + l3 - al
+    pa = jnp.abs(pbase - a3)
+    pl = jnp.abs(pbase - l3)
+    pal = jnp.abs(pbase - al)
+    paeth = jnp.where((pa <= pl) & (pa <= pal),
+                      jnp.broadcast_to(a3, (n, h, w)),
+                      jnp.where(pl <= pal, jnp.broadcast_to(l3, (n, h, w)),
+                                jnp.broadcast_to(al, (n, h, w))))
+
+    return jnp.stack([dc_pred, v_pred, h_pred, smooth, smooth_v, smooth_h,
+                      paeth], axis=1)
+
+
+SEARCH_MODE_ORDER = (int(PredMode.DC_PRED), int(PredMode.V_PRED),
+                     int(PredMode.H_PRED), int(PredMode.SMOOTH_PRED),
+                     int(PredMode.SMOOTH_V_PRED), int(PredMode.SMOOTH_H_PRED),
+                     int(PredMode.PAETH_PRED))
+
+
+def _gather_sb_edges(plane: jnp.ndarray, sb: int, bd: int):
+    """Edges for every SB of a plane from the SOURCE frame (open-loop search
+    approximation — commit re-predicts from recon). plane: (H, W) int32.
+    Returns (above (N,sb), left (N,sb), above_left (N,), have_a, have_l)."""
+    H, W = plane.shape
+    nr, nc = H // sb, W // sb
+    base = 1 << (bd - 1)
+    padded = jnp.pad(plane, ((1, 0), (1, 0)), constant_values=base)
+    # above rows: padded[r*sb, c*sb+1 : +sb]
+    rows = padded[::sb, :][:nr, 1:]                     # (nr, W)
+    above = rows.reshape(nr, nc, sb)                    # (nr, nc, sb)
+    cols = padded[:, ::sb][1:, :nc]                     # (H, nc)
+    left = cols.reshape(nr, sb, nc).transpose(0, 2, 1)  # (nr, nc, sb)
+    al = padded[::sb, ::sb][:nr, :nc]                   # (nr, nc)
+    have_a = jnp.broadcast_to(
+        (jnp.arange(nr) > 0).reshape(nr, 1), (nr, nc))
+    have_l = jnp.broadcast_to(
+        (jnp.arange(nc) > 0).reshape(1, nc), (nr, nc))
+    n = nr * nc
+    # spec edge fill for unavailable sides
+    above = jnp.where(have_a.reshape(nr, nc, 1), above,
+                      jnp.where(have_l.reshape(nr, nc, 1),
+                                left[:, :, :1], base - 1))
+    left = jnp.where(have_l.reshape(nr, nc, 1), left,
+                     jnp.where(have_a.reshape(nr, nc, 1),
+                               above[:, :, :1], base + 1))
+    return (above.reshape(n, sb), left.reshape(n, sb), al.reshape(n),
+            have_a.reshape(n), have_l.reshape(n))
+
+
+def sb_mode_costs(plane: jnp.ndarray, sb: int = 64, bd: int = 8):
+    """Open-loop intra mode search costs for every SB of a plane.
+
+    Returns (costs (N, n_modes) int32 SAD, best (N,) argmin index)."""
+    H, W = plane.shape
+    p = plane.astype(jnp.int32)
+    above, left, al, ha, hl = _gather_sb_edges(p, sb, bd)
+    n = above.shape[0]
+    preds = predict_modes_batch(above, left, al, ha, hl, sb, sb, bd)
+    blocks = p.reshape(H // sb, sb, W // sb, sb).transpose(0, 2, 1, 3)
+    blocks = blocks.reshape(n, 1, sb, sb)
+    sad = jnp.abs(blocks - preds).sum(axis=(2, 3))
+    return sad, jnp.argmin(sad, axis=1)

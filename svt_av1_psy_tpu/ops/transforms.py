@@ -108,21 +108,29 @@ def _clamp_bits(x, bits, xp):
     return xp.clip(x, lo, hi)
 
 
-def _run_stages(x, name: str, cos_bit: int, clamp_bits, xp=np):
-    """Run an extracted butterfly network. x: (..., N) int64."""
+def _run_stages(x, name: str, cos_bit: int, clamp_bits, xp=np,
+                wdtype=np.int64):
+    """Run an extracted butterfly network. x: (..., N) integer array.
+
+    wdtype: the working integer dtype. int64 for the numpy trusted path;
+    int32 for the TPU/JAX path (products stay within int32 thanks to the
+    normative stage-range clamps — the same bound the reference's AVX2
+    int32 lanes rely on, ref: Source/Lib/ASM_AVX2 inv/fwd txfm)."""
     t = _stage_tables()
     n = int(t[f"{name}_nstages"])
     cospi = cospi_arr(cos_bit)
-    half = 1 << (cos_bit - 1)
+    half = wdtype(1 << (cos_bit - 1))
     for s in range(n):
         a = t[f"{name}_s{s}_a"]
         b = t[f"{name}_s{s}_b"]
         mode = t[f"{name}_s{s}_mode"].astype(bool)
         clamp = t[f"{name}_s{s}_clamp"].astype(bool)
-        lw0 = t[f"{name}_s{s}_lw0"].astype(np.int64)
-        lw1 = t[f"{name}_s{s}_lw1"].astype(np.int64)
-        w0 = t[f"{name}_s{s}_c0s"].astype(np.int64) * cospi[t[f"{name}_s{s}_c0i"]]
-        w1 = t[f"{name}_s{s}_c1s"].astype(np.int64) * cospi[t[f"{name}_s{s}_c1i"]]
+        lw0 = t[f"{name}_s{s}_lw0"].astype(wdtype)
+        lw1 = t[f"{name}_s{s}_lw1"].astype(wdtype)
+        w0 = (t[f"{name}_s{s}_c0s"].astype(np.int64) *
+              cospi[t[f"{name}_s{s}_c0i"]]).astype(wdtype)
+        w1 = (t[f"{name}_s{s}_c1s"].astype(np.int64) *
+              cospi[t[f"{name}_s{s}_c1i"]]).astype(wdtype)
         xa = x[..., a]
         xb = x[..., b]
         btf = (w0 * xa + w1 * xb + half) >> cos_bit
@@ -192,7 +200,7 @@ def _identity(x, n: int, xp=np):
 
 
 def _run_1d(x, kind: int, n: int, cos_bit: int, clamp_bits, xp=np,
-            forward: bool = False):
+            forward: bool = False, wdtype=np.int64):
     """kind: 0=DCT 1=ADST 2=FLIPADST 3=IDTX. Flip handling happens in 2D."""
     if kind == 3:
         return _identity(x, n, xp)
@@ -202,7 +210,8 @@ def _run_1d(x, kind: int, n: int, cos_bit: int, clamp_bits, xp=np,
         name = f"{'f' if forward else 'i'}adst{n}"
     else:
         name = f"{'f' if forward else 'i'}dct{n}"
-    return _run_stages(x, name, cos_bit, None if forward else clamp_bits, xp)
+    return _run_stages(x, name, cos_bit, None if forward else clamp_bits, xp,
+                       wdtype)
 
 
 def _rect_type(w: int, h: int) -> int:
@@ -222,7 +231,8 @@ def inverse_transform_2d(coeff, tx_size: int, tx_type: int, bd: int = 8, xp=np):
     """
     w, h = TX_SIZE_WIDE[tx_size], TX_SIZE_HIGH[tx_size]
     cw, ch = min(w, 32), min(h, 32)
-    coeff = xp.asarray(coeff).astype(xp.int64)
+    wdtype = xp.int64 if xp is np else xp.int32
+    coeff = xp.asarray(coeff).astype(wdtype)
     batch = coeff.shape[:-2]
     assert coeff.shape[-2:] == (ch, cw), (coeff.shape, ch, cw)
     if (cw, ch) != (w, h):
@@ -239,14 +249,16 @@ def inverse_transform_2d(coeff, tx_size: int, tx_type: int, bd: int = 8, xp=np):
     if _rect_type(w, h) == 1:
         x = round_shift(x * NEW_INV_SQRT2, NEW_SQRT2_BITS)
     x = _clamp_bits(x, bd + 8, xp)
-    x = _run_1d(x, hk, w, INV_COS_BIT, range_row, xp)       # row transform
+    x = _run_1d(x, hk, w, INV_COS_BIT, range_row, xp,
+                wdtype=wdtype)                              # row transform
     x = _round_shift_array(x, -s0)
 
     x = xp.swapaxes(x, -1, -2)  # (..., w, h): columns
     if lr_flip:
         x = xp.flip(x, axis=-2)
     x = _clamp_bits(x, max(bd + 6, 16), xp)
-    x = _run_1d(x, vk, h, INV_COS_BIT, range_col, xp)       # column transform
+    x = _run_1d(x, vk, h, INV_COS_BIT, range_col, xp,
+                wdtype=wdtype)                              # column transform
     x = _round_shift_array(x, -s1)
     if ud_flip:
         x = xp.flip(x, axis=-1)
@@ -279,7 +291,8 @@ def forward_transform_2d(resid, tx_size: int, tx_type: int, bd: int = 8, xp=np):
     vk, hk = VTX_TAB[tx_type], HTX_TAB[tx_type]
     ud_flip, lr_flip = vk == 2, hk == 2
 
-    x = xp.asarray(resid).astype(xp.int64)
+    wdtype = xp.int64 if xp is np else xp.int32
+    x = xp.asarray(resid).astype(wdtype)
     assert x.shape[-2:] == (h, w)
 
     # Columns first
@@ -287,14 +300,14 @@ def forward_transform_2d(resid, tx_size: int, tx_type: int, bd: int = 8, xp=np):
         x = xp.flip(x, axis=-2)
     x = xp.swapaxes(x, -1, -2)             # (..., w, h)
     x = _round_shift_array(x, -s[0])
-    x = _run_1d(x, vk, h, cos_bit_col, None, xp, forward=True)
+    x = _run_1d(x, vk, h, cos_bit_col, None, xp, forward=True, wdtype=wdtype)
     x = _round_shift_array(x, -s[1])
     if lr_flip:
         x = xp.flip(x, axis=-2)
     x = xp.swapaxes(x, -1, -2)             # (..., h, w)
 
     # Rows
-    x = _run_1d(x, hk, w, cos_bit_row, None, xp, forward=True)
+    x = _run_1d(x, hk, w, cos_bit_row, None, xp, forward=True, wdtype=wdtype)
     x = _round_shift_array(x, -s[2])
     if _rect_type(w, h) == 1:
         x = round_shift(x * NEW_SQRT2, NEW_SQRT2_BITS)
