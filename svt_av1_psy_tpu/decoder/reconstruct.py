@@ -1,0 +1,297 @@
+"""Intra-frame reconstruction for parsed tiles (spec 7.11 + 7.12 + 7.13).
+
+Completes the in-repo conformance decoder: TileParser produces block records
++ quantized coefficients; this module performs normative prediction (incl.
+directional with edge filter/upsample, CfL, filter-intra), dequantization
+(incl. quantizer matrices) and inverse transforms, yielding frame planes that
+must equal dav1d's output bit-exactly.
+
+Neighbor-pixel availability follows the spec's BlockDecoded bitmap scheme
+(5.11.31 clear_block_decoded_flags / 5.11.37 transform_block), which is
+equivalent to the reference's has_top_right/has_bottom_left order tables
+(ref: Source/Lib/Codec/intra_prediction.c:494-760) but simpler to get right.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from svt_av1_psy_tpu.constants import (BLOCK_SIZE_HIGH, BLOCK_SIZE_WIDE,
+                                       TX_SIZE_HIGH, TX_SIZE_WIDE, PredMode)
+from svt_av1_psy_tpu.entropy.tile_writer import has_chroma
+from svt_av1_psy_tpu.ops import intra as ip
+from svt_av1_psy_tpu.ops.quant import (PlaneQuant, build_plane_quant,
+                                       dequant_coeffs, iqm_matrix)
+from svt_av1_psy_tpu.ops.transforms import inverse_transform_add
+
+SMOOTH_MODES = (int(PredMode.SMOOTH_PRED), int(PredMode.SMOOTH_V_PRED),
+                int(PredMode.SMOOTH_H_PRED))
+
+
+class FrameReconstructor:
+    def __init__(self, width: int, height: int, fi, *, bd: int = 8,
+                 sb_size: int = 64, enable_intra_edge_filter: bool = True):
+        self.bd = bd
+        self.sb4 = sb_size // 4
+        self.edge_filter = enable_intra_edge_filter
+        self.mi_cols = 2 * ((width + 7) >> 3)
+        self.mi_rows = 2 * ((height + 7) >> 3)
+        self.aw = self.mi_cols * 4
+        self.ah = self.mi_rows * 4
+        dtype = np.uint8 if bd == 8 else np.uint16
+        # planes padded generously so edge reads never leave the array
+        self.planes = [np.zeros((self.ah + 160, self.aw + 160), dtype),
+                       np.zeros((self.ah // 2 + 160, self.aw // 2 + 160),
+                                dtype),
+                       np.zeros((self.ah // 2 + 160, self.aw // 2 + 160),
+                                dtype)]
+        self.fi = fi
+        self.pq = [
+            build_plane_quant(fi.base_q_idx, fi.delta_q_y_dc, 0, bd),
+            build_plane_quant(fi.base_q_idx, fi.delta_q_u_dc,
+                              fi.delta_q_u_ac, bd),
+            build_plane_quant(fi.base_q_idx, fi.delta_q_v_dc,
+                              fi.delta_q_v_ac, bd),
+        ]
+        self.qm_levels = [fi.qm_y, fi.qm_u, fi.qm_v] if fi.using_qmatrix \
+            else None
+        # BlockDecoded bitmaps, one per plane, rebuilt per superblock.
+        # Indexed [y4 + 1][x4 + 1] with the -1 border.
+        self._bd_maps = None
+        self._sb_rc = (-1, -1)
+        # per-plane is-smooth neighbor rows for the edge filter type
+        self.above_smooth = [np.zeros(self.mi_cols, np.uint8) for _ in
+                             range(2)]
+        self.left_smooth = [np.zeros(self.mi_rows, np.uint8) for _ in
+                            range(2)]
+
+    # --- BlockDecoded ----------------------------------------------------
+    def _reset_sb(self, sbr4: int, sbc4: int):
+        """clear_block_decoded_flags (spec 5.11.31)."""
+        self._sb_rc = (sbr4, sbc4)
+        self._bd_maps = []
+        for plane in range(3):
+            sub = 1 if plane else 0
+            n = (self.sb4 >> sub)
+            m = np.zeros((n + 2, n + 2), np.uint8)
+            sb_w4 = (self.mi_cols - sbc4) >> sub     # to tile end
+            sb_h4 = (self.mi_rows - sbr4) >> sub
+            # above row: x in [-1, n] available while x < sbWidth4
+            xs = np.arange(-1, n + 1)
+            m[0, :] = (xs < sb_w4).astype(np.uint8)
+            # left col: y in [0, n] available while y < sbHeight4
+            ys = np.arange(0, n + 1)
+            m[1:, 0] = (ys < sb_h4).astype(np.uint8)
+            m[n + 1, 0] = 0                          # bottom-left cleared
+            self._bd_maps.append(m)
+
+    def _bdget(self, plane, y4, x4) -> bool:
+        sub = 1 if plane else 0
+        sbr4, sbc4 = self._sb_rc
+        ry = y4 - (self._sb_rc[0] >> sub)
+        rx = x4 - (self._sb_rc[1] >> sub)
+        n = self.sb4 >> sub
+        if ry < -1 or rx < -1 or ry > n or rx > n:
+            return False
+        return bool(self._bd_maps[plane][ry + 1, rx + 1])
+
+    def _bdset(self, plane, y4, x4, h4, w4):
+        sub = 1 if plane else 0
+        ry = y4 - (self._sb_rc[0] >> sub)
+        rx = x4 - (self._sb_rc[1] >> sub)
+        self._bd_maps[plane][ry + 1:ry + 1 + h4, rx + 1:rx + 1 + w4] = 1
+
+    # --- top level -------------------------------------------------------
+    def decode_blocks(self, blocks) -> tuple:
+        """Reconstruct all parsed blocks (decode order). Returns (y, u, v)
+        display-cropped planes... caller crops."""
+        for b in blocks:
+            sbr4 = b.mi_row - (b.mi_row % self.sb4)
+            sbc4 = b.mi_col - (b.mi_col % self.sb4)
+            if (sbr4, sbc4) != self._sb_rc:
+                self._reset_sb(sbr4, sbc4)
+            self._decode_block(b)
+        return (self.planes[0][:self.ah, :self.aw],
+                self.planes[1][:self.ah // 2, :self.aw // 2],
+                self.planes[2][:self.ah // 2, :self.aw // 2])
+
+    def _decode_block(self, b):
+        hc = has_chroma(b.mi_row, b.mi_col, b.bsize)
+        self.max_luma_w = 0
+        self.max_luma_h = 0
+        txbs_by_plane = {0: [], 1: [], 2: []}
+        for t in b.txbs:
+            txbs_by_plane[t[0]].append(t)
+        for plane in range(3):
+            if plane > 0 and not hc:
+                # chroma not carried by this block, but mark decoded later
+                continue
+            for (pl, u_row, u_col, ts, tt, q) in txbs_by_plane[plane]:
+                self._decode_txb(b, plane, u_row, u_col, ts, tt, q)
+            if plane == 0 and b.skip:
+                # skip blocks: prediction IS recon; predict per max tx unit
+                pass
+        if b.skip:
+            assert not b.txbs, "skip blocks carry no txbs"
+            self._reconstruct_skip(b, hc)
+        # record smooth-ness for edge filter type of later blocks
+        w4 = BLOCK_SIZE_WIDE[b.bsize] // 4
+        h4 = BLOCK_SIZE_HIGH[b.bsize] // 4
+        ysm = int(b.y_mode in SMOOTH_MODES)
+        self.above_smooth[0][b.mi_col:b.mi_col + w4] = ysm
+        self.left_smooth[0][b.mi_row:b.mi_row + h4] = ysm
+        if hc:
+            usm = int(b.uv_mode in SMOOTH_MODES)
+            self.above_smooth[1][b.mi_col:b.mi_col + w4] = usm
+            self.left_smooth[1][b.mi_row:b.mi_row + h4] = usm
+
+    def _reconstruct_skip(self, b, hc):
+        """Skip blocks still produce prediction as recon (spec: residual
+        coded as zero; prediction happens per max-tx unit)."""
+        from svt_av1_psy_tpu.decoder.tile_parser import _chroma_tx_size
+
+        bw = BLOCK_SIZE_WIDE[b.bsize]
+        bh = BLOCK_SIZE_HIGH[b.bsize]
+        # luma per tx unit
+        ts = b.tx_size
+        tw, th = TX_SIZE_WIDE[ts], TX_SIZE_HIGH[ts]
+        for oy in range(0, bh, th):
+            for ox in range(0, bw, tw):
+                self._decode_txb(b, 0, b.mi_row + oy // 4,
+                                 b.mi_col + ox // 4, ts, 0, None)
+        if hc:
+            cts = _chroma_tx_size(b.bsize)
+            ctw, cth = TX_SIZE_WIDE[cts], TX_SIZE_HIGH[cts]
+            cw = max(4, bw >> 1)
+            chh = max(4, bh >> 1)
+            for oy in range(0, chh, cth):
+                for ox in range(0, cw, ctw):
+                    self._decode_txb(b, 1, (b.mi_row >> 1) + oy // 4,
+                                     (b.mi_col >> 1) + ox // 4, cts, 0, None)
+                    self._decode_txb(b, 2, (b.mi_row >> 1) + oy // 4,
+                                     (b.mi_col >> 1) + ox // 4, cts, 0, None)
+
+    # --- per-txb ---------------------------------------------------------
+    def _decode_txb(self, b, plane, u_row, u_col, ts, tt, qcoeff):
+        sub = 1 if plane else 0
+        w, h = TX_SIZE_WIDE[ts], TX_SIZE_HIGH[ts]
+        x = u_col * 4
+        y = u_row * 4
+        max_x = (self.mi_cols * 4 >> sub) - 1
+        max_y = (self.mi_rows * 4 >> sub) - 1
+        if x > max_x or y > max_y:
+            return
+        step_x = w // 4
+        step_y = h // 4
+        # availability from the BlockDecoded maps (spec transform_block)
+        have_left = x > 0 and self._bdget(plane, u_row, u_col - 1)
+        have_above = y > 0 and self._bdget(plane, u_row - 1, u_col)
+        have_ar = self._bdget(plane, u_row - 1, u_col + step_x)
+        have_bl = self._bdget(plane, u_row + step_y, u_col - 1)
+
+        if plane == 0:
+            mode = b.y_mode
+        else:
+            mode = int(PredMode.DC_PRED) \
+                if b.uv_mode == int(PredMode.UV_CFL_PRED) else b.uv_mode
+        ad = b.angle_delta_y if plane == 0 else b.angle_delta_uv
+
+        pred = self._predict(b, plane, mode, ad, x, y, w, h, have_above,
+                             have_left, have_ar, have_bl, max_x, max_y)
+        if plane > 0 and b.uv_mode == int(PredMode.UV_CFL_PRED):
+            pred = self._apply_cfl(b, plane, x, y, w, h, pred, sub)
+
+        rec_plane = self.planes[plane]
+        if qcoeff is None or not np.any(qcoeff):
+            rec = pred
+        else:
+            iqm = None
+            if self.qm_levels is not None and self.qm_levels[plane] < 15:
+                iqm = iqm_matrix(self.qm_levels[plane], plane, ts)
+            dq = dequant_coeffs(qcoeff, ts, self.pq[plane], iqm=iqm)
+            rec = inverse_transform_add(dq, pred, ts, tt, self.bd)
+        # clamped write (spec writes within maxX/maxY)
+        wx = min(w, max_x + 1 - x)
+        wy = min(h, max_y + 1 - y)
+        rec_plane[y:y + wy, x:x + wx] = \
+            np.asarray(rec[:wy, :wx], rec_plane.dtype)
+        if plane == 0:
+            self.max_luma_w = x + step_x * 4
+            self.max_luma_h = y + step_y * 4
+        self._bdset(plane, u_row, u_col, step_y, step_x)
+
+    def _predict(self, b, plane, mode, angle_delta, x, y, w, h, have_above,
+                 have_left, have_ar, have_bl, max_x, max_y):
+        bd = self.bd
+        plane_arr = self.planes[plane]
+        base = 1 << (bd - 1)
+        # edge construction (spec 7.11.2 steps 1-3)
+        above = np.zeros(w + h, np.int32)
+        left = np.zeros(w + h, np.int32)
+        if not have_above and have_left:
+            above[:] = int(plane_arr[y, x - 1])
+        elif not have_above:
+            above[:] = base - 1
+        else:
+            lim = min(max_x, x + (2 * w if have_ar else w) - 1)
+            xs = np.minimum(np.arange(x, x + w + h), lim)
+            above[:] = plane_arr[y - 1, xs]
+        if not have_left and have_above:
+            left[:] = int(plane_arr[y - 1, x])
+        elif not have_left:
+            left[:] = base + 1
+        else:
+            lim = min(max_y, y + (2 * h if have_bl else h) - 1)
+            ys = np.minimum(np.arange(y, y + h + w), lim)
+            left[:] = plane_arr[ys, x - 1]
+        if have_above and have_left:
+            al = int(plane_arr[y - 1, x - 1])
+        elif have_above:
+            al = int(plane_arr[y - 1, x])
+        elif have_left:
+            al = int(plane_arr[y, x - 1])
+        else:
+            al = base
+
+        if plane == 0 and b.use_filter_intra:
+            return ip.filter_intra_pred(b.filter_intra_mode, above, left, al,
+                                        w, h, bd)
+        m = PredMode(mode)
+        if ip.PredMode.V_PRED <= m <= ip.PredMode.D67_PRED:
+            pidx = 0 if plane == 0 else 1
+            c = b.mi_col >> (1 if plane else 0)
+            r = b.mi_row >> (1 if plane else 0)
+            ab_sm = int(self.above_smooth[pidx][min(b.mi_col, self.mi_cols - 1)]) \
+                if have_above else 0
+            le_sm = int(self.left_smooth[pidx][min(b.mi_row, self.mi_rows - 1)]) \
+                if have_left else 0
+            ftype = 1 if (ab_sm or le_sm) else 0
+            return ip.directional_pred(
+                mode, angle_delta, above, left, al, w, h, have_above,
+                have_left, enable_edge_filter=self.edge_filter,
+                filter_type=ftype, n_top_px=max_x - x + 1,
+                n_left_px=max_y - y + 1, bd=bd)
+        return ip.predict(mode, above, left, al, w, h, have_above, have_left,
+                          bd)
+
+    def _apply_cfl(self, b, plane, x, y, w, h, dc_pred, sub):
+        # alpha from joint sign + idx (spec 5.11.45 semantics)
+        js = b.cfl_joint_sign
+        sign_u = ((js + 1) * 11) >> 5
+        sign_v = (js + 1) - 3 * sign_u
+        sign = sign_u if plane == 1 else sign_v
+        if sign == 0:
+            return dc_pred
+        idx = b.cfl_idx_u if plane == 1 else b.cfl_idx_v
+        alpha = (idx + 1) * (1 if sign == 2 else -1)
+        # subsampled luma from recon, clamped to decoded luma extent
+        lx = x << sub
+        ly = y << sub
+        lw = w << sub
+        lh = h << sub
+        luma = self.planes[0]
+        xs = np.minimum(np.arange(lx, lx + lw), self.max_luma_w - 1)
+        ys = np.minimum(np.arange(ly, ly + lh), self.max_luma_h - 1)
+        lbuf = luma[np.ix_(ys, xs)]
+        ac = ip.cfl_luma_ac(lbuf, w, h)
+        return ip.cfl_pred(dc_pred, ac, alpha, self.bd)

@@ -25,44 +25,16 @@ from svt_av1_psy_tpu.entropy.frame_context import FrameContext
 from svt_av1_psy_tpu.entropy.range_coder import RangeDecoder
 from svt_av1_psy_tpu.entropy.tile_writer import (_INTRA_MODE_CTX, _PART_CTX,
                                                  MAX_TX_SIZE_RECT,
-                                                 cfl_allowed, is_directional,
+                                                 cfl_allowed, has_chroma,
+                                                 is_directional,
                                                  use_angle_delta)
 
-# depth -> tx size for a given max rect tx (spec depth_to_tx_size)
-_SUB_TX = [  # tx_size -> next smaller (spec Split_Tx_Size)
-    TxSize.TX_4X4, TxSize.TX_4X4, TxSize.TX_8X8, TxSize.TX_16X16,
-    TxSize.TX_32X32, TxSize.TX_4X4, TxSize.TX_4X4, TxSize.TX_8X8,
-    TxSize.TX_8X8, TxSize.TX_16X16, TxSize.TX_16X16, TxSize.TX_32X32,
-    TxSize.TX_32X32, TxSize.TX_4X8, TxSize.TX_8X4, TxSize.TX_8X16,
-    TxSize.TX_16X8, TxSize.TX_16X32, TxSize.TX_32X16,
-]
+from svt_av1_psy_tpu.entropy.tx_trees import (SUB_TX as _SUB_TX,
+                                              max_tx_depth as _max_tx_depth_fn,
+                                              tx_size_cat as _tx_size_cat_fn)
 
-# intra mode -> tx type (libaom intra_mode_to_tx_type / ref mode2txfm)
-_MODE2TXFM = [
-    TxType.DCT_DCT, TxType.ADST_DCT, TxType.DCT_ADST, TxType.DCT_DCT,
-    TxType.ADST_ADST, TxType.ADST_DCT, TxType.DCT_ADST, TxType.DCT_ADST,
-    TxType.ADST_DCT, TxType.ADST_ADST, TxType.ADST_DCT, TxType.DCT_ADST,
-    TxType.ADST_ADST, TxType.DCT_DCT,  # UV_CFL -> DCT
-]
-
-# ext-tx set inverse permutations (spec Ext_Tx_Inv tables)
-EXT_TX_INV = {
-    1: [9, 0, 3, 1, 2, 10, 11],        # DTT4_IDTX_1DDCT (7 syms)
-    2: [9, 0, 3, 1, 2],                # DTT4_IDTX (5 syms)
-}
-EXT_TX_SET_SIZES = {0: 1, 1: 7, 2: 5}
-
-
-def intra_tx_set(tx_size: int, reduced: bool) -> int:
-    """Returns intra ext-tx-set index: 0 DCTONLY, 1 DTT4_IDTX_1DDCT,
-    2 DTT4_IDTX (libaom get_ext_tx_set_type for is_inter=0)."""
-    if TX_SIZE_SQR_UP[tx_size] > int(TxSize.TX_32X32):
-        return 0
-    if TX_SIZE_SQR_UP[tx_size] == int(TxSize.TX_32X32):
-        return 0
-    if reduced:
-        return 2
-    return 2 if TX_SIZE_SQR[tx_size] == int(TxSize.TX_16X16) else 1
+from svt_av1_psy_tpu.entropy.tx_sets import (EXT_TX_INV, EXT_TX_SET_SIZES,
+                                             intra_tx_set, uv_tx_type)
 
 
 @dataclass
@@ -76,14 +48,20 @@ class ParsedBlock:
     angle_delta_uv: int = 0
     skip: bool = False
     tx_size: int = 0
+    cfl_joint_sign: int = -1
+    cfl_idx_u: int = 0
+    cfl_idx_v: int = 0
+    use_filter_intra: bool = False
+    filter_intra_mode: int = 0
     txbs: list = field(default_factory=list)   # (plane, u_row, u_col, TxSize, TxType, qcoeff|None)
 
 
 class TileParser:
     def __init__(self, fc: FrameContext, data: bytes, mi_rows: int,
-                 mi_cols: int, *, sb_size: int = 64, tx_mode_select: bool = False,
-                 reduced_tx_set: bool = False, delta_q_present: bool = False,
-                 allow_update_cdf: bool = True):
+                 mi_cols: int, *, sb_size: int = 64,
+                 tx_mode_select: bool = False, reduced_tx_set: bool = False,
+                 delta_q_present: bool = False, allow_update_cdf: bool = True,
+                 enable_filter_intra: bool = False):
         self.fc = fc
         self.dec = RangeDecoder(data)
         self.mi_rows, self.mi_cols = mi_rows, mi_cols
@@ -92,8 +70,10 @@ class TileParser:
         self.reduced_tx_set = reduced_tx_set
         self.delta_q_present = delta_q_present
         self.adapt = allow_update_cdf
+        self.enable_filter_intra = enable_filter_intra
         self.ss_x = self.ss_y = 1
         self.trace: list = []
+        self.events: list = []   # ('part',r,c,bsize,part) | ('block',ParsedBlock) | ('pctx',r,c,bsize,sub)
         self.blocks: list[ParsedBlock] = []
         self.read_deltas = False
 
@@ -148,15 +128,32 @@ class TileParser:
             nsyms = 10
         if bsize < int(BlockSize.BLOCK_8X8):
             part = 0
-        elif has_rows and has_cols:
-            above = (int(self.above_part[c]) >> bsl) & 1
-            left = (int(self.left_part[r]) >> bsl) & 1
+            ctx = 0
+        else:
+            above = (int(self.above_part[c]) >> (bsl - 1)) & 1
+            left = (int(self.left_part[r]) >> (bsl - 1)) & 1
             ctx = (bsl - 1) * 4 + left * 2 + above
+        if bsize < int(BlockSize.BLOCK_8X8):
+            pass
+        elif has_rows and has_cols:
             part = self._sym(f"partition@{r},{c},{bsize}",
                              self.fc.partition[ctx], nsyms=nsyms)
+        elif not has_rows and not has_cols:
+            part = 3
         else:
-            raise NotImplementedError("boundary partitions")
+            from svt_av1_psy_tpu.entropy.tile_writer import TileWriter as _TW
 
+            icdf = _TW._gather_bool_icdf(self.fc.partition[ctx],
+                                         not has_rows, bsize)
+            bit = self.dec.decode_symbol(icdf, nsyms=2, adapt=False)
+            self.trace.append((f"split_or_{'horz' if not has_rows else 'vert'}"
+                               f"@{r},{c}", bit))
+            if bit:
+                part = 3
+            else:
+                part = 1 if not has_rows else 2
+
+        self.events.append(('part', r, c, bsize, part))
         half4 = w4 // 2
         sub = _subsize(bsize, part)
         if part == 0:                       # NONE
@@ -178,9 +175,50 @@ class TileParser:
                 self._parse_block(r, c + half4, sub)
             self._update_part_ctx(r, c, bsize, sub)
         else:
-            raise NotImplementedError(f"ext partition {part}")
+            sq = _subsize(bsize, 3)         # quarter square
+            if part == 4:                   # HORZ_A: 2 squares / wide rect
+                self._parse_block(r, c, sq)
+                self._parse_block(r, c + half4, sq)
+                self._parse_block(r + half4, c, sub)
+                self._update_part_ctx(r, c, sub, sq)
+                self._update_part_ctx(r + half4, c, sub, sub)
+            elif part == 5:                 # HORZ_B: wide rect / 2 squares
+                self._parse_block(r, c, sub)
+                self._parse_block(r + half4, c, sq)
+                self._parse_block(r + half4, c + half4, sq)
+                self._update_part_ctx(r, c, sub, sub)
+                self._update_part_ctx(r + half4, c, sub, sq)
+            elif part == 6:                 # VERT_A: 2 squares | tall rect
+                self._parse_block(r, c, sq)
+                self._parse_block(r + half4, c, sq)
+                self._parse_block(r, c + half4, sub)
+                self._update_part_ctx(r, c, sub, sq)
+                self._update_part_ctx(r, c + half4, sub, sub)
+            elif part == 7:                 # VERT_B: tall rect | 2 squares
+                self._parse_block(r, c, sub)
+                self._parse_block(r, c + half4, sq)
+                self._parse_block(r + half4, c + half4, sq)
+                self._update_part_ctx(r, c, sub, sub)
+                self._update_part_ctx(r, c + half4, sub, sq)
+            elif part == 8:                 # HORZ_4
+                q4 = h4 // 4
+                for i in range(4):
+                    if r + i * q4 >= self.mi_rows:
+                        break
+                    self._parse_block(r + i * q4, c, sub)
+                self._update_part_ctx(r, c, bsize, sub)
+            elif part == 9:                 # VERT_4
+                q4 = w4 // 4
+                for i in range(4):
+                    if c + i * q4 >= self.mi_cols:
+                        break
+                    self._parse_block(r, c + i * q4, sub)
+                self._update_part_ctx(r, c, bsize, sub)
+            else:
+                raise NotImplementedError(f"partition {part}")
 
     def _update_part_ctx(self, r, c, bsize, subsize):
+        self.events.append(('pctx', r, c, bsize, subsize))
         w4 = BLOCK_SIZE_WIDE[bsize] // 4
         h4 = BLOCK_SIZE_HIGH[bsize] // 4
         self.above_part[c:c + w4] = _PART_CTX[BLOCK_SIZE_WIDE[subsize]]
@@ -199,13 +237,19 @@ class TileParser:
 
         # read_delta_qindex (sb-size blocks with skip don't read)
         if self.read_deltas:
-            if not (w4 == self.sb_mi and h4 == self.sb_mi and skip):
+            if getattr(self, 'dbg_dq_nonskip_only', False):
+                dq_code = not skip
+            else:
+                dq_code = not (w4 == self.sb_mi and h4 == self.sb_mi and skip)
+            if dq_code:
                 abs_q = self._sym("delta_q_abs", fc.delta_q)
                 if abs_q == 3:
                     rem = self._lit("delta_q_rem_bits", 3) + 1
                     abs_q = self._lit("delta_q_abs_bits", rem) + (1 << rem) + 1
+                sign = 0
                 if abs_q:
-                    self._lit("delta_q_sign", 1)
+                    sign = self._lit("delta_q_sign", 1)
+                self.events.append(('dq', abs_q, sign))
             self.read_deltas = False
 
         am = int(self.above_mode[c]) if have_above else int(PredMode.DC_PRED)
@@ -218,26 +262,45 @@ class TileParser:
             ad_y = self._sym("angle_y",
                              fc.angle_delta[y_mode - PredMode.V_PRED]) - 3
 
-        has_chroma = True  # 4:2:0, blocks >= 8x8 handled; small-block rules TBD
+        hc = has_chroma(r, c, bsize)
         cfl_ok = cfl_allowed(bsize)
-        uv_mode = self._sym(f"uv_mode@{r},{c}",
-                            fc.uv_mode[int(cfl_ok)][y_mode],
-                            nsyms=14 if cfl_ok else 13)
+        uv_mode = int(PredMode.DC_PRED)
+        if hc:
+            uv_mode = self._sym(f"uv_mode@{r},{c}",
+                                fc.uv_mode[int(cfl_ok)][y_mode],
+                                nsyms=14 if cfl_ok else 13)
         ad_uv = 0
-        if uv_mode == int(PredMode.UV_CFL_PRED):
-            raise NotImplementedError("CfL parse")
+        cfl_js, cfl_u, cfl_v = -1, 0, 0
+        if not hc:
+            pass
+        elif uv_mode == int(PredMode.UV_CFL_PRED):
+            cfl_js = self._sym("cfl_sign", fc.cfl_sign)
+            sign_u = ((cfl_js + 1) * 11) >> 5
+            sign_v = (cfl_js + 1) - 3 * sign_u
+            if sign_u != 0:
+                cfl_u = self._sym("cfl_alpha_u",
+                                  fc.cfl_alpha[cfl_js + 1 - 3])
+            if sign_v != 0:
+                cfl_v = self._sym("cfl_alpha_v",
+                                  fc.cfl_alpha[sign_v * 3 + sign_u - 3])
         elif is_directional(uv_mode) and use_angle_delta(bsize):
             ad_uv = self._sym("angle_uv",
                               fc.angle_delta[uv_mode - PredMode.V_PRED]) - 3
 
         # palette: requires allow_screen_content_tools (assumed off)
-        # filter_intra: requires seq flag (assumed off)
+        use_fi, fi_mode = False, 0
+        if (self.enable_filter_intra and y_mode == int(PredMode.DC_PRED)
+                and BLOCK_SIZE_WIDE[bsize] <= 32
+                and BLOCK_SIZE_HIGH[bsize] <= 32):
+            use_fi = bool(self._sym("filter_intra", fc.filter_intra[bsize]))
+            if use_fi:
+                fi_mode = self._sym("filter_intra_mode", fc.filter_intra_mode)
 
         # tx size
         max_tx = int(MAX_TX_SIZE_RECT[bsize])
         tx_size = max_tx
         if self.tx_mode_select and bsize > int(BlockSize.BLOCK_4X4) \
-                and not skip:
+                and not (skip and getattr(self, 'dbg_no_skip_txd', False)):
             max_depth = _max_tx_depth(bsize)
             if max_depth > 0:
                 cat = _tx_size_cat(bsize)
@@ -249,7 +312,10 @@ class TileParser:
                     tx_size = int(_SUB_TX[tx_size])
         blk = ParsedBlock(mi_row=r, mi_col=c, bsize=bsize, y_mode=y_mode,
                           uv_mode=uv_mode, angle_delta_y=ad_y,
-                          angle_delta_uv=ad_uv, skip=skip, tx_size=tx_size)
+                          angle_delta_uv=ad_uv, skip=skip, tx_size=tx_size,
+                          cfl_joint_sign=cfl_js, cfl_idx_u=cfl_u,
+                          cfl_idx_v=cfl_v, use_filter_intra=use_fi,
+                          filter_intra_mode=fi_mode)
 
         # txfm context update
         self.above_txw[c:c + w4] = TX_SIZE_WIDE[tx_size]
@@ -270,6 +336,7 @@ class TileParser:
         else:
             self._parse_residual(blk)
         self.blocks.append(blk)
+        self.events.append(('block', blk))
 
     def _tx_size_ctx(self, r, c, bsize, have_above, have_left) -> int:
         max_tx = int(MAX_TX_SIZE_RECT[bsize])
@@ -286,7 +353,8 @@ class TileParser:
     # --- residual --------------------------------------------------------
     def _parse_residual(self, blk: ParsedBlock):
         bsize = blk.bsize
-        for plane in range(3):
+        hc = has_chroma(blk.mi_row, blk.mi_col, bsize)
+        for plane in range(3 if hc else 1):
             ss = 1 if plane else 0
             bw = BLOCK_SIZE_WIDE[bsize] >> ss
             bh = BLOCK_SIZE_HIGH[bsize] >> ss
@@ -325,18 +393,20 @@ class TileParser:
 
         # tx type
         if plane == 0:
+            from svt_av1_psy_tpu.entropy.tx_sets import FIMODE_TO_INTRADIR
             tx_set = intra_tx_set(tx_size, self.reduced_tx_set)
             if tx_set == 0:
                 tx_type = int(TxType.DCT_DCT)
             else:
-                # filter-intra off: mode used directly
+                mode = (FIMODE_TO_INTRADIR[blk.filter_intra_mode]
+                        if blk.use_filter_intra else blk.y_mode)
                 s = self._sym(
                     "tx_type",
-                    fc.intra_ext_tx[tx_set][TX_SIZE_SQR[tx_size]][blk.y_mode],
+                    fc.intra_ext_tx[tx_set][TX_SIZE_SQR[tx_size]][mode],
                     nsyms=EXT_TX_SET_SIZES[tx_set])
                 tx_type = EXT_TX_INV[tx_set][s]
         else:
-            tx_type = _uv_tx_type(blk.uv_mode, tx_size, self.reduced_tx_set)
+            tx_type = uv_tx_type(blk.uv_mode, tx_size, self.reduced_tx_set)
 
         qcoeff, cul = self._parse_coeffs(tx_size, tx_type, ptype, above, left)
         self.above_coef[plane][u_col:u_col + tw4] = cul
@@ -434,39 +504,38 @@ class TileParser:
 
 
 def _subsize(bsize: int, part: int) -> int:
-    """spec Partition_Subsize for NONE/HORZ/VERT/SPLIT."""
-    b = BlockSize(bsize)
+    """spec Partition_Subsize (all 10 partition types)."""
+    B = BlockSize
+    b = B(bsize)
+    # (NONE, HORZ, VERT, SPLIT, HORZ_A, HORZ_B, VERT_A, VERT_B, H4, V4)
     table = {
-        BlockSize.BLOCK_8X8: (BlockSize.BLOCK_8X8, BlockSize.BLOCK_8X4,
-                              BlockSize.BLOCK_4X8, BlockSize.BLOCK_4X4),
-        BlockSize.BLOCK_16X16: (BlockSize.BLOCK_16X16, BlockSize.BLOCK_16X8,
-                                BlockSize.BLOCK_8X16, BlockSize.BLOCK_8X8),
-        BlockSize.BLOCK_32X32: (BlockSize.BLOCK_32X32, BlockSize.BLOCK_32X16,
-                                BlockSize.BLOCK_16X32, BlockSize.BLOCK_16X16),
-        BlockSize.BLOCK_64X64: (BlockSize.BLOCK_64X64, BlockSize.BLOCK_64X32,
-                                BlockSize.BLOCK_32X64, BlockSize.BLOCK_32X32),
-        BlockSize.BLOCK_128X128: (BlockSize.BLOCK_128X128,
-                                  BlockSize.BLOCK_128X64,
-                                  BlockSize.BLOCK_64X128,
-                                  BlockSize.BLOCK_64X64),
+        B.BLOCK_4X4: (B.BLOCK_4X4,) + (None,) * 9,
+        B.BLOCK_8X8: (B.BLOCK_8X8, B.BLOCK_8X4, B.BLOCK_4X8, B.BLOCK_4X4,
+                      B.BLOCK_8X4, B.BLOCK_8X4, B.BLOCK_4X8, B.BLOCK_4X8,
+                      None, None),
+        B.BLOCK_16X16: (B.BLOCK_16X16, B.BLOCK_16X8, B.BLOCK_8X16,
+                        B.BLOCK_8X8, B.BLOCK_16X8, B.BLOCK_16X8,
+                        B.BLOCK_8X16, B.BLOCK_8X16, B.BLOCK_16X4,
+                        B.BLOCK_4X16),
+        B.BLOCK_32X32: (B.BLOCK_32X32, B.BLOCK_32X16, B.BLOCK_16X32,
+                        B.BLOCK_16X16, B.BLOCK_32X16, B.BLOCK_32X16,
+                        B.BLOCK_16X32, B.BLOCK_16X32, B.BLOCK_32X8,
+                        B.BLOCK_8X32),
+        B.BLOCK_64X64: (B.BLOCK_64X64, B.BLOCK_64X32, B.BLOCK_32X64,
+                        B.BLOCK_32X32, B.BLOCK_64X32, B.BLOCK_64X32,
+                        B.BLOCK_32X64, B.BLOCK_32X64, B.BLOCK_64X16,
+                        B.BLOCK_16X64),
+        B.BLOCK_128X128: (B.BLOCK_128X128, B.BLOCK_128X64, B.BLOCK_64X128,
+                          B.BLOCK_64X64, B.BLOCK_128X64, B.BLOCK_128X64,
+                          B.BLOCK_64X128, B.BLOCK_64X128, None, None),
     }
-    return int(table[b][part])
+    sub = table[b][part]
+    assert sub is not None, (bsize, part)
+    return int(sub)
 
 
-def _max_tx_depth(bsize: int) -> int:
-    """bsize_to_max_depth (libaom): how many times tx can split for intra."""
-    tx = int(MAX_TX_SIZE_RECT[bsize])
-    depth = 0
-    while tx != int(TxSize.TX_4X4) and depth < 2:
-        depth += 1
-        tx = int(_SUB_TX[tx])
-    return depth
-
-
-def _tx_size_cat(bsize: int) -> int:
-    """bsize_to_tx_size_cat: TX_SIZE_SQR_UP(max rect tx) - 1, max 3."""
-    tx = int(MAX_TX_SIZE_RECT[bsize])
-    return min(TX_SIZE_SQR_UP[tx], 4) - 1
+_max_tx_depth = _max_tx_depth_fn
+_tx_size_cat = _tx_size_cat_fn
 
 
 def _chroma_tx_size(bsize: int) -> int:
@@ -478,15 +547,3 @@ def _chroma_tx_size(bsize: int) -> int:
         if TX_SIZE_WIDE[ts] == min(w, 32) and TX_SIZE_HIGH[ts] == min(h, 32):
             return ts
     raise ValueError((w, h))
-
-
-def _uv_tx_type(uv_mode: int, tx_size: int, reduced: bool) -> int:
-    """Chroma intra tx type (derived, spec compute_tx_type for plane>0)."""
-    if TX_SIZE_SQR_UP[tx_size] > int(TxSize.TX_32X32):
-        return int(TxType.DCT_DCT)
-    t = int(_MODE2TXFM[uv_mode])
-    tx_set = intra_tx_set(tx_size, reduced)
-    if tx_set == 0:
-        return int(TxType.DCT_DCT)
-    allowed = EXT_TX_INV[tx_set]
-    return t if t in allowed else int(TxType.DCT_DCT)

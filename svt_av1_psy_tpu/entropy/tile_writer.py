@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from svt_av1_psy_tpu.constants import (BLOCK_SIZE_HIGH, BLOCK_SIZE_WIDE,
-                                       PredMode, TxSize, BlockSize)
+                                       BlockSize, Partition, PredMode, TxSize)
 from svt_av1_psy_tpu.entropy import coeff_coder as cc
 from svt_av1_psy_tpu.entropy.frame_context import FrameContext
 from svt_av1_psy_tpu.entropy.range_coder import RangeEncoder
@@ -26,8 +26,10 @@ from svt_av1_psy_tpu.entropy.range_coder import RangeEncoder
 # intra_mode_context (libaom): mode -> kf_y cdf context bucket
 _INTRA_MODE_CTX = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
 
-# partition ctx byte per block dimension (above uses width, left height)
-_PART_CTX = {4: 15, 8: 14, 16: 12, 32: 8, 64: 0, 128: 0}
+# partition ctx byte per block dimension (above uses width, left height);
+# 5-bit scheme, bit (log2(dim4)-1) == "neighbor smaller than this size"
+# (ref: definitions.h:1574 partition_context_lookup)
+_PART_CTX = {4: 31, 8: 30, 16: 28, 32: 24, 64: 16, 128: 0}
 
 # max_txsize_rect_lookup: largest tx for a block size (spec Max_Tx_Size_Rect)
 MAX_TX_SIZE_RECT = [
@@ -45,7 +47,18 @@ def is_directional(mode: int) -> bool:
 
 
 def use_angle_delta(bsize: int) -> bool:
-    return (BLOCK_SIZE_WIDE[bsize] >= 8 and BLOCK_SIZE_HIGH[bsize] >= 8)
+    # spec av1_use_angle_delta: enum comparison (16x4/4x16 DO use deltas)
+    return bsize >= int(BlockSize.BLOCK_8X8)
+
+
+def has_chroma(mi_row: int, mi_col: int, bsize: int,
+               ss_x: int = 1, ss_y: int = 1) -> bool:
+    """spec 5.11.5 HasChroma for sub-8x8 blocks (chroma rides the last
+    sibling of each 8x8 region in 4:2:0)."""
+    bw4 = BLOCK_SIZE_WIDE[bsize] // 4
+    bh4 = BLOCK_SIZE_HIGH[bsize] // 4
+    return (((mi_row & 1) or not (bh4 & 1) or not ss_y) and
+            ((mi_col & 1) or not (bw4 & 1) or not ss_x))
 
 
 def cfl_allowed(bsize: int) -> bool:
@@ -71,6 +84,12 @@ class BlockRecord:
     angle_delta_y: int = 0
     angle_delta_uv: int = 0
     skip: bool = False
+    tx_size: int = -1                             # -1: largest for bsize
+    cfl_joint_sign: int = -1                      # >=0 when uv_mode is CFL
+    cfl_idx_u: int = 0
+    cfl_idx_v: int = 0
+    use_filter_intra: bool = False
+    filter_intra_mode: int = 0
     txbs_y: list = field(default_factory=list)    # list[TxbData]
     txbs_u: list = field(default_factory=list)
     txbs_v: list = field(default_factory=list)
@@ -78,8 +97,13 @@ class BlockRecord:
 
 class TileWriter:
     def __init__(self, fc: FrameContext, mi_rows: int, mi_cols: int,
-                 sb_size: int = 64, ss_x: int = 1, ss_y: int = 1):
+                 sb_size: int = 64, ss_x: int = 1, ss_y: int = 1,
+                 reduced_tx_set: bool = False, tx_mode_select: bool = False,
+                 enable_filter_intra: bool = False):
         self.fc = fc
+        self.reduced_tx_set = reduced_tx_set
+        self.tx_mode_select = tx_mode_select
+        self.enable_filter_intra = enable_filter_intra
         self.enc = RangeEncoder()
         self.mi_rows = mi_rows
         self.mi_cols = mi_cols
@@ -92,6 +116,8 @@ class TileWriter:
         self.left_mode = np.full(mi_rows, int(PredMode.DC_PRED), np.uint8)
         self.above_skip = np.zeros(mi_cols, np.uint8)
         self.left_skip = np.zeros(mi_rows, np.uint8)
+        self.above_txw = np.full(mi_cols, 64, np.int32)
+        self.left_txh = np.full(mi_rows, 64, np.int32)
         # per-plane packed coefficient contexts (4-px units, chroma subsampled)
         self.above_coef = [np.zeros(mi_cols, np.uint8),
                            np.zeros((mi_cols + ss_x) >> ss_x, np.uint8),
@@ -101,26 +127,96 @@ class TileWriter:
                           np.zeros((mi_rows + ss_y) >> ss_y, np.uint8)]
 
     # --- partition ------------------------------------------------------
-    def write_partition_none(self, mi_row: int, mi_col: int, bsize: int):
-        """PARTITION_NONE at a square size >= 8x8 fully inside the frame."""
+    def _partition_bounds(self, mi_row, mi_col, bsize):
+        h4 = BLOCK_SIZE_HIGH[bsize] // 4
+        w4 = BLOCK_SIZE_WIDE[bsize] // 4
+        has_rows = mi_row + (h4 >> 1) < self.mi_rows
+        has_cols = mi_col + (w4 >> 1) < self.mi_cols
+        return has_rows, has_cols
+
+    @staticmethod
+    def _gather_bool_icdf(part_icdf, vert_alike: bool, bsize: int):
+        """2-symbol icdf for boundary split_or_{horz,vert} bools
+        (ref: cabac_context_model.h:720-746). Returns prob-of-0 in icdf form
+        where symbol 1 == PARTITION_SPLIT."""
+        def elem(i):
+            prev = 32768 if i == 0 else int(part_icdf[i - 1])
+            return prev - int(part_icdf[i])
+
+        if vert_alike:   # !has_rows: SPLIT vs HORZ
+            members = [Partition.VERT, Partition.SPLIT, Partition.HORZ_A,
+                       Partition.VERT_A, Partition.VERT_B]
+            if bsize != int(BlockSize.BLOCK_128X128):
+                members.append(Partition.VERT_4)
+        else:            # !has_cols: SPLIT vs VERT
+            members = [Partition.HORZ, Partition.SPLIT, Partition.HORZ_A,
+                       Partition.HORZ_B, Partition.VERT_A]
+            if bsize != int(BlockSize.BLOCK_128X128):
+                members.append(Partition.HORZ_4)
+        p0 = 32768 - sum(elem(int(m)) for m in members)
+        return np.array([32768 - p0, 0, 0], np.uint16)
+
+    def write_partition(self, mi_row: int, mi_col: int, bsize: int,
+                        part: int):
+        """Code the partition symbol at a square size >= 8x8 (spec 5.11.4),
+        including frame-boundary forms."""
+        if bsize < int(BlockSize.BLOCK_8X8):
+            return                           # 4x4: no partition syntax
+        has_rows, has_cols = self._partition_bounds(mi_row, mi_col, bsize)
         w4 = BLOCK_SIZE_WIDE[bsize] // 4
         bsl = (w4).bit_length() - 1          # 8x8 -> 1 ... 128 -> 5
-        above = (int(self.above_part[mi_col]) >> bsl) & 1
-        left = (int(self.left_part[mi_row]) >> bsl) & 1
+        # neighbor-smaller bit lives at (bsl - 1) in the 5-bit ctx bytes
+        # (ref: entropy_coding.c:4085 bsl = mi_size_wide_log2 - log2(8x8))
+        above = (int(self.above_part[mi_col]) >> (bsl - 1)) & 1
+        left = (int(self.left_part[mi_row]) >> (bsl - 1)) & 1
         ctx = (bsl - 1) * 4 + left * 2 + above
-        nsyms = 4 if bsl == 1 else (8 if bsl == 5 else 10)
-        self.enc.encode_symbol(0, self.fc.partition[ctx], nsyms=nsyms,
-                               adapt=True)
+        if not has_rows and not has_cols:
+            assert part == int(Partition.SPLIT)
+            return
+        if has_rows and has_cols:
+            nsyms = 4 if bsl == 1 else (8 if bsl == 5 else 10)
+            self.enc.encode_symbol(part, self.fc.partition[ctx], nsyms=nsyms,
+                                   adapt=True)
+        elif has_cols:          # bottom boundary: SPLIT or HORZ
+            assert part in (int(Partition.SPLIT), int(Partition.HORZ))
+            icdf = self._gather_bool_icdf(self.fc.partition[ctx], True, bsize)
+            self.enc.encode_symbol(int(part == int(Partition.SPLIT)), icdf,
+                                   nsyms=2, adapt=False)
+        else:                   # right boundary: SPLIT or VERT
+            assert part in (int(Partition.SPLIT), int(Partition.VERT))
+            icdf = self._gather_bool_icdf(self.fc.partition[ctx], False,
+                                          bsize)
+            self.enc.encode_symbol(int(part == int(Partition.SPLIT)), icdf,
+                                   nsyms=2, adapt=False)
 
-    def _update_partition_ctx(self, mi_row, mi_col, bsize):
+    def write_delta_q(self, abs_q: int, sign: int):
+        """read_delta_qindex mirror (spec 5.11.12)."""
+        self.enc.encode_symbol(min(abs_q, 3) if abs_q < 3 else 3,
+                               self.fc.delta_q, adapt=True)
+        if abs_q >= 3:
+            v = abs_q - 1
+            rem = v.bit_length() - 1
+            self.enc.encode_literal(rem - 1, 3)
+            self.enc.encode_literal(v - (1 << rem), rem)
+        if abs_q:
+            self.enc.encode_literal(sign, 1)
+
+    def update_partition_ctx(self, mi_row, mi_col, bsize, subsize):
+        """After coding a non-SPLIT partition's blocks: context bytes cover
+        the full bsize extent with the subsize pattern."""
         w4 = BLOCK_SIZE_WIDE[bsize] // 4
         h4 = BLOCK_SIZE_HIGH[bsize] // 4
-        self.above_part[mi_col:mi_col + w4] = _PART_CTX[BLOCK_SIZE_WIDE[bsize]]
-        self.left_part[mi_row:mi_row + h4] = _PART_CTX[BLOCK_SIZE_HIGH[bsize]]
+        self.above_part[mi_col:mi_col + w4] = \
+            _PART_CTX[BLOCK_SIZE_WIDE[subsize]]
+        self.left_part[mi_row:mi_row + h4] = \
+            _PART_CTX[BLOCK_SIZE_HIGH[subsize]]
 
     # --- mode info ------------------------------------------------------
-    def write_block(self, b: BlockRecord):
-        """Write mode info + residual for one block (KEY-frame intra)."""
+    def write_block(self, b: BlockRecord, delta_q=None):
+        """Write mode info + residual for one block (KEY-frame intra).
+
+        delta_q: optional (abs, sign) written after skip (spec order:
+        read_skip -> read_cdef -> read_delta_qindex)."""
         enc, fc = self.enc, self.fc
         r, c = b.mi_row, b.mi_col
         w4 = BLOCK_SIZE_WIDE[b.bsize] // 4
@@ -131,6 +227,9 @@ class TileWriter:
         # skip (coded first in intra_frame_mode_info, spec 5.11.8)
         skip_ctx = int(self.above_skip[c]) + int(self.left_skip[r])
         enc.encode_symbol(int(b.skip), fc.skip[skip_ctx], adapt=True)
+
+        if delta_q is not None:
+            self.write_delta_q(delta_q[0], delta_q[1])
 
         # y mode (kf_y_cdf with above/left mode contexts)
         am = int(self.above_mode[c]) if have_above else int(PredMode.DC_PRED)
@@ -143,17 +242,78 @@ class TileWriter:
                               fc.angle_delta[b.y_mode - PredMode.V_PRED],
                               adapt=True)
 
-        # uv mode
+        # uv mode (only when this block carries chroma, spec 5.11.5)
+        hc = has_chroma(r, c, b.bsize, self.ss_x, self.ss_y)
         cfl_ok = cfl_allowed(b.bsize)
-        enc.encode_symbol(b.uv_mode, fc.uv_mode[int(cfl_ok)][b.y_mode],
-                          nsyms=14 if cfl_ok else 13, adapt=True)
-        if b.uv_mode != PredMode.UV_CFL_PRED and is_directional(b.uv_mode) \
-                and use_angle_delta(b.bsize):
+        if hc:
+            enc.encode_symbol(b.uv_mode, fc.uv_mode[int(cfl_ok)][b.y_mode],
+                              nsyms=14 if cfl_ok else 13, adapt=True)
+        if not hc:
+            pass
+        elif b.uv_mode == PredMode.UV_CFL_PRED:
+            js = b.cfl_joint_sign
+            enc.encode_symbol(js, fc.cfl_sign, adapt=True)
+            sign_u = ((js + 1) * 11) >> 5
+            sign_v = (js + 1) - 3 * sign_u
+            if sign_u != 0:
+                enc.encode_symbol(b.cfl_idx_u, fc.cfl_alpha[js + 1 - 3],
+                                  adapt=True)
+            if sign_v != 0:
+                enc.encode_symbol(b.cfl_idx_v,
+                                  fc.cfl_alpha[sign_v * 3 + sign_u - 3],
+                                  adapt=True)
+        elif is_directional(b.uv_mode) and use_angle_delta(b.bsize):
             enc.encode_symbol(b.angle_delta_uv + 3,
                               fc.angle_delta[b.uv_mode - PredMode.V_PRED],
                               adapt=True)
 
-        # neighbor updates for mode/skip
+        # filter intra flag (seq-gated; only DC blocks <= 32x32)
+        if (self.enable_filter_intra and b.y_mode == int(PredMode.DC_PRED)
+                and BLOCK_SIZE_WIDE[b.bsize] <= 32
+                and BLOCK_SIZE_HIGH[b.bsize] <= 32):
+            enc.encode_symbol(int(b.use_filter_intra),
+                              fc.filter_intra[b.bsize], adapt=True)
+            if b.use_filter_intra:
+                enc.encode_symbol(b.filter_intra_mode, fc.filter_intra_mode,
+                                  adapt=True)
+
+        # tx size (TX_MODE_SELECT intra depth coding, spec 5.11.15)
+        tx_size = b.tx_size if b.tx_size >= 0 else int(MAX_TX_SIZE_RECT[b.bsize])
+        # intra blocks read tx depth even when skip (spec read_tx_size:
+        # allowSelect = !skip || !is_inter)
+        if self.tx_mode_select and b.bsize > int(BlockSize.BLOCK_4X4):
+            from svt_av1_psy_tpu.entropy.tx_trees import (SUB_TX, max_tx_depth,
+                                                          tx_size_cat)
+            max_d = max_tx_depth(b.bsize)
+            if max_d > 0:
+                depth = 0
+                t = int(MAX_TX_SIZE_RECT[b.bsize])
+                while t != tx_size:
+                    t = int(SUB_TX[t])
+                    depth += 1
+                    assert depth <= max_d, (b.bsize, tx_size)
+                cat = tx_size_cat(b.bsize)
+                max_tx = int(MAX_TX_SIZE_RECT[b.bsize])
+                from svt_av1_psy_tpu.constants import (TX_SIZE_HIGH,
+                                                       TX_SIZE_WIDE)
+                aw_ok = int(self.above_txw[c]) >= TX_SIZE_WIDE[max_tx]
+                lh_ok = int(self.left_txh[r]) >= TX_SIZE_HIGH[max_tx]
+                have_above, have_left = r > 0, c > 0
+                if have_above and have_left:
+                    ctx = int(aw_ok) + int(lh_ok)
+                elif have_above:
+                    ctx = int(aw_ok)
+                elif have_left:
+                    ctx = int(lh_ok)
+                else:
+                    ctx = 0
+                enc.encode_symbol(depth, fc.tx_size[cat][ctx],
+                                  nsyms=max_d + 1, adapt=True)
+
+        # neighbor updates for mode/skip/txfm
+        from svt_av1_psy_tpu.constants import TX_SIZE_HIGH, TX_SIZE_WIDE
+        self.above_txw[c:c + w4] = TX_SIZE_WIDE[tx_size]
+        self.left_txh[r:r + h4] = TX_SIZE_HIGH[tx_size]
         self.above_mode[c:c + w4] = b.y_mode
         self.left_mode[r:r + h4] = b.y_mode
         self.above_skip[c:c + w4] = int(b.skip)
@@ -181,7 +341,10 @@ class TileWriter:
     def _write_residual(self, b: BlockRecord):
         from svt_av1_psy_tpu.constants import TX_SIZE_HIGH, TX_SIZE_WIDE
 
-        for plane, txbs in ((0, b.txbs_y), (1, b.txbs_u), (2, b.txbs_v)):
+        hc = has_chroma(b.mi_row, b.mi_col, b.bsize, self.ss_x, self.ss_y)
+        planes = ((0, b.txbs_y), (1, b.txbs_u), (2, b.txbs_v)) if hc \
+            else ((0, b.txbs_y),)
+        for plane, txbs in planes:
             ss_x = self.ss_x if plane else 0
             ss_y = self.ss_y if plane else 0
             base_c = b.mi_col >> ss_x
@@ -226,8 +389,23 @@ class TileWriter:
         if all_zero:
             cul = 0
         else:
-            # tx_type signaling: DCT-only sets write nothing (the only sets
-            # the first slice emits); extended sets arrive with TX_MODE_SELECT
+            if plane == 0:
+                from svt_av1_psy_tpu.entropy.tx_sets import (
+                    EXT_TX_FWD, EXT_TX_SET_SIZES, FIMODE_TO_INTRADIR,
+                    intra_tx_set)
+                from svt_av1_psy_tpu.constants import TX_SIZE_SQR
+                tx_set = intra_tx_set(txb.tx_size, self.reduced_tx_set)
+                if tx_set > 0:
+                    sym = EXT_TX_FWD[tx_set][txb.tx_type]
+                    mode = (FIMODE_TO_INTRADIR[b.filter_intra_mode]
+                            if b.use_filter_intra else b.y_mode)
+                    enc.encode_symbol(
+                        sym,
+                        fc.intra_ext_tx[tx_set][TX_SIZE_SQR[txb.tx_size]]
+                        [mode],
+                        nsyms=EXT_TX_SET_SIZES[tx_set], adapt=True)
+                else:
+                    assert txb.tx_type == 0, "DCT-only set"
             sgn_ctx = cc.dc_sign_ctx(above, left)
             cul = cc.encode_txb(enc, fc, txb.qcoeff, txb.tx_size,
                                 txb.tx_type, ptype, sctx, sgn_ctx)

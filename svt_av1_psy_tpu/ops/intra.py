@@ -126,6 +126,267 @@ def paeth_pred(above, left, above_left: int, w: int, h: int) -> np.ndarray:
     return out.astype(np.int32)
 
 
+# --- directional prediction (spec 7.11.2.4) --------------------------------
+
+from svt_av1_psy_tpu.constants import MODE_TO_ANGLE, tables as _tables
+
+ANGLE_STEP = 3
+_EDGE_KERNELS = np.array([[0, 4, 8, 4, 0], [0, 5, 6, 5, 0], [2, 4, 4, 4, 2]],
+                         np.int32)
+
+
+def _deriv(angle: int) -> int:
+    t = _tables()["dr_intra_derivative"]
+    if angle < 90:
+        return int(t[angle])
+    if angle < 180:
+        return int(t[180 - angle])
+    return int(t[angle - 90]) if angle <= 180 else int(t[270 - angle])
+
+
+def dr_deriv_dx(p_angle: int) -> int:
+    t = _tables()["dr_intra_derivative"]
+    return int(t[p_angle]) if p_angle < 90 else int(t[180 - p_angle])
+
+
+def dr_deriv_dy(p_angle: int) -> int:
+    t = _tables()["dr_intra_derivative"]
+    return int(t[p_angle - 90]) if p_angle < 180 else int(t[270 - p_angle])
+
+
+def edge_filter_strength(w: int, h: int, filter_type: int, delta: int) -> int:
+    """spec intra_edge_filter_strength."""
+    d = abs(delta)
+    blk_wh = w + h
+    s = 0
+    if filter_type == 0:
+        if blk_wh <= 8:
+            if d >= 56:
+                s = 1
+        elif blk_wh <= 12:
+            if d >= 40:
+                s = 1
+        elif blk_wh <= 16:
+            if d >= 40:
+                s = 1
+        elif blk_wh <= 24:
+            if d >= 8:
+                s = 1
+            if d >= 16:
+                s = 2
+            if d >= 32:
+                s = 3
+        elif blk_wh <= 32:
+            s = 1
+            if d >= 4:
+                s = 2
+            if d >= 32:
+                s = 3
+        else:
+            s = 3
+    else:
+        if blk_wh <= 8:
+            if d >= 40:
+                s = 1
+            if d >= 64:
+                s = 2
+        elif blk_wh <= 16:
+            if d >= 20:
+                s = 1
+            if d >= 48:
+                s = 2
+        elif blk_wh <= 24:
+            if d >= 4:
+                s = 3
+        else:
+            s = 3
+    return s
+
+
+def use_edge_upsample(w: int, h: int, filter_type: int, delta: int) -> bool:
+    d = abs(delta)
+    blk_wh = w + h
+    if d <= 0 or d >= 40:
+        return False
+    return blk_wh <= 8 if filter_type else blk_wh <= 16
+
+
+def _edge_filter(buf: np.ndarray, sz: int, strength: int) -> None:
+    """spec intra_edge_filter over buf[0..sz-1], in place."""
+    if strength == 0 or sz <= 1:
+        return
+    k = _EDGE_KERNELS[strength - 1]
+    src = buf[:sz].copy()
+    for i in range(1, sz):
+        s = 0
+        for j in range(5):
+            idx = min(max(i - 2 + j, 0), sz - 1)
+            s += int(src[idx]) * int(k[j])
+        buf[i] = (s + 8) >> 4
+
+
+def _edge_upsample(buf_m2: np.ndarray, num_px: int, bd: int) -> None:
+    """spec intra_edge_upsample. buf_m2 indexes the edge with offset +2
+    (buf_m2[2] == edge[0], buf_m2[1] == edge[-1], buf_m2[0] == edge[-2])."""
+    dup = np.zeros(num_px + 3, np.int32)
+    dup[0] = buf_m2[1]
+    dup[1:num_px + 2] = buf_m2[1:num_px + 2]
+    dup[num_px + 2] = buf_m2[num_px + 1]
+    buf_m2[0] = dup[0]
+    hi = (1 << bd) - 1
+    for i in range(num_px):
+        s = -int(dup[i]) + 9 * int(dup[i + 1]) + 9 * int(dup[i + 2]) \
+            - int(dup[i + 3])
+        buf_m2[2 * i + 1] = np.clip((s + 8) >> 4, 0, hi)
+        buf_m2[2 * i + 2] = dup[i + 2]
+
+
+def directional_pred(mode: int, angle_delta: int, above_ext: np.ndarray,
+                     left_ext: np.ndarray, above_left: int, w: int, h: int,
+                     have_above: bool, have_left: bool, *,
+                     enable_edge_filter: bool = True, filter_type: int = 0,
+                     n_top_px: int = 0, n_left_px: int = 0,
+                     bd: int = 8) -> np.ndarray:
+    """Directional intra prediction (spec 7.11.2.4 + edge prep 7.11.2).
+
+    above_ext: (w+h,) edge row (already availability-filled + extended);
+    left_ext: (h+w,) edge col; n_top_px / n_left_px: count of REAL pixels in
+    each array (for the edge-filter length), rest is replication."""
+    p_angle = MODE_TO_ANGLE[PredMode(mode)] + angle_delta * ANGLE_STEP
+    hi = (1 << bd) - 1
+    if p_angle == 90:
+        return v_pred(above_ext, left_ext, w, h)
+    if p_angle == 180:
+        return h_pred(above_ext, left_ext, w, h)
+
+    # working buffers with index offset +2 (room for [-2], [-1])
+    ab = np.zeros(2 + w + h + 16, np.int32)
+    le = np.zeros(2 + w + h + 16, np.int32)
+    ab[1] = above_left
+    ab[2:2 + w + h] = above_ext[:w + h]
+    le[1] = above_left
+    le[2:2 + w + h] = left_ext[:w + h]
+
+    upsample_above = upsample_left = False
+    if enable_edge_filter:
+        if 90 < p_angle < 180 and (w + h) >= 24:
+            # filter corner
+            v = (5 * int(le[2]) + 6 * int(ab[1]) + 5 * int(ab[2]) + 8) >> 4
+            ab[1] = v
+            le[1] = v
+        if have_above:
+            strength = edge_filter_strength(w, h, filter_type, p_angle - 90)
+            num_px = min(w, n_top_px) + (h if p_angle < 90 else 0) + 1
+            _edge_filter(ab[1:], num_px, strength)
+        if have_left:
+            strength = edge_filter_strength(w, h, filter_type, p_angle - 180)
+            num_px = min(h, n_left_px) + (w if p_angle > 180 else 0) + 1
+            _edge_filter(le[1:], num_px, strength)
+        upsample_above = use_edge_upsample(w, h, filter_type, p_angle - 90)
+        if upsample_above:
+            num_px = w + (h if p_angle < 90 else 0)
+            _edge_upsample(ab, num_px, bd)
+        upsample_left = use_edge_upsample(w, h, filter_type, p_angle - 180)
+        if upsample_left:
+            num_px = h + (w if p_angle > 180 else 0)
+            _edge_upsample(le, num_px, bd)
+
+    ua = 1 if upsample_above else 0
+    ul = 1 if upsample_left else 0
+    out = np.zeros((h, w), np.int32)
+    if p_angle < 90:
+        dx = dr_deriv_dx(p_angle)
+        max_base_x = (w + h - 1) << ua
+        for i in range(h):
+            for j in range(w):
+                idx = (i + 1) * dx
+                base = (idx >> (6 - ua)) + (j << ua)
+                if base < max_base_x:
+                    shift = ((idx << ua) >> 1) & 0x1F
+                    v = int(ab[2 + base]) * (32 - shift) + \
+                        int(ab[2 + base + 1]) * shift
+                    out[i, j] = (v + 16) >> 5
+                else:
+                    out[i, j] = int(ab[2 + max_base_x])
+    elif p_angle < 180:
+        dx = dr_deriv_dx(p_angle)
+        dy = dr_deriv_dy(p_angle)
+        for i in range(h):
+            for j in range(w):
+                idx = (j << 6) - (i + 1) * dx
+                base = idx >> (6 - ua)
+                if base >= -(1 << ua):
+                    shift = ((idx << ua) >> 1) & 0x1F
+                    v = int(ab[2 + base]) * (32 - shift) + \
+                        int(ab[2 + base + 1]) * shift
+                else:
+                    idx2 = (i << 6) - (j + 1) * dy
+                    base2 = idx2 >> (6 - ul)
+                    shift = ((idx2 << ul) >> 1) & 0x1F
+                    v = int(le[2 + base2]) * (32 - shift) + \
+                        int(le[2 + base2 + 1]) * shift
+                out[i, j] = (v + 16) >> 5
+    else:
+        dy = dr_deriv_dy(p_angle)
+        max_base_y = (w + h - 1) << ul
+        for i in range(h):
+            for j in range(w):
+                idx = (j + 1) * dy
+                base = (idx >> (6 - ul)) + (i << ul)
+                if base < max_base_y:
+                    shift = ((idx << ul) >> 1) & 0x1F
+                    v = int(le[2 + base]) * (32 - shift) + \
+                        int(le[2 + base + 1]) * shift
+                    out[i, j] = (v + 16) >> 5
+                else:
+                    out[i, j] = int(le[2 + max_base_y])
+    return np.clip(out, 0, hi)
+
+
+def filter_intra_pred(fi_mode: int, above: np.ndarray, left: np.ndarray,
+                      above_left: int, w: int, h: int,
+                      bd: int = 8) -> np.ndarray:
+    """Filter-intra prediction (spec 7.11.6 / ref filterintra_c.c:70-110)."""
+    taps = _tables()["filter_intra_taps"][fi_mode]
+    hi = (1 << bd) - 1
+    buf = np.zeros((h + 1, w + 1), np.int32)
+    buf[0, 0] = above_left
+    buf[0, 1:w + 1] = above[:w]
+    buf[1:h + 1, 0] = left[:h]
+    for r in range(1, h + 1, 2):
+        for c in range(1, w + 1, 4):
+            p = [buf[r - 1][c - 1], buf[r - 1][c], buf[r - 1][c + 1] if c + 1 <= w else buf[r - 1][w],
+                 buf[r - 1][c + 2] if c + 2 <= w else buf[r - 1][w],
+                 buf[r - 1][c + 3] if c + 3 <= w else buf[r - 1][w],
+                 buf[r][c - 1], buf[r + 1][c - 1] if r + 1 <= h else buf[h][c - 1]]
+            for k in range(8):
+                ro, co = k >> 2, k & 3
+                s = sum(int(taps[k][t]) * int(p[t]) for t in range(7))
+                val = (s + (1 << 3)) >> 4 if s >= 0 else -((-s + (1 << 3)) >> 4)
+                buf[r + ro][c + co] = np.clip(val, 0, hi)
+    return buf[1:h + 1, 1:w + 1].copy()
+
+
+def cfl_pred(dc_pred_block: np.ndarray, luma_ac: np.ndarray, alpha_q3: int,
+             bd: int = 8) -> np.ndarray:
+    """CfL prediction: dc + Round2Signed(alpha * luma_ac, 6) (spec 7.11.5)."""
+    hi = (1 << bd) - 1
+    prod = alpha_q3 * luma_ac.astype(np.int64)
+    adj = np.where(prod >= 0, (prod + 32) >> 6, -((-prod + 32) >> 6))
+    return np.clip(dc_pred_block.astype(np.int64) + adj, 0, hi).astype(np.int32)
+
+
+def cfl_luma_ac(luma_recon_block: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Subsampled luma (420) minus average, Q3 (spec 7.11.5.2/7.11.5.3).
+
+    luma_recon_block: (2h, 2w) luma recon covering the chroma block."""
+    l = luma_recon_block.astype(np.int32)
+    t = (l[0::2, 0::2] + l[0::2, 1::2] + l[1::2, 0::2] + l[1::2, 1::2]) << 1
+    n = w * h
+    avg = (int(t.sum()) + (n >> 1)) >> int(np.log2(n))
+    return t - avg
+
+
 def predict(mode: int, above, left, above_left: int, w: int, h: int,
             have_above: bool, have_left: bool, bd: int = 8) -> np.ndarray:
     """Dispatch over the supported (non-directional) intra modes."""

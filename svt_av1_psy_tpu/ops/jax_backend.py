@@ -168,6 +168,24 @@ SEARCH_MODE_ORDER = (int(PredMode.DC_PRED), int(PredMode.V_PRED),
                      int(PredMode.PAETH_PRED))
 
 
+def block_mode_costs(plane: jnp.ndarray, size: int, bd: int = 8):
+    """Open-loop mode-search SAD for every size×size block of a plane.
+
+    plane dims must be multiples of size. Returns (costs (nr, nc, n_modes),
+    best (nr, nc)). Source-edge approximation (commit re-predicts exactly)."""
+    H, W = plane.shape
+    p = plane.astype(jnp.int32)
+    above, left, al, ha, hl = _gather_sb_edges(p, size, bd)
+    n = above.shape[0]
+    preds = predict_modes_batch(above, left, al, ha, hl, size, size, bd)
+    blocks = p.reshape(H // size, size, W // size, size).transpose(0, 2, 1, 3)
+    blocks = blocks.reshape(n, 1, size, size)
+    sad = jnp.abs(blocks - preds).sum(axis=(2, 3))
+    nr, nc = H // size, W // size
+    return (sad.reshape(nr, nc, -1),
+            jnp.argmin(sad, axis=1).reshape(nr, nc))
+
+
 def _gather_sb_edges(plane: jnp.ndarray, sb: int, bd: int):
     """Edges for every SB of a plane from the SOURCE frame (open-loop search
     approximation — commit re-predicts from recon). plane: (H, W) int32.

@@ -93,6 +93,7 @@ def test_cross_parse_own_stream():
     from svt_av1_psy_tpu.decoder.header_parser import (parse_frame_header,
                                                        parse_sequence_header)
     from svt_av1_psy_tpu.decoder.tile_parser import TileParser
+    from svt_av1_psy_tpu import constants as tp_mod
     from svt_av1_psy_tpu.entropy.frame_context import FrameContext
 
     w, h, q = 128, 64, 80
@@ -111,4 +112,9 @@ def test_cross_parse_own_stream():
                             tx_mode_select=fi.tx_mode_select,
                             delta_q_present=fi.delta_q_present)
             blocks = tp.parse_tile()
-            assert len(blocks) == (w // 64) * (h // 64)
+            # partition tree: at least one block per SB, full MI coverage
+            assert len(blocks) >= (w // 64) * (h // 64)
+            area = sum((tp_mod.BLOCK_SIZE_WIDE[b.bsize] // 4) *
+                       (tp_mod.BLOCK_SIZE_HIGH[b.bsize] // 4)
+                       for b in blocks)
+            assert area == (w // 4) * (h // 4)
