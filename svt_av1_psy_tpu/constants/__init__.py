@@ -183,8 +183,10 @@ def ac_q(qindex: int, bit_depth: int = 8) -> int:
 
 def get_scan(tx_size: int, tx_type: int) -> np.ndarray:
     """Normative scan order (spec 5.11.41). For 64-side TXs the scan covers the
-    up-to-32x32 kept coefficients only."""
-    return tables()[f"scan_{int(tx_size)}_{int(tx_type)}"]
+    up-to-32x32 kept coefficients only (the stored table may be over-length
+    for 16x64/64x16 — slice to the compact area)."""
+    n = (min(TX_SIZE_WIDE[tx_size], 32) * min(TX_SIZE_HIGH[tx_size], 32))
+    return tables()[f"scan_{int(tx_size)}_{int(tx_type)}"][:n]
 
 
 def coef_qctx(base_qindex: int) -> int:

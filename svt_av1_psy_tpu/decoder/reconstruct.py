@@ -206,7 +206,10 @@ class FrameReconstructor:
             rec = pred
         else:
             iqm = None
-            if self.qm_levels is not None and self.qm_levels[plane] < 15:
+            # QM applies only to 2-D transform types (tx_type < IDTX;
+            # libaom IS_2D_TRANSFORM) — identity-dimension types use flat
+            if self.qm_levels is not None and self.qm_levels[plane] < 15 \
+                    and tt < 9:
                 iqm = iqm_matrix(self.qm_levels[plane], plane, ts)
             dq = dequant_coeffs(qcoeff, ts, self.pq[plane], iqm=iqm)
             rec = inverse_transform_add(dq, pred, ts, tt, self.bd)

@@ -419,6 +419,7 @@ class TileParser:
         fc = self.fc
         adj = adjusted_tx_size(tx_size)
         w, h = TX_SIZE_WIDE[adj], TX_SIZE_HIGH[adj]
+        real_w, real_h = TX_SIZE_WIDE[tx_size], TX_SIZE_HIGH[tx_size]
         bwl = w.bit_length() - 1
         txs_ctx = cc.txs_entropy_ctx(tx_size)
         tx_class = cc.tx_class_of(tx_type)
@@ -451,7 +452,8 @@ class TileParser:
                 level = 1 + self._sym(
                     "base_eob", fc.coeff_base_eob[txs_ctx][ptype][ctx])
             else:
-                ctx = cc.base_ctx(levels, row, col, w, h, tx_class)
+                ctx = cc.base_ctx(levels, row, col, w, h, tx_class,
+                                  real_w, real_h)
                 level = self._sym("base",
                                   fc.coeff_base[txs_ctx][ptype][ctx])
             if level > cc.NUM_BASE_LEVELS:

@@ -109,8 +109,15 @@ def _nz_map_ctx_offset_2d(row: int, col: int, w: int, h: int) -> int:
 
 
 def base_ctx(levels: np.ndarray, row: int, col: int, w: int, h: int,
-             tx_class: int) -> int:
-    """get_lower_levels_ctx: 0..41."""
+             tx_class: int, real_w: int = 0, real_h: int = 0) -> int:
+    """get_lower_levels_ctx: 0..41.
+
+    w/h: compact (kept-coefficient) dims that index `levels`; real_w/real_h:
+    the ORIGINAL tx dims, which drive the 2D offset shape rules for 64-side
+    transforms (ref av1_nz_map_ctx_offset[tx_size] is built from real dims).
+    """
+    if not real_w:
+        real_w, real_h = w, h
     c3 = lambda v: min(int(v), 3)
     if tx_class == TX_CLASS_2D:
         mag = (c3(levels[row, col + 1]) + c3(levels[row + 1, col]) +
@@ -119,7 +126,7 @@ def base_ctx(levels: np.ndarray, row: int, col: int, w: int, h: int,
         ctx = min((mag + 1) >> 1, 4)
         if row == 0 and col == 0:
             return 0
-        return ctx + _nz_map_ctx_offset_2d(row, col, w, h)
+        return ctx + _nz_map_ctx_offset_2d(row, col, real_w, real_h)
     if tx_class == TX_CLASS_HORIZ:
         mag = (c3(levels[row, col + 1]) + c3(levels[row + 1, col]) +
                c3(levels[row, col + 2]) + c3(levels[row, col + 3]) +
@@ -250,6 +257,7 @@ def encode_txb(enc: RangeEncoder, fc, qcoeff: np.ndarray, tx_size: int,
     symbol order so CDF adaptation states match the decoder."""
     adj = adjusted_tx_size(tx_size)
     w, h = TX_SIZE_WIDE[adj], TX_SIZE_HIGH[adj]
+    real_w, real_h = TX_SIZE_WIDE[tx_size], TX_SIZE_HIGH[tx_size]
     assert qcoeff.shape == (h, w)
     txs_ctx = txs_entropy_ctx(tx_size)
     tx_class = tx_class_of(tx_type)
@@ -286,7 +294,7 @@ def encode_txb(enc: RangeEncoder, fc, qcoeff: np.ndarray, tx_size: int,
                 min(level, 3) - 1,
                 fc.coeff_base_eob[txs_ctx][plane_type][ctx], adapt=True)
         else:
-            ctx = base_ctx(levels, row, col, w, h, tx_class)
+            ctx = base_ctx(levels, row, col, w, h, tx_class, real_w, real_h)
             enc.encode_symbol(
                 min(level, 3),
                 fc.coeff_base[txs_ctx][plane_type][ctx], adapt=True)

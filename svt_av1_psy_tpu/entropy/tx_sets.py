@@ -17,9 +17,9 @@ MODE2TXFM = [
     TxType.ADST_ADST, TxType.DCT_DCT,  # UV_CFL -> DCT
 ]
 
-# set index -> symbol order (spec Ext_Tx_Inv); symbol -> TxType
+# set index -> symbol order (spec Ext_Tx_Inv / ref cabac_context_model.h:695)
 EXT_TX_INV = {
-    1: [9, 0, 3, 1, 2, 10, 11],        # DTT4_IDTX_1DDCT (7 syms)
+    1: [9, 0, 10, 11, 3, 1, 2],        # DTT4_IDTX_1DDCT (7 syms)
     2: [9, 0, 3, 1, 2],                # DTT4_IDTX (5 syms)
 }
 EXT_TX_FWD = {s: {t: i for i, t in enumerate(order)}
