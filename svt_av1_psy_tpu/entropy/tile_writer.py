@@ -99,12 +99,20 @@ class TileWriter:
     def __init__(self, fc: FrameContext, mi_rows: int, mi_cols: int,
                  sb_size: int = 64, ss_x: int = 1, ss_y: int = 1,
                  reduced_tx_set: bool = False, tx_mode_select: bool = False,
-                 enable_filter_intra: bool = False):
+                 enable_filter_intra: bool = False, backend: str = "python"):
         self.fc = fc
         self.reduced_tx_set = reduced_tx_set
         self.tx_mode_select = tx_mode_select
         self.enable_filter_intra = enable_filter_intra
-        self.enc = RangeEncoder()
+        self.backend = backend
+        if backend == "native":
+            from svt_av1_psy_tpu.native import (NativeRangeEncoder,
+                                                make_txb_cdfs)
+
+            self.enc = NativeRangeEncoder()
+            self._txb_cdfs = make_txb_cdfs(fc)
+        else:
+            self.enc = RangeEncoder()
         self.mi_rows = mi_rows
         self.mi_cols = mi_cols
         self.sb_mi = sb_size // 4
@@ -407,8 +415,21 @@ class TileWriter:
                 else:
                     assert txb.tx_type == 0, "DCT-only set"
             sgn_ctx = cc.dc_sign_ctx(above, left)
-            cul = cc.encode_txb(enc, fc, txb.qcoeff, txb.tx_size,
-                                txb.tx_type, ptype, sctx, sgn_ctx)
+            if self.backend == "native":
+                from svt_av1_psy_tpu.constants import get_scan
+                from svt_av1_psy_tpu.ops.quant import adjusted_tx_size
+                adj = adjusted_tx_size(txb.tx_size)
+                w_, h_ = TX_SIZE_WIDE[adj], TX_SIZE_HIGH[adj]
+                cul = enc.encode_txb(
+                    self._txb_cdfs, txb.qcoeff, get_scan(txb.tx_size,
+                                                         txb.tx_type),
+                    w_, h_, TX_SIZE_WIDE[txb.tx_size],
+                    TX_SIZE_HIGH[txb.tx_size],
+                    cc.eob_multi_size(txb.tx_size), txs_ctx,
+                    cc.tx_class_of(txb.tx_type), ptype, sgn_ctx)
+            else:
+                cul = cc.encode_txb(enc, fc, txb.qcoeff, txb.tx_size,
+                                    txb.tx_type, ptype, sctx, sgn_ctx)
         self.above_coef[plane][u_col:u_col + tw4] = cul
         self.left_coef[plane][u_row:u_row + th4] = cul
 

@@ -98,7 +98,15 @@ class IntraEncoder:
     """Fixed-QP all-intra encoder (KEY frames only), arbitrary resolution."""
 
     def __init__(self, width: int, height: int, qindex: int, bd: int = 8,
-                 min_block: int = 8, use_device_search: bool = True):
+                 min_block: int = 8, use_device_search: bool = True,
+                 backend: str = "native"):
+        if backend == "native":
+            try:
+                from svt_av1_psy_tpu import native
+                native.ensure_txfms()
+            except Exception:
+                backend = "python"
+        self.backend = backend
         assert width % 2 == 0 and height % 2 == 0
         self.width, self.height = width, height
         self.qindex = qindex
@@ -163,7 +171,8 @@ class IntraEncoder:
             self.bests, self.split = None, None
 
         fc = FrameContext(self.qindex)
-        self.tw = TileWriter(fc, self.mi_rows, self.mi_cols, sb_size=SB)
+        self.tw = TileWriter(fc, self.mi_rows, self.mi_cols, sb_size=SB,
+                             backend=self.backend)
         for sby in range(0, self.ah, SB):
             for sbx in range(0, self.aw, SB):
                 self._code_partition(sby // 4, sbx // 4, 64)
@@ -236,9 +245,16 @@ class IntraEncoder:
         pred = intra_ops.predict(mode, above, left, al, w, h,
                                  have_above, have_left, self.bd)
         resid = src[y:y + h, x:x + w].astype(np.int32) - pred
-        coeff = forward_transform_2d(resid, ts, tt, self.bd)
-        qcoeff, dqcoeff = quantize_b(coeff, ts, pq)
-        rec = inverse_transform_add(dqcoeff, pred, ts, tt, self.bd)
+        if self.backend == "native":
+            from svt_av1_psy_tpu import native
+            coeff = native.fwd_txfm2d(resid, ts, tt, self.bd)
+            qcoeff, dqcoeff = native.quantize_b(coeff, ts, pq)
+            rec = np.clip(pred + native.inv_txfm2d(dqcoeff, ts, tt, self.bd),
+                          0, (1 << self.bd) - 1)
+        else:
+            coeff = forward_transform_2d(resid, ts, tt, self.bd)
+            qcoeff, dqcoeff = quantize_b(coeff, ts, pq)
+            rec = inverse_transform_add(dqcoeff, pred, ts, tt, self.bd)
         # clamped recon write (recon arrays are SB-padded, so plain slices)
         recon[y:y + h, x:x + w] = rec.astype(recon.dtype)
         return qcoeff

@@ -1,0 +1,265 @@
+"""ctypes bridge to the native entropy backend (native/ec_backend.c).
+
+Builds the shared library on demand with the system compiler (pybind11 is
+not available in this image; ctypes keeps the dependency surface at zero).
+The native encoder is a drop-in for entropy.range_coder.RangeEncoder and
+entropy.coeff_coder.encode_txb — equivalence is pinned by tests.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+
+import numpy as np
+
+_NATIVE = pathlib.Path(__file__).parent.parent / "native"
+_SRCS = [_NATIVE / "ec_backend.c", _NATIVE / "txfm_backend.c"]
+_SO = _NATIVE / "libtpuec.so"
+
+_lib = None
+_txfm_ready = False
+_kept_alive = []
+
+
+class TxbCdfs(ctypes.Structure):
+    _fields_ = [(n, ctypes.POINTER(ctypes.c_uint16)) for n in (
+        "eob_flag16", "eob_flag32", "eob_flag64", "eob_flag128",
+        "eob_flag256", "eob_flag512", "eob_flag1024", "eob_extra",
+        "coeff_base_eob", "coeff_base", "coeff_br", "dc_sign")]
+
+
+def _build():
+    cmd = ["cc", "-O3", "-shared", "-fPIC", "-o", str(_SO)] + \
+        [str(x) for x in _SRCS]
+    subprocess.run(cmd, check=True)
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _SO.exists() or any(_SO.stat().st_mtime < x.stat().st_mtime
+                               for x in _SRCS):
+        _build()
+    lib = ctypes.CDLL(str(_SO))
+    lib.tpuec_new.restype = ctypes.c_void_p
+    lib.tpuec_free.argtypes = [ctypes.c_void_p]
+    lib.tpuec_symbol.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                 ctypes.POINTER(ctypes.c_uint16),
+                                 ctypes.c_int, ctypes.c_int]
+    lib.tpuec_bool.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_uint]
+    lib.tpuec_literal.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+    lib.tpuec_tell_bits.argtypes = [ctypes.c_void_p]
+    lib.tpuec_tell_bits.restype = ctypes.c_int
+    lib.tpuec_done.argtypes = [ctypes.c_void_p,
+                               ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    lib.tpuec_done.restype = ctypes.c_int
+    lib.tpuec_encode_txb.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(TxbCdfs),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.tpuec_encode_txb.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+def _u16p(arr: np.ndarray):
+    assert arr.dtype == np.uint16 and arr.flags["C_CONTIGUOUS"]
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+
+
+def make_txb_cdfs(fc) -> TxbCdfs:
+    """Bind a FrameContext's coefficient tables (adapted IN PLACE by C)."""
+    return TxbCdfs(
+        _u16p(fc.eob_flag16), _u16p(fc.eob_flag32), _u16p(fc.eob_flag64),
+        _u16p(fc.eob_flag128), _u16p(fc.eob_flag256), _u16p(fc.eob_flag512),
+        _u16p(fc.eob_flag1024), _u16p(fc.eob_extra), _u16p(fc.coeff_base_eob),
+        _u16p(fc.coeff_base), _u16p(fc.coeff_br), _u16p(fc.dc_sign))
+
+
+class NativeRangeEncoder:
+    """Drop-in for entropy.range_coder.RangeEncoder backed by C."""
+
+    def __init__(self):
+        self._lib = get_lib()
+        self._ec = self._lib.tpuec_new()
+
+    def __del__(self):
+        try:
+            self._lib.tpuec_free(self._ec)
+        except Exception:
+            pass
+
+    def encode_symbol(self, s, icdf, nsyms=None, adapt=False):
+        if nsyms is None:
+            nsyms = len(icdf) - 1
+        self._lib.tpuec_symbol(self._ec, int(s), _u16p(icdf), int(nsyms),
+                               1 if adapt else 0)
+
+    def encode_bool(self, val, f):
+        self._lib.tpuec_bool(self._ec, int(val), int(f))
+
+    def encode_literal(self, value, bits):
+        self._lib.tpuec_literal(self._ec, int(value), int(bits))
+
+    def encode_golomb(self, value):
+        length = (value + 1).bit_length()
+        for _ in range(length - 1):
+            self.encode_literal(0, 1)
+        self.encode_literal(value + 1, length)
+
+    def tell_bits(self):
+        return self._lib.tpuec_tell_bits(self._ec)
+
+    def encode_txb(self, cdfs: TxbCdfs, qcoeff: np.ndarray, scan: np.ndarray,
+                   w, h, rw, rh, ems, txs_ctx, tx_class, ptype,
+                   sign_ctx) -> int:
+        q = np.ascontiguousarray(qcoeff, np.int32)
+        s = np.ascontiguousarray(scan, np.int16)
+        return self._lib.tpuec_encode_txb(
+            self._ec, ctypes.byref(cdfs),
+            q.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            s.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            len(s), w, h, rw, rh, ems, txs_ctx, tx_class, ptype, sign_ctx)
+
+    def done(self) -> bytes:
+        cap = self.tell_bits() // 8 + 64
+        out = (ctypes.c_uint8 * cap)()
+        n = self._lib.tpuec_done(self._ec, out, cap)
+        assert n >= 0
+        return bytes(out[:n])
+
+
+# --- native transforms / quantizer -----------------------------------------
+
+def ensure_txfms():
+    """Upload stage tables + cospi/sinpi constants into the C backend."""
+    global _txfm_ready
+    lib = get_lib()
+    if _txfm_ready:
+        return lib
+    from svt_av1_psy_tpu.ops.transforms import (_stage_tables, cospi_arr,
+                                                sinpi_arr)
+
+    lib.tputx_register.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16)]
+    lib.tputx_set_cospi.argtypes = [ctypes.c_int,
+                                    ctypes.POINTER(ctypes.c_int64),
+                                    ctypes.POINTER(ctypes.c_int64)]
+    lib.tputx_inv2d.argtypes = [ctypes.POINTER(ctypes.c_int32),
+                                ctypes.POINTER(ctypes.c_int32),
+                                ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.tputx_fwd2d.argtypes = [ctypes.POINTER(ctypes.c_int32),
+                                ctypes.POINTER(ctypes.c_int32),
+                                ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.tputx_quantize_b.argtypes = [ctypes.POINTER(ctypes.c_int32),
+                                     ctypes.POINTER(ctypes.c_int32),
+                                     ctypes.POINTER(ctypes.c_int32)] + \
+        [ctypes.c_int] * 12
+
+    for cb in (10, 11, 12, 13):
+        cp = np.ascontiguousarray(cospi_arr(cb), np.int64)
+        sp = np.ascontiguousarray(sinpi_arr(cb), np.int64)
+        _kept_alive.extend((cp, sp))
+        lib.tputx_set_cospi(
+            cb, cp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+
+    t = _stage_tables()
+    for fwd, pfx in ((0, "i"), (1, "f")):
+        for kind, kname in ((0, "dct"), (1, "adst")):
+            for n in (4, 8, 16, 32, 64):
+                name = f"{pfx}{kname}{n}"
+                if f"{name}_nstages" not in t:
+                    continue
+                ns = int(t[f"{name}_nstages"])
+
+                def cat(field, dtype):
+                    arr = np.concatenate(
+                        [np.asarray(t[f"{name}_s{s}_{field}"], dtype)
+                         for s in range(ns)])
+                    arr = np.ascontiguousarray(arr, dtype)
+                    _kept_alive.append(arr)
+                    return arr
+
+                a = cat("a", np.int16)
+                b = cat("b", np.int16)
+                mode = cat("mode", np.uint8)
+                clamp = cat("clamp", np.uint8)
+                lw0 = cat("lw0", np.int32)
+                lw1 = cat("lw1", np.int32)
+                c0i = cat("c0i", np.int16)
+                c0s = cat("c0s", np.int16)
+                c1i = cat("c1i", np.int16)
+                c1s = cat("c1s", np.int16)
+                lib.tputx_register(
+                    fwd, kind, n.bit_length() - 3, ns, n,
+                    a.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                    b.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                    mode.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    clamp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    lw0.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    lw1.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    c0i.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                    c0s.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                    c1i.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                    c1s.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+    _txfm_ready = True
+    return lib
+
+
+def fwd_txfm2d(resid: np.ndarray, tx_size: int, tx_type: int,
+               bd: int = 8) -> np.ndarray:
+    from svt_av1_psy_tpu.constants import TX_SIZE_HIGH, TX_SIZE_WIDE
+
+    lib = ensure_txfms()
+    w, h = TX_SIZE_WIDE[tx_size], TX_SIZE_HIGH[tx_size]
+    cw, ch = min(w, 32), min(h, 32)
+    r = np.ascontiguousarray(resid, np.int32)
+    out = np.empty((ch, cw), np.int32)
+    lib.tputx_fwd2d(r.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    tx_size, tx_type, bd)
+    return out
+
+
+def inv_txfm2d(coeff: np.ndarray, tx_size: int, tx_type: int,
+               bd: int = 8) -> np.ndarray:
+    from svt_av1_psy_tpu.constants import TX_SIZE_HIGH, TX_SIZE_WIDE
+
+    lib = ensure_txfms()
+    w, h = TX_SIZE_WIDE[tx_size], TX_SIZE_HIGH[tx_size]
+    c = np.ascontiguousarray(coeff, np.int32)
+    out = np.empty((h, w), np.int32)
+    lib.tputx_inv2d(c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    tx_size, tx_type, bd)
+    return out
+
+
+def quantize_b(coeff: np.ndarray, tx_size: int, pq) -> tuple:
+    from svt_av1_psy_tpu.ops.quant import tx_scale
+
+    lib = ensure_txfms()
+    c = np.ascontiguousarray(coeff, np.int32)
+    qc = np.empty_like(c)
+    dqc = np.empty_like(c)
+    lib.tputx_quantize_b(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        qc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dqc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        c.size, tx_scale(tx_size),
+        int(pq.zbin[0]), int(pq.zbin[1]), int(pq.round[0]), int(pq.round[1]),
+        int(pq.quant[0]), int(pq.quant[1]),
+        int(pq.quant_shift[0]), int(pq.quant_shift[1]),
+        int(pq.dequant[0]), int(pq.dequant[1]))
+    return qc, dqc
