@@ -115,6 +115,26 @@ class FrameReconstructor:
                 self.planes[1][:self.ah // 2, :self.aw // 2],
                 self.planes[2][:self.ah // 2, :self.aw // 2])
 
+    def start_block(self, mi_row: int, mi_col: int):
+        """Encoder hook: ensure the BlockDecoded maps track this block's
+        superblock (decode order assumed)."""
+        sbr4 = mi_row - (mi_row % self.sb4)
+        sbc4 = mi_col - (mi_col % self.sb4)
+        if (sbr4, sbc4) != self._sb_rc:
+            self._reset_sb(sbr4, sbc4)
+
+    def finish_block(self, b, hc: bool):
+        """Encoder hook: neighbor smooth-ness updates after a block."""
+        w4 = BLOCK_SIZE_WIDE[b.bsize] // 4
+        h4 = BLOCK_SIZE_HIGH[b.bsize] // 4
+        ysm = int(b.y_mode in SMOOTH_MODES)
+        self.above_smooth[0][b.mi_col:b.mi_col + w4] = ysm
+        self.left_smooth[0][b.mi_row:b.mi_row + h4] = ysm
+        if hc:
+            usm = int(b.uv_mode in SMOOTH_MODES)
+            self.above_smooth[1][b.mi_col:b.mi_col + w4] = usm
+            self.left_smooth[1][b.mi_row:b.mi_row + h4] = usm
+
     def _decode_block(self, b):
         hc = has_chroma(b.mi_row, b.mi_col, b.bsize)
         self.max_luma_w = 0
@@ -134,16 +154,7 @@ class FrameReconstructor:
         if b.skip:
             assert not b.txbs, "skip blocks carry no txbs"
             self._reconstruct_skip(b, hc)
-        # record smooth-ness for edge filter type of later blocks
-        w4 = BLOCK_SIZE_WIDE[b.bsize] // 4
-        h4 = BLOCK_SIZE_HIGH[b.bsize] // 4
-        ysm = int(b.y_mode in SMOOTH_MODES)
-        self.above_smooth[0][b.mi_col:b.mi_col + w4] = ysm
-        self.left_smooth[0][b.mi_row:b.mi_row + h4] = ysm
-        if hc:
-            usm = int(b.uv_mode in SMOOTH_MODES)
-            self.above_smooth[1][b.mi_col:b.mi_col + w4] = usm
-            self.left_smooth[1][b.mi_row:b.mi_row + h4] = usm
+        self.finish_block(b, hc)
 
     def _reconstruct_skip(self, b, hc):
         """Skip blocks still produce prediction as recon (spec: residual
@@ -172,7 +183,11 @@ class FrameReconstructor:
                                      (b.mi_col >> 1) + ox // 4, cts, 0, None)
 
     # --- per-txb ---------------------------------------------------------
-    def _decode_txb(self, b, plane, u_row, u_col, ts, tt, qcoeff):
+    def predict_txb(self, b, plane, u_row, u_col, ts):
+        """Normative prediction for a txb given current recon state.
+        Returns pred (h, w) int32, or None if the txb is out of frame.
+        Safe to call repeatedly (read-only) — the encoder's mode search
+        uses this so search and commit share one prediction path."""
         sub = 1 if plane else 0
         w, h = TX_SIZE_WIDE[ts], TX_SIZE_HIGH[ts]
         x = u_col * 4
@@ -180,10 +195,9 @@ class FrameReconstructor:
         max_x = (self.mi_cols * 4 >> sub) - 1
         max_y = (self.mi_rows * 4 >> sub) - 1
         if x > max_x or y > max_y:
-            return
+            return None
         step_x = w // 4
         step_y = h // 4
-        # availability from the BlockDecoded maps (spec transform_block)
         have_left = x > 0 and self._bdget(plane, u_row, u_col - 1)
         have_above = y > 0 and self._bdget(plane, u_row - 1, u_col)
         have_ar = self._bdget(plane, u_row - 1, u_col + step_x)
@@ -200,7 +214,24 @@ class FrameReconstructor:
                              have_left, have_ar, have_bl, max_x, max_y)
         if plane > 0 and b.uv_mode == int(PredMode.UV_CFL_PRED):
             pred = self._apply_cfl(b, plane, x, y, w, h, pred, sub)
+        return pred
 
+    def _decode_txb(self, b, plane, u_row, u_col, ts, tt, qcoeff):
+        pred = self.predict_txb(b, plane, u_row, u_col, ts)
+        if pred is None:
+            return
+        self.commit_txb(b, plane, u_row, u_col, ts, tt, qcoeff, pred)
+
+    def commit_txb(self, b, plane, u_row, u_col, ts, tt, qcoeff, pred):
+        """Dequant + inverse + recon write + decoded-map update."""
+        sub = 1 if plane else 0
+        w, h = TX_SIZE_WIDE[ts], TX_SIZE_HIGH[ts]
+        x = u_col * 4
+        y = u_row * 4
+        max_x = (self.mi_cols * 4 >> sub) - 1
+        max_y = (self.mi_rows * 4 >> sub) - 1
+        step_x = w // 4
+        step_y = h // 4
         rec_plane = self.planes[plane]
         if qcoeff is None or not np.any(qcoeff):
             rec = pred

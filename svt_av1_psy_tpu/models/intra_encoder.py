@@ -1,19 +1,23 @@
-"""All-intra encoder model — partition tree + arbitrary resolutions.
+"""All-intra encoder model — full mode set, shared normative recon path.
 
-KEY-frame encoder: recursive square partitioning 64→32→16→8 decided by a
-device-computed open-loop mode search (ops/jax_backend.block_mode_costs — the
-P2-style batched stage of SURVEY.md §7), then a host commit pass that
-re-predicts from exact recon edges (the wavefront the format demands),
-transforms/quantizes with the reference-exact integer path and emits symbols
-through the tile writer.
+KEY-frame encoder: recursive square partitioning 64→8 seeded by a batched
+device mode search (ops/jax_backend.block_mode_costs), then a host commit
+pass where PREDICTION AND RECONSTRUCTION run through the conformance
+decoder's FrameReconstructor — the same code dav1d-validated bit-exact — so
+every intra tool it supports (directional modes with edge filter/upsample,
+smooth family, Paeth) is available to the encoder for free and recon always
+matches the decoder.
 
-Arbitrary resolutions follow the spec's MI geometry: MiCols = 2*((w+7)>>3);
-partial superblocks use boundary partition coding and clamped edge reads
-(spec 5.11.4 / 7.11.2).
+Mode decision: SAD preselect over the full candidate set with exact
+predictions, then RD commit (distortion + lambda * estimated rate) over the
+top candidates, angle-delta refinement for directional winners. The funnel
+mirrors the reference's staged MD (ref: Source/Lib/Codec/mode_decision.c
+md_stage_0/3) at a bring-up feature level.
 """
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -23,12 +27,13 @@ from svt_av1_psy_tpu.bitstream.headers import (FrameParams, SequenceParams,
 from svt_av1_psy_tpu.constants import (BLOCK_SIZE_HIGH, BLOCK_SIZE_WIDE,
                                        BlockSize, Partition, PredMode, TxSize,
                                        TxType)
+from svt_av1_psy_tpu.decoder.reconstruct import FrameReconstructor
+from svt_av1_psy_tpu.decoder.tile_parser import ParsedBlock
 from svt_av1_psy_tpu.entropy.frame_context import FrameContext
 from svt_av1_psy_tpu.entropy.tile_writer import (BlockRecord, TileWriter,
-                                                 TxbData)
+                                                 TxbData, has_chroma)
 from svt_av1_psy_tpu.entropy.tx_sets import uv_tx_type
-from svt_av1_psy_tpu.ops import intra as intra_ops
-from svt_av1_psy_tpu.ops.quant import build_plane_quant, quantize_b, ac_q
+from svt_av1_psy_tpu.ops.quant import ac_q, dc_q, build_plane_quant, quantize_b
 from svt_av1_psy_tpu.ops.transforms import (forward_transform_2d,
                                             inverse_transform_add)
 
@@ -39,16 +44,15 @@ _SQ_TX = {64: int(TxSize.TX_64X64), 32: int(TxSize.TX_32X32),
           16: int(TxSize.TX_16X16), 8: int(TxSize.TX_8X8),
           4: int(TxSize.TX_4X4)}
 
+ALL_Y_MODES = tuple(range(13))          # DC..PAETH incl. directional
+
 
 @dataclass
 class EncodedFrame:
     payload: bytes
-    recon_y: np.ndarray          # display-size crops
+    recon_y: np.ndarray
     recon_u: np.ndarray
     recon_v: np.ndarray
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=1)
@@ -65,41 +69,12 @@ def _pad_to(plane: np.ndarray, H: int, W: int) -> np.ndarray:
     return np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
 
 
-def _clamped_edges(recon, x, y, w, h, max_x, max_y, have_above, have_left,
-                   bd):
-    """spec 7.11.2 edge prep with Min(maxX, …) coordinate clamping."""
-    base = 1 << (bd - 1)
-    xs = np.minimum(np.arange(x, x + w), max_x)
-    ys = np.minimum(np.arange(y, y + h), max_y)
-    if have_above:
-        above = recon[y - 1, xs].astype(np.int32)
-    elif have_left:
-        above = np.full(w, int(recon[y, x - 1]), np.int32)
-    else:
-        above = np.full(w, base - 1, np.int32)
-    if have_left:
-        left = recon[ys, x - 1].astype(np.int32)
-    elif have_above:
-        left = np.full(h, int(recon[y - 1, x]), np.int32)
-    else:
-        left = np.full(h, base + 1, np.int32)
-    if have_above and have_left:
-        al = int(recon[y - 1, x - 1])
-    elif have_above:
-        al = int(recon[y - 1, x])
-    elif have_left:
-        al = int(recon[y, x - 1])
-    else:
-        al = base
-    return above, left, al
-
-
 class IntraEncoder:
     """Fixed-QP all-intra encoder (KEY frames only), arbitrary resolution."""
 
     def __init__(self, width: int, height: int, qindex: int, bd: int = 8,
                  min_block: int = 8, use_device_search: bool = True,
-                 backend: str = "native"):
+                 backend: str = "native", search_top_k: int = 3):
         if backend == "native":
             try:
                 from svt_av1_psy_tpu import native
@@ -113,21 +88,23 @@ class IntraEncoder:
         self.bd = bd
         self.min_block = min_block
         self.use_device_search = use_device_search
+        self.top_k = search_top_k
         self.mi_cols = 2 * ((width + 7) >> 3)
         self.mi_rows = 2 * ((height + 7) >> 3)
-        self.aw = self.mi_cols * 4            # MI-aligned dims
+        self.aw = self.mi_cols * 4
         self.ah = self.mi_rows * 4
-        self.paw = (self.aw + SB - 1) // SB * SB   # SB-padded for search
+        self.paw = (self.aw + SB - 1) // SB * SB
         self.pah = (self.ah + SB - 1) // SB * SB
         self.seq = SequenceParams(width=width, height=height, bit_depth=bd,
                                   enable_cdef=False, enable_restoration=False)
-        self.pq_y = build_plane_quant(qindex, bd=bd)
-        self.pq_uv = build_plane_quant(qindex, bd=bd)
+        self.pq = build_plane_quant(qindex, bd=bd)
+        # lambda for D + lambda*R (D in SSE, R in bits); dc_q is Q3
+        qstep = dc_q(qindex, bd) / 8.0
+        self.rdmult = 0.12 * qstep * qstep
         self.frame_index = 0
 
-    # --- open-loop decisions (device) -----------------------------------
+    # --- open-loop split decisions (device) ------------------------------
     def _decide(self, yp: np.ndarray):
-        """Per-size best modes/costs + split decisions from source pixels."""
         import jax.numpy as jnp
 
         sizes = [s for s in (64, 32, 16, 8) if s >= self.min_block]
@@ -138,11 +115,10 @@ class IntraEncoder:
             c, b = _jitted_block_costs()(arr, s, self.bd)
             costs[s] = np.asarray(jnp.min(c, axis=2)).astype(np.int64)
             bests[s] = np.asarray(b)
-        # bottom-up split decision: split if children SAD + bias < parent SAD
         bias = 8 * ac_q(self.qindex, self.bd)
         split = {}
         eff = {sizes[-1]: costs[sizes[-1]]}
-        for s in sizes[-2::-1]:       # from second-smallest up
+        for s in sizes[-2::-1]:
             child = eff[s // 2]
             agg = (child[0::2, 0::2] + child[0::2, 1::2] +
                    child[1::2, 0::2] + child[1::2, 1::2])
@@ -151,25 +127,24 @@ class IntraEncoder:
             eff[s] = np.where(do_split, agg + bias, costs[s])
         return bests, split
 
-    # --- commit pass ------------------------------------------------------
+    # --- frame ------------------------------------------------------------
     def encode_frame(self, y, u, v) -> EncodedFrame:
         bd = self.bd
-        dtype = np.uint8 if bd == 8 else np.uint16
         yp = _pad_to(np.asarray(y), self.pah, self.paw)
         up = _pad_to(np.asarray(u), self.pah // 2, self.paw // 2)
         vp = _pad_to(np.asarray(v), self.pah // 2, self.paw // 2)
         self._src = (yp, up, vp)
-        self.recon_y = np.zeros((self.pah, self.paw), dtype)
-        self.recon_u = np.zeros((self.pah // 2, self.paw // 2), dtype)
-        self.recon_v = np.zeros((self.pah // 2, self.paw // 2), dtype)
-        self.max_x = self.aw - 1
-        self.max_y = self.ah - 1
 
         if self.use_device_search:
             self.bests, self.split = self._decide(yp)
         else:
             self.bests, self.split = None, None
 
+        fr_params = FrameParams(base_q_idx=self.qindex,
+                                order_hint=self.frame_index & 0x7F)
+        self.fr = FrameReconstructor(
+            self.width, self.height, fr_params, bd=bd,
+            enable_intra_edge_filter=self.seq.enable_intra_edge_filter)
         fc = FrameContext(self.qindex)
         self.tw = TileWriter(fc, self.mi_rows, self.mi_cols, sb_size=SB,
                              backend=self.backend)
@@ -178,26 +153,21 @@ class IntraEncoder:
                 self._code_partition(sby // 4, sbx // 4, 64)
 
         tile = self.tw.finish()
-        fr = FrameParams(base_q_idx=self.qindex,
-                         order_hint=self.frame_index & 0x7F)
         payload = key_frame_temporal_unit(
-            self.seq, fr, tile, with_seq_header=(self.frame_index == 0))
+            self.seq, fr_params, tile, with_seq_header=(self.frame_index == 0))
         self.frame_index += 1
+        H, W = self.height, self.width
         return EncodedFrame(
             payload=payload,
-            recon_y=self.recon_y[:self.height, :self.width].copy(),
-            recon_u=self.recon_u[:(self.height + 1) // 2,
-                                 :(self.width + 1) // 2].copy(),
-            recon_v=self.recon_v[:(self.height + 1) // 2,
-                                 :(self.width + 1) // 2].copy())
+            recon_y=self.fr.planes[0][:H, :W].copy(),
+            recon_u=self.fr.planes[1][:(H + 1) // 2, :(W + 1) // 2].copy(),
+            recon_v=self.fr.planes[2][:(H + 1) // 2, :(W + 1) // 2].copy())
 
+    # --- partition walk ---------------------------------------------------
     def _want_split(self, r, c, size) -> bool:
-        if size <= self.min_block:
+        if size <= self.min_block or self.split is None:
             return False
-        if self.split is None:
-            return False
-        br, bc = (r * 4) // size, (c * 4) // size
-        return bool(self.split[size][br, bc])
+        return bool(self.split[size][(r * 4) // size, (c * 4) // size])
 
     def _code_partition(self, r, c, size):
         if r >= self.mi_rows or c >= self.mi_cols:
@@ -206,16 +176,12 @@ class IntraEncoder:
         bsize = _SQ_BSIZE[size]
         has_rows, has_cols = tw._partition_bounds(r, c, bsize)
         full = has_rows and has_cols
-        # partial blocks: force SPLIT until the block fits (min size always
-        # fits: MI geometry is 8px-aligned)
         if not full and size > 8:
             part = int(Partition.SPLIT)
         elif self._want_split(r, c, size):
             part = int(Partition.SPLIT)
         else:
             part = int(Partition.NONE)
-        if size == 8:
-            assert part == int(Partition.NONE)
         tw.write_partition(r, c, bsize, part)
         half4 = size // 8
         if part == int(Partition.SPLIT):
@@ -227,60 +193,131 @@ class IntraEncoder:
             self._code_block(r, c, size)
             tw.update_partition_ctx(r, c, bsize, bsize)
 
-    # --- block coding -----------------------------------------------------
-    def _best_mode(self, size, r, c):
-        if self.bests is not None:
-            b = self.bests[size][(r * 4) // size, (c * 4) // size]
-            from svt_av1_psy_tpu.ops.jax_backend import SEARCH_MODE_ORDER
-            return int(SEARCH_MODE_ORDER[int(b)])
-        return int(PredMode.DC_PRED)
-
-    def _code_plane(self, plane, src, recon, x, y, w, h, mode, ts, tt, pq):
-        max_x = self.max_x if plane == 0 else (self.aw // 2) - 1
-        max_y = self.max_y if plane == 0 else (self.ah // 2) - 1
-        have_above = y > 0
-        have_left = x > 0
-        above, left, al = _clamped_edges(recon, x, y, w, h, max_x, max_y,
-                                         have_above, have_left, self.bd)
-        pred = intra_ops.predict(mode, above, left, al, w, h,
-                                 have_above, have_left, self.bd)
-        resid = src[y:y + h, x:x + w].astype(np.int32) - pred
+    # --- transforms (native or python) ------------------------------------
+    def _tq(self, resid, ts, tt):
         if self.backend == "native":
             from svt_av1_psy_tpu import native
             coeff = native.fwd_txfm2d(resid, ts, tt, self.bd)
-            qcoeff, dqcoeff = native.quantize_b(coeff, ts, pq)
-            rec = np.clip(pred + native.inv_txfm2d(dqcoeff, ts, tt, self.bd),
-                          0, (1 << self.bd) - 1)
-        else:
-            coeff = forward_transform_2d(resid, ts, tt, self.bd)
-            qcoeff, dqcoeff = quantize_b(coeff, ts, pq)
-            rec = inverse_transform_add(dqcoeff, pred, ts, tt, self.bd)
-        # clamped recon write (recon arrays are SB-padded, so plain slices)
-        recon[y:y + h, x:x + w] = rec.astype(recon.dtype)
-        return qcoeff
+            return native.quantize_b(coeff, ts, self.pq)
+        coeff = forward_transform_2d(resid, ts, tt, self.bd)
+        return quantize_b(coeff, ts, self.pq)
 
+    @staticmethod
+    def _coeff_bits_est(qc) -> float:
+        nz = qc[qc != 0]
+        if nz.size == 0:
+            return 1.0
+        return 2.0 * nz.size + float(np.log2(1.0 + np.abs(nz)).sum()) + 4.0
+
+    # --- block coding ------------------------------------------------------
     def _code_block(self, r, c, size):
         yp, up, vp = self._src
-        x, y = c * 4, r * 4
-        y_mode = self._best_mode(size, r, c)
-        cs = max(size // 2, 4)
-        uv_mode = y_mode
-
+        fr = self.fr
+        fr.start_block(r, c)
+        bsize = _SQ_BSIZE[size]
         ts_y = _SQ_TX[size]
-        qy = self._code_plane(0, yp, self.recon_y, x, y, size, size,
-                              y_mode, ts_y, int(TxType.DCT_DCT), self.pq_y)
+        cs = max(size // 2, 4)
         ts_uv = _SQ_TX[cs]
-        tt_uv = uv_tx_type(uv_mode, ts_uv, False)
-        qu = self._code_plane(1, up, self.recon_u, x // 2, y // 2, cs, cs,
-                              uv_mode, ts_uv, tt_uv, self.pq_uv)
-        qv = self._code_plane(2, vp, self.recon_v, x // 2, y // 2, cs, cs,
-                              uv_mode, ts_uv, tt_uv, self.pq_uv)
+        x, y0 = c * 4, r * 4
+        src_y = yp[y0:y0 + size, x:x + size].astype(np.int32)
+        hc = has_chroma(r, c, bsize)
 
-        skip = not (np.any(qy) or np.any(qu) or np.any(qv))
+        trial = ParsedBlock(mi_row=r, mi_col=c, bsize=bsize, y_mode=0,
+                            uv_mode=0, tx_size=ts_y)
+
+        # stage 0: SAD over all modes (exact predictions)
+        sads = []
+        preds = {}
+        for m in ALL_Y_MODES:
+            trial.y_mode = m
+            trial.angle_delta_y = 0
+            p = fr.predict_txb(trial, 0, r, c, ts_y)
+            preds[(m, 0)] = p
+            sads.append((int(np.abs(src_y - p).sum()), m))
+        sads.sort()
+        cand = [m for _, m in sads[:self.top_k]]
+
+        # angle-delta refinement for the best directional candidate
+        best_dir = next((m for _, m in sads
+                         if 1 <= m <= 8), None)
+        deltas = {m: 0 for m in cand}
+        if best_dir is not None and size >= 8:
+            if best_dir not in cand:
+                cand.append(best_dir)
+            best_sad, best_d = None, 0
+            for d in (-3, -2, -1, 0, 1, 2, 3):
+                trial.y_mode = best_dir
+                trial.angle_delta_y = d
+                p = fr.predict_txb(trial, 0, r, c, ts_y)
+                preds[(best_dir, d)] = p
+                sad = int(np.abs(src_y - p).sum())
+                if best_sad is None or sad < best_sad:
+                    best_sad, best_d = sad, d
+            deltas[best_dir] = best_d
+
+        # stage 1: RD over candidates (full T/Q/recon distortion)
+        best = None
+        for m in cand:
+            d = deltas.get(m, 0)
+            p = preds[(m, d)]
+            qc, dqc = self._tq(src_y - p, ts_y, int(TxType.DCT_DCT))
+            rec = np.clip(p + self._inv(dqc, ts_y, int(TxType.DCT_DCT)),
+                          0, (1 << self.bd) - 1)
+            dist = float(((src_y - rec) ** 2).sum())
+            rate = self._coeff_bits_est(qc) + (6.0 if 1 <= m <= 8 else 3.0)
+            cost = dist + self.rdmult * rate
+            if best is None or cost < best[0]:
+                best = (cost, m, d, qc, dqc, p)
+        _, y_mode, ad_y, qy, dqy, pred_y = best
+
+        # commit luma through the shared reconstructor
+        blk = ParsedBlock(mi_row=r, mi_col=c, bsize=bsize, y_mode=y_mode,
+                          uv_mode=0, angle_delta_y=ad_y, tx_size=ts_y)
+        fr.commit_txb(blk, 0, r, c, ts_y, int(TxType.DCT_DCT), qy, pred_y)
+
+        qu = qv = None
+        uv_mode, ad_uv, tt_uv = 0, 0, 0
+        if hc:
+            cr, cc_ = r >> 1, c >> 1
+            cx, cy = cc_ * 4, cr * 4
+            csz = max(size // 2, 4)
+            src_u = up[cy:cy + csz, cx:cx + csz].astype(np.int32)
+            src_v = vp[cy:cy + csz, cx:cx + csz].astype(np.int32)
+            ubest = None
+            for m in (0, 1, 2, 9, 12, y_mode):
+                trial_uv = ParsedBlock(mi_row=r, mi_col=c, bsize=bsize,
+                                       y_mode=y_mode, uv_mode=m,
+                                       angle_delta_uv=0, tx_size=ts_y)
+                pu = fr.predict_txb(trial_uv, 1, cr, cc_, ts_uv)
+                pv = fr.predict_txb(trial_uv, 2, cr, cc_, ts_uv)
+                sad = int(np.abs(src_u - pu).sum() +
+                          np.abs(src_v - pv).sum())
+                if ubest is None or sad < ubest[0]:
+                    ubest = (sad, m, pu, pv)
+            _, uv_mode, pu, pv = ubest
+            tt_uv = uv_tx_type(uv_mode, ts_uv, False)
+            qu, dqu = self._tq(src_u - pu, ts_uv, tt_uv)
+            qv, dqv = self._tq(src_v - pv, ts_uv, tt_uv)
+            blk.uv_mode = uv_mode
+            blk.angle_delta_uv = ad_uv
+            fr.commit_txb(blk, 1, cr, cc_, ts_uv, tt_uv, qu, pu)
+            fr.commit_txb(blk, 2, cr, cc_, ts_uv, tt_uv, qv, pv)
+
+        skip = not (np.any(qy) or (qu is not None and np.any(qu)) or
+                    (qv is not None and np.any(qv)))
         rec = BlockRecord(
-            mi_row=r, mi_col=c, bsize=_SQ_BSIZE[size],
-            y_mode=y_mode, uv_mode=uv_mode, skip=skip,
-            txbs_y=[TxbData(qy, ts_y, int(TxType.DCT_DCT))],
-            txbs_u=[TxbData(qu, ts_uv, tt_uv)],
-            txbs_v=[TxbData(qv, ts_uv, tt_uv)])
+            mi_row=r, mi_col=c, bsize=bsize,
+            y_mode=y_mode, uv_mode=uv_mode, angle_delta_y=ad_y,
+            angle_delta_uv=ad_uv, skip=skip,
+            txbs_y=[] if skip else [TxbData(qy, ts_y, int(TxType.DCT_DCT))],
+            txbs_u=[] if (skip or not hc) else [TxbData(qu, ts_uv, tt_uv)],
+            txbs_v=[] if (skip or not hc) else [TxbData(qv, ts_uv, tt_uv)])
         self.tw.write_block(rec)
+        fr.finish_block(blk, hc)
+
+    def _inv(self, dqc, ts, tt):
+        if self.backend == "native":
+            from svt_av1_psy_tpu import native
+            return native.inv_txfm2d(dqc, ts, tt, self.bd)
+        from svt_av1_psy_tpu.ops.transforms import inverse_transform_2d
+        return inverse_transform_2d(dqc, ts, tt, self.bd)

@@ -12,6 +12,8 @@ batch path can vmap them over superblock candidate sets.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from svt_av1_psy_tpu.constants import PredMode
@@ -212,33 +214,32 @@ def use_edge_upsample(w: int, h: int, filter_type: int, delta: int) -> bool:
 
 
 def _edge_filter(buf: np.ndarray, sz: int, strength: int) -> None:
-    """spec intra_edge_filter over buf[0..sz-1], in place."""
+    """spec intra_edge_filter over buf[0..sz-1], in place (vectorized)."""
     if strength == 0 or sz <= 1:
         return
     k = _EDGE_KERNELS[strength - 1]
-    src = buf[:sz].copy()
-    for i in range(1, sz):
-        s = 0
-        for j in range(5):
-            idx = min(max(i - 2 + j, 0), sz - 1)
-            s += int(src[idx]) * int(k[j])
-        buf[i] = (s + 8) >> 4
+    src = buf[:sz].astype(np.int64)
+    padded = np.concatenate((src[:1], src[:1], src, src[-1:], src[-1:]))
+    acc = np.zeros(sz, np.int64)
+    for j in range(5):
+        acc += padded[j:j + sz] * int(k[j])
+    out = (acc + 8) >> 4
+    buf[1:sz] = out[1:]
 
 
 def _edge_upsample(buf_m2: np.ndarray, num_px: int, bd: int) -> None:
-    """spec intra_edge_upsample. buf_m2 indexes the edge with offset +2
-    (buf_m2[2] == edge[0], buf_m2[1] == edge[-1], buf_m2[0] == edge[-2])."""
-    dup = np.zeros(num_px + 3, np.int32)
+    """spec intra_edge_upsample (vectorized). buf_m2 offset +2 indexing."""
+    dup = np.zeros(num_px + 3, np.int64)
     dup[0] = buf_m2[1]
     dup[1:num_px + 2] = buf_m2[1:num_px + 2]
     dup[num_px + 2] = buf_m2[num_px + 1]
     buf_m2[0] = dup[0]
     hi = (1 << bd) - 1
-    for i in range(num_px):
-        s = -int(dup[i]) + 9 * int(dup[i + 1]) + 9 * int(dup[i + 2]) \
-            - int(dup[i + 3])
-        buf_m2[2 * i + 1] = np.clip((s + 8) >> 4, 0, hi)
-        buf_m2[2 * i + 2] = dup[i + 2]
+    sv = -dup[:num_px] + 9 * dup[1:num_px + 1] + 9 * dup[2:num_px + 2] \
+        - dup[3:num_px + 3]
+    odd = np.clip((sv + 8) >> 4, 0, hi)
+    buf_m2[1:1 + 2 * num_px:2] = odd
+    buf_m2[2:2 + 2 * num_px:2] = dup[2:num_px + 2]
 
 
 def directional_pred(mode: int, angle_delta: int, above_ext: np.ndarray,
@@ -293,54 +294,75 @@ def directional_pred(mode: int, angle_delta: int, above_ext: np.ndarray,
 
     ua = 1 if upsample_above else 0
     ul = 1 if upsample_left else 0
-    out = np.zeros((h, w), np.int32)
     if p_angle < 90:
-        dx = dr_deriv_dx(p_angle)
-        max_base_x = (w + h - 1) << ua
-        for i in range(h):
-            for j in range(w):
-                idx = (i + 1) * dx
-                base = (idx >> (6 - ua)) + (j << ua)
-                if base < max_base_x:
-                    shift = ((idx << ua) >> 1) & 0x1F
-                    v = int(ab[2 + base]) * (32 - shift) + \
-                        int(ab[2 + base + 1]) * shift
-                    out[i, j] = (v + 16) >> 5
-                else:
-                    out[i, j] = int(ab[2 + max_base_x])
+        base, shift, clip_mask = _dr_maps_z1(w, h, p_angle, ua, False)
+        max_base = (w + h - 1) << ua
+        b = np.minimum(base, max_base)
+        v = (ab[2 + b] * (32 - shift) + ab[2 + b + 1] * shift + 16) >> 5
+        out = np.where(base < max_base, v, ab[2 + max_base])
     elif p_angle < 180:
-        dx = dr_deriv_dx(p_angle)
-        dy = dr_deriv_dy(p_angle)
-        for i in range(h):
-            for j in range(w):
-                idx = (j << 6) - (i + 1) * dx
-                base = idx >> (6 - ua)
-                if base >= -(1 << ua):
-                    shift = ((idx << ua) >> 1) & 0x1F
-                    v = int(ab[2 + base]) * (32 - shift) + \
-                        int(ab[2 + base + 1]) * shift
-                else:
-                    idx2 = (i << 6) - (j + 1) * dy
-                    base2 = idx2 >> (6 - ul)
-                    shift = ((idx2 << ul) >> 1) & 0x1F
-                    v = int(le[2 + base2]) * (32 - shift) + \
-                        int(le[2 + base2 + 1]) * shift
-                out[i, j] = (v + 16) >> 5
+        (a_base, a_shift, use_above, l_base,
+         l_shift) = _dr_maps_z2(w, h, p_angle, ua, ul)
+        va = (ab[2 + a_base] * (32 - a_shift) +
+              ab[2 + a_base + 1] * a_shift + 16) >> 5
+        vl = (le[2 + l_base] * (32 - l_shift) +
+              le[2 + l_base + 1] * l_shift + 16) >> 5
+        out = np.where(use_above, va, vl)
     else:
-        dy = dr_deriv_dy(p_angle)
-        max_base_y = (w + h - 1) << ul
-        for i in range(h):
-            for j in range(w):
-                idx = (j + 1) * dy
-                base = (idx >> (6 - ul)) + (i << ul)
-                if base < max_base_y:
-                    shift = ((idx << ul) >> 1) & 0x1F
-                    v = int(le[2 + base]) * (32 - shift) + \
-                        int(le[2 + base + 1]) * shift
-                    out[i, j] = (v + 16) >> 5
-                else:
-                    out[i, j] = int(le[2 + max_base_y])
-    return np.clip(out, 0, hi)
+        base, shift, clip_mask = _dr_maps_z1(h, w, 270 + (180 - p_angle) - 90,
+                                             ul, True)
+        # zone 3 mirrors zone 1 over the left edge: reuse via explicit maps
+        base, shift, _ = _dr_maps_z3(w, h, p_angle, ul)
+        max_base = (w + h - 1) << ul
+        b = np.minimum(base, max_base)
+        v = (le[2 + b] * (32 - shift) + le[2 + b + 1] * shift + 16) >> 5
+        out = np.where(base < max_base, v, le[2 + max_base])
+    return np.clip(out, 0, hi).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _dr_maps_z1(w, h, p_angle, ua, _unused):
+    dx = dr_deriv_dx(p_angle)
+    i = np.arange(h).reshape(h, 1)
+    j = np.arange(w).reshape(1, w)
+    idx = (i + 1) * dx
+    base = (idx >> (6 - ua)) + (j << ua)
+    shift = ((idx << ua) >> 1) & 0x1F
+    shift = np.broadcast_to(shift, (h, w))
+    return base, shift, None
+
+
+@functools.lru_cache(maxsize=None)
+def _dr_maps_z2(w, h, p_angle, ua, ul):
+    dx = dr_deriv_dx(p_angle)
+    dy = dr_deriv_dy(p_angle)
+    i = np.arange(h).reshape(h, 1)
+    j = np.arange(w).reshape(1, w)
+    idx = (j << 6) - (i + 1) * dx
+    a_base = idx >> (6 - ua)
+    a_shift = ((idx << ua) >> 1) & 0x1F
+    use_above = a_base >= -(1 << ua)
+    a_base = np.maximum(a_base, -(1 << ua))   # safe index when unused
+    idx2 = (i << 6) - (j + 1) * dy
+    l_base = idx2 >> (6 - ul)
+    l_shift = ((idx2 << ul) >> 1) & 0x1F
+    l_base = np.maximum(l_base, -2)
+    return (np.broadcast_to(a_base, (h, w)),
+            np.broadcast_to(a_shift, (h, w)), use_above,
+            np.broadcast_to(l_base, (h, w)),
+            np.broadcast_to(l_shift, (h, w)))
+
+
+@functools.lru_cache(maxsize=None)
+def _dr_maps_z3(w, h, p_angle, ul):
+    dy = dr_deriv_dy(p_angle)
+    i = np.arange(h).reshape(h, 1)
+    j = np.arange(w).reshape(1, w)
+    idx = (j + 1) * dy
+    base = (idx >> (6 - ul)) + (i << ul)
+    shift = ((idx << ul) >> 1) & 0x1F
+    shift = np.broadcast_to(shift, (h, w))
+    return base, shift, None
 
 
 def filter_intra_pred(fi_mode: int, above: np.ndarray, left: np.ndarray,
