@@ -115,6 +115,30 @@ class FrameReconstructor:
                 self.planes[1][:self.ah // 2, :self.aw // 2],
                 self.planes[2][:self.ah // 2, :self.aw // 2])
 
+    def snapshot(self, plane: int, u_row: int, u_col: int, h4: int,
+                 w4: int):
+        """Encoder trial support: capture recon region + decoded-map state
+        for rollback (region in the plane's 4-px units)."""
+        sub = 1 if plane else 0
+        x, y = u_col * 4, u_row * 4
+        region = self.planes[plane][y:y + h4 * 4, x:x + w4 * 4].copy()
+        ry = u_row - (self._sb_rc[0] >> sub)
+        rx = u_col - (self._sb_rc[1] >> sub)
+        bd = self._bd_maps[plane][ry + 1:ry + 1 + h4,
+                                  rx + 1:rx + 1 + w4].copy()
+        return (plane, u_row, u_col, region, bd)
+
+    def restore(self, snap):
+        plane, u_row, u_col, region, bdm = snap
+        sub = 1 if plane else 0
+        x, y = u_col * 4, u_row * 4
+        self.planes[plane][y:y + region.shape[0],
+                           x:x + region.shape[1]] = region
+        ry = u_row - (self._sb_rc[0] >> sub)
+        rx = u_col - (self._sb_rc[1] >> sub)
+        self._bd_maps[plane][ry + 1:ry + 1 + bdm.shape[0],
+                             rx + 1:rx + 1 + bdm.shape[1]] = bdm
+
     def start_block(self, mi_row: int, mi_col: int):
         """Encoder hook: ensure the BlockDecoded maps track this block's
         superblock (decode order assumed)."""

@@ -32,7 +32,9 @@ from svt_av1_psy_tpu.decoder.tile_parser import ParsedBlock
 from svt_av1_psy_tpu.entropy.frame_context import FrameContext
 from svt_av1_psy_tpu.entropy.tile_writer import (BlockRecord, TileWriter,
                                                  TxbData, has_chroma)
-from svt_av1_psy_tpu.entropy.tx_sets import uv_tx_type
+from svt_av1_psy_tpu.entropy.tx_sets import (EXT_TX_INV, intra_tx_set,
+                                             uv_tx_type)
+from svt_av1_psy_tpu.entropy.tx_trees import SUB_TX, max_tx_depth
 from svt_av1_psy_tpu.ops.quant import ac_q, dc_q, build_plane_quant, quantize_b
 from svt_av1_psy_tpu.ops.transforms import (forward_transform_2d,
                                             inverse_transform_add)
@@ -141,13 +143,14 @@ class IntraEncoder:
             self.bests, self.split = None, None
 
         fr_params = FrameParams(base_q_idx=self.qindex,
-                                order_hint=self.frame_index & 0x7F)
+                                order_hint=self.frame_index & 0x7F,
+                                tx_mode_select=True)
         self.fr = FrameReconstructor(
             self.width, self.height, fr_params, bd=bd,
             enable_intra_edge_filter=self.seq.enable_intra_edge_filter)
         fc = FrameContext(self.qindex)
         self.tw = TileWriter(fc, self.mi_rows, self.mi_cols, sb_size=SB,
-                             backend=self.backend)
+                             backend=self.backend, tx_mode_select=True)
         for sby in range(0, self.ah, SB):
             for sbx in range(0, self.aw, SB):
                 self._code_partition(sby // 4, sbx // 4, 64)
@@ -255,7 +258,7 @@ class IntraEncoder:
                     best_sad, best_d = sad, d
             deltas[best_dir] = best_d
 
-        # stage 1: RD over candidates (full T/Q/recon distortion)
+        # stage 1: mode RD at block-level tx (full T/Q/recon distortion)
         best = None
         for m in cand:
             d = deltas.get(m, 0)
@@ -267,13 +270,31 @@ class IntraEncoder:
             rate = self._coeff_bits_est(qc) + (6.0 if 1 <= m <= 8 else 3.0)
             cost = dist + self.rdmult * rate
             if best is None or cost < best[0]:
-                best = (cost, m, d, qc, dqc, p)
-        _, y_mode, ad_y, qy, dqy, pred_y = best
+                best = (cost, m, d)
+        _, y_mode, ad_y = best
 
-        # commit luma through the shared reconstructor
+        # stage 2: tx depth + per-txb tx-type search with recon rollback
         blk = ParsedBlock(mi_row=r, mi_col=c, bsize=bsize, y_mode=y_mode,
                           uv_mode=0, angle_delta_y=ad_y, tx_size=ts_y)
-        fr.commit_txb(blk, 0, r, c, ts_y, int(TxType.DCT_DCT), qy, pred_y)
+        w4 = size // 4
+        best_trial = None
+        depths = [0, 1]
+        if size >= 32:
+            depths = [0, 1, 2]
+        for depth in depths:
+            ts = ts_y
+            for _ in range(depth):
+                ts = int(SUB_TX[ts])
+            snap = fr.snapshot(0, r, c, w4, w4)
+            cost, txbs = self._trial_luma(blk, r, c, size, ts, src_y)
+            fr.restore(snap)
+            cost += self.rdmult * 2.0 * depth
+            if best_trial is None or cost < best_trial[0]:
+                best_trial = (cost, ts, txbs)
+        _, ts_sel, txbs_y = best_trial
+        blk.tx_size = ts_sel
+        for (u_row, u_col, tt, qc, pred) in txbs_y:
+            fr.commit_txb(blk, 0, u_row, u_col, ts_sel, tt, qc, pred)
 
         qu = qv = None
         uv_mode, ad_uv, tt_uv = 0, 0, 0
@@ -303,17 +324,62 @@ class IntraEncoder:
             fr.commit_txb(blk, 1, cr, cc_, ts_uv, tt_uv, qu, pu)
             fr.commit_txb(blk, 2, cr, cc_, ts_uv, tt_uv, qv, pv)
 
-        skip = not (np.any(qy) or (qu is not None and np.any(qu)) or
+        any_y = any(np.any(q) for (_, _, _, q, _) in txbs_y)
+        skip = not (any_y or (qu is not None and np.any(qu)) or
                     (qv is not None and np.any(qv)))
         rec = BlockRecord(
             mi_row=r, mi_col=c, bsize=bsize,
             y_mode=y_mode, uv_mode=uv_mode, angle_delta_y=ad_y,
-            angle_delta_uv=ad_uv, skip=skip,
-            txbs_y=[] if skip else [TxbData(qy, ts_y, int(TxType.DCT_DCT))],
+            angle_delta_uv=ad_uv, skip=skip, tx_size=ts_sel,
+            txbs_y=[] if skip else [TxbData(q, ts_sel, tt)
+                                    for (_, _, tt, q, _) in txbs_y],
             txbs_u=[] if (skip or not hc) else [TxbData(qu, ts_uv, tt_uv)],
             txbs_v=[] if (skip or not hc) else [TxbData(qv, ts_uv, tt_uv)])
         self.tw.write_block(rec)
         fr.finish_block(blk, hc)
+
+    def _luma_tx_types(self, ts):
+        tx_set = intra_tx_set(ts, False)
+        if tx_set == 0:
+            return (int(TxType.DCT_DCT),)
+        allowed = EXT_TX_INV[tx_set]
+        cands = [int(TxType.DCT_DCT), int(TxType.ADST_ADST)]
+        for t in (int(TxType.V_DCT), int(TxType.H_DCT)):
+            if t in allowed:
+                cands.append(t)
+        return tuple(cands)
+
+    def _trial_luma(self, blk, r, c, size, ts, src_y):
+        """Encode all luma txbs at tx size ts (writing recon), returning
+        (total_cost, [(u_row, u_col, tx_type, qcoeff, pred), ...])."""
+        from svt_av1_psy_tpu.constants import TX_SIZE_HIGH, TX_SIZE_WIDE
+
+        fr = self.fr
+        tw_, th_ = TX_SIZE_WIDE[ts], TX_SIZE_HIGH[ts]
+        types = self._luma_tx_types(ts)
+        total = 0.0
+        out = []
+        for oy in range(0, size, th_):
+            for ox in range(0, size, tw_):
+                u_row, u_col = r + oy // 4, c + ox // 4
+                pred = fr.predict_txb(blk, 0, u_row, u_col, ts)
+                if pred is None:
+                    continue
+                resid = src_y[oy:oy + th_, ox:ox + tw_] - pred
+                tbest = None
+                for tt in types:
+                    qc, dqc = self._tq(resid, ts, tt)
+                    d = float(((resid - self._inv(dqc, ts, tt)) ** 2).sum())
+                    rate = self._coeff_bits_est(qc) + \
+                        (2.0 if len(types) > 1 else 0.0)
+                    cost = d + self.rdmult * rate
+                    if tbest is None or cost < tbest[0]:
+                        tbest = (cost, tt, qc)
+                cost, tt, qc = tbest
+                total += cost
+                fr.commit_txb(blk, 0, u_row, u_col, ts, tt, qc, pred)
+                out.append((u_row, u_col, tt, qc, pred))
+        return total, out
 
     def _inv(self, dqc, ts, tt):
         if self.backend == "native":
