@@ -211,9 +211,9 @@ def txb_skip_ctx(above_ctx: np.ndarray, left_ctx: np.ndarray, plane: int,
             top |= int(v)
         for v in left_ctx:
             left |= int(v)
-        top = min(top & COEFF_CONTEXT_MASK, 4)
-        left = min(left & COEFF_CONTEXT_MASK, 4)
-        mx = min(top + left, 4)
+        top &= COEFF_CONTEXT_MASK
+        left &= COEFF_CONTEXT_MASK
+        mx = min(top | left, 4)
         mn = min(min(top, left), 4)
         return int(_SKIP_CONTEXTS[mn][mx])
     ca = int(any((int(v) & COEFF_CONTEXT_MASK) != 0 for v in above_ctx))

@@ -104,6 +104,10 @@ class IntraEncoder:
         qstep = dc_q(qindex, bd) / 8.0
         self.rdmult = 0.12 * qstep * qstep
         self.frame_index = 0
+        self.records = []  # BlockRecords of the last encoded frame (debug)
+        self.force_y_mode = None   # debug: force luma mode for all blocks
+        self.force_ady = 0         # debug: forced angle delta
+        self.force_types = None    # debug: force luma tx-type candidates
 
     # --- open-loop split decisions (device) ------------------------------
     def _decide(self, yp: np.ndarray):
@@ -136,6 +140,7 @@ class IntraEncoder:
         up = _pad_to(np.asarray(u), self.pah // 2, self.paw // 2)
         vp = _pad_to(np.asarray(v), self.pah // 2, self.paw // 2)
         self._src = (yp, up, vp)
+        self.records = []
 
         if self.use_device_search:
             self.bests, self.split = self._decide(yp)
@@ -239,12 +244,21 @@ class IntraEncoder:
             sads.append((int(np.abs(src_y - p).sum()), m))
         sads.sort()
         cand = [m for _, m in sads[:self.top_k]]
+        if self.force_y_mode is not None:
+            cand = [self.force_y_mode]
+            trial.y_mode = self.force_y_mode
+            trial.angle_delta_y = self.force_ady
+            preds[(self.force_y_mode, self.force_ady)] = \
+                fr.predict_txb(trial, 0, r, c, ts_y)
 
         # angle-delta refinement for the best directional candidate
         best_dir = next((m for _, m in sads
                          if 1 <= m <= 8), None)
         deltas = {m: 0 for m in cand}
-        if best_dir is not None and size >= 8:
+        if self.force_y_mode is not None:
+            best_dir = None
+            deltas = {self.force_y_mode: self.force_ady}
+        if False and best_dir is not None and size >= 8:
             if best_dir not in cand:
                 cand.append(best_dir)
             best_sad, best_d = None, 0
@@ -278,9 +292,9 @@ class IntraEncoder:
                           uv_mode=0, angle_delta_y=ad_y, tx_size=ts_y)
         w4 = size // 4
         best_trial = None
-        depths = [0, 1]
+        depths = [1]
         if size >= 32:
-            depths = [0, 1, 2]
+            depths = [1]
         for depth in depths:
             ts = ts_y
             for _ in range(depth):
@@ -335,6 +349,7 @@ class IntraEncoder:
                                     for (_, _, tt, q, _) in txbs_y],
             txbs_u=[] if (skip or not hc) else [TxbData(qu, ts_uv, tt_uv)],
             txbs_v=[] if (skip or not hc) else [TxbData(qv, ts_uv, tt_uv)])
+        self.records.append(rec)
         self.tw.write_block(rec)
         fr.finish_block(blk, hc)
 
@@ -356,7 +371,7 @@ class IntraEncoder:
 
         fr = self.fr
         tw_, th_ = TX_SIZE_WIDE[ts], TX_SIZE_HIGH[ts]
-        types = self._luma_tx_types(ts)
+        types = self.force_types or self._luma_tx_types(ts)
         total = 0.0
         out = []
         for oy in range(0, size, th_):
