@@ -412,3 +412,156 @@ int tpuec_encode_txb(TpuEc *ec, TxbCdfs *cdfs, const int32_t *qcoeff,
         cul += 2 << COEFF_CONTEXT_BITS;
     return cul;
 }
+
+/* ---- rate estimation (exact CDF bit costs) ------------------------------
+ * Costs in 1/512-bit units (AV1_PROB_COST_SHIFT = 9), computed from the
+ * LIVE adaptive CDFs so encoder RD tracks the actual coding state.
+ * Mirrors the reference's av1_cost_symbol (ref md_rate_estimation.c). */
+
+#define PROB_COST_SHIFT 9
+
+static int prob_cost_tab[257]; /* -log2(p/32768) << 9 for p = i<<7 */
+static int prob_cost_init_done = 0;
+
+static void prob_cost_init(void) {
+    int i;
+    if (prob_cost_init_done) return;
+    for (i = 1; i <= 256; i++) {
+        /* p = i/256; cost = -log2(p) in 1/512 bits */
+        double p = (double)i / 256.0;
+        prob_cost_tab[i] = (int)(0.5 - 512.0 * 1.4426950408889634 *
+                                 __builtin_log(p));
+    }
+    prob_cost_tab[0] = prob_cost_tab[1] + 512 * 8;
+    prob_cost_init_done = 1;
+}
+
+/* cost of probability mass `fr` (15-bit, 1..32768) */
+static int cost_prob15(unsigned fr) {
+    /* normalize to 8-bit index with shift compensation */
+    int shift = 0;
+    if (fr == 0) fr = 1;
+    while (fr < 16384) { fr <<= 1; shift++; }
+    /* fr in [16384, 32768]; index = fr >> 7 in [128, 256] */
+    return prob_cost_tab[fr >> 7] + 512 * shift;
+}
+
+int tpuec_cost_symbol(const uint16_t *icdf, int nsyms, int s) {
+    unsigned fl = s == 0 ? PROB_TOP : icdf[s - 1];
+    unsigned fh = icdf[s];
+    (void)nsyms;
+    prob_cost_init();
+    return cost_prob15(fl - fh);
+}
+
+static int cost_bool_half(void) { return 512; }
+
+/* Rate of one txb's post-skip symbols (same walk as tpuec_encode_txb but
+ * accumulating costs, never writing and never adapting CDFs). */
+int tpuec_cost_txb(TxbCdfs *cdfs, const int32_t *qcoeff,
+                   const int16_t *scan, int n, int w, int h, int rw, int rh,
+                   int ems, int txs_ctx, int tx_class, int ptype,
+                   int sign_ctx) {
+    static const int eob_syms[7] = {5, 6, 7, 8, 9, 10, 11};
+    uint8_t levels_buf[(32 + 4) * (32 + TX_PAD_HOR)];
+    int stride = w + TX_PAD_HOR;
+    int eob = 0, i, c, eob_pt, extra, nbits, cost = 0;
+    uint16_t *cdf;
+
+    prob_cost_init();
+    memset(levels_buf, 0, sizeof(uint8_t) * (h + 4) * stride);
+    for (i = 0; i < n; i++) {
+        int pos = scan[i];
+        if (qcoeff[pos]) eob = i + 1;
+    }
+    if (eob == 0) return 0;
+    for (i = 0; i < h * w; i++) {
+        int v = qcoeff[i] < 0 ? -qcoeff[i] : qcoeff[i];
+        levels_buf[(i / w) * stride + (i % w)] =
+            (uint8_t)(v > 127 ? 127 : v);
+    }
+
+    if (eob <= 2)
+        eob_pt = eob;
+    else
+        eob_pt = ilog((uint32_t)(eob - 1)) + 1;
+    {
+        int group_start = eob_pt == 1 ? 1
+                          : (eob_pt == 2 ? 2 : (1 << (eob_pt - 2)) + 1);
+        extra = eob - group_start;
+        nbits = eob_pt < 3 ? 0 : eob_pt - 2;
+    }
+    {
+        uint16_t *tabs[7];
+        tabs[0] = cdfs->eob_flag16;
+        tabs[1] = cdfs->eob_flag32;
+        tabs[2] = cdfs->eob_flag64;
+        tabs[3] = cdfs->eob_flag128;
+        tabs[4] = cdfs->eob_flag256;
+        tabs[5] = cdfs->eob_flag512;
+        tabs[6] = cdfs->eob_flag1024;
+        int nsy = eob_syms[ems];
+        int emc = tx_class == 0 ? 0 : 1;
+        cdf = tabs[ems] + (ptype * 2 + emc) * (nsy + 1);
+        cost += tpuec_cost_symbol(cdf, nsy, eob_pt - 1);
+    }
+    if (nbits > 0) {
+        int hi = (extra >> (nbits - 1)) & 1;
+        cdf = cdfs->eob_extra + ((txs_ctx * 2 + ptype) * 22 + eob_pt) * 3;
+        cost += tpuec_cost_symbol(cdf, 2, hi);
+        cost += (nbits - 1) * cost_bool_half();
+    }
+
+    for (c = eob - 1; c >= 0; c--) {
+        int pos = scan[c];
+        int row = pos / w, col = pos % w;
+        int v = qcoeff[pos];
+        int level = v < 0 ? -v : v;
+        if (c == eob - 1) {
+            int ctx = eob_ctx_of(c, w * h);
+            cdf = cdfs->coeff_base_eob +
+                  ((txs_ctx * 2 + ptype) * 4 + ctx) * 4;
+            cost += tpuec_cost_symbol(cdf, 3, (level > 3 ? 3 : level) - 1);
+        } else {
+            int ctx = lower_levels_ctx(levels_buf, stride, row, col,
+                                       tx_class, rw, rh);
+            cdf = cdfs->coeff_base + ((txs_ctx * 2 + ptype) * 42 + ctx) * 5;
+            cost += tpuec_cost_symbol(cdf, 4, level > 3 ? 3 : level);
+        }
+        if (level > NUM_BASE_LEVELS) {
+            int bctx = br_context(levels_buf, stride, row, col, tx_class);
+            int txs_br = txs_ctx < 3 ? txs_ctx : 3;
+            int base_range = level - 1 - NUM_BASE_LEVELS;
+            int idx = 0;
+            cdf = cdfs->coeff_br + ((txs_br * 2 + ptype) * 21 + bctx) * 5;
+            while (idx < COEFF_BASE_RANGE) {
+                int k = base_range - idx;
+                if (k > BR_CDF_SIZE - 1) k = BR_CDF_SIZE - 1;
+                cost += tpuec_cost_symbol(cdf, BR_CDF_SIZE, k);
+                if (k < BR_CDF_SIZE - 1) break;
+                idx += BR_CDF_SIZE - 1;
+            }
+        }
+    }
+
+    for (c = 0; c < eob; c++) {
+        int pos = scan[c];
+        int v = qcoeff[pos];
+        int level = v < 0 ? -v : v;
+        if (level) {
+            if (c == 0) {
+                cdf = cdfs->dc_sign + (ptype * 3 + sign_ctx) * 3;
+                cost += tpuec_cost_symbol(cdf, 2, v < 0 ? 1 : 0);
+            } else {
+                cost += cost_bool_half();
+            }
+            if (level > COEFF_BASE_RANGE + NUM_BASE_LEVELS) {
+                int rem = level - COEFF_BASE_RANGE - 1 - NUM_BASE_LEVELS;
+                int length = 0, x = rem + 1;
+                while (x) { length++; x >>= 1; }
+                cost += (2 * length - 1) * cost_bool_half();
+            }
+        }
+    }
+    return cost;
+}

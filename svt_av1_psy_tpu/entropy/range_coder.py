@@ -276,3 +276,18 @@ class RangeDecoder:
         for _ in range(length - 1):
             v = (v << 1) | self.decode_literal(1)
         return v - 1
+
+
+def sym_cost(icdf, s: int) -> float:
+    """Exact bit cost of coding symbol s under a live 15-bit icdf.
+
+    Mirrors the reference's av1_cost_symbol (md_rate_estimation.c) but in
+    float bits; used for encoder-side RD only, never for coding.
+    """
+    import math
+    fl = 32768 if s == 0 else int(icdf[s - 1])
+    fh = int(icdf[s])
+    p = (fl - fh) / 32768.0
+    if p <= 0:
+        return 15.0
+    return -math.log2(p)

@@ -433,5 +433,120 @@ class TileWriter:
         self.above_coef[plane][u_col:u_col + tw4] = cul
         self.left_coef[plane][u_row:u_row + th4] = cul
 
+    # --- rate estimation (encoder RD; bits, exact from live CDFs) --------
+    def rate_skip(self, r: int, c: int, skip: bool) -> float:
+        from svt_av1_psy_tpu.entropy.range_coder import sym_cost
+        ctx = int(self.above_skip[c]) + int(self.left_skip[r])
+        return sym_cost(self.fc.skip[ctx], int(skip))
+
+    def rate_y_mode(self, r: int, c: int, mode: int) -> float:
+        from svt_av1_psy_tpu.entropy.range_coder import sym_cost
+        am = int(self.above_mode[c]) if r > 0 else int(PredMode.DC_PRED)
+        lm = int(self.left_mode[r]) if c > 0 else int(PredMode.DC_PRED)
+        return sym_cost(
+            self.fc.kf_y[_INTRA_MODE_CTX[am]][_INTRA_MODE_CTX[lm]], mode)
+
+    def rate_angle_delta(self, mode: int, delta: int) -> float:
+        from svt_av1_psy_tpu.entropy.range_coder import sym_cost
+        return sym_cost(self.fc.angle_delta[mode - int(PredMode.V_PRED)],
+                        delta + 3)
+
+    def rate_uv_mode(self, bsize: int, y_mode: int, uv_mode: int) -> float:
+        from svt_av1_psy_tpu.entropy.range_coder import sym_cost
+        return sym_cost(self.fc.uv_mode[int(cfl_allowed(bsize))][y_mode],
+                        uv_mode)
+
+    def rate_cfl_alphas(self, joint_sign: int, idx_u: int,
+                        idx_v: int) -> float:
+        from svt_av1_psy_tpu.entropy.range_coder import sym_cost
+        bits = sym_cost(self.fc.cfl_sign, joint_sign)
+        sign_u = ((joint_sign + 1) * 11) >> 5
+        sign_v = (joint_sign + 1) - 3 * sign_u
+        if sign_u != 0:
+            bits += sym_cost(self.fc.cfl_alpha[joint_sign + 1 - 3], idx_u)
+        if sign_v != 0:
+            bits += sym_cost(self.fc.cfl_alpha[sign_v * 3 + sign_u - 3],
+                             idx_v)
+        return bits
+
+    def rate_tx_depth(self, r: int, c: int, bsize: int,
+                      tx_size: int) -> float:
+        from svt_av1_psy_tpu.entropy.range_coder import sym_cost
+        from svt_av1_psy_tpu.entropy.tx_trees import (SUB_TX, max_tx_depth,
+                                                      tx_size_cat)
+        from svt_av1_psy_tpu.constants import TX_SIZE_HIGH, TX_SIZE_WIDE
+        if not self.tx_mode_select or bsize <= int(BlockSize.BLOCK_4X4):
+            return 0.0
+        max_d = max_tx_depth(bsize)
+        if max_d == 0:
+            return 0.0
+        depth = 0
+        t = int(MAX_TX_SIZE_RECT[bsize])
+        while t != tx_size:
+            t = int(SUB_TX[t])
+            depth += 1
+        cat = tx_size_cat(bsize)
+        max_tx = int(MAX_TX_SIZE_RECT[bsize])
+        aw_ok = int(self.above_txw[c]) >= TX_SIZE_WIDE[max_tx]
+        lh_ok = int(self.left_txh[r]) >= TX_SIZE_HIGH[max_tx]
+        if r > 0 and c > 0:
+            ctx = int(aw_ok) + int(lh_ok)
+        elif r > 0:
+            ctx = int(aw_ok)
+        elif c > 0:
+            ctx = int(lh_ok)
+        else:
+            ctx = 0
+        return sym_cost(self.fc.tx_size[cat][ctx], depth)
+
+    def rate_txb(self, plane: int, bsize: int, qcoeff, tx_size: int,
+                 tx_type: int, u_row: int, u_col: int,
+                 y_mode: int = 0) -> float:
+        """Rate in bits of coding this txb (txb_skip + tx type + coeffs),
+        using current neighbor contexts (ref av1_cost_coeffs semantics)."""
+        from svt_av1_psy_tpu.entropy.range_coder import sym_cost
+        from svt_av1_psy_tpu.constants import (TX_SIZE_HIGH, TX_SIZE_SQR,
+                                               TX_SIZE_WIDE, get_scan)
+        from svt_av1_psy_tpu.ops.quant import adjusted_tx_size
+        from svt_av1_psy_tpu.entropy.tx_sets import (EXT_TX_FWD,
+                                                     EXT_TX_SET_SIZES,
+                                                     intra_tx_set)
+        fc = self.fc
+        tw4 = TX_SIZE_WIDE[tx_size] // 4
+        th4 = TX_SIZE_HIGH[tx_size] // 4
+        above = self.above_coef[plane][u_col:u_col + tw4]
+        left = self.left_coef[plane][u_row:u_row + th4]
+        ptype = 1 if plane else 0
+        txs_ctx = cc.txs_entropy_ctx(tx_size)
+        bw = BLOCK_SIZE_WIDE[bsize] >> (self.ss_x if plane else 0)
+        bh = BLOCK_SIZE_HIGH[bsize] >> (self.ss_y if plane else 0)
+        covers = (TX_SIZE_WIDE[tx_size] >= bw and
+                  TX_SIZE_HIGH[tx_size] >= bh)
+        larger = (bw * bh > TX_SIZE_WIDE[tx_size] * TX_SIZE_HIGH[tx_size])
+        sctx = cc.txb_skip_ctx(above, left, plane, covers, larger)
+        all_zero = not np.any(qcoeff)
+        bits = sym_cost(fc.txb_skip[txs_ctx][sctx], int(all_zero))
+        if all_zero:
+            return bits
+        if plane == 0:
+            tx_set = intra_tx_set(tx_size, self.reduced_tx_set)
+            if tx_set > 0:
+                bits += sym_cost(
+                    fc.intra_ext_tx[tx_set][TX_SIZE_SQR[tx_size]][y_mode],
+                    EXT_TX_FWD[tx_set][tx_type])
+        sgn_ctx = cc.dc_sign_ctx(above, left)
+        from svt_av1_psy_tpu import native
+        adj = adjusted_tx_size(tx_size)
+        w_, h_ = TX_SIZE_WIDE[adj], TX_SIZE_HIGH[adj]
+        if not hasattr(self, "_txb_cdfs"):
+            from svt_av1_psy_tpu.native import make_txb_cdfs
+            self._txb_cdfs = make_txb_cdfs(fc)
+        cost512 = native.cost_txb(
+            self._txb_cdfs, qcoeff, get_scan(tx_size, tx_type),
+            w_, h_, TX_SIZE_WIDE[tx_size], TX_SIZE_HIGH[tx_size],
+            cc.eob_multi_size(tx_size), txs_ctx,
+            cc.tx_class_of(tx_type), ptype, sgn_ctx)
+        return bits + cost512 / 512.0
+
     def finish(self) -> bytes:
         return self.enc.done()

@@ -258,7 +258,7 @@ class IntraEncoder:
         if self.force_y_mode is not None:
             best_dir = None
             deltas = {self.force_y_mode: self.force_ady}
-        if False and best_dir is not None and size >= 8:
+        if best_dir is not None and size >= 8:
             if best_dir not in cand:
                 cand.append(best_dir)
             best_sad, best_d = None, 0
@@ -281,7 +281,11 @@ class IntraEncoder:
             rec = np.clip(p + self._inv(dqc, ts_y, int(TxType.DCT_DCT)),
                           0, (1 << self.bd) - 1)
             dist = float(((src_y - rec) ** 2).sum())
-            rate = self._coeff_bits_est(qc) + (6.0 if 1 <= m <= 8 else 3.0)
+            rate = (self.tw.rate_txb(0, bsize, qc, ts_y, int(TxType.DCT_DCT),
+                                     r, c, y_mode=m) +
+                    self.tw.rate_y_mode(r, c, m))
+            if 1 <= m <= 8 and size >= 8:
+                rate += self.tw.rate_angle_delta(m, d)
             cost = dist + self.rdmult * rate
             if best is None or cost < best[0]:
                 best = (cost, m, d)
@@ -292,9 +296,9 @@ class IntraEncoder:
                           uv_mode=0, angle_delta_y=ad_y, tx_size=ts_y)
         w4 = size // 4
         best_trial = None
-        depths = [1]
+        depths = [0, 1]
         if size >= 32:
-            depths = [1]
+            depths = [0, 1, 2]
         for depth in depths:
             ts = ts_y
             for _ in range(depth):
@@ -302,7 +306,7 @@ class IntraEncoder:
             snap = fr.snapshot(0, r, c, w4, w4)
             cost, txbs = self._trial_luma(blk, r, c, size, ts, src_y)
             fr.restore(snap)
-            cost += self.rdmult * 2.0 * depth
+            cost += self.rdmult * self.tw.rate_tx_depth(r, c, bsize, ts)
             if best_trial is None or cost < best_trial[0]:
                 best_trial = (cost, ts, txbs)
         _, ts_sel, txbs_y = best_trial
@@ -319,20 +323,31 @@ class IntraEncoder:
             src_u = up[cy:cy + csz, cx:cx + csz].astype(np.int32)
             src_v = vp[cy:cy + csz, cx:cx + csz].astype(np.int32)
             ubest = None
-            for m in (0, 1, 2, 9, 12, y_mode):
+            for m in dict.fromkeys((0, 1, 2, 9, 12, y_mode)):
                 trial_uv = ParsedBlock(mi_row=r, mi_col=c, bsize=bsize,
                                        y_mode=y_mode, uv_mode=m,
                                        angle_delta_uv=0, tx_size=ts_y)
                 pu = fr.predict_txb(trial_uv, 1, cr, cc_, ts_uv)
                 pv = fr.predict_txb(trial_uv, 2, cr, cc_, ts_uv)
-                sad = int(np.abs(src_u - pu).sum() +
-                          np.abs(src_v - pv).sum())
-                if ubest is None or sad < ubest[0]:
-                    ubest = (sad, m, pu, pv)
-            _, uv_mode, pu, pv = ubest
+                tt = uv_tx_type(m, ts_uv, False)
+                qu_t, dqu_t = self._tq(src_u - pu, ts_uv, tt)
+                qv_t, dqv_t = self._tq(src_v - pv, ts_uv, tt)
+                ru = np.clip(pu + self._inv(dqu_t, ts_uv, tt), 0,
+                             (1 << self.bd) - 1)
+                rv = np.clip(pv + self._inv(dqv_t, ts_uv, tt), 0,
+                             (1 << self.bd) - 1)
+                dist = float(((src_u - ru) ** 2).sum() +
+                             ((src_v - rv) ** 2).sum())
+                rate = (self.tw.rate_uv_mode(bsize, y_mode, m) +
+                        self.tw.rate_txb(1, bsize, qu_t, ts_uv, tt,
+                                         cr, cc_) +
+                        self.tw.rate_txb(2, bsize, qv_t, ts_uv, tt,
+                                         cr, cc_))
+                cost = dist + self.rdmult * rate
+                if ubest is None or cost < ubest[0]:
+                    ubest = (cost, m, pu, pv, qu_t, dqu_t, qv_t, dqv_t)
+            _, uv_mode, pu, pv, qu, dqu, qv, dqv = ubest
             tt_uv = uv_tx_type(uv_mode, ts_uv, False)
-            qu, dqu = self._tq(src_u - pu, ts_uv, tt_uv)
-            qv, dqv = self._tq(src_v - pv, ts_uv, tt_uv)
             blk.uv_mode = uv_mode
             blk.angle_delta_uv = ad_uv
             fr.commit_txb(blk, 1, cr, cc_, ts_uv, tt_uv, qu, pu)
@@ -385,8 +400,8 @@ class IntraEncoder:
                 for tt in types:
                     qc, dqc = self._tq(resid, ts, tt)
                     d = float(((resid - self._inv(dqc, ts, tt)) ** 2).sum())
-                    rate = self._coeff_bits_est(qc) + \
-                        (2.0 if len(types) > 1 else 0.0)
+                    rate = self.tw.rate_txb(0, blk.bsize, qc, ts, tt,
+                                            u_row, u_col, y_mode=blk.y_mode)
                     cost = d + self.rdmult * rate
                     if tbest is None or cost < tbest[0]:
                         tbest = (cost, tt, qc)

@@ -63,6 +63,15 @@ def get_lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.tpuec_encode_txb.restype = ctypes.c_int
+    lib.tpuec_cost_txb.argtypes = [
+        ctypes.POINTER(TxbCdfs),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.tpuec_cost_txb.restype = ctypes.c_int
+    lib.tpuec_cost_symbol.argtypes = [ctypes.POINTER(ctypes.c_uint16),
+                                      ctypes.c_int, ctypes.c_int]
+    lib.tpuec_cost_symbol.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -132,6 +141,27 @@ class NativeRangeEncoder:
         n = self._lib.tpuec_done(self._ec, out, cap)
         assert n >= 0
         return bytes(out[:n])
+
+
+def cost_symbol(icdf: np.ndarray, s: int, nsyms=None) -> int:
+    """Exact bit cost (1/512-bit units) of symbol s under a live icdf."""
+    if nsyms is None:
+        nsyms = len(icdf) - 1
+    return get_lib().tpuec_cost_symbol(_u16p(np.ascontiguousarray(icdf)),
+                                       int(nsyms), int(s))
+
+
+def cost_txb(cdfs: TxbCdfs, qcoeff: np.ndarray, scan: np.ndarray,
+             w, h, rw, rh, ems, txs_ctx, tx_class, ptype, sign_ctx) -> int:
+    """Exact rate (1/512-bit units) of a txb's post-skip symbols, computed
+    from the live CDFs without writing or adapting (ref av1_cost_coeffs)."""
+    q = np.ascontiguousarray(qcoeff, np.int32)
+    s = np.ascontiguousarray(scan, np.int16)
+    return get_lib().tpuec_cost_txb(
+        ctypes.byref(cdfs),
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        len(s), w, h, rw, rh, ems, txs_ctx, tx_class, ptype, sign_ctx)
 
 
 # --- native transforms / quantizer -----------------------------------------
