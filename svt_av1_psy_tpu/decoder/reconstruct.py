@@ -139,6 +139,28 @@ class FrameReconstructor:
         self._bd_maps[plane][ry + 1:ry + 1 + bdm.shape[0],
                              rx + 1:rx + 1 + bdm.shape[1]] = bdm
 
+    def snapshot_area(self, r: int, c: int, h4: int, w4: int):
+        """Full-state snapshot of a square region (all planes + decode maps +
+        smooth-neighbor arrays) for encoder partition trials."""
+        snaps = [self.snapshot(0, r, c, h4, w4)]
+        cr, cc = r >> 1, c >> 1
+        ch = max(1, h4 >> 1)
+        cw = max(1, w4 >> 1)
+        snaps.append(self.snapshot(1, cr, cc, ch, cw))
+        snaps.append(self.snapshot(2, cr, cc, ch, cw))
+        sm = (tuple(a[c:c + w4].copy() for a in self.above_smooth),
+              tuple(a[r:r + h4].copy() for a in self.left_smooth))
+        return (snaps, sm, (r, c, h4, w4))
+
+    def restore_area(self, snap):
+        snaps, (asm, lsm), (r, c, h4, w4) = snap
+        for s in snaps:
+            self.restore(s)
+        for a, sv in zip(self.above_smooth, asm):
+            a[c:c + w4] = sv
+        for a, sv in zip(self.left_smooth, lsm):
+            a[r:r + h4] = sv
+
     def start_block(self, mi_row: int, mi_col: int):
         """Encoder hook: ensure the BlockDecoded maps track this block's
         superblock (decode order assumed)."""

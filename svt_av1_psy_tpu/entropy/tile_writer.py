@@ -434,6 +434,22 @@ class TileWriter:
         self.left_coef[plane][u_row:u_row + th4] = cul
 
     # --- rate estimation (encoder RD; bits, exact from live CDFs) --------
+    def rate_partition(self, mi_row: int, mi_col: int, bsize: int,
+                       part: int) -> float:
+        """Partition symbol rate; 0 for forced (boundary) splits."""
+        from svt_av1_psy_tpu.entropy.range_coder import sym_cost
+        if bsize < int(BlockSize.BLOCK_8X8):
+            return 0.0
+        has_rows, has_cols = self._partition_bounds(mi_row, mi_col, bsize)
+        if not (has_rows and has_cols):
+            return 0.0
+        w4 = BLOCK_SIZE_WIDE[bsize] // 4
+        bsl = (w4).bit_length() - 1
+        above = (int(self.above_part[mi_col]) >> (bsl - 1)) & 1
+        left = (int(self.left_part[mi_row]) >> (bsl - 1)) & 1
+        ctx = (bsl - 1) * 4 + left * 2 + above
+        return sym_cost(self.fc.partition[ctx], part)
+
     def rate_skip(self, r: int, c: int, skip: bool) -> float:
         from svt_av1_psy_tpu.entropy.range_coder import sym_cost
         ctx = int(self.above_skip[c]) + int(self.left_skip[r])

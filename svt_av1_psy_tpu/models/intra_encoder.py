@@ -158,7 +158,9 @@ class IntraEncoder:
                              backend=self.backend, tx_mode_select=True)
         for sby in range(0, self.ah, SB):
             for sbx in range(0, self.aw, SB):
-                self._code_partition(sby // 4, sbx // 4, 64)
+                self.fr.start_block(sby // 4, sbx // 4)
+                _, ops = self._search_partition(sby // 4, sbx // 4, 64)
+                self._write_ops(ops)
 
         tile = self.tw.finish()
         payload = key_frame_temporal_unit(
@@ -177,29 +179,66 @@ class IntraEncoder:
             return False
         return bool(self.split[size][(r * 4) // size, (c * 4) // size])
 
-    def _code_partition(self, r, c, size):
+    def _split_children(self, r, c, size):
+        half4 = size // 8
+        cost = 0.0
+        ops = []
+        for (rr, cc2) in ((r, c), (r, c + half4),
+                          (r + half4, c), (r + half4, c + half4)):
+            cst, o = self._search_partition(rr, cc2, size // 2)
+            cost += cst
+            ops += o
+        return cost, ops
+
+    def _search_partition(self, r, c, size):
+        """RD partition search: returns (cost, write-ops). Reconstruction
+        of the winning layout is left committed (ref md walk,
+        product_coding_loop.c)."""
         if r >= self.mi_rows or c >= self.mi_cols:
-            return
+            return 0.0, []
         tw = self.tw
         bsize = _SQ_BSIZE[size]
         has_rows, has_cols = tw._partition_bounds(r, c, bsize)
-        full = has_rows and has_cols
-        if not full and size > 8:
-            part = int(Partition.SPLIT)
-        elif self._want_split(r, c, size):
-            part = int(Partition.SPLIT)
-        else:
-            part = int(Partition.NONE)
-        tw.write_partition(r, c, bsize, part)
-        half4 = size // 8
-        if part == int(Partition.SPLIT):
-            self._code_partition(r, c, size // 2)
-            self._code_partition(r, c + half4, size // 2)
-            self._code_partition(r + half4, c, size // 2)
-            self._code_partition(r + half4, c + half4, size // 2)
-        else:
-            self._code_block(r, c, size)
-            tw.update_partition_ctx(r, c, bsize, bsize)
+        if not (has_rows and has_cols) and size > 8:
+            cost, ops = self._split_children(r, c, size)
+            return cost, [("P", r, c, bsize, int(Partition.SPLIT))] + ops
+        can_split = size > self.min_block
+        w4 = size // 4
+        best_none = None
+        pre = None
+        if True:
+            if can_split:
+                pre = self.fr.snapshot_area(r, c, w4, w4)
+            cost_b, rec, replay = self._search_block(r, c, size)
+            cost_n = cost_b + self.rdmult * tw.rate_partition(
+                r, c, bsize, int(Partition.NONE))
+            best_none = (cost_n, rec, replay)
+            if not can_split:
+                return cost_n, [("P", r, c, bsize, int(Partition.NONE)),
+                                ("B", rec)]
+            self.fr.restore_area(pre)
+        cost_c, ops_c = self._split_children(r, c, size)
+        cost_s = cost_c + self.rdmult * tw.rate_partition(
+            r, c, bsize, int(Partition.SPLIT))
+        if best_none is None or cost_s <= best_none[0]:
+            return cost_s, [("P", r, c, bsize, int(Partition.SPLIT))] + ops_c
+        self.fr.restore_area(pre)
+        self._replay_block(best_none[2])
+        return best_none[0], [("P", r, c, bsize, int(Partition.NONE)),
+                              ("B", best_none[1])]
+
+    def _write_ops(self, ops):
+        tw = self.tw
+        for op in ops:
+            if op[0] == "P":
+                _, r, c, bsize, part = op
+                tw.write_partition(r, c, bsize, part)
+            else:
+                rec = op[1]
+                self.records.append(rec)
+                tw.write_block(rec)
+                tw.update_partition_ctx(rec.mi_row, rec.mi_col, rec.bsize,
+                                        rec.bsize)
 
     # --- transforms (native or python) ------------------------------------
     def _tq(self, resid, ts, tt):
@@ -218,7 +257,7 @@ class IntraEncoder:
         return 2.0 * nz.size + float(np.log2(1.0 + np.abs(nz)).sum()) + 4.0
 
     # --- block coding ------------------------------------------------------
-    def _code_block(self, r, c, size):
+    def _search_block(self, r, c, size):
         yp, up, vp = self._src
         fr = self.fr
         fr.start_block(r, c)
@@ -364,8 +403,29 @@ class IntraEncoder:
                                     for (_, _, tt, q, _) in txbs_y],
             txbs_u=[] if (skip or not hc) else [TxbData(qu, ts_uv, tt_uv)],
             txbs_v=[] if (skip or not hc) else [TxbData(qv, ts_uv, tt_uv)])
-        self.records.append(rec)
-        self.tw.write_block(rec)
+        fr.finish_block(blk, hc)
+        # header rates (skip + luma mode + angle delta); txb/uv/depth rates
+        # are already inside best_trial / ubest costs
+        hdr = self.tw.rate_skip(r, c, skip) + self.tw.rate_y_mode(r, c, y_mode)
+        if 1 <= y_mode <= 8 and size >= 8:
+            hdr += self.tw.rate_angle_delta(y_mode, ad_y)
+        total_cost = best_trial[0] + (ubest[0] if hc else 0.0) + \
+            self.rdmult * hdr
+        commits = [(0, u_row, u_col, ts_sel, tt, qc, pred)
+                   for (u_row, u_col, tt, qc, pred) in txbs_y]
+        if hc:
+            commits.append((1, cr, cc_, ts_uv, tt_uv, qu, pu))
+            commits.append((2, cr, cc_, ts_uv, tt_uv, qv, pv))
+        return total_cost, rec, (blk, hc, commits)
+
+    def _replay_block(self, replay):
+        """Re-commit a previously searched block's reconstruction after the
+        containing region was rolled back to the identical pre-state."""
+        blk, hc, commits = replay
+        fr = self.fr
+        fr.start_block(blk.mi_row, blk.mi_col)
+        for (plane, u_row, u_col, ts, tt, qc, pred) in commits:
+            fr.commit_txb(blk, plane, u_row, u_col, ts, tt, qc, pred)
         fr.finish_block(blk, hc)
 
     def _luma_tx_types(self, ts):
