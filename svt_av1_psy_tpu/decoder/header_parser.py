@@ -122,6 +122,11 @@ class FrameInfo:
     delta_q_present: bool = False
     delta_lf_present: bool = False
     filter_level: tuple = (0, 0)
+    filter_level_uv: tuple = (0, 0)
+    sharpness: int = 0
+    loop_filter_delta_enabled: bool = False
+    loop_filter_ref_deltas: list = None
+    loop_filter_mode_deltas: list = None
     cdef_bits: int = 0
     tx_mode_select: bool = False
     reduced_tx_set: bool = False
@@ -239,16 +244,19 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
         l1 = r.f(6)
         fi.filter_level = (l0, l1)
         if l0 or l1:
-            r.f(6), r.f(6)                     # chroma levels
-        r.f(3)                                 # sharpness
-        if r.f(1):                             # delta_enabled
+            fi.filter_level_uv = (r.f(6), r.f(6))
+        fi.sharpness = r.f(3)
+        fi.loop_filter_delta_enabled = bool(r.f(1))
+        fi.loop_filter_ref_deltas = [1, 0, 0, 0, 0, -1, -1, -1]
+        fi.loop_filter_mode_deltas = [0, 0]
+        if fi.loop_filter_delta_enabled:
             if r.f(1):                         # delta_update
-                for _ in range(8):
+                for i in range(8):
                     if r.f(1):
-                        r.su(7)
-                for _ in range(2):
+                        fi.loop_filter_ref_deltas[i] = r.su(7)
+                for i in range(2):
                     if r.f(1):
-                        r.su(7)
+                        fi.loop_filter_mode_deltas[i] = r.su(7)
     # cdef_params
     if not (fi.coded_lossless or fi.allow_intrabc) and seq.enable_cdef:
         r.f(2)                                 # damping

@@ -59,6 +59,15 @@ class FrameReconstructor:
         # Indexed [y4 + 1][x4 + 1] with the -1 border.
         self._bd_maps = None
         self._sb_rc = (-1, -1)
+        # loop-filter maps: per-plane-unit tx dims + block dims (px),
+        # filled in finish_block, consumed by apply_dlf (spec 7.14)
+        cmw = (self.mi_cols + 1) >> 1
+        cmh = (self.mi_rows + 1) >> 1
+        self.lf_txw = [np.zeros((self.mi_rows, self.mi_cols), np.int32),
+                       np.zeros((cmh, cmw), np.int32),
+                       np.zeros((cmh, cmw), np.int32)]
+        self.lf_txh = [a.copy() for a in self.lf_txw]
+        self.width, self.height = width, height
         # per-plane is-smooth neighbor rows for the edge filter type
         self.above_smooth = [np.zeros(self.mi_cols, np.uint8) for _ in
                              range(2)]
@@ -170,9 +179,27 @@ class FrameReconstructor:
             self._reset_sb(sbr4, sbc4)
 
     def finish_block(self, b, hc: bool):
-        """Encoder hook: neighbor smooth-ness updates after a block."""
+        """Neighbor smooth-ness updates + loop-filter maps after a block
+        (both decode and encoder-commit paths)."""
         w4 = BLOCK_SIZE_WIDE[b.bsize] // 4
         h4 = BLOCK_SIZE_HIGH[b.bsize] // 4
+        from svt_av1_psy_tpu.entropy.tile_writer import MAX_TX_SIZE_RECT
+        r, c = b.mi_row, b.mi_col
+        ts = b.tx_size if getattr(b, "tx_size", -1) >= 0 \
+            else int(MAX_TX_SIZE_RECT[b.bsize])
+        self.lf_txw[0][r:r + h4, c:c + w4] = TX_SIZE_WIDE[ts]
+        self.lf_txh[0][r:r + h4, c:c + w4] = TX_SIZE_HIGH[ts]
+        if hc:
+            from svt_av1_psy_tpu.entropy.tx_trees import max_uv_tx_size
+            uts = max_uv_tx_size(b.bsize)
+            cr, cc2 = r >> 1, c >> 1
+            ch4 = max(1, h4 >> 1)
+            cw4 = max(1, w4 >> 1)
+            for pl in (1, 2):
+                self.lf_txw[pl][cr:cr + ch4, cc2:cc2 + cw4] = \
+                    TX_SIZE_WIDE[uts]
+                self.lf_txh[pl][cr:cr + ch4, cc2:cc2 + cw4] = \
+                    TX_SIZE_HIGH[uts]
         ysm = int(b.y_mode in SMOOTH_MODES)
         self.above_smooth[0][b.mi_col:b.mi_col + w4] = ysm
         self.left_smooth[0][b.mi_row:b.mi_row + h4] = ysm
@@ -375,3 +402,14 @@ class FrameReconstructor:
         lbuf = luma[np.ix_(ys, xs)]
         ac = ip.cfl_luma_ac(lbuf, w, h)
         return ip.cfl_pred(dc_pred, ac, alpha, self.bd)
+
+    def apply_dlf(self, levels, sharpness: int = 0) -> None:
+        """In-place deblocking of the reconstruction (spec 7.14); levels =
+        (y_vert, y_horz, u, v)."""
+        from svt_av1_psy_tpu.ops.loopfilter import (LoopFilterMaps,
+                                                    apply_loop_filter)
+        maps = LoopFilterMaps(txw=self.lf_txw, txh=self.lf_txh)
+        dims = [(self.width, self.height),
+                ((self.width + 1) >> 1, (self.height + 1) >> 1),
+                ((self.width + 1) >> 1, (self.height + 1) >> 1)]
+        apply_loop_filter(self.planes, maps, levels, sharpness, dims)

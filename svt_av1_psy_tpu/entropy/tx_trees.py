@@ -32,3 +32,23 @@ def tx_size_cat(bsize: int) -> int:
     """bsize_to_tx_size_cat: TX_SIZE_SQR_UP(max rect tx) - 1, max 3."""
     tx = int(MAX_TX_SIZE_RECT[bsize])
     return min(TX_SIZE_SQR_UP[tx], 4) - 1
+
+
+def max_uv_tx_size(bsize: int, ss_x: int = 1, ss_y: int = 1) -> int:
+    """Largest chroma tx size for a block (ref av1_get_max_uv_txsize):
+    the max rect tx of the subsampled plane block, capped at 32x32."""
+    from svt_av1_psy_tpu.constants import (BLOCK_SIZE_HIGH, BLOCK_SIZE_WIDE,
+                                           TX_SIZE_HIGH, TX_SIZE_WIDE)
+    from svt_av1_psy_tpu.entropy.tile_writer import MAX_TX_SIZE_RECT
+    bw = max(4, BLOCK_SIZE_WIDE[bsize] >> ss_x)
+    bh = max(4, BLOCK_SIZE_HIGH[bsize] >> ss_y)
+    # find the plane bsize with those dims, then its max rect tx
+    for b in range(len(BLOCK_SIZE_WIDE)):
+        if BLOCK_SIZE_WIDE[b] == bw and BLOCK_SIZE_HIGH[b] == bh:
+            ts = int(MAX_TX_SIZE_RECT[b])
+            # cap at 32 per side (TX_32X32 ceiling for chroma)
+            while TX_SIZE_WIDE[ts] > 32 or TX_SIZE_HIGH[ts] > 32:
+                from svt_av1_psy_tpu.entropy.tx_trees import SUB_TX
+                ts = int(SUB_TX[ts])
+            return ts
+    raise ValueError((bsize, bw, bh))

@@ -163,6 +163,11 @@ class IntraEncoder:
                 self._write_ops(ops)
 
         tile = self.tw.finish()
+        lf = self._pick_dlf_levels(yp, up, vp)
+        fr_params.filter_level = (lf[0], lf[1])
+        fr_params.filter_level_uv = (lf[2], lf[3])
+        if any(lf):
+            self.fr.apply_dlf(lf, sharpness=0)
         payload = key_frame_temporal_unit(
             self.seq, fr_params, tile, with_seq_header=(self.frame_index == 0))
         self.frame_index += 1
@@ -239,6 +244,47 @@ class IntraEncoder:
                 tw.write_block(rec)
                 tw.update_partition_ctx(rec.mi_row, rec.mi_col, rec.bsize,
                                         rec.bsize)
+
+    # --- in-loop deblocking (ref av1_pick_filter_level) -------------------
+    def _pick_dlf_levels(self, yp, up, vp):
+        """Per-plane filter level by direct distortion search: filter a
+        copy of the recon at candidate levels, keep the min-SSE one."""
+        from svt_av1_psy_tpu.ops.loopfilter import (LoopFilterMaps,
+                                                    apply_loop_filter)
+        fr = self.fr
+        maps = LoopFilterMaps(txw=fr.lf_txw, txh=fr.lf_txh)
+        H, W = self.height, self.width
+        srcs = [yp[:H, :W], up[:(H + 1) // 2, :(W + 1) // 2],
+                vp[:(H + 1) // 2, :(W + 1) // 2]]
+        dims = [(W, H), ((W + 1) // 2, (H + 1) // 2),
+                ((W + 1) // 2, (H + 1) // 2)]
+
+        def sse(plane, lvl):
+            img = fr.planes[plane].copy()
+            levels = [0, 0, 0, 0]
+            if plane == 0:
+                levels[0] = levels[1] = lvl
+            else:
+                levels[1 + plane] = lvl
+            apply_loop_filter([img if p == plane else fr.planes[p]
+                               for p in range(3)] if plane == 0 else
+                              [fr.planes[0], img, img],
+                              maps, levels, 0, dims)
+            h, w = srcs[plane].shape
+            d = img[:h, :w].astype(np.int64) - srcs[plane].astype(np.int64)
+            return float((d * d).sum())
+
+        out = []
+        for plane, cands in ((0, (0, 2, 4, 8, 12, 16, 24, 32)),
+                             (1, (0, 2, 4, 8, 16)),
+                             (2, (0, 2, 4, 8, 16))):
+            best = min(cands, key=lambda lv: sse(plane, lv))
+            if plane == 0 and best > 0:
+                ref = {lv: sse(plane, lv) for lv in
+                       (max(0, best - 2), best, best + 2)}
+                best = min(ref, key=ref.get)
+            out.append(best)
+        return (out[0], out[0], out[1], out[2])
 
     # --- transforms (native or python) ------------------------------------
     def _tq(self, resid, ts, tt):

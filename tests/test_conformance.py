@@ -79,6 +79,10 @@ def test_recon_matches_dav1d(path):
             seq.width, seq.height, fi,
             enable_intra_edge_filter=seq.enable_intra_edge_filter)
         y, u, v = fr.decode_blocks(blocks)
+        lf = (fi.filter_level[0], fi.filter_level[1],
+              fi.filter_level_uv[0], fi.filter_level_uv[1])
+        if any(lf):
+            fr.apply_dlf(lf, fi.sharpness)
         d = decoded[i]
         H, W = seq.height, seq.width
         np.testing.assert_array_equal(y[:H, :W], d.y)
