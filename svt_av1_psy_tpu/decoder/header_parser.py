@@ -128,6 +128,11 @@ class FrameInfo:
     loop_filter_ref_deltas: list = None
     loop_filter_mode_deltas: list = None
     cdef_bits: int = 0
+    cdef_damping: int = 3
+    cdef_y_pri: list = None
+    cdef_y_sec: list = None
+    cdef_uv_pri: list = None
+    cdef_uv_sec: list = None
     tx_mode_select: bool = False
     reduced_tx_set: bool = False
     tile_cols_log2: int = 0
@@ -259,10 +264,15 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
                         fi.loop_filter_mode_deltas[i] = r.su(7)
     # cdef_params
     if not (fi.coded_lossless or fi.allow_intrabc) and seq.enable_cdef:
-        r.f(2)                                 # damping
+        fi.cdef_damping = r.f(2) + 3
         fi.cdef_bits = r.f(2)
+        fi.cdef_y_pri, fi.cdef_y_sec = [], []
+        fi.cdef_uv_pri, fi.cdef_uv_sec = [], []
         for _ in range(1 << fi.cdef_bits):
-            r.f(4), r.f(2), r.f(4), r.f(2)
+            fi.cdef_y_pri.append(r.f(4))
+            fi.cdef_y_sec.append(r.f(2))
+            fi.cdef_uv_pri.append(r.f(4))
+            fi.cdef_uv_sec.append(r.f(2))
     # lr_params
     if not (fi.coded_lossless or fi.allow_intrabc) and seq.enable_restoration:
         types = [r.f(2) for _ in range(3)]

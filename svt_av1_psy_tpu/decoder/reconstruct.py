@@ -67,6 +67,7 @@ class FrameReconstructor:
                        np.zeros((cmh, cmw), np.int32),
                        np.zeros((cmh, cmw), np.int32)]
         self.lf_txh = [a.copy() for a in self.lf_txw]
+        self.skip_map = np.zeros((self.mi_rows, self.mi_cols), np.uint8)
         self.width, self.height = width, height
         # per-plane is-smooth neighbor rows for the edge filter type
         self.above_smooth = [np.zeros(self.mi_cols, np.uint8) for _ in
@@ -189,6 +190,7 @@ class FrameReconstructor:
             else int(MAX_TX_SIZE_RECT[b.bsize])
         self.lf_txw[0][r:r + h4, c:c + w4] = TX_SIZE_WIDE[ts]
         self.lf_txh[0][r:r + h4, c:c + w4] = TX_SIZE_HIGH[ts]
+        self.skip_map[r:r + h4, c:c + w4] = int(getattr(b, "skip", False))
         if hc:
             from svt_av1_psy_tpu.entropy.tx_trees import max_uv_tx_size
             uts = max_uv_tx_size(b.bsize)
@@ -413,3 +415,14 @@ class FrameReconstructor:
                 ((self.width + 1) >> 1, (self.height + 1) >> 1),
                 ((self.width + 1) >> 1, (self.height + 1) >> 1)]
         apply_loop_filter(self.planes, maps, levels, sharpness, dims)
+
+    def apply_cdef(self, levels, damping: int, cdef_idx=None) -> None:
+        """In-place CDEF (spec 7.15); levels = one (y_pri, y_sec, uv_pri,
+        uv_sec) tuple or a list of them indexed by the per-64x64 cdef_idx
+        grid. sec values already 3->4 mapped."""
+        from svt_av1_psy_tpu.ops.cdef import cdef_frame
+        dims = [(self.width, self.height),
+                ((self.width + 1) >> 1, (self.height + 1) >> 1),
+                ((self.width + 1) >> 1, (self.height + 1) >> 1)]
+        cdef_frame(self.planes, self.skip_map, levels, damping, dims,
+                   bd=self.bd, cdef_idx=cdef_idx)

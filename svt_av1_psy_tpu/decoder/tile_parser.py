@@ -61,7 +61,7 @@ class TileParser:
                  mi_cols: int, *, sb_size: int = 64,
                  tx_mode_select: bool = False, reduced_tx_set: bool = False,
                  delta_q_present: bool = False, allow_update_cdf: bool = True,
-                 enable_filter_intra: bool = False):
+                 enable_filter_intra: bool = False, cdef_bits: int = -1):
         self.fc = fc
         self.dec = RangeDecoder(data)
         self.mi_rows, self.mi_cols = mi_rows, mi_cols
@@ -76,6 +76,11 @@ class TileParser:
         self.events: list = []   # ('part',r,c,bsize,part) | ('block',ParsedBlock) | ('pctx',r,c,bsize,sub)
         self.blocks: list[ParsedBlock] = []
         self.read_deltas = False
+        # cdef_idx per 64x64 unit (-1 = unset; spec 5.11.56 read_cdef).
+        # cdef_bits < 0 disables the syntax (no cdef in frame header).
+        self.cdef_bits = cdef_bits
+        self.cdef_idx = np.full(((mi_rows + 15) // 16, (mi_cols + 15) // 16),
+                                -1, np.int32)
 
         self.above_part = np.zeros(mi_cols, np.uint8)
         self.left_part = np.zeros(mi_rows, np.uint8)
@@ -234,6 +239,19 @@ class TileParser:
 
         skip_ctx = int(self.above_skip[c]) + int(self.left_skip[r])
         skip = bool(self._sym(f"skip@{r},{c}", fc.skip[skip_ctx]))
+
+        # read_cdef (spec 5.11.56): first non-skip block per 64x64 unit
+        if self.cdef_bits >= 0 and not skip:
+            r64, c64 = r >> 4, c >> 4
+            if self.cdef_idx[r64, c64] < 0:
+                v = 0
+                for _ in range(self.cdef_bits):
+                    v = (v << 1) | self._lit("cdef_idx_bit", 1)
+                for i in range(r64, min((r + h4 + 15) >> 4,
+                                        self.cdef_idx.shape[0])):
+                    for j in range(c64, min((c + w4 + 15) >> 4,
+                                            self.cdef_idx.shape[1])):
+                        self.cdef_idx[i, j] = v
 
         # read_delta_qindex (sb-size blocks with skip don't read)
         if self.read_deltas:

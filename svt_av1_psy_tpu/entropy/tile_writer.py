@@ -99,7 +99,8 @@ class TileWriter:
     def __init__(self, fc: FrameContext, mi_rows: int, mi_cols: int,
                  sb_size: int = 64, ss_x: int = 1, ss_y: int = 1,
                  reduced_tx_set: bool = False, tx_mode_select: bool = False,
-                 enable_filter_intra: bool = False, backend: str = "python"):
+                 enable_filter_intra: bool = False, backend: str = "python",
+                 cdef_bits: int = -1):
         self.fc = fc
         self.reduced_tx_set = reduced_tx_set
         self.tx_mode_select = tx_mode_select
@@ -116,6 +117,11 @@ class TileWriter:
         self.mi_rows = mi_rows
         self.mi_cols = mi_cols
         self.sb_mi = sb_size // 4
+        # write_cdef state (spec 5.11.56); grid set via set_cdef_grid
+        self.cdef_bits = cdef_bits
+        self.cdef_grid = None
+        self._cdef_done = np.zeros(((mi_rows + 15) // 16,
+                                    (mi_cols + 15) // 16), bool)
         self.ss_x, self.ss_y = ss_x, ss_y
         # neighbor state
         self.above_part = np.zeros(mi_cols, np.uint8)
@@ -235,6 +241,18 @@ class TileWriter:
         # skip (coded first in intra_frame_mode_info, spec 5.11.8)
         skip_ctx = int(self.above_skip[c]) + int(self.left_skip[r])
         enc.encode_symbol(int(b.skip), fc.skip[skip_ctx], adapt=True)
+
+        # write_cdef (spec 5.11.56): first non-skip block per 64x64
+        if self.cdef_bits >= 0 and not b.skip:
+            r64, c64 = r >> 4, c >> 4
+            if not self._cdef_done[r64, c64]:
+                v = 0 if self.cdef_grid is None else \
+                    int(self.cdef_grid[r64, c64])
+                enc.encode_literal(v, self.cdef_bits)
+                self._cdef_done[r64:min((r + h4 + 15) >> 4,
+                                        self._cdef_done.shape[0]),
+                                c64:min((c + w4 + 15) >> 4,
+                                        self._cdef_done.shape[1])] = True
 
         if delta_q is not None:
             self.write_delta_q(delta_q[0], delta_q[1])

@@ -98,7 +98,7 @@ class IntraEncoder:
         self.paw = (self.aw + SB - 1) // SB * SB
         self.pah = (self.ah + SB - 1) // SB * SB
         self.seq = SequenceParams(width=width, height=height, bit_depth=bd,
-                                  enable_cdef=False, enable_restoration=False)
+                                  enable_cdef=True, enable_restoration=False)
         self.pq = build_plane_quant(qindex, bd=bd)
         # lambda for D + lambda*R (D in SSE, R in bits); dc_q is Q3
         qstep = dc_q(qindex, bd) / 8.0
@@ -155,7 +155,8 @@ class IntraEncoder:
             enable_intra_edge_filter=self.seq.enable_intra_edge_filter)
         fc = FrameContext(self.qindex)
         self.tw = TileWriter(fc, self.mi_rows, self.mi_cols, sb_size=SB,
-                             backend=self.backend, tx_mode_select=True)
+                             backend=self.backend, tx_mode_select=True,
+                             cdef_bits=0)
         for sby in range(0, self.ah, SB):
             for sbx in range(0, self.aw, SB):
                 self.fr.start_block(sby // 4, sbx // 4)
@@ -168,6 +169,15 @@ class IntraEncoder:
         fr_params.filter_level_uv = (lf[2], lf[3])
         if any(lf):
             self.fr.apply_dlf(lf, sharpness=0)
+        cdef = self._pick_cdef(yp, up, vp)
+        fr_params.cdef_damping = 3 + (self.qindex >> 6)
+        fr_params.cdef_bits = 0
+        fr_params.cdef_y_pri = (cdef[0],)
+        fr_params.cdef_y_sec = (cdef[1] - (cdef[1] == 4),)
+        fr_params.cdef_uv_pri = (cdef[2],)
+        fr_params.cdef_uv_sec = (cdef[3] - (cdef[3] == 4),)
+        if any(cdef):
+            self.fr.apply_cdef(cdef, 3 + (self.qindex >> 6))
         payload = key_frame_temporal_unit(
             self.seq, fr_params, tile, with_seq_header=(self.frame_index == 0))
         self.frame_index += 1
@@ -285,6 +295,18 @@ class IntraEncoder:
                 best = min(ref, key=ref.get)
             out.append(best)
         return (out[0], out[0], out[1], out[2])
+
+    # --- CDEF strength search (ref enc_cdef.c) ---------------------------
+    def _pick_cdef(self, yp, up, vp):
+        from svt_av1_psy_tpu.ops.cdef import CdefSearch
+        H, W = self.height, self.width
+        dims = [(W, H), ((W + 1) >> 1, (H + 1) >> 1),
+                ((W + 1) >> 1, (H + 1) >> 1)]
+        srcs = [yp, up, vp]
+        cs = CdefSearch(self.fr.planes, self.fr.skip_map, dims, bd=self.bd)
+        if not cs.blocks:
+            return (0, 0, 0, 0)
+        return cs.search(srcs, 3 + (self.qindex >> 6))
 
     # --- transforms (native or python) ------------------------------------
     def _tq(self, resid, ts, tt):
@@ -449,6 +471,7 @@ class IntraEncoder:
                                     for (_, _, tt, q, _) in txbs_y],
             txbs_u=[] if (skip or not hc) else [TxbData(qu, ts_uv, tt_uv)],
             txbs_v=[] if (skip or not hc) else [TxbData(qv, ts_uv, tt_uv)])
+        blk.skip = skip
         fr.finish_block(blk, hc)
         # header rates (skip + luma mode + angle delta); txb/uv/depth rates
         # are already inside best_trial / ubest costs

@@ -50,14 +50,16 @@ def test_transcode_identity(path):
         tile = payload[fi.header_bytes:]
         mi_cols = 2 * ((seq.width + 7) >> 3)
         mi_rows = 2 * ((seq.height + 7) >> 3)
+        cbits = fi.cdef_bits if seq.enable_cdef else -1
         kw = dict(tx_mode_select=fi.tx_mode_select,
                   reduced_tx_set=fi.reduced_tx_set,
                   enable_filter_intra=seq.enable_filter_intra)
         tp = TileParser(FrameContext(fi.base_q_idx), tile, mi_rows, mi_cols,
-                        delta_q_present=fi.delta_q_present, **kw)
+                        delta_q_present=fi.delta_q_present, cdef_bits=cbits,
+                        **kw)
         tp.parse_tile()
         out = replay(tp.events, FrameContext(fi.base_q_idx), mi_rows,
-                     mi_cols, **kw)
+                     mi_cols, cdef_bits=cbits, cdef_grid=tp.cdef_idx, **kw)
         assert out == tile
 
 
@@ -73,7 +75,8 @@ def test_recon_matches_dav1d(path):
                         delta_q_present=fi.delta_q_present,
                         tx_mode_select=fi.tx_mode_select,
                         reduced_tx_set=fi.reduced_tx_set,
-                        enable_filter_intra=seq.enable_filter_intra)
+                        enable_filter_intra=seq.enable_filter_intra,
+                        cdef_bits=fi.cdef_bits if seq.enable_cdef else -1)
         blocks = tp.parse_tile()
         fr = FrameReconstructor(
             seq.width, seq.height, fi,
@@ -83,6 +86,12 @@ def test_recon_matches_dav1d(path):
               fi.filter_level_uv[0], fi.filter_level_uv[1])
         if any(lf):
             fr.apply_dlf(lf, fi.sharpness)
+        if seq.enable_cdef and fi.cdef_y_pri is not None:
+            sets = [(yp, ys + (ys == 3), up, us + (us == 3))
+                    for yp, ys, up, us in zip(fi.cdef_y_pri, fi.cdef_y_sec,
+                                              fi.cdef_uv_pri,
+                                              fi.cdef_uv_sec)]
+            fr.apply_cdef(sets, fi.cdef_damping, cdef_idx=tp.cdef_idx)
         d = decoded[i]
         H, W = seq.height, seq.width
         np.testing.assert_array_equal(y[:H, :W], d.y)

@@ -27,10 +27,12 @@ from svt_av1_psy_tpu.ops.quant import adjusted_tx_size
 
 
 def replay(events, fc, mi_rows, mi_cols, *, tx_mode_select, reduced_tx_set,
-           enable_filter_intra) -> bytes:
+           enable_filter_intra, cdef_bits=-1, cdef_grid=None) -> bytes:
     tw = TileWriter(fc, mi_rows, mi_cols, tx_mode_select=tx_mode_select,
                     reduced_tx_set=reduced_tx_set,
-                    enable_filter_intra=enable_filter_intra)
+                    enable_filter_intra=enable_filter_intra,
+                    cdef_bits=cdef_bits)
+    tw.cdef_grid = cdef_grid
     pending_dq = None
     for ev in events:
         kind = ev[0]
