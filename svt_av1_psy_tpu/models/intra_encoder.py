@@ -31,7 +31,8 @@ from svt_av1_psy_tpu.decoder.reconstruct import FrameReconstructor
 from svt_av1_psy_tpu.decoder.tile_parser import ParsedBlock
 from svt_av1_psy_tpu.entropy.frame_context import FrameContext
 from svt_av1_psy_tpu.entropy.tile_writer import (BlockRecord, TileWriter,
-                                                 TxbData, has_chroma)
+                                                 TxbData, cfl_allowed,
+                                                 has_chroma)
 from svt_av1_psy_tpu.entropy.tx_sets import (EXT_TX_INV, intra_tx_set,
                                              uv_tx_type)
 from svt_av1_psy_tpu.entropy.tx_trees import SUB_TX, max_tx_depth
@@ -453,10 +454,79 @@ class IntraEncoder:
                 cost = dist + self.rdmult * rate
                 if ubest is None or cost < ubest[0]:
                     ubest = (cost, m, pu, pv, qu_t, dqu_t, qv_t, dqv_t)
+            # CfL candidate (uv_mode 13) with least-squares alpha + refine
+            cfl_js = -1
+            cfl_iu = cfl_iv = 0
+            if cfl_allowed(bsize):
+                from svt_av1_psy_tpu.ops.intra import cfl_luma_ac, cfl_pred
+                trial_dc = ParsedBlock(mi_row=r, mi_col=c, bsize=bsize,
+                                       y_mode=y_mode, uv_mode=0,
+                                       tx_size=ts_y)
+                dc_u = fr.predict_txb(trial_dc, 1, cr, cc_, ts_uv)
+                dc_v = fr.predict_txb(trial_dc, 2, cr, cc_, ts_uv)
+                luma = fr.planes[0]
+                lx, ly = cc_ * 8, cr * 8
+                xs = np.minimum(np.arange(lx, lx + csz * 2),
+                                fr.max_luma_w - 1)
+                ys = np.minimum(np.arange(ly, ly + csz * 2),
+                                fr.max_luma_h - 1)
+                ac = cfl_luma_ac(luma[np.ix_(ys, xs)], csz, csz)
+                den = float((ac.astype(np.int64) ** 2).sum())
+                tt13 = uv_tx_type(13, ts_uv, False)
+
+                def plane_alpha(src, dc):
+                    if den == 0:
+                        return [0]
+                    a = int(round(64.0 * float(
+                        (ac * (src - dc)).sum()) / den))
+                    a = max(-16, min(16, a))
+                    cands = {0, a}
+                    if a > -16:
+                        cands.add(a - 1)
+                    if a < 16:
+                        cands.add(a + 1)
+                    return sorted(cands)
+
+                def eval_alpha(src, dc, a):
+                    p = cfl_pred(dc, ac, a, self.bd) if a else dc
+                    q, dq = self._tq(src - p, ts_uv, tt13)
+                    rec2 = np.clip(p + self._inv(dq, ts_uv, tt13), 0,
+                                   (1 << self.bd) - 1)
+                    dist = float(((src - rec2) ** 2).sum())
+                    plane_i = 1 if src is src_u else 2
+                    rate = self.tw.rate_txb(plane_i, bsize, q, ts_uv, tt13,
+                                            cr, cc_)
+                    return dist + self.rdmult * rate, a, q, dq, p
+
+                bu = min((eval_alpha(src_u, dc_u, a)
+                          for a in plane_alpha(src_u, dc_u)),
+                         key=lambda t: t[0])
+                bv = min((eval_alpha(src_v, dc_v, a)
+                          for a in plane_alpha(src_v, dc_v)),
+                         key=lambda t: t[0])
+                au, av = bu[1], bv[1]
+                if au or av:
+                    su = 0 if au == 0 else (2 if au > 0 else 1)
+                    sv = 0 if av == 0 else (2 if av > 0 else 1)
+                    js = su * 3 + sv - 1
+                    iu = abs(au) - 1 if au else 0
+                    iv = abs(av) - 1 if av else 0
+                    rate_hdr = (self.tw.rate_uv_mode(bsize, y_mode, 13) +
+                                self.tw.rate_cfl_alphas(js, iu, iv))
+                    cost13 = bu[0] + bv[0] + self.rdmult * rate_hdr
+                    if cost13 < ubest[0]:
+                        ubest = (cost13, 13, bu[4], bv[4], bu[2], bu[3],
+                                 bv[2], bv[3])
+                        cfl_js, cfl_iu, cfl_iv = js, iu, iv
+
             _, uv_mode, pu, pv, qu, dqu, qv, dqv = ubest
             tt_uv = uv_tx_type(uv_mode, ts_uv, False)
             blk.uv_mode = uv_mode
             blk.angle_delta_uv = ad_uv
+            if uv_mode == 13:
+                blk.cfl_joint_sign = cfl_js
+                blk.cfl_idx_u = cfl_iu
+                blk.cfl_idx_v = cfl_iv
             fr.commit_txb(blk, 1, cr, cc_, ts_uv, tt_uv, qu, pu)
             fr.commit_txb(blk, 2, cr, cc_, ts_uv, tt_uv, qv, pv)
 
@@ -467,6 +537,8 @@ class IntraEncoder:
             mi_row=r, mi_col=c, bsize=bsize,
             y_mode=y_mode, uv_mode=uv_mode, angle_delta_y=ad_y,
             angle_delta_uv=ad_uv, skip=skip, tx_size=ts_sel,
+            cfl_joint_sign=cfl_js if hc and uv_mode == 13 else -1,
+            cfl_idx_u=cfl_iu if hc else 0, cfl_idx_v=cfl_iv if hc else 0,
             txbs_y=[] if skip else [TxbData(q, ts_sel, tt)
                                     for (_, _, tt, q, _) in txbs_y],
             txbs_u=[] if (skip or not hc) else [TxbData(qu, ts_uv, tt_uv)],
