@@ -32,7 +32,7 @@ from svt_av1_psy_tpu.decoder.tile_parser import ParsedBlock
 from svt_av1_psy_tpu.entropy.frame_context import FrameContext
 from svt_av1_psy_tpu.entropy.tile_writer import (BlockRecord, TileWriter,
                                                  TxbData, cfl_allowed,
-                                                 has_chroma)
+                                                 has_chroma, use_angle_delta)
 from svt_av1_psy_tpu.entropy.tx_sets import (EXT_TX_INV, intra_tx_set,
                                              uv_tx_type)
 from svt_av1_psy_tpu.entropy.tx_trees import SUB_TX, max_tx_depth
@@ -109,6 +109,7 @@ class IntraEncoder:
         self.force_y_mode = None   # debug: force luma mode for all blocks
         self.force_ady = 0         # debug: forced angle delta
         self.force_types = None    # debug: force luma tx-type candidates
+        self.enable_rect = True    # HORZ/VERT partition candidates
 
     # --- open-loop split decisions (device) ------------------------------
     def _decide(self, yp: np.ndarray):
@@ -212,6 +213,7 @@ class IntraEncoder:
         product_coding_loop.c)."""
         if r >= self.mi_rows or c >= self.mi_cols:
             return 0.0, []
+        from svt_av1_psy_tpu.decoder.tile_parser import _subsize
         tw = self.tw
         bsize = _SQ_BSIZE[size]
         has_rows, has_cols = tw._partition_bounds(r, c, bsize)
@@ -219,29 +221,47 @@ class IntraEncoder:
             cost, ops = self._split_children(r, c, size)
             return cost, [("P", r, c, bsize, int(Partition.SPLIT))] + ops
         can_split = size > self.min_block
+        half4 = size // 8
         w4 = size // 4
-        best_none = None
-        pre = None
-        if True:
-            if can_split:
-                pre = self.fr.snapshot_area(r, c, w4, w4)
-            cost_b, rec, replay = self._search_block(r, c, size)
-            cost_n = cost_b + self.rdmult * tw.rate_partition(
-                r, c, bsize, int(Partition.NONE))
-            best_none = (cost_n, rec, replay)
-            if not can_split:
-                return cost_n, [("P", r, c, bsize, int(Partition.NONE)),
-                                ("B", rec)]
+
+        # candidate layouts: NONE, then HORZ/VERT when partitionable
+        cands = [(int(Partition.NONE), bsize, [(r, c, bsize)])]
+        if can_split and self.enable_rect:
+            hb = _subsize(bsize, int(Partition.HORZ))
+            vb = _subsize(bsize, int(Partition.VERT))
+            cands.append((int(Partition.HORZ), hb,
+                          [(r, c, hb), (r + half4, c, hb)]))
+            cands.append((int(Partition.VERT), vb,
+                          [(r, c, vb), (r, c + half4, vb)]))
+        multi = can_split or len(cands) > 1
+        pre = self.fr.snapshot_area(r, c, w4, w4) if multi else None
+        best = None        # (cost, part, sub, [(rec, replay)...])
+        for part, sub, blocks in cands:
+            cost = self.rdmult * tw.rate_partition(r, c, bsize, part)
+            items = []
+            for (br, bc, bb) in blocks:
+                cb, rec, replay = self._search_block(br, bc, bb)
+                cost += cb
+                items.append((rec, replay))
+            if best is None or cost < best[0]:
+                best = (cost, part, sub, items)
+            if multi:
+                self.fr.restore_area(pre)
+        if can_split:
+            cost_c, ops_c = self._split_children(r, c, size)
+            cost_s = cost_c + self.rdmult * tw.rate_partition(
+                r, c, bsize, int(Partition.SPLIT))
+            if cost_s <= best[0]:
+                return cost_s, [("P", r, c, bsize,
+                                 int(Partition.SPLIT))] + ops_c
             self.fr.restore_area(pre)
-        cost_c, ops_c = self._split_children(r, c, size)
-        cost_s = cost_c + self.rdmult * tw.rate_partition(
-            r, c, bsize, int(Partition.SPLIT))
-        if best_none is None or cost_s <= best_none[0]:
-            return cost_s, [("P", r, c, bsize, int(Partition.SPLIT))] + ops_c
-        self.fr.restore_area(pre)
-        self._replay_block(best_none[2])
-        return best_none[0], [("P", r, c, bsize, int(Partition.NONE)),
-                              ("B", best_none[1])]
+        if multi:
+            for (_, replay) in best[3]:
+                self._replay_block(replay)
+        ops = [("P", r, c, bsize, best[1])]
+        ops += [("B", rec) for (rec, _) in best[3]]
+        ops.append(("PC", r, c, bsize, best[2]))
+        return best[0], ops
 
     def _write_ops(self, ops):
         tw = self.tw
@@ -249,12 +269,13 @@ class IntraEncoder:
             if op[0] == "P":
                 _, r, c, bsize, part = op
                 tw.write_partition(r, c, bsize, part)
+            elif op[0] == "PC":
+                _, r, c, bsize, sub = op
+                tw.update_partition_ctx(r, c, bsize, sub)
             else:
                 rec = op[1]
                 self.records.append(rec)
                 tw.write_block(rec)
-                tw.update_partition_ctx(rec.mi_row, rec.mi_col, rec.bsize,
-                                        rec.bsize)
 
     # --- in-loop deblocking (ref av1_pick_filter_level) -------------------
     def _pick_dlf_levels(self, yp, up, vp):
@@ -326,16 +347,19 @@ class IntraEncoder:
         return 2.0 * nz.size + float(np.log2(1.0 + np.abs(nz)).sum()) + 4.0
 
     # --- block coding ------------------------------------------------------
-    def _search_block(self, r, c, size):
+    def _search_block(self, r, c, bsize):
+        from svt_av1_psy_tpu.entropy.tile_writer import MAX_TX_SIZE_RECT
+        from svt_av1_psy_tpu.entropy.tx_trees import max_uv_tx_size
         yp, up, vp = self._src
         fr = self.fr
         fr.start_block(r, c)
-        bsize = _SQ_BSIZE[size]
-        ts_y = _SQ_TX[size]
-        cs = max(size // 2, 4)
-        ts_uv = _SQ_TX[cs]
+        bw = BLOCK_SIZE_WIDE[bsize]
+        bh = BLOCK_SIZE_HIGH[bsize]
+        size = max(bw, bh)
+        ts_y = int(MAX_TX_SIZE_RECT[bsize])
+        ts_uv = max_uv_tx_size(bsize)
         x, y0 = c * 4, r * 4
-        src_y = yp[y0:y0 + size, x:x + size].astype(np.int32)
+        src_y = yp[y0:y0 + bh, x:x + bw].astype(np.int32)
         hc = has_chroma(r, c, bsize)
 
         trial = ParsedBlock(mi_row=r, mi_col=c, bsize=bsize, y_mode=0,
@@ -366,7 +390,7 @@ class IntraEncoder:
         if self.force_y_mode is not None:
             best_dir = None
             deltas = {self.force_y_mode: self.force_ady}
-        if best_dir is not None and size >= 8:
+        if best_dir is not None and use_angle_delta(bsize):
             if best_dir not in cand:
                 cand.append(best_dir)
             best_sad, best_d = None, 0
@@ -392,7 +416,7 @@ class IntraEncoder:
             rate = (self.tw.rate_txb(0, bsize, qc, ts_y, int(TxType.DCT_DCT),
                                      r, c, y_mode=m) +
                     self.tw.rate_y_mode(r, c, m))
-            if 1 <= m <= 8 and size >= 8:
+            if 1 <= m <= 8 and use_angle_delta(bsize):
                 rate += self.tw.rate_angle_delta(m, d)
             cost = dist + self.rdmult * rate
             if best is None or cost < best[0]:
@@ -402,17 +426,14 @@ class IntraEncoder:
         # stage 2: tx depth + per-txb tx-type search with recon rollback
         blk = ParsedBlock(mi_row=r, mi_col=c, bsize=bsize, y_mode=y_mode,
                           uv_mode=0, angle_delta_y=ad_y, tx_size=ts_y)
-        w4 = size // 4
         best_trial = None
-        depths = [0, 1]
-        if size >= 32:
-            depths = [0, 1, 2]
+        depths = list(range(min(max_tx_depth(bsize), 2) + 1))
         for depth in depths:
             ts = ts_y
             for _ in range(depth):
                 ts = int(SUB_TX[ts])
-            snap = fr.snapshot(0, r, c, w4, w4)
-            cost, txbs = self._trial_luma(blk, r, c, size, ts, src_y)
+            snap = fr.snapshot(0, r, c, bh // 4, bw // 4)
+            cost, txbs = self._trial_luma(blk, r, c, (bw, bh), ts, src_y)
             fr.restore(snap)
             cost += self.rdmult * self.tw.rate_tx_depth(r, c, bsize, ts)
             if best_trial is None or cost < best_trial[0]:
@@ -427,9 +448,10 @@ class IntraEncoder:
         if hc:
             cr, cc_ = r >> 1, c >> 1
             cx, cy = cc_ * 4, cr * 4
-            csz = max(size // 2, 4)
-            src_u = up[cy:cy + csz, cx:cx + csz].astype(np.int32)
-            src_v = vp[cy:cy + csz, cx:cx + csz].astype(np.int32)
+            cw = max(bw >> 1, 4)
+            ch = max(bh >> 1, 4)
+            src_u = up[cy:cy + ch, cx:cx + cw].astype(np.int32)
+            src_v = vp[cy:cy + ch, cx:cx + cw].astype(np.int32)
             ubest = None
             for m in dict.fromkeys((0, 1, 2, 9, 12, y_mode)):
                 trial_uv = ParsedBlock(mi_row=r, mi_col=c, bsize=bsize,
@@ -466,11 +488,11 @@ class IntraEncoder:
                 dc_v = fr.predict_txb(trial_dc, 2, cr, cc_, ts_uv)
                 luma = fr.planes[0]
                 lx, ly = cc_ * 8, cr * 8
-                xs = np.minimum(np.arange(lx, lx + csz * 2),
+                xs = np.minimum(np.arange(lx, lx + cw * 2),
                                 fr.max_luma_w - 1)
-                ys = np.minimum(np.arange(ly, ly + csz * 2),
+                ys = np.minimum(np.arange(ly, ly + ch * 2),
                                 fr.max_luma_h - 1)
-                ac = cfl_luma_ac(luma[np.ix_(ys, xs)], csz, csz)
+                ac = cfl_luma_ac(luma[np.ix_(ys, xs)], cw, ch)
                 den = float((ac.astype(np.int64) ** 2).sum())
                 tt13 = uv_tx_type(13, ts_uv, False)
 
@@ -580,18 +602,19 @@ class IntraEncoder:
                 cands.append(t)
         return tuple(cands)
 
-    def _trial_luma(self, blk, r, c, size, ts, src_y):
+    def _trial_luma(self, blk, r, c, dims, ts, src_y):
         """Encode all luma txbs at tx size ts (writing recon), returning
         (total_cost, [(u_row, u_col, tx_type, qcoeff, pred), ...])."""
         from svt_av1_psy_tpu.constants import TX_SIZE_HIGH, TX_SIZE_WIDE
 
         fr = self.fr
+        bw, bh = dims
         tw_, th_ = TX_SIZE_WIDE[ts], TX_SIZE_HIGH[ts]
         types = self.force_types or self._luma_tx_types(ts)
         total = 0.0
         out = []
-        for oy in range(0, size, th_):
-            for ox in range(0, size, tw_):
+        for oy in range(0, bh, th_):
+            for ox in range(0, bw, tw_):
                 u_row, u_col = r + oy // 4, c + ox // 4
                 pred = fr.predict_txb(blk, 0, u_row, u_col, ts)
                 if pred is None:
