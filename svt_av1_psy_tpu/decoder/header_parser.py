@@ -27,6 +27,8 @@ class SeqInfo:
     enable_intra_edge_filter: bool = False
     enable_order_hint: bool = False
     order_hint_bits: int = 0
+    enable_warped_motion: bool = False
+    enable_ref_frame_mvs: bool = False
     force_screen_content_tools: int = 0
     force_integer_mv: int = 0
     enable_superres: bool = False
@@ -64,12 +66,12 @@ def parse_sequence_header(payload: bytes) -> SeqInfo:
     s.enable_intra_edge_filter = bool(r.f(1))
     r.f(1)                                     # enable_interintra_compound
     r.f(1)                                     # enable_masked_compound
-    r.f(1)                                     # enable_warped_motion
+    s.enable_warped_motion = bool(r.f(1))
     r.f(1)                                     # enable_dual_filter
     s.enable_order_hint = bool(r.f(1))
     if s.enable_order_hint:
         r.f(1)                                 # enable_jnt_comp
-        r.f(1)                                 # enable_ref_frame_mvs
+        s.enable_ref_frame_mvs = bool(r.f(1))
     if r.f(1):                                 # seq_choose_screen_content
         s.force_screen_content_tools = 2
     else:
@@ -140,43 +142,102 @@ class FrameInfo:
     allow_intrabc: bool = False
     coded_lossless: bool = False
     header_bytes: int = 0      # byte offset where tile data starts (OBU_FRAME)
+    # inter fields
+    primary_ref_frame: int = 7
+    refresh_frame_flags: int = 0xFF
+    ref_frame_idx: list = None
+    allow_high_precision_mv: bool = False
+    force_integer_mv: bool = False
+    interp_filter: int = 0
+    is_filter_switchable: bool = False
+    is_motion_mode_switchable: bool = False
+    use_ref_frame_mvs: bool = False
+    reference_select: bool = False
+    skip_mode_present: bool = False
+    allow_warped_motion: bool = False
+    error_resilient: bool = False
 
 
 def _read_delta_q(r: BitReader) -> int:
     return r.su(7) if r.f(1) else 0
 
 
-def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
+def parse_frame_header(payload: bytes, seq: SeqInfo,
+                       ref_order_hints=None) -> FrameInfo:
     """Parse an intra (KEY) uncompressed_header from an OBU_FRAME payload."""
     r = BitReader(payload)
     fi = FrameInfo()
     assert r.f(1) == 0, "show_existing_frame unsupported"
     fi.frame_type = r.f(2)
-    assert fi.frame_type in (0, 2), "inter frames arrive with the inter pass"
+    assert fi.frame_type in (0, 1, 2), "switch frames unsupported"
+    is_inter = fi.frame_type == 1
+    frame_is_intra = fi.frame_type in (0, 2)
     fi.show_frame = bool(r.f(1))
     if not fi.show_frame:
         r.f(1)                                 # showable_frame
     if not (fi.frame_type == 3 or (fi.frame_type == 0 and fi.show_frame)):
-        r.f(1)                                 # error_resilient_mode
+        fi.error_resilient = bool(r.f(1))
     fi.disable_cdf_update = bool(r.f(1))
     if seq.force_screen_content_tools == 2:
         fi.allow_screen_content_tools = bool(r.f(1))
     else:
         fi.allow_screen_content_tools = bool(seq.force_screen_content_tools)
+    if fi.allow_screen_content_tools and is_inter:
+        if seq.force_integer_mv == 2:
+            fi.force_integer_mv = bool(r.f(1))
+        else:
+            fi.force_integer_mv = bool(seq.force_integer_mv)
     size_override = r.f(1)
     assert not size_override
     if seq.enable_order_hint:
         fi.order_hint = r.f(seq.order_hint_bits)
-    if fi.frame_type in (0, 2) and not fi.show_frame:
-        r.f(8)                                 # refresh_frame_flags
-    elif fi.frame_type == 2:
-        r.f(8)
-    if seq.enable_superres:
-        assert r.f(1) == 0, "superres unsupported"
-    assert r.f(1) == 0, "render size unsupported"
-    if fi.allow_screen_content_tools:
-        fi.allow_intrabc = bool(r.f(1))
-        assert not fi.allow_intrabc, "intrabc unsupported"
+    if not fi.error_resilient and not frame_is_intra:
+        fi.primary_ref_frame = r.f(3)
+    if (frame_is_intra and not fi.show_frame) or is_inter:
+        fi.refresh_frame_flags = r.f(8)
+    if is_inter:
+        if seq.enable_order_hint and fi.error_resilient:
+            for _ in range(8):
+                r.f(seq.order_hint_bits)       # ref_order_hint[i]
+        short_sig = False
+        if seq.enable_order_hint:
+            short_sig = bool(r.f(1))           # frame_refs_short_signaling
+        assert not short_sig, "short ref signaling unsupported"
+        fi.ref_frame_idx = [r.f(3) for _ in range(7)]
+        # frame_size_with_refs only when size override allowed (dav1d
+        # read_frame_size use_ref = !error_resilient && size_override)
+        if size_override and not fi.error_resilient:
+            found = False
+            for _ in range(7):
+                if r.f(1):
+                    found = True
+                    break
+            if not found:
+                if seq.enable_superres:
+                    assert r.f(1) == 0, "superres unsupported"
+                assert r.f(1) == 0, "render size unsupported"
+            elif seq.enable_superres:
+                assert r.f(1) == 0, "superres unsupported"
+        else:
+            if seq.enable_superres:
+                assert r.f(1) == 0, "superres unsupported"
+            assert r.f(1) == 0, "render size unsupported"
+        if not fi.force_integer_mv:
+            fi.allow_high_precision_mv = bool(r.f(1))
+        fi.is_filter_switchable = bool(r.f(1))
+        if not fi.is_filter_switchable:
+            fi.interp_filter = r.f(2)
+        fi.is_motion_mode_switchable = bool(r.f(1))
+        if not fi.error_resilient and seq.enable_ref_frame_mvs:
+            fi.use_ref_frame_mvs = bool(r.f(1))
+        assert not fi.use_ref_frame_mvs, "ref-frame-mvs (MFMV) unsupported"
+    else:
+        if seq.enable_superres:
+            assert r.f(1) == 0, "superres unsupported"
+        assert r.f(1) == 0, "render size unsupported"
+        if fi.allow_screen_content_tools:
+            fi.allow_intrabc = bool(r.f(1))
+            assert not fi.allow_intrabc, "intrabc unsupported"
     if not fi.disable_cdf_update:
         r.f(1)                                 # disable_frame_end_update_cdf
     # tile_info (uniform only)
@@ -281,8 +342,26 @@ def parse_frame_header(payload: bytes, seq: SeqInfo) -> FrameInfo:
     # read_tx_mode
     if not fi.coded_lossless:
         fi.tx_mode_select = bool(r.f(1))
-    # intra frame: no reference mode / skip mode / warped motion
+    if is_inter:
+        fi.reference_select = bool(r.f(1))
+        # skip_mode_params (spec 5.9.22): allowed when compound mode is
+        # selectable and the DPB holds refs on both temporal sides
+        if fi.reference_select and seq.enable_order_hint and \
+                ref_order_hints is not None:
+            def rel(a, b):
+                d = a - b
+                m = 1 << (seq.order_hint_bits - 1)
+                return (d & (m - 1)) - (d & m)
+            dists = [rel(ref_order_hints[fi.ref_frame_idx[k]],
+                         fi.order_hint) for k in range(7)]
+            if any(d > 0 for d in dists) and any(d < 0 for d in dists):
+                fi.skip_mode_present = bool(r.f(1))
+        if seq.enable_warped_motion:
+            fi.allow_warped_motion = bool(r.f(1))
     fi.reduced_tx_set = bool(r.f(1))
+    if is_inter:
+        for _ in range(7):                     # global_motion_params
+            assert r.f(1) == 0, "global motion unsupported"
     # film grain
     if seq.film_grain_params_present and fi.show_frame:
         if r.f(1):
