@@ -1,0 +1,132 @@
+"""Stateful AV1 decode driver: OBU walk + DPB + CDF slot management.
+
+Ties together header parsing, tile parsing, reconstruction and the in-loop
+filters for multi-frame streams (KEY + INTER), maintaining the 8-slot
+reference state: decoded planes, order hints, and end-of-frame CDF contexts
+(primary_ref_frame inheritance, disable_frame_end_update_cdf semantics).
+Mirrors the reference decode loop structure; conformance oracle is dav1d.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from svt_av1_psy_tpu.bitstream.ivf import read_ivf
+from svt_av1_psy_tpu.bitstream.obu import ObuType, parse_obus
+from svt_av1_psy_tpu.decoder.header_parser import (parse_frame_header,
+                                                   parse_sequence_header)
+from svt_av1_psy_tpu.decoder.reconstruct import FrameReconstructor
+from svt_av1_psy_tpu.decoder.tile_parser import TileParser
+from svt_av1_psy_tpu.entropy.frame_context import FrameContext
+
+
+@dataclass
+class DecodedPlanes:
+    y: np.ndarray
+    u: np.ndarray
+    v: np.ndarray
+    order_hint: int = 0
+
+
+class Decoder:
+    def __init__(self):
+        self.seq = None
+        self.slots: List[Optional[DecodedPlanes]] = [None] * 8
+        self.slot_cdfs: List[Optional[FrameContext]] = [None] * 8
+        self.slot_hints = [0] * 8
+        self.frames: List[DecodedPlanes] = []
+
+    def decode_temporal_unit(self, payload: bytes):
+        for t, _, _, p in parse_obus(payload):
+            if t == ObuType.SEQUENCE_HEADER:
+                self.seq = parse_sequence_header(p)
+            elif t == ObuType.FRAME:
+                self._decode_frame(p)
+
+    def _decode_frame(self, payload: bytes):
+        seq = self.seq
+        fi = parse_frame_header(payload, seq, ref_order_hints=self.slot_hints)
+        W, H = seq.width, seq.height
+        mi_rows = 2 * ((H + 7) >> 3)
+        mi_cols = 2 * ((W + 7) >> 3)
+        is_inter = fi.frame_type == 1
+
+        if fi.primary_ref_frame == 7 or not is_inter:
+            fc = FrameContext(fi.base_q_idx)
+        else:
+            fc = self.slot_cdfs[fi.ref_frame_idx[fi.primary_ref_frame]].inherit_copy()
+        start_cdf = fc.copy() if fi.disable_frame_end_update_cdf else None
+
+        tp = TileParser(
+            fc, payload[fi.header_bytes:], mi_rows, mi_cols,
+            tx_mode_select=fi.tx_mode_select,
+            reduced_tx_set=fi.reduced_tx_set,
+            delta_q_present=fi.delta_q_present,
+            enable_filter_intra=seq.enable_filter_intra,
+            cdef_bits=fi.cdef_bits if seq.enable_cdef else -1,
+            frame_is_intra=not is_inter,
+            allow_hp=fi.allow_high_precision_mv,
+            force_integer_mv=fi.force_integer_mv,
+            reference_select=fi.reference_select,
+            switchable_filter=fi.is_filter_switchable,
+            dual_filter=seq.enable_dual_filter,
+            enable_interintra=seq.enable_interintra_compound,
+            motion_mode_switchable=fi.is_motion_mode_switchable,
+            allow_warped_motion=fi.allow_warped_motion,
+            skip_mode_present=fi.skip_mode_present,
+            allow_update_cdf=not fi.disable_cdf_update)
+        blocks = tp.parse_tile()
+
+        fr = FrameReconstructor(
+            W, H, fi, enable_intra_edge_filter=seq.enable_intra_edge_filter)
+        if is_inter:
+            fr.ref_planes = [
+                None if self.slots[i] is None else
+                (self.slots[i].y, self.slots[i].u, self.slots[i].v)
+                for i in range(8)]
+            fr.ref_frame_idx = fi.ref_frame_idx
+            fr.interp_filter = fi.interp_filter
+        fr.decode_blocks(blocks)
+
+        lf = (fi.filter_level[0], fi.filter_level[1],
+              fi.filter_level_uv[0], fi.filter_level_uv[1])
+        if any(lf):
+            fr.apply_dlf(lf, fi.sharpness)
+        if seq.enable_cdef and fi.cdef_y_pri is not None:
+            sets = [(yp, ys + (ys == 3), up, us + (us == 3))
+                    for yp, ys, up, us in zip(fi.cdef_y_pri, fi.cdef_y_sec,
+                                              fi.cdef_uv_pri,
+                                              fi.cdef_uv_sec)]
+            if any(any(sv) for sv in sets):
+                fr.apply_cdef(sets, fi.cdef_damping, cdef_idx=tp.cdef_idx)
+
+        out = DecodedPlanes(
+            y=fr.planes[0][:H, :W].copy(),
+            u=fr.planes[1][:(H + 1) // 2, :(W + 1) // 2].copy(),
+            v=fr.planes[2][:(H + 1) // 2, :(W + 1) // 2].copy(),
+            order_hint=fi.order_hint)
+        if fi.show_frame:
+            self.frames.append(out)
+
+        # with disable_frame_end_update_cdf the stored context is the
+        # frame's STARTING context, not the adapted one
+        store_cdf = start_cdf if fi.disable_frame_end_update_cdf else fc
+        refresh = fi.refresh_frame_flags if is_inter or not fi.show_frame \
+            else 0xFF
+        for i in range(8):
+            if refresh & (1 << i):
+                self.slots[i] = out
+                self.slot_cdfs[i] = store_cdf
+                self.slot_hints[i] = fi.order_hint
+
+
+def decode_ivf(data: bytes) -> List[DecodedPlanes]:
+    if isinstance(data, str):
+        data = open(data, "rb").read()
+    _, frames = read_ivf(data)
+    dec = Decoder()
+    for _, payload in frames:
+        dec.decode_temporal_unit(payload)
+    return dec.frames

@@ -28,6 +28,9 @@ class SeqInfo:
     enable_order_hint: bool = False
     order_hint_bits: int = 0
     enable_warped_motion: bool = False
+    enable_dual_filter: bool = False
+    enable_interintra_compound: bool = False
+    enable_masked_compound: bool = False
     enable_ref_frame_mvs: bool = False
     force_screen_content_tools: int = 0
     force_integer_mv: int = 0
@@ -64,10 +67,10 @@ def parse_sequence_header(payload: bytes) -> SeqInfo:
     s.use_128x128_superblock = bool(r.f(1))
     s.enable_filter_intra = bool(r.f(1))
     s.enable_intra_edge_filter = bool(r.f(1))
-    r.f(1)                                     # enable_interintra_compound
-    r.f(1)                                     # enable_masked_compound
+    s.enable_interintra_compound = bool(r.f(1))
+    s.enable_masked_compound = bool(r.f(1))
     s.enable_warped_motion = bool(r.f(1))
-    r.f(1)                                     # enable_dual_filter
+    s.enable_dual_filter = bool(r.f(1))
     s.enable_order_hint = bool(r.f(1))
     if s.enable_order_hint:
         r.f(1)                                 # enable_jnt_comp
@@ -156,6 +159,7 @@ class FrameInfo:
     skip_mode_present: bool = False
     allow_warped_motion: bool = False
     error_resilient: bool = False
+    disable_frame_end_update_cdf: bool = True
 
 
 def _read_delta_q(r: BitReader) -> int:
@@ -193,7 +197,7 @@ def parse_frame_header(payload: bytes, seq: SeqInfo,
         fi.order_hint = r.f(seq.order_hint_bits)
     if not fi.error_resilient and not frame_is_intra:
         fi.primary_ref_frame = r.f(3)
-    if (frame_is_intra and not fi.show_frame) or is_inter:
+    if not (fi.frame_type == 3 or (fi.frame_type == 0 and fi.show_frame)):
         fi.refresh_frame_flags = r.f(8)
     if is_inter:
         if seq.enable_order_hint and fi.error_resilient:
@@ -239,7 +243,9 @@ def parse_frame_header(payload: bytes, seq: SeqInfo,
             fi.allow_intrabc = bool(r.f(1))
             assert not fi.allow_intrabc, "intrabc unsupported"
     if not fi.disable_cdf_update:
-        r.f(1)                                 # disable_frame_end_update_cdf
+        fi.disable_frame_end_update_cdf = bool(r.f(1))
+    else:
+        fi.disable_frame_end_update_cdf = True
     # tile_info (uniform only)
     sb_shift = 7 if seq.use_128x128_superblock else 6
     sb_cols = (seq.width + (1 << sb_shift) - 1) >> sb_shift
@@ -352,9 +358,28 @@ def parse_frame_header(payload: bytes, seq: SeqInfo,
                 d = a - b
                 m = 1 << (seq.order_hint_bits - 1)
                 return (d & (m - 1)) - (d & m)
-            dists = [rel(ref_order_hints[fi.ref_frame_idx[k]],
-                         fi.order_hint) for k in range(7)]
-            if any(d > 0 for d in dists) and any(d < 0 for d in dists):
+            hints = [ref_order_hints[fi.ref_frame_idx[k]] for k in range(7)]
+            fwd_hint = bwd_hint = None
+            for h in hints:
+                if rel(h, fi.order_hint) < 0:
+                    if fwd_hint is None or rel(h, fwd_hint) > 0:
+                        fwd_hint = h
+                elif rel(h, fi.order_hint) > 0:
+                    if bwd_hint is None or rel(h, bwd_hint) < 0:
+                        bwd_hint = h
+            allowed = False
+            if fwd_hint is not None:
+                if bwd_hint is not None:
+                    allowed = True
+                else:
+                    # two forward refs with distinct hints (spec 5.9.22)
+                    snd = None
+                    for h in hints:
+                        if rel(h, fwd_hint) < 0:
+                            if snd is None or rel(h, snd) > 0:
+                                snd = h
+                    allowed = snd is not None
+            if allowed:
                 fi.skip_mode_present = bool(r.f(1))
         if seq.enable_warped_motion:
             fi.allow_warped_motion = bool(r.f(1))

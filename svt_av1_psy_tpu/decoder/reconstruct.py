@@ -55,6 +55,10 @@ class FrameReconstructor:
         ]
         self.qm_levels = [fi.qm_y, fi.qm_u, fi.qm_v] if fi.using_qmatrix \
             else None
+        # inter state (set by the driver for inter frames)
+        self.ref_planes = None
+        self.ref_frame_idx = None
+        self.interp_filter = 0
         # BlockDecoded bitmaps, one per plane, rebuilt per superblock.
         # Indexed [y4 + 1][x4 + 1] with the -1 border.
         self._bd_maps = None
@@ -210,8 +214,53 @@ class FrameReconstructor:
             self.above_smooth[1][b.mi_col:b.mi_col + w4] = usm
             self.left_smooth[1][b.mi_row:b.mi_row + h4] = usm
 
+    def _predict_inter_block(self, b, hc):
+        """Whole-block MC prediction per plane written as base recon
+        (spec 7.11.3); residual txbs then add on top."""
+        from svt_av1_psy_tpu.ops.mc import mc_block
+        slot = self.ref_frame_idx[b.ref_frame - 1]
+        ref = self.ref_planes[slot]
+        bw = BLOCK_SIZE_WIDE[b.bsize]
+        bh = BLOCK_SIZE_HIGH[b.bsize]
+        for plane in range(3 if hc else 1):
+            ss = 1 if plane else 0
+            x = (b.mi_col * 4) >> ss
+            y = (b.mi_row * 4) >> ss
+            w = max(4, bw >> ss)
+            h = max(4, bh >> ss)
+            mvx = int(b.mv[1]) << (1 - ss)
+            mvy = int(b.mv[0]) << (1 - ss)
+            filters = getattr(b, "interp_filters", None)
+            fx, fy = filters if filters else (self.interp_filter,
+                                              self.interp_filter)
+            pred = mc_block(np.asarray(ref[plane]), x, y, w, h, mvx, mvy,
+                            fx, fy, bd=self.bd)
+            maxw = (self.mi_cols * 4) >> ss
+            maxh = (self.mi_rows * 4) >> ss
+            wx = min(w, maxw - x)
+            wy = min(h, maxh - y)
+            self.planes[plane][y:y + wy, x:x + wx] = \
+                pred[:wy, :wx].astype(self.planes[plane].dtype)
+            self._bdset(plane, y >> 2, x >> 2, (h + 3) >> 2, (w + 3) >> 2)
+
+    def _decode_inter_block(self, b, hc):
+        self._predict_inter_block(b, hc)
+        for (pl, u_row, u_col, ts, tt, q) in b.txbs:
+            if q is None or not np.any(q):
+                continue
+            sub = 1 if pl else 0
+            x = u_col * 4
+            y = u_row * 4
+            w, h = TX_SIZE_WIDE[ts], TX_SIZE_HIGH[ts]
+            pred = self.planes[pl][y:y + h, x:x + w].astype(np.int32)
+            self.commit_txb(b, pl, u_row, u_col, ts, tt, q, pred)
+        self.finish_block(b, hc)
+
     def _decode_block(self, b):
         hc = has_chroma(b.mi_row, b.mi_col, b.bsize)
+        if getattr(b, "is_inter", False):
+            self._decode_inter_block(b, hc)
+            return
         self.max_luma_w = 0
         self.max_luma_h = 0
         txbs_by_plane = {0: [], 1: [], 2: []}

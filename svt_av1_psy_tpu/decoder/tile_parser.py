@@ -53,7 +53,16 @@ class ParsedBlock:
     cfl_idx_v: int = 0
     use_filter_intra: bool = False
     filter_intra_mode: int = 0
+    is_inter: bool = False
+    ref_frame: int = 0                         # LAST=1..ALTREF=7
+    mv: tuple = (0, 0)                         # (row, col) in 1/8 px
+    inter_mode: int = 0                        # 0 NEARESTMV 1 NEARMV 2 GLOBALMV 3 NEWMV
+    interp_filters: tuple = (0, 0)             # (x, y)
     txbs: list = field(default_factory=list)   # (plane, u_row, u_col, TxSize, TxType, qcoeff|None)
+
+
+_SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
+               1, 1, 2, 2, 3, 3]
 
 
 class TileParser:
@@ -61,7 +70,16 @@ class TileParser:
                  mi_cols: int, *, sb_size: int = 64,
                  tx_mode_select: bool = False, reduced_tx_set: bool = False,
                  delta_q_present: bool = False, allow_update_cdf: bool = True,
-                 enable_filter_intra: bool = False, cdef_bits: int = -1):
+                 enable_filter_intra: bool = False, cdef_bits: int = -1,
+                 frame_is_intra: bool = True, allow_hp: bool = False,
+                 force_integer_mv: bool = False,
+                 reference_select: bool = False,
+                 switchable_filter: bool = False,
+                 dual_filter: bool = False,
+                 enable_interintra: bool = False,
+                 motion_mode_switchable: bool = False,
+                 allow_warped_motion: bool = False,
+                 skip_mode_present: bool = False):
         self.fc = fc
         self.dec = RangeDecoder(data)
         self.mi_rows, self.mi_cols = mi_rows, mi_cols
@@ -81,6 +99,22 @@ class TileParser:
         self.cdef_bits = cdef_bits
         self.cdef_idx = np.full(((mi_rows + 15) // 16, (mi_cols + 15) // 16),
                                 -1, np.int32)
+        self.frame_is_intra = frame_is_intra
+        self.allow_hp = allow_hp
+        self.force_integer_mv = force_integer_mv
+        self.reference_select = reference_select
+        self.switchable_filter = switchable_filter
+        self.dual_filter = dual_filter
+        self.enable_interintra = enable_interintra
+        self.motion_mode_switchable = motion_mode_switchable
+        self.allow_warped_motion = allow_warped_motion
+        self.skip_mode_present = skip_mode_present
+        if not frame_is_intra:
+            from svt_av1_psy_tpu.inter.mvref import MiGrid
+            self.grid = MiGrid(mi_rows, mi_cols)
+            # per-4x4 luma tx types for inter-chroma tx type derivation
+            # (spec compute_tx_type)
+            self.txtype_grid = np.zeros((mi_rows, mi_cols), np.uint8)
 
         self.above_part = np.zeros(mi_cols, np.uint8)
         self.left_part = np.zeros(mi_rows, np.uint8)
@@ -88,6 +122,8 @@ class TileParser:
         self.left_mode = np.full(mi_rows, int(PredMode.DC_PRED), np.uint8)
         self.above_skip = np.zeros(mi_cols, np.uint8)
         self.left_skip = np.zeros(mi_rows, np.uint8)
+        self.above_skip_mode = np.zeros(mi_cols, np.uint8)
+        self.left_skip_mode = np.zeros(mi_rows, np.uint8)
         # txfm context: above stores tx widths, left tx heights (px per 4-unit)
         self.above_txw = np.full(mi_cols, 64, np.int32)
         self.left_txh = np.full(mi_rows, 64, np.int32)
@@ -100,6 +136,13 @@ class TileParser:
 
     # --- symbol helpers --------------------------------------------------
     def _sym(self, name, cdf, nsyms=None):
+        if getattr(self, 'trace_cdfs', False):
+            n = nsyms if nsyms is not None else len(cdf) - 1
+            head = (int(cdf[0]), int(cdf[1]) if n > 1 else 0,
+                    int(cdf[2]) if n > 2 else 0)
+            v = self.dec.decode_symbol(cdf, nsyms=nsyms, adapt=self.adapt)
+            self.trace.append((name, v, n, head))
+            return v
         v = self.dec.decode_symbol(cdf, nsyms=nsyms, adapt=self.adapt)
         self.trace.append((name, v))
         return v
@@ -237,6 +280,15 @@ class TileParser:
         have_above = r > 0
         have_left = c > 0
 
+        if self.skip_mode_present and not self.frame_is_intra and \
+                min(BLOCK_SIZE_WIDE[bsize], BLOCK_SIZE_HIGH[bsize]) >= 8:
+            smctx = int(self.above_skip_mode[c]) + \
+                int(self.left_skip_mode[r])
+            sm = self._sym(f"skip_mode@{r},{c}", fc.skip_mode[smctx])
+            assert not sm, "skip_mode blocks unsupported"
+            self.above_skip_mode[c:c + w4] = 0
+            self.left_skip_mode[r:r + h4] = 0
+
         skip_ctx = int(self.above_skip[c]) + int(self.left_skip[r])
         skip = bool(self._sym(f"skip@{r},{c}", fc.skip[skip_ctx]))
 
@@ -270,11 +322,26 @@ class TileParser:
                 self.events.append(('dq', abs_q, sign))
             self.read_deltas = False
 
-        am = int(self.above_mode[c]) if have_above else int(PredMode.DC_PRED)
-        lm = int(self.left_mode[r]) if have_left else int(PredMode.DC_PRED)
-        y_mode = self._sym(
-            f"y_mode@{r},{c}",
-            fc.kf_y[_INTRA_MODE_CTX[am]][_INTRA_MODE_CTX[lm]])
+        is_inter = False
+        if not self.frame_is_intra:
+            ctx = self._intra_inter_ctx(r, c, have_above, have_left)
+            is_inter = bool(self._sym(f"is_inter@{r},{c}",
+                                      fc.intra_inter[ctx]))
+        if is_inter:
+            self._parse_inter_block(r, c, bsize, skip, have_above, have_left)
+            return
+
+        if self.frame_is_intra:
+            am = int(self.above_mode[c]) if have_above \
+                else int(PredMode.DC_PRED)
+            lm = int(self.left_mode[r]) if have_left \
+                else int(PredMode.DC_PRED)
+            y_mode = self._sym(
+                f"y_mode@{r},{c}",
+                fc.kf_y[_INTRA_MODE_CTX[am]][_INTRA_MODE_CTX[lm]])
+        else:
+            y_mode = self._sym(f"y_mode@{r},{c}",
+                               fc.y_mode[_SIZE_GROUP[bsize]])
         ad_y = 0
         if is_directional(y_mode) and use_angle_delta(bsize):
             ad_y = self._sym("angle_y",
@@ -353,6 +420,353 @@ class TileParser:
                 self.left_coef[p][(r >> 1):(r >> 1) + ch4] = 0
         else:
             self._parse_residual(blk)
+        if not self.frame_is_intra:
+            self.grid.set_block(r, c, h4, w4, bsize, 0, -1, (0, 0), (0, 0),
+                                False)
+        self.blocks.append(blk)
+        self.events.append(('block', blk))
+
+    def _has_overlappable(self, r, c, w4, h4) -> bool:
+        g = self.grid
+        if r > 0:
+            for i in range(0, min(w4, self.mi_cols - c)):
+                if int(g.ref0[r - 1, c + i]) > 0:
+                    return True
+        if c > 0:
+            for i in range(0, min(h4, self.mi_rows - r)):
+                if int(g.ref0[r + i, c - 1]) > 0:
+                    return True
+        return False
+
+    def _count_warp_samples(self, r, c, bsize, ref, mv) -> int:
+        """find_warp_samples sample count (spec 7.10.4): neighbors with
+        the same single reference whose MV is close to ours."""
+        g = self.grid
+        w4 = BLOCK_SIZE_WIDE[bsize] // 4
+        h4 = BLOCK_SIZE_HIGH[bsize] // 4
+        num = 0
+
+        def try_sample(rr, cc2):
+            nonlocal num
+            if num >= 8:
+                return
+            if rr < 0 or cc2 < 0 or rr >= self.mi_rows or \
+                    cc2 >= self.mi_cols:
+                return
+            if int(g.ref0[rr, cc2]) == ref and int(g.ref1[rr, cc2]) <= 0:
+                mvd = abs(int(g.mv0[rr, cc2, 0]) - mv[0]) + \
+                    abs(int(g.mv0[rr, cc2, 1]) - mv[1])
+                if mvd <= 256:
+                    num += 1
+
+        do_tl = True
+        do_tr = True
+        if r > 0:
+            src_b = int(g.bsize[r - 1, c])
+            src_w = BLOCK_SIZE_WIDE[src_b] // 4
+            if w4 <= src_w:
+                col_off = -(c & (src_w - 1))
+                if col_off < 0:
+                    do_tl = False
+                if col_off + src_w > w4:
+                    do_tr = False
+                try_sample(r - 1, c)
+            else:
+                i = 0
+                while i < min(w4, self.mi_cols - c):
+                    src_b = int(g.bsize[r - 1, c + i])
+                    src_w = BLOCK_SIZE_WIDE[src_b] // 4
+                    i = (i & ~(src_w - 1))
+                    try_sample(r - 1, c + i)
+                    i += src_w
+        if c > 0:
+            src_b = int(g.bsize[r, c - 1])
+            src_h = BLOCK_SIZE_HIGH[src_b] // 4
+            if h4 <= src_h:
+                row_off = -(r & (src_h - 1))
+                if row_off < 0:
+                    do_tl = False
+                try_sample(r, c - 1)
+            else:
+                i = 0
+                while i < min(h4, self.mi_rows - r):
+                    src_b = int(g.bsize[r + i, c - 1])
+                    src_h = BLOCK_SIZE_HIGH[src_b] // 4
+                    i = (i & ~(src_h - 1))
+                    try_sample(r + i, c - 1)
+                    i += src_h
+        if do_tl:
+            try_sample(r - 1, c - 1)
+        if do_tr and max(w4, h4) <= 16:
+            try_sample(r - 1, c + w4)
+        return num
+
+    # --- inter path (spec 5.11.10/24/25/26) ------------------------------
+    def _intra_inter_ctx(self, r, c, have_above, have_left) -> int:
+        g = self.grid
+        if have_above and have_left:
+            ai = int(g.ref0[r - 1, c]) <= 0
+            li = int(g.ref0[r, c - 1]) <= 0
+            return 3 if (ai and li) else (1 if (ai or li) else 0)
+        if have_above or have_left:
+            edge = (r - 1, c) if have_above else (r, c - 1)
+            return 2 * (int(g.ref0[edge]) <= 0)
+        return 0
+
+    def _neighbor_ref_counts(self, r, c, have_above, have_left):
+        g = self.grid
+        counts = [0] * 8
+        for (ok, pos) in ((have_above, (r - 1, c)), (have_left, (r, c - 1))):
+            if not ok:
+                continue
+            r0 = int(g.ref0[pos])
+            r1 = int(g.ref1[pos])
+            if r0 > 0:
+                counts[r0] += 1
+                if r1 > 0:
+                    counts[r1] += 1
+        return counts
+
+    def _read_single_ref(self, r, c, have_above, have_left) -> int:
+        fc = self.fc
+        cnt = self._neighbor_ref_counts(r, c, have_above, have_left)
+
+        def ctx3(a, b):
+            return 1 if a == b else (0 if a < b else 2)
+
+        fwd = cnt[1] + cnt[2] + cnt[3] + cnt[4]
+        bwd = cnt[5] + cnt[6] + cnt[7]
+        p1 = self._sym("single_ref_p1", fc.single_ref[ctx3(fwd, bwd)][0])
+        if p1:            # backward group
+            p2 = self._sym("single_ref_p2",
+                           fc.single_ref[ctx3(cnt[5] + cnt[6], cnt[7])][1])
+            if p2:
+                return 7                      # ALTREF
+            p6 = self._sym("single_ref_p6",
+                           fc.single_ref[ctx3(cnt[5], cnt[6])][5])
+            return 6 if p6 else 5             # ALTREF2 / BWDREF
+        p3 = self._sym("single_ref_p3",
+                       fc.single_ref[ctx3(cnt[1] + cnt[2],
+                                          cnt[3] + cnt[4])][2])
+        if p3:            # LAST3/GOLDEN
+            p5 = self._sym("single_ref_p5",
+                           fc.single_ref[ctx3(cnt[3], cnt[4])][4])
+            return 4 if p5 else 3
+        p4 = self._sym("single_ref_p4",
+                       fc.single_ref[ctx3(cnt[1], cnt[2])][3])
+        return 2 if p4 else 1
+
+    def _read_mv_component(self, comp: int) -> int:
+        fc = self.fc
+        pre = f"comp{comp}_"
+        sign = self._sym("mv_sign", fc.nmv_comp[pre + "sign_cdf"])
+        cls = self._sym("mv_class", fc.nmv_comp[pre + "classes_cdf"])
+        if cls == 0:
+            int_bit = self._sym("mv_class0", fc.nmv_comp[pre + "class0_cdf"])
+            d = int_bit
+        else:
+            d = 0
+            for b in range(cls):
+                d |= self._sym("mv_bit",
+                               fc.nmv_comp[pre + "bits_cdf"][b]) << b
+        if self.force_integer_mv:
+            fr, hp = 3, 1
+        else:
+            if cls == 0:
+                fr = self._sym("mv_fr",
+                               fc.nmv_comp[pre + "class0_fp_cdf"][d])
+            else:
+                fr = self._sym("mv_fr", fc.nmv_comp[pre + "fp_cdf"])
+            if self.allow_hp:
+                hp = self._sym("mv_hp", fc.nmv_comp[
+                    pre + ("class0_hp_cdf" if cls == 0 else "hp_cdf")])
+            else:
+                hp = 1
+        if cls == 0:
+            mag = d * 8 + fr * 2 + hp + 1
+        else:
+            mag = (2 << (cls + 2)) + (d * 8 + fr * 2 + hp + 1)
+        return -mag if sign else mag
+
+    def _read_mv(self, pred):
+        joint = self._sym("mv_joint", self.fc.nmv_joints)
+        dr = self._read_mv_component(0) if joint & 2 else 0
+        dc = self._read_mv_component(1) if joint & 1 else 0
+        return (pred[0] + dr, pred[1] + dc)
+
+    @staticmethod
+    def _lower_precision(mv, allow_hp, force_int):
+        r, c = mv
+        if force_int:
+            r = ((r + 3 if r > 0 else r - 3) // 8) * 8 if r % 8 else r
+            c = ((c + 3 if c > 0 else c - 3) // 8) * 8 if c % 8 else c
+        elif not allow_hp:
+            if r & 1:
+                r += -1 if r > 0 else 1
+            if c & 1:
+                c += -1 if c > 0 else 1
+        return (r, c)
+
+    def _parse_inter_block(self, r, c, bsize, skip, have_above, have_left):
+        from svt_av1_psy_tpu.inter.mvref import drl_ctx, setup_ref_mv_list
+        fc = self.fc
+        w4 = BLOCK_SIZE_WIDE[bsize] // 4
+        h4 = BLOCK_SIZE_HIGH[bsize] // 4
+
+        # read_ref_frames (single path; comp flag when selectable)
+        if self.reference_select and min(BLOCK_SIZE_WIDE[bsize],
+                                         BLOCK_SIZE_HIGH[bsize]) >= 8:
+            cnt = self._neighbor_ref_counts(r, c, have_above, have_left)
+            g = self.grid
+            ctx = 1
+            a_in = have_above and int(g.ref0[r - 1, c]) != 0
+            l_in = have_left and int(g.ref0[r, c - 1]) != 0
+            a_comp = have_above and int(g.ref1[r - 1, c]) > 0
+            l_comp = have_left and int(g.ref1[r, c - 1]) > 0
+            a_bwd = have_above and int(g.ref0[r - 1, c]) >= 5
+            l_bwd = have_left and int(g.ref0[r, c - 1]) >= 5
+            if have_above and have_left:
+                if not a_comp and not l_comp:
+                    ctx = int(a_bwd) ^ int(l_bwd)
+                elif not a_comp:
+                    ctx = 2 + int(a_bwd or not a_in)
+                elif not l_comp:
+                    ctx = 2 + int(l_bwd or not l_in)
+                else:
+                    ctx = 4
+            elif have_above or have_left:
+                if have_above:
+                    ctx = 3 if a_comp else int(a_bwd)
+                else:
+                    ctx = 3 if l_comp else int(l_bwd)
+            comp = self._sym("comp_mode", fc.comp_inter[ctx])
+            assert not comp, "compound prediction unsupported"
+        ref = self._read_single_ref(r, c, have_above, have_left)
+
+        refs = setup_ref_mv_list(self.grid, r, c, bsize, ref,
+                                 sb_mi=self.sb_mi)
+
+        # inter mode (NEWMV / GLOBALMV / NEARESTMV / NEARMV)
+        not_new = self._sym("newmv_flag", fc.newmv[refs.newmv_ctx])
+        if not not_new:
+            mode = 3                            # NEWMV
+        else:
+            not_zero = self._sym("zeromv_flag", fc.zeromv[refs.zeromv_ctx])
+            if not not_zero:
+                mode = 2                        # GLOBALMV
+            else:
+                not_nearest = self._sym("refmv_flag",
+                                        fc.refmv[refs.refmv_ctx])
+                mode = 1 if not_nearest else 0  # NEARMV / NEARESTMV
+
+        # DRL index
+        ref_mv_idx = 0
+        if mode == 3:                            # NEWMV
+            for idx in range(2):
+                if refs.count > idx + 1:
+                    bit = self._sym("drl", fc.drl[drl_ctx(refs.weights,
+                                                          idx)])
+                    if not bit:
+                        ref_mv_idx = idx
+                        break
+                    ref_mv_idx = idx + 1
+        elif mode == 1:                          # NEARMV
+            ref_mv_idx = 1
+            for idx in range(1, 3):
+                if refs.count > idx + 1:
+                    bit = self._sym("drl", fc.drl[drl_ctx(refs.weights,
+                                                          idx)])
+                    if not bit:
+                        ref_mv_idx = idx
+                        break
+                    ref_mv_idx = idx + 1
+
+        # assign_mv
+        if mode == 2:
+            mv = (0, 0)                          # identity global motion
+        elif mode == 3:
+            pos = ref_mv_idx if refs.count > 1 else 0
+            pred = self._lower_precision(refs.stack[pos], self.allow_hp,
+                                         self.force_integer_mv)
+            mv = self._read_mv(pred)
+        else:
+            pos = 0 if mode == 0 else ref_mv_idx
+            mv = self._lower_precision(refs.stack[pos], self.allow_hp,
+                                       self.force_integer_mv)
+
+        # interintra (spec 5.11.28); only sizes 8x8..32x32, single ref
+        if self.enable_interintra and 8 <= BLOCK_SIZE_WIDE[bsize] <= 32 \
+                and 8 <= BLOCK_SIZE_HIGH[bsize] <= 32:
+            ii = self._sym("interintra",
+                           fc.interintra[_SIZE_GROUP[bsize]])
+            assert not ii, "interintra prediction unsupported"
+
+        # read_motion_mode (spec 5.11.27): OBMC/WARP selection
+        if self.motion_mode_switchable and \
+                min(BLOCK_SIZE_WIDE[bsize], BLOCK_SIZE_HIGH[bsize]) >= 8 \
+                and self._has_overlappable(r, c, w4, h4):
+            nsamp = self._count_warp_samples(r, c, bsize, ref, mv)
+            if self.force_integer_mv or nsamp == 0 or \
+                    not self.allow_warped_motion:
+                mm = self._sym("obmc", fc.obmc[bsize])
+            else:
+                mm = self._sym("motion_mode", fc.motion_mode[bsize])
+            assert mm == 0, "OBMC/warped motion unsupported"
+
+        # read_mb_interp_filter (spec 5.11.27)
+        filters = (0, 0)
+        if self.switchable_filter:
+            g = self.grid
+            fl = []
+            ndirs = 2 if self.dual_filter else 1
+            for d in range(ndirs):
+                ctx = (d & 1) * 8
+                def ref_filt(rr, cc2):
+                    if int(g.ref0[rr, cc2]) == ref or \
+                            int(g.ref1[rr, cc2]) == ref:
+                        return int(g.filters[rr, cc2, d])
+                    return 3
+                lt = ref_filt(r, c - 1) if have_left else 3
+                at = ref_filt(r - 1, c) if have_above else 3
+                if lt == at:
+                    ctx += lt
+                elif lt == 3:
+                    ctx += at
+                elif at == 3:
+                    ctx += lt
+                else:
+                    ctx += 3
+                fl.append(self._sym("interp_filter",
+                                    fc.switchable_interp[ctx]))
+            filters = (fl[0], fl[-1]) if self.dual_filter \
+                else (fl[0], fl[0])
+        blk = ParsedBlock(mi_row=r, mi_col=c, bsize=bsize, y_mode=0,
+                          uv_mode=0, skip=skip,
+                          tx_size=int(MAX_TX_SIZE_RECT[bsize]),
+                          is_inter=True, ref_frame=ref, mv=mv,
+                          inter_mode=mode, interp_filters=filters)
+        assert not self.tx_mode_select, "inter var-tx parse not implemented"
+
+        # neighbor state updates
+        self.above_txw[c:c + w4] = TX_SIZE_WIDE[blk.tx_size]
+        self.left_txh[r:r + h4] = TX_SIZE_HIGH[blk.tx_size]
+        self.above_mode[c:c + w4] = int(PredMode.DC_PRED)
+        self.left_mode[r:r + h4] = int(PredMode.DC_PRED)
+        self.above_skip[c:c + w4] = int(skip)
+        self.left_skip[r:r + h4] = int(skip)
+        self.grid.set_block(r, c, h4, w4, bsize, ref, -1, mv, (0, 0),
+                            mode == 3, filters=filters)
+
+        if skip:
+            self.above_coef[0][c:c + w4] = 0
+            self.left_coef[0][r:r + h4] = 0
+            for p in (1, 2):
+                cw4 = max(1, w4 >> 1)
+                ch4 = max(1, h4 >> 1)
+                self.above_coef[p][(c >> 1):(c >> 1) + cw4] = 0
+                self.left_coef[p][(r >> 1):(r >> 1) + ch4] = 0
+        else:
+            self._parse_residual(blk)
         self.blocks.append(blk)
         self.events.append(('block', blk))
 
@@ -405,12 +819,14 @@ class TileParser:
         if all_zero:
             self.above_coef[plane][u_col:u_col + tw4] = 0
             self.left_coef[plane][u_row:u_row + th4] = 0
+            if plane == 0 and not self.frame_is_intra:
+                self.txtype_grid[u_row:u_row + th4, u_col:u_col + tw4] = 0
             blk.txbs.append((plane, u_row, u_col, tx_size,
                              int(TxType.DCT_DCT), None))
             return
 
         # tx type
-        if plane == 0:
+        if plane == 0 and not blk.is_inter:
             from svt_av1_psy_tpu.entropy.tx_sets import FIMODE_TO_INTRADIR
             tx_set = intra_tx_set(tx_size, self.reduced_tx_set)
             if tx_set == 0:
@@ -423,8 +839,34 @@ class TileParser:
                     fc.intra_ext_tx[tx_set][TX_SIZE_SQR[tx_size]][mode],
                     nsyms=EXT_TX_SET_SIZES[tx_set])
                 tx_type = EXT_TX_INV[tx_set][s]
+        elif plane == 0:
+            from svt_av1_psy_tpu.entropy.tx_sets import (
+                EXT_TX_SET_TYPE_INV, EXT_TX_SET_TYPE_SIZES,
+                EXT_TX_SET_TYPE_TO_IDX_INTER, inter_tx_set_type)
+            st = inter_tx_set_type(tx_size, self.reduced_tx_set)
+            if st == 0:
+                tx_type = int(TxType.DCT_DCT)
+            else:
+                sidx = EXT_TX_SET_TYPE_TO_IDX_INTER[st]
+                sym = self._sym(
+                    "tx_type_inter",
+                    fc.inter_ext_tx[sidx][TX_SIZE_SQR[tx_size]],
+                    nsyms=EXT_TX_SET_TYPE_SIZES[st])
+                tx_type = EXT_TX_SET_TYPE_INV[st][sym]
+        elif blk.is_inter:
+            from svt_av1_psy_tpu.entropy.tx_sets import (EXT_TX_USED,
+                                                         inter_tx_set_type)
+            ly = max(blk.mi_row, u_row << 1)
+            lx = max(blk.mi_col, u_col << 1)
+            tx_type = int(self.txtype_grid[ly, lx])
+            st = inter_tx_set_type(tx_size, self.reduced_tx_set)
+            if tx_type not in EXT_TX_USED[st]:
+                tx_type = int(TxType.DCT_DCT)
         else:
             tx_type = uv_tx_type(blk.uv_mode, tx_size, self.reduced_tx_set)
+
+        if plane == 0 and blk.is_inter:
+            self.txtype_grid[u_row:u_row + th4, u_col:u_col + tw4] = tx_type
 
         qcoeff, cul = self._parse_coeffs(tx_size, tx_type, ptype, above, left)
         self.above_coef[plane][u_col:u_col + tw4] = cul

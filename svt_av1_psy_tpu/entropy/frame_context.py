@@ -60,6 +60,12 @@ class FrameContext:
         ("comp_inter", "cdf_comp_inter_cdf", False),
         ("switchable_interp", "cdf_switchable_interp_cdf", False),
         ("nmv_joints", "cdf_nmv_joints_cdf", False),
+        ("interintra", "cdf_interintra_cdf", False),
+        ("interintra_mode", "cdf_interintra_mode_cdf", False),
+        ("motion_mode", "cdf_motion_mode_cdf", False),
+        ("obmc", "cdf_obmc_cdf", False),
+        ("compound_idx", "cdf_compound_index_cdf", False),
+        ("comp_group_idx", "cdf_comp_group_idx_cdf", False),
     ]
 
     def __init__(self, base_qindex: int):
@@ -86,4 +92,29 @@ class FrameContext:
         for attr, _, _ in self._SPEC:
             setattr(out, attr, getattr(self, attr).copy())
         out.nmv_comp = {k: v.copy() for k, v in self.nmv_comp.items()}
+        return out
+
+    def inherit_copy(self) -> "FrameContext":
+        """Copy for primary_ref_frame inheritance: probabilities carry
+        over but every CDF's adaptation counter resets to 0 (spec frame
+        init). The counter lives at icdf[nsyms], so tables whose rows use
+        fewer symbols than the array width need per-row positions."""
+        out = self.copy()
+        for attr, _, _ in self._SPEC:
+            getattr(out, attr)[..., -1] = 0
+        for v in out.nmv_comp.values():
+            v[..., -1] = 0
+        # variable-nsyms tables: counter at icdf[nsyms] per row
+        out.partition[0:4, 4] = 0          # 8x8 ctxs: 4 symbols
+        out.partition[16:20, 8] = 0        # 128x128 ctxs: 8 symbols
+        out.partition[4:16, 10] = 0
+        out.uv_mode[0, :, 13] = 0          # no-CfL rows: 13 symbols
+        out.uv_mode[1, :, 14] = 0
+        out.intra_ext_tx[1, :, :, 7] = 0   # set 1: 7 symbols
+        out.intra_ext_tx[2, :, :, 5] = 0   # set 2: 5 symbols
+        out.inter_ext_tx[1, :, 16] = 0     # ALL16
+        out.inter_ext_tx[2, :, 12] = 0     # DTT9_IDTX_1DDCT
+        out.inter_ext_tx[3, :, 2] = 0      # DCT_IDTX
+        out.tx_size[0, :, 2] = 0           # cat 0: 2 symbols
+        out.tx_size[1:, :, 3] = 0
         return out

@@ -50,3 +50,42 @@ def uv_tx_type(uv_mode: int, tx_size: int, reduced: bool) -> int:
     if ts == 0:
         return int(TxType.DCT_DCT)
     return t if t in EXT_TX_INV[ts] else int(TxType.DCT_DCT)
+
+
+# --- inter tx sets (ref definitions.h get_ext_tx_set_type, av1_ext_tx_inv) --
+# set TYPES: 0 DCTONLY, 1 DCT_IDTX, 2 DTT4_IDTX, 3 DTT4_IDTX_1DDCT,
+#            4 DTT9_IDTX_1DDCT, 5 ALL16
+EXT_TX_SET_TYPE_INV = {
+    1: [9, 0],
+    4: [9, 10, 11, 0, 1, 2, 4, 5, 3, 6, 7, 8],
+    5: [9, 10, 11, 12, 13, 14, 15, 0, 1, 2, 4, 5, 3, 6, 7, 8],
+}
+EXT_TX_SET_TYPE_FWD = {
+    1: [1] + [0] * 8 + [0] + [0] * 6,
+    4: [3, 4, 5, 8, 6, 7, 9, 10, 11, 0, 1, 2, 0, 0, 0, 0],
+    5: [7, 8, 9, 12, 10, 11, 13, 14, 15, 0, 1, 2, 3, 4, 5, 6],
+}
+EXT_TX_SET_TYPE_SIZES = {0: 1, 1: 2, 2: 5, 3: 7, 4: 12, 5: 16}
+# set type -> cdf row index (inter): ext_tx_set_index[1][...]
+EXT_TX_SET_TYPE_TO_IDX_INTER = {0: 0, 1: 3, 4: 2, 5: 1}
+# membership (av1_ext_tx_used)
+EXT_TX_USED = {
+    0: {0},
+    1: {0, 9},
+    2: {0, 1, 2, 3, 9},
+    3: {0, 1, 2, 3, 9, 10, 11},
+    4: {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11},
+    5: set(range(16)),
+}
+
+
+def inter_tx_set_type(tx_size: int, reduced: bool) -> int:
+    from svt_av1_psy_tpu.constants import TX_SIZE_SQR, TX_SIZE_SQR_UP
+    up = TX_SIZE_SQR_UP[tx_size]     # TxSize enum of the square sup
+    if up > 3:                       # larger than TX_32X32
+        return 0
+    if up == 3:                      # TX_32X32
+        return 1
+    if reduced:
+        return 1
+    return 4 if TX_SIZE_SQR[tx_size] == 2 else 5

@@ -1,0 +1,342 @@
+"""MV reference-stack construction (spec 7.10.2, ref adaptive_mv_pred.c
+setup_ref_mv_list).
+
+Single-reference path with identity global motion and no temporal MVP
+(use_ref_frame_mvs=0) — the configuration our encoder emits and the one
+the conformance streams exercise. The stack, weights, and the
+new/global/ref mode-context derivation must match the reference exactly;
+transcode identity over reference-encoded inter streams pins this.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+import numpy as np
+
+MV_BORDER = 4 << 5              # 128, in 1/8 px
+REF_CAT_LEVEL = 640
+MAX_REF_MV_STACK_SIZE = 8
+MAX_MV_REF_CANDIDATES = 2
+MVREF_ROW_COLS = 3
+INTRA_FRAME = 0
+NONE_FRAME = -1
+
+
+@dataclass
+class MiGrid:
+    """Per-4x4-unit mode info of the frame being coded (decode order)."""
+    mi_rows: int
+    mi_cols: int
+
+    def __post_init__(self):
+        shape = (self.mi_rows, self.mi_cols)
+        self.ref0 = np.full(shape, NONE_FRAME, np.int8)
+        self.ref1 = np.full(shape, NONE_FRAME, np.int8)
+        self.mv0 = np.zeros(shape + (2,), np.int16)     # (row, col) 1/8 px
+        self.mv1 = np.zeros(shape + (2,), np.int16)
+        self.newmv = np.zeros(shape, np.uint8)           # mode has NEWMV
+        self.bsize = np.zeros(shape, np.uint8)
+        self.partition = np.zeros(shape, np.uint8)
+        self.filters = np.zeros(shape + (2,), np.uint8)
+
+    def set_block(self, r, c, h4, w4, bsize, ref0, ref1, mv0, mv1,
+                  has_newmv, partition=0, filters=(0, 0)):
+        self.ref0[r:r + h4, c:c + w4] = ref0
+        self.ref1[r:r + h4, c:c + w4] = ref1
+        self.mv0[r:r + h4, c:c + w4] = mv0
+        self.mv1[r:r + h4, c:c + w4] = mv1
+        self.newmv[r:r + h4, c:c + w4] = int(has_newmv)
+        self.bsize[r:r + h4, c:c + w4] = bsize
+        self.partition[r:r + h4, c:c + w4] = partition
+        self.filters[r:r + h4, c:c + w4] = filters
+
+
+def _clamp(v, lo, hi):
+    return max(lo, min(hi, v))
+
+
+class MvRefs:
+    """Result of setup_ref_mv_list for one (block, ref_frame)."""
+
+    def __init__(self):
+        self.stack: List[Tuple[int, int]] = []    # (row, col) per candidate
+        self.weights: List[int] = []
+        self.mode_context = 0
+
+    n_found = 0     # NumMvFound (gm fills excluded)
+
+    @property
+    def count(self):
+        return self.n_found
+
+    @property
+    def newmv_ctx(self):
+        return self.mode_context & 7
+
+    @property
+    def refmv_ctx(self):
+        return (self.mode_context >> 4) & 15
+
+    @property
+    def zeromv_ctx(self):
+        return (self.mode_context >> 3) & 1
+
+
+def _bsize_dims(bsize):
+    from svt_av1_psy_tpu.constants import BLOCK_SIZE_HIGH, BLOCK_SIZE_WIDE
+    return BLOCK_SIZE_WIDE[bsize] // 4, BLOCK_SIZE_HIGH[bsize] // 4
+
+
+def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
+                      ref_frame: int, sb_mi: int = 16) -> MvRefs:
+    """Build the single-ref MV stack (gm = identity, no temporal mvp)."""
+    n8_w, n8_h = _bsize_dims(bsize)
+    mi_rows, mi_cols = grid.mi_rows, grid.mi_cols
+    out = MvRefs()
+    stack: List[List[int]] = []   # [mv_row, mv_col, weight]
+
+    up_avail = mi_row > 0
+    left_avail = mi_col > 0
+    row_adj = (n8_h < 2) and (mi_row & 1)
+    col_adj = (n8_w < 2) and (mi_col & 1)
+    max_row_offset = 0
+    max_col_offset = 0
+    if up_avail:
+        max_row_offset = -(MVREF_ROW_COLS << 1) + row_adj
+        if n8_h < 2:
+            max_row_offset = -(2 << 1) + row_adj
+        max_row_offset = _clamp(max_row_offset, -mi_row, mi_rows - mi_row - 1)
+    if left_avail:
+        max_col_offset = -(MVREF_ROW_COLS << 1) + col_adj
+        if n8_w < 2:
+            max_col_offset = -(2 << 1) + col_adj
+        max_col_offset = _clamp(max_col_offset, -mi_col, mi_cols - mi_col - 1)
+
+    counts = {"row_match": 0, "col_match": 0, "newmv": 0}
+    processed = {"rows": 0, "cols": 0}
+
+    def add_candidate(r, c, len_, weight, which):
+        """add_ref_mv_candidate for single ref."""
+        if c >= mi_cols or r >= mi_rows:
+            return
+        if grid.ref0[r, c] <= INTRA_FRAME:
+            return
+        for ref_i, refs in ((0, grid.ref0), (1, grid.ref1)):
+            if refs[r, c] == ref_frame:
+                mv = grid.mv0[r, c] if ref_i == 0 else grid.mv1[r, c]
+                mv = (int(mv[0]), int(mv[1]))
+                for ent in stack:
+                    if (ent[0], ent[1]) == mv:
+                        ent[2] += weight * len_
+                        break
+                else:
+                    if len(stack) < MAX_REF_MV_STACK_SIZE:
+                        stack.append([mv[0], mv[1], weight * len_])
+                if grid.newmv[r, c]:
+                    counts["newmv"] += 1
+                counts[which] += 1
+
+    def scan_row(row_offset):
+        end_mi = min(n8_w, mi_cols - mi_col, 16)
+        col_offset = 0
+        if abs(row_offset) > 1:
+            col_offset = 1
+            if (mi_col & 1) and n8_w < 2:
+                col_offset -= 1
+        use_step_16 = n8_w >= 16
+        i = 0
+        while i < end_mi:
+            r = mi_row + row_offset
+            c = mi_col + col_offset + i
+            cand_bsize = int(grid.bsize[r, c])
+            cw4, ch4 = _bsize_dims(cand_bsize)
+            ln = min(n8_w, cw4)
+            if use_step_16:
+                ln = max(4, ln)
+            elif abs(row_offset) > 1:
+                ln = max(ln, 2)
+            weight = 2
+            if n8_w >= 2 and n8_w <= cw4:
+                inc = min(-max_row_offset + row_offset + 1, ch4)
+                weight = max(weight, inc)
+                processed["rows"] = inc - row_offset - 1
+            add_candidate(r, c, ln, weight, "row_match")
+            i += ln
+
+    def scan_col(col_offset):
+        end_mi = min(n8_h, mi_rows - mi_row, 16)
+        row_offset = 0
+        if abs(col_offset) > 1:
+            row_offset = 1
+            if (mi_row & 1) and n8_h < 2:
+                row_offset -= 1
+        use_step_16 = n8_h >= 16
+        i = 0
+        while i < end_mi:
+            r = mi_row + row_offset + i
+            c = mi_col + col_offset
+            cand_bsize = int(grid.bsize[r, c])
+            cw4, ch4 = _bsize_dims(cand_bsize)
+            ln = min(n8_h, ch4)
+            if use_step_16:
+                ln = max(4, ln)
+            elif abs(col_offset) > 1:
+                ln = max(ln, 2)
+            weight = 2
+            if n8_h >= 2 and n8_h <= ch4:
+                inc = min(-max_col_offset + col_offset + 1, cw4)
+                weight = max(weight, inc)
+                processed["cols"] = inc - col_offset - 1
+            add_candidate(r, c, ln, weight, "col_match")
+            i += ln
+
+    def scan_blk(row_offset, col_offset):
+        r = mi_row + row_offset
+        c = mi_col + col_offset
+        if r < 0 or c < 0 or r >= mi_rows or c >= mi_cols:
+            return
+        add_candidate(r, c, 2, 2, "row_match")
+
+    def has_top_right():
+        bs = max(n8_w, n8_h)
+        if bs > 16:
+            return 0
+        if n8_w > n8_h:
+            # bottom of two horizontal rects never has a TR
+            if mi_row & (n8_w - 1):
+                return 0
+        if n8_w < n8_h:
+            # left of two vertical rects always has a TR (is_sec_rect==0)
+            if (mi_col + n8_w) & (n8_h - 1):
+                return 1
+        mask_row = mi_row & (sb_mi - 1)
+        mask_col = mi_col & (sb_mi - 1)
+        has_tr = not ((mask_row & bs) and (mask_col & bs))
+        b = bs
+        while b < sb_mi:
+            if mask_col & b:
+                if (mask_col & (2 * b)) and (mask_row & (2 * b)):
+                    has_tr = 0
+                    break
+            else:
+                break
+            b <<= 1
+        # VERT_A bottom-left square
+        if int(grid.partition[mi_row, mi_col]) == 6 and n8_w == n8_h:
+            if mask_row & bs:
+                return 0
+        return has_tr
+
+    if abs(max_row_offset) >= 1:
+        scan_row(-1)
+    if abs(max_col_offset) >= 1:
+        scan_col(-1)
+    if has_top_right():
+        scan_blk(-1, n8_w)
+
+    nearest_match = (counts["row_match"] > 0) + (counts["col_match"] > 0)
+    nearest_newmv = counts["newmv"]
+    for ent in stack:
+        ent[2] += REF_CAT_LEVEL
+
+    # top-left + outer rows/cols (newmv counter no longer updated)
+    saved_newmv = counts["newmv"]
+    scan_blk(-1, -1)
+    for idx in range(2, MVREF_ROW_COLS + 1):
+        row_offset = -(idx << 1) + 1 + row_adj
+        col_offset = -(idx << 1) + 1 + col_adj
+        if abs(row_offset) <= abs(max_row_offset) and \
+                abs(row_offset) > processed["rows"]:
+            scan_row(row_offset)
+        if abs(col_offset) <= abs(max_col_offset) and \
+                abs(col_offset) > processed["cols"]:
+            scan_col(col_offset)
+    counts["newmv"] = saved_newmv
+
+    ref_match_count = (counts["row_match"] > 0) + (counts["col_match"] > 0)
+    mode_context = 0
+    if nearest_match == 0:
+        if ref_match_count >= 1:
+            mode_context |= 1
+        if ref_match_count == 1:
+            mode_context |= (1 << 4)
+        elif ref_match_count >= 2:
+            mode_context |= (2 << 4)
+    elif nearest_match == 1:
+        mode_context |= 2 if nearest_newmv > 0 else 3
+        if ref_match_count == 1:
+            mode_context |= (3 << 4)
+        elif ref_match_count >= 2:
+            mode_context |= (4 << 4)
+    else:
+        mode_context |= 4 if nearest_newmv >= 1 else 5
+        mode_context |= (5 << 4)
+
+    # stable sort by weight (reference's repeated bubble pass == stable
+    # descending order)
+    stack.sort(key=lambda e: -e[2])
+
+    # single-ref extension: relaxed row/col rescans, then global-mv fill
+    n_counted = None
+    if len(stack) < MAX_MV_REF_CANDIDATES:
+        mi_width = min(16, n8_w, mi_cols - mi_col)
+        mi_height = min(16, n8_h, mi_rows - mi_row)
+        mi_size = min(mi_width, mi_height)
+        if abs(max_row_offset) >= 1:
+            i = 0
+            while i < mi_size and len(stack) < MAX_MV_REF_CANDIDATES:
+                r, c = mi_row - 1, mi_col + i
+                for ref_i, refs in ((0, grid.ref0), (1, grid.ref1)):
+                    if refs[r, c] > INTRA_FRAME:
+                        mvv = grid.mv0[r, c] if ref_i == 0 else grid.mv1[r, c]
+                        mv = (int(mvv[0]), int(mvv[1]))
+                        if not any((e[0], e[1]) == mv for e in stack):
+                            stack.append([mv[0], mv[1], 2])
+                i += _bsize_dims(int(grid.bsize[r, c]))[0]
+        if abs(max_col_offset) >= 1:
+            i = 0
+            while i < mi_size and len(stack) < MAX_MV_REF_CANDIDATES:
+                r, c = mi_row + i, mi_col - 1
+                for ref_i, refs in ((0, grid.ref0), (1, grid.ref1)):
+                    if refs[r, c] > INTRA_FRAME:
+                        mvv = grid.mv0[r, c] if ref_i == 0 else grid.mv1[r, c]
+                        mv = (int(mvv[0]), int(mvv[1]))
+                        if not any((e[0], e[1]) == mv for e in stack):
+                            stack.append([mv[0], mv[1], 2])
+                i += _bsize_dims(int(grid.bsize[r, c]))[1]
+        # gm fill writes stack entries but does NOT bump refmv_count
+        # (ref adaptive_mv_pred.c:632)
+        n_counted = len(stack)
+        while len(stack) < MAX_MV_REF_CANDIDATES:
+            stack.append([0, 0, 2])
+
+    # clamp
+    bw8 = n8_w * 4 * 8
+    bh8 = n8_h * 4 * 8
+    to_left = -(mi_col * 4 * 8)
+    to_right = (mi_cols - n8_w - mi_col) * 4 * 8
+    to_top = -(mi_row * 4 * 8)
+    to_bottom = (mi_rows - n8_h - mi_row) * 4 * 8
+    for ent in stack:
+        ent[1] = _clamp(ent[1], to_left - bw8 - MV_BORDER,
+                        to_right + bw8 + MV_BORDER)
+        ent[0] = _clamp(ent[0], to_top - bh8 - MV_BORDER,
+                        to_bottom + bh8 + MV_BORDER)
+
+    out.stack = [(e[0], e[1]) for e in stack]
+    out.weights = [e[2] for e in stack]
+    out.n_found = len(stack) if n_counted is None else n_counted
+    out.mode_context = mode_context
+    return out
+
+
+def drl_ctx(weights: List[int], idx: int) -> int:
+    """av1_drl_ctx: context for the DRL bit after position idx."""
+    if idx < len(weights) and weights[idx] >= REF_CAT_LEVEL:
+        if idx + 1 < len(weights) and weights[idx + 1] >= REF_CAT_LEVEL:
+            return 0
+        return 1
+    if idx + 1 < len(weights):
+        return 2
+    return 0
