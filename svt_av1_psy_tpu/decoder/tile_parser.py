@@ -57,6 +57,7 @@ class ParsedBlock:
     ref_frame: int = 0                         # LAST=1..ALTREF=7
     mv: tuple = (0, 0)                         # (row, col) in 1/8 px
     inter_mode: int = 0                        # 0 NEARESTMV 1 NEARMV 2 GLOBALMV 3 NEWMV
+    ref_mv_idx: int = 0
     interp_filters: tuple = (0, 0)             # (x, y)
     txbs: list = field(default_factory=list)   # (plane, u_row, u_col, TxSize, TxType, qcoeff|None)
 
@@ -616,30 +617,9 @@ class TileParser:
         # read_ref_frames (single path; comp flag when selectable)
         if self.reference_select and min(BLOCK_SIZE_WIDE[bsize],
                                          BLOCK_SIZE_HIGH[bsize]) >= 8:
-            cnt = self._neighbor_ref_counts(r, c, have_above, have_left)
-            g = self.grid
-            ctx = 1
-            a_in = have_above and int(g.ref0[r - 1, c]) != 0
-            l_in = have_left and int(g.ref0[r, c - 1]) != 0
-            a_comp = have_above and int(g.ref1[r - 1, c]) > 0
-            l_comp = have_left and int(g.ref1[r, c - 1]) > 0
-            a_bwd = have_above and int(g.ref0[r - 1, c]) >= 5
-            l_bwd = have_left and int(g.ref0[r, c - 1]) >= 5
-            if have_above and have_left:
-                if not a_comp and not l_comp:
-                    ctx = int(a_bwd) ^ int(l_bwd)
-                elif not a_comp:
-                    ctx = 2 + int(a_bwd or not a_in)
-                elif not l_comp:
-                    ctx = 2 + int(l_bwd or not l_in)
-                else:
-                    ctx = 4
-            elif have_above or have_left:
-                if have_above:
-                    ctx = 3 if a_comp else int(a_bwd)
-                else:
-                    ctx = 3 if l_comp else int(l_bwd)
-            comp = self._sym("comp_mode", fc.comp_inter[ctx])
+            from svt_av1_psy_tpu.inter.mvref import reference_mode_ctx
+            comp = self._sym("comp_mode", fc.comp_inter[
+                reference_mode_ctx(self.grid, r, c)])
             assert not comp, "compound prediction unsupported"
         ref = self._read_single_ref(r, c, have_above, have_left)
 
@@ -744,7 +724,8 @@ class TileParser:
                           uv_mode=0, skip=skip,
                           tx_size=int(MAX_TX_SIZE_RECT[bsize]),
                           is_inter=True, ref_frame=ref, mv=mv,
-                          inter_mode=mode, interp_filters=filters)
+                          inter_mode=mode, ref_mv_idx=ref_mv_idx,
+                          interp_filters=filters)
         assert not self.tx_mode_select, "inter var-tx parse not implemented"
 
         # neighbor state updates

@@ -25,6 +25,9 @@ from svt_av1_psy_tpu.entropy.range_coder import RangeEncoder
 
 # intra_mode_context (libaom): mode -> kf_y cdf context bucket
 _INTRA_MODE_CTX = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
+# size_group_lookup
+_SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
+               1, 1, 2, 2, 3, 3]
 
 # partition ctx byte per block dimension (above uses width, left height);
 # 5-bit scheme, bit (log2(dim4)-1) == "neighbor smaller than this size"
@@ -90,6 +93,12 @@ class BlockRecord:
     cfl_idx_v: int = 0
     use_filter_intra: bool = False
     filter_intra_mode: int = 0
+    is_inter: bool = False
+    ref_frame: int = 0
+    mv: tuple = (0, 0)
+    inter_mode: int = 0          # 0 NEARESTMV 1 NEARMV 2 GLOBALMV 3 NEWMV
+    ref_mv_idx: int = 0
+    interp_filters: tuple = (0, 0)
     txbs_y: list = field(default_factory=list)    # list[TxbData]
     txbs_u: list = field(default_factory=list)
     txbs_v: list = field(default_factory=list)
@@ -100,7 +109,14 @@ class TileWriter:
                  sb_size: int = 64, ss_x: int = 1, ss_y: int = 1,
                  reduced_tx_set: bool = False, tx_mode_select: bool = False,
                  enable_filter_intra: bool = False, backend: str = "python",
-                 cdef_bits: int = -1):
+                 cdef_bits: int = -1, frame_is_intra: bool = True,
+                 allow_hp: bool = False, force_integer_mv: bool = False,
+                 reference_select: bool = False,
+                 switchable_filter: bool = False, dual_filter: bool = False,
+                 enable_interintra: bool = False,
+                 motion_mode_switchable: bool = False,
+                 allow_warped_motion: bool = False,
+                 skip_mode_present: bool = False):
         self.fc = fc
         self.reduced_tx_set = reduced_tx_set
         self.tx_mode_select = tx_mode_select
@@ -123,6 +139,22 @@ class TileWriter:
         self._cdef_done = np.zeros(((mi_rows + 15) // 16,
                                     (mi_cols + 15) // 16), bool)
         self.ss_x, self.ss_y = ss_x, ss_y
+        self.frame_is_intra = frame_is_intra
+        self.allow_hp = allow_hp
+        self.force_integer_mv = force_integer_mv
+        self.reference_select = reference_select
+        self.switchable_filter = switchable_filter
+        self.dual_filter = dual_filter
+        self.enable_interintra = enable_interintra
+        self.motion_mode_switchable = motion_mode_switchable
+        self.allow_warped_motion = allow_warped_motion
+        self.skip_mode_present = skip_mode_present
+        if not frame_is_intra:
+            from svt_av1_psy_tpu.inter.mvref import MiGrid
+            self.grid = MiGrid(mi_rows, mi_cols)
+            self.txtype_grid = np.zeros((mi_rows, mi_cols), np.uint8)
+            self.above_skip_mode = np.zeros(mi_cols, np.uint8)
+            self.left_skip_mode = np.zeros(mi_rows, np.uint8)
         # neighbor state
         self.above_part = np.zeros(mi_cols, np.uint8)
         self.left_part = np.zeros(mi_rows, np.uint8)
@@ -238,6 +270,14 @@ class TileWriter:
         have_above = r > 0
         have_left = c > 0
 
+        if self.skip_mode_present and not self.frame_is_intra and \
+                min(BLOCK_SIZE_WIDE[b.bsize], BLOCK_SIZE_HIGH[b.bsize]) >= 8:
+            smctx = int(self.above_skip_mode[c]) + \
+                int(self.left_skip_mode[r])
+            enc.encode_symbol(0, fc.skip_mode[smctx], adapt=True)
+            self.above_skip_mode[c:c + w4] = 0
+            self.left_skip_mode[r:r + h4] = 0
+
         # skip (coded first in intra_frame_mode_info, spec 5.11.8)
         skip_ctx = int(self.above_skip[c]) + int(self.left_skip[r])
         enc.encode_symbol(int(b.skip), fc.skip[skip_ctx], adapt=True)
@@ -257,12 +297,29 @@ class TileWriter:
         if delta_q is not None:
             self.write_delta_q(delta_q[0], delta_q[1])
 
-        # y mode (kf_y_cdf with above/left mode contexts)
-        am = int(self.above_mode[c]) if have_above else int(PredMode.DC_PRED)
-        lm = int(self.left_mode[r]) if have_left else int(PredMode.DC_PRED)
-        enc.encode_symbol(b.y_mode,
-                          fc.kf_y[_INTRA_MODE_CTX[am]][_INTRA_MODE_CTX[lm]],
-                          adapt=True)
+        if not self.frame_is_intra:
+            from svt_av1_psy_tpu.inter import mvref as mvh
+            ii_ctx = mvh.intra_inter_ctx(self.grid, r, c)
+            enc.encode_symbol(int(b.is_inter), fc.intra_inter[ii_ctx],
+                              adapt=True)
+            if b.is_inter:
+                self._write_inter_info(b)
+                return
+
+        # y mode (kf_y_cdf with above/left mode contexts on KEY frames,
+        # size-group y_mode_cdf on inter frames)
+        if self.frame_is_intra:
+            am = int(self.above_mode[c]) if have_above \
+                else int(PredMode.DC_PRED)
+            lm = int(self.left_mode[r]) if have_left \
+                else int(PredMode.DC_PRED)
+            enc.encode_symbol(
+                b.y_mode,
+                fc.kf_y[_INTRA_MODE_CTX[am]][_INTRA_MODE_CTX[lm]],
+                adapt=True)
+        else:
+            enc.encode_symbol(b.y_mode, fc.y_mode[_SIZE_GROUP[b.bsize]],
+                              adapt=True)
         if is_directional(b.y_mode) and use_angle_delta(b.bsize):
             enc.encode_symbol(b.angle_delta_y + 3,
                               fc.angle_delta[b.y_mode - PredMode.V_PRED],
@@ -345,7 +402,183 @@ class TileWriter:
         self.above_skip[c:c + w4] = int(b.skip)
         self.left_skip[r:r + h4] = int(b.skip)
 
+        if not self.frame_is_intra:
+            self.grid.set_block(b.mi_row, b.mi_col, h4, w4, b.bsize, 0, -1,
+                                (0, 0), (0, 0), False)
+
         # residual
+        if b.skip:
+            self._reset_skip_context(b)
+            return
+        self._write_residual(b)
+
+    def _write_mv_component(self, comp: int, val: int):
+        """encode_mv_component (spec 5.11.32 mirror)."""
+        enc, fc = self.enc, self.fc
+        pre = f"comp{comp}_"
+        sign = 1 if val < 0 else 0
+        mag = -val if sign else val
+        enc.encode_symbol(sign, fc.nmv_comp[pre + "sign_cdf"], adapt=True)
+        off = mag - 1
+        cls = 0
+        while cls < 10:
+            base = 0 if cls == 0 else (2 << (cls + 2))
+            size = 16 if cls == 0 else (2 << (cls + 2))
+            if base <= off < base + size:
+                break
+            cls += 1
+        enc.encode_symbol(cls, fc.nmv_comp[pre + "classes_cdf"], adapt=True)
+        rem = off if cls == 0 else off - (2 << (cls + 2))
+        hp = rem & 1
+        fr = (rem >> 1) & 3
+        d = rem >> 3
+        if cls == 0:
+            enc.encode_symbol(d, fc.nmv_comp[pre + "class0_cdf"], adapt=True)
+        else:
+            for bpos in range(cls):
+                enc.encode_symbol((d >> bpos) & 1,
+                                  fc.nmv_comp[pre + "bits_cdf"][bpos],
+                                  adapt=True)
+        if not self.force_integer_mv:
+            if cls == 0:
+                enc.encode_symbol(fr, fc.nmv_comp[pre + "class0_fp_cdf"][d],
+                                  adapt=True)
+            else:
+                enc.encode_symbol(fr, fc.nmv_comp[pre + "fp_cdf"],
+                                  adapt=True)
+            if self.allow_hp:
+                enc.encode_symbol(hp, fc.nmv_comp[
+                    pre + ("class0_hp_cdf" if cls == 0 else "hp_cdf")],
+                    adapt=True)
+
+    def _write_mv(self, mv, pred):
+        dr = mv[0] - pred[0]
+        dc = mv[1] - pred[1]
+        joint = (2 if dr else 0) | (1 if dc else 0)
+        self.enc.encode_symbol(joint, self.fc.nmv_joints, adapt=True)
+        if dr:
+            self._write_mv_component(0, dr)
+        if dc:
+            self._write_mv_component(1, dc)
+
+    def _write_inter_info(self, b: BlockRecord):
+        from svt_av1_psy_tpu.inter import mvref as mvh
+        enc, fc = self.enc, self.fc
+        r, c = b.mi_row, b.mi_col
+        w4 = BLOCK_SIZE_WIDE[b.bsize] // 4
+        h4 = BLOCK_SIZE_HIGH[b.bsize] // 4
+        ref = b.ref_frame
+        g = self.grid
+
+        if self.reference_select and min(BLOCK_SIZE_WIDE[b.bsize],
+                                         BLOCK_SIZE_HIGH[b.bsize]) >= 8:
+            enc.encode_symbol(0, fc.comp_inter[
+                mvh.reference_mode_ctx(g, r, c)], adapt=True)
+        # single ref tree (LAST..ALTREF), contexts from neighbor counts
+        cnt = mvh.neighbor_ref_counts(g, r, c)
+        fwd = cnt[1] + cnt[2] + cnt[3] + cnt[4]
+        bwd = cnt[5] + cnt[6] + cnt[7]
+        enc.encode_symbol(int(ref >= 5),
+                          fc.single_ref[mvh.ctx3(fwd, bwd)][0], adapt=True)
+        if ref >= 5:
+            enc.encode_symbol(int(ref == 7),
+                              fc.single_ref[mvh.ctx3(cnt[5] + cnt[6],
+                                                     cnt[7])][1], adapt=True)
+            if ref != 7:
+                enc.encode_symbol(int(ref == 6),
+                                  fc.single_ref[mvh.ctx3(cnt[5],
+                                                         cnt[6])][5],
+                                  adapt=True)
+        else:
+            enc.encode_symbol(int(ref >= 3),
+                              fc.single_ref[mvh.ctx3(cnt[1] + cnt[2],
+                                                     cnt[3] + cnt[4])][2],
+                              adapt=True)
+            if ref >= 3:
+                enc.encode_symbol(int(ref == 4),
+                                  fc.single_ref[mvh.ctx3(cnt[3],
+                                                         cnt[4])][4],
+                                  adapt=True)
+            else:
+                enc.encode_symbol(int(ref == 2),
+                                  fc.single_ref[mvh.ctx3(cnt[1],
+                                                         cnt[2])][3],
+                                  adapt=True)
+
+        refs = mvh.setup_ref_mv_list(g, r, c, b.bsize, ref,
+                                     sb_mi=self.sb_mi)
+        mode = b.inter_mode
+        enc.encode_symbol(int(mode != 3), fc.newmv[refs.newmv_ctx],
+                          adapt=True)
+        if mode != 3:
+            enc.encode_symbol(int(mode != 2), fc.zeromv[refs.zeromv_ctx],
+                              adapt=True)
+            if mode != 2:
+                enc.encode_symbol(int(mode != 0), fc.refmv[refs.refmv_ctx],
+                                  adapt=True)
+        # DRL
+        if mode == 3:
+            for idx in range(2):
+                if refs.count > idx + 1:
+                    bit = int(b.ref_mv_idx != idx)
+                    enc.encode_symbol(
+                        bit, fc.drl[mvh.drl_ctx(refs.weights, idx)],
+                        adapt=True)
+                    if not bit:
+                        break
+        elif mode == 1:
+            for idx in range(1, 3):
+                if refs.count > idx + 1:
+                    bit = int(b.ref_mv_idx != idx)
+                    enc.encode_symbol(
+                        bit, fc.drl[mvh.drl_ctx(refs.weights, idx)],
+                        adapt=True)
+                    if not bit:
+                        break
+        if mode == 3:
+            pos = b.ref_mv_idx if refs.count > 1 else 0
+            pred = mvh.lower_mv_precision(refs.stack[pos], self.allow_hp,
+                                          self.force_integer_mv)
+            self._write_mv(b.mv, pred)
+
+        # interintra (always off in our streams; symbol still coded when
+        # the sequence enables the tool)
+        if self.enable_interintra and \
+                8 <= BLOCK_SIZE_WIDE[b.bsize] <= 32 and \
+                8 <= BLOCK_SIZE_HIGH[b.bsize] <= 32:
+            enc.encode_symbol(0, fc.interintra[_SIZE_GROUP[b.bsize]],
+                              adapt=True)
+        # motion mode
+        if self.motion_mode_switchable and \
+                min(BLOCK_SIZE_WIDE[b.bsize],
+                    BLOCK_SIZE_HIGH[b.bsize]) >= 8 and \
+                mvh.has_overlappable(g, r, c, w4, h4):
+            nsamp = mvh.count_warp_samples(g, r, c, b.bsize, ref, b.mv)
+            if self.force_integer_mv or nsamp == 0 or \
+                    not self.allow_warped_motion:
+                enc.encode_symbol(0, fc.obmc[b.bsize], adapt=True)
+            else:
+                enc.encode_symbol(0, fc.motion_mode[b.bsize], adapt=True)
+        # interp filter
+        if self.switchable_filter:
+            ndirs = 2 if self.dual_filter else 1
+            for d in range(ndirs):
+                ctx = mvh.interp_filter_ctx(g, r, c, ref, d)
+                enc.encode_symbol(b.interp_filters[d],
+                                  fc.switchable_interp[ctx], adapt=True)
+
+        assert not self.tx_mode_select, "inter var-tx write unsupported"
+        tx_size = int(MAX_TX_SIZE_RECT[b.bsize])
+        from svt_av1_psy_tpu.constants import TX_SIZE_HIGH, TX_SIZE_WIDE
+        self.above_txw[c:c + w4] = TX_SIZE_WIDE[tx_size]
+        self.left_txh[r:r + h4] = TX_SIZE_HIGH[tx_size]
+        self.above_mode[c:c + w4] = int(PredMode.DC_PRED)
+        self.left_mode[r:r + h4] = int(PredMode.DC_PRED)
+        self.above_skip[c:c + w4] = int(b.skip)
+        self.left_skip[r:r + h4] = int(b.skip)
+        g.set_block(r, c, h4, w4, b.bsize, ref, -1, b.mv, (0, 0),
+                    b.inter_mode == 3, filters=b.interp_filters)
+
         if b.skip:
             self._reset_skip_context(b)
             return
@@ -412,10 +645,15 @@ class TileWriter:
         all_zero = not np.any(txb.qcoeff)
         enc.encode_symbol(int(all_zero), fc.txb_skip[txs_ctx][sctx],
                           adapt=True)
+        tw4_u = TX_SIZE_WIDE[txb.tx_size] // 4
+        th4_u = TX_SIZE_HIGH[txb.tx_size] // 4
         if all_zero:
+            if plane == 0 and not self.frame_is_intra:
+                self.txtype_grid[u_row:u_row + th4_u,
+                                 u_col:u_col + tw4_u] = 0
             cul = 0
         else:
-            if plane == 0:
+            if plane == 0 and not b.is_inter:
                 from svt_av1_psy_tpu.entropy.tx_sets import (
                     EXT_TX_FWD, EXT_TX_SET_SIZES, FIMODE_TO_INTRADIR,
                     intra_tx_set)
@@ -432,6 +670,23 @@ class TileWriter:
                         nsyms=EXT_TX_SET_SIZES[tx_set], adapt=True)
                 else:
                     assert txb.tx_type == 0, "DCT-only set"
+            elif plane == 0:
+                from svt_av1_psy_tpu.entropy.tx_sets import (
+                    EXT_TX_SET_TYPE_FWD, EXT_TX_SET_TYPE_SIZES,
+                    EXT_TX_SET_TYPE_TO_IDX_INTER, inter_tx_set_type)
+                from svt_av1_psy_tpu.constants import TX_SIZE_SQR
+                st = inter_tx_set_type(txb.tx_size, self.reduced_tx_set)
+                if st > 0:
+                    sidx = EXT_TX_SET_TYPE_TO_IDX_INTER[st]
+                    enc.encode_symbol(
+                        EXT_TX_SET_TYPE_FWD[st][txb.tx_type],
+                        fc.inter_ext_tx[sidx][TX_SIZE_SQR[txb.tx_size]],
+                        nsyms=EXT_TX_SET_TYPE_SIZES[st], adapt=True)
+                else:
+                    assert txb.tx_type == 0, "DCT-only inter set"
+            if plane == 0 and not self.frame_is_intra:
+                self.txtype_grid[u_row:u_row + th4_u,
+                                 u_col:u_col + tw4_u] = txb.tx_type
             sgn_ctx = cc.dc_sign_ctx(above, left)
             if self.backend == "native":
                 from svt_av1_psy_tpu.constants import get_scan

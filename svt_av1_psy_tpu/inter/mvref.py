@@ -340,3 +340,168 @@ def drl_ctx(weights: List[int], idx: int) -> int:
     if idx + 1 < len(weights):
         return 2
     return 0
+
+
+# --- shared writer/parser context helpers (spec 5.11.*) --------------------
+
+def intra_inter_ctx(grid: MiGrid, r: int, c: int) -> int:
+    have_above, have_left = r > 0, c > 0
+    if have_above and have_left:
+        ai = int(grid.ref0[r - 1, c]) <= 0
+        li = int(grid.ref0[r, c - 1]) <= 0
+        return 3 if (ai and li) else (1 if (ai or li) else 0)
+    if have_above or have_left:
+        pos = (r - 1, c) if have_above else (r, c - 1)
+        return 2 * (int(grid.ref0[pos]) <= 0)
+    return 0
+
+
+def neighbor_ref_counts(grid: MiGrid, r: int, c: int):
+    counts = [0] * 8
+    for ok, pos in ((r > 0, (r - 1, c)), (c > 0, (r, c - 1))):
+        if not ok:
+            continue
+        r0 = int(grid.ref0[pos])
+        r1 = int(grid.ref1[pos])
+        if r0 > 0:
+            counts[r0] += 1
+            if r1 > 0:
+                counts[r1] += 1
+    return counts
+
+
+def ctx3(a: int, b: int) -> int:
+    return 1 if a == b else (0 if a < b else 2)
+
+
+def interp_filter_ctx(grid: MiGrid, r: int, c: int, ref: int,
+                      direction: int) -> int:
+    ctx = (direction & 1) * 8
+
+    def ref_filt(rr, cc):
+        if int(grid.ref0[rr, cc]) == ref or int(grid.ref1[rr, cc]) == ref:
+            return int(grid.filters[rr, cc, direction])
+        return 3
+    lt = ref_filt(r, c - 1) if c > 0 else 3
+    at = ref_filt(r - 1, c) if r > 0 else 3
+    if lt == at:
+        return ctx + lt
+    if lt == 3:
+        return ctx + at
+    if at == 3:
+        return ctx + lt
+    return ctx + 3
+
+
+def reference_mode_ctx(grid: MiGrid, r: int, c: int) -> int:
+    """av1_get_reference_mode_context (ref entropy_coding.c:1860)."""
+    have_above, have_left = r > 0, c > 0
+    g = grid
+
+    def info(rr, cc):
+        r0 = int(g.ref0[rr, cc])
+        r1 = int(g.ref1[rr, cc])
+        return (r0 != 0, r1 > 0, r0 >= 5)   # is_inter, has_second, backward
+
+    if have_above and have_left:
+        a_in, a_comp, a_bwd = info(r - 1, c)
+        l_in, l_comp, l_bwd = info(r, c - 1)
+        if not a_comp and not l_comp:
+            return int(a_bwd) ^ int(l_bwd)
+        if not a_comp:
+            return 2 + int(a_bwd or not a_in)
+        if not l_comp:
+            return 2 + int(l_bwd or not l_in)
+        return 4
+    if have_above or have_left:
+        e_in, e_comp, e_bwd = info(r - 1, c) if have_above else info(r, c - 1)
+        return 3 if e_comp else int(e_bwd)
+    return 1
+
+
+def has_overlappable(grid: MiGrid, r: int, c: int, w4: int, h4: int) -> bool:
+    if r > 0:
+        for i in range(0, min(w4, grid.mi_cols - c)):
+            if int(grid.ref0[r - 1, c + i]) > 0:
+                return True
+    if c > 0:
+        for i in range(0, min(h4, grid.mi_rows - r)):
+            if int(grid.ref0[r + i, c - 1]) > 0:
+                return True
+    return False
+
+
+def count_warp_samples(grid: MiGrid, r: int, c: int, bsize: int, ref: int,
+                       mv) -> int:
+    """find_warp_samples sample count (spec 7.10.4)."""
+    from svt_av1_psy_tpu.constants import BLOCK_SIZE_HIGH, BLOCK_SIZE_WIDE
+    w4 = BLOCK_SIZE_WIDE[bsize] // 4
+    h4 = BLOCK_SIZE_HIGH[bsize] // 4
+    num = 0
+
+    def try_sample(rr, cc):
+        nonlocal num
+        if num >= 8:
+            return
+        if rr < 0 or cc < 0 or rr >= grid.mi_rows or cc >= grid.mi_cols:
+            return
+        if int(grid.ref0[rr, cc]) == ref and int(grid.ref1[rr, cc]) <= 0:
+            mvd = abs(int(grid.mv0[rr, cc, 0]) - mv[0]) + \
+                abs(int(grid.mv0[rr, cc, 1]) - mv[1])
+            if mvd <= 256:
+                num += 1
+
+    do_tl = True
+    do_tr = True
+    if r > 0:
+        src_b = int(grid.bsize[r - 1, c])
+        src_w = BLOCK_SIZE_WIDE[src_b] // 4
+        if w4 <= src_w:
+            col_off = -(c & (src_w - 1))
+            if col_off < 0:
+                do_tl = False
+            if col_off + src_w > w4:
+                do_tr = False
+            try_sample(r - 1, c)
+        else:
+            i = 0
+            while i < min(w4, grid.mi_cols - c):
+                src_b = int(grid.bsize[r - 1, c + i])
+                src_w = BLOCK_SIZE_WIDE[src_b] // 4
+                i = (i & ~(src_w - 1))
+                try_sample(r - 1, c + i)
+                i += src_w
+    if c > 0:
+        src_b = int(grid.bsize[r, c - 1])
+        src_h = BLOCK_SIZE_HIGH[src_b] // 4
+        if h4 <= src_h:
+            row_off = -(r & (src_h - 1))
+            if row_off < 0:
+                do_tl = False
+            try_sample(r, c - 1)
+        else:
+            i = 0
+            while i < min(h4, grid.mi_rows - r):
+                src_b = int(grid.bsize[r + i, c - 1])
+                src_h = BLOCK_SIZE_HIGH[src_b] // 4
+                i = (i & ~(src_h - 1))
+                try_sample(r + i, c - 1)
+                i += src_h
+    if do_tl:
+        try_sample(r - 1, c - 1)
+    if do_tr and max(w4, h4) <= 16:
+        try_sample(r - 1, c + w4)
+    return num
+
+
+def lower_mv_precision(mv, allow_hp: bool, force_int: bool):
+    r, c = mv
+    if force_int:
+        r = ((r + 3 if r > 0 else r - 3) // 8) * 8 if r % 8 else r
+        c = ((c + 3 if c > 0 else c - 3) // 8) * 8 if c % 8 else c
+    elif not allow_hp:
+        if r & 1:
+            r += -1 if r > 0 else 1
+        if c & 1:
+            c += -1 if c > 0 else 1
+    return (r, c)

@@ -27,11 +27,12 @@ from svt_av1_psy_tpu.ops.quant import adjusted_tx_size
 
 
 def replay(events, fc, mi_rows, mi_cols, *, tx_mode_select, reduced_tx_set,
-           enable_filter_intra, cdef_bits=-1, cdef_grid=None) -> bytes:
+           enable_filter_intra, cdef_bits=-1, cdef_grid=None,
+           **inter_kw) -> bytes:
     tw = TileWriter(fc, mi_rows, mi_cols, tx_mode_select=tx_mode_select,
                     reduced_tx_set=reduced_tx_set,
                     enable_filter_intra=enable_filter_intra,
-                    cdef_bits=cdef_bits)
+                    cdef_bits=cdef_bits, **inter_kw)
     tw.cdef_grid = cdef_grid
     pending_dq = None
     for ev in events:
@@ -58,6 +59,9 @@ def replay(events, fc, mi_rows, mi_cols, *, tx_mode_select, reduced_tx_set,
                 y_mode=b.y_mode, uv_mode=b.uv_mode,
                 angle_delta_y=b.angle_delta_y, angle_delta_uv=b.angle_delta_uv,
                 skip=b.skip, tx_size=b.tx_size,
+                is_inter=b.is_inter, ref_frame=b.ref_frame, mv=b.mv,
+                inter_mode=b.inter_mode, ref_mv_idx=b.ref_mv_idx,
+                interp_filters=b.interp_filters,
                 cfl_joint_sign=b.cfl_joint_sign, cfl_idx_u=b.cfl_idx_u,
                 cfl_idx_v=b.cfl_idx_v, use_filter_intra=b.use_filter_intra,
                 filter_intra_mode=b.filter_intra_mode,
