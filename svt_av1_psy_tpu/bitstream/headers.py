@@ -165,6 +165,12 @@ class FrameParams:
     filter_level_uv: tuple = (0, 0)
     sharpness: int = 0
     loop_filter_delta_enabled: bool = False
+    # inter
+    primary_ref_frame: int = 7
+    refresh_frame_flags: int = 0x01
+    ref_frame_idx: tuple = (0, 0, 0, 0, 0, 0, 0)
+    allow_high_precision_mv: bool = False
+    interp_filter: int = 0
     # cdef
     cdef_damping: int = 3
     cdef_bits: int = 0
@@ -203,10 +209,75 @@ def _write_delta_q(w: BitWriter, v: int) -> None:
 
 def write_frame_header_bits(w: BitWriter, seq: SequenceParams,
                             fr: FrameParams) -> None:
-    """uncompressed_header for a KEY/INTRA frame (spec 5.9.2) into an existing
-    writer, NOT byte-aligned (caller appends tile data for an OBU_FRAME or
-    trailing bits for an OBU_FRAME_HEADER)."""
-    assert fr.is_intra, "inter frame headers arrive with the inter path"
+    """uncompressed_header (spec 5.9.2) into an existing writer, NOT
+    byte-aligned (caller appends tile data for an OBU_FRAME or trailing
+    bits for an OBU_FRAME_HEADER). KEY/INTRA_ONLY and single-ref INTER
+    frames (no superres/scaling, uniform single tile)."""
+    if not fr.is_intra:
+        _write_inter_header_head(w, seq, fr)
+    else:
+        _write_intra_header_head(w, seq, fr)
+    if not fr.disable_cdf_update:
+        w.bit(0)                              # disable_frame_end_update_cdf
+    _write_tile_info(w, seq, fr)
+    _write_quantization_params(w, seq, fr)
+    w.bit(0)                                  # segmentation_enabled
+    # delta_q_params
+    if fr.base_q_idx > 0:
+        w.bit(fr.delta_q_present)
+    if fr.delta_q_present:
+        w.f(fr.delta_q_res_log2, 2)
+        w.bit(0)                              # delta_lf_present
+    _write_loop_filter_params(w, seq, fr)
+    _write_cdef_params(w, seq, fr)
+    _write_lr_params(w, seq, fr)
+    if not fr.coded_lossless:
+        w.bit(fr.tx_mode_select)
+    if not fr.is_intra:
+        w.bit(0)                              # reference_select (single)
+        # skip mode never allowed without reference_select -> no bit
+        if seq.enable_warped_motion:
+            w.bit(0)                          # allow_warped_motion
+    w.bit(fr.reduced_tx_set)
+    if not fr.is_intra:
+        for _ in range(7):
+            w.bit(0)                          # is_global (identity GM)
+    # film_grain_params: none (seq.film_grain_params_present == 0)
+
+
+def _write_inter_header_head(w: BitWriter, seq: SequenceParams,
+                             fr: FrameParams) -> None:
+    w.bit(0)                                  # show_existing_frame
+    w.f(1, 2)                                 # frame_type = INTER
+    w.bit(1)                                  # show_frame
+    w.bit(0)                                  # error_resilient_mode
+    w.bit(fr.disable_cdf_update)
+    w.bit(0)                                  # allow_screen_content_tools
+    w.bit(0)                                  # frame_size_override_flag
+    if seq.enable_order_hint:
+        w.f(fr.order_hint & ((1 << seq.order_hint_bits) - 1),
+            seq.order_hint_bits)
+    w.f(fr.primary_ref_frame, 3)
+    w.f(fr.refresh_frame_flags, 8)
+    if seq.enable_order_hint:
+        w.bit(0)                              # frame_refs_short_signaling
+    for i in range(7):
+        w.f(fr.ref_frame_idx[i], 3)
+    # frame_size_with_refs not taken (no size override): frame_size() has
+    # no bits, render_size one bit
+    if seq.enable_superres:
+        w.bit(0)
+    w.bit(0)                                  # render size
+    w.bit(fr.allow_high_precision_mv)         # (force_integer_mv == 0)
+    w.bit(0)                                  # is_filter_switchable
+    w.f(fr.interp_filter, 2)
+    w.bit(0)                                  # is_motion_mode_switchable
+    if seq.enable_ref_frame_mvs:
+        w.bit(0)                              # use_ref_frame_mvs
+
+
+def _write_intra_header_head(w: BitWriter, seq: SequenceParams,
+                             fr: FrameParams) -> None:
     w.bit(0)                                  # show_existing_frame
     w.f(fr.frame_type, 2)
     w.bit(fr.show_frame)
@@ -236,30 +307,6 @@ def write_frame_header_bits(w: BitWriter, seq: SequenceParams,
     w.bit(0)                                  # render_and_frame_size_different
     if fr.allow_screen_content_tools:
         w.bit(0)                              # allow_intrabc
-    # intra frame: no reference handling
-    if not fr.disable_cdf_update:
-        w.bit(0)                              # disable_frame_end_update_cdf
-    _write_tile_info(w, seq, fr)
-    _write_quantization_params(w, seq, fr)
-    w.bit(0)                                  # segmentation_enabled
-    # delta_q_params
-    if fr.base_q_idx > 0:
-        w.bit(fr.delta_q_present)
-    if fr.delta_q_present:
-        w.f(fr.delta_q_res_log2, 2)
-        # delta_lf_params (only read when delta_q_present)
-        w.bit(0)                              # delta_lf_present
-    _write_loop_filter_params(w, seq, fr)
-    _write_cdef_params(w, seq, fr)
-    _write_lr_params(w, seq, fr)
-    # read_tx_mode
-    if not fr.coded_lossless:
-        w.bit(fr.tx_mode_select)
-    # frame_reference_mode: intra -> not coded; skip_mode: not allowed
-    # allow_warped_motion: intra -> not coded
-    w.bit(fr.reduced_tx_set)
-    # global_motion_params: intra -> nothing
-    # film_grain_params
     if seq.film_grain_params_present and (fr.show_frame or fr.showable_frame):
         w.bit(0)                              # apply_grain (off for now)
 

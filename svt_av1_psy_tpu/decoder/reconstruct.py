@@ -71,6 +71,9 @@ class FrameReconstructor:
                        np.zeros((cmh, cmw), np.int32),
                        np.zeros((cmh, cmw), np.int32)]
         self.lf_txh = [a.copy() for a in self.lf_txw]
+        self.lf_skip_inter = [a.copy().astype(np.uint8) for a in self.lf_txw]
+        self.lf_ox = [a.copy() for a in self.lf_txw]   # block origin (units)
+        self.lf_oy = [a.copy() for a in self.lf_txw]
         self.skip_map = np.zeros((self.mi_rows, self.mi_cols), np.uint8)
         self.width, self.height = width, height
         # per-plane is-smooth neighbor rows for the edge filter type
@@ -194,6 +197,11 @@ class FrameReconstructor:
             else int(MAX_TX_SIZE_RECT[b.bsize])
         self.lf_txw[0][r:r + h4, c:c + w4] = TX_SIZE_WIDE[ts]
         self.lf_txh[0][r:r + h4, c:c + w4] = TX_SIZE_HIGH[ts]
+        ski = int(getattr(b, "skip", False) and
+                  getattr(b, "is_inter", False))
+        self.lf_skip_inter[0][r:r + h4, c:c + w4] = ski
+        self.lf_ox[0][r:r + h4, c:c + w4] = c
+        self.lf_oy[0][r:r + h4, c:c + w4] = r
         self.skip_map[r:r + h4, c:c + w4] = int(getattr(b, "skip", False))
         if hc:
             from svt_av1_psy_tpu.entropy.tx_trees import max_uv_tx_size
@@ -206,6 +214,9 @@ class FrameReconstructor:
                     TX_SIZE_WIDE[uts]
                 self.lf_txh[pl][cr:cr + ch4, cc2:cc2 + cw4] = \
                     TX_SIZE_HIGH[uts]
+                self.lf_skip_inter[pl][cr:cr + ch4, cc2:cc2 + cw4] = ski
+                self.lf_ox[pl][cr:cr + ch4, cc2:cc2 + cw4] = cc2
+                self.lf_oy[pl][cr:cr + ch4, cc2:cc2 + cw4] = cr
         ysm = int(b.y_mode in SMOOTH_MODES)
         self.above_smooth[0][b.mi_col:b.mi_col + w4] = ysm
         self.left_smooth[0][b.mi_row:b.mi_row + h4] = ysm
@@ -459,7 +470,9 @@ class FrameReconstructor:
         (y_vert, y_horz, u, v)."""
         from svt_av1_psy_tpu.ops.loopfilter import (LoopFilterMaps,
                                                     apply_loop_filter)
-        maps = LoopFilterMaps(txw=self.lf_txw, txh=self.lf_txh)
+        maps = LoopFilterMaps(txw=self.lf_txw, txh=self.lf_txh,
+                              skip_inter=self.lf_skip_inter,
+                              ox=self.lf_ox, oy=self.lf_oy)
         dims = [(self.width, self.height),
                 ((self.width + 1) >> 1, (self.height + 1) >> 1),
                 ((self.width + 1) >> 1, (self.height + 1) >> 1)]

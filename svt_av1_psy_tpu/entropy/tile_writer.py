@@ -790,7 +790,7 @@ class TileWriter:
 
     def rate_txb(self, plane: int, bsize: int, qcoeff, tx_size: int,
                  tx_type: int, u_row: int, u_col: int,
-                 y_mode: int = 0) -> float:
+                 y_mode: int = 0, is_inter: bool = False) -> float:
         """Rate in bits of coding this txb (txb_skip + tx type + coeffs),
         using current neighbor contexts (ref av1_cost_coeffs semantics)."""
         from svt_av1_psy_tpu.entropy.range_coder import sym_cost
@@ -817,12 +817,22 @@ class TileWriter:
         bits = sym_cost(fc.txb_skip[txs_ctx][sctx], int(all_zero))
         if all_zero:
             return bits
-        if plane == 0:
+        if plane == 0 and not is_inter:
             tx_set = intra_tx_set(tx_size, self.reduced_tx_set)
             if tx_set > 0:
                 bits += sym_cost(
                     fc.intra_ext_tx[tx_set][TX_SIZE_SQR[tx_size]][y_mode],
                     EXT_TX_FWD[tx_set][tx_type])
+        elif plane == 0:
+            from svt_av1_psy_tpu.entropy.tx_sets import (
+                EXT_TX_SET_TYPE_FWD, EXT_TX_SET_TYPE_TO_IDX_INTER,
+                inter_tx_set_type)
+            st = inter_tx_set_type(tx_size, self.reduced_tx_set)
+            if st > 0:
+                bits += sym_cost(
+                    fc.inter_ext_tx[EXT_TX_SET_TYPE_TO_IDX_INTER[st]]
+                    [TX_SIZE_SQR[tx_size]],
+                    EXT_TX_SET_TYPE_FWD[st][tx_type])
         sgn_ctx = cc.dc_sign_ctx(above, left)
         from svt_av1_psy_tpu import native
         adj = adjusted_tx_size(tx_size)

@@ -40,6 +40,18 @@ class MiGrid:
         self.partition = np.zeros(shape, np.uint8)
         self.filters = np.zeros(shape + (2,), np.uint8)
 
+    def snapshot(self, r, c, h4, w4):
+        sl = (slice(r, r + h4), slice(c, c + w4))
+        return (r, c, tuple(getattr(self, a)[sl].copy() for a in
+                            ("ref0", "ref1", "mv0", "mv1", "newmv",
+                             "bsize", "partition", "filters")))
+
+    def restore(self, snap):
+        r, c, arrs = snap
+        for a, v in zip(("ref0", "ref1", "mv0", "mv1", "newmv",
+                         "bsize", "partition", "filters"), arrs):
+            getattr(self, a)[r:r + v.shape[0], c:c + v.shape[1]] = v
+
     def set_block(self, r, c, h4, w4, bsize, ref0, ref1, mv0, mv1,
                   has_newmv, partition=0, filters=(0, 0)):
         self.ref0[r:r + h4, c:c + w4] = ref0

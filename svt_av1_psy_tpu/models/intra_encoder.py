@@ -105,6 +105,9 @@ class IntraEncoder:
         qstep = dc_q(qindex, bd) / 8.0
         self.rdmult = 0.12 * qstep * qstep
         self.frame_index = 0
+        self.gop_size = 1          # 1 = all-intra; 0 = single key then P
+        self.p_qindex = None       # qindex for P frames (default: qindex)
+        self.dpb = None            # (y, u, v) padded recon of last frame
         self.records = []  # BlockRecords of the last encoded frame (debug)
         self.force_y_mode = None   # debug: force luma mode for all blocks
         self.force_ady = 0         # debug: forced angle delta
@@ -137,6 +140,13 @@ class IntraEncoder:
 
     # --- frame ------------------------------------------------------------
     def encode_frame(self, y, u, v) -> EncodedFrame:
+        if self.frame_index > 0 and self.gop_size != 1 and \
+                (self.frame_index % max(self.gop_size, 1) != 0 or
+                 self.gop_size == 0):
+            return self._encode_p_frame(y, u, v)
+        return self._encode_key_frame(y, u, v)
+
+    def _encode_key_frame(self, y, u, v) -> EncodedFrame:
         bd = self.bd
         yp = _pad_to(np.asarray(y), self.pah, self.paw)
         up = _pad_to(np.asarray(u), self.pah // 2, self.paw // 2)
@@ -184,11 +194,13 @@ class IntraEncoder:
             self.seq, fr_params, tile, with_seq_header=(self.frame_index == 0))
         self.frame_index += 1
         H, W = self.height, self.width
-        return EncodedFrame(
+        out = EncodedFrame(
             payload=payload,
             recon_y=self.fr.planes[0][:H, :W].copy(),
             recon_u=self.fr.planes[1][:(H + 1) // 2, :(W + 1) // 2].copy(),
             recon_v=self.fr.planes[2][:(H + 1) // 2, :(W + 1) // 2].copy())
+        self.dpb = (out.recon_y, out.recon_u, out.recon_v)
+        return out
 
     # --- partition walk ---------------------------------------------------
     def _want_split(self, r, c, size) -> bool:
@@ -316,6 +328,10 @@ class IntraEncoder:
                        (max(0, best - 2), best, best + 2)}
                 best = min(ref, key=ref.get)
             out.append(best)
+        if out[0] == 0:
+            # chroma levels are only coded when a luma level is nonzero
+            # (spec 5.9.11) - zero them to keep signal and recon in sync
+            out[1] = out[2] = 0
         return (out[0], out[0], out[1], out[2])
 
     # --- CDEF strength search (ref enc_cdef.c) ---------------------------
@@ -641,3 +657,334 @@ class IntraEncoder:
             return native.inv_txfm2d(dqc, ts, tt, self.bd)
         from svt_av1_psy_tpu.ops.transforms import inverse_transform_2d
         return inverse_transform_2d(dqc, ts, tt, self.bd)
+
+    # --- P-frame coding (single LAST ref, translational MC) ---------------
+    def _encode_p_frame(self, y, u, v) -> EncodedFrame:
+        from svt_av1_psy_tpu.inter.mvref import MiGrid
+        bd = self.bd
+        yp = _pad_to(np.asarray(y), self.pah, self.paw)
+        up = _pad_to(np.asarray(u), self.pah // 2, self.paw // 2)
+        vp = _pad_to(np.asarray(v), self.pah // 2, self.paw // 2)
+        self._src = (yp, up, vp)
+        self.records = []
+        q = self.p_qindex if self.p_qindex is not None else self.qindex
+
+        fr_params = FrameParams(
+            frame_type=1, base_q_idx=q, order_hint=self.frame_index & 0x7F,
+            tx_mode_select=False, primary_ref_frame=7,
+            refresh_frame_flags=0x01, ref_frame_idx=(0,) * 7,
+            allow_high_precision_mv=False, interp_filter=0)
+        self.fr = FrameReconstructor(
+            self.width, self.height, fr_params, bd=bd,
+            enable_intra_edge_filter=self.seq.enable_intra_edge_filter)
+        self.fr.ref_planes = [self.dpb] * 8
+        self.fr.ref_frame_idx = (0,) * 7
+        self.fr.interp_filter = 0
+        fc = FrameContext(q)
+        self.tw = TileWriter(fc, self.mi_rows, self.mi_cols, sb_size=SB,
+                             backend=self.backend, tx_mode_select=False,
+                             cdef_bits=0, frame_is_intra=False)
+        self.search_grid = MiGrid(self.mi_rows, self.mi_cols)
+        pq_save = self.pq
+        rd_save = self.rdmult
+        self.pq = build_plane_quant(q, bd=bd)
+        qstep = dc_q(q, bd) / 8.0
+        self.rdmult = 0.12 * qstep * qstep
+        for sby in range(0, self.ah, SB):
+            for sbx in range(0, self.aw, SB):
+                self.fr.start_block(sby // 4, sbx // 4)
+                _, ops = self._search_partition_p(sby // 4, sbx // 4, 64)
+                self._write_ops(ops)
+        tile = self.tw.finish()
+        lf = self._pick_dlf_levels(yp, up, vp)
+        fr_params.filter_level = (lf[0], lf[1])
+        fr_params.filter_level_uv = (lf[2], lf[3])
+        if any(lf):
+            self.fr.apply_dlf(lf, sharpness=0)
+        cdef = self._pick_cdef(yp, up, vp)
+        fr_params.cdef_damping = 3 + (q >> 6)
+        fr_params.cdef_bits = 0
+        fr_params.cdef_y_pri = (cdef[0],)
+        fr_params.cdef_y_sec = (cdef[1] - (cdef[1] == 4),)
+        fr_params.cdef_uv_pri = (cdef[2],)
+        fr_params.cdef_uv_sec = (cdef[3] - (cdef[3] == 4),)
+        if any(cdef):
+            self.fr.apply_cdef(cdef, 3 + (q >> 6))
+        payload = key_frame_temporal_unit(self.seq, fr_params, tile,
+                                          with_seq_header=False)
+        self.pq = pq_save
+        self.rdmult = rd_save
+        self.frame_index += 1
+        H, W = self.height, self.width
+        out = EncodedFrame(
+            payload=payload,
+            recon_y=self.fr.planes[0][:H, :W].copy(),
+            recon_u=self.fr.planes[1][:(H + 1) // 2, :(W + 1) // 2].copy(),
+            recon_v=self.fr.planes[2][:(H + 1) // 2, :(W + 1) // 2].copy())
+        self.dpb = (out.recon_y, out.recon_u, out.recon_v)
+        return out
+
+    def _search_partition_p(self, r, c, size):
+        """NONE vs SPLIT partition RD for P frames (square tree)."""
+        if r >= self.mi_rows or c >= self.mi_cols:
+            return 0.0, []
+        tw = self.tw
+        bsize = _SQ_BSIZE[size]
+        has_rows, has_cols = tw._partition_bounds(r, c, bsize)
+        if not (has_rows and has_cols) and size > 8:
+            cost, ops = self._split_children_p(r, c, size)
+            return cost, [("P", r, c, bsize, int(Partition.SPLIT))] + ops
+        can_split = size > max(self.min_block, 8)
+        w4 = size // 4
+        pre = None
+        if can_split:
+            pre = self.fr.snapshot_area(r, c, w4, w4)
+            gpre = self.search_grid.snapshot(r, c, w4, w4)
+        cost_b, rec, replay = self._search_block_p(r, c, bsize)
+        cost_n = cost_b + self.rdmult * tw.rate_partition(
+            r, c, bsize, int(Partition.NONE))
+        if not can_split:
+            return cost_n, [("P", r, c, bsize, int(Partition.NONE)),
+                            ("B", rec), ("PC", r, c, bsize, bsize)]
+        self.fr.restore_area(pre)
+        self.search_grid.restore(gpre)
+        cost_c, ops_c = self._split_children_p(r, c, size)
+        cost_s = cost_c + self.rdmult * tw.rate_partition(
+            r, c, bsize, int(Partition.SPLIT))
+        if cost_s <= cost_n:
+            return cost_s, [("P", r, c, bsize, int(Partition.SPLIT))] + ops_c
+        self.fr.restore_area(pre)
+        self.search_grid.restore(gpre)
+        self._replay_block(replay)
+        self.search_grid.set_block(
+            r, c, w4, w4, rec.bsize, rec.ref_frame if rec.is_inter else 0,
+            -1, rec.mv, (0, 0), rec.inter_mode == 3)
+        return cost_n, [("P", r, c, bsize, int(Partition.NONE)),
+                        ("B", rec), ("PC", r, c, bsize, bsize)]
+
+    def _split_children_p(self, r, c, size):
+        half4 = size // 8
+        cost = 0.0
+        ops = []
+        for (rr, cc2) in ((r, c), (r, c + half4),
+                          (r + half4, c), (r + half4, c + half4)):
+            cst, o = self._search_partition_p(rr, cc2, size // 2)
+            cost += cst
+            ops += o
+        return cost, ops
+
+    def _me_fullpel(self, src, ref, py, px, h, w, start_mv):
+        """Diamond full-pel search on luma SAD around start_mv (1/8 units).
+        Returns best full-pel mv in 1/8 units."""
+        def sad_at(my, mx):
+            ys = np.clip(np.arange(py + my, py + my + h), 0,
+                         ref.shape[0] - 1)
+            xs = np.clip(np.arange(px + mx, px + mx + w), 0,
+                         ref.shape[1] - 1)
+            return int(np.abs(src - ref[np.ix_(ys, xs)].astype(
+                np.int32)).sum())
+
+        best = (start_mv[0] >> 3, start_mv[1] >> 3)
+        cands = {best, (0, 0)}
+        best_mv = min(cands, key=lambda m: sad_at(*m))
+        best_sad = sad_at(*best_mv)
+        step = 8
+        while step >= 1:
+            improved = True
+            while improved:
+                improved = False
+                for (dy, dx) in ((-step, 0), (step, 0), (0, -step),
+                                 (0, step)):
+                    m = (best_mv[0] + dy, best_mv[1] + dx)
+                    if abs(m[0]) > 128 or abs(m[1]) > 128:
+                        continue
+                    sd = sad_at(*m)
+                    if sd < best_sad:
+                        best_sad = sd
+                        best_mv = m
+                        improved = True
+            step >>= 1
+        return (best_mv[0] * 8, best_mv[1] * 8)
+
+    def _subpel_refine(self, blk, hc, src_y, fullpel_mv):
+        """+-1 step refinement at half then quarter pel via real MC."""
+        from svt_av1_psy_tpu.ops.mc import mc_block
+        ref = self.fr.ref_planes[0][0]
+        py, px = blk.mi_row * 4, blk.mi_col * 4
+        h, w = src_y.shape
+
+        def cost(mv):
+            p = mc_block(np.asarray(ref), px, py, w, h, mv[1] * 2, mv[0] * 2,
+                         0, 0, bd=self.bd)
+            return int(np.abs(src_y - p).sum())
+
+        best = fullpel_mv
+        best_c = cost(best)
+        for step in (4, 2):
+            improved = True
+            while improved:
+                improved = False
+                for (dy, dx) in ((-step, 0), (step, 0), (0, -step),
+                                 (0, step)):
+                    m = (best[0] + dy, best[1] + dx)
+                    cc2 = cost(m)
+                    if cc2 < best_c:
+                        best_c = cc2
+                        best = m
+                        improved = True
+        return best
+
+    def _search_block_p(self, r, c, bsize):
+        """Inter mode RD for one block: NEARESTMV / GLOBALMV / NEWMV."""
+        from svt_av1_psy_tpu.inter.mvref import (lower_mv_precision,
+                                                 setup_ref_mv_list)
+        from svt_av1_psy_tpu.entropy.tile_writer import MAX_TX_SIZE_RECT
+        from svt_av1_psy_tpu.constants import TX_SIZE_HIGH, TX_SIZE_WIDE
+        yp, up, vp = self._src
+        fr = self.fr
+        fr.start_block(r, c)
+        bw = BLOCK_SIZE_WIDE[bsize]
+        bh = BLOCK_SIZE_HIGH[bsize]
+        x, y0 = c * 4, r * 4
+        src_y = yp[y0:y0 + bh, x:x + bw].astype(np.int32)
+        hc = has_chroma(r, c, bsize)
+        ts_y = int(MAX_TX_SIZE_RECT[bsize])
+        refs = setup_ref_mv_list(self.search_grid, r, c, bsize, 1,
+                                 sb_mi=self.sb_mi if hasattr(self, 'sb_mi')
+                                 else 16)
+        nearest = lower_mv_precision(refs.stack[0], False, False)
+
+        blk = ParsedBlock(mi_row=r, mi_col=c, bsize=bsize, y_mode=0,
+                          uv_mode=0, tx_size=ts_y, is_inter=True,
+                          ref_frame=1, inter_mode=0, mv=nearest)
+
+        # candidates: NEARESTMV(stack0), GLOBALMV(0,0), NEWMV(ME)
+        cands = [(0, nearest, 0)]
+        if nearest != (0, 0):
+            cands.append((2, (0, 0), 0))
+        me = self._me_fullpel(src_y, np.asarray(fr.ref_planes[0][0]),
+                              y0, x, bh, bw, nearest)
+        blk.mv = me
+        newmv = self._subpel_refine(blk, hc, src_y, me)
+        if newmv != nearest and newmv != (0, 0):
+            cands.append((3, newmv, 0))
+
+        best = None
+        for (mode, mv, drl) in cands:
+            blk.inter_mode = mode
+            blk.mv = mv
+            snap = fr.snapshot_area(r, c, bw // 4, bh // 4)
+            cost, rec_parts = self._trial_inter(blk, hc, src_y, up, vp,
+                                                mode, mv, refs)
+            if best is None or cost < best[0]:
+                best = (cost, mode, mv, rec_parts)
+            fr.restore_area(snap)
+        _, mode, mv, (txbs, skip, any_nz) = best
+
+        # commit winner
+        blk.inter_mode = mode
+        blk.mv = mv
+        fr._predict_inter_block(blk, hc)
+        for (pl, u_row, u_col, ts, tt, qc) in txbs:
+            if qc is not None and np.any(qc):
+                xx, yy = u_col * 4, u_row * 4
+                w_, h_ = TX_SIZE_WIDE[ts], TX_SIZE_HIGH[ts]
+                pred = fr.planes[pl][yy:yy + h_, xx:xx + w_].astype(np.int32)
+                fr.commit_txb(blk, pl, u_row, u_col, ts, tt, qc, pred)
+        blk.skip = skip
+        fr.finish_block(blk, hc)
+        self.search_grid.set_block(r, c, bh // 4, bw // 4, bsize, 1, -1,
+                                   mv, (0, 0), mode == 3)
+
+        rec = BlockRecord(
+            mi_row=r, mi_col=c, bsize=bsize, y_mode=0, uv_mode=0,
+            skip=skip, tx_size=ts_y, is_inter=True, ref_frame=1,
+            mv=mv, inter_mode=mode, ref_mv_idx=0,
+            txbs_y=[] if skip else [TxbData(q, ts, tt)
+                                    for (pl, _, _, ts, tt, q) in txbs
+                                    if pl == 0],
+            txbs_u=[] if skip else [TxbData(q, ts, tt)
+                                    for (pl, _, _, ts, tt, q) in txbs
+                                    if pl == 1],
+            txbs_v=[] if skip else [TxbData(q, ts, tt)
+                                    for (pl, _, _, ts, tt, q) in txbs
+                                    if pl == 2])
+        replay = (blk, hc, [])   # replay via re-commit (see _replay_p)
+        return best[0], rec, (blk, hc, txbs, skip)
+
+    def _replay_block(self, replay):
+        """Re-commit a searched block after region rollback (intra replay
+        tuples carry explicit commits; P-frame tuples re-run MC)."""
+        if len(replay) == 4:
+            blk, hc, txbs, skip = replay
+            from svt_av1_psy_tpu.constants import TX_SIZE_HIGH, TX_SIZE_WIDE
+            fr = self.fr
+            fr.start_block(blk.mi_row, blk.mi_col)
+            fr._predict_inter_block(blk, hc)
+            for (pl, u_row, u_col, ts, tt, qc) in txbs:
+                if qc is not None and np.any(qc):
+                    xx, yy = u_col * 4, u_row * 4
+                    w_, h_ = TX_SIZE_WIDE[ts], TX_SIZE_HIGH[ts]
+                    pred = fr.planes[pl][yy:yy + h_, xx:xx + w_].astype(
+                        np.int32)
+                    fr.commit_txb(blk, pl, u_row, u_col, ts, tt, qc, pred)
+            fr.finish_block(blk, hc)
+            return
+        blk, hc, commits = replay
+        fr = self.fr
+        fr.start_block(blk.mi_row, blk.mi_col)
+        for (plane, u_row, u_col, ts, tt, qc, pred) in commits:
+            fr.commit_txb(blk, plane, u_row, u_col, ts, tt, qc, pred)
+        fr.finish_block(blk, hc)
+
+    def _trial_inter(self, blk, hc, src_y, up, vp, mode, mv, refs):
+        """T/Q all planes for one inter candidate; returns
+        (rd_cost, (txbs, skip, any_nz))."""
+        from svt_av1_psy_tpu.constants import TX_SIZE_HIGH, TX_SIZE_WIDE
+        from svt_av1_psy_tpu.entropy.tx_trees import max_uv_tx_size
+        fr = self.fr
+        r, c = blk.mi_row, blk.mi_col
+        bsize = blk.bsize
+        bw = BLOCK_SIZE_WIDE[bsize]
+        bh = BLOCK_SIZE_HIGH[bsize]
+        fr._predict_inter_block(blk, hc)
+        txbs = []
+        dist = 0.0
+        rate = 4.0 + (8.0 if mode == 3 else 0.0)   # crude mode+mv bits
+        ts_y = blk.tx_size
+        tw_, th_ = TX_SIZE_WIDE[ts_y], TX_SIZE_HIGH[ts_y]
+        for oy in range(0, bh, th_):
+            for ox in range(0, bw, tw_):
+                u_row, u_col = r + oy // 4, c + ox // 4
+                yy, xx = u_row * 4, u_col * 4
+                pred = fr.planes[0][yy:yy + th_, xx:xx + tw_].astype(
+                    np.int32)
+                resid = src_y[oy:oy + th_, ox:ox + tw_] - pred
+                qc, dqc = self._tq(resid, ts_y, 0)
+                rec = np.clip(pred + self._inv(dqc, ts_y, 0), 0,
+                              (1 << self.bd) - 1)
+                dist += float(((src_y[oy:oy + th_, ox:ox + tw_] - rec) ** 2
+                               ).sum())
+                rate += self.tw.rate_txb(0, bsize, qc, ts_y, 0,
+                                         u_row, u_col, is_inter=True)
+                txbs.append((0, u_row, u_col, ts_y, 0, qc))
+        if hc:
+            cr, cc2 = r >> 1, c >> 1
+            ts_uv = max_uv_tx_size(bsize)
+            cw4 = TX_SIZE_WIDE[ts_uv] // 4
+            for pl, srcp in ((1, up), (2, vp)):
+                cy, cx = cr * 4, cc2 * 4
+                h_, w_ = TX_SIZE_HIGH[ts_uv], TX_SIZE_WIDE[ts_uv]
+                src_c = srcp[cy:cy + h_, cx:cx + w_].astype(np.int32)
+                pred = fr.planes[pl][cy:cy + h_, cx:cx + w_].astype(
+                    np.int32)
+                qc, dqc = self._tq(src_c - pred, ts_uv, 0)
+                rec = np.clip(pred + self._inv(dqc, ts_uv, 0), 0,
+                              (1 << self.bd) - 1)
+                dist += float(((src_c - rec) ** 2).sum())
+                rate += self.tw.rate_txb(pl, bsize, qc, ts_uv, 0, cr, cc2,
+                                         is_inter=True)
+                txbs.append((pl, cr, cc2, ts_uv, 0, qc))
+        any_nz = any(np.any(q) for (_, _, _, _, _, q) in txbs)
+        skip = not any_nz
+        return dist + self.rdmult * rate, (txbs, skip, any_nz)

@@ -201,11 +201,12 @@ def filter_lines(x: np.ndarray, length: int, blimit: int, limit: int,
 
 @dataclass
 class LoopFilterMaps:
-    """Per-4px-unit maps in each plane's subsampled grid. For intra
-    frames the tx grid tiles every prediction block, so tx dims alone
-    determine the edges (block edges are always tx edges)."""
+    """Per-4px-unit maps in each plane's subsampled grid."""
     txw: List[np.ndarray]     # tx width in px at each unit
     txh: List[np.ndarray]     # tx height in px
+    skip_inter: List[np.ndarray] = None   # skip && is_inter per unit
+    ox: List[np.ndarray] = None           # block origin col (units)
+    oy: List[np.ndarray] = None           # block origin row (units)
 
 
 def apply_loop_filter(planes: List[np.ndarray], maps: LoopFilterMaps,
@@ -238,9 +239,15 @@ def apply_loop_filter(planes: List[np.ndarray], maps: LoopFilterMaps,
                 xpx = cu * 4
                 cur_w = txw[:, cu]
                 prev_w = txw[:, cu - 1]
-                # block edges are tx edges for intra (tx tiles the block),
-                # so the current unit's tx boundary fully gates filtering
                 is_edge = (xpx % np.maximum(cur_w, 1)) == 0
+                # inter skip blocks: interior (non-prediction-boundary) tx
+                # edges between two skipped blocks are not filtered
+                if maps.skip_inter is not None:
+                    sk_c = maps.skip_inter[plane][:, cu]
+                    sk_p = maps.skip_inter[plane][:, cu - 1]
+                    pu_edge = maps.ox[plane][:, cu] == cu
+                    is_edge &= (~(sk_c.astype(bool) & sk_p.astype(bool))
+                                ) | pu_edge
                 mn = np.minimum(cur_w, prev_w)
                 if plane:
                     fl = np.where(mn >= 8, 6, 4)
@@ -263,6 +270,12 @@ def apply_loop_filter(planes: List[np.ndarray], maps: LoopFilterMaps,
                 cur_h = txh[ru, :]
                 prev_h = txh[ru - 1, :]
                 is_edge = (ypx % np.maximum(cur_h, 1)) == 0
+                if maps.skip_inter is not None:
+                    sk_c = maps.skip_inter[plane][ru, :]
+                    sk_p = maps.skip_inter[plane][ru - 1, :]
+                    pu_edge = maps.oy[plane][ru, :] == ru
+                    is_edge &= (~(sk_c.astype(bool) & sk_p.astype(bool))
+                                ) | pu_edge
                 mn = np.minimum(cur_h, prev_h)
                 if plane:
                     fl = np.where(mn >= 8, 6, 4)
