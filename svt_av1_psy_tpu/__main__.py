@@ -1,3 +1,3 @@
 from svt_av1_psy_tpu.app.cli import main
 
-__all__ = ["main"]
+raise SystemExit(main())

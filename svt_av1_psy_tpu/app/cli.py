@@ -1,0 +1,72 @@
+"""Command-line encoder app (SvtAv1EncApp equivalent).
+
+Usage:
+    python -m svt_av1_psy_tpu -i in.y4m -b out.ivf [--qindex 100]
+        [--gop 0|1|N] [--frames N] [--no-device-search] [--min-block 8]
+
+Encodes 8-bit 4:2:0 y4m to an AV1 IVF stream using the TPU-native encoder
+(all-intra by default; --gop 0 for low-delay IPPP). Mirrors the reference
+app's role (ref Source/App/EbAppMain.c) at the current feature level.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="svt_av1_psy_tpu")
+    ap.add_argument("-i", "--input", required=True, help="input .y4m")
+    ap.add_argument("-b", "--output", required=True, help="output .ivf")
+    ap.add_argument("-q", "--qindex", type=int, default=100,
+                    help="base qindex 0..255 (default 100)")
+    ap.add_argument("--gop", type=int, default=1,
+                    help="1 = all intra (default), 0 = IPPP low delay, "
+                         "N = key frame every N frames")
+    ap.add_argument("-n", "--frames", type=int, default=0,
+                    help="max frames to encode (0 = all)")
+    ap.add_argument("--min-block", type=int, default=8)
+    ap.add_argument("--no-device-search", action="store_true",
+                    help="disable the TPU open-loop mode search stage")
+    ap.add_argument("--backend", default="native",
+                    choices=("native", "python"))
+    args = ap.parse_args(argv)
+
+    from svt_av1_psy_tpu.bitstream.ivf import IvfWriter
+    from svt_av1_psy_tpu.io.y4m import Y4mReader
+    from svt_av1_psy_tpu.models.intra_encoder import IntraEncoder
+
+    t0 = time.time()
+    n = 0
+    total_bytes = 0
+    with Y4mReader(args.input) as reader:
+        enc = None
+        ivf = None
+        for (y, u, v) in reader:
+            if enc is None:
+                H, W = y.shape
+                enc = IntraEncoder(
+                    W, H, qindex=args.qindex, backend=args.backend,
+                    min_block=args.min_block,
+                    use_device_search=not args.no_device_search)
+                enc.gop_size = args.gop
+                ivf = IvfWriter(args.output, W, H)
+            f = enc.encode_frame(y, u, v)
+            ivf.write_frame(f.payload, n)
+            total_bytes += len(f.payload)
+            n += 1
+            print(f"frame {n}: {len(f.payload)} bytes", file=sys.stderr)
+            if args.frames and n >= args.frames:
+                break
+        if ivf is not None:
+            ivf.close()
+    dt = time.time() - t0
+    if n:
+        print(f"encoded {n} frames, {total_bytes} bytes, "
+              f"{dt:.2f}s ({n / dt:.3f} fps)", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
