@@ -369,3 +369,49 @@ void tputx_quantize_b(const int32_t *coeff, int32_t *qc, int32_t *dqc,
         dqc[i] = (int32_t)(absdq * sign);
     }
 }
+
+/* Fused encoder RD trial for one txb candidate: forward transform,
+ * quantize, dequantize, inverse transform, SSE vs the residual, and the
+ * exact coefficient rate from the live CDFs. One call replaces four
+ * python<->C roundtrips in the mode-decision inner loop. */
+typedef struct TxbCdfs TxbCdfs;
+int tpuec_cost_txb(TxbCdfs *cdfs, const int32_t *qcoeff,
+                   const int16_t *scan, int n, int w, int h, int rw, int rh,
+                   int ems, int txs_ctx, int tx_class, int ptype,
+                   int sign_ctx);
+
+double tputx_rd_txb(const int32_t *resid, int tx_size, int tx_type, int bd,
+                    int log_scale,
+                    int zbin_dc, int zbin_ac, int rnd_dc, int rnd_ac,
+                    int quant_dc, int quant_ac, int qshift_dc, int qshift_ac,
+                    int deq_dc, int deq_ac,
+                    const int16_t *scan, int nscan, int cw, int ch,
+                    int rw, int rh, int ems, int txs_ctx, int tx_class,
+                    int ptype, int sign_ctx, TxbCdfs *cdfs,
+                    int32_t *qc_out, int *rate512_out) {
+    static int32_t coeff[32 * 32], dqc[32 * 32], rec[64 * 64];
+    int n = cw * ch;
+    int full = rw * rh;
+    int i;
+    tputx_fwd2d(resid, coeff, tx_size, tx_type, bd);
+    tputx_quantize_b(coeff, qc_out, dqc, n, log_scale,
+                     zbin_dc, zbin_ac, rnd_dc, rnd_ac, quant_dc, quant_ac,
+                     qshift_dc, qshift_ac, deq_dc, deq_ac);
+    int any = 0;
+    for (i = 0; i < n; i++)
+        if (qc_out[i]) { any = 1; break; }
+    double sse = 0.0;
+    if (!any) {
+        for (i = 0; i < full; i++) sse += (double)resid[i] * resid[i];
+        *rate512_out = 0;
+        return sse;
+    }
+    tputx_inv2d(dqc, rec, tx_size, tx_type, bd);
+    for (i = 0; i < full; i++) {
+        double d = (double)resid[i] - rec[i];
+        sse += d * d;
+    }
+    *rate512_out = tpuec_cost_txb(cdfs, qc_out, scan, nscan, cw, ch, rw, rh,
+                                  ems, txs_ctx, tx_class, ptype, sign_ctx);
+    return sse;
+}

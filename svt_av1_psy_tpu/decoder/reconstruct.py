@@ -22,7 +22,29 @@ from svt_av1_psy_tpu.entropy.tile_writer import has_chroma
 from svt_av1_psy_tpu.ops import intra as ip
 from svt_av1_psy_tpu.ops.quant import (PlaneQuant, build_plane_quant,
                                        dequant_coeffs, iqm_matrix)
-from svt_av1_psy_tpu.ops.transforms import inverse_transform_add
+from svt_av1_psy_tpu.ops.transforms import inverse_transform_add as _inv_py
+
+_NATIVE = None
+
+
+def inverse_transform_add(dq, pred, ts, tt, bd):
+    """Native inverse transform when available (bit-identical to the
+    python stage machine), falling back to pure python."""
+    global _NATIVE
+    if _NATIVE is None:
+        try:
+            from svt_av1_psy_tpu import native
+            native.ensure_txfms()
+            _NATIVE = native
+        except Exception:
+            _NATIVE = False
+    if _NATIVE:
+        hi = (1 << bd) - 1
+        resid = _NATIVE.inv_txfm2d(dq, ts, tt, bd)
+        out = pred + resid
+        import numpy as _np
+        return _np.clip(out, 0, hi)
+    return _inv_py(dq, pred, ts, tt, bd)
 
 SMOOTH_MODES = (int(PredMode.SMOOTH_PRED), int(PredMode.SMOOTH_V_PRED),
                 int(PredMode.SMOOTH_H_PRED))

@@ -800,6 +800,7 @@ class TileWriter:
         from svt_av1_psy_tpu.entropy.tx_sets import (EXT_TX_FWD,
                                                      EXT_TX_SET_SIZES,
                                                      intra_tx_set)
+        import math
         fc = self.fc
         tw4 = TX_SIZE_WIDE[tx_size] // 4
         th4 = TX_SIZE_HIGH[tx_size] // 4
@@ -846,6 +847,64 @@ class TileWriter:
             cc.eob_multi_size(tx_size), txs_ctx,
             cc.tx_class_of(tx_type), ptype, sgn_ctx)
         return bits + cost512 / 512.0
+
+    def rd_txb(self, plane: int, bsize: int, resid, tx_size: int,
+               tx_type: int, u_row: int, u_col: int, pq,
+               y_mode: int = 0, is_inter: bool = False, bd: int = 8):
+        """Fused trial: fwd+quant+inv+SSE (native) + exact rate incl.
+        txb_skip and tx-type signaling. Returns (sse, qcoeff, rate_bits)."""
+        from svt_av1_psy_tpu.entropy.range_coder import sym_cost
+        from svt_av1_psy_tpu.constants import (TX_SIZE_HIGH, TX_SIZE_SQR,
+                                               TX_SIZE_WIDE, get_scan)
+        from svt_av1_psy_tpu.ops.quant import adjusted_tx_size
+        from svt_av1_psy_tpu import native
+        fc = self.fc
+        tw4 = TX_SIZE_WIDE[tx_size] // 4
+        th4 = TX_SIZE_HIGH[tx_size] // 4
+        above = self.above_coef[plane][u_col:u_col + tw4]
+        left = self.left_coef[plane][u_row:u_row + th4]
+        ptype = 1 if plane else 0
+        txs_ctx = cc.txs_entropy_ctx(tx_size)
+        bw = BLOCK_SIZE_WIDE[bsize] >> (self.ss_x if plane else 0)
+        bh = BLOCK_SIZE_HIGH[bsize] >> (self.ss_y if plane else 0)
+        covers = (TX_SIZE_WIDE[tx_size] >= bw and
+                  TX_SIZE_HIGH[tx_size] >= bh)
+        larger = (bw * bh > TX_SIZE_WIDE[tx_size] * TX_SIZE_HIGH[tx_size])
+        sctx = cc.txb_skip_ctx(above, left, plane, covers, larger)
+        sgn_ctx = cc.dc_sign_ctx(above, left)
+        if not hasattr(self, "_txb_cdfs"):
+            from svt_av1_psy_tpu.native import make_txb_cdfs
+            self._txb_cdfs = make_txb_cdfs(fc)
+        adj = adjusted_tx_size(tx_size)
+        cw, ch = TX_SIZE_WIDE[adj], TX_SIZE_HIGH[adj]
+        sse, qc, rate512 = native.rd_txb(
+            resid, tx_size, tx_type, pq, get_scan(tx_size, tx_type),
+            cw, ch, TX_SIZE_WIDE[tx_size], TX_SIZE_HIGH[tx_size],
+            cc.eob_multi_size(tx_size), txs_ctx, cc.tx_class_of(tx_type),
+            ptype, sgn_ctx, self._txb_cdfs, bd)
+        all_zero = rate512 == 0
+        bits = sym_cost(fc.txb_skip[txs_ctx][sctx], int(all_zero))
+        if not all_zero:
+            if plane == 0 and not is_inter:
+                from svt_av1_psy_tpu.entropy.tx_sets import (
+                    EXT_TX_FWD, intra_tx_set)
+                tx_set = intra_tx_set(tx_size, self.reduced_tx_set)
+                if tx_set > 0:
+                    bits += sym_cost(
+                        fc.intra_ext_tx[tx_set][TX_SIZE_SQR[tx_size]]
+                        [y_mode], EXT_TX_FWD[tx_set][tx_type])
+            elif plane == 0:
+                from svt_av1_psy_tpu.entropy.tx_sets import (
+                    EXT_TX_SET_TYPE_FWD, EXT_TX_SET_TYPE_TO_IDX_INTER,
+                    inter_tx_set_type)
+                st = inter_tx_set_type(tx_size, self.reduced_tx_set)
+                if st > 0:
+                    bits += sym_cost(
+                        fc.inter_ext_tx[EXT_TX_SET_TYPE_TO_IDX_INTER[st]]
+                        [TX_SIZE_SQR[tx_size]],
+                        EXT_TX_SET_TYPE_FWD[st][tx_type])
+            bits += rate512 / 512.0
+        return sse, qc, bits
 
     def finish(self) -> bytes:
         return self.enc.done()

@@ -425,13 +425,10 @@ class IntraEncoder:
         for m in cand:
             d = deltas.get(m, 0)
             p = preds[(m, d)]
-            qc, dqc = self._tq(src_y - p, ts_y, int(TxType.DCT_DCT))
-            rec = np.clip(p + self._inv(dqc, ts_y, int(TxType.DCT_DCT)),
-                          0, (1 << self.bd) - 1)
-            dist = float(((src_y - rec) ** 2).sum())
-            rate = (self.tw.rate_txb(0, bsize, qc, ts_y, int(TxType.DCT_DCT),
-                                     r, c, y_mode=m) +
-                    self.tw.rate_y_mode(r, c, m))
+            dist, qc, rtx = self.tw.rd_txb(0, bsize, src_y - p, ts_y,
+                                           int(TxType.DCT_DCT), r, c,
+                                           self.pq, y_mode=m, bd=self.bd)
+            rate = rtx + self.tw.rate_y_mode(r, c, m)
             if 1 <= m <= 8 and use_angle_delta(bsize):
                 rate += self.tw.rate_angle_delta(m, d)
             cost = dist + self.rdmult * rate
@@ -638,10 +635,10 @@ class IntraEncoder:
                 resid = src_y[oy:oy + th_, ox:ox + tw_] - pred
                 tbest = None
                 for tt in types:
-                    qc, dqc = self._tq(resid, ts, tt)
-                    d = float(((resid - self._inv(dqc, ts, tt)) ** 2).sum())
-                    rate = self.tw.rate_txb(0, blk.bsize, qc, ts, tt,
-                                            u_row, u_col, y_mode=blk.y_mode)
+                    d, qc, rate = self.tw.rd_txb(0, blk.bsize, resid, ts,
+                                                 tt, u_row, u_col, self.pq,
+                                                 y_mode=blk.y_mode,
+                                                 bd=self.bd)
                     cost = d + self.rdmult * rate
                     if tbest is None or cost < tbest[0]:
                         tbest = (cost, tt, qc)

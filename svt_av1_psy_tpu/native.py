@@ -72,6 +72,18 @@ def get_lib():
     lib.tpuec_cost_symbol.argtypes = [ctypes.POINTER(ctypes.c_uint16),
                                       ctypes.c_int, ctypes.c_int]
     lib.tpuec_cost_symbol.restype = ctypes.c_int
+    lib.tputx_rd_txb.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(TxbCdfs),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int)]
+    lib.tputx_rd_txb.restype = ctypes.c_double
     _lib = lib
     return lib
 
@@ -141,6 +153,32 @@ class NativeRangeEncoder:
         n = self._lib.tpuec_done(self._ec, out, cap)
         assert n >= 0
         return bytes(out[:n])
+
+
+def rd_txb(resid: np.ndarray, tx_size: int, tx_type: int, pq, scan,
+           cw, ch, rw, rh, ems, txs_ctx, tx_class, ptype, sign_ctx,
+           cdfs, bd: int = 8):
+    """Fused fwd+quant+inv+SSE+rate trial (one C call). Returns
+    (sse, qcoeff, rate512)."""
+    from svt_av1_psy_tpu.ops.quant import tx_scale
+    lib = ensure_txfms()
+    r = np.ascontiguousarray(resid, np.int32)
+    qc = np.empty((ch, cw), np.int32)
+    rate = ctypes.c_int(0)
+    sc = np.ascontiguousarray(scan, np.int16)
+    sse = lib.tputx_rd_txb(
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        tx_size, tx_type, bd, tx_scale(tx_size),
+        int(pq.zbin[0]), int(pq.zbin[1]), int(pq.round[0]),
+        int(pq.round[1]), int(pq.quant[0]), int(pq.quant[1]),
+        int(pq.quant_shift[0]), int(pq.quant_shift[1]),
+        int(pq.dequant[0]), int(pq.dequant[1]),
+        sc.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), len(sc),
+        cw, ch, rw, rh, ems, txs_ctx, tx_class, ptype, sign_ctx,
+        ctypes.byref(cdfs),
+        qc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(rate))
+    return sse, qc, rate.value
 
 
 def cost_symbol(icdf: np.ndarray, s: int, nsyms=None) -> int:

@@ -234,6 +234,20 @@ class CdefSearch:
                               self.coeff_shift)
                      for (mr, mc) in self.blocks]
 
+    def _patches(self, plane, n, sh):
+        key = ("patches", plane)
+        if not hasattr(self, "_cache"):
+            self._cache = {}
+        if key not in self._cache:
+            pl = []
+            for (mr, mc) in self.blocks:
+                y0 = (mr * 4) >> sh
+                x0 = (mc * 4) >> sh
+                pl.append(self.srcs[plane][y0:y0 + n + 4, x0:x0 + n + 4])
+            self._cache[key] = np.stack(pl) if pl else \
+                np.zeros((0, n + 4, n + 4), np.int32)
+        return self._cache[key]
+
     def plane_sse(self, plane, pri, sec, damping, src_plane):
         """SSE of the filtered plane vs source, filtering only the listed
         blocks (unfiltered area contributes its current SSE)."""
@@ -244,23 +258,30 @@ class CdefSearch:
         n = 8 if plane == 0 else 4
         sh = 0 if plane == 0 else 1
         w, h = self.dims[plane]
+        patches = self._patches(plane, n, sh)
+        dirs = np.array([d for (d, v) in self.dirs], np.int32)
+        if plane == 0:
+            pris = np.array([adjust_strength(prs, v)
+                             for (d, v) in self.dirs], np.int32)
+        else:
+            pris = np.full(len(self.dirs), prs, np.int32)
+        if prs == 0:
+            dirs = np.zeros_like(dirs)
+        if prs == 0 and ses == 0:
+            outs = patches[:, 2:2 + n, 2:2 + n]
+        else:
+            outs = filter_blocks_batch(patches, n, pris, ses, dirs, pd, pd,
+                                       cs)
         total = 0
-        for (mr, mc), (d, var) in zip(self.blocks, self.dirs):
+        for bi, (mr, mc) in enumerate(self.blocks):
             y0 = (mr * 4) >> sh
             x0 = (mc * 4) >> sh
-            t = prs if plane else adjust_strength(prs, var)
-            if prs == 0 and ses == 0:
-                out = self.srcs[plane][2 + y0:2 + y0 + n,
-                                       2 + x0:2 + x0 + n]
-            else:
-                out = filter_block(self.srcs[plane], 2 + y0, 2 + x0, n,
-                                   t, ses, d if prs else 0, pd, pd, cs)
             ny = min(n, h - y0)
             nx = min(n, w - x0)
             if ny <= 0 or nx <= 0:
                 continue
             ref = src_plane[y0:y0 + ny, x0:x0 + nx].astype(np.int64)
-            df = out[:ny, :nx].astype(np.int64) - ref
+            df = outs[bi, :ny, :nx].astype(np.int64) - ref
             total += int((df * df).sum())
         return total
 
@@ -279,3 +300,54 @@ class CdefSearch:
         y_pri, y_sec = best_for((0,), 0)
         uv_pri, uv_sec = best_for((1, 2), 1)
         return (y_pri, y_sec, uv_pri, uv_sec)
+
+
+def filter_blocks_batch(patches: np.ndarray, n: int, pris, sec: int,
+                        dirs, pri_damping: int, sec_damping: int,
+                        coeff_shift: int = 0) -> np.ndarray:
+    """Vectorized filter_block over a batch: patches (B, n+4, n+4) with the
+    block at [2:2+n, 2:2+n]; pris/dirs per-block arrays. Returns (B, n, n).
+    Bit-identical to filter_block (grouped by (dir, pri) so taps and
+    constrain shifts stay scalar)."""
+    B = patches.shape[0]
+    out = np.empty((B, n, n), np.int32)
+    pris = np.asarray(pris)
+    dirs = np.asarray(dirs)
+    for d in range(8):
+        for pri in np.unique(pris[dirs == d]) if B else []:
+            sel = np.nonzero((dirs == d) & (pris == pri))[0]
+            if sel.size == 0:
+                continue
+            buf = patches[sel]
+            x = buf[:, 2:2 + n, 2:2 + n].astype(np.int32)
+            sm = np.zeros_like(x)
+            mx = x.copy()
+            mn = x.copy()
+
+            def tap(dy, dx):
+                return buf[:, 2 + dy:2 + dy + n,
+                           2 + dx:2 + dx + n].astype(np.int32)
+
+            taps_i = (int(pri) >> coeff_shift) & 1
+            pri_taps = _PRI_TAPS[taps_i]
+            sec_taps = _SEC_TAPS[taps_i]
+            for k in range(2):
+                for sgn in (1, -1):
+                    dy, dx = _DIRS[d][k]
+                    p = tap(sgn * dy, sgn * dx)
+                    sm += pri_taps[k] * _constrain(p - x, int(pri),
+                                                   pri_damping)
+                    avail = p != CDEF_VERY_LARGE
+                    mx = np.maximum(mx, np.where(avail, p, 0))
+                    mn = np.minimum(mn, p)
+                    for dd in (2, -2):
+                        dy2, dx2 = _DIRS[(d + dd) % 8][k]
+                        sv = tap(sgn * dy2, sgn * dx2)
+                        sm += sec_taps[k] * _constrain(sv - x, sec,
+                                                       sec_damping)
+                        savail = sv != CDEF_VERY_LARGE
+                        mx = np.maximum(mx, np.where(savail, sv, 0))
+                        mn = np.minimum(mn, sv)
+            y = x + ((8 + sm - (sm < 0)) >> 4)
+            out[sel] = np.clip(y, mn, mx)
+    return out
