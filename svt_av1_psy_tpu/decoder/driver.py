@@ -76,6 +76,8 @@ class Decoder:
             motion_mode_switchable=fi.is_motion_mode_switchable,
             allow_warped_motion=fi.allow_warped_motion,
             skip_mode_present=fi.skip_mode_present,
+            lr_type=fi.lr_type, lr_unit_size=fi.lr_unit_size,
+            frame_width=W, frame_height=H,
             allow_update_cdf=not fi.disable_cdf_update)
         blocks = tp.parse_tile()
 
@@ -94,6 +96,9 @@ class Decoder:
               fi.filter_level_uv[0], fi.filter_level_uv[1])
         if any(lf):
             fr.apply_dlf(lf, fi.sharpness)
+        lr_active = (seq.enable_restoration and fi.lr_type is not None and
+                     any(fi.lr_type))
+        deblock_copy = [p.copy() for p in fr.planes] if lr_active else None
         if seq.enable_cdef and fi.cdef_y_pri is not None:
             sets = [(yp, ys + (ys == 3), up, us + (us == 3))
                     for yp, ys, up, us in zip(fi.cdef_y_pri, fi.cdef_y_sec,
@@ -101,6 +106,12 @@ class Decoder:
                                               fi.cdef_uv_sec)]
             if any(any(sv) for sv in sets):
                 fr.apply_cdef(sets, fi.cdef_damping, cdef_idx=tp.cdef_idx)
+        if lr_active:
+            from svt_av1_psy_tpu.ops.restoration import apply_lr_frame
+            dims = [(W, H), ((W + 1) >> 1, (H + 1) >> 1),
+                    ((W + 1) >> 1, (H + 1) >> 1)]
+            apply_lr_frame(fr.planes, deblock_copy, dims, fi.lr_type,
+                           fi.lr_unit_size, tp.lr_units, bd=seq.bit_depth)
 
         out = DecodedPlanes(
             y=fr.planes[0][:H, :W].copy(),

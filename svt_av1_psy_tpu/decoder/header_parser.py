@@ -138,6 +138,8 @@ class FrameInfo:
     cdef_y_sec: list = None
     cdef_uv_pri: list = None
     cdef_uv_sec: list = None
+    lr_type: list = None           # per plane: 0 NONE, 1 SW, 2 WIENER, 3 SGR
+    lr_unit_size: list = None
     tx_mode_select: bool = False
     reduced_tx_set: bool = False
     tile_cols_log2: int = 0
@@ -340,11 +342,26 @@ def parse_frame_header(payload: bytes, seq: SeqInfo,
             fi.cdef_y_sec.append(r.f(2))
             fi.cdef_uv_pri.append(r.f(4))
             fi.cdef_uv_sec.append(r.f(2))
-    # lr_params
+    # lr_params (spec 5.9.20); Remap_Lr_Type = NONE,SWITCHABLE,WIENER,SGR
     if not (fi.coded_lossless or fi.allow_intrabc) and seq.enable_restoration:
-        types = [r.f(2) for _ in range(3)]
-        if any(types):
-            raise NotImplementedError("loop restoration parse")
+        remap = [0, 3, 1, 2]   # coded value -> RESTORE_{NONE,WIENER,SGR,SW}
+        fi.lr_type = [remap[r.f(2)] for _ in range(3)]
+        uses_lr = any(fi.lr_type)
+        uses_chroma_lr = fi.lr_type[1] or fi.lr_type[2]
+        fi.lr_unit_size = [256, 256, 256]
+        if uses_lr:
+            if seq.use_128x128_superblock:
+                shift = r.f(1) + 1
+            else:
+                shift = r.f(1)
+                if shift:
+                    shift += r.f(1)
+            fi.lr_unit_size[0] = 256 >> (2 - shift)
+            uv = 0
+            if uses_chroma_lr:
+                uv = r.f(1)
+            fi.lr_unit_size[1] = fi.lr_unit_size[0] >> uv
+            fi.lr_unit_size[2] = fi.lr_unit_size[1]
     # read_tx_mode
     if not fi.coded_lossless:
         fi.tx_mode_select = bool(r.f(1))

@@ -66,6 +66,17 @@ _SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
                1, 1, 2, 2, 3, 3]
 
 
+_WIENER_TAP_SPEC = ((-5, 10, 1), (-23, 8, 2), (-17, 46, 3))
+
+
+def _inv_recenter(r, v):
+    if v > 2 * r:
+        return v
+    if v & 1:
+        return r - ((v + 1) >> 1)
+    return r + (v >> 1)
+
+
 class TileParser:
     def __init__(self, fc: FrameContext, data: bytes, mi_rows: int,
                  mi_cols: int, *, sb_size: int = 64,
@@ -80,7 +91,9 @@ class TileParser:
                  enable_interintra: bool = False,
                  motion_mode_switchable: bool = False,
                  allow_warped_motion: bool = False,
-                 skip_mode_present: bool = False):
+                 skip_mode_present: bool = False,
+                 lr_type=None, lr_unit_size=None,
+                 frame_width: int = 0, frame_height: int = 0):
         self.fc = fc
         self.dec = RangeDecoder(data)
         self.mi_rows, self.mi_cols = mi_rows, mi_cols
@@ -110,6 +123,13 @@ class TileParser:
         self.motion_mode_switchable = motion_mode_switchable
         self.allow_warped_motion = allow_warped_motion
         self.skip_mode_present = skip_mode_present
+        self.lr_type = lr_type
+        self.lr_unit_size = lr_unit_size
+        self.frame_width = frame_width or mi_cols * 4
+        self.frame_height = frame_height or mi_rows * 4
+        self.lr_units = [{}, {}, {}]
+        self.lr_ref_wiener = [[[3, -7, 15], [3, -7, 15]] for _ in range(3)]
+        self.lr_ref_sgr = [[-32, 31] for _ in range(3)]
         if not frame_is_intra:
             from svt_av1_psy_tpu.inter.mvref import MiGrid
             self.grid = MiGrid(mi_rows, mi_cols)
@@ -158,8 +178,112 @@ class TileParser:
         for sbr in range(0, self.mi_rows, self.sb_mi):
             for sbc in range(0, self.mi_cols, self.sb_mi):
                 self.read_deltas = self.delta_q_present
+                if self.lr_type is not None and any(self.lr_type):
+                    self._read_lr(sbr, sbc)
                 self._parse_partition(sbr, sbc, int(BlockSize.BLOCK_64X64))
         return self.blocks
+
+    # --- loop restoration syntax (spec 5.11.57) --------------------------
+    def _decode_subexp_bool(self, num_syms, k):
+        i = 0
+        mk = 0
+        while True:
+            b2 = k + i - 1 if i else k
+            a = 1 << b2
+            if num_syms <= mk + 3 * a:
+                return self._ns(num_syms - mk) + mk
+            if self._lit("subexp_more", 1):
+                i += 1
+                mk += a
+            else:
+                return self._lit("subexp_bits", b2) + mk
+
+    def _ns(self, n):
+        w = n.bit_length()
+        m = (1 << w) - n
+        v = self._lit("ns_v", w - 1) if w > 1 else 0
+        if v < m:
+            return v
+        extra = self._lit("ns_extra", 1)
+        return (v << 1) - m + extra
+
+    def _decode_signed_subexp(self, low, high, k, ref):
+        mx = high - low
+        rr = ref - low
+        v = self._decode_subexp_bool(mx, k)
+        if (rr << 1) <= mx:
+            x = _inv_recenter(rr, v)
+        else:
+            x = mx - 1 - _inv_recenter(mx - 1 - rr, v)
+        return x + low
+
+    def _read_lr(self, sbr, sbc):
+        from svt_av1_psy_tpu.entropy.range_coder import uniform_icdf
+        fc = self.fc
+        for plane in range(3):
+            if not self.lr_type[plane]:
+                continue
+            sub = 1 if plane else 0
+            usize = self.lr_unit_size[plane]
+            pw = (self.frame_width + sub) >> sub
+            ph = (self.frame_height + sub) >> sub
+            ucols = max((pw + (usize >> 1)) // usize, 1)
+            urows = max((ph + (usize >> 1)) // usize, 1)
+            px = 4 >> sub       # plane px per mi
+            r0 = (sbr * px + usize - 1) // usize
+            r1 = min(urows, ((sbr + self.sb_mi) * px + usize - 1) // usize)
+            c0 = (sbc * px + usize - 1) // usize
+            c1 = min(ucols, ((sbc + self.sb_mi) * px + usize - 1) // usize)
+            for ur in range(r0, r1):
+                for uc in range(c0, c1):
+                    self._read_lr_unit(plane, ur, uc)
+
+    def _read_lr_unit(self, plane, ur, uc):
+        fc = self.fc
+        ftype = self.lr_type[plane]
+        if ftype == 3:          # SWITCHABLE
+            rtype = self._sym("lr_switchable", fc.switchable_restore)
+        elif ftype == 1:        # WIENER
+            rtype = 1 if self._sym("lr_wiener", fc.wiener_restore) else 0
+        else:                   # SGRPROJ
+            rtype = 2 if self._sym("lr_sgrproj", fc.sgrproj_restore) else 0
+        info = {"type": rtype}
+        if rtype == 1:
+            taps = []
+            for p2 in range(2):       # vert then horz
+                f = []
+                first = 1 if plane else 0
+                for j in range(3):
+                    if j < first:
+                        f.append(0)
+                        continue
+                    mn, mx, k = _WIENER_TAP_SPEC[j]
+                    v = self._decode_signed_subexp(
+                        mn, mx + 1, k, self.lr_ref_wiener[plane][p2][j])
+                    self.lr_ref_wiener[plane][p2][j] = v
+                    f.append(v)
+                taps.append(tuple(f))
+            info["vfilter"] = taps[0]
+            info["hfilter"] = taps[1]
+        elif rtype == 2:
+            from svt_av1_psy_tpu.ops.restoration import SGR_PARAMS
+            ep = self._lit("lr_sgr_set", 4)
+            r0, _, r1, _ = SGR_PARAMS[ep]
+            if r0:
+                x0 = self._decode_signed_subexp(
+                    -96, 32, 4, self.lr_ref_sgr[plane][0])
+            else:
+                x0 = 0
+            if r1:
+                x1 = self._decode_signed_subexp(
+                    -32, 96, 4, self.lr_ref_sgr[plane][1])
+            else:
+                x1 = max(-32, min(95, (1 << 7) - x0))
+            self.lr_ref_sgr[plane][0] = x0
+            self.lr_ref_sgr[plane][1] = x1
+            info["ep"] = ep
+            info["xqd"] = (x0, x1)
+        self.lr_units[plane][(ur, uc)] = info
 
     def _parse_partition(self, r, c, bsize):
         if r >= self.mi_rows or c >= self.mi_cols:

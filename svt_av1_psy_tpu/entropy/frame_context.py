@@ -66,6 +66,9 @@ class FrameContext:
         ("obmc", "cdf_obmc_cdf", False),
         ("compound_idx", "cdf_compound_index_cdf", False),
         ("comp_group_idx", "cdf_comp_group_idx_cdf", False),
+        ("switchable_restore", "cdf_switchable_restore_cdf", False),
+        ("wiener_restore", "cdf_wiener_restore_cdf", False),
+        ("sgrproj_restore", "cdf_sgrproj_restore_cdf", False),
     ]
 
     def __init__(self, base_qindex: int):
