@@ -28,6 +28,7 @@ _INTRA_MODE_CTX = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
 # size_group_lookup
 _SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
                1, 1, 2, 2, 3, 3]
+_WIENER_TAP_SPEC2 = ((-5, 10, 1), (-23, 8, 2), (-17, 46, 3))
 
 # partition ctx byte per block dimension (above uses width, left height);
 # 5-bit scheme, bit (log2(dim4)-1) == "neighbor smaller than this size"
@@ -905,6 +906,123 @@ class TileWriter:
                         EXT_TX_SET_TYPE_FWD[st][tx_type])
             bits += rate512 / 512.0
         return sse, qc, bits
+
+    # --- loop restoration write (spec 5.11.57 mirror) --------------------
+    def _enc_quniform(self, n, v):
+        if n <= 1:
+            return
+        ln = (n - 1).bit_length()
+        m = (1 << ln) - n
+        if v < m:
+            self.enc.encode_literal(v, ln - 1)
+        else:
+            self.enc.encode_literal(m + ((v - m) >> 1), ln - 1)
+            self.enc.encode_literal((v - m) & 1, 1)
+
+    def _enc_subexp(self, n, k, v):
+        i = 0
+        mk = 0
+        while True:
+            b2 = k + i - 1 if i else k
+            a = 1 << b2
+            if n <= mk + 3 * a:
+                self._enc_quniform(n - mk, v - mk)
+                return
+            t = int(v >= mk + a)
+            self.enc.encode_literal(t, 1)
+            if t:
+                i += 1
+                mk += a
+            else:
+                self.enc.encode_literal(v - mk, b2)
+                return
+
+    def _enc_signed_subexp(self, low, high, k, ref, v):
+        def recenter(r, x):
+            if x > (r << 1):
+                return x
+            if x >= r:
+                return (x - r) << 1
+            return ((r - x) << 1) - 1
+        n = high - low
+        rr = ref - low
+        x = v - low
+        if (rr << 1) <= n:
+            self._enc_subexp(n, k, recenter(rr, x))
+        else:
+            self._enc_subexp(n, k, recenter(n - 1 - rr, n - 1 - x))
+
+    def init_lr(self, lr_type, lr_unit_size, lr_units, frame_w, frame_h):
+        """Arm loop-restoration syntax for the final write pass."""
+        self.lr_type = lr_type
+        self.lr_unit_size = lr_unit_size
+        self.lr_units = lr_units
+        self.lr_frame_w = frame_w
+        self.lr_frame_h = frame_h
+        self.lr_ref_wiener = [[[3, -7, 15], [3, -7, 15]] for _ in range(3)]
+        self.lr_ref_sgr = [[-32, 31] for _ in range(3)]
+
+    def write_lr(self, sbr, sbc):
+        from svt_av1_psy_tpu.entropy.tile_writer import _WIENER_TAP_SPEC2
+        if not getattr(self, "lr_type", None) or not any(self.lr_type):
+            return
+        fc = self.fc
+        for plane in range(3):
+            if not self.lr_type[plane]:
+                continue
+            sub = 1 if plane else 0
+            usize = self.lr_unit_size[plane]
+            pw = (self.lr_frame_w + sub) >> sub
+            ph = (self.lr_frame_h + sub) >> sub
+            ucols = max((pw + (usize >> 1)) // usize, 1)
+            urows = max((ph + (usize >> 1)) // usize, 1)
+            px = 4 >> sub
+            r0 = (sbr * px + usize - 1) // usize
+            r1 = min(urows, ((sbr + self.sb_mi) * px + usize - 1) // usize)
+            c0 = (sbc * px + usize - 1) // usize
+            c1 = min(ucols, ((sbc + self.sb_mi) * px + usize - 1) // usize)
+            for ur in range(r0, r1):
+                for uc in range(c0, c1):
+                    self._write_lr_unit(plane, ur, uc)
+
+    def _write_lr_unit(self, plane, ur, uc):
+        fc = self.fc
+        info = self.lr_units[plane].get((ur, uc), {"type": 0})
+        rtype = info["type"]
+        ftype = self.lr_type[plane]
+        if ftype == 3:
+            self.enc.encode_symbol(rtype, fc.switchable_restore, adapt=True)
+        elif ftype == 1:
+            self.enc.encode_symbol(int(rtype == 1), fc.wiener_restore,
+                                   adapt=True)
+        else:
+            self.enc.encode_symbol(int(rtype == 2), fc.sgrproj_restore,
+                                   adapt=True)
+        if rtype == 1:
+            for p2, key in ((0, "vfilter"), (1, "hfilter")):
+                first = 1 if plane else 0
+                for j in range(3):
+                    if j < first:
+                        continue
+                    mn, mx, k = _WIENER_TAP_SPEC2[j]
+                    v = info[key][j]
+                    self._enc_signed_subexp(
+                        mn, mx + 1, k, self.lr_ref_wiener[plane][p2][j], v)
+                    self.lr_ref_wiener[plane][p2][j] = v
+        elif rtype == 2:
+            from svt_av1_psy_tpu.ops.restoration import SGR_PARAMS
+            ep = info["ep"]
+            x0, x1 = info["xqd"]
+            self.enc.encode_literal(ep, 4)
+            rr0, _, rr1, _ = SGR_PARAMS[ep]
+            if rr0:
+                self._enc_signed_subexp(-96, 32, 4,
+                                        self.lr_ref_sgr[plane][0], x0)
+            if rr1:
+                self._enc_signed_subexp(-32, 96, 4,
+                                        self.lr_ref_sgr[plane][1], x1)
+            self.lr_ref_sgr[plane][0] = x0
+            self.lr_ref_sgr[plane][1] = x1
 
     def finish(self) -> bytes:
         return self.enc.done()

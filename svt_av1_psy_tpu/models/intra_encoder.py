@@ -169,10 +169,12 @@ class IntraEncoder:
         self.tw = TileWriter(fc, self.mi_rows, self.mi_cols, sb_size=SB,
                              backend=self.backend, tx_mode_select=True,
                              cdef_bits=0)
+        self._sb_ops = []
         for sby in range(0, self.ah, SB):
             for sbx in range(0, self.aw, SB):
                 self.fr.start_block(sby // 4, sbx // 4)
                 _, ops = self._search_partition(sby // 4, sbx // 4, 64)
+                self._sb_ops.append((sby // 4, sbx // 4, ops))
                 self._write_ops(ops)
 
         tile = self.tw.finish()
@@ -188,8 +190,11 @@ class IntraEncoder:
         fr_params.cdef_y_sec = (cdef[1] - (cdef[1] == 4),)
         fr_params.cdef_uv_pri = (cdef[2],)
         fr_params.cdef_uv_sec = (cdef[3] - (cdef[3] == 4),)
+        deblock_copy = [pl.copy() for pl in self.fr.planes]
         if any(cdef):
             self.fr.apply_cdef(cdef, 3 + (self.qindex >> 6))
+        tile = self._apply_and_sign_lr(fr_params, tile, deblock_copy,
+                                       yp, up, vp, self.qindex)
         payload = key_frame_temporal_unit(
             self.seq, fr_params, tile, with_seq_header=(self.frame_index == 0))
         self.frame_index += 1
@@ -682,6 +687,7 @@ class IntraEncoder:
                              backend=self.backend, tx_mode_select=False,
                              cdef_bits=0, frame_is_intra=False)
         self.search_grid = MiGrid(self.mi_rows, self.mi_cols)
+        self._sb_ops = []
         pq_save = self.pq
         rd_save = self.rdmult
         self.pq = build_plane_quant(q, bd=bd)
@@ -691,6 +697,7 @@ class IntraEncoder:
             for sbx in range(0, self.aw, SB):
                 self.fr.start_block(sby // 4, sbx // 4)
                 _, ops = self._search_partition_p(sby // 4, sbx // 4, 64)
+                self._sb_ops.append((sby // 4, sbx // 4, ops))
                 self._write_ops(ops)
         tile = self.tw.finish()
         lf = self._pick_dlf_levels(yp, up, vp)
@@ -705,8 +712,11 @@ class IntraEncoder:
         fr_params.cdef_y_sec = (cdef[1] - (cdef[1] == 4),)
         fr_params.cdef_uv_pri = (cdef[2],)
         fr_params.cdef_uv_sec = (cdef[3] - (cdef[3] == 4),)
+        deblock_copy = [pl.copy() for pl in self.fr.planes]
         if any(cdef):
             self.fr.apply_cdef(cdef, 3 + (q >> 6))
+        tile = self._apply_and_sign_lr(fr_params, tile, deblock_copy,
+                                       yp, up, vp, q)
         payload = key_frame_temporal_unit(self.seq, fr_params, tile,
                                           with_seq_header=False)
         self.pq = pq_save
@@ -985,3 +995,147 @@ class IntraEncoder:
         any_nz = any(np.any(q) for (_, _, _, _, _, q) in txbs)
         skip = not any_nz
         return dist + self.rdmult * rate, (txbs, skip, any_nz)
+
+    # --- loop restoration search + final tile rewrite ----------------------
+    def _apply_and_sign_lr(self, fr_params, tile, deblock_copy,
+                           yp, up, vp, q):
+        """SGR-only restoration search per 64-px unit; if any unit helps,
+        re-encode the tile with the LR syntax interleaved and apply LR to
+        the recon (ref search: pick_sgrproj in enc_restoration)."""
+        if not self.seq.enable_restoration:
+            return tile
+        from svt_av1_psy_tpu.ops.restoration import (SGR_PARAMS, apply_sgr,
+                                                     apply_lr_frame,
+                                                     _unit_ext, sgr_filters)
+        H, W = self.height, self.width
+        dims = [(W, H), ((W + 1) >> 1, (H + 1) >> 1),
+                ((W + 1) >> 1, (H + 1) >> 1)]
+        srcs = [yp, up, vp]
+        usize = [64, 64, 64]
+        units = [{}, {}, {}]
+        any_used = False
+        for plane in range(3):
+            sub = 1 if plane else 0
+            pw, ph = dims[plane]
+            us = usize[plane]
+            ucols = max((pw + (us >> 1)) // us, 1)
+            urows = max((ph + (us >> 1)) // us, 1)
+            stripe_h = 64 >> sub
+            stripe_off = 8 >> sub
+            src = srcs[plane]
+            cd = self.fr.planes[plane]
+            db = deblock_copy[plane]
+            for ur in range(urows):
+                for uc in range(ucols):
+                    ux0 = uc * us
+                    uy0 = ur * us
+                    ux1 = pw if uc == ucols - 1 else min(ux0 + us, pw)
+                    uy1 = ph if ur == urows - 1 else min(uy0 + us, ph)
+                    w = ux1 - ux0
+                    base = src[uy0:uy1, ux0:ux1].astype(np.int64)
+                    cur = cd[uy0:uy1, ux0:ux1].astype(np.int64)
+                    sse_none = float(((base - cur) ** 2).sum())
+                    best = (sse_none + self.rdmult * 2.0, {"type": 0})
+                    # stripe segments of this unit
+                    segs = []
+                    y = uy0
+                    while y < uy1:
+                        s_idx = (y + stripe_off) // stripe_h
+                        s_top = max(s_idx * stripe_h - stripe_off, 0)
+                        s_bot = s_top + stripe_h
+                        seg_top = max(y, s_top)
+                        seg_bot = min(uy1, s_bot)
+                        segs.append((seg_top, seg_bot,
+                                     (s_top, min(s_bot, ph))))
+                        y = seg_bot
+                    exts = [
+                        _unit_ext(cd, db, ux0, st, w, sb - st, pw, ph, sbase)
+                        for (st, sb, sbase) in segs]
+                    for ep in range(16):
+                        r0, _, r1, _ = SGR_PARAMS[ep]
+                        a0 = []
+                        a1 = []
+                        tgt = []
+                        for ext, (st, sb, _) in zip(exts, segs):
+                            h = sb - st
+                            f0, f1 = sgr_filters(ext, w, h, ep, self.bd)
+                            u = ext[3:3 + h, 3:3 + w].astype(np.int64) << 4
+                            sseg = src[st:sb, ux0:ux1].astype(np.int64)
+                            t = (sseg << 11) - (u << 7)
+                            if r0:
+                                a0.append((f0 - u).ravel())
+                            if r1:
+                                a1.append((f1 - u).ravel())
+                            tgt.append(t.ravel())
+                        cols = []
+                        if r0:
+                            cols.append(np.concatenate(a0))
+                        if r1:
+                            cols.append(np.concatenate(a1))
+                        A = np.stack(cols, 1).astype(np.float64)
+                        b = np.concatenate(tgt).astype(np.float64)
+                        sol, _, _, _ = np.linalg.lstsq(A, b, rcond=None)
+                        xq = [0, 0]
+                        i = 0
+                        if r0:
+                            xq[0] = int(round(sol[i]))
+                            i += 1
+                        if r1:
+                            xq[1] = int(round(sol[i]))
+                        # map to legal xqd
+                        if r0 == 0:
+                            x0 = 0
+                            x1 = max(-32, min(95, 128 - xq[1]))
+                        elif r1 == 0:
+                            x0 = max(-96, min(31, xq[0]))
+                            x1 = max(-32, min(95, 128 - x0))
+                        else:
+                            x0 = max(-96, min(31, xq[0]))
+                            x1 = max(-32, min(95, 128 - x0 - xq[1]))
+                        # exact SSE with the quantized params
+                        sse = 0.0
+                        for ext, (st, sb, _) in zip(exts, segs):
+                            out = apply_sgr(ext, w, sb - st, ep, (x0, x1),
+                                            self.bd)
+                            d = src[st:sb, ux0:ux1].astype(np.int64) - out
+                            sse += float((d * d).sum())
+                        cost = sse + self.rdmult * 30.0
+                        if cost < best[0]:
+                            best = (cost, {"type": 2, "ep": ep,
+                                           "xqd": (x0, x1)})
+                    units[plane][(ur, uc)] = best[1]
+                    if best[1]["type"]:
+                        any_used = True
+        if not any_used:
+            return tile
+        lr_type = [2 if any(v["type"] for v in units[pl].values()) else 0
+                   for pl in range(3)]
+        for pl in range(3):
+            if not lr_type[pl]:
+                units[pl] = {}
+        # header fields: coded lr type (NONE=0, SGR=3) + unit shift 0 (64px)
+        fr_params.lr_type = tuple(3 if t else 0 for t in lr_type)
+        fr_params.lr_unit_shift = 0
+        fr_params.lr_uv_shift = 0
+        # rewrite the tile with LR syntax
+        fc2 = FrameContext(q)
+        tw2 = TileWriter(fc2, self.mi_rows, self.mi_cols, sb_size=SB,
+                         backend=self.backend,
+                         tx_mode_select=self.tw.tx_mode_select,
+                         cdef_bits=0,
+                         frame_is_intra=self.tw.frame_is_intra)
+        tw2.init_lr(lr_type, usize, units, W, H)
+        save_tw = self.tw
+        self.tw = tw2
+        save_records = self.records
+        self.records = []
+        for (sbr, sbc, ops) in self._sb_ops:
+            tw2.write_lr(sbr, sbc)
+            self._write_ops(ops)
+        self.tw = save_tw
+        self.records = save_records
+        new_tile = tw2.finish()
+        # apply to recon
+        apply_lr_frame(self.fr.planes, deblock_copy, dims, lr_type,
+                       usize, units, bd=self.bd)
+        return new_tile

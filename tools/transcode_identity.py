@@ -28,17 +28,22 @@ from svt_av1_psy_tpu.ops.quant import adjusted_tx_size
 
 def replay(events, fc, mi_rows, mi_cols, *, tx_mode_select, reduced_tx_set,
            enable_filter_intra, cdef_bits=-1, cdef_grid=None,
-           **inter_kw) -> bytes:
+           lr=None, **inter_kw) -> bytes:
     tw = TileWriter(fc, mi_rows, mi_cols, tx_mode_select=tx_mode_select,
                     reduced_tx_set=reduced_tx_set,
                     enable_filter_intra=enable_filter_intra,
                     cdef_bits=cdef_bits, **inter_kw)
     tw.cdef_grid = cdef_grid
+    if lr is not None:
+        tw.init_lr(*lr)
     pending_dq = None
     for ev in events:
         kind = ev[0]
         if kind == 'part':
             _, r, c, bsize, part = ev
+            if lr is not None and bsize == 12 and (r % 16) == 0 and \
+                    (c % 16) == 0:
+                tw.write_lr(r, c)
             tw.write_partition(r, c, bsize, part)
         elif kind == 'pctx':
             _, r, c, bsize, sub = ev
