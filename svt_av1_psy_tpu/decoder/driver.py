@@ -82,7 +82,8 @@ class Decoder:
         blocks = tp.parse_tile()
 
         fr = FrameReconstructor(
-            W, H, fi, enable_intra_edge_filter=seq.enable_intra_edge_filter)
+            W, H, fi, bd=seq.bit_depth,
+            enable_intra_edge_filter=seq.enable_intra_edge_filter)
         if is_inter:
             fr.ref_planes = [
                 None if self.slots[i] is None else

@@ -498,7 +498,8 @@ class FrameReconstructor:
         dims = [(self.width, self.height),
                 ((self.width + 1) >> 1, (self.height + 1) >> 1),
                 ((self.width + 1) >> 1, (self.height + 1) >> 1)]
-        apply_loop_filter(self.planes, maps, levels, sharpness, dims)
+        apply_loop_filter(self.planes, maps, levels, sharpness, dims,
+                          bd=self.bd)
 
     def apply_cdef(self, levels, damping: int, cdef_idx=None) -> None:
         """In-place CDEF (spec 7.15); levels = one (y_pri, y_sec, uv_pri,

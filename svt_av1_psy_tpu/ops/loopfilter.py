@@ -75,30 +75,34 @@ def _r2(x):
 
 # --- kernels (batched over sample lines; x: (n_lines, n_samples)) -----------
 
-def _filter4_core(mask, hev, p1, p0, q0, q1):
-    """Returns (op1, op0, oq0, oq1) int32 arrays."""
-    ps1 = p1 - 128
-    ps0 = p0 - 128
-    qs0 = q0 - 128
-    qs1 = q1 - 128
-    c = lambda v: np.clip(v, -128, 127)
+def _filter4_core(mask, hev, p1, p0, q0, q1, bd=8):
+    """Returns (op1, op0, oq0, oq1) int32 arrays (highbd: ref
+    highbd_filter4 semantics with the 0x80<<shift offset)."""
+    sh = bd - 8
+    mid = 128 << sh
+    lo, hi = -mid, mid - 1
+    ps1 = p1 - mid
+    ps0 = p0 - mid
+    qs0 = q0 - mid
+    qs1 = q1 - mid
+    c = lambda v: np.clip(v, lo, hi)
     f = np.where(hev, c(ps1 - qs1), 0)
     f = c(f + 3 * (qs0 - ps0))
     f = np.where(mask, f, 0)
     f1 = c(f + 4) >> 3
     f2 = c(f + 3) >> 3
-    oq0 = np.clip(qs0 - f1, -128, 127) + 128
-    op0 = np.clip(ps0 + f2, -128, 127) + 128
+    oq0 = np.clip(qs0 - f1, lo, hi) + mid
+    op0 = np.clip(ps0 + f2, lo, hi) + mid
     f3 = np.where(hev, 0, (f1 + 1) >> 1)
-    oq1 = np.clip(qs1 - f3, -128, 127) + 128
-    op1 = np.clip(ps1 + f3, -128, 127) + 128
+    oq1 = np.clip(qs1 - f3, lo, hi) + mid
+    op1 = np.clip(ps1 + f3, lo, hi) + mid
     keep = ~mask
     return (np.where(keep, p1, op1), np.where(keep, p0, op0),
             np.where(keep, q0, oq0), np.where(keep, q1, oq1))
 
 
 def filter_lines(x: np.ndarray, length: int, blimit: int, limit: int,
-                 thresh: int) -> np.ndarray:
+                 thresh: int, bd: int = 8) -> np.ndarray:
     """Filter sample lines crossing one edge.
 
     x: (n, 2*half) int32, columns are p(half-1)..p0 q0..q(half-1) where
@@ -112,10 +116,11 @@ def filter_lines(x: np.ndarray, length: int, blimit: int, limit: int,
     q0, q1 = Q(0), Q(1)
     out = x.copy()
 
+    ft = 1 << (bd - 8)
     if length == 4:
         mask = _filter_mask2(limit, blimit, p1, p0, q0, q1)
         hev = (np.abs(p1 - p0) > thresh) | (np.abs(q1 - q0) > thresh)
-        r = _filter4_core(mask, hev, p1, p0, q0, q1)
+        r = _filter4_core(mask, hev, p1, p0, q0, q1, bd)
         for i, v in zip((half - 2, half - 1, half, half + 1), r):
             out[:, i] = v
         return out
@@ -124,13 +129,13 @@ def filter_lines(x: np.ndarray, length: int, blimit: int, limit: int,
     if length == 6:
         mask = _filter_mask3_chroma(limit, blimit, p2, p1, p0, q0, q1, q2)
         hev = (np.abs(p1 - p0) > thresh) | (np.abs(q1 - q0) > thresh)
-        flat = _flat_mask3_chroma(1, p2, p1, p0, q0, q1, q2)
+        flat = _flat_mask3_chroma(ft, p2, p1, p0, q0, q1, q2)
         sel = mask & flat
         op1 = _r2(p2 * 3 + p1 * 2 + p0 * 2 + q0)
         op0 = _r2(p2 + p1 * 2 + p0 * 2 + q0 * 2 + q1)
         oq0 = _r2(p1 + p0 * 2 + q0 * 2 + q1 * 2 + q2)
         oq1 = _r2(p0 + q0 * 2 + q1 * 2 + q2 * 3)
-        f1, f0, g0, g1 = _filter4_core(mask, hev, p1, p0, q0, q1)
+        f1, f0, g0, g1 = _filter4_core(mask, hev, p1, p0, q0, q1, bd)
         out[:, half - 2] = np.where(sel, op1, f1)
         out[:, half - 1] = np.where(sel, op0, f0)
         out[:, half] = np.where(sel, oq0, g0)
@@ -140,8 +145,8 @@ def filter_lines(x: np.ndarray, length: int, blimit: int, limit: int,
     p3, q3 = P(3), Q(3)
     mask8 = _filter_mask(limit, blimit, p3, p2, p1, p0, q0, q1, q2, q3)
     hev = (np.abs(p1 - p0) > thresh) | (np.abs(q1 - q0) > thresh)
-    flat = _flat_mask4(1, p3, p2, p1, p0, q0, q1, q2, q3)
-    f1, f0, g0, g1 = _filter4_core(mask8, hev, p1, p0, q0, q1)
+    flat = _flat_mask4(ft, p3, p2, p1, p0, q0, q1, q2, q3)
+    f1, f0, g0, g1 = _filter4_core(mask8, hev, p1, p0, q0, q1, bd)
     sel8 = mask8 & flat
     op2 = _r2(p3 + p3 + p3 + 2 * p2 + p1 + p0 + q0)
     op1 = _r2(p3 + p3 + p2 + 2 * p1 + p0 + q0 + q1)
@@ -162,7 +167,7 @@ def filter_lines(x: np.ndarray, length: int, blimit: int, limit: int,
     # length 14
     p4, p5, p6 = P(4), P(5), P(6)
     q4, q5, q6 = Q(4), Q(5), Q(6)
-    flat2 = _flat_mask4(1, p6, p5, p4, p0, q0, q4, q5, q6)
+    flat2 = _flat_mask4(ft, p6, p5, p4, p0, q0, q4, q5, q6)
     sel14 = sel8 & flat2
     r4 = lambda v: (v + 8) >> 4
     o = {}
@@ -210,7 +215,8 @@ class LoopFilterMaps:
 
 
 def apply_loop_filter(planes: List[np.ndarray], maps: LoopFilterMaps,
-                      levels, sharpness: int = 0, dims=None) -> None:
+                      levels, sharpness: int = 0, dims=None,
+                      bd: int = 8) -> None:
     """Filter the reconstruction in place.
 
     planes: [y, u, v] uint/int arrays (full padded size ok; filtering uses
@@ -235,6 +241,10 @@ def apply_loop_filter(planes: List[np.ndarray], maps: LoopFilterMaps,
         # vertical edges (filter horizontally across columns)
         if lv_v:
             blimit, limit, hev = filter_thresholds(lv_v, sharpness)
+            sh8 = bd - 8
+            blimit <<= sh8
+            limit <<= sh8
+            hev <<= sh8
             for cu in range(1, cols):
                 xpx = cu * 4
                 cur_w = txw[:, cu]
@@ -260,11 +270,15 @@ def apply_loop_filter(planes: List[np.ndarray], maps: LoopFilterMaps,
                     half = 7 if length == 14 else 4
                     ridx = (units[:, None] * 4 + np.arange(4)).ravel()
                     seg = img[ridx, xpx - half:xpx + half].astype(np.int32)
-                    res = filter_lines(seg, length, blimit, limit, hev)
+                    res = filter_lines(seg, length, blimit, limit, hev, bd)
                     img[ridx, xpx - half:xpx + half] = res
         # horizontal edges
         if lv_h:
             blimit, limit, hev = filter_thresholds(lv_h, sharpness)
+            sh8 = bd - 8
+            blimit <<= sh8
+            limit <<= sh8
+            hev <<= sh8
             for ru in range(1, rows):
                 ypx = ru * 4
                 cur_h = txh[ru, :]
@@ -288,5 +302,5 @@ def apply_loop_filter(planes: List[np.ndarray], maps: LoopFilterMaps,
                     half = 7 if length == 14 else 4
                     cidx = (units[:, None] * 4 + np.arange(4)).ravel()
                     seg = img[ypx - half:ypx + half, cidx].astype(np.int32).T
-                    res = filter_lines(seg, length, blimit, limit, hev)
+                    res = filter_lines(seg, length, blimit, limit, hev, bd)
                     img[ypx - half:ypx + half, cidx] = res.T
