@@ -732,7 +732,8 @@ class IntraEncoder:
         return out
 
     def _search_partition_p(self, r, c, size):
-        """NONE vs SPLIT partition RD for P frames (square tree)."""
+        """Partition RD for P frames: NONE vs HORZ vs VERT vs SPLIT."""
+        from svt_av1_psy_tpu.decoder.tile_parser import _subsize
         if r >= self.mi_rows or c >= self.mi_cols:
             return 0.0, []
         tw = self.tw
@@ -742,32 +743,54 @@ class IntraEncoder:
             cost, ops = self._split_children_p(r, c, size)
             return cost, [("P", r, c, bsize, int(Partition.SPLIT))] + ops
         can_split = size > max(self.min_block, 8)
+        half4 = size // 8
         w4 = size // 4
-        pre = None
+        cands = [(int(Partition.NONE), bsize, [(r, c, bsize)])]
+        if can_split and self.enable_rect:
+            hb = _subsize(bsize, int(Partition.HORZ))
+            vb = _subsize(bsize, int(Partition.VERT))
+            cands.append((int(Partition.HORZ), hb,
+                          [(r, c, hb), (r + half4, c, hb)]))
+            cands.append((int(Partition.VERT), vb,
+                          [(r, c, vb), (r, c + half4, vb)]))
+        multi = can_split or len(cands) > 1
+        pre = self.fr.snapshot_area(r, c, w4, w4) if multi else None
+        gpre = self.search_grid.snapshot(r, c, w4, w4) if multi else None
+        best = None
+        for part, sub, blocks in cands:
+            cost = self.rdmult * tw.rate_partition(r, c, bsize, part)
+            items = []
+            for (br, bc, bb) in blocks:
+                cb, rec, replay = self._search_block_p(br, bc, bb)
+                cost += cb
+                items.append((rec, replay))
+            if best is None or cost < best[0]:
+                best = (cost, part, sub, items)
+            if multi:
+                self.fr.restore_area(pre)
+                self.search_grid.restore(gpre)
         if can_split:
-            pre = self.fr.snapshot_area(r, c, w4, w4)
-            gpre = self.search_grid.snapshot(r, c, w4, w4)
-        cost_b, rec, replay = self._search_block_p(r, c, bsize)
-        cost_n = cost_b + self.rdmult * tw.rate_partition(
-            r, c, bsize, int(Partition.NONE))
-        if not can_split:
-            return cost_n, [("P", r, c, bsize, int(Partition.NONE)),
-                            ("B", rec), ("PC", r, c, bsize, bsize)]
-        self.fr.restore_area(pre)
-        self.search_grid.restore(gpre)
-        cost_c, ops_c = self._split_children_p(r, c, size)
-        cost_s = cost_c + self.rdmult * tw.rate_partition(
-            r, c, bsize, int(Partition.SPLIT))
-        if cost_s <= cost_n:
-            return cost_s, [("P", r, c, bsize, int(Partition.SPLIT))] + ops_c
-        self.fr.restore_area(pre)
-        self.search_grid.restore(gpre)
-        self._replay_block(replay)
-        self.search_grid.set_block(
-            r, c, w4, w4, rec.bsize, rec.ref_frame if rec.is_inter else 0,
-            -1, rec.mv, (0, 0), rec.inter_mode == 3)
-        return cost_n, [("P", r, c, bsize, int(Partition.NONE)),
-                        ("B", rec), ("PC", r, c, bsize, bsize)]
+            cost_c, ops_c = self._split_children_p(r, c, size)
+            cost_s = cost_c + self.rdmult * tw.rate_partition(
+                r, c, bsize, int(Partition.SPLIT))
+            if cost_s <= best[0]:
+                return cost_s, [("P", r, c, bsize,
+                                 int(Partition.SPLIT))] + ops_c
+            self.fr.restore_area(pre)
+            self.search_grid.restore(gpre)
+        if multi:
+            for (rec, replay) in best[3]:
+                self._replay_block(replay)
+                bw4 = BLOCK_SIZE_WIDE[rec.bsize] // 4
+                bh4 = BLOCK_SIZE_HIGH[rec.bsize] // 4
+                self.search_grid.set_block(
+                    rec.mi_row, rec.mi_col, bh4, bw4, rec.bsize,
+                    rec.ref_frame if rec.is_inter else 0, -1, rec.mv,
+                    (0, 0), rec.inter_mode == 3)
+        ops = [("P", r, c, bsize, best[1])]
+        ops += [("B", rec) for (rec, _) in best[3]]
+        ops.append(("PC", r, c, bsize, best[2]))
+        return best[0], ops
 
     def _split_children_p(self, r, c, size):
         half4 = size // 8
@@ -865,15 +888,21 @@ class IntraEncoder:
                           uv_mode=0, tx_size=ts_y, is_inter=True,
                           ref_frame=1, inter_mode=0, mv=nearest)
 
-        # candidates: NEARESTMV(stack0), GLOBALMV(0,0), NEWMV(ME)
+        # candidates: NEARESTMV(stack0), NEARMV(stack1+), GLOBALMV, NEWMV
         cands = [(0, nearest, 0)]
-        if nearest != (0, 0):
+        seen = {nearest}
+        for idx in range(1, min(refs.count, 3)):
+            near = lower_mv_precision(refs.stack[idx], False, False)
+            if near not in seen:
+                cands.append((1, near, idx - 1))
+                seen.add(near)
+        if (0, 0) not in seen:
             cands.append((2, (0, 0), 0))
         me = self._me_fullpel(src_y, np.asarray(fr.ref_planes[0][0]),
                               y0, x, bh, bw, nearest)
         blk.mv = me
         newmv = self._subpel_refine(blk, hc, src_y, me)
-        if newmv != nearest and newmv != (0, 0):
+        if newmv not in seen:
             cands.append((3, newmv, 0))
 
         best = None
@@ -884,9 +913,9 @@ class IntraEncoder:
             cost, rec_parts = self._trial_inter(blk, hc, src_y, up, vp,
                                                 mode, mv, refs)
             if best is None or cost < best[0]:
-                best = (cost, mode, mv, rec_parts)
+                best = (cost, mode, mv, drl, rec_parts)
             fr.restore_area(snap)
-        _, mode, mv, (txbs, skip, any_nz) = best
+        _, mode, mv, drl_idx, (txbs, skip, any_nz) = best
 
         # commit winner
         blk.inter_mode = mode
@@ -906,7 +935,8 @@ class IntraEncoder:
         rec = BlockRecord(
             mi_row=r, mi_col=c, bsize=bsize, y_mode=0, uv_mode=0,
             skip=skip, tx_size=ts_y, is_inter=True, ref_frame=1,
-            mv=mv, inter_mode=mode, ref_mv_idx=0,
+            mv=mv, inter_mode=mode,
+            ref_mv_idx=(1 + drl_idx) if mode == 1 else 0,
             txbs_y=[] if skip else [TxbData(q, ts, tt)
                                     for (pl, _, _, ts, tt, q) in txbs
                                     if pl == 0],
