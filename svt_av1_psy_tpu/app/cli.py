@@ -31,6 +31,9 @@ def main(argv=None) -> int:
                     help="disable the TPU open-loop mode search stage")
     ap.add_argument("--backend", default="native",
                     choices=("native", "python"))
+    ap.add_argument("--bitrate", type=float, default=0.0,
+                    help="target kbps (one-pass ABR); 0 = CRF-style")
+    ap.add_argument("--fps", type=float, default=30.0)
     args = ap.parse_args(argv)
 
     from svt_av1_psy_tpu.bitstream.ivf import IvfWriter
@@ -51,6 +54,15 @@ def main(argv=None) -> int:
                     min_block=args.min_block,
                     use_device_search=not args.no_device_search)
                 enc.gop_size = args.gop
+                from svt_av1_psy_tpu.models.ratecontrol import RateControl
+                if args.bitrate > 0:
+                    enc.rc = RateControl(
+                        mode="abr", base_qindex=args.qindex,
+                        target_bits_per_frame=args.bitrate * 1000 /
+                        args.fps)
+                elif args.gop != 1:
+                    enc.rc = RateControl(mode="crf",
+                                         base_qindex=args.qindex)
                 ivf = IvfWriter(args.output, W, H)
             f = enc.encode_frame(y, u, v)
             ivf.write_frame(f.payload, n)

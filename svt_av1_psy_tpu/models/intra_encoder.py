@@ -107,6 +107,7 @@ class IntraEncoder:
         self.frame_index = 0
         self.gop_size = 1          # 1 = all-intra; 0 = single key then P
         self.p_qindex = None       # qindex for P frames (default: qindex)
+        self.rc = None             # optional RateControl
         self.dpb = None            # (y, u, v) padded recon of last frame
         self.records = []  # BlockRecords of the last encoded frame (debug)
         self.force_y_mode = None   # debug: force luma mode for all blocks
@@ -140,11 +141,24 @@ class IntraEncoder:
 
     # --- frame ------------------------------------------------------------
     def encode_frame(self, y, u, v) -> EncodedFrame:
-        if self.frame_index > 0 and self.gop_size != 1 and \
-                (self.frame_index % max(self.gop_size, 1) != 0 or
-                 self.gop_size == 0):
-            return self._encode_p_frame(y, u, v)
-        return self._encode_key_frame(y, u, v)
+        is_p = self.frame_index > 0 and self.gop_size != 1 and \
+            (self.frame_index % max(self.gop_size, 1) != 0 or
+             self.gop_size == 0)
+        if self.rc is not None:
+            q = self.rc.frame_qindex(self.frame_index, not is_p)
+            if is_p:
+                self.p_qindex = q
+            else:
+                self.qindex = q
+                self.pq = build_plane_quant(q, bd=self.bd)
+                qstep = dc_q(q, self.bd) / 8.0
+                self.rdmult = 0.12 * qstep * qstep
+        out = self._encode_p_frame(y, u, v) if is_p \
+            else self._encode_key_frame(y, u, v)
+        if self.rc is not None:
+            self.rc.update(self.p_qindex if is_p else self.qindex,
+                           len(out.payload) * 8)
+        return out
 
     def _encode_key_frame(self, y, u, v) -> EncodedFrame:
         bd = self.bd
