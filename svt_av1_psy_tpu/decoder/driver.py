@@ -78,6 +78,8 @@ class Decoder:
             skip_mode_present=fi.skip_mode_present,
             lr_type=fi.lr_type, lr_unit_size=fi.lr_unit_size,
             frame_width=W, frame_height=H,
+            base_q_idx=fi.base_q_idx,
+            delta_q_res_log2=fi.delta_q_res_log2,
             allow_update_cdf=not fi.disable_cdf_update)
         blocks = tp.parse_tile()
 

@@ -138,6 +138,7 @@ class FrameInfo:
     cdef_y_sec: list = None
     cdef_uv_pri: list = None
     cdef_uv_sec: list = None
+    delta_q_res_log2: int = 0
     lr_type: list = None           # per plane: 0 NONE, 1 SW, 2 WIENER, 3 SGR
     lr_unit_size: list = None
     tx_mode_select: bool = False
@@ -307,7 +308,7 @@ def parse_frame_header(payload: bytes, seq: SeqInfo,
     if fi.base_q_idx > 0:
         fi.delta_q_present = bool(r.f(1))
     if fi.delta_q_present:
-        r.f(2)                                 # delta_q_res
+        fi.delta_q_res_log2 = r.f(2)
         fi.delta_lf_present = bool(r.f(1))
         if fi.delta_lf_present:
             r.f(2)                             # delta_lf_res

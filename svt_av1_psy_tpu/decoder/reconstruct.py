@@ -77,6 +77,7 @@ class FrameReconstructor:
         ]
         self.qm_levels = [fi.qm_y, fi.qm_u, fi.qm_v] if fi.using_qmatrix \
             else None
+        self._pq_cache = {}
         # inter state (set by the driver for inter frames)
         self.ref_planes = None
         self.ref_frame_idx = None
@@ -399,7 +400,20 @@ class FrameReconstructor:
             if self.qm_levels is not None and self.qm_levels[plane] < 15 \
                     and tt < 9:
                 iqm = iqm_matrix(self.qm_levels[plane], plane, ts)
-            dq = dequant_coeffs(qcoeff, ts, self.pq[plane], iqm=iqm)
+            bq = getattr(b, "qindex", None)
+            if bq is None or bq == self.fi.base_q_idx:
+                pq = self.pq[plane]
+            else:
+                key = (bq, plane)
+                if key not in self._pq_cache:
+                    fi = self.fi
+                    deltas = [(fi.delta_q_y_dc, 0),
+                              (fi.delta_q_u_dc, fi.delta_q_u_ac),
+                              (fi.delta_q_v_dc, fi.delta_q_v_ac)][plane]
+                    self._pq_cache[key] = build_plane_quant(
+                        bq, deltas[0], deltas[1], self.bd)
+                pq = self._pq_cache[key]
+            dq = dequant_coeffs(qcoeff, ts, pq, iqm=iqm)
             rec = inverse_transform_add(dq, pred, ts, tt, self.bd)
         # clamped write (spec writes within maxX/maxY)
         wx = min(w, max_x + 1 - x)

@@ -59,6 +59,7 @@ class ParsedBlock:
     inter_mode: int = 0                        # 0 NEARESTMV 1 NEARMV 2 GLOBALMV 3 NEWMV
     ref_mv_idx: int = 0
     interp_filters: tuple = (0, 0)             # (x, y)
+    qindex: int = None                         # per-block q (delta_q)
     txbs: list = field(default_factory=list)   # (plane, u_row, u_col, TxSize, TxType, qcoeff|None)
 
 
@@ -93,7 +94,8 @@ class TileParser:
                  allow_warped_motion: bool = False,
                  skip_mode_present: bool = False,
                  lr_type=None, lr_unit_size=None,
-                 frame_width: int = 0, frame_height: int = 0):
+                 frame_width: int = 0, frame_height: int = 0,
+                 base_q_idx=None, delta_q_res_log2: int = 0):
         self.fc = fc
         self.dec = RangeDecoder(data)
         self.mi_rows, self.mi_cols = mi_rows, mi_cols
@@ -130,6 +132,11 @@ class TileParser:
         self.lr_units = [{}, {}, {}]
         self.lr_ref_wiener = [[[3, -7, 15], [3, -7, 15]] for _ in range(3)]
         self.lr_ref_sgr = [[-32, 31] for _ in range(3)]
+        # per-block qindex tracking needs the frame base q; without it the
+        # dq events are still consumed/replayed but blocks carry no qindex
+        self.base_q_idx = base_q_idx
+        self.cur_q = base_q_idx if base_q_idx is not None else 0
+        self.delta_q_res_log2 = delta_q_res_log2
         if not frame_is_intra:
             from svt_av1_psy_tpu.inter.mvref import MiGrid
             self.grid = MiGrid(mi_rows, mi_cols)
@@ -445,6 +452,9 @@ class TileParser:
                 if abs_q:
                     sign = self._lit("delta_q_sign", 1)
                 self.events.append(('dq', abs_q, sign))
+                delta = -abs_q if sign else abs_q
+                self.cur_q = max(1, min(255, self.cur_q +
+                                        (delta << self.delta_q_res_log2)))
             self.read_deltas = False
 
         is_inter = False
@@ -525,7 +535,10 @@ class TileParser:
                           angle_delta_uv=ad_uv, skip=skip, tx_size=tx_size,
                           cfl_joint_sign=cfl_js, cfl_idx_u=cfl_u,
                           cfl_idx_v=cfl_v, use_filter_intra=use_fi,
-                          filter_intra_mode=fi_mode)
+                          filter_intra_mode=fi_mode,
+                          qindex=self.cur_q if (self.delta_q_present and
+                                               self.base_q_idx is not None)
+                          else None)
 
         # txfm context update
         self.above_txw[c:c + w4] = TX_SIZE_WIDE[tx_size]
@@ -538,11 +551,14 @@ class TileParser:
         if skip:
             self.above_coef[0][c:c + w4] = 0
             self.left_coef[0][r:r + h4] = 0
-            for p in (1, 2):
+            # chroma ctx reset only for chroma-bearing blocks
+            # (ref entropy_coding.c:4111 resets uv only if blk_geom->has_uv)
+            if has_chroma(r, c, bsize):
                 cw4 = max(1, w4 >> 1)
                 ch4 = max(1, h4 >> 1)
-                self.above_coef[p][(c >> 1):(c >> 1) + cw4] = 0
-                self.left_coef[p][(r >> 1):(r >> 1) + ch4] = 0
+                for p in (1, 2):
+                    self.above_coef[p][(c >> 1):(c >> 1) + cw4] = 0
+                    self.left_coef[p][(r >> 1):(r >> 1) + ch4] = 0
         else:
             self._parse_residual(blk)
         if not self.frame_is_intra:
@@ -849,7 +865,10 @@ class TileParser:
                           tx_size=int(MAX_TX_SIZE_RECT[bsize]),
                           is_inter=True, ref_frame=ref, mv=mv,
                           inter_mode=mode, ref_mv_idx=ref_mv_idx,
-                          interp_filters=filters)
+                          interp_filters=filters,
+                          qindex=self.cur_q if (self.delta_q_present and
+                                               self.base_q_idx is not None)
+                          else None)
         assert not self.tx_mode_select, "inter var-tx parse not implemented"
 
         # neighbor state updates
@@ -865,11 +884,14 @@ class TileParser:
         if skip:
             self.above_coef[0][c:c + w4] = 0
             self.left_coef[0][r:r + h4] = 0
-            for p in (1, 2):
+            # chroma ctx reset only for chroma-bearing blocks
+            # (ref entropy_coding.c:4111 resets uv only if blk_geom->has_uv)
+            if has_chroma(r, c, bsize):
                 cw4 = max(1, w4 >> 1)
                 ch4 = max(1, h4 >> 1)
-                self.above_coef[p][(c >> 1):(c >> 1) + cw4] = 0
-                self.left_coef[p][(r >> 1):(r >> 1) + ch4] = 0
+                for p in (1, 2):
+                    self.above_coef[p][(c >> 1):(c >> 1) + cw4] = 0
+                    self.left_coef[p][(r >> 1):(r >> 1) + ch4] = 0
         else:
             self._parse_residual(blk)
         self.blocks.append(blk)

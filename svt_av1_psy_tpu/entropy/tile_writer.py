@@ -591,11 +591,14 @@ class TileWriter:
         h4 = BLOCK_SIZE_HIGH[b.bsize] // 4
         self.above_coef[0][c:c + w4] = 0
         self.left_coef[0][r:r + h4] = 0
-        cw4 = max(1, w4 >> self.ss_x)
-        ch4 = max(1, h4 >> self.ss_y)
-        for p in (1, 2):
-            self.above_coef[p][(c >> self.ss_x):(c >> self.ss_x) + cw4] = 0
-            self.left_coef[p][(r >> self.ss_y):(r >> self.ss_y) + ch4] = 0
+        # chroma ctx reset only for chroma-bearing blocks
+        # (ref entropy_coding.c:4111 resets uv only if blk_geom->has_uv)
+        if has_chroma(r, c, b.bsize, self.ss_x, self.ss_y):
+            cw4 = max(1, w4 >> self.ss_x)
+            ch4 = max(1, h4 >> self.ss_y)
+            for p in (1, 2):
+                self.above_coef[p][(c >> self.ss_x):(c >> self.ss_x) + cw4] = 0
+                self.left_coef[p][(r >> self.ss_y):(r >> self.ss_y) + ch4] = 0
 
     # --- residual -------------------------------------------------------
     def _write_residual(self, b: BlockRecord):
