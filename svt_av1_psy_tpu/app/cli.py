@@ -34,6 +34,14 @@ def main(argv=None) -> int:
     ap.add_argument("--bitrate", type=float, default=0.0,
                     help="target kbps (one-pass ABR); 0 = CRF-style")
     ap.add_argument("--fps", type=float, default=30.0)
+    ap.add_argument("--enable-variance-boost", type=int, default=0,
+                    choices=(0, 1),
+                    help="variance-boost AQ: per-SB delta-q from source "
+                         "variance (PSY flagship feature)")
+    ap.add_argument("--variance-boost-strength", type=int, default=2,
+                    choices=(1, 2, 3, 4))
+    ap.add_argument("--variance-octile", type=int, default=6,
+                    choices=range(1, 9))
     args = ap.parse_args(argv)
 
     from svt_av1_psy_tpu.bitstream.ivf import IvfWriter
@@ -54,6 +62,9 @@ def main(argv=None) -> int:
                     min_block=args.min_block,
                     use_device_search=not args.no_device_search)
                 enc.gop_size = args.gop
+                enc.enable_variance_boost = bool(args.enable_variance_boost)
+                enc.vb_strength = args.variance_boost_strength
+                enc.vb_octile = args.variance_octile
                 from svt_av1_psy_tpu.models.ratecontrol import RateControl
                 if args.bitrate > 0:
                     enc.rc = RateControl(

@@ -78,6 +78,9 @@ class FrameReconstructor:
         self.qm_levels = [fi.qm_y, fi.qm_u, fi.qm_v] if fi.using_qmatrix \
             else None
         self._pq_cache = {}
+        # encoder-side per-SB qindex override (variance-boost AQ); the
+        # decode path carries qindex on each ParsedBlock instead
+        self.q_override = None
         # inter state (set by the driver for inter frames)
         self.ref_planes = None
         self.ref_frame_idx = None
@@ -400,7 +403,8 @@ class FrameReconstructor:
             if self.qm_levels is not None and self.qm_levels[plane] < 15 \
                     and tt < 9:
                 iqm = iqm_matrix(self.qm_levels[plane], plane, ts)
-            bq = getattr(b, "qindex", None)
+            bq = self.q_override if self.q_override is not None \
+                else getattr(b, "qindex", None)
             if bq is None or bq == self.fi.base_q_idx:
                 pq = self.pq[plane]
             else:

@@ -114,6 +114,11 @@ class IntraEncoder:
         self.force_ady = 0         # debug: forced angle delta
         self.force_types = None    # debug: force luma tx-type candidates
         self.enable_rect = True    # HORZ/VERT partition candidates
+        # variance-boost AQ (ref rc_process.c:1516; PSY flagship feature)
+        self.enable_variance_boost = False
+        self.vb_strength = 2
+        self.vb_octile = 6
+        self._vb_pq_cache = {}
 
     # --- open-loop split decisions (device) ------------------------------
     def _decide(self, yp: np.ndarray):
@@ -160,6 +165,14 @@ class IntraEncoder:
                            len(out.payload) * 8)
         return out
 
+    def _set_block_q(self, q: int) -> None:
+        """Point trials/recon at a per-SB qindex (variance-boost AQ)."""
+        if q not in self._vb_pq_cache:
+            self._vb_pq_cache[q] = build_plane_quant(q, bd=self.bd)
+        self.pq = self._vb_pq_cache[q]
+        qstep = dc_q(q, self.bd) / 8.0
+        self.rdmult = 0.12 * qstep * qstep
+
     def _encode_key_frame(self, y, u, v) -> EncodedFrame:
         bd = self.bd
         yp = _pad_to(np.asarray(y), self.pah, self.paw)
@@ -173,9 +186,21 @@ class IntraEncoder:
         else:
             self.bests, self.split = None, None
 
+        cfg_q = self.qindex
+        vb = None
+        dq_res_log2 = 0
+        if self.enable_variance_boost:
+            from svt_av1_psy_tpu.models.variance_boost import (
+                adjust_sb_qindex, sb_8x8_variances)
+            self.qindex, dq_res_log2, vb = adjust_sb_qindex(
+                cfg_q, sb_8x8_variances(yp), self.vb_strength,
+                self.vb_octile, bd)
+
         fr_params = FrameParams(base_q_idx=self.qindex,
                                 order_hint=self.frame_index & 0x7F,
-                                tx_mode_select=True)
+                                tx_mode_select=True,
+                                delta_q_present=vb is not None,
+                                delta_q_res_log2=dq_res_log2)
         self.fr = FrameReconstructor(
             self.width, self.height, fr_params, bd=bd,
             enable_intra_edge_filter=self.seq.enable_intra_edge_filter)
@@ -184,12 +209,32 @@ class IntraEncoder:
                              backend=self.backend, tx_mode_select=True,
                              cdef_bits=0)
         self._sb_ops = []
+        prev_q = self.qindex
         for sby in range(0, self.ah, SB):
             for sbx in range(0, self.aw, SB):
+                sbq = None
+                if vb is not None:
+                    sbq = int(vb[sby // SB, sbx // SB])
+                    self._set_block_q(sbq)
+                    self.fr.q_override = sbq
                 self.fr.start_block(sby // 4, sbx // 4)
                 _, ops = self._search_partition(sby // 4, sbx // 4, 64)
-                self._sb_ops.append((sby // 4, sbx // 4, ops))
-                self._write_ops(ops)
+                dq = None
+                if vb is not None:
+                    # delta vs previously-coded q; not coded for a skipped
+                    # sb-sized block (ref entropy_coding.c:4853)
+                    first = next(op[1] for op in ops if op[0] == "B")
+                    sb_skip = (first.bsize == int(BlockSize.BLOCK_64X64)
+                               and first.skip)
+                    if not sb_skip:
+                        delta = (sbq - prev_q) >> dq_res_log2
+                        dq = (abs(delta), 1 if delta < 0 else 0)
+                        prev_q = sbq
+                self._sb_ops.append((sby // 4, sbx // 4, ops, dq))
+                self._write_ops(ops, dq=dq)
+        if vb is not None:
+            self._set_block_q(self.qindex)
+            self.fr.q_override = None
 
         tile = self.tw.finish()
         lf = self._pick_dlf_levels(yp, up, vp)
@@ -219,6 +264,9 @@ class IntraEncoder:
             recon_u=self.fr.planes[1][:(H + 1) // 2, :(W + 1) // 2].copy(),
             recon_v=self.fr.planes[2][:(H + 1) // 2, :(W + 1) // 2].copy())
         self.dpb = (out.recon_y, out.recon_u, out.recon_v)
+        if vb is not None:          # frame-local AQ base; undo for next frame
+            self.qindex = cfg_q
+            self._set_block_q(cfg_q)
         return out
 
     # --- partition walk ---------------------------------------------------
@@ -294,7 +342,7 @@ class IntraEncoder:
         ops.append(("PC", r, c, bsize, best[2]))
         return best[0], ops
 
-    def _write_ops(self, ops):
+    def _write_ops(self, ops, dq=None):
         tw = self.tw
         for op in ops:
             if op[0] == "P":
@@ -306,7 +354,8 @@ class IntraEncoder:
             else:
                 rec = op[1]
                 self.records.append(rec)
-                tw.write_block(rec)
+                tw.write_block(rec, delta_q=dq)
+                dq = None          # only the SB's first block codes it
 
     # --- in-loop deblocking (ref av1_pick_filter_level) -------------------
     def _pick_dlf_levels(self, yp, up, vp):
@@ -711,7 +760,7 @@ class IntraEncoder:
             for sbx in range(0, self.aw, SB):
                 self.fr.start_block(sby // 4, sbx // 4)
                 _, ops = self._search_partition_p(sby // 4, sbx // 4, 64)
-                self._sb_ops.append((sby // 4, sbx // 4, ops))
+                self._sb_ops.append((sby // 4, sbx // 4, ops, None))
                 self._write_ops(ops)
         tile = self.tw.finish()
         lf = self._pick_dlf_levels(yp, up, vp)
@@ -1173,9 +1222,9 @@ class IntraEncoder:
         self.tw = tw2
         save_records = self.records
         self.records = []
-        for (sbr, sbc, ops) in self._sb_ops:
+        for (sbr, sbc, ops, dq) in self._sb_ops:
             tw2.write_lr(sbr, sbc)
-            self._write_ops(ops)
+            self._write_ops(ops, dq=dq)
         self.tw = save_tw
         self.records = save_records
         new_tile = tw2.finish()
