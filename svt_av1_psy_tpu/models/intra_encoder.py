@@ -733,12 +733,22 @@ class IntraEncoder:
         self._src = (yp, up, vp)
         self.records = []
         q = self.p_qindex if self.p_qindex is not None else self.qindex
+        vb = None
+        dq_res_log2 = 0
+        if self.enable_variance_boost:
+            from svt_av1_psy_tpu.models.variance_boost import (
+                adjust_sb_qindex, sb_8x8_variances)
+            q, dq_res_log2, vb = adjust_sb_qindex(
+                q, sb_8x8_variances(yp), self.vb_strength,
+                self.vb_octile, bd)
 
         fr_params = FrameParams(
             frame_type=1, base_q_idx=q, order_hint=self.frame_index & 0x7F,
             tx_mode_select=False, primary_ref_frame=7,
             refresh_frame_flags=0x01, ref_frame_idx=(0,) * 7,
-            allow_high_precision_mv=False, interp_filter=0)
+            allow_high_precision_mv=False, interp_filter=0,
+            delta_q_present=vb is not None,
+            delta_q_res_log2=dq_res_log2)
         self.fr = FrameReconstructor(
             self.width, self.height, fr_params, bd=bd,
             enable_intra_edge_filter=self.seq.enable_intra_edge_filter)
@@ -756,12 +766,32 @@ class IntraEncoder:
         self.pq = build_plane_quant(q, bd=bd)
         qstep = dc_q(q, bd) / 8.0
         self.rdmult = 0.12 * qstep * qstep
+        prev_q = q
         for sby in range(0, self.ah, SB):
             for sbx in range(0, self.aw, SB):
+                sbq = None
+                if vb is not None:
+                    sbq = int(vb[sby // SB, sbx // SB])
+                    self._set_block_q(sbq)
+                    self.fr.q_override = sbq
                 self.fr.start_block(sby // 4, sbx // 4)
                 _, ops = self._search_partition_p(sby // 4, sbx // 4, 64)
-                self._sb_ops.append((sby // 4, sbx // 4, ops, None))
-                self._write_ops(ops)
+                dq = None
+                if vb is not None:
+                    first = next(op[1] for op in ops if op[0] == "B")
+                    sb_skip = (first.bsize == int(BlockSize.BLOCK_64X64)
+                               and first.skip)
+                    if not sb_skip:
+                        delta = (sbq - prev_q) >> dq_res_log2
+                        dq = (abs(delta), 1 if delta < 0 else 0)
+                        prev_q = sbq
+                self._sb_ops.append((sby // 4, sbx // 4, ops, dq))
+                self._write_ops(ops, dq=dq)
+        if vb is not None:
+            self.fr.q_override = None
+            self.pq = build_plane_quant(q, bd=bd)
+            qstep = dc_q(q, bd) / 8.0
+            self.rdmult = 0.12 * qstep * qstep
         tile = self.tw.finish()
         lf = self._pick_dlf_levels(yp, up, vp)
         fr_params.filter_level = (lf[0], lf[1])

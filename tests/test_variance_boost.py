@@ -127,3 +127,37 @@ def test_vb_multiple_qindexes_coded(vb_stream):
             tp.parse_tile()
             qs = {b.qindex for b in tp.blocks}
             assert len(qs) > 1
+
+
+def test_vb_ippp_bitexact():
+    """Variance boost on a key + P-frame chain stays bit-exact."""
+    import io as _io
+
+    from svt_av1_psy_tpu.decoder import dav1d
+    from svt_av1_psy_tpu.decoder.driver import decode_ivf
+    from svt_av1_psy_tpu.models.intra_encoder import IntraEncoder
+    W, H = 128, 128
+    rng = np.random.default_rng(3)
+    base = rng.integers(40, 200, (H + 16, W + 16)).astype(np.uint8)
+    enc = IntraEncoder(W, H, qindex=120, use_device_search=False)
+    enc.enable_variance_boost = True
+    enc.gop_size = 0
+    outs = []
+    for t in range(3):
+        y = base[t:t + H, 2 * t:2 * t + W]
+        y = np.ascontiguousarray(y)
+        y[:32, :32] = 128          # flat low-variance corner
+        u = np.full((H // 2, W // 2), 110, np.uint8)
+        v = np.full((H // 2, W // 2), 140, np.uint8)
+        outs.append(enc.encode_frame(y, u, v))
+    buf = _io.BytesIO()
+    w = IvfWriter(buf, W, H)
+    for i, o in enumerate(outs):
+        w.write_frame(o.payload, i)
+    w.close()
+    dec = decode_ivf(buf.getvalue())
+    ref = dav1d.decode_ivf(buf.getvalue())
+    for i, (o, d) in enumerate(zip(outs, dec)):
+        r = ref[i][0] if isinstance(ref[i], tuple) else ref[i].y
+        np.testing.assert_array_equal(d.y, o.recon_y)
+        np.testing.assert_array_equal(r, o.recon_y)
