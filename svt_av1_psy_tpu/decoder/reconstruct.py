@@ -223,6 +223,15 @@ class FrameReconstructor:
             else int(MAX_TX_SIZE_RECT[b.bsize])
         self.lf_txw[0][r:r + h4, c:c + w4] = TX_SIZE_WIDE[ts]
         self.lf_txh[0][r:r + h4, c:c + w4] = TX_SIZE_HIGH[ts]
+        if getattr(b, "tx_leaves", None) is not None:
+            # inter var-tx: per-leaf tx dims drive the deblock filter maps
+            for (ly, lx, lts) in b.tx_leaves:
+                lh4 = max(1, TX_SIZE_HIGH[lts] // 4)
+                lw4 = max(1, TX_SIZE_WIDE[lts] // 4)
+                self.lf_txw[0][r + ly:r + ly + lh4,
+                               c + lx:c + lx + lw4] = TX_SIZE_WIDE[lts]
+                self.lf_txh[0][r + ly:r + ly + lh4,
+                               c + lx:c + lx + lw4] = TX_SIZE_HIGH[lts]
         ski = int(getattr(b, "skip", False) and
                   getattr(b, "is_inter", False))
         self.lf_skip_inter[0][r:r + h4, c:c + w4] = ski

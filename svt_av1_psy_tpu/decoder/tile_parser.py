@@ -61,6 +61,10 @@ class ParsedBlock:
     interp_filters: tuple = (0, 0)             # (x, y)
     qindex: int = None                         # per-block q (delta_q)
     txbs: list = field(default_factory=list)   # (plane, u_row, u_col, TxSize, TxType, qcoeff|None)
+    # inter var-tx (TX_MODE_SELECT): luma leaf layout + split flags in
+    # read order (spec 5.11.16 read_var_tx_size)
+    tx_leaves: list = None                     # [(r_off4, c_off4, TxSize)]
+    txfm_splits: list = None                   # [0/1, ...] DFS order
 
 
 _SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
@@ -869,11 +873,25 @@ class TileParser:
                           qindex=self.cur_q if (self.delta_q_present and
                                                self.base_q_idx is not None)
                           else None)
-        assert not self.tx_mode_select, "inter var-tx parse not implemented"
+        if self.tx_mode_select and not skip:
+            # read_var_tx_size over max-tx units (spec 5.11.16; write-side
+            # mirror: ref entropy_coding.c:4389 write_tx_size_vartx)
+            maxtx = int(MAX_TX_SIZE_RECT[bsize])
+            splits, leaves = [], []
+            mw4 = TX_SIZE_WIDE[maxtx] // 4
+            mh4 = TX_SIZE_HIGH[maxtx] // 4
+            for i in range(0, h4, mh4):
+                for j in range(0, w4, mw4):
+                    self._read_var_tx(blk, maxtx, 0, i, j, splits, leaves)
+            blk.txfm_splits = splits
+            blk.tx_leaves = leaves
+        else:
+            # fixed tx (or skip): ctx arrays get the max-tx/block dims
+            # (ref entropy_coding.c:4443 set_txfm_ctxs)
+            self.above_txw[c:c + w4] = TX_SIZE_WIDE[blk.tx_size]
+            self.left_txh[r:r + h4] = TX_SIZE_HIGH[blk.tx_size]
 
         # neighbor state updates
-        self.above_txw[c:c + w4] = TX_SIZE_WIDE[blk.tx_size]
-        self.left_txh[r:r + h4] = TX_SIZE_HIGH[blk.tx_size]
         self.above_mode[c:c + w4] = int(PredMode.DC_PRED)
         self.left_mode[r:r + h4] = int(PredMode.DC_PRED)
         self.above_skip[c:c + w4] = int(skip)
@@ -897,6 +915,55 @@ class TileParser:
         self.blocks.append(blk)
         self.events.append(('block', blk))
 
+    def _txfm_split_ctx(self, r, c, bsize, tx) -> int:
+        """txfm_partition ctx (ref entropy_coding.c:4367)."""
+        txw, txh = TX_SIZE_WIDE[tx], TX_SIZE_HIGH[tx]
+        above = int(int(self.above_txw[c]) < txw)
+        left = int(int(self.left_txh[r]) < txh)
+        dim = max(BLOCK_SIZE_WIDE[bsize], BLOCK_SIZE_HIGH[bsize])
+        max_tx = {64: 4, 32: 3, 16: 2, 8: 1}.get(dim, 0)
+        cat = int(int(TX_SIZE_SQR_UP[tx]) != max_tx and max_tx > 1) + \
+            (4 - max_tx) * 2
+        return cat * 3 + above + left
+
+    def _read_var_tx(self, blk, tx, depth, r_off, c_off, splits, leaves):
+        """read_var_tx_size (spec 5.11.16): one node of the inter tx tree."""
+        r = blk.mi_row + r_off
+        c = blk.mi_col + c_off
+        if r >= self.mi_rows or c >= self.mi_cols:
+            return
+        w4 = TX_SIZE_WIDE[tx] // 4
+        h4 = TX_SIZE_HIGH[tx] // 4
+        if depth == 2 or tx == int(TxSize.TX_4X4):   # MAX_VARTX_DEPTH
+            split = 0
+        else:
+            ctx = self._txfm_split_ctx(r, c, blk.bsize, tx)
+            split = self._sym(f"txfm_split@{r},{c}",
+                              self.fc.txfm_partition[ctx])
+            splits.append(int(split))
+        if split:
+            sub = int(_SUB_TX[tx])
+            if sub == int(TxSize.TX_4X4):
+                # terminal split to 4x4: leaves over the parent, single
+                # ctx update spanning the parent extent, no more flags
+                for i in range(h4):
+                    for j in range(w4):
+                        if r + i < self.mi_rows and c + j < self.mi_cols:
+                            leaves.append((r_off + i, c_off + j, sub))
+                self.above_txw[c:c + w4] = 4
+                self.left_txh[r:r + h4] = 4
+                return
+            sh4 = TX_SIZE_HIGH[sub] // 4
+            sw4 = TX_SIZE_WIDE[sub] // 4
+            for i in range(0, h4, sh4):
+                for j in range(0, w4, sw4):
+                    self._read_var_tx(blk, sub, depth + 1,
+                                      r_off + i, c_off + j, splits, leaves)
+        else:
+            leaves.append((r_off, c_off, tx))
+            self.above_txw[c:c + w4] = TX_SIZE_WIDE[tx]
+            self.left_txh[r:r + h4] = TX_SIZE_HIGH[tx]
+
     def _tx_size_ctx(self, r, c, bsize, have_above, have_left) -> int:
         max_tx = int(MAX_TX_SIZE_RECT[bsize])
         aw = int(self.above_txw[c]) >= TX_SIZE_WIDE[max_tx]
@@ -917,13 +984,19 @@ class TileParser:
             ss = 1 if plane else 0
             bw = BLOCK_SIZE_WIDE[bsize] >> ss
             bh = BLOCK_SIZE_HIGH[bsize] >> ss
+            base_r = blk.mi_row >> ss
+            base_c = blk.mi_col >> ss
+            if plane == 0 and blk.tx_leaves is not None:
+                # inter var-tx: luma txbs at the tree's leaf layout
+                for (ly, lx, ts) in blk.tx_leaves:
+                    self._parse_txb(blk, 0, ts, base_r + ly, base_c + lx,
+                                    bw, bh)
+                continue
             if plane == 0:
                 tx = blk.tx_size
             else:
                 tx = _chroma_tx_size(bsize)
             tw, th = TX_SIZE_WIDE[tx], TX_SIZE_HIGH[tx]
-            base_r = blk.mi_row >> ss
-            base_c = blk.mi_col >> ss
             for oy in range(0, bh, th):
                 for ox in range(0, bw, tw):
                     self._parse_txb(blk, plane, tx,

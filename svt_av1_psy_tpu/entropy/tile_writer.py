@@ -103,6 +103,9 @@ class BlockRecord:
     txbs_y: list = field(default_factory=list)    # list[TxbData]
     txbs_u: list = field(default_factory=list)
     txbs_v: list = field(default_factory=list)
+    # inter var-tx: luma leaf layout + split flags (spec 5.11.16)
+    tx_leaves: list = None       # [(r_off4, c_off4, TxSize)]
+    txfm_splits: list = None     # [0/1, ...] DFS order
 
 
 class TileWriter:
@@ -568,11 +571,20 @@ class TileWriter:
                 enc.encode_symbol(b.interp_filters[d],
                                   fc.switchable_interp[ctx], adapt=True)
 
-        assert not self.tx_mode_select, "inter var-tx write unsupported"
-        tx_size = int(MAX_TX_SIZE_RECT[b.bsize])
         from svt_av1_psy_tpu.constants import TX_SIZE_HIGH, TX_SIZE_WIDE
-        self.above_txw[c:c + w4] = TX_SIZE_WIDE[tx_size]
-        self.left_txh[r:r + h4] = TX_SIZE_HIGH[tx_size]
+        tx_size = int(MAX_TX_SIZE_RECT[b.bsize])
+        if self.tx_mode_select and not b.skip:
+            # write_tx_size_vartx (ref entropy_coding.c:4389): replay the
+            # recorded split flags over max-tx units
+            splits = iter(b.txfm_splits or ())
+            mw4 = TX_SIZE_WIDE[tx_size] // 4
+            mh4 = TX_SIZE_HIGH[tx_size] // 4
+            for i in range(0, h4, mh4):
+                for j in range(0, w4, mw4):
+                    self._write_var_tx(b, tx_size, 0, i, j, splits)
+        else:
+            self.above_txw[c:c + w4] = TX_SIZE_WIDE[tx_size]
+            self.left_txh[r:r + h4] = TX_SIZE_HIGH[tx_size]
         self.above_mode[c:c + w4] = int(PredMode.DC_PRED)
         self.left_mode[r:r + h4] = int(PredMode.DC_PRED)
         self.above_skip[c:c + w4] = int(b.skip)
@@ -600,6 +612,51 @@ class TileWriter:
                 self.above_coef[p][(c >> self.ss_x):(c >> self.ss_x) + cw4] = 0
                 self.left_coef[p][(r >> self.ss_y):(r >> self.ss_y) + ch4] = 0
 
+    def _txfm_split_ctx(self, r, c, bsize, tx) -> int:
+        """txfm_partition ctx (ref entropy_coding.c:4367)."""
+        from svt_av1_psy_tpu.constants import (TX_SIZE_HIGH, TX_SIZE_SQR_UP,
+                                               TX_SIZE_WIDE)
+        txw, txh = TX_SIZE_WIDE[tx], TX_SIZE_HIGH[tx]
+        above = int(int(self.above_txw[c]) < txw)
+        left = int(int(self.left_txh[r]) < txh)
+        dim = max(BLOCK_SIZE_WIDE[bsize], BLOCK_SIZE_HIGH[bsize])
+        max_tx = {64: 4, 32: 3, 16: 2, 8: 1}.get(dim, 0)
+        cat = int(int(TX_SIZE_SQR_UP[tx]) != max_tx and max_tx > 1) + \
+            (4 - max_tx) * 2
+        return cat * 3 + above + left
+
+    def _write_var_tx(self, b, tx, depth, r_off, c_off, splits):
+        from svt_av1_psy_tpu.constants import TX_SIZE_HIGH, TX_SIZE_WIDE
+        from svt_av1_psy_tpu.entropy.tx_trees import SUB_TX
+        r = b.mi_row + r_off
+        c = b.mi_col + c_off
+        if r >= self.mi_rows or c >= self.mi_cols:
+            return
+        w4 = TX_SIZE_WIDE[tx] // 4
+        h4 = TX_SIZE_HIGH[tx] // 4
+        if depth == 2 or tx == 0:                 # MAX_VARTX_DEPTH / 4x4
+            split = 0
+        else:
+            ctx = self._txfm_split_ctx(r, c, b.bsize, tx)
+            split = next(splits)
+            self.enc.encode_symbol(split, self.fc.txfm_partition[ctx],
+                                   adapt=True)
+        if split:
+            sub = int(SUB_TX[tx])
+            if sub == 0:                          # terminal 4x4 split
+                self.above_txw[c:c + w4] = 4
+                self.left_txh[r:r + h4] = 4
+                return
+            sh4 = TX_SIZE_HIGH[sub] // 4
+            sw4 = TX_SIZE_WIDE[sub] // 4
+            for i in range(0, h4, sh4):
+                for j in range(0, w4, sw4):
+                    self._write_var_tx(b, sub, depth + 1,
+                                       r_off + i, c_off + j, splits)
+        else:
+            self.above_txw[c:c + w4] = TX_SIZE_WIDE[tx]
+            self.left_txh[r:r + h4] = TX_SIZE_HIGH[tx]
+
     # --- residual -------------------------------------------------------
     def _write_residual(self, b: BlockRecord):
         from svt_av1_psy_tpu.constants import TX_SIZE_HIGH, TX_SIZE_WIDE
@@ -612,6 +669,11 @@ class TileWriter:
             ss_y = self.ss_y if plane else 0
             base_c = b.mi_col >> ss_x
             base_r = b.mi_row >> ss_y
+            if plane == 0 and b.tx_leaves is not None:
+                # inter var-tx: txbs_y follow the tree's leaf layout
+                for (ly, lx, _), txb in zip(b.tx_leaves, txbs):
+                    self._write_txb(0, b, txb, base_r + ly, base_c + lx)
+                continue
             # raster order of tx blocks within the plane block
             off_c = 0
             off_r = 0

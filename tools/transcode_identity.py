@@ -70,6 +70,7 @@ def replay(events, fc, mi_rows, mi_cols, *, tx_mode_select, reduced_tx_set,
                 cfl_joint_sign=b.cfl_joint_sign, cfl_idx_u=b.cfl_idx_u,
                 cfl_idx_v=b.cfl_idx_v, use_filter_intra=b.use_filter_intra,
                 filter_intra_mode=b.filter_intra_mode,
+                tx_leaves=b.tx_leaves, txfm_splits=b.txfm_splits,
                 txbs_y=txbs[0], txbs_u=txbs[1], txbs_v=txbs[2])
             tw.write_block(rec, delta_q=pending_dq)
             pending_dq = None
