@@ -1,0 +1,1114 @@
+/* Frame commit engine: the serial, context-exact encode pass.
+ *
+ * The TPU device path (ops/jax_backend.py) evaluates the mode/partition
+ * search densely over all superblocks of a frame; this engine performs the
+ * normative commit walk the wavefront dependency forces to be sequential:
+ * intra prediction from reconstructed neighbors, transform/quantize,
+ * reconstruction, and tile entropy coding with adaptive CDFs.
+ *
+ * Reference counterparts (behavioral, no code shared):
+ *   - encode pass        Source/Lib/Codec/coding_loop.c
+ *   - entropy coding     Source/Lib/Codec/entropy_coding.c (write_modes_b)
+ *   - intra prediction   Source/Lib/Codec/intra_prediction.c
+ * The walk trusts the device's partition/mode decisions (the PD_PASS_0
+ * analog) and performs only cheap local RD (tx-type trial, chroma mode,
+ * skip) like the reference's final encode pass.
+ */
+#include <math.h>
+#include <stdlib.h>
+#include <string.h>
+
+#include "tpu_native.h"
+
+/* ---- geometry tables (AV1 spec constants) ------------------------------ */
+static const int TXW[19] = {4, 8, 16, 32, 64, 4, 8, 8, 16, 16,
+                            32, 32, 64, 4, 16, 8, 32, 16, 64};
+static const int TXH[19] = {4, 8, 16, 32, 64, 8, 4, 16, 8, 32,
+                            16, 64, 32, 16, 4, 32, 8, 64, 16};
+static const int TX_SQR[19] = {0, 1, 2, 3, 4, 0, 0, 1, 1, 2,
+                               2, 3, 3, 0, 0, 1, 1, 2, 2};
+static const int TX_SQR_UP[19] = {0, 1, 2, 3, 4, 1, 1, 2, 2, 3,
+                                  3, 4, 4, 2, 2, 3, 3, 4, 4};
+/* compact (coded) tx size: 64-side sizes keep 32 coefficients */
+static const int TX_ADJ[19] = {0, 1, 2, 3, 3, 5, 6, 7, 8, 9,
+                               10, 3, 3, 13, 14, 15, 16, 9, 10};
+
+/* square block size enum per pixel size (8/16/32/64) */
+static int sq_bsize(int s) {
+    return s == 8 ? 3 : s == 16 ? 6 : s == 32 ? 9 : 12;
+}
+/* max square tx for square block size */
+static int sq_tx(int s) {
+    return s == 8 ? 1 : s == 16 ? 2 : s == 32 ? 3 : 4;
+}
+/* chroma tx for square block (4:2:0, capped at 32) */
+static int uv_tx(int s) {
+    return s == 8 ? 0 : s == 16 ? 1 : s == 32 ? 2 : 3;
+}
+/* partition-context byte per subblock pixel dim (definitions.h
+ * partition_context_lookup) */
+static int part_ctx_byte(int dim) {
+    switch (dim) {
+        case 4: return 31;
+        case 8: return 30;
+        case 16: return 28;
+        case 32: return 24;
+        case 64: return 16;
+        default: return 0;
+    }
+}
+/* intra_mode_context: mode -> kf_y context bucket */
+static const int IMODE_CTX[13] = {0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0};
+/* mode -> base angle (V..D67) */
+static const int MODE_ANGLE[13] = {0, 90, 180, 45, 135, 113, 157, 203, 67,
+                                   0, 0, 0, 0};
+/* intra mode -> derived tx type (libaom intra_mode_to_tx_type):
+ * DCT=0 ADST_DCT=1 DCT_ADST=2 ADST_ADST=3 */
+static const int MODE2TXFM[14] = {0, 1, 2, 0, 3, 1, 2, 2, 1, 3, 1, 2, 3, 0};
+/* txb skip contexts [min][max] */
+static const int SKIP_CTXS[5][5] = {{1, 2, 2, 2, 3},
+                                    {1, 4, 4, 4, 5},
+                                    {1, 4, 4, 4, 5},
+                                    {1, 4, 4, 4, 5},
+                                    {1, 4, 4, 4, 6}};
+/* smooth-predictor weights (spec 7.11.2.6) */
+static const int SMW4[4] = {255, 149, 85, 64};
+static const int SMW8[8] = {255, 197, 146, 105, 73, 50, 37, 32};
+static const int SMW16[16] = {255, 225, 196, 170, 145, 123, 102, 84,
+                              68, 54, 43, 33, 26, 20, 17, 16};
+static const int SMW32[32] = {255, 240, 225, 210, 196, 182, 169, 157,
+                              145, 133, 122, 111, 101, 92, 83, 74,
+                              66, 59, 52, 45, 39, 34, 29, 25,
+                              21, 17, 14, 12, 10, 9, 8, 8};
+static const int SMW64[64] = {255, 248, 240, 233, 225, 218, 210, 203,
+                              196, 189, 182, 176, 169, 163, 156, 150,
+                              144, 138, 133, 127, 121, 116, 111, 106,
+                              101, 96, 91, 86, 82, 77, 73, 69,
+                              65, 61, 57, 54, 50, 47, 44, 41,
+                              38, 35, 32, 29, 27, 25, 22, 20,
+                              18, 16, 15, 13, 12, 10, 9, 8,
+                              7, 6, 6, 5, 5, 4, 4, 4};
+static const int *smw(int n) {
+    switch (n) {
+        case 4: return SMW4;
+        case 8: return SMW8;
+        case 16: return SMW16;
+        case 32: return SMW32;
+        default: return SMW64;
+    }
+}
+static const int EDGE_KERNEL[3][5] = {{0, 4, 8, 4, 0},
+                                      {0, 5, 6, 5, 0},
+                                      {2, 4, 4, 4, 2}};
+/* intra ext-tx sets: candidates and symbol mapping */
+static int intra_tx_set_of(int ts) {
+    if (TX_SQR_UP[ts] >= 3) return 0;
+    return TX_SQR[ts] == 2 ? 2 : 1;
+}
+static const int SET1_FWD[16] = {1, 5, 6, 4, -1, -1, -1, -1, -1,
+                                 0, 2, 3, -1, -1, -1, -1};
+static const int SET2_FWD[16] = {1, 3, 4, 2, -1, -1, -1, -1, -1,
+                                 0, -1, -1, -1, -1, -1, -1};
+static const int SET_SIZES[3] = {1, 7, 5};
+static int txtype_sym(int set, int tt) {
+    return set == 1 ? SET1_FWD[tt] : SET2_FWD[tt];
+}
+/* candidate luma tx types per set (mirrors IntraEncoder._luma_tx_types) */
+static const int SET0_CANDS[1] = {0};
+static const int SET1_CANDS[4] = {0, 3, 10, 11};
+static const int SET2_CANDS[2] = {0, 3};
+
+static int eob_multi_size_of(int ts) {
+    int w = TXW[ts] < 32 ? TXW[ts] : 32;
+    int h = TXH[ts] < 32 ? TXH[ts] : 32;
+    int n = w * h, b = 0;
+    while ((1 << (b + 1)) <= n) b++;
+    return b - 4 < 0 ? 0 : b - 4;
+}
+static int txs_entropy_ctx_of(int ts) {
+    return (TX_SQR[ts] + TX_SQR_UP[ts] + 1) >> 1;
+}
+static int tx_class_of(int tt) {
+    /* 2D: 0..9(IDTX); vertical-only: V_DCT(10)/V_ADST(12)/V_FLIP(14) ->
+     * class 2; horizontal: 11/13/15 -> class 1 */
+    if (tt < 10) return 0;
+    return (tt & 1) ? 1 : 2;
+}
+
+/* ---- uploads ----------------------------------------------------------- */
+static int16_t *g_scan[19][16];
+static int g_scan_n[19][16];
+static int32_t g_dr[90];
+
+void tpuc_upload_scan(int tx_size, int tx_type, const int16_t *scan, int n) {
+    int16_t *p = (int16_t *)malloc(sizeof(int16_t) * n);
+    memcpy(p, scan, sizeof(int16_t) * n);
+    free(g_scan[tx_size][tx_type]);
+    g_scan[tx_size][tx_type] = p;
+    g_scan_n[tx_size][tx_type] = n;
+}
+void tpuc_upload_dr(const int32_t *dr) { memcpy(g_dr, dr, sizeof(g_dr)); }
+
+static int dr_dx(int a) { return a < 90 ? g_dr[a] : g_dr[180 - a]; }
+static int dr_dy(int a) { return a < 180 ? g_dr[a - 90] : g_dr[270 - a]; }
+
+/* ---- state ------------------------------------------------------------- */
+struct TpuCommit {
+    int width, height, bd;
+    int mi_rows, mi_cols;
+    int ystride, cstride;
+    uint16_t *plane[3];
+    const uint16_t *src[3];
+    int sstride[3];
+    int32_t qtab[256 * 3 * 10];
+    /* neighbor context state (tile-wide) */
+    uint8_t *above_part, *left_part;
+    uint8_t *above_mode, *left_mode;
+    uint8_t *above_skip, *left_skip;
+    uint8_t *above_coef[3], *left_coef[3];
+    uint8_t *above_smooth[2], *left_smooth[2];
+    /* block-decoded bitmaps (per current SB), (n+2)x(n+2), n=16 luma */
+    uint8_t bdmap[3][18 * 18];
+    int sb_r4, sb_c4;
+    /* per-frame wiring */
+    TpuEc *ec;
+    ModeCdfs *mc;
+    TxbCdfs *tc;
+    double rdmult;
+    int cur_q;
+    int64_t dist_acc;
+};
+
+TpuCommit *tpuc_new(int width, int height, int bd) {
+    TpuCommit *c = (TpuCommit *)calloc(1, sizeof(TpuCommit));
+    c->width = width;
+    c->height = height;
+    c->bd = bd;
+    c->mi_cols = 2 * ((width + 7) >> 3);
+    c->mi_rows = 2 * ((height + 7) >> 3);
+    int aw = c->mi_cols * 4, ah = c->mi_rows * 4;
+    int paw = (aw + 63) & ~63, pah = (ah + 63) & ~63;
+    c->ystride = paw + 64;
+    c->cstride = paw / 2 + 64;
+    c->plane[0] = (uint16_t *)calloc((pah + 64) * c->ystride, 2);
+    c->plane[1] = (uint16_t *)calloc((pah / 2 + 64) * c->cstride, 2);
+    c->plane[2] = (uint16_t *)calloc((pah / 2 + 64) * c->cstride, 2);
+    c->above_part = (uint8_t *)calloc(c->mi_cols, 1);
+    c->left_part = (uint8_t *)calloc(c->mi_rows, 1);
+    c->above_mode = (uint8_t *)calloc(c->mi_cols, 1);
+    c->left_mode = (uint8_t *)calloc(c->mi_rows, 1);
+    c->above_skip = (uint8_t *)calloc(c->mi_cols, 1);
+    c->left_skip = (uint8_t *)calloc(c->mi_rows, 1);
+    for (int p = 0; p < 3; p++) {
+        int n = p ? (c->mi_cols + 1) >> 1 : c->mi_cols;
+        int m = p ? (c->mi_rows + 1) >> 1 : c->mi_rows;
+        c->above_coef[p] = (uint8_t *)calloc(n, 1);
+        c->left_coef[p] = (uint8_t *)calloc(m, 1);
+    }
+    for (int p = 0; p < 2; p++) {
+        c->above_smooth[p] = (uint8_t *)calloc(c->mi_cols, 1);
+        c->left_smooth[p] = (uint8_t *)calloc(c->mi_rows, 1);
+    }
+    c->sb_r4 = c->sb_c4 = -1;
+    return c;
+}
+
+void tpuc_free(TpuCommit *c) {
+    if (!c) return;
+    for (int p = 0; p < 3; p++) {
+        free(c->plane[p]);
+        free(c->above_coef[p]);
+        free(c->left_coef[p]);
+    }
+    free(c->above_part);
+    free(c->left_part);
+    free(c->above_mode);
+    free(c->left_mode);
+    free(c->above_skip);
+    free(c->left_skip);
+    for (int p = 0; p < 2; p++) {
+        free(c->above_smooth[p]);
+        free(c->left_smooth[p]);
+    }
+    free(c);
+}
+
+void tpuc_set_src(TpuCommit *c, const uint16_t *y, const uint16_t *u,
+                  const uint16_t *v, int ystride, int cstride) {
+    c->src[0] = y;
+    c->src[1] = u;
+    c->src[2] = v;
+    c->sstride[0] = ystride;
+    c->sstride[1] = c->sstride[2] = cstride;
+}
+
+void tpuc_set_qtab(TpuCommit *c, const int32_t *qtab) {
+    memcpy(c->qtab, qtab, sizeof(c->qtab));
+}
+
+uint16_t *tpuc_plane(TpuCommit *c, int plane, int *stride) {
+    *stride = plane ? c->cstride : c->ystride;
+    return c->plane[plane];
+}
+
+/* ---- block-decoded maps (spec 5.11.31) --------------------------------- */
+static void bd_reset_sb(TpuCommit *c, int sbr4, int sbc4) {
+    c->sb_r4 = sbr4;
+    c->sb_c4 = sbc4;
+    for (int plane = 0; plane < 3; plane++) {
+        int sub = plane ? 1 : 0;
+        int n = 16 >> sub;
+        uint8_t *m = c->bdmap[plane];
+        memset(m, 0, 18 * 18);
+        int sb_w4 = (c->mi_cols - sbc4) >> sub;
+        int sb_h4 = (c->mi_rows - sbr4) >> sub;
+        for (int x = -1; x <= n; x++)
+            m[0 * 18 + (x + 1)] = x < sb_w4;
+        for (int y = 0; y <= n; y++)
+            m[(y + 1) * 18 + 0] = y < sb_h4;
+        m[(n + 1) * 18 + 0] = 0;
+    }
+}
+static int bd_get(TpuCommit *c, int plane, int y4, int x4) {
+    int sub = plane ? 1 : 0;
+    int ry = y4 - (c->sb_r4 >> sub);
+    int rx = x4 - (c->sb_c4 >> sub);
+    int n = 16 >> sub;
+    if (ry < -1 || rx < -1 || ry > n || rx > n) return 0;
+    return c->bdmap[plane][(ry + 1) * 18 + rx + 1];
+}
+static void bd_set(TpuCommit *c, int plane, int y4, int x4, int h4, int w4) {
+    int sub = plane ? 1 : 0;
+    int ry = y4 - (c->sb_r4 >> sub);
+    int rx = x4 - (c->sb_c4 >> sub);
+    for (int i = 0; i < h4; i++)
+        memset(&c->bdmap[plane][(ry + 1 + i) * 18 + rx + 1], 1, w4);
+}
+
+/* ---- intra prediction (spec 7.11.2) ------------------------------------ */
+
+static void edge_filter_buf(int32_t *buf, int sz, int strength) {
+    if (strength == 0 || sz <= 1) return;
+    const int *k = EDGE_KERNEL[strength - 1];
+    int32_t tmp[64 + 64 + 20];
+    tmp[0] = tmp[1] = buf[0];
+    memcpy(tmp + 2, buf, sizeof(int32_t) * sz);
+    tmp[sz + 2] = tmp[sz + 3] = buf[sz - 1];
+    for (int i = 1; i < sz; i++) {
+        long acc = 0;
+        for (int j = 0; j < 5; j++) acc += (long)tmp[i + j] * k[j];
+        buf[i] = (int32_t)((acc + 8) >> 4);
+    }
+}
+
+static int edge_filter_strength(int w, int h, int ftype, int delta) {
+    int d = delta < 0 ? -delta : delta;
+    int wh = w + h, s = 0;
+    if (ftype == 0) {
+        if (wh <= 8) {
+            if (d >= 56) s = 1;
+        } else if (wh <= 12) {
+            if (d >= 40) s = 1;
+        } else if (wh <= 16) {
+            if (d >= 40) s = 1;
+        } else if (wh <= 24) {
+            if (d >= 8) s = 1;
+            if (d >= 16) s = 2;
+            if (d >= 32) s = 3;
+        } else if (wh <= 32) {
+            s = 1;
+            if (d >= 4) s = 2;
+            if (d >= 32) s = 3;
+        } else {
+            s = 3;
+        }
+    } else {
+        if (wh <= 8) {
+            if (d >= 40) s = 1;
+            if (d >= 64) s = 2;
+        } else if (wh <= 16) {
+            if (d >= 20) s = 1;
+            if (d >= 48) s = 2;
+        } else if (wh <= 24) {
+            if (d >= 4) s = 3;
+        } else {
+            s = 3;
+        }
+    }
+    return s;
+}
+
+static int use_edge_upsample(int w, int h, int ftype, int delta) {
+    int d = delta < 0 ? -delta : delta;
+    int wh = w + h;
+    if (d <= 0 || d >= 40) return 0;
+    return ftype ? wh <= 8 : wh <= 16;
+}
+
+static void edge_upsample(int32_t *buf, int num_px, int bd) {
+    /* buf has +2 offset indexing (buf[1] = corner, buf[2..] = edge) */
+    int32_t dup[64 + 64 + 8];
+    int hi = (1 << bd) - 1;
+    dup[0] = buf[1];
+    for (int i = 0; i <= num_px; i++) dup[1 + i] = buf[1 + i];
+    dup[num_px + 2] = buf[num_px + 1];
+    buf[0] = dup[0];
+    for (int i = 0; i < num_px; i++) {
+        int32_t s = -dup[i] + 9 * dup[i + 1] + 9 * dup[i + 2] - dup[i + 3];
+        s = (s + 8) >> 4;
+        if (s < 0) s = 0;
+        if (s > hi) s = hi;
+        buf[1 + 2 * i] = s;
+        buf[2 + 2 * i] = dup[i + 2];
+    }
+}
+
+/* Non-directional + directional predictor dispatch.
+ * above/left: length w+h edge arrays (availability-filled), al corner.
+ * pred: out (h x w) int32, stride w. */
+static void predict_block(TpuCommit *c, int plane, int mode, int ad,
+                          const int32_t *above, const int32_t *left,
+                          int32_t al, int w, int h, int have_above,
+                          int have_left, int n_top_px, int n_left_px,
+                          int ftype, int32_t *pred) {
+    int bd = c->bd;
+    int base = 1 << (bd - 1);
+    int hi = (1 << bd) - 1;
+    if (mode == 0) { /* DC */
+        int dc;
+        if (have_above && have_left) {
+            long s = 0;
+            for (int i = 0; i < w; i++) s += above[i];
+            for (int i = 0; i < h; i++) s += left[i];
+            dc = (int)((s + ((w + h) >> 1)) / (w + h));
+        } else if (have_above) {
+            long s = 0;
+            for (int i = 0; i < w; i++) s += above[i];
+            int lw = 0;
+            while ((1 << (lw + 1)) <= w) lw++;
+            dc = (int)((s + (w >> 1)) >> lw);
+        } else if (have_left) {
+            long s = 0;
+            for (int i = 0; i < h; i++) s += left[i];
+            int lh = 0;
+            while ((1 << (lh + 1)) <= h) lh++;
+            dc = (int)((s + (h >> 1)) >> lh);
+        } else {
+            dc = base;
+        }
+        for (int i = 0; i < h * w; i++) pred[i] = dc;
+        return;
+    }
+    if (mode >= 9 && mode <= 11) { /* SMOOTH family */
+        const int *wx = smw(w), *wy = smw(h);
+        int below = left[h - 1], right = above[w - 1];
+        for (int i = 0; i < h; i++)
+            for (int j = 0; j < w; j++) {
+                int32_t v;
+                if (mode == 9)
+                    v = (wy[i] * above[j] + (256 - wy[i]) * below +
+                         wx[j] * left[i] + (256 - wx[j]) * right + 256) >> 9;
+                else if (mode == 10)
+                    v = (wy[i] * above[j] + (256 - wy[i]) * below + 128) >> 8;
+                else
+                    v = (wx[j] * left[i] + (256 - wx[j]) * right + 128) >> 8;
+                pred[i * w + j] = v;
+            }
+        return;
+    }
+    if (mode == 12) { /* PAETH */
+        for (int i = 0; i < h; i++)
+            for (int j = 0; j < w; j++) {
+                int a = above[j], l = left[i];
+                int pb = a + l - al;
+                int pa = abs(pb - a), pl = abs(pb - l), pal = abs(pb - al);
+                pred[i * w + j] = (pa <= pl && pa <= pal) ? a
+                                  : (pl <= pal ? l : al);
+            }
+        return;
+    }
+    /* directional (V/H handled as plain angles 90/180 per spec) */
+    int p_angle = MODE_ANGLE[mode] + ad * 3;
+    if (p_angle == 90) {
+        for (int i = 0; i < h; i++)
+            for (int j = 0; j < w; j++) pred[i * w + j] = above[j];
+        return;
+    }
+    if (p_angle == 180) {
+        for (int i = 0; i < h; i++)
+            for (int j = 0; j < w; j++) pred[i * w + j] = left[i];
+        return;
+    }
+    int32_t ab[2 + 64 + 64 + 16 + 128], le[2 + 64 + 64 + 16 + 128];
+    memset(ab, 0, sizeof(ab));
+    memset(le, 0, sizeof(le));
+    ab[1] = al;
+    le[1] = al;
+    for (int i = 0; i < w + h; i++) {
+        ab[2 + i] = above[i];
+        le[2 + i] = left[i];
+    }
+    int ua = 0, ul = 0;
+    {
+        if (p_angle > 90 && p_angle < 180 && (w + h) >= 24) {
+            int v = (5 * le[2] + 6 * ab[1] + 5 * ab[2] + 8) >> 4;
+            ab[1] = v;
+            le[1] = v;
+        }
+        if (have_above) {
+            int s = edge_filter_strength(w, h, ftype, p_angle - 90);
+            int npx = (w < n_top_px ? w : n_top_px) +
+                      (p_angle < 90 ? h : 0) + 1;
+            edge_filter_buf(ab + 1, npx, s);
+        }
+        if (have_left) {
+            int s = edge_filter_strength(w, h, ftype, p_angle - 180);
+            int npx = (h < n_left_px ? h : n_left_px) +
+                      (p_angle > 180 ? w : 0) + 1;
+            edge_filter_buf(le + 1, npx, s);
+        }
+        ua = use_edge_upsample(w, h, ftype, p_angle - 90);
+        if (ua) {
+            int npx = w + (p_angle < 90 ? h : 0);
+            edge_upsample(ab, npx, bd);
+        }
+        ul = use_edge_upsample(w, h, ftype, p_angle - 180);
+        if (ul) {
+            int npx = h + (p_angle > 180 ? w : 0);
+            edge_upsample(le, npx, bd);
+        }
+    }
+    if (p_angle < 90) { /* zone 1: above only */
+        int dx = dr_dx(p_angle);
+        int max_base = (w + h - 1) << ua;
+        for (int i = 0; i < h; i++) {
+            int idx = (i + 1) * dx;
+            int b0 = (idx >> (6 - ua));
+            int shift = ((idx << ua) >> 1) & 0x1F;
+            for (int j = 0; j < w; j++) {
+                int b = b0 + (j << ua);
+                int32_t v;
+                if (b < max_base) {
+                    int bb = b;
+                    v = (ab[2 + bb] * (32 - shift) + ab[2 + bb + 1] * shift +
+                         16) >> 5;
+                } else {
+                    v = ab[2 + max_base];
+                }
+                if (v < 0) v = 0;
+                if (v > hi) v = hi;
+                pred[i * w + j] = v;
+            }
+        }
+        return;
+    }
+    if (p_angle < 180) { /* zone 2 */
+        int dx = dr_dx(p_angle), dy = dr_dy(p_angle);
+        for (int i = 0; i < h; i++)
+            for (int j = 0; j < w; j++) {
+                int idx = (j << 6) - (i + 1) * dx;
+                int a_base = idx >> (6 - ua);
+                int a_shift = ((idx << ua) >> 1) & 0x1F;
+                int use_above = a_base >= -(1 << ua);
+                int32_t v;
+                if (use_above) {
+                    int ba = a_base < -(1 << ua) ? -(1 << ua) : a_base;
+                    v = (ab[2 + ba] * (32 - a_shift) +
+                         ab[2 + ba + 1] * a_shift + 16) >> 5;
+                } else {
+                    int idx2 = (i << 6) - (j + 1) * dy;
+                    int l_base = idx2 >> (6 - ul);
+                    int l_shift = ((idx2 << ul) >> 1) & 0x1F;
+                    if (l_base < -2) l_base = -2;
+                    v = (le[2 + l_base] * (32 - l_shift) +
+                         le[2 + l_base + 1] * l_shift + 16) >> 5;
+                }
+                if (v < 0) v = 0;
+                if (v > hi) v = hi;
+                pred[i * w + j] = v;
+            }
+        return;
+    }
+    { /* zone 3: left only */
+        int dy = dr_dy(p_angle);
+        int max_base = (w + h - 1) << ul;
+        for (int j = 0; j < w; j++) {
+            int idx = (j + 1) * dy;
+            int b0 = idx >> (6 - ul);
+            int shift = ((idx << ul) >> 1) & 0x1F;
+            for (int i = 0; i < h; i++) {
+                int b = b0 + (i << ul);
+                int32_t v;
+                if (b < max_base)
+                    v = (le[2 + b] * (32 - shift) + le[2 + b + 1] * shift +
+                         16) >> 5;
+                else
+                    v = le[2 + max_base];
+                if (v < 0) v = 0;
+                if (v > hi) v = hi;
+                pred[i * w + j] = v;
+            }
+        }
+    }
+}
+
+/* Build edges + predict one txb from the recon planes (mirror of
+ * FrameReconstructor.predict_txb / _predict). */
+static void predict_txb(TpuCommit *c, int plane, int mode, int ad,
+                        int mi_row, int mi_col, int u_row, int u_col, int ts,
+                        int32_t *pred) {
+    int sub = plane ? 1 : 0;
+    int w = TXW[ts], h = TXH[ts];
+    int x = u_col * 4, y = u_row * 4;
+    int stride = plane ? c->cstride : c->ystride;
+    const uint16_t *rp = c->plane[plane];
+    int max_x = ((c->mi_cols * 4) >> sub) - 1;
+    int max_y = ((c->mi_rows * 4) >> sub) - 1;
+    int step_x = w / 4, step_y = h / 4;
+    int base = 1 << (c->bd - 1);
+    int have_left = x > 0 && bd_get(c, plane, u_row, u_col - 1);
+    int have_above = y > 0 && bd_get(c, plane, u_row - 1, u_col);
+    int have_ar = bd_get(c, plane, u_row - 1, u_col + step_x);
+    int have_bl = bd_get(c, plane, u_row + step_y, u_col - 1);
+    int32_t above[128 + 8], left[128 + 8];
+    int32_t al;
+    if (!have_above && have_left) {
+        int32_t v = rp[y * stride + x - 1];
+        for (int i = 0; i < w + h; i++) above[i] = v;
+    } else if (!have_above) {
+        for (int i = 0; i < w + h; i++) above[i] = base - 1;
+    } else {
+        int lim = x + (have_ar ? 2 * w : w) - 1;
+        if (lim > max_x) lim = max_x;
+        for (int i = 0; i < w + h; i++) {
+            int xi = x + i;
+            if (xi > lim) xi = lim;
+            above[i] = rp[(y - 1) * stride + xi];
+        }
+    }
+    if (!have_left && have_above) {
+        int32_t v = rp[(y - 1) * stride + x];
+        for (int i = 0; i < h + w; i++) left[i] = v;
+    } else if (!have_left) {
+        for (int i = 0; i < h + w; i++) left[i] = base + 1;
+    } else {
+        int lim = y + (have_bl ? 2 * h : h) - 1;
+        if (lim > max_y) lim = max_y;
+        for (int i = 0; i < h + w; i++) {
+            int yi = y + i;
+            if (yi > lim) yi = lim;
+            left[i] = rp[yi * stride + x - 1];
+        }
+    }
+    if (have_above && have_left)
+        al = rp[(y - 1) * stride + x - 1];
+    else if (have_above)
+        al = rp[(y - 1) * stride + x];
+    else if (have_left)
+        al = rp[y * stride + x - 1];
+    else
+        al = base;
+
+    int ftype = 0;
+    if (mode >= 1 && mode <= 8) {
+        int pidx = plane ? 1 : 0;
+        int mc2 = mi_col < c->mi_cols - 1 ? mi_col : c->mi_cols - 1;
+        int mr2 = mi_row < c->mi_rows - 1 ? mi_row : c->mi_rows - 1;
+        int ab_sm = have_above ? c->above_smooth[pidx][mc2] : 0;
+        int le_sm = have_left ? c->left_smooth[pidx][mr2] : 0;
+        ftype = (ab_sm || le_sm) ? 1 : 0;
+    }
+    predict_block(c, plane, mode, ad, above, left, al, w, h, have_above,
+                  have_left, max_x - x + 1, max_y - y + 1, ftype, pred);
+}
+
+/* ---- quant helpers ----------------------------------------------------- */
+static const int32_t *pq_of(TpuCommit *c, int q, int plane) {
+    return c->qtab + ((q * 3) + plane) * 10;
+}
+static int tx_log_scale(int ts) {
+    int w = TXW[ts], h = TXH[ts];
+    if (w * h > 1024) return 2;
+    if (w * h > 256) return 1;
+    return 0;
+}
+
+/* ---- txb trial: fwd + quant + rate + sse ------------------------------- */
+typedef struct {
+    int32_t qc[32 * 32];
+    int32_t dqc[32 * 32];
+    int rate512;    /* coefficient+txtype rate, excl. txb_skip */
+    long sse;       /* residual-domain sse */
+    int eob;
+    int tt;
+} TxTrial;
+
+static void trial_txb(TpuCommit *c, int plane, int ts, int tt,
+                      const int32_t *resid, int q, int ptype, int sctx_sign,
+                      TxTrial *out) {
+    int adj = TX_ADJ[ts];
+    int cw = TXW[adj], ch = TXH[adj];
+    int32_t coeff[32 * 32];
+    int32_t rresid[64 * 64];
+    tputx_fwd2d(resid, coeff, ts, tt, c->bd);
+    const int32_t *pq = pq_of(c, q, plane);
+    tputx_quantize_b(coeff, out->qc, out->dqc, cw * ch, tx_log_scale(ts),
+                     pq[0], pq[1], pq[2], pq[3], pq[4], pq[5], pq[6], pq[7],
+                     pq[8], pq[9]);
+    int eob = 0;
+    const int16_t *scan = g_scan[ts][tt];
+    int n = g_scan_n[ts][tt];
+    for (int i = 0; i < n; i++)
+        if (out->qc[scan[i]]) eob = i + 1;
+    out->eob = eob;
+    out->tt = tt;
+    if (eob == 0) {
+        out->rate512 = 0;
+        long sse = 0;
+        int w = TXW[ts], h = TXH[ts];
+        for (int i = 0; i < w * h; i++)
+            sse += (long)resid[i] * resid[i];
+        out->sse = sse;
+        return;
+    }
+    out->rate512 = tpuec_cost_txb(c->tc, out->qc, scan, n, cw, ch, TXW[ts],
+                                  TXH[ts], eob_multi_size_of(ts),
+                                  txs_entropy_ctx_of(ts), tx_class_of(tt),
+                                  ptype, sctx_sign);
+    /* inverse + residual sse */
+    tputx_inv2d(out->dqc, rresid, ts, tt, c->bd);
+    long sse = 0;
+    int w = TXW[ts], h = TXH[ts];
+    for (int i = 0; i < w * h; i++) {
+        long d = (long)resid[i] - rresid[i];
+        sse += d * d;
+    }
+    out->sse = sse;
+}
+
+/* ---- coefficient neighbor contexts ------------------------------------- */
+static int txb_skip_ctx_of(TpuCommit *c, int plane, int u_row, int u_col,
+                           int ts, int bw, int bh) {
+    int tw4 = TXW[ts] / 4, th4 = TXH[ts] / 4;
+    const uint8_t *above = c->above_coef[plane] + u_col;
+    const uint8_t *left = c->left_coef[plane] + u_row;
+    if (plane == 0) {
+        if (TXW[ts] >= bw && TXH[ts] >= bh) return 0;
+        int top = 0, lf = 0;
+        for (int i = 0; i < tw4; i++) top |= above[i];
+        for (int i = 0; i < th4; i++) lf |= left[i];
+        top &= 63;
+        lf &= 63;
+        int mx = (top | lf) < 4 ? (top | lf) : 4;
+        int mn = top < lf ? top : lf;
+        if (mn > 4) mn = 4;
+        return SKIP_CTXS[mn][mx];
+    }
+    int ca = 0, cl = 0;
+    for (int i = 0; i < tw4; i++)
+        if (above[i] & 63) ca = 1;
+    for (int i = 0; i < th4; i++)
+        if (left[i] & 63) cl = 1;
+    int larger = bw * bh > TXW[ts] * TXH[ts];
+    return 7 + (larger ? 3 : 0) + ca + cl;
+}
+static int dc_sign_ctx_of(TpuCommit *c, int plane, int u_row, int u_col,
+                          int ts) {
+    int tw4 = TXW[ts] / 4, th4 = TXH[ts] / 4;
+    const uint8_t *above = c->above_coef[plane] + u_col;
+    const uint8_t *left = c->left_coef[plane] + u_row;
+    int dc = 0;
+    for (int i = 0; i < tw4; i++) {
+        int s = above[i] >> 6;
+        if (s == 1) dc--;
+        else if (s == 2) dc++;
+    }
+    for (int i = 0; i < th4; i++) {
+        int s = left[i] >> 6;
+        if (s == 1) dc--;
+        else if (s == 2) dc++;
+    }
+    return dc > 0 ? 2 : dc < 0 ? 1 : 0;
+}
+static void set_coef_ctx(TpuCommit *c, int plane, int u_row, int u_col,
+                         int ts, int cul) {
+    int tw4 = TXW[ts] / 4, th4 = TXH[ts] / 4;
+    memset(c->above_coef[plane] + u_col, cul, tw4);
+    memset(c->left_coef[plane] + u_row, cul, th4);
+}
+
+/* ---- recon commit ------------------------------------------------------ */
+static void commit_recon(TpuCommit *c, int plane, int u_row, int u_col,
+                         int ts, const int32_t *pred, const TxTrial *t) {
+    int sub = plane ? 1 : 0;
+    int w = TXW[ts], h = TXH[ts];
+    int x = u_col * 4, y = u_row * 4;
+    int stride = plane ? c->cstride : c->ystride;
+    uint16_t *rp = c->plane[plane];
+    int max_x = ((c->mi_cols * 4) >> sub) - 1;
+    int max_y = ((c->mi_rows * 4) >> sub) - 1;
+    int wx = w < max_x + 1 - x ? w : max_x + 1 - x;
+    int wy = h < max_y + 1 - y ? h : max_y + 1 - y;
+    int hi = (1 << c->bd) - 1;
+    if (t == NULL || t->eob == 0) {
+        for (int i = 0; i < wy; i++)
+            for (int j = 0; j < wx; j++)
+                rp[(y + i) * stride + x + j] = (uint16_t)pred[i * w + j];
+    } else {
+        int32_t rres[64 * 64];
+        tputx_inv2d(t->dqc, rres, ts, t->tt, c->bd);
+        for (int i = 0; i < wy; i++)
+            for (int j = 0; j < wx; j++) {
+                int32_t v = pred[i * w + j] + rres[i * w + j];
+                if (v < 0) v = 0;
+                if (v > hi) v = hi;
+                rp[(y + i) * stride + x + j] = (uint16_t)v;
+            }
+    }
+    bd_set(c, plane, u_row, u_col, h / 4, w / 4);
+}
+
+/* ---- syntax helpers ---------------------------------------------------- */
+static void write_delta_q(TpuCommit *c, int absv, int sign) {
+    tpuec_symbol(c->ec, absv < 3 ? absv : 3, c->mc->delta_q, 4, 1);
+    if (absv >= 3) {
+        int v = absv - 1, rem = 0;
+        while ((1 << (rem + 1)) <= v) rem++;
+        tpuec_literal(c->ec, rem - 1, 3);
+        tpuec_literal(c->ec, v - (1 << rem), rem);
+    }
+    if (absv) tpuec_literal(c->ec, sign, 1);
+}
+
+static void write_partition_sym(TpuCommit *c, int r, int c4, int size,
+                                int part) {
+    int w4 = size / 4;
+    int bsl = 0;
+    while ((1 << (bsl + 1)) <= w4) bsl++;
+    int has_rows = r + (w4 >> 1) < c->mi_rows;
+    int has_cols = c4 + (w4 >> 1) < c->mi_cols;
+    int above = (c->above_part[c4] >> (bsl - 1)) & 1;
+    int left = (c->left_part[r] >> (bsl - 1)) & 1;
+    int ctx = (bsl - 1) * 4 + left * 2 + above;
+    uint16_t *row = c->mc->partition + ctx * 11;
+    if (!has_rows && !has_cols) return;
+    if (has_rows && has_cols) {
+        int nsyms = bsl == 1 ? 4 : 10;
+        tpuec_symbol(c->ec, part, row, nsyms, 1);
+        return;
+    }
+    /* boundary: gathered 2-symbol bool (split vs HORZ/VERT) */
+    static const int mem_rows[6] = {2, 3, 4, 6, 7, 9};  /* !has_rows */
+    static const int mem_cols[6] = {1, 3, 4, 5, 6, 8};  /* !has_cols */
+    const int *mem = has_cols ? mem_rows : mem_cols;
+    int p0 = 32768;
+    for (int i = 0; i < 6; i++) {
+        int m = mem[i];
+        int prev = m == 0 ? 32768 : row[m - 1];
+        p0 -= prev - row[m];
+    }
+    uint16_t icdf[3] = {(uint16_t)(32768 - p0), 0, 0};
+    tpuec_symbol(c->ec, part == 3 ? 1 : 0, icdf, 2, 0);
+}
+
+static double sym_cost_bits(const uint16_t *icdf, int s) {
+    return tpuec_cost_symbol(icdf, 0, s) / 512.0;
+}
+
+/* ---- per-txb residual syntax ------------------------------------------ */
+static void write_block_txb(TpuCommit *c, int plane, int u_row, int u_col,
+                            int ts, int bw, int bh, int y_mode_for_rate,
+                            const TxTrial *t) {
+    int sctx = txb_skip_ctx_of(c, plane, u_row, u_col, ts, bw, bh);
+    int txs_ctx = txs_entropy_ctx_of(ts);
+    int all_zero = t->eob == 0;
+    tpuec_symbol(c->ec, all_zero,
+                 c->mc->txb_skip + (txs_ctx * 13 + sctx) * 3, 2, 1);
+    if (all_zero) {
+        set_coef_ctx(c, plane, u_row, u_col, ts, 0);
+        return;
+    }
+    if (plane == 0) {
+        int set = intra_tx_set_of(ts);
+        if (set > 0)
+            tpuec_symbol(c->ec,
+                         txtype_sym(set, t->tt),
+                         c->mc->intra_ext_tx +
+                             ((set * 4 + TX_SQR[ts]) * 13 + y_mode_for_rate) *
+                                 17,
+                         SET_SIZES[set], 1);
+    }
+    int adj = TX_ADJ[ts];
+    int sgn = dc_sign_ctx_of(c, plane, u_row, u_col, ts);
+    int cul = tpuec_encode_txb(c->ec, c->tc, t->qc, g_scan[ts][t->tt],
+                               g_scan_n[ts][t->tt], TXW[adj], TXH[adj],
+                               TXW[ts], TXH[ts], eob_multi_size_of(ts),
+                               txs_entropy_ctx_of(ts), tx_class_of(t->tt),
+                               plane ? 1 : 0, sgn);
+    set_coef_ctx(c, plane, u_row, u_col, ts, cul);
+}
+
+/* ---- partition walk ---------------------------------------------------- */
+static void encode_block_full(TpuCommit *c, int r, int c4, int size,
+                              const uint8_t *mode_map, int mode_cols,
+                              int q, int *dq_pending, int *prev_q,
+                              int dq_res_log2);
+
+static void walk_partition(TpuCommit *c, int r, int c4, int size,
+                           const uint8_t *split64, const uint8_t *split32,
+                           const uint8_t *split16, const uint8_t *mode64,
+                           const uint8_t *mode32, const uint8_t *mode16,
+                           const uint8_t *mode8, int ncols64, int ncols32,
+                           int ncols16, int ncols8, int q, int *dq_pending,
+                           int *prev_q, int dq_res_log2) {
+    if (r >= c->mi_rows || c4 >= c->mi_cols) return;
+    int w4 = size / 4;
+    int has_rows = r + (w4 >> 1) < c->mi_rows;
+    int has_cols = c4 + (w4 >> 1) < c->mi_cols;
+    int forced = !(has_rows && has_cols) && size > 8;
+    int split = 0;
+    if (size > 8) {
+        const uint8_t *sm = size == 64 ? split64
+                            : size == 32 ? split32 : split16;
+        int nc = size == 64 ? ncols64 : size == 32 ? ncols32 : ncols16;
+        split = forced || sm[((r * 4) / size) * nc + (c4 * 4) / size];
+    }
+    if (split) {
+        write_partition_sym(c, r, c4, size, 3);
+        int h4 = w4 >> 1;
+        walk_partition(c, r, c4, size / 2, split64, split32, split16,
+                       mode64, mode32, mode16, mode8, ncols64, ncols32,
+                       ncols16, ncols8, q, dq_pending, prev_q, dq_res_log2);
+        walk_partition(c, r, c4 + h4, size / 2, split64, split32, split16,
+                       mode64, mode32, mode16, mode8, ncols64, ncols32,
+                       ncols16, ncols8, q, dq_pending, prev_q, dq_res_log2);
+        walk_partition(c, r + h4, c4, size / 2, split64, split32, split16,
+                       mode64, mode32, mode16, mode8, ncols64, ncols32,
+                       ncols16, ncols8, q, dq_pending, prev_q, dq_res_log2);
+        walk_partition(c, r + h4, c4 + h4, size / 2, split64, split32,
+                       split16, mode64, mode32, mode16, mode8, ncols64,
+                       ncols32, ncols16, ncols8, q, dq_pending, prev_q,
+                       dq_res_log2);
+        return;
+    }
+    write_partition_sym(c, r, c4, size, 0);
+    const uint8_t *mm = size == 64 ? mode64
+                        : size == 32 ? mode32
+                        : size == 16 ? mode16 : mode8;
+    int nc = size == 64 ? ncols64
+             : size == 32 ? ncols32
+             : size == 16 ? ncols16 : ncols8;
+    encode_block_full(c, r, c4, size, mm, nc, q, dq_pending, prev_q,
+                      dq_res_log2);
+    /* partition context: NONE with subsize == bsize */
+    memset(c->above_part + c4, part_ctx_byte(size), w4);
+    memset(c->left_part + r, part_ctx_byte(size), w4);
+}
+
+int64_t tpuc_encode_intra(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,
+                          TxbCdfs *tc, const uint8_t *split64,
+                          const uint8_t *split32, const uint8_t *split16,
+                          const uint8_t *mode64, const uint8_t *mode32,
+                          const uint8_t *mode16, const uint8_t *mode8,
+                          const int16_t *sbq, int dq_res_log2, int base_q,
+                          int mi_row0, int mi_row1, int mi_col0, int mi_col1,
+                          int enable_cfl) {
+    (void)enable_cfl;
+    c->ec = ec;
+    c->mc = mc;
+    c->tc = tc;
+    c->dist_acc = 0;
+    if (mi_row1 <= 0) mi_row1 = c->mi_rows;
+    if (mi_col1 <= 0) mi_col1 = c->mi_cols;
+    int paw4 = 0;
+    {
+        int aw = c->mi_cols * 4;
+        paw4 = ((aw + 63) & ~63);
+    }
+    int ncols64 = paw4 / 64, ncols32 = paw4 / 32, ncols16 = paw4 / 16,
+        ncols8 = paw4 / 8;
+    int prev_q = base_q;
+    int nsb_c = (c->mi_cols + 15) / 16;
+    for (int sbr = mi_row0; sbr < mi_row1; sbr += 16) {
+        for (int sbc = mi_col0; sbc < mi_col1; sbc += 16) {
+            bd_reset_sb(c, sbr, sbc);
+            int q = sbq ? sbq[(sbr / 16) * nsb_c + sbc / 16] : base_q;
+            c->cur_q = q;
+            {
+                const int32_t *pq = pq_of(c, q, 0);
+                double qstep = pq[8] / 8.0; /* dc dequant Q3 */
+                c->rdmult = 0.12 * qstep * qstep;
+            }
+            int dq_pending = dq_res_log2 >= 0;
+            walk_partition(c, sbr, sbc, 64, split64, split32, split16,
+                           mode64, mode32, mode16, mode8, ncols64, ncols32,
+                           ncols16, ncols8, q, &dq_pending, &prev_q,
+                           dq_res_log2);
+        }
+    }
+    return c->dist_acc;
+}
+
+/* Full block encode (search trials + syntax + commit), the completed
+ * version of encode_block above. */
+static void encode_block_full(TpuCommit *c, int r, int c4, int size,
+                              const uint8_t *mode_map, int mode_cols,
+                              int q, int *dq_pending, int *prev_q,
+                              int dq_res_log2) {
+    ModeCdfs *mc = c->mc;
+    int y_mode = mode_map[((r * 4) / size) * mode_cols + (c4 * 4) / size];
+    int w4 = size / 4;
+    int ts_y = sq_tx(size);
+    int ts_c = uv_tx(size);
+    int cr = r >> 1, cc = c4 >> 1;
+
+    static __thread int32_t pred_y[64 * 64], resid[64 * 64];
+    static __thread int32_t pred_u[32 * 32], pred_v[32 * 32];
+    static __thread TxTrial ty, tu, tv, tmp, au, av;
+
+    /* luma trial */
+    predict_txb(c, 0, y_mode, 0, r, c4, r, c4, ts_y, pred_y);
+    {
+        const uint16_t *sp = c->src[0];
+        int ss = c->sstride[0];
+        for (int i = 0; i < size; i++)
+            for (int j = 0; j < size; j++)
+                resid[i * size + j] =
+                    (int32_t)sp[(r * 4 + i) * ss + c4 * 4 + j] -
+                    pred_y[i * size + j];
+    }
+    int set = intra_tx_set_of(ts_y);
+    const int *cands = set == 0 ? SET0_CANDS
+                       : set == 1 ? SET1_CANDS : SET2_CANDS;
+    int ncands = set == 0 ? 1 : set == 1 ? 4 : 2;
+    int sgn_y = dc_sign_ctx_of(c, 0, r, c4, ts_y);
+    double best_cost = -1.0;
+    for (int i = 0; i < ncands; i++) {
+        int tt = cands[i];
+        trial_txb(c, 0, ts_y, tt, resid, q, 0, sgn_y, &tmp);
+        double rate = tmp.rate512 / 512.0;
+        if (tmp.eob && set > 0)
+            rate += sym_cost_bits(
+                mc->intra_ext_tx +
+                    ((set * 4 + TX_SQR[ts_y]) * 13 + y_mode) * 17,
+                txtype_sym(set, tt));
+        double cost = (double)tmp.sse + c->rdmult * rate;
+        if (best_cost < 0 || cost < best_cost) {
+            best_cost = cost;
+            ty = tmp;
+        }
+        if (i == 0 && tmp.eob == 0) break;  /* zero residual: types tie */
+    }
+
+    /* chroma trial: DC, SMOOTH, same-as-luma (the reference's chroma
+     * search spends most wins on these three; full set on quality path) */
+    static const int UVM[2] = {0, 9};
+    int uv_cands[3];
+    int nuv = 2;
+    for (int i = 0; i < 2; i++) uv_cands[i] = UVM[i];
+    if (y_mode != 0 && y_mode != 9) uv_cands[nuv++] = y_mode;
+    int cfl_ok = size <= 32;
+    int sgn_u = dc_sign_ctx_of(c, 1, cr, cc, ts_c);
+    int sgn_v = dc_sign_ctx_of(c, 2, cr, cc, ts_c);
+    int cw = TXW[ts_c], chh = TXH[ts_c];
+    double best_uv_cost = -1.0;
+    int uv_mode = 0, tt_uv = 0;
+    static __thread int32_t resid_u[32 * 32], resid_v[32 * 32];
+    static __thread int32_t tpu2[32 * 32], tpv2[32 * 32];
+    for (int i = 0; i < nuv; i++) {
+        int m = uv_cands[i];
+        int tt = 0;
+        {
+            int uset = intra_tx_set_of(ts_c);
+            if (uset > 0) {
+                int t = MODE2TXFM[m];
+                tt = txtype_sym(uset, t) >= 0 ? t : 0;
+            }
+        }
+        predict_txb(c, 1, m, 0, r, c4, cr, cc, ts_c, tpu2);
+        predict_txb(c, 2, m, 0, r, c4, cr, cc, ts_c, tpv2);
+        const uint16_t *su = c->src[1], *sv = c->src[2];
+        int ss = c->sstride[1];
+        for (int ii = 0; ii < chh; ii++)
+            for (int jj = 0; jj < cw; jj++) {
+                int off = (cr * 4 + ii) * ss + cc * 4 + jj;
+                resid_u[ii * cw + jj] = (int32_t)su[off] - tpu2[ii * cw + jj];
+                resid_v[ii * cw + jj] = (int32_t)sv[off] - tpv2[ii * cw + jj];
+            }
+        trial_txb(c, 1, ts_c, tt, resid_u, q, 1, sgn_u, &au);
+        trial_txb(c, 2, ts_c, tt, resid_v, q, 1, sgn_v, &av);
+        double rate = (au.rate512 + av.rate512) / 512.0 +
+                      sym_cost_bits(mc->uv_mode +
+                                        (cfl_ok * 13 + y_mode) * 15, m);
+        double cost = (double)(au.sse + av.sse) + c->rdmult * rate;
+        if (best_uv_cost < 0 || cost < best_uv_cost) {
+            best_uv_cost = cost;
+            uv_mode = m;
+            tt_uv = tt;
+            tu = au;
+            tv = av;
+            memcpy(pred_u, tpu2, sizeof(int32_t) * cw * chh);
+            memcpy(pred_v, tpv2, sizeof(int32_t) * cw * chh);
+        }
+    }
+    (void)tt_uv;
+
+    int skip = (ty.eob == 0 && tu.eob == 0 && tv.eob == 0);
+
+    /* syntax order: skip -> delta-q -> y mode -> angle -> uv mode -> angle */
+    int skip_ctx = c->above_skip[c4] + c->left_skip[r];
+    tpuec_symbol(c->ec, skip, mc->skip + skip_ctx * 3, 2, 1);
+    if (*dq_pending && !(size == 64 && skip)) {
+        int delta = (q - *prev_q) >> dq_res_log2;
+        write_delta_q(c, delta < 0 ? -delta : delta, delta < 0);
+        *prev_q = q;
+        *dq_pending = 0;
+    }
+    {
+        int am = r > 0 ? c->above_mode[c4] : 0;
+        int lm = c4 > 0 ? c->left_mode[r] : 0;
+        tpuec_symbol(c->ec, y_mode,
+                     mc->kf_y + (IMODE_CTX[am] * 5 + IMODE_CTX[lm]) * 14,
+                     13, 1);
+    }
+    if (y_mode >= 1 && y_mode <= 8)
+        tpuec_symbol(c->ec, 3, mc->angle_delta + (y_mode - 1) * 8, 7, 1);
+    tpuec_symbol(c->ec, uv_mode, mc->uv_mode + (cfl_ok * 13 + y_mode) * 15,
+                 cfl_ok ? 14 : 13, 1);
+    if (uv_mode >= 1 && uv_mode <= 8)
+        tpuec_symbol(c->ec, 3, mc->angle_delta + (uv_mode - 1) * 8, 7, 1);
+
+    /* neighbor rows */
+    memset(c->above_mode + c4, y_mode, w4);
+    memset(c->left_mode + r, y_mode, w4);
+    memset(c->above_skip + c4, skip, w4);
+    memset(c->left_skip + r, skip, w4);
+    int ysm = (y_mode >= 9 && y_mode <= 11);
+    int usm = (uv_mode >= 9 && uv_mode <= 11);
+    memset(c->above_smooth[0] + c4, ysm, w4);
+    memset(c->left_smooth[0] + r, ysm, w4);
+    memset(c->above_smooth[1] + c4, usm, w4);
+    memset(c->left_smooth[1] + r, usm, w4);
+
+    if (skip) {
+        memset(c->above_coef[0] + c4, 0, w4);
+        memset(c->left_coef[0] + r, 0, w4);
+        int cw4 = w4 >> 1 ? w4 >> 1 : 1;
+        for (int p = 1; p < 3; p++) {
+            memset(c->above_coef[p] + cc, 0, cw4);
+            memset(c->left_coef[p] + cr, 0, cw4);
+        }
+        commit_recon(c, 0, r, c4, ts_y, pred_y, NULL);
+        commit_recon(c, 1, cr, cc, ts_c, pred_u, NULL);
+        commit_recon(c, 2, cr, cc, ts_c, pred_v, NULL);
+        c->dist_acc += ty.sse + tu.sse + tv.sse;
+        return;
+    }
+    write_block_txb(c, 0, r, c4, ts_y, size, size, y_mode, &ty);
+    commit_recon(c, 0, r, c4, ts_y, pred_y, &ty);
+    write_block_txb(c, 1, cr, cc, ts_c, size >> 1, size >> 1, y_mode, &tu);
+    commit_recon(c, 1, cr, cc, ts_c, pred_u, &tu);
+    write_block_txb(c, 2, cr, cc, ts_c, size >> 1, size >> 1, y_mode, &tv);
+    commit_recon(c, 2, cr, cc, ts_c, pred_v, &tv);
+    c->dist_acc += ty.sse + tu.sse + tv.sse;
+}

@@ -1,0 +1,110 @@
+/* Shared declarations for the native host backend (.so built from
+ * ec_backend.c + txfm_backend.c + commit_backend.c).
+ *
+ * The native layer implements the serial, context-dependent parts of the
+ * encoder (range coding, normative per-txb transforms, and the frame commit
+ * walk) that the TPU device path cannot express efficiently; the dense
+ * search runs on device (ops/jax_backend.py) and hands decisions to
+ * commit_backend.c. Reference counterparts: Source/Lib/Codec/ec_process.c
+ * (entropy), coding_loop.c (encode pass), bitstream_unit.c (od_ec).
+ */
+#ifndef TPU_NATIVE_H
+#define TPU_NATIVE_H
+
+#include <stdint.h>
+
+/* ---- range coder (ec_backend.c) ---------------------------------------- */
+typedef struct {
+    uint32_t low;
+    uint16_t rng;
+    int32_t cnt;
+    uint16_t *precarry;
+    int32_t n_precarry;
+    int32_t cap_precarry;
+} TpuEc;
+
+TpuEc *tpuec_new(void);
+void tpuec_free(TpuEc *ec);
+void tpuec_symbol(TpuEc *ec, int s, uint16_t *icdf, int nsyms, int adapt);
+void tpuec_bool(TpuEc *ec, int val, unsigned f);
+void tpuec_literal(TpuEc *ec, int value, int bits);
+int tpuec_tell_bits(const TpuEc *ec);
+int tpuec_done(TpuEc *ec, uint8_t *out, int cap);
+int tpuec_cost_symbol(const uint16_t *icdf, int nsyms, int s);
+
+/* coefficient CDF pointers into Python-owned numpy arrays (uint16). */
+typedef struct {
+    uint16_t *eob_flag16;    /* [2][2][6]  */
+    uint16_t *eob_flag32;    /* [2][2][7]  */
+    uint16_t *eob_flag64;    /* [2][2][8]  */
+    uint16_t *eob_flag128;   /* [2][2][9]  */
+    uint16_t *eob_flag256;   /* [2][2][10] */
+    uint16_t *eob_flag512;   /* [2][2][11] */
+    uint16_t *eob_flag1024;  /* [2][2][12] */
+    uint16_t *eob_extra;     /* [5][2][22][3] */
+    uint16_t *coeff_base_eob;/* [5][2][4][4] */
+    uint16_t *coeff_base;    /* [5][2][42][5] */
+    uint16_t *coeff_br;      /* [4][2][21][5] */
+    uint16_t *dc_sign;       /* [2][3][3] */
+} TxbCdfs;
+
+int tpuec_encode_txb(TpuEc *ec, TxbCdfs *cdfs, const int32_t *qcoeff,
+                     const int16_t *scan, int n, int w, int h, int rw, int rh,
+                     int ems, int txs_ctx, int tx_class, int ptype,
+                     int sign_ctx);
+int tpuec_cost_txb(TxbCdfs *cdfs, const int32_t *qcoeff,
+                   const int16_t *scan, int n, int w, int h, int rw, int rh,
+                   int ems, int txs_ctx, int tx_class, int ptype,
+                   int sign_ctx);
+
+/* ---- transforms / quant (txfm_backend.c) ------------------------------- */
+void tputx_fwd2d(const int32_t *residual, int32_t *coeff, int tx_size,
+                 int tx_type, int bd);
+void tputx_inv2d(const int32_t *coeff, int32_t *resid, int tx_size,
+                 int tx_type, int bd);
+void tputx_quantize_b(const int32_t *coeff, int32_t *qc, int32_t *dqc,
+                      int n, int log_scale, int zbin0, int zbin1, int rnd0,
+                      int rnd1, int quant0, int quant1, int qs0, int qs1,
+                      int dq0, int dq1);
+
+/* ---- commit engine (commit_backend.c) ---------------------------------- */
+
+/* mode/partition CDF pointers into FrameContext numpy arrays (uint16). */
+typedef struct {
+    uint16_t *partition;    /* [20][11] */
+    uint16_t *skip;         /* [3][3] */
+    uint16_t *kf_y;         /* [5][5][14] */
+    uint16_t *angle_delta;  /* [8][8] */
+    uint16_t *uv_mode;      /* [2][13][15] */
+    uint16_t *intra_ext_tx; /* [3][4][13][17] */
+    uint16_t *delta_q;      /* [5] */
+    uint16_t *tx_size;      /* [4][3][4] */
+    uint16_t *txb_skip;     /* [5][13][3] */
+} ModeCdfs;
+
+typedef struct TpuCommit TpuCommit;
+
+TpuCommit *tpuc_new(int width, int height, int bd);
+void tpuc_free(TpuCommit *c);
+void tpuc_set_src(TpuCommit *c, const uint16_t *y, const uint16_t *u,
+                  const uint16_t *v, int ystride, int cstride);
+void tpuc_set_qtab(TpuCommit *c, const int32_t *qtab /* [256][3][10] */);
+uint16_t *tpuc_plane(TpuCommit *c, int plane, int *stride);
+void tpuc_upload_scan(int tx_size, int tx_type, const int16_t *scan, int n);
+void tpuc_upload_dr(const int32_t *dr /* [90] */);
+
+/* Encode one KEY/intra frame tile (single tile) given device decisions.
+ * split{64,32,16}: row-major uint8 maps over the block grids (1 = split).
+ * mode{64,32,16,8}: best y mode per block (PredMode 0..12).
+ * sbq: per-SB qindex (int16, base_q everywhere when delta-q off);
+ * dq_res_log2 < 0 disables delta-q syntax. Returns total bits << 3. */
+int64_t tpuc_encode_intra(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,
+                          TxbCdfs *tc, const uint8_t *split64,
+                          const uint8_t *split32, const uint8_t *split16,
+                          const uint8_t *mode64, const uint8_t *mode32,
+                          const uint8_t *mode16, const uint8_t *mode8,
+                          const int16_t *sbq, int dq_res_log2, int base_q,
+                          int mi_row0, int mi_row1, int mi_col0, int mi_col1,
+                          int enable_cfl);
+
+#endif /* TPU_NATIVE_H */

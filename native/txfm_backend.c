@@ -389,7 +389,7 @@ double tputx_rd_txb(const int32_t *resid, int tx_size, int tx_type, int bd,
                     int rw, int rh, int ems, int txs_ctx, int tx_class,
                     int ptype, int sign_ctx, TxbCdfs *cdfs,
                     int32_t *qc_out, int *rate512_out) {
-    static int32_t coeff[32 * 32], dqc[32 * 32], rec[64 * 64];
+    static __thread int32_t coeff[32 * 32], dqc[32 * 32], rec[64 * 64];
     int n = cw * ch;
     int full = rw * rh;
     int i;

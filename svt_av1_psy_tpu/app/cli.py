@@ -1,12 +1,16 @@
 """Command-line encoder app (SvtAv1EncApp equivalent).
 
 Usage:
-    python -m svt_av1_psy_tpu -i in.y4m -b out.ivf [--qindex 100]
-        [--gop 0|1|N] [--frames N] [--no-device-search] [--min-block 8]
+    python -m svt_av1_psy_tpu -i in.y4m -b out.ivf [--preset 12] [--crf 35]
+        [--gop 0|1|N] [--frames N]
 
-Encodes 8-bit 4:2:0 y4m to an AV1 IVF stream using the TPU-native encoder
-(all-intra by default; --gop 0 for low-delay IPPP). Mirrors the reference
-app's role (ref Source/App/EbAppMain.c) at the current feature level.
+Encodes 4:2:0 y4m to an AV1 IVF stream using the TPU-native encoder.
+Preset routing (the enc_mode_config.c role, at current feature scope):
+  preset >= 10 : fast path — dense device mode search + native C commit
+                 walk (models/fast_intra.py)
+  preset <=  9 : quality path — full per-block RD funnel
+                 (models/intra_encoder.py)
+Mirrors the reference app's role (ref Source/App/app_main.c:494).
 """
 from __future__ import annotations
 
@@ -15,13 +19,25 @@ import sys
 import time
 
 
+def crf_to_qindex(crf: float) -> int:
+    """CRF -> base qindex. The reference's extended CRF maps crf to
+    qindex = crf*4 with quarter-step offsets (ref enc_settings.c:1128
+    get_extended_crf); integer CRFs map exactly to crf*4."""
+    return max(0, min(255, int(round(crf * 4))))
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="svt_av1_psy_tpu")
     ap.add_argument("-i", "--input", required=True, help="input .y4m")
     ap.add_argument("-b", "--output", required=True, help="output .ivf")
-    ap.add_argument("-q", "--qindex", type=int, default=100,
-                    help="base qindex 0..255 (default 100)")
-    ap.add_argument("--gop", type=int, default=1,
+    ap.add_argument("--preset", type=int, default=8,
+                    help="encoder preset -1..13 (higher = faster); "
+                         ">=10 uses the device-search fast path")
+    ap.add_argument("--crf", type=float, default=None,
+                    help="constant rate factor 1..70 (4*crf = qindex)")
+    ap.add_argument("-q", "--qindex", type=int, default=None,
+                    help="base qindex 0..255 (overrides --crf)")
+    ap.add_argument("--keyint", "--gop", dest="gop", type=int, default=1,
                     help="1 = all intra (default), 0 = IPPP low delay, "
                          "N = key frame every N frames")
     ap.add_argument("-n", "--frames", type=int, default=0,
@@ -29,6 +45,10 @@ def main(argv=None) -> int:
     ap.add_argument("--min-block", type=int, default=8)
     ap.add_argument("--no-device-search", action="store_true",
                     help="disable the TPU open-loop mode search stage")
+    ap.add_argument("--device", default="auto",
+                    choices=("auto", "cpu", "default"),
+                    help="jax platform: auto probes the TPU and falls "
+                         "back to cpu if the transport is wedged")
     ap.add_argument("--backend", default="native",
                     choices=("native", "python"))
     ap.add_argument("--bitrate", type=float, default=0.0,
@@ -44,10 +64,21 @@ def main(argv=None) -> int:
                     choices=range(1, 9))
     args = ap.parse_args(argv)
 
+    if args.qindex is None:
+        args.qindex = crf_to_qindex(args.crf) if args.crf is not None \
+            else 100
+
+    if not args.no_device_search:
+        from svt_av1_psy_tpu.utils.device import select_platform
+        plat = select_platform(args.device)
+        if plat == "cpu" and args.device == "auto":
+            print("device probe failed; using cpu backend",
+                  file=sys.stderr)
+
     from svt_av1_psy_tpu.bitstream.ivf import IvfWriter
     from svt_av1_psy_tpu.io.y4m import Y4mReader
-    from svt_av1_psy_tpu.models.intra_encoder import IntraEncoder
 
+    fast = args.preset >= 10 and args.gop == 1
     t0 = time.time()
     n = 0
     total_bytes = 0
@@ -57,29 +88,45 @@ def main(argv=None) -> int:
         for (y, u, v) in reader:
             if enc is None:
                 H, W = y.shape
-                enc = IntraEncoder(
-                    W, H, qindex=args.qindex, backend=args.backend,
-                    min_block=args.min_block,
-                    use_device_search=not args.no_device_search)
-                enc.gop_size = args.gop
-                enc.enable_variance_boost = bool(args.enable_variance_boost)
-                enc.vb_strength = args.variance_boost_strength
-                enc.vb_octile = args.variance_octile
-                from svt_av1_psy_tpu.models.ratecontrol import RateControl
-                if args.bitrate > 0:
-                    enc.rc = RateControl(
-                        mode="abr", base_qindex=args.qindex,
-                        target_bits_per_frame=args.bitrate * 1000 /
-                        args.fps)
-                elif args.gop != 1:
-                    enc.rc = RateControl(mode="crf",
-                                         base_qindex=args.qindex)
+                bd = reader.header.bit_depth
+                if fast:
+                    from svt_av1_psy_tpu.models.fast_intra import \
+                        FastIntraEncoder
+                    enc = FastIntraEncoder(W, H, qindex=args.qindex, bd=bd,
+                                           min_block=args.min_block)
+                    enc.enable_variance_boost = \
+                        bool(args.enable_variance_boost)
+                    enc.vb_strength = args.variance_boost_strength
+                    enc.vb_octile = args.variance_octile
+                else:
+                    from svt_av1_psy_tpu.models.intra_encoder import \
+                        IntraEncoder
+                    enc = IntraEncoder(
+                        W, H, qindex=args.qindex, bd=bd,
+                        backend=args.backend,
+                        min_block=args.min_block,
+                        use_device_search=not args.no_device_search,
+                        search_top_k=2 if args.preset >= 7 else 3)
+                    enc.gop_size = args.gop
+                    enc.enable_variance_boost = \
+                        bool(args.enable_variance_boost)
+                    enc.vb_strength = args.variance_boost_strength
+                    enc.vb_octile = args.variance_octile
+                    from svt_av1_psy_tpu.models.ratecontrol import \
+                        RateControl
+                    if args.bitrate > 0:
+                        enc.rc = RateControl(
+                            mode="abr", base_qindex=args.qindex,
+                            target_bits_per_frame=args.bitrate * 1000 /
+                            args.fps)
+                    elif args.gop != 1:
+                        enc.rc = RateControl(mode="crf",
+                                             base_qindex=args.qindex)
                 ivf = IvfWriter(args.output, W, H)
             f = enc.encode_frame(y, u, v)
             ivf.write_frame(f.payload, n)
             total_bytes += len(f.payload)
             n += 1
-            print(f"frame {n}: {len(f.payload)} bytes", file=sys.stderr)
             if args.frames and n >= args.frames:
                 break
         if ivf is not None:

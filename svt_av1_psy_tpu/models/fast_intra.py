@@ -1,0 +1,136 @@
+"""Fast all-intra encoder: dense device search + native commit walk.
+
+The two-phase architecture SURVEY.md §7 prescribes:
+
+  1. SEARCH (device, JAX/XLA): every superblock's intra mode costs for all
+     block sizes are evaluated densely in one jitted program
+     (ops/jax_backend.block_mode_costs) — the PD_PASS_0 analog of the
+     reference (ref: Source/Lib/Codec/enc_dec_process.c:3455). Produces
+     per-size best-mode maps and split decisions.
+  2. COMMIT (host, native C): the wavefront-exact encode pass —
+     prediction from reconstructed neighbors, transform/quantize/recon and
+     tile entropy coding (native/commit_backend.c) — the PD_PASS_1 +
+     encode-pass + EC analog (ref: coding_loop.c, entropy_coding.c).
+
+This path is the high-preset (speed) configuration; the full Python RD
+funnel (models/intra_encoder.py) remains the quality path.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+from svt_av1_psy_tpu.bitstream.headers import (FrameParams, SequenceParams,
+                                               key_frame_temporal_unit)
+from svt_av1_psy_tpu.entropy.frame_context import FrameContext
+from svt_av1_psy_tpu.models.intra_encoder import EncodedFrame, _pad_to
+from svt_av1_psy_tpu.ops.quant import ac_q
+
+SB = 64
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_decide():
+    import jax
+
+    from svt_av1_psy_tpu.ops.jax_backend import intra_decide
+
+    return jax.jit(intra_decide, static_argnums=(2, 3))
+
+
+class FastIntraEncoder:
+    """Device-search + C-commit all-intra encoder (KEY frames only)."""
+
+    def __init__(self, width: int, height: int, qindex: int, bd: int = 8,
+                 min_block: int = 8):
+        from svt_av1_psy_tpu import native
+        assert width % 2 == 0 and height % 2 == 0
+        self.width, self.height = width, height
+        self.qindex = qindex
+        self.bd = bd
+        self.min_block = min_block
+        self.mi_cols = 2 * ((width + 7) >> 3)
+        self.mi_rows = 2 * ((height + 7) >> 3)
+        self.aw = self.mi_cols * 4
+        self.ah = self.mi_rows * 4
+        self.paw = (self.aw + SB - 1) // SB * SB
+        self.pah = (self.ah + SB - 1) // SB * SB
+        self.seq = SequenceParams(width=width, height=height, bit_depth=bd,
+                                  enable_cdef=True, enable_restoration=False)
+        self.frame_index = 0
+        self.engine = None  # fresh CommitEngine per frame (context state)
+        self._native = native
+        # variance-boost AQ (PSY flagship; ref rc_process.c:1516)
+        self.enable_variance_boost = False
+        self.vb_strength = 2
+        self.vb_octile = 6
+
+    # --- device search stage ---------------------------------------------
+    def _decide(self, yp: np.ndarray):
+        """Dense decision stage on device -> split + mode maps (one call)."""
+        import jax
+        import jax.numpy as jnp
+
+        bias = np.int32(8 * ac_q(self.qindex, self.bd))
+        out = _jitted_decide()(jnp.asarray(yp), jnp.asarray(bias),
+                               self.bd, self.min_block)
+        s64, s32, s16, m64, m32, m16, m8 = jax.device_get(out)
+        # defensive clamp: a corrupted transfer must never reach the C
+        # engine as an out-of-range symbol
+        maps = {}
+        for k, m in ((64, m64), (32, m32), (16, m16), (8, m8)):
+            maps[k] = np.where(m <= 12, m, 0).astype(np.uint8)
+        return ({64: np.minimum(s64, 1), 32: np.minimum(s32, 1),
+                 16: np.minimum(s16, 1)}, maps)
+
+    # --- frame -----------------------------------------------------------
+    def encode_frame(self, y, u, v) -> EncodedFrame:
+        native = self._native
+        yp = _pad_to(np.asarray(y), self.pah, self.paw)
+        up = _pad_to(np.asarray(u), self.pah // 2, self.paw // 2)
+        vp = _pad_to(np.asarray(v), self.pah // 2, self.paw // 2)
+
+        split, modes = self._decide(yp)
+
+        base_q = self.qindex
+        sbq = None
+        dq_res_log2 = -1
+        if self.enable_variance_boost:
+            from svt_av1_psy_tpu.models.variance_boost import (
+                adjust_sb_qindex, sb_8x8_variances)
+            base_q, dq_res_log2, vb = adjust_sb_qindex(
+                self.qindex, sb_8x8_variances(yp), self.vb_strength,
+                self.vb_octile, self.bd)
+            sbq = vb.astype(np.int16)
+
+        eng = native.CommitEngine(self.width, self.height, self.bd)
+        eng.set_src(yp, up, vp)
+        fc = FrameContext(base_q)
+        ec = native.NativeRangeEncoder()
+        eng.encode_intra(ec, fc, split, modes, sbq=sbq,
+                         dq_res_log2=dq_res_log2, base_q=base_q)
+        tile = ec.done()
+
+        fr_params = FrameParams(base_q_idx=base_q,
+                                order_hint=self.frame_index & 0x7F,
+                                tx_mode_select=False,
+                                delta_q_present=sbq is not None,
+                                delta_q_res_log2=max(dq_res_log2, 0))
+        payload = key_frame_temporal_unit(
+            self.seq, fr_params, tile, with_seq_header=(self.frame_index == 0))
+        self.frame_index += 1
+        H, W = self.height, self.width
+        cH, cW = (H + 1) // 2, (W + 1) // 2
+        rec_y = eng.plane(0)[:H, :W].copy()
+        rec_u = eng.plane(1)[:cH, :cW].copy()
+        rec_v = eng.plane(2)[:cH, :cW].copy()
+        if self.bd == 8:
+            rec_y = rec_y.astype(np.uint8)
+            rec_u = rec_u.astype(np.uint8)
+            rec_v = rec_v.astype(np.uint8)
+        self.engine = eng
+        return EncodedFrame(payload=payload, recon_y=rec_y, recon_u=rec_u,
+                            recon_v=rec_v)

@@ -16,7 +16,9 @@ import subprocess
 import numpy as np
 
 _NATIVE = pathlib.Path(__file__).parent.parent / "native"
-_SRCS = [_NATIVE / "ec_backend.c", _NATIVE / "txfm_backend.c"]
+_SRCS = [_NATIVE / "ec_backend.c", _NATIVE / "txfm_backend.c",
+         _NATIVE / "commit_backend.c"]
+_HDRS = [_NATIVE / "tpu_native.h"]
 _SO = _NATIVE / "libtpuec.so"
 
 _lib = None
@@ -31,18 +33,29 @@ class TxbCdfs(ctypes.Structure):
         "coeff_base_eob", "coeff_base", "coeff_br", "dc_sign")]
 
 
+def _src_digest() -> str:
+    import hashlib
+    h = hashlib.sha256()
+    for x in _SRCS + _HDRS:
+        h.update(x.read_bytes())
+    return h.hexdigest()
+
+
 def _build():
     cmd = ["cc", "-O3", "-shared", "-fPIC", "-o", str(_SO)] + \
         [str(x) for x in _SRCS]
     subprocess.run(cmd, check=True)
+    (_NATIVE / ".build_hash").write_text(_src_digest())
 
 
 def get_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not _SO.exists() or any(_SO.stat().st_mtime < x.stat().st_mtime
-                               for x in _SRCS):
+    # content-hash rebuild check: mtimes are unreliable after checkout
+    stamp = _NATIVE / ".build_hash"
+    if not _SO.exists() or not stamp.exists() or \
+            stamp.read_text().strip() != _src_digest():
         _build()
     lib = ctypes.CDLL(str(_SO))
     lib.tpuec_new.restype = ctypes.c_void_p
@@ -200,6 +213,161 @@ def cost_txb(cdfs: TxbCdfs, qcoeff: np.ndarray, scan: np.ndarray,
         q.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         s.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         len(s), w, h, rw, rh, ems, txs_ctx, tx_class, ptype, sign_ctx)
+
+
+# --- frame commit engine (commit_backend.c) --------------------------------
+
+class ModeCdfs(ctypes.Structure):
+    _fields_ = [(n, ctypes.POINTER(ctypes.c_uint16)) for n in (
+        "partition", "skip", "kf_y", "angle_delta", "uv_mode",
+        "intra_ext_tx", "delta_q", "tx_size", "txb_skip")]
+
+
+def make_mode_cdfs(fc) -> ModeCdfs:
+    """Bind a FrameContext's mode tables (adapted IN PLACE by C)."""
+    return ModeCdfs(
+        _u16p(fc.partition), _u16p(fc.skip), _u16p(fc.kf_y),
+        _u16p(fc.angle_delta), _u16p(fc.uv_mode), _u16p(fc.intra_ext_tx),
+        _u16p(fc.delta_q), _u16p(fc.tx_size), _u16p(fc.txb_skip))
+
+
+_commit_ready = False
+
+
+def _ensure_commit(lib):
+    global _commit_ready
+    if _commit_ready:
+        return
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.tpuc_new.restype = ctypes.c_void_p
+    lib.tpuc_new.argtypes = [ctypes.c_int] * 3
+    lib.tpuc_free.argtypes = [ctypes.c_void_p]
+    lib.tpuc_set_src.argtypes = [ctypes.c_void_p, u16p, u16p, u16p,
+                                 ctypes.c_int, ctypes.c_int]
+    lib.tpuc_set_qtab.argtypes = [ctypes.c_void_p, i32p]
+    lib.tpuc_plane.restype = u16p
+    lib.tpuc_plane.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                               ctypes.POINTER(ctypes.c_int)]
+    lib.tpuc_upload_scan.argtypes = [ctypes.c_int, ctypes.c_int, i16p,
+                                     ctypes.c_int]
+    lib.tpuc_upload_dr.argtypes = [i32p]
+    lib.tpuc_encode_intra.restype = ctypes.c_int64
+    lib.tpuc_encode_intra.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ModeCdfs),
+        ctypes.POINTER(TxbCdfs)] + [u8p] * 7 + [
+        i16p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+
+    # upload scan tables + directional derivative table once
+    from svt_av1_psy_tpu.constants import get_scan, tables
+    from svt_av1_psy_tpu.entropy.tx_sets import EXT_TX_INV
+    dr = np.ascontiguousarray(tables()["dr_intra_derivative"], np.int32)
+    lib.tpuc_upload_dr(dr.ctypes.data_as(i32p))
+    for ts in range(19):
+        for tt in range(16):
+            try:
+                scan = np.ascontiguousarray(get_scan(ts, tt), np.int16)
+            except KeyError:
+                continue
+            lib.tpuc_upload_scan(ts, tt, scan.ctypes.data_as(i16p),
+                                 len(scan))
+    _commit_ready = True
+
+
+_qtab_cache = {}
+
+
+def build_qtab(bd: int = 8) -> np.ndarray:
+    """Quantizer table for all 256 qindexes x 3 planes x 10 params
+    (zbin dc/ac, round dc/ac, quant dc/ac, quant_shift dc/ac, dequant
+    dc/ac), consumed by the C commit engine. Cached per bit depth."""
+    if bd in _qtab_cache:
+        return _qtab_cache[bd]
+    from svt_av1_psy_tpu.ops.quant import build_plane_quant
+    out = np.zeros((256, 3, 10), np.int32)
+    for q in range(256):
+        pq = build_plane_quant(q, bd=bd)
+        row = [int(pq.zbin[0]), int(pq.zbin[1]), int(pq.round[0]),
+               int(pq.round[1]), int(pq.quant[0]), int(pq.quant[1]),
+               int(pq.quant_shift[0]), int(pq.quant_shift[1]),
+               int(pq.dequant[0]), int(pq.dequant[1])]
+        for p in range(3):
+            out[q, p] = row
+    out = np.ascontiguousarray(out)
+    _qtab_cache[bd] = out
+    return out
+
+
+class CommitEngine:
+    """ctypes wrapper over the native frame commit walk."""
+
+    def __init__(self, width: int, height: int, bd: int = 8):
+        self.lib = ensure_txfms()
+        _ensure_commit(self.lib)
+        self._c = self.lib.tpuc_new(width, height, bd)
+        self.width, self.height, self.bd = width, height, bd
+        self.mi_cols = 2 * ((width + 7) >> 3)
+        self.mi_rows = 2 * ((height + 7) >> 3)
+        qt = build_qtab(bd)
+        self._qt = np.ascontiguousarray(qt)
+        self.lib.tpuc_set_qtab(
+            self._c, self._qt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        self._keep = []
+
+    def __del__(self):
+        try:
+            self.lib.tpuc_free(self._c)
+        except Exception:
+            pass
+
+    def set_src(self, yp: np.ndarray, up: np.ndarray, vp: np.ndarray):
+        """Padded source planes (uint16, C-contiguous)."""
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        self._keep = [np.ascontiguousarray(p, np.uint16)
+                      for p in (yp, up, vp)]
+        y, u, v = self._keep
+        self.lib.tpuc_set_src(self._c, y.ctypes.data_as(u16p),
+                              u.ctypes.data_as(u16p), v.ctypes.data_as(u16p),
+                              y.shape[1], u.shape[1])
+
+    def plane(self, plane: int) -> np.ndarray:
+        """Recon plane view (h, stride) uint16 — crop columns yourself."""
+        stride = ctypes.c_int(0)
+        p = self.lib.tpuc_plane(self._c, plane, ctypes.byref(stride))
+        sub = 1 if plane else 0
+        h = (self.mi_rows * 4 >> sub) + 64
+        arr = np.ctypeslib.as_array(p, shape=(h, stride.value))
+        return arr
+
+    def encode_intra(self, ec, fc, split_maps, mode_maps, sbq=None,
+                     dq_res_log2=-1, base_q=60):
+        """Run the commit walk. split_maps: dict size->uint8 map;
+        mode_maps: dict size->uint8 map. ec: NativeRangeEncoder."""
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        mc = make_mode_cdfs(fc)
+        tc = make_txb_cdfs(fc)
+        arrs = []
+
+        def m(x):
+            a = np.ascontiguousarray(x, np.uint8)
+            arrs.append(a)
+            return a.ctypes.data_as(u8p)
+
+        sq = None
+        if sbq is not None:
+            sq_a = np.ascontiguousarray(sbq, np.int16)
+            arrs.append(sq_a)
+            sq = sq_a.ctypes.data_as(i16p)
+        dist = self.lib.tpuc_encode_intra(
+            self._c, ec._ec, ctypes.byref(mc), ctypes.byref(tc),
+            m(split_maps[64]), m(split_maps[32]), m(split_maps[16]),
+            m(mode_maps[64]), m(mode_maps[32]), m(mode_maps[16]),
+            m(mode_maps[8]), sq, dq_res_log2, base_q, 0, 0, 0, 0, 0)
+        return dist
 
 
 # --- native transforms / quantizer -----------------------------------------

@@ -216,6 +216,48 @@ def _gather_sb_edges(plane: jnp.ndarray, sb: int, bd: int):
             have_a.reshape(n), have_l.reshape(n))
 
 
+def intra_decide(plane_u8: jnp.ndarray, split_bias: jnp.ndarray,
+                 bd: int = 8, min_block: int = 8):
+    """Fused device decision stage: mode search at every size + split tree.
+
+    One jitted call per frame (device round trips are tunnel-latency bound).
+    plane_u8: (H, W) uint8/uint16 padded source luma; split_bias: scalar
+    int32 (rate bias per split, q-dependent). Returns
+    (split64, split32, split16, mode64, mode32, mode16, mode8) — all uint8
+    maps over each size's block grid. Mirrors the reference's PD_PASS_0
+    depth seeding (ref: enc_dec_process.c:3455)."""
+    p = plane_u8.astype(jnp.int32)
+    H, W = p.shape
+    mode_lut = jnp.asarray(SEARCH_MODE_ORDER, jnp.uint8)
+    sizes = [s for s in (64, 32, 16, 8) if s >= min_block]
+    costs = {}
+    modes = {}
+    above, left, al, ha, hl = None, None, None, None, None
+    for s in sizes:
+        a, l, c0, da, dl = _gather_sb_edges(p, s, bd)
+        preds = predict_modes_batch(a, l, c0, da, dl, s, s, bd)
+        blocks = p.reshape(H // s, s, W // s, s).transpose(0, 2, 1, 3)
+        n = blocks.shape[0] * blocks.shape[1]
+        sad = jnp.abs(blocks.reshape(n, 1, s, s) - preds).sum(axis=(2, 3))
+        costs[s] = jnp.min(sad, axis=1).reshape(H // s, W // s)
+        modes[s] = mode_lut[jnp.argmin(sad, axis=1)].reshape(H // s, W // s)
+    for s in (64, 32, 16, 8):
+        if s not in modes:
+            modes[s] = jnp.zeros((H // s, W // s), jnp.uint8)
+    split = {s: jnp.zeros((H // s, W // s), jnp.uint8) for s in (64, 32, 16)}
+    if len(sizes) > 1:
+        eff = {sizes[-1]: costs[sizes[-1]]}
+        for s in sizes[-2::-1]:
+            child = eff[s // 2]
+            agg = (child[0::2, 0::2] + child[0::2, 1::2] +
+                   child[1::2, 0::2] + child[1::2, 1::2])
+            do_split = agg + split_bias < costs[s]
+            split[s] = do_split.astype(jnp.uint8)
+            eff[s] = jnp.where(do_split, agg + split_bias, costs[s])
+    return (split[64], split[32], split[16],
+            modes[64], modes[32], modes[16], modes[8])
+
+
 def sb_mode_costs(plane: jnp.ndarray, sb: int = 64, bd: int = 8):
     """Open-loop intra mode search costs for every SB of a plane.
 

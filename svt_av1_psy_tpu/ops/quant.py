@@ -45,11 +45,13 @@ def tx_scale(ts: int) -> int:
 
 
 def dc_q(qindex: int, bd: int = 8) -> int:
+    assert bd in (8, 10), f"bit depth {bd} unsupported (no 12-bit tables)"
     return int(tables()["dc_qlookup"][0 if bd == 8 else 1][
         int(np.clip(qindex, 0, 255))])
 
 
 def ac_q(qindex: int, bd: int = 8) -> int:
+    assert bd in (8, 10), f"bit depth {bd} unsupported (no 12-bit tables)"
     return int(tables()["ac_qlookup"][0 if bd == 8 else 1][
         int(np.clip(qindex, 0, 255))])
 

@@ -1,0 +1,61 @@
+"""Device platform selection with liveness probing.
+
+The TPU attaches through an experimental tunnel transport that can wedge:
+compute dispatch keeps working while device->host transfers hang forever.
+A hung encoder is worse than a slow one, so before committing the process
+to the TPU backend we probe a round-trip transfer IN A SUBPROCESS with a
+timeout, and fall back to the CPU backend when the probe fails.
+
+This is the failure-detection analog of the reference's error-exit path
+(ref: Source/Lib/Globals/enc_handle.c:6087 lib_svt_encoder_send_error_exit):
+detect a wedged backend early and degrade, never deadlock.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+_PROBE_SRC = (
+    "import jax, numpy as np; x = jax.numpy.ones((16, 16)) + 1; "
+    "a = np.asarray(x); assert a[0, 0] == 2; print('ok')"
+)
+
+_cached: str | None = None
+
+
+def probe_default_backend(timeout: float = 25.0) -> bool:
+    """True if the default jax backend completes a host round-trip."""
+    try:
+        r = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                           capture_output=True, timeout=timeout)
+        return b"ok" in r.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def select_platform(preferred: str = "auto") -> str:
+    """Pick the jax platform BEFORE any jax import in this process.
+
+    preferred: 'auto' (probe TPU, fall back to cpu), 'cpu', or a platform
+    name to force. Returns the chosen platform string. Must be called
+    before jax backends initialize; safe to call again afterwards (cached).
+    """
+    global _cached
+    if _cached is not None:
+        return _cached
+    if preferred != "auto":
+        choice = preferred
+    elif os.environ.get("SVT_TPU_PLATFORM"):
+        choice = os.environ["SVT_TPU_PLATFORM"]
+    else:
+        choice = "default" if probe_default_backend() else "cpu"
+    if choice in ("cpu",):
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+    _cached = choice
+    return choice

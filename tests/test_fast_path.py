@@ -1,0 +1,73 @@
+"""Fast path (device search + native commit walk) conformance tests.
+
+The same oracle discipline as the slow path: every stream must decode in
+dav1d bit-exactly to the engine's own reconstruction (the reference's
+RefDecoder gate, ref: test/e2e_test/SvtAv1E2EFramework.h:65).
+"""
+
+import numpy as np
+import pytest
+
+from svt_av1_psy_tpu.decoder.dav1d import decode_obus
+from svt_av1_psy_tpu.models.fast_intra import FastIntraEncoder
+
+
+def _clip(w, h, n=2, seed=3):
+    rng = np.random.default_rng(seed)
+    frames = []
+    for t in range(n):
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        y = ((xx + yy + 8 * t) % 256).astype(np.float32)
+        y += rng.normal(0, 4.0, y.shape)
+        u = np.full((h // 2, w // 2), 120.0) + rng.normal(0, 2, (h // 2,
+                                                                w // 2))
+        v = np.full((h // 2, w // 2), 130.0) + rng.normal(0, 2, (h // 2,
+                                                                w // 2))
+        frames.append(tuple(np.clip(p, 0, 255).astype(np.uint8)
+                            for p in (y, u, v)))
+    return frames
+
+
+@pytest.mark.parametrize("dims", [(64, 64), (352, 288), (176, 144)])
+@pytest.mark.parametrize("q", [60, 120, 200])
+def test_fast_intra_bitexact(dims, q):
+    w, h = dims
+    frames = _clip(w, h)
+    enc = FastIntraEncoder(w, h, qindex=q)
+    payloads, recs = [], []
+    for f in frames:
+        out = enc.encode_frame(*f)
+        payloads.append(out.payload)
+        recs.append(out)
+    decoded = decode_obus(b"".join(payloads))
+    assert len(decoded) == len(recs)
+    for d, r in zip(decoded, recs):
+        assert np.array_equal(d.y, r.recon_y)
+        assert np.array_equal(d.u, r.recon_u)
+        assert np.array_equal(d.v, r.recon_v)
+
+
+def test_fast_intra_variance_boost():
+    w, h = 176, 144
+    frames = _clip(w, h, n=1)
+    enc = FastIntraEncoder(w, h, qindex=120)
+    enc.enable_variance_boost = True
+    out = enc.encode_frame(*frames[0])
+    d = decode_obus(out.payload)[0]
+    assert np.array_equal(d.y, out.recon_y)
+    assert np.array_equal(d.u, out.recon_u)
+    assert np.array_equal(d.v, out.recon_v)
+
+
+def test_fast_intra_quality_sane():
+    """PSNR at moderate q must be reasonable (catches silent mode bugs)."""
+    import math
+    w, h = 176, 144
+    frames = _clip(w, h, n=1)
+    enc = FastIntraEncoder(w, h, qindex=100)
+    out = enc.encode_frame(*frames[0])
+    d = decode_obus(out.payload)[0]
+    mse = np.mean((frames[0][0].astype(np.float64) -
+                   d.y.astype(np.float64)) ** 2)
+    psnr = 10 * math.log10(255 * 255 / mse)
+    assert psnr > 30.0, psnr
