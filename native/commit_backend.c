@@ -158,6 +158,9 @@ struct TpuCommit {
     int mi_rows, mi_cols;
     int ystride, cstride;
     uint16_t *plane[3];
+    int planes_owned;
+    /* tile bounds (mi units); whole frame when not set */
+    int t_mi_row0, t_mi_row1, t_mi_col0, t_mi_col1;
     const uint16_t *src[3];
     int sstride[3];
     int32_t qtab[256 * 3 * 10];
@@ -193,6 +196,11 @@ TpuCommit *tpuc_new(int width, int height, int bd) {
     c->plane[0] = (uint16_t *)calloc((pah + 64) * c->ystride, 2);
     c->plane[1] = (uint16_t *)calloc((pah / 2 + 64) * c->cstride, 2);
     c->plane[2] = (uint16_t *)calloc((pah / 2 + 64) * c->cstride, 2);
+    c->planes_owned = 1;
+    c->t_mi_row0 = 0;
+    c->t_mi_row1 = c->mi_rows;
+    c->t_mi_col0 = 0;
+    c->t_mi_col1 = c->mi_cols;
     c->above_part = (uint8_t *)calloc(c->mi_cols, 1);
     c->left_part = (uint8_t *)calloc(c->mi_rows, 1);
     c->above_mode = (uint8_t *)calloc(c->mi_cols, 1);
@@ -213,10 +221,24 @@ TpuCommit *tpuc_new(int width, int height, int bd) {
     return c;
 }
 
+void tpuc_attach_planes(TpuCommit *c, uint16_t *y, uint16_t *u, uint16_t *v,
+                        int ystride, int cstride) {
+    /* share external (numpy-owned) recon buffers — tiles write disjoint
+     * column bands, so concurrent tile walks never alias */
+    if (c->planes_owned)
+        for (int p = 0; p < 3; p++) free(c->plane[p]);
+    c->planes_owned = 0;
+    c->plane[0] = y;
+    c->plane[1] = u;
+    c->plane[2] = v;
+    c->ystride = ystride;
+    c->cstride = cstride;
+}
+
 void tpuc_free(TpuCommit *c) {
     if (!c) return;
     for (int p = 0; p < 3; p++) {
-        free(c->plane[p]);
+        if (c->planes_owned) free(c->plane[p]);
         free(c->above_coef[p]);
         free(c->left_coef[p]);
     }
@@ -260,8 +282,8 @@ static void bd_reset_sb(TpuCommit *c, int sbr4, int sbc4) {
         int n = 16 >> sub;
         uint8_t *m = c->bdmap[plane];
         memset(m, 0, 18 * 18);
-        int sb_w4 = (c->mi_cols - sbc4) >> sub;
-        int sb_h4 = (c->mi_rows - sbr4) >> sub;
+        int sb_w4 = (c->t_mi_col1 - sbc4) >> sub;  /* avail to tile end */
+        int sb_h4 = (c->t_mi_row1 - sbr4) >> sub;
         for (int x = -1; x <= n; x++)
             m[0 * 18 + (x + 1)] = x < sb_w4;
         for (int y = 0; y <= n; y++)
@@ -562,12 +584,18 @@ static void predict_txb(TpuCommit *c, int plane, int mode, int ad,
     int x = u_col * 4, y = u_row * 4;
     int stride = plane ? c->cstride : c->ystride;
     const uint16_t *rp = c->plane[plane];
-    int max_x = ((c->mi_cols * 4) >> sub) - 1;
-    int max_y = ((c->mi_rows * 4) >> sub) - 1;
+    /* availability + edge extension clamp at TILE boundaries (spec 5.11.5
+     * availability uses MiColStart/MiColEnd of the current tile) */
+    int tile_x0 = (c->t_mi_col0 * 4) >> sub;
+    int tile_y0 = (c->t_mi_row0 * 4) >> sub;
+    int mx_lim = c->t_mi_col1 < c->mi_cols ? c->t_mi_col1 : c->mi_cols;
+    int my_lim = c->t_mi_row1 < c->mi_rows ? c->t_mi_row1 : c->mi_rows;
+    int max_x = ((mx_lim * 4) >> sub) - 1;
+    int max_y = ((my_lim * 4) >> sub) - 1;
     int step_x = w / 4, step_y = h / 4;
     int base = 1 << (c->bd - 1);
-    int have_left = x > 0 && bd_get(c, plane, u_row, u_col - 1);
-    int have_above = y > 0 && bd_get(c, plane, u_row - 1, u_col);
+    int have_left = x > tile_x0 && bd_get(c, plane, u_row, u_col - 1);
+    int have_above = y > tile_y0 && bd_get(c, plane, u_row - 1, u_col);
     int have_ar = bd_get(c, plane, u_row - 1, u_col + step_x);
     int have_bl = bd_get(c, plane, u_row + step_y, u_col - 1);
     int32_t above[128 + 8], left[128 + 8];
@@ -687,9 +715,22 @@ static void trial_txb(TpuCommit *c, int plane, int ts, int tt,
 }
 
 /* ---- coefficient neighbor contexts ------------------------------------- */
+/* context spans clamp at the frame edge: blocks may straddle the bottom /
+ * right frame boundary (partition bounds allow it) and the ctx arrays
+ * cover only in-frame units (numpy-slice truncation semantics) */
+static int clamp_w4(TpuCommit *c, int plane, int u_col, int tw4) {
+    int n = plane ? (c->mi_cols + 1) >> 1 : c->mi_cols;
+    return u_col + tw4 <= n ? tw4 : n - u_col;
+}
+static int clamp_h4(TpuCommit *c, int plane, int u_row, int th4) {
+    int n = plane ? (c->mi_rows + 1) >> 1 : c->mi_rows;
+    return u_row + th4 <= n ? th4 : n - u_row;
+}
+
 static int txb_skip_ctx_of(TpuCommit *c, int plane, int u_row, int u_col,
                            int ts, int bw, int bh) {
-    int tw4 = TXW[ts] / 4, th4 = TXH[ts] / 4;
+    int tw4 = clamp_w4(c, plane, u_col, TXW[ts] / 4);
+    int th4 = clamp_h4(c, plane, u_row, TXH[ts] / 4);
     const uint8_t *above = c->above_coef[plane] + u_col;
     const uint8_t *left = c->left_coef[plane] + u_row;
     if (plane == 0) {
@@ -714,7 +755,8 @@ static int txb_skip_ctx_of(TpuCommit *c, int plane, int u_row, int u_col,
 }
 static int dc_sign_ctx_of(TpuCommit *c, int plane, int u_row, int u_col,
                           int ts) {
-    int tw4 = TXW[ts] / 4, th4 = TXH[ts] / 4;
+    int tw4 = clamp_w4(c, plane, u_col, TXW[ts] / 4);
+    int th4 = clamp_h4(c, plane, u_row, TXH[ts] / 4);
     const uint8_t *above = c->above_coef[plane] + u_col;
     const uint8_t *left = c->left_coef[plane] + u_row;
     int dc = 0;
@@ -732,7 +774,8 @@ static int dc_sign_ctx_of(TpuCommit *c, int plane, int u_row, int u_col,
 }
 static void set_coef_ctx(TpuCommit *c, int plane, int u_row, int u_col,
                          int ts, int cul) {
-    int tw4 = TXW[ts] / 4, th4 = TXH[ts] / 4;
+    int tw4 = clamp_w4(c, plane, u_col, TXW[ts] / 4);
+    int th4 = clamp_h4(c, plane, u_row, TXH[ts] / 4);
     memset(c->above_coef[plane] + u_col, cul, tw4);
     memset(c->left_coef[plane] + u_row, cul, th4);
 }
@@ -900,9 +943,11 @@ static void walk_partition(TpuCommit *c, int r, int c4, int size,
              : size == 16 ? ncols16 : ncols8;
     encode_block_full(c, r, c4, size, mm, nc, q, dq_pending, prev_q,
                       dq_res_log2);
-    /* partition context: NONE with subsize == bsize */
-    memset(c->above_part + c4, part_ctx_byte(size), w4);
-    memset(c->left_part + r, part_ctx_byte(size), w4);
+    /* partition context: NONE with subsize == bsize (frame-edge clamped) */
+    memset(c->above_part + c4, part_ctx_byte(size),
+           w4 < c->mi_cols - c4 ? w4 : c->mi_cols - c4);
+    memset(c->left_part + r, part_ctx_byte(size),
+           w4 < c->mi_rows - r ? w4 : c->mi_rows - r);
 }
 
 int64_t tpuc_encode_intra(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,
@@ -920,6 +965,10 @@ int64_t tpuc_encode_intra(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,
     c->dist_acc = 0;
     if (mi_row1 <= 0) mi_row1 = c->mi_rows;
     if (mi_col1 <= 0) mi_col1 = c->mi_cols;
+    c->t_mi_row0 = mi_row0;
+    c->t_mi_row1 = mi_row1;
+    c->t_mi_col0 = mi_col0;
+    c->t_mi_col1 = mi_col1;
     int paw4 = 0;
     {
         int aw = c->mi_cols * 4;
@@ -1078,25 +1127,29 @@ static void encode_block_full(TpuCommit *c, int r, int c4, int size,
     if (uv_mode >= 1 && uv_mode <= 8)
         tpuec_symbol(c->ec, 3, mc->angle_delta + (uv_mode - 1) * 8, 7, 1);
 
-    /* neighbor rows */
-    memset(c->above_mode + c4, y_mode, w4);
-    memset(c->left_mode + r, y_mode, w4);
-    memset(c->above_skip + c4, skip, w4);
-    memset(c->left_skip + r, skip, w4);
+    /* neighbor rows (spans clamp at the frame edge) */
+    int aw4 = w4 < c->mi_cols - c4 ? w4 : c->mi_cols - c4;
+    int lh4 = w4 < c->mi_rows - r ? w4 : c->mi_rows - r;
+    memset(c->above_mode + c4, y_mode, aw4);
+    memset(c->left_mode + r, y_mode, lh4);
+    memset(c->above_skip + c4, skip, aw4);
+    memset(c->left_skip + r, skip, lh4);
     int ysm = (y_mode >= 9 && y_mode <= 11);
     int usm = (uv_mode >= 9 && uv_mode <= 11);
-    memset(c->above_smooth[0] + c4, ysm, w4);
-    memset(c->left_smooth[0] + r, ysm, w4);
-    memset(c->above_smooth[1] + c4, usm, w4);
-    memset(c->left_smooth[1] + r, usm, w4);
+    memset(c->above_smooth[0] + c4, ysm, aw4);
+    memset(c->left_smooth[0] + r, ysm, lh4);
+    memset(c->above_smooth[1] + c4, usm, aw4);
+    memset(c->left_smooth[1] + r, usm, lh4);
 
     if (skip) {
-        memset(c->above_coef[0] + c4, 0, w4);
-        memset(c->left_coef[0] + r, 0, w4);
+        memset(c->above_coef[0] + c4, 0, aw4);
+        memset(c->left_coef[0] + r, 0, lh4);
         int cw4 = w4 >> 1 ? w4 >> 1 : 1;
         for (int p = 1; p < 3; p++) {
-            memset(c->above_coef[p] + cc, 0, cw4);
-            memset(c->left_coef[p] + cr, 0, cw4);
+            memset(c->above_coef[p] + cc, 0,
+                   clamp_w4(c, p, cc, cw4));
+            memset(c->left_coef[p] + cr, 0,
+                   clamp_h4(c, p, cr, cw4));
         }
         commit_recon(c, 0, r, c4, ts_y, pred_y, NULL);
         commit_recon(c, 1, cr, cc, ts_c, pred_u, NULL);

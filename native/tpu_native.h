@@ -89,6 +89,8 @@ void tpuc_free(TpuCommit *c);
 void tpuc_set_src(TpuCommit *c, const uint16_t *y, const uint16_t *u,
                   const uint16_t *v, int ystride, int cstride);
 void tpuc_set_qtab(TpuCommit *c, const int32_t *qtab /* [256][3][10] */);
+void tpuc_attach_planes(TpuCommit *c, uint16_t *y, uint16_t *u, uint16_t *v,
+                        int ystride, int cstride);
 uint16_t *tpuc_plane(TpuCommit *c, int plane, int *stride);
 void tpuc_upload_scan(int tx_size, int tx_type, const int16_t *scan, int n);
 void tpuc_upload_dr(const int32_t *dr /* [90] */);

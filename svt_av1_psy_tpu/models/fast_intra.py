@@ -45,7 +45,13 @@ class FastIntraEncoder:
     """Device-search + C-commit all-intra encoder (KEY frames only)."""
 
     def __init__(self, width: int, height: int, qindex: int, bd: int = 8,
-                 min_block: int = 8):
+                 min_block: int = 8, n_tiles: int = 0):
+        """n_tiles: desired tile columns (0 = auto: one per host core,
+        capped by frame width). Tiles are the host thread-parallel axis
+        AND the device shard axis (SURVEY.md §2.2 P4; ref ec_process.c:208
+        runs one EC kernel per tile)."""
+        import os
+
         from svt_av1_psy_tpu import native
         assert width % 2 == 0 and height % 2 == 0
         self.width, self.height = width, height
@@ -61,8 +67,26 @@ class FastIntraEncoder:
         self.seq = SequenceParams(width=width, height=height, bit_depth=bd,
                                   enable_cdef=True, enable_restoration=False)
         self.frame_index = 0
-        self.engine = None  # fresh CommitEngine per frame (context state)
         self._native = native
+        # tile geometry (uniform spacing, spec 5.9.15)
+        from svt_av1_psy_tpu.bitstream.headers import (tile_info_bounds,
+                                                       tile_log2)
+        sb_cols = (self.paw + 63) >> 6
+        want = n_tiles if n_tiles > 0 else min(os.cpu_count() or 1, 8)
+        (min_l2c, max_l2c, _, min_l2t) = tile_info_bounds(self.seq)
+        self.tile_cols_log2 = min(max(tile_log2(1, want), min_l2c), max_l2c)
+        tw_sb = (sb_cols + (1 << self.tile_cols_log2) - 1) >> \
+            self.tile_cols_log2
+        self.tile_col_starts = list(range(0, sb_cols, tw_sb)) + [sb_cols]
+        self.n_tiles = len(self.tile_col_starts) - 1
+        # initialize the native layer once, single-threaded (tile engines
+        # are constructed inside worker threads)
+        native.CommitEngine(64, 64, bd)
+        # shared recon planes (numpy-owned, attached to every tile engine)
+        self._rec_y = np.zeros((self.pah + 64, self.paw + 64), np.uint16)
+        self._rec_u = np.zeros((self.pah // 2 + 64, self.paw // 2 + 64),
+                               np.uint16)
+        self._rec_v = np.zeros_like(self._rec_u)
         # variance-boost AQ (PSY flagship; ref rc_process.c:1516)
         self.enable_variance_boost = False
         self.vb_strength = 2
@@ -106,31 +130,60 @@ class FastIntraEncoder:
                 self.vb_octile, self.bd)
             sbq = vb.astype(np.int16)
 
-        eng = native.CommitEngine(self.width, self.height, self.bd)
-        eng.set_src(yp, up, vp)
-        fc = FrameContext(base_q)
-        ec = native.NativeRangeEncoder()
-        eng.encode_intra(ec, fc, split, modes, sbq=sbq,
-                         dq_res_log2=dq_res_log2, base_q=base_q)
-        tile = ec.done()
+        # one engine + CDF context + range coder per tile; tile walks run
+        # concurrently in threads (ctypes releases the GIL in C)
+        def encode_tile(ti):
+            c0 = self.tile_col_starts[ti] * 16
+            c1 = min(self.tile_col_starts[ti + 1] * 16, self.mi_cols)
+            eng = native.CommitEngine(self.width, self.height, self.bd)
+            eng.attach_planes(self._rec_y, self._rec_u, self._rec_v)
+            eng.set_src(yp, up, vp)
+            fc = FrameContext(base_q)
+            ec = native.NativeRangeEncoder()
+            eng.encode_intra(ec, fc, split, modes, sbq=sbq,
+                             dq_res_log2=dq_res_log2, base_q=base_q,
+                             mi_bounds=(0, self.mi_rows, c0, c1))
+            return ec.done()
+
+        import os as _os
+        if self.n_tiles == 1 or _os.environ.get("SVT_TILE_SEQ"):
+            tile_bytes = [encode_tile(i) for i in range(self.n_tiles)]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=self.n_tiles) as tp:
+                tile_bytes = list(tp.map(encode_tile,
+                                         range(self.n_tiles)))
+
+        # tile group assembly (spec 5.11.1): OBU_FRAME requires
+        # tile_start_and_end_present_flag == 0 (one aligned zero bit),
+        # then per-tile size fields for all but the last tile
+        if self.n_tiles == 1:
+            tg = tile_bytes[0]
+        else:
+            parts = [b"\x00"]
+            for tb in tile_bytes[:-1]:
+                parts.append((len(tb) - 1).to_bytes(4, "little"))
+                parts.append(tb)
+            parts.append(tile_bytes[-1])
+            tg = b"".join(parts)
 
         fr_params = FrameParams(base_q_idx=base_q,
                                 order_hint=self.frame_index & 0x7F,
                                 tx_mode_select=False,
                                 delta_q_present=sbq is not None,
-                                delta_q_res_log2=max(dq_res_log2, 0))
+                                delta_q_res_log2=max(dq_res_log2, 0),
+                                tile_cols_log2=self.tile_cols_log2)
         payload = key_frame_temporal_unit(
-            self.seq, fr_params, tile, with_seq_header=(self.frame_index == 0))
+            self.seq, fr_params, tg, with_seq_header=(self.frame_index == 0))
         self.frame_index += 1
         H, W = self.height, self.width
         cH, cW = (H + 1) // 2, (W + 1) // 2
-        rec_y = eng.plane(0)[:H, :W].copy()
-        rec_u = eng.plane(1)[:cH, :cW].copy()
-        rec_v = eng.plane(2)[:cH, :cW].copy()
+        rec_y = self._rec_y[:H, :W].copy()
+        rec_u = self._rec_u[:cH, :cW].copy()
+        rec_v = self._rec_v[:cH, :cW].copy()
         if self.bd == 8:
             rec_y = rec_y.astype(np.uint8)
             rec_u = rec_u.astype(np.uint8)
             rec_v = rec_v.astype(np.uint8)
-        self.engine = eng
         return EncodedFrame(payload=payload, recon_y=rec_y, recon_u=rec_u,
                             recon_v=rec_v)

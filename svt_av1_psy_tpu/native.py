@@ -232,12 +232,29 @@ def make_mode_cdfs(fc) -> ModeCdfs:
 
 
 _commit_ready = False
+_init_lock = None
+
+
+def _get_init_lock():
+    global _init_lock
+    if _init_lock is None:
+        import threading
+        _init_lock = threading.Lock()
+    return _init_lock
 
 
 def _ensure_commit(lib):
     global _commit_ready
     if _commit_ready:
         return
+    with _get_init_lock():
+        if _commit_ready:
+            return
+        _ensure_commit_locked(lib)
+
+
+def _ensure_commit_locked(lib):
+    global _commit_ready
     u16p = ctypes.POINTER(ctypes.c_uint16)
     i16p = ctypes.POINTER(ctypes.c_int16)
     i32p = ctypes.POINTER(ctypes.c_int32)
@@ -248,6 +265,8 @@ def _ensure_commit(lib):
     lib.tpuc_set_src.argtypes = [ctypes.c_void_p, u16p, u16p, u16p,
                                  ctypes.c_int, ctypes.c_int]
     lib.tpuc_set_qtab.argtypes = [ctypes.c_void_p, i32p]
+    lib.tpuc_attach_planes.argtypes = [ctypes.c_void_p, u16p, u16p, u16p,
+                                       ctypes.c_int, ctypes.c_int]
     lib.tpuc_plane.restype = u16p
     lib.tpuc_plane.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                ctypes.POINTER(ctypes.c_int)]
@@ -274,6 +293,9 @@ def _ensure_commit(lib):
                 continue
             lib.tpuc_upload_scan(ts, tt, scan.ctypes.data_as(i16p),
                                  len(scan))
+    # prime the prob-cost table single-threaded (tile walks run in threads)
+    dummy = np.array([16384, 0], np.uint16)
+    lib.tpuec_cost_symbol(_u16p(dummy), 2, 0)
     _commit_ready = True
 
 
@@ -333,6 +355,17 @@ class CommitEngine:
                               u.ctypes.data_as(u16p), v.ctypes.data_as(u16p),
                               y.shape[1], u.shape[1])
 
+    def attach_planes(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+        """Share external numpy recon buffers (uint16) across tile engines.
+        Tiles write disjoint column bands, so concurrent walks are safe."""
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        assert all(p.dtype == np.uint16 and p.flags["C_CONTIGUOUS"]
+                   for p in (y, u, v))
+        self._shared = (y, u, v)
+        self.lib.tpuc_attach_planes(
+            self._c, y.ctypes.data_as(u16p), u.ctypes.data_as(u16p),
+            v.ctypes.data_as(u16p), y.shape[1], u.shape[1])
+
     def plane(self, plane: int) -> np.ndarray:
         """Recon plane view (h, stride) uint16 — crop columns yourself."""
         stride = ctypes.c_int(0)
@@ -343,9 +376,10 @@ class CommitEngine:
         return arr
 
     def encode_intra(self, ec, fc, split_maps, mode_maps, sbq=None,
-                     dq_res_log2=-1, base_q=60):
-        """Run the commit walk. split_maps: dict size->uint8 map;
-        mode_maps: dict size->uint8 map. ec: NativeRangeEncoder."""
+                     dq_res_log2=-1, base_q=60, mi_bounds=(0, 0, 0, 0)):
+        """Run the commit walk over [mi_row0, mi_row1) x [mi_col0, mi_col1)
+        (0s = whole frame). split_maps/mode_maps: dict size->uint8 map.
+        ec: NativeRangeEncoder; fc: this tile's FrameContext."""
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i16p = ctypes.POINTER(ctypes.c_int16)
         mc = make_mode_cdfs(fc)
@@ -362,22 +396,32 @@ class CommitEngine:
             sq_a = np.ascontiguousarray(sbq, np.int16)
             arrs.append(sq_a)
             sq = sq_a.ctypes.data_as(i16p)
+        r0, r1, c0, c1 = mi_bounds
         dist = self.lib.tpuc_encode_intra(
             self._c, ec._ec, ctypes.byref(mc), ctypes.byref(tc),
             m(split_maps[64]), m(split_maps[32]), m(split_maps[16]),
             m(mode_maps[64]), m(mode_maps[32]), m(mode_maps[16]),
-            m(mode_maps[8]), sq, dq_res_log2, base_q, 0, 0, 0, 0, 0)
+            m(mode_maps[8]), sq, dq_res_log2, base_q, r0, r1, c0, c1, 0)
         return dist
 
 
 # --- native transforms / quantizer -----------------------------------------
 
 def ensure_txfms():
-    """Upload stage tables + cospi/sinpi constants into the C backend."""
+    """Upload stage tables + cospi/sinpi constants into the C backend
+    (thread-safe: tile engines construct inside worker threads)."""
     global _txfm_ready
     lib = get_lib()
     if _txfm_ready:
         return lib
+    with _get_init_lock():
+        if _txfm_ready:
+            return lib
+        return _ensure_txfms_locked(lib)
+
+
+def _ensure_txfms_locked(lib):
+    global _txfm_ready
     from svt_av1_psy_tpu.ops.transforms import (_stage_tables, cospi_arr,
                                                 sinpi_arr)
 

@@ -59,6 +59,40 @@ def test_fast_intra_variance_boost():
     assert np.array_equal(d.v, out.recon_v)
 
 
+@pytest.mark.parametrize("n_tiles", [2, 4])
+def test_fast_intra_multitile_bitexact(n_tiles):
+    """Multi-tile streams: per-tile contexts + tile-group assembly must
+    decode bit-exact (ref: ec_process.c:208 per-tile EC)."""
+    w, h = 352, 288          # boundary SB column + row
+    frames = _clip(w, h)
+    enc = FastIntraEncoder(w, h, qindex=100, n_tiles=n_tiles)
+    assert enc.n_tiles >= 2
+    payloads, recs = [], []
+    for f in frames:
+        out = enc.encode_frame(*f)
+        payloads.append(out.payload)
+        recs.append(out)
+    decoded = decode_obus(b"".join(payloads))
+    for d, r in zip(decoded, recs):
+        assert np.array_equal(d.y, r.recon_y)
+        assert np.array_equal(d.u, r.recon_u)
+        assert np.array_equal(d.v, r.recon_v)
+
+
+def test_fast_intra_threaded_deterministic(monkeypatch):
+    """Threaded tile walks must produce byte-identical output to the
+    sequential walk (the reference's REMOVE_LP1_LPN_DIFF determinism
+    guard, ref API/EbDebugMacros.h)."""
+    w, h = 352, 288
+    frames = _clip(w, h, n=1)
+    enc = FastIntraEncoder(w, h, qindex=100, n_tiles=4)
+    p_thr = enc.encode_frame(*frames[0]).payload
+    monkeypatch.setenv("SVT_TILE_SEQ", "1")
+    enc2 = FastIntraEncoder(w, h, qindex=100, n_tiles=4)
+    p_seq = enc2.encode_frame(*frames[0]).payload
+    assert p_thr == p_seq
+
+
 def test_fast_intra_quality_sane():
     """PSNR at moderate q must be reasonable (catches silent mode bugs)."""
     import math
