@@ -92,6 +92,41 @@ class FastIntraEncoder:
         self.vb_strength = 2
         self.vb_octile = 6
 
+    # --- sharded device search (multi-chip; SURVEY.md §2.2 P4) -----------
+    def make_sharded_decide(self, mesh, axis: str = "sp"):
+        """Shard the decision stage over tile columns of a device mesh.
+
+        The input plane is placed with columns split over `axis`; XLA's
+        SPMD partitioner inserts the halo exchanges the cross-column edge
+        reads need (collectives ride ICI). Returns a function with the
+        same output contract as _decide."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from svt_av1_psy_tpu.ops.jax_backend import intra_decide
+
+        in_shard = NamedSharding(mesh, P(None, axis))
+        rep = NamedSharding(mesh, P())
+        fn = jax.jit(intra_decide, static_argnums=(2, 3),
+                     in_shardings=(in_shard, rep),
+                     out_shardings=rep)
+
+        def decide(yp: np.ndarray):
+            bias = np.int32(8 * ac_q(self.qindex, self.bd))
+            arr = jax.device_put(jnp.asarray(yp), in_shard)
+            out = fn(arr, jax.device_put(jnp.asarray(bias), rep),
+                     self.bd, self.min_block)
+            s64, s32, s16, m64, m32, m16, m8 = jax.device_get(out)
+            maps = {}
+            for k, m in ((64, m64), (32, m32), (16, m16), (8, m8)):
+                maps[k] = np.where(m <= 12, m, 0).astype(np.uint8)
+            return ({64: np.minimum(s64, 1), 32: np.minimum(s32, 1),
+                     16: np.minimum(s16, 1)}, maps)
+
+        self._decide = decide
+        return decide
+
     # --- device search stage ---------------------------------------------
     def _decide(self, yp: np.ndarray):
         """Dense decision stage on device -> split + mode maps (one call)."""

@@ -93,6 +93,28 @@ def test_fast_intra_threaded_deterministic(monkeypatch):
     assert p_thr == p_seq
 
 
+def test_fast_intra_multichip_equivalence():
+    """Single-device vs 8-device-sharded decision stage must produce a
+    byte-identical stream (multichip determinism — the distributed analog
+    of the reference's lp1-vs-lpN guard)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    w, h = 8 * 64, 128
+    frames = _clip(w, h, n=1)
+    enc1 = FastIntraEncoder(w, h, qindex=100, n_tiles=8)
+    p1 = enc1.encode_frame(*frames[0]).payload
+
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("sp",))
+    enc8 = FastIntraEncoder(w, h, qindex=100, n_tiles=8)
+    with mesh:
+        enc8.make_sharded_decide(mesh)
+        p8 = enc8.encode_frame(*frames[0]).payload
+    assert p1 == p8
+
+
 def test_fast_intra_quality_sane():
     """PSNR at moderate q must be reasonable (catches silent mode bugs)."""
     import math
