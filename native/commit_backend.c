@@ -113,6 +113,7 @@ static const int SET_SIZES[3] = {1, 7, 5};
 static int txtype_sym(int set, int tt) {
     return set == 1 ? SET1_FWD[tt] : SET2_FWD[tt];
 }
+#define N_MODE_CANDS 3
 /* candidate luma tx types per set (mirrors IntraEncoder._luma_tx_types) */
 static const int SET0_CANDS[1] = {0};
 static const int SET1_CANDS[4] = {0, 3, 10, 11};
@@ -179,6 +180,7 @@ struct TpuCommit {
     TxbCdfs *tc;
     double rdmult;
     int cur_q;
+    int n_cands;
     int64_t dist_acc;
 };
 
@@ -957,8 +959,8 @@ int64_t tpuc_encode_intra(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,
                           const uint8_t *mode16, const uint8_t *mode8,
                           const int16_t *sbq, int dq_res_log2, int base_q,
                           int mi_row0, int mi_row1, int mi_col0, int mi_col1,
-                          int enable_cfl) {
-    (void)enable_cfl;
+                          int n_cands) {
+    c->n_cands = n_cands > 0 ? n_cands : 1;
     c->ec = ec;
     c->mc = mc;
     c->tc = tc;
@@ -1005,19 +1007,58 @@ static void encode_block_full(TpuCommit *c, int r, int c4, int size,
                               int q, int *dq_pending, int *prev_q,
                               int dq_res_log2) {
     ModeCdfs *mc = c->mc;
-    int y_mode = mode_map[((r * 4) / size) * mode_cols + (c4 * 4) / size];
     int w4 = size / 4;
     int ts_y = sq_tx(size);
     int ts_c = uv_tx(size);
     int cr = r >> 1, cc = c4 >> 1;
+    const uint8_t *cand_modes =
+        mode_map + (((r * 4) / size) * mode_cols + (c4 * 4) / size) *
+                       N_MODE_CANDS;
 
     static __thread int32_t pred_y[64 * 64], resid[64 * 64];
+    static __thread int32_t pred_cand[64 * 64], resid_cand[64 * 64];
     static __thread int32_t pred_u[32 * 32], pred_v[32 * 32];
     static __thread TxTrial ty, tu, tv, tmp, au, av;
 
-    /* luma trial */
-    predict_txb(c, 0, y_mode, 0, r, c4, r, c4, ts_y, pred_y);
-    {
+    /* luma stage 1: RD trial over the device's top-K mode candidates
+     * (true prediction from recon + DCT cost) — the md_stage_3 analog */
+    int sgn_y = dc_sign_ctx_of(c, 0, r, c4, ts_y);
+    int am = r > 0 ? c->above_mode[c4] : 0;
+    int lm = c4 > 0 ? c->left_mode[r] : 0;
+    const uint16_t *kf_row =
+        mc->kf_y + (IMODE_CTX[am] * 5 + IMODE_CTX[lm]) * 14;
+    int y_mode = cand_modes[0];
+    int kmax = c->n_cands < N_MODE_CANDS ? c->n_cands : N_MODE_CANDS;
+    if (kmax > 1) {
+        double best_mode_cost = -1.0;
+        for (int k = 0; k < kmax; k++) {
+            int m = cand_modes[k];
+            int dup = 0;
+            for (int k2 = 0; k2 < k; k2++)
+                if (cand_modes[k2] == m) dup = 1;
+            if (dup) continue;
+            predict_txb(c, 0, m, 0, r, c4, r, c4, ts_y, pred_cand);
+            const uint16_t *sp = c->src[0];
+            int ss = c->sstride[0];
+            for (int i = 0; i < size; i++)
+                for (int j = 0; j < size; j++)
+                    resid_cand[i * size + j] =
+                        (int32_t)sp[(r * 4 + i) * ss + c4 * 4 + j] -
+                        pred_cand[i * size + j];
+            trial_txb(c, 0, ts_y, 0, resid_cand, q, 0, sgn_y, &tmp);
+            double rate = tmp.rate512 / 512.0 + sym_cost_bits(kf_row, m);
+            if (m >= 1 && m <= 8)
+                rate += sym_cost_bits(mc->angle_delta + (m - 1) * 8, 3);
+            double cost = (double)tmp.sse + c->rdmult * rate;
+            if (best_mode_cost < 0 || cost < best_mode_cost) {
+                best_mode_cost = cost;
+                y_mode = m;
+                memcpy(pred_y, pred_cand, sizeof(int32_t) * size * size);
+                memcpy(resid, resid_cand, sizeof(int32_t) * size * size);
+            }
+        }
+    } else {
+        predict_txb(c, 0, y_mode, 0, r, c4, r, c4, ts_y, pred_y);
         const uint16_t *sp = c->src[0];
         int ss = c->sstride[0];
         for (int i = 0; i < size; i++)
@@ -1026,11 +1067,12 @@ static void encode_block_full(TpuCommit *c, int r, int c4, int size,
                     (int32_t)sp[(r * 4 + i) * ss + c4 * 4 + j] -
                     pred_y[i * size + j];
     }
+
+    /* luma stage 2: tx-type trial for the winning mode */
     int set = intra_tx_set_of(ts_y);
     const int *cands = set == 0 ? SET0_CANDS
                        : set == 1 ? SET1_CANDS : SET2_CANDS;
     int ncands = set == 0 ? 1 : set == 1 ? 4 : 2;
-    int sgn_y = dc_sign_ctx_of(c, 0, r, c4, ts_y);
     double best_cost = -1.0;
     for (int i = 0; i < ncands; i++) {
         int tt = cands[i];

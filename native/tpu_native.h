@@ -107,6 +107,6 @@ int64_t tpuc_encode_intra(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,
                           const uint8_t *mode16, const uint8_t *mode8,
                           const int16_t *sbq, int dq_res_log2, int base_q,
                           int mi_row0, int mi_row1, int mi_col0, int mi_col1,
-                          int enable_cfl);
+                          int n_cands);
 
 #endif /* TPU_NATIVE_H */

@@ -92,8 +92,10 @@ def main(argv=None) -> int:
                 if fast:
                     from svt_av1_psy_tpu.models.fast_intra import \
                         FastIntraEncoder
+                    n_cands = {13: 1, 12: 2}.get(args.preset, 3)
                     enc = FastIntraEncoder(W, H, qindex=args.qindex, bd=bd,
-                                           min_block=args.min_block)
+                                           min_block=args.min_block,
+                                           n_cands=n_cands)
                     enc.enable_variance_boost = \
                         bool(args.enable_variance_boost)
                     enc.vb_strength = args.variance_boost_strength

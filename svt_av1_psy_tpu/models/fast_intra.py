@@ -45,11 +45,13 @@ class FastIntraEncoder:
     """Device-search + C-commit all-intra encoder (KEY frames only)."""
 
     def __init__(self, width: int, height: int, qindex: int, bd: int = 8,
-                 min_block: int = 8, n_tiles: int = 0):
+                 min_block: int = 8, n_tiles: int = 0, n_cands: int = 3):
         """n_tiles: desired tile columns (0 = auto: one per host core,
         capped by frame width). Tiles are the host thread-parallel axis
         AND the device shard axis (SURVEY.md §2.2 P4; ref ec_process.c:208
-        runs one EC kernel per tile)."""
+        runs one EC kernel per tile).
+        n_cands: top-K device mode candidates the commit walk RD-trials
+        per block (1..3; the md_stage_0 -> md_stage_3 funnel width)."""
         import os
 
         from svt_av1_psy_tpu import native
@@ -58,6 +60,7 @@ class FastIntraEncoder:
         self.qindex = qindex
         self.bd = bd
         self.min_block = min_block
+        self.n_cands = n_cands
         self.mi_cols = 2 * ((width + 7) >> 3)
         self.mi_rows = 2 * ((height + 7) >> 3)
         self.aw = self.mi_cols * 4
@@ -177,7 +180,8 @@ class FastIntraEncoder:
             ec = native.NativeRangeEncoder()
             eng.encode_intra(ec, fc, split, modes, sbq=sbq,
                              dq_res_log2=dq_res_log2, base_q=base_q,
-                             mi_bounds=(0, self.mi_rows, c0, c1))
+                             mi_bounds=(0, self.mi_rows, c0, c1),
+                             n_cands=self.n_cands)
             return ec.done()
 
         import os as _os

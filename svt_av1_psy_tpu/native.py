@@ -376,7 +376,8 @@ class CommitEngine:
         return arr
 
     def encode_intra(self, ec, fc, split_maps, mode_maps, sbq=None,
-                     dq_res_log2=-1, base_q=60, mi_bounds=(0, 0, 0, 0)):
+                     dq_res_log2=-1, base_q=60, mi_bounds=(0, 0, 0, 0),
+                     n_cands=1):
         """Run the commit walk over [mi_row0, mi_row1) x [mi_col0, mi_col1)
         (0s = whole frame). split_maps/mode_maps: dict size->uint8 map.
         ec: NativeRangeEncoder; fc: this tile's FrameContext."""
@@ -401,7 +402,8 @@ class CommitEngine:
             self._c, ec._ec, ctypes.byref(mc), ctypes.byref(tc),
             m(split_maps[64]), m(split_maps[32]), m(split_maps[16]),
             m(mode_maps[64]), m(mode_maps[32]), m(mode_maps[16]),
-            m(mode_maps[8]), sq, dq_res_log2, base_q, r0, r1, c0, c1, 0)
+            m(mode_maps[8]), sq, dq_res_log2, base_q, r0, r1, c0, c1,
+            n_cands)
         return dist
 
 

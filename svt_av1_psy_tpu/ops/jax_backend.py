@@ -165,7 +165,70 @@ def predict_modes_batch(above: jnp.ndarray, left: jnp.ndarray,
 SEARCH_MODE_ORDER = (int(PredMode.DC_PRED), int(PredMode.V_PRED),
                      int(PredMode.H_PRED), int(PredMode.SMOOTH_PRED),
                      int(PredMode.SMOOTH_V_PRED), int(PredMode.SMOOTH_H_PRED),
-                     int(PredMode.PAETH_PRED))
+                     int(PredMode.PAETH_PRED),
+                     # directional family (base angles, delta 0)
+                     int(PredMode.D45_PRED), int(PredMode.D135_PRED),
+                     int(PredMode.D113_PRED), int(PredMode.D157_PRED),
+                     int(PredMode.D203_PRED), int(PredMode.D67_PRED))
+
+_DIR_ANGLES = (45, 135, 113, 157, 203, 67)
+
+
+def predict_directional_batch(above2: jnp.ndarray, left2: jnp.ndarray,
+                              above_left: jnp.ndarray, size: int,
+                              bd: int = 8) -> jnp.ndarray:
+    """Batched directional predictors at base angles, delta 0, no edge
+    filter (open-loop search approximation; the commit path re-predicts
+    normatively). above2/left2: (N, 2*size) extended edges; returns
+    (N, 6, size, size) in _DIR_ANGLES order."""
+    from svt_av1_psy_tpu.ops.intra import _dr_maps_z1, _dr_maps_z2, \
+        _dr_maps_z3
+    n = above2.shape[0]
+    w = h = size
+    hi = (1 << bd) - 1
+    al = above_left.astype(jnp.int32).reshape(n, 1)
+    ab_ext = jnp.concatenate([al, above2.astype(jnp.int32)], axis=1)
+    le_ext = jnp.concatenate([jnp.zeros((n, 1), jnp.int32), al,
+                              left2.astype(jnp.int32)], axis=1)
+    outs = []
+    for angle in _DIR_ANGLES:
+        if angle < 90:
+            base, shift, _ = _dr_maps_z1(w, h, angle, 0, False)
+            max_base = w + h - 1
+            b = np.minimum(np.asarray(base), max_base)
+            bj = jnp.asarray(b.reshape(-1) + 1)
+            sj = jnp.asarray(np.broadcast_to(np.asarray(shift),
+                                             (h, w)).reshape(-1))
+            v = (ab_ext[:, bj] * (32 - sj) + ab_ext[:, bj + 1] * sj +
+                 16) >> 5
+            mask = jnp.asarray((np.asarray(base) < max_base).reshape(-1))
+            v = jnp.where(mask, v, ab_ext[:, max_base + 1][:, None])
+        elif angle < 180:
+            (a_base, a_shift, use_above, l_base,
+             l_shift) = _dr_maps_z2(w, h, angle, 0, 0)
+            abj = jnp.asarray(np.asarray(a_base).reshape(-1) + 1)
+            asj = jnp.asarray(np.asarray(a_shift).reshape(-1))
+            va = (ab_ext[:, abj] * (32 - asj) + ab_ext[:, abj + 1] * asj +
+                  16) >> 5
+            lbj = jnp.asarray(np.asarray(l_base).reshape(-1) + 2)
+            lsj = jnp.asarray(np.asarray(l_shift).reshape(-1))
+            vl = (le_ext[:, lbj] * (32 - lsj) + le_ext[:, lbj + 1] * lsj +
+                  16) >> 5
+            v = jnp.where(jnp.asarray(np.asarray(use_above).reshape(-1)),
+                          va, vl)
+        else:
+            base, shift, _ = _dr_maps_z3(w, h, angle, 0)
+            max_base = w + h - 1
+            b = np.minimum(np.asarray(base), max_base)
+            bj = jnp.asarray(b.reshape(-1) + 2)
+            sj = jnp.asarray(np.broadcast_to(np.asarray(shift),
+                                             (h, w)).reshape(-1))
+            v = (le_ext[:, bj] * (32 - sj) + le_ext[:, bj + 1] * sj +
+                 16) >> 5
+            mask = jnp.asarray((np.asarray(base) < max_base).reshape(-1))
+            v = jnp.where(mask, v, le_ext[:, max_base + 2][:, None])
+        outs.append(jnp.clip(v, 0, hi).reshape(n, h, w))
+    return jnp.stack(outs, axis=1)
 
 
 def block_mode_costs(plane: jnp.ndarray, size: int, bd: int = 8):
@@ -186,10 +249,13 @@ def block_mode_costs(plane: jnp.ndarray, size: int, bd: int = 8):
             jnp.argmin(sad, axis=1).reshape(nr, nc))
 
 
-def _gather_sb_edges(plane: jnp.ndarray, sb: int, bd: int):
+def _gather_sb_edges(plane: jnp.ndarray, sb: int, bd: int,
+                     ext: bool = False):
     """Edges for every SB of a plane from the SOURCE frame (open-loop search
     approximation — commit re-predicts from recon). plane: (H, W) int32.
-    Returns (above (N,sb), left (N,sb), above_left (N,), have_a, have_l)."""
+    Returns (above (N,sb), left (N,sb), above_left (N,), have_a, have_l)
+    plus (above2 (N,2sb), left2 (N,2sb)) extended edges when ext=True
+    (above-right / below-left continuation, clamped at the frame edge)."""
     H, W = plane.shape
     nr, nc = H // sb, W // sb
     base = 1 << (bd - 1)
@@ -212,8 +278,26 @@ def _gather_sb_edges(plane: jnp.ndarray, sb: int, bd: int):
     left = jnp.where(have_l.reshape(nr, nc, 1), left,
                      jnp.where(have_a.reshape(nr, nc, 1),
                                above[:, :, :1], base + 1))
-    return (above.reshape(n, sb), left.reshape(n, sb), al.reshape(n),
-            have_a.reshape(n), have_l.reshape(n))
+    out = (above.reshape(n, sb), left.reshape(n, sb), al.reshape(n),
+           have_a.reshape(n), have_l.reshape(n))
+    if not ext:
+        return out
+    # extended edges: 2*sb along each side, clamped at frame bounds
+    cs = jnp.arange(2 * sb)
+    xs = jnp.minimum(jnp.arange(nc).reshape(nc, 1) * sb + cs, W - 1)
+    above2 = rows[:, xs]                         # (nr, nc, 2sb)
+    ys = jnp.minimum(jnp.arange(nr).reshape(nr, 1) * sb + cs, H - 1)
+    left2 = cols.T[:, ys].transpose(1, 0, 2)     # (nr, nc, 2sb)
+    above2 = jnp.where(have_a.reshape(nr, nc, 1), above2,
+                       jnp.where(have_l.reshape(nr, nc, 1),
+                                 left[:, :, :1], base - 1))
+    left2 = jnp.where(have_l.reshape(nr, nc, 1), left2,
+                      jnp.where(have_a.reshape(nr, nc, 1),
+                                above[:, :, :1], base + 1))
+    return out + (above2.reshape(n, 2 * sb), left2.reshape(n, 2 * sb))
+
+
+N_CANDS = 3
 
 
 def intra_decide(plane_u8: jnp.ndarray, split_bias: jnp.ndarray,
@@ -223,27 +307,34 @@ def intra_decide(plane_u8: jnp.ndarray, split_bias: jnp.ndarray,
     One jitted call per frame (device round trips are tunnel-latency bound).
     plane_u8: (H, W) uint8/uint16 padded source luma; split_bias: scalar
     int32 (rate bias per split, q-dependent). Returns
-    (split64, split32, split16, mode64, mode32, mode16, mode8) — all uint8
-    maps over each size's block grid. Mirrors the reference's PD_PASS_0
-    depth seeding (ref: enc_dec_process.c:3455)."""
+    (split64, split32, split16, mode64, mode32, mode16, mode8) — split maps
+    uint8 (nr, nc); mode maps uint8 (nr, nc, N_CANDS) top-K candidates for
+    the host RD trial. Mirrors the reference's staged MD: dense stage-0
+    cost here, full RD on the top-K downstream (ref: mode_decision.c
+    md_stage_0 -> md_stage_3)."""
     p = plane_u8.astype(jnp.int32)
     H, W = p.shape
     mode_lut = jnp.asarray(SEARCH_MODE_ORDER, jnp.uint8)
     sizes = [s for s in (64, 32, 16, 8) if s >= min_block]
     costs = {}
     modes = {}
-    above, left, al, ha, hl = None, None, None, None, None
     for s in sizes:
-        a, l, c0, da, dl = _gather_sb_edges(p, s, bd)
+        a, l, c0, da, dl, a2, l2 = _gather_sb_edges(p, s, bd, ext=True)
         preds = predict_modes_batch(a, l, c0, da, dl, s, s, bd)
+        dpreds = predict_directional_batch(a2, l2, c0, s, bd)
+        preds = jnp.concatenate([preds, dpreds], axis=1)
         blocks = p.reshape(H // s, s, W // s, s).transpose(0, 2, 1, 3)
         n = blocks.shape[0] * blocks.shape[1]
         sad = jnp.abs(blocks.reshape(n, 1, s, s) - preds).sum(axis=(2, 3))
-        costs[s] = jnp.min(sad, axis=1).reshape(H // s, W // s)
-        modes[s] = mode_lut[jnp.argmin(sad, axis=1)].reshape(H // s, W // s)
+        # split decisions use the non-directional cost floor: directional
+        # SAD on source edges overfits noise at large sizes (the commit
+        # pass predicts from quantized recon), biasing the tree shallow
+        costs[s] = jnp.min(sad[:, :7], axis=1).reshape(H // s, W // s)
+        topk = jnp.argsort(sad, axis=1)[:, :N_CANDS]
+        modes[s] = mode_lut[topk].reshape(H // s, W // s, N_CANDS)
     for s in (64, 32, 16, 8):
         if s not in modes:
-            modes[s] = jnp.zeros((H // s, W // s), jnp.uint8)
+            modes[s] = jnp.zeros((H // s, W // s, N_CANDS), jnp.uint8)
     split = {s: jnp.zeros((H // s, W // s), jnp.uint8) for s in (64, 32, 16)}
     if len(sizes) > 1:
         eff = {sizes[-1]: costs[sizes[-1]]}
