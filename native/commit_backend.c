@@ -182,6 +182,9 @@ struct TpuCommit {
     int cur_q;
     int n_cands;
     int64_t dist_acc;
+    /* shared loop-filter maps (uint8 tx dim in px per 4px unit) */
+    uint8_t *lf_txdim[2];   /* [0] luma, [1] chroma */
+    int lf_stride[2];
 };
 
 TpuCommit *tpuc_new(int width, int height, int bd) {
@@ -235,6 +238,14 @@ void tpuc_attach_planes(TpuCommit *c, uint16_t *y, uint16_t *u, uint16_t *v,
     c->plane[2] = v;
     c->ystride = ystride;
     c->cstride = cstride;
+}
+
+void tpuc_attach_lfmaps(TpuCommit *c, uint8_t *txdim_y, uint8_t *txdim_uv,
+                        int ystride, int cstride) {
+    c->lf_txdim[0] = txdim_y;
+    c->lf_txdim[1] = txdim_uv;
+    c->lf_stride[0] = ystride;
+    c->lf_stride[1] = cstride;
 }
 
 void tpuc_free(TpuCommit *c) {
@@ -1182,6 +1193,19 @@ static void encode_block_full(TpuCommit *c, int r, int c4, int size,
     memset(c->left_smooth[0] + r, ysm, lh4);
     memset(c->above_smooth[1] + c4, usm, aw4);
     memset(c->left_smooth[1] + r, usm, lh4);
+
+    /* loop-filter tx-dim maps (skip blocks keep tx dims for edge rules;
+     * intra frames filter all tx edges) */
+    if (c->lf_txdim[0]) {
+        for (int i = 0; i < lh4; i++)
+            memset(c->lf_txdim[0] + (r + i) * c->lf_stride[0] + c4,
+                   TXW[ts_y] > 64 ? 64 : TXW[ts_y], aw4);
+        int ch4 = clamp_h4(c, 1, cr, w4 >> 1 ? w4 >> 1 : 1);
+        int cw4c = clamp_w4(c, 1, cc, w4 >> 1 ? w4 >> 1 : 1);
+        for (int i = 0; i < ch4; i++)
+            memset(c->lf_txdim[1] + (cr + i) * c->lf_stride[1] + cc,
+                   TXW[ts_c], cw4c);
+    }
 
     if (skip) {
         memset(c->above_coef[0] + c4, 0, aw4);

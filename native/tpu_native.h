@@ -92,6 +92,17 @@ void tpuc_set_qtab(TpuCommit *c, const int32_t *qtab /* [256][3][10] */);
 void tpuc_attach_planes(TpuCommit *c, uint16_t *y, uint16_t *u, uint16_t *v,
                         int ystride, int cstride);
 uint16_t *tpuc_plane(TpuCommit *c, int plane, int *stride);
+void tpuc_attach_lfmaps(TpuCommit *c, uint8_t *txdim_y, uint8_t *txdim_uv,
+                        int ystride, int cstride);
+
+/* ---- deblocking filter (dlf_backend.c) --------------------------------- */
+void tpud_apply_plane(uint16_t *img, int stride, const uint8_t *txdim,
+                      int map_stride, int rows, int cols, int is_luma,
+                      int level_v, int level_h, int sharpness, int bd);
+double tpud_try_level(const uint16_t *img, int stride, const uint16_t *src,
+                      int sstride, uint16_t *scratch, const uint8_t *txdim,
+                      int map_stride, int rows, int cols, int is_luma,
+                      int level, int sharpness, int bd, int w, int h);
 void tpuc_upload_scan(int tx_size, int tx_type, const int16_t *scan, int n);
 void tpuc_upload_dr(const int32_t *dr /* [90] */);
 

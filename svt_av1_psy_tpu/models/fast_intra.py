@@ -90,6 +90,12 @@ class FastIntraEncoder:
         self._rec_u = np.zeros((self.pah // 2 + 64, self.paw // 2 + 64),
                                np.uint16)
         self._rec_v = np.zeros_like(self._rec_u)
+        # shared loop-filter tx-dim maps + scratch for the level search
+        self._lf_y = np.zeros((self.mi_rows, self.mi_cols), np.uint8)
+        self._lf_uv = np.zeros(((self.mi_rows + 1) // 2,
+                                (self.mi_cols + 1) // 2), np.uint8)
+        self._lf_scratch = np.zeros_like(self._rec_y)
+        self.enable_dlf = True
         # variance-boost AQ (PSY flagship; ref rc_process.c:1516)
         self.enable_variance_boost = False
         self.vb_strength = 2
@@ -175,6 +181,8 @@ class FastIntraEncoder:
             c1 = min(self.tile_col_starts[ti + 1] * 16, self.mi_cols)
             eng = native.CommitEngine(self.width, self.height, self.bd)
             eng.attach_planes(self._rec_y, self._rec_u, self._rec_v)
+            if self.enable_dlf:
+                eng.attach_lfmaps(self._lf_y, self._lf_uv)
             eng.set_src(yp, up, vp)
             fc = FrameContext(base_q)
             ec = native.NativeRangeEncoder()
@@ -206,12 +214,18 @@ class FastIntraEncoder:
             parts.append(tile_bytes[-1])
             tg = b"".join(parts)
 
+        lf = (0, 0, 0, 0)
+        if self.enable_dlf:
+            lf = self._pick_and_apply_dlf(yp, up, vp, base_q)
+
         fr_params = FrameParams(base_q_idx=base_q,
                                 order_hint=self.frame_index & 0x7F,
                                 tx_mode_select=False,
                                 delta_q_present=sbq is not None,
                                 delta_q_res_log2=max(dq_res_log2, 0),
-                                tile_cols_log2=self.tile_cols_log2)
+                                tile_cols_log2=self.tile_cols_log2,
+                                filter_level=(lf[0], lf[1]),
+                                filter_level_uv=(lf[2], lf[3]))
         payload = key_frame_temporal_unit(
             self.seq, fr_params, tg, with_seq_header=(self.frame_index == 0))
         self.frame_index += 1
@@ -226,3 +240,45 @@ class FastIntraEncoder:
             rec_v = rec_v.astype(np.uint8)
         return EncodedFrame(payload=payload, recon_y=rec_y, recon_u=rec_u,
                             recon_v=rec_v)
+
+    def _pick_and_apply_dlf(self, yp, up, vp, base_q):
+        """Ladder level search around a q-derived guess, then apply
+        (ref av1_pick_filter_level's bisection; dlf_process.c kernel)."""
+        native = self._native
+        rows, cols = self.mi_rows, self.mi_cols
+        crows, ccols = (rows + 1) // 2, (cols + 1) // 2
+        H, W = self.height, self.width
+        guess = max(0, base_q // 12)
+        lad_y = sorted({0, max(0, guess // 2), guess, guess + guess // 2,
+                        min(63, 2 * guess)})
+        lad_c = sorted({0, guess // 2, guess})
+
+        def pick(plane, src, txdim, is_luma, ladder, r, c2, w, h):
+            best, best_sse = 0, None
+            for lv in ladder:
+                sse = native.dlf_try_level(plane, src, self._lf_scratch,
+                                           txdim, is_luma, lv, 0, self.bd,
+                                           r, c2, w, h)
+                if best_sse is None or sse < best_sse:
+                    best, best_sse = lv, sse
+            return best
+
+        ly = pick(self._rec_y, yp, self._lf_y, True, lad_y, rows, cols,
+                  W, H)
+        lu = pick(self._rec_u, up, self._lf_uv, False, lad_c, crows, ccols,
+                  (W + 1) // 2, (H + 1) // 2)
+        lv_ = pick(self._rec_v, vp, self._lf_uv, False, lad_c, crows, ccols,
+                   (W + 1) // 2, (H + 1) // 2)
+        if ly == 0:
+            # chroma levels only coded when a luma level is nonzero
+            lu = lv_ = 0
+        if ly:
+            native.dlf_apply(self._rec_y, self._lf_y, True, ly, ly, 0,
+                             self.bd, rows, cols)
+        if lu:
+            native.dlf_apply(self._rec_u, self._lf_uv, False, lu, lu, 0,
+                             self.bd, crows, ccols)
+        if lv_:
+            native.dlf_apply(self._rec_v, self._lf_uv, False, lv_, lv_, 0,
+                             self.bd, crows, ccols)
+        return (ly, ly, lu, lv_)

@@ -17,7 +17,7 @@ import numpy as np
 
 _NATIVE = pathlib.Path(__file__).parent.parent / "native"
 _SRCS = [_NATIVE / "ec_backend.c", _NATIVE / "txfm_backend.c",
-         _NATIVE / "commit_backend.c"]
+         _NATIVE / "commit_backend.c", _NATIVE / "dlf_backend.c"]
 _HDRS = [_NATIVE / "tpu_native.h"]
 _SO = _NATIVE / "libtpuec.so"
 
@@ -267,6 +267,19 @@ def _ensure_commit_locked(lib):
     lib.tpuc_set_qtab.argtypes = [ctypes.c_void_p, i32p]
     lib.tpuc_attach_planes.argtypes = [ctypes.c_void_p, u16p, u16p, u16p,
                                        ctypes.c_int, ctypes.c_int]
+    lib.tpuc_attach_lfmaps.argtypes = [ctypes.c_void_p, u8p, u8p,
+                                       ctypes.c_int, ctypes.c_int]
+    lib.tpud_apply_plane.argtypes = [u16p, ctypes.c_int, u8p, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int]
+    lib.tpud_try_level.restype = ctypes.c_double
+    lib.tpud_try_level.argtypes = [u16p, ctypes.c_int, u16p, ctypes.c_int,
+                                   u16p, u8p, ctypes.c_int, ctypes.c_int,
+                                   ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                   ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                   ctypes.c_int]
     lib.tpuc_plane.restype = u16p
     lib.tpuc_plane.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                ctypes.POINTER(ctypes.c_int)]
@@ -355,6 +368,16 @@ class CommitEngine:
                               u.ctypes.data_as(u16p), v.ctypes.data_as(u16p),
                               y.shape[1], u.shape[1])
 
+    def attach_lfmaps(self, txdim_y: np.ndarray, txdim_uv: np.ndarray):
+        """Shared per-4px-unit tx-dim maps the engines fill during the
+        walk (consumed by the deblocking filter)."""
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        self._lfmaps = (txdim_y, txdim_uv)
+        self.lib.tpuc_attach_lfmaps(
+            self._c, txdim_y.ctypes.data_as(u8p),
+            txdim_uv.ctypes.data_as(u8p), txdim_y.shape[1],
+            txdim_uv.shape[1])
+
     def attach_planes(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
         """Share external numpy recon buffers (uint16) across tile engines.
         Tiles write disjoint column bands, so concurrent walks are safe."""
@@ -405,6 +428,35 @@ class CommitEngine:
             m(mode_maps[8]), sq, dq_res_log2, base_q, r0, r1, c0, c1,
             n_cands)
         return dist
+
+
+def dlf_apply(plane: np.ndarray, txdim: np.ndarray, is_luma: bool,
+              level_v: int, level_h: int, sharpness: int, bd: int,
+              rows: int, cols: int):
+    """Apply the normative DLF in place to a uint16 plane."""
+    lib = get_lib()
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.tpud_apply_plane(plane.ctypes.data_as(u16p), plane.shape[1],
+                         txdim.ctypes.data_as(u8p), txdim.shape[1],
+                         rows, cols, int(is_luma), level_v, level_h,
+                         sharpness, bd)
+
+
+def dlf_try_level(plane: np.ndarray, src: np.ndarray, scratch: np.ndarray,
+                  txdim: np.ndarray, is_luma: bool, level: int,
+                  sharpness: int, bd: int, rows: int, cols: int,
+                  w: int, h: int) -> float:
+    """SSE vs source after filtering a copy at `level` (encoder search)."""
+    lib = get_lib()
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    return lib.tpud_try_level(
+        plane.ctypes.data_as(u16p), plane.shape[1],
+        src.ctypes.data_as(u16p), src.shape[1],
+        scratch.ctypes.data_as(u16p), txdim.ctypes.data_as(u8p),
+        txdim.shape[1], rows, cols, int(is_luma), level, sharpness, bd,
+        w, h)
 
 
 # --- native transforms / quantizer -----------------------------------------
