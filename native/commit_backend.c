@@ -10,15 +10,15 @@
  *   - encode pass        Source/Lib/Codec/coding_loop.c
  *   - entropy coding     Source/Lib/Codec/entropy_coding.c (write_modes_b)
  *   - intra prediction   Source/Lib/Codec/intra_prediction.c
- * The walk trusts the device's partition/mode decisions (the PD_PASS_0
- * analog) and performs only cheap local RD (tx-type trial, chroma mode,
- * skip) like the reference's final encode pass.
+ * The walk trusts the device's partition decisions (the PD_PASS_0 analog)
+ * and RD-trials the device's top-K mode candidates (the md_stage_3
+ * analog); inter_backend.c builds the P-frame walk on the same helpers.
  */
 #include <math.h>
 #include <stdlib.h>
 #include <string.h>
 
-#include "tpu_native.h"
+#include "commit_internal.h"
 
 /* ---- geometry tables (AV1 spec constants) ------------------------------ */
 static const int TXW[19] = {4, 8, 16, 32, 64, 4, 8, 8, 16, 16,
@@ -33,16 +33,13 @@ static const int TX_SQR_UP[19] = {0, 1, 2, 3, 4, 1, 1, 2, 2, 3,
 static const int TX_ADJ[19] = {0, 1, 2, 3, 3, 5, 6, 7, 8, 9,
                                10, 3, 3, 13, 14, 15, 16, 9, 10};
 
-/* square block size enum per pixel size (8/16/32/64) */
-static int sq_bsize(int s) {
+int tpu_sq_bsize(int s) {
     return s == 8 ? 3 : s == 16 ? 6 : s == 32 ? 9 : 12;
 }
-/* max square tx for square block size */
-static int sq_tx(int s) {
+int tpu_sq_tx(int s) {
     return s == 8 ? 1 : s == 16 ? 2 : s == 32 ? 3 : 4;
 }
-/* chroma tx for square block (4:2:0, capped at 32) */
-static int uv_tx(int s) {
+int tpu_uv_tx(int s) {
     return s == 8 ? 0 : s == 16 ? 1 : s == 32 ? 2 : 3;
 }
 /* partition-context byte per subblock pixel dim (definitions.h
@@ -59,6 +56,9 @@ static int part_ctx_byte(int dim) {
 }
 /* intra_mode_context: mode -> kf_y context bucket */
 static const int IMODE_CTX[13] = {0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0};
+/* size_group_lookup (y_mode cdf row on inter frames) */
+static const int SIZE_GROUP[22] = {0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3,
+                                   3, 3, 3, 3, 3, 1, 1, 2, 2, 3, 3};
 /* mode -> base angle (V..D67) */
 static const int MODE_ANGLE[13] = {0, 90, 180, 45, 135, 113, 157, 203, 67,
                                    0, 0, 0, 0};
@@ -119,6 +119,23 @@ static const int SET0_CANDS[1] = {0};
 static const int SET1_CANDS[4] = {0, 3, 10, 11};
 static const int SET2_CANDS[2] = {0, 3};
 
+/* inter ext-tx set types (tx_sets.py inter_tx_set_type):
+ * type 0 DCTONLY, 1 DCT_IDTX(2), 4 DTT9_IDTX_1DDCT(12), 5 ALL16(16) */
+static int inter_tx_set_type_of(int ts) {
+    int up = TX_SQR_UP[ts];
+    if (up > 3) return 0;
+    if (up == 3) return 1;
+    return TX_SQR[ts] == 2 ? 4 : 5;
+}
+static const int INTER_SET_SIZES[6] = {1, 2, 5, 7, 12, 16};
+static const int INTER_SET_TO_IDX[6] = {0, 3, -1, -1, 2, 1};
+static const int INTER_FWD_T1[16] = {1, 0, 0, 0, 0, 0, 0, 0,
+                                     0, 0, 0, 0, 0, 0, 0, 0};
+static const int INTER_FWD_T4[16] = {3, 4, 5, 8, 6, 7, 9, 10,
+                                     11, 0, 1, 2, 0, 0, 0, 0};
+static const int INTER_FWD_T5[16] = {7, 8, 9, 12, 10, 11, 13, 14,
+                                     15, 0, 1, 2, 3, 4, 5, 6};
+
 static int eob_multi_size_of(int ts) {
     int w = TXW[ts] < 32 ? TXW[ts] : 32;
     int h = TXH[ts] < 32 ? TXH[ts] : 32;
@@ -130,8 +147,6 @@ static int txs_entropy_ctx_of(int ts) {
     return (TX_SQR[ts] + TX_SQR_UP[ts] + 1) >> 1;
 }
 static int tx_class_of(int tt) {
-    /* 2D: 0..9(IDTX); vertical-only: V_DCT(10)/V_ADST(12)/V_FLIP(14) ->
-     * class 2; horizontal: 11/13/15 -> class 1 */
     if (tt < 10) return 0;
     return (tt & 1) ? 1 : 2;
 }
@@ -149,44 +164,15 @@ void tpuc_upload_scan(int tx_size, int tx_type, const int16_t *scan, int n) {
     g_scan_n[tx_size][tx_type] = n;
 }
 void tpuc_upload_dr(const int32_t *dr) { memcpy(g_dr, dr, sizeof(g_dr)); }
+int16_t *tpu_scan(int ts, int tt, int *n) {
+    *n = g_scan_n[ts][tt];
+    return g_scan[ts][tt];
+}
 
 static int dr_dx(int a) { return a < 90 ? g_dr[a] : g_dr[180 - a]; }
 static int dr_dy(int a) { return a < 180 ? g_dr[a - 90] : g_dr[270 - a]; }
 
-/* ---- state ------------------------------------------------------------- */
-struct TpuCommit {
-    int width, height, bd;
-    int mi_rows, mi_cols;
-    int ystride, cstride;
-    uint16_t *plane[3];
-    int planes_owned;
-    /* tile bounds (mi units); whole frame when not set */
-    int t_mi_row0, t_mi_row1, t_mi_col0, t_mi_col1;
-    const uint16_t *src[3];
-    int sstride[3];
-    int32_t qtab[256 * 3 * 10];
-    /* neighbor context state (tile-wide) */
-    uint8_t *above_part, *left_part;
-    uint8_t *above_mode, *left_mode;
-    uint8_t *above_skip, *left_skip;
-    uint8_t *above_coef[3], *left_coef[3];
-    uint8_t *above_smooth[2], *left_smooth[2];
-    /* block-decoded bitmaps (per current SB), (n+2)x(n+2), n=16 luma */
-    uint8_t bdmap[3][18 * 18];
-    int sb_r4, sb_c4;
-    /* per-frame wiring */
-    TpuEc *ec;
-    ModeCdfs *mc;
-    TxbCdfs *tc;
-    double rdmult;
-    int cur_q;
-    int n_cands;
-    int64_t dist_acc;
-    /* shared loop-filter maps (uint8 tx dim in px per 4px unit) */
-    uint8_t *lf_txdim[2];   /* [0] luma, [1] chroma */
-    int lf_stride[2];
-};
-
+/* ---- lifecycle --------------------------------------------------------- */
 TpuCommit *tpuc_new(int width, int height, int bd) {
     TpuCommit *c = (TpuCommit *)calloc(1, sizeof(TpuCommit));
     c->width = width;
@@ -228,8 +214,6 @@ TpuCommit *tpuc_new(int width, int height, int bd) {
 
 void tpuc_attach_planes(TpuCommit *c, uint16_t *y, uint16_t *u, uint16_t *v,
                         int ystride, int cstride) {
-    /* share external (numpy-owned) recon buffers — tiles write disjoint
-     * column bands, so concurrent tile walks never alias */
     if (c->planes_owned)
         for (int p = 0; p < 3; p++) free(c->plane[p]);
     c->planes_owned = 0;
@@ -246,6 +230,15 @@ void tpuc_attach_lfmaps(TpuCommit *c, uint8_t *txdim_y, uint8_t *txdim_uv,
     c->lf_txdim[1] = txdim_uv;
     c->lf_stride[0] = ystride;
     c->lf_stride[1] = cstride;
+}
+
+void tpuc_set_ref(TpuCommit *c, const uint16_t *y, const uint16_t *u,
+                  const uint16_t *v, int ystride, int cstride) {
+    c->refp[0] = y;
+    c->refp[1] = u;
+    c->refp[2] = v;
+    c->ref_stride[0] = ystride;
+    c->ref_stride[1] = c->ref_stride[2] = cstride;
 }
 
 void tpuc_free(TpuCommit *c) {
@@ -265,6 +258,7 @@ void tpuc_free(TpuCommit *c) {
         free(c->above_smooth[p]);
         free(c->left_smooth[p]);
     }
+    if (c->grid) tpui_grid_free(c->grid);
     free(c);
 }
 
@@ -287,7 +281,7 @@ uint16_t *tpuc_plane(TpuCommit *c, int plane, int *stride) {
 }
 
 /* ---- block-decoded maps (spec 5.11.31) --------------------------------- */
-static void bd_reset_sb(TpuCommit *c, int sbr4, int sbc4) {
+void tpu_bd_reset_sb(TpuCommit *c, int sbr4, int sbc4) {
     c->sb_r4 = sbr4;
     c->sb_c4 = sbc4;
     for (int plane = 0; plane < 3; plane++) {
@@ -312,7 +306,7 @@ static int bd_get(TpuCommit *c, int plane, int y4, int x4) {
     if (ry < -1 || rx < -1 || ry > n || rx > n) return 0;
     return c->bdmap[plane][(ry + 1) * 18 + rx + 1];
 }
-static void bd_set(TpuCommit *c, int plane, int y4, int x4, int h4, int w4) {
+void tpu_bd_set(TpuCommit *c, int plane, int y4, int x4, int h4, int w4) {
     int sub = plane ? 1 : 0;
     int ry = y4 - (c->sb_r4 >> sub);
     int rx = x4 - (c->sb_c4 >> sub);
@@ -321,7 +315,6 @@ static void bd_set(TpuCommit *c, int plane, int y4, int x4, int h4, int w4) {
 }
 
 /* ---- intra prediction (spec 7.11.2) ------------------------------------ */
-
 static void edge_filter_buf(int32_t *buf, int sz, int strength) {
     if (strength == 0 || sz <= 1) return;
     const int *k = EDGE_KERNEL[strength - 1];
@@ -381,7 +374,6 @@ static int use_edge_upsample(int w, int h, int ftype, int delta) {
 }
 
 static void edge_upsample(int32_t *buf, int num_px, int bd) {
-    /* buf has +2 offset indexing (buf[1] = corner, buf[2..] = edge) */
     int32_t dup[64 + 64 + 8];
     int hi = (1 << bd) - 1;
     dup[0] = buf[1];
@@ -398,9 +390,6 @@ static void edge_upsample(int32_t *buf, int num_px, int bd) {
     }
 }
 
-/* Non-directional + directional predictor dispatch.
- * above/left: length w+h edge arrays (availability-filled), al corner.
- * pred: out (h x w) int32, stride w. */
 static void predict_block(TpuCommit *c, int plane, int mode, int ad,
                           const int32_t *above, const int32_t *left,
                           int32_t al, int w, int h, int have_above,
@@ -462,7 +451,6 @@ static void predict_block(TpuCommit *c, int plane, int mode, int ad,
             }
         return;
     }
-    /* directional (V/H handled as plain angles 90/180 per spec) */
     int p_angle = MODE_ANGLE[mode] + ad * 3;
     if (p_angle == 90) {
         for (int i = 0; i < h; i++)
@@ -513,7 +501,7 @@ static void predict_block(TpuCommit *c, int plane, int mode, int ad,
             edge_upsample(le, npx, bd);
         }
     }
-    if (p_angle < 90) { /* zone 1: above only */
+    if (p_angle < 90) {
         int dx = dr_dx(p_angle);
         int max_base = (w + h - 1) << ua;
         for (int i = 0; i < h; i++) {
@@ -523,13 +511,11 @@ static void predict_block(TpuCommit *c, int plane, int mode, int ad,
             for (int j = 0; j < w; j++) {
                 int b = b0 + (j << ua);
                 int32_t v;
-                if (b < max_base) {
-                    int bb = b;
-                    v = (ab[2 + bb] * (32 - shift) + ab[2 + bb + 1] * shift +
+                if (b < max_base)
+                    v = (ab[2 + b] * (32 - shift) + ab[2 + b + 1] * shift +
                          16) >> 5;
-                } else {
+                else
                     v = ab[2 + max_base];
-                }
                 if (v < 0) v = 0;
                 if (v > hi) v = hi;
                 pred[i * w + j] = v;
@@ -537,7 +523,7 @@ static void predict_block(TpuCommit *c, int plane, int mode, int ad,
         }
         return;
     }
-    if (p_angle < 180) { /* zone 2 */
+    if (p_angle < 180) {
         int dx = dr_dx(p_angle), dy = dr_dy(p_angle);
         for (int i = 0; i < h; i++)
             for (int j = 0; j < w; j++) {
@@ -564,7 +550,7 @@ static void predict_block(TpuCommit *c, int plane, int mode, int ad,
             }
         return;
     }
-    { /* zone 3: left only */
+    {
         int dy = dr_dy(p_angle);
         int max_base = (w + h - 1) << ul;
         for (int j = 0; j < w; j++) {
@@ -587,18 +573,15 @@ static void predict_block(TpuCommit *c, int plane, int mode, int ad,
     }
 }
 
-/* Build edges + predict one txb from the recon planes (mirror of
- * FrameReconstructor.predict_txb / _predict). */
-static void predict_txb(TpuCommit *c, int plane, int mode, int ad,
-                        int mi_row, int mi_col, int u_row, int u_col, int ts,
-                        int32_t *pred) {
+void tpu_predict_txb(TpuCommit *c, int plane, int mode, int ad, int mi_row,
+                     int mi_col, int u_row, int u_col, int ts,
+                     int32_t *pred) {
     int sub = plane ? 1 : 0;
     int w = TXW[ts], h = TXH[ts];
     int x = u_col * 4, y = u_row * 4;
     int stride = plane ? c->cstride : c->ystride;
     const uint16_t *rp = c->plane[plane];
-    /* availability + edge extension clamp at TILE boundaries (spec 5.11.5
-     * availability uses MiColStart/MiColEnd of the current tile) */
+    /* availability + edge extension clamp at TILE boundaries */
     int tile_x0 = (c->t_mi_col0 * 4) >> sub;
     int tile_y0 = (c->t_mi_row0 * 4) >> sub;
     int mx_lim = c->t_mi_col1 < c->mi_cols ? c->t_mi_col1 : c->mi_cols;
@@ -663,7 +646,7 @@ static void predict_txb(TpuCommit *c, int plane, int mode, int ad,
                   have_left, max_x - x + 1, max_y - y + 1, ftype, pred);
 }
 
-/* ---- quant helpers ----------------------------------------------------- */
+/* ---- quant + trial ----------------------------------------------------- */
 static const int32_t *pq_of(TpuCommit *c, int q, int plane) {
     return c->qtab + ((q * 3) + plane) * 10;
 }
@@ -674,23 +657,14 @@ static int tx_log_scale(int ts) {
     return 0;
 }
 
-/* ---- txb trial: fwd + quant + rate + sse ------------------------------- */
-typedef struct {
-    int32_t qc[32 * 32];
-    int32_t dqc[32 * 32];
-    int rate512;    /* coefficient+txtype rate, excl. txb_skip */
-    long sse;       /* residual-domain sse */
-    int eob;
-    int tt;
-} TxTrial;
-
-static void trial_txb(TpuCommit *c, int plane, int ts, int tt,
-                      const int32_t *resid, int q, int ptype, int sctx_sign,
-                      TxTrial *out) {
+void tpu_trial_txb(TpuCommit *c, int plane, int ts, int tt,
+                   const int32_t *resid, int q, int ptype, int sctx_sign,
+                   int is_inter, TxTrial *out) {
     int adj = TX_ADJ[ts];
     int cw = TXW[adj], ch = TXH[adj];
     int32_t coeff[32 * 32];
     int32_t rresid[64 * 64];
+    (void)is_inter;
     tputx_fwd2d(resid, coeff, ts, tt, c->bd);
     const int32_t *pq = pq_of(c, q, plane);
     tputx_quantize_b(coeff, out->qc, out->dqc, cw * ch, tx_log_scale(ts),
@@ -716,7 +690,18 @@ static void trial_txb(TpuCommit *c, int plane, int ts, int tt,
                                   TXH[ts], eob_multi_size_of(ts),
                                   txs_entropy_ctx_of(ts), tx_class_of(tt),
                                   ptype, sctx_sign);
-    /* inverse + residual sse */
+    if (TXW[ts] <= 32 && TXH[ts] <= 32) {
+        /* transform-domain distortion (ref av1_block_error): the integer
+         * DCT gain is 2^(6 - 2*log_scale); avoids one inverse per trial
+         * (inverse still runs exactly at commit) */
+        long sse = 0;
+        for (int i = 0; i < cw * ch; i++) {
+            long d = (long)coeff[i] - out->dqc[i];
+            sse += d * d;
+        }
+        out->sse = sse >> (6 - 2 * tx_log_scale(ts));
+        return;
+    }
     tputx_inv2d(out->dqc, rresid, ts, tt, c->bd);
     long sse = 0;
     int w = TXW[ts], h = TXH[ts];
@@ -728,22 +713,19 @@ static void trial_txb(TpuCommit *c, int plane, int ts, int tt,
 }
 
 /* ---- coefficient neighbor contexts ------------------------------------- */
-/* context spans clamp at the frame edge: blocks may straddle the bottom /
- * right frame boundary (partition bounds allow it) and the ctx arrays
- * cover only in-frame units (numpy-slice truncation semantics) */
-static int clamp_w4(TpuCommit *c, int plane, int u_col, int tw4) {
+int tpu_clamp_w4(TpuCommit *c, int plane, int u_col, int tw4) {
     int n = plane ? (c->mi_cols + 1) >> 1 : c->mi_cols;
     return u_col + tw4 <= n ? tw4 : n - u_col;
 }
-static int clamp_h4(TpuCommit *c, int plane, int u_row, int th4) {
+int tpu_clamp_h4(TpuCommit *c, int plane, int u_row, int th4) {
     int n = plane ? (c->mi_rows + 1) >> 1 : c->mi_rows;
     return u_row + th4 <= n ? th4 : n - u_row;
 }
 
-static int txb_skip_ctx_of(TpuCommit *c, int plane, int u_row, int u_col,
-                           int ts, int bw, int bh) {
-    int tw4 = clamp_w4(c, plane, u_col, TXW[ts] / 4);
-    int th4 = clamp_h4(c, plane, u_row, TXH[ts] / 4);
+int tpu_txb_skip_ctx(TpuCommit *c, int plane, int u_row, int u_col, int ts,
+                     int bw, int bh) {
+    int tw4 = tpu_clamp_w4(c, plane, u_col, TXW[ts] / 4);
+    int th4 = tpu_clamp_h4(c, plane, u_row, TXH[ts] / 4);
     const uint8_t *above = c->above_coef[plane] + u_col;
     const uint8_t *left = c->left_coef[plane] + u_row;
     if (plane == 0) {
@@ -766,10 +748,9 @@ static int txb_skip_ctx_of(TpuCommit *c, int plane, int u_row, int u_col,
     int larger = bw * bh > TXW[ts] * TXH[ts];
     return 7 + (larger ? 3 : 0) + ca + cl;
 }
-static int dc_sign_ctx_of(TpuCommit *c, int plane, int u_row, int u_col,
-                          int ts) {
-    int tw4 = clamp_w4(c, plane, u_col, TXW[ts] / 4);
-    int th4 = clamp_h4(c, plane, u_row, TXH[ts] / 4);
+int tpu_dc_sign_ctx(TpuCommit *c, int plane, int u_row, int u_col, int ts) {
+    int tw4 = tpu_clamp_w4(c, plane, u_col, TXW[ts] / 4);
+    int th4 = tpu_clamp_h4(c, plane, u_row, TXH[ts] / 4);
     const uint8_t *above = c->above_coef[plane] + u_col;
     const uint8_t *left = c->left_coef[plane] + u_row;
     int dc = 0;
@@ -785,17 +766,17 @@ static int dc_sign_ctx_of(TpuCommit *c, int plane, int u_row, int u_col,
     }
     return dc > 0 ? 2 : dc < 0 ? 1 : 0;
 }
-static void set_coef_ctx(TpuCommit *c, int plane, int u_row, int u_col,
-                         int ts, int cul) {
-    int tw4 = clamp_w4(c, plane, u_col, TXW[ts] / 4);
-    int th4 = clamp_h4(c, plane, u_row, TXH[ts] / 4);
+void tpu_set_coef_ctx(TpuCommit *c, int plane, int u_row, int u_col, int ts,
+                      int cul) {
+    int tw4 = tpu_clamp_w4(c, plane, u_col, TXW[ts] / 4);
+    int th4 = tpu_clamp_h4(c, plane, u_row, TXH[ts] / 4);
     memset(c->above_coef[plane] + u_col, cul, tw4);
     memset(c->left_coef[plane] + u_row, cul, th4);
 }
 
 /* ---- recon commit ------------------------------------------------------ */
-static void commit_recon(TpuCommit *c, int plane, int u_row, int u_col,
-                         int ts, const int32_t *pred, const TxTrial *t) {
+void tpu_commit_recon(TpuCommit *c, int plane, int u_row, int u_col, int ts,
+                      const int32_t *pred, const TxTrial *t) {
     int sub = plane ? 1 : 0;
     int w = TXW[ts], h = TXH[ts];
     int x = u_col * 4, y = u_row * 4;
@@ -821,11 +802,11 @@ static void commit_recon(TpuCommit *c, int plane, int u_row, int u_col,
                 rp[(y + i) * stride + x + j] = (uint16_t)v;
             }
     }
-    bd_set(c, plane, u_row, u_col, h / 4, w / 4);
+    tpu_bd_set(c, plane, u_row, u_col, h / 4, w / 4);
 }
 
 /* ---- syntax helpers ---------------------------------------------------- */
-static void write_delta_q(TpuCommit *c, int absv, int sign) {
+void tpu_write_delta_q(TpuCommit *c, int absv, int sign) {
     tpuec_symbol(c->ec, absv < 3 ? absv : 3, c->mc->delta_q, 4, 1);
     if (absv >= 3) {
         int v = absv - 1, rem = 0;
@@ -836,8 +817,7 @@ static void write_delta_q(TpuCommit *c, int absv, int sign) {
     if (absv) tpuec_literal(c->ec, sign, 1);
 }
 
-static void write_partition_sym(TpuCommit *c, int r, int c4, int size,
-                                int part) {
+void tpu_write_partition(TpuCommit *c, int r, int c4, int size, int part) {
     int w4 = size / 4;
     int bsl = 0;
     while ((1 << (bsl + 1)) <= w4) bsl++;
@@ -853,7 +833,6 @@ static void write_partition_sym(TpuCommit *c, int r, int c4, int size,
         tpuec_symbol(c->ec, part, row, nsyms, 1);
         return;
     }
-    /* boundary: gathered 2-symbol bool (split vs HORZ/VERT) */
     static const int mem_rows[6] = {2, 3, 4, 6, 7, 9};  /* !has_rows */
     static const int mem_cols[6] = {1, 3, 4, 5, 6, 8};  /* !has_cols */
     const int *mem = has_cols ? mem_rows : mem_cols;
@@ -867,48 +846,353 @@ static void write_partition_sym(TpuCommit *c, int r, int c4, int size,
     tpuec_symbol(c->ec, part == 3 ? 1 : 0, icdf, 2, 0);
 }
 
-static double sym_cost_bits(const uint16_t *icdf, int s) {
+double tpu_sym_cost_bits(const uint16_t *icdf, int s) {
     return tpuec_cost_symbol(icdf, 0, s) / 512.0;
+}
+
+void tpu_update_part_ctx(TpuCommit *c, int r, int c4, int size) {
+    int w4 = size / 4;
+    memset(c->above_part + c4, part_ctx_byte(size),
+           w4 < c->mi_cols - c4 ? w4 : c->mi_cols - c4);
+    memset(c->left_part + r, part_ctx_byte(size),
+           w4 < c->mi_rows - r ? w4 : c->mi_rows - r);
 }
 
 /* ---- per-txb residual syntax ------------------------------------------ */
 static void write_block_txb(TpuCommit *c, int plane, int u_row, int u_col,
                             int ts, int bw, int bh, int y_mode_for_rate,
-                            const TxTrial *t) {
-    int sctx = txb_skip_ctx_of(c, plane, u_row, u_col, ts, bw, bh);
+                            int is_inter, const TxTrial *t) {
+    int sctx = tpu_txb_skip_ctx(c, plane, u_row, u_col, ts, bw, bh);
     int txs_ctx = txs_entropy_ctx_of(ts);
     int all_zero = t->eob == 0;
     tpuec_symbol(c->ec, all_zero,
                  c->mc->txb_skip + (txs_ctx * 13 + sctx) * 3, 2, 1);
     if (all_zero) {
-        set_coef_ctx(c, plane, u_row, u_col, ts, 0);
+        tpu_set_coef_ctx(c, plane, u_row, u_col, ts, 0);
         return;
     }
-    if (plane == 0) {
+    if (plane == 0 && !is_inter) {
         int set = intra_tx_set_of(ts);
         if (set > 0)
-            tpuec_symbol(c->ec,
-                         txtype_sym(set, t->tt),
+            tpuec_symbol(c->ec, txtype_sym(set, t->tt),
                          c->mc->intra_ext_tx +
-                             ((set * 4 + TX_SQR[ts]) * 13 + y_mode_for_rate) *
-                                 17,
+                             ((set * 4 + TX_SQR[ts]) * 13 +
+                              y_mode_for_rate) * 17,
                          SET_SIZES[set], 1);
+    } else if (plane == 0) {
+        int st = inter_tx_set_type_of(ts);
+        if (st > 0) {
+            const int *fwd = st == 1 ? INTER_FWD_T1
+                             : st == 4 ? INTER_FWD_T4 : INTER_FWD_T5;
+            tpuec_symbol(c->ec, fwd[t->tt],
+                         c->ic->inter_ext_tx +
+                             (INTER_SET_TO_IDX[st] * 4 + TX_SQR[ts]) * 17,
+                         INTER_SET_SIZES[st], 1);
+        }
     }
     int adj = TX_ADJ[ts];
-    int sgn = dc_sign_ctx_of(c, plane, u_row, u_col, ts);
+    int sgn = tpu_dc_sign_ctx(c, plane, u_row, u_col, ts);
     int cul = tpuec_encode_txb(c->ec, c->tc, t->qc, g_scan[ts][t->tt],
                                g_scan_n[ts][t->tt], TXW[adj], TXH[adj],
                                TXW[ts], TXH[ts], eob_multi_size_of(ts),
                                txs_entropy_ctx_of(ts), tx_class_of(t->tt),
                                plane ? 1 : 0, sgn);
-    set_coef_ctx(c, plane, u_row, u_col, ts, cul);
+    tpu_set_coef_ctx(c, plane, u_row, u_col, ts, cul);
 }
 
-/* ---- partition walk ---------------------------------------------------- */
-static void encode_block_full(TpuCommit *c, int r, int c4, int size,
-                              const uint8_t *mode_map, int mode_cols,
-                              int q, int *dq_pending, int *prev_q,
-                              int dq_res_log2);
+void tpu_write_txb_inter(TpuCommit *c, int plane, int u_row, int u_col,
+                         int ts, int bw, int bh, const TxTrial *t) {
+    write_block_txb(c, plane, u_row, u_col, ts, bw, bh, 0, 1, t);
+}
+
+/* ---- intra block: trial + write/commit split --------------------------- */
+typedef struct {
+    int y_mode, uv_mode, skip;
+    double cost;     /* sse + rdmult*rate incl. mode signalling */
+} IntraChoice;
+
+static __thread int32_t s_pred_y[64 * 64], s_resid_y[64 * 64];
+static __thread int32_t s_pred_u[32 * 32], s_pred_v[32 * 32];
+static __thread TxTrial s_ty, s_tu, s_tv;
+
+static void intra_trial(TpuCommit *c, int r, int c4, int size,
+                        const uint8_t *cand_modes, int q,
+                        int frame_is_intra, IntraChoice *out) {
+    ModeCdfs *mc = c->mc;
+    int ts_y = tpu_sq_tx(size);
+    int ts_c = tpu_uv_tx(size);
+    int cr = r >> 1, cc = c4 >> 1;
+    static __thread int32_t pred_cand[64 * 64], resid_cand[64 * 64];
+    static __thread TxTrial tmp, au, av;
+
+    int sgn_y = tpu_dc_sign_ctx(c, 0, r, c4, ts_y);
+    const uint16_t *ymode_cdf;
+    if (frame_is_intra) {
+        int am = r > 0 ? c->above_mode[c4] : 0;
+        int lm = c4 > 0 ? c->left_mode[r] : 0;
+        ymode_cdf = mc->kf_y + (IMODE_CTX[am] * 5 + IMODE_CTX[lm]) * 14;
+    } else {
+        ymode_cdf = c->ic->y_mode + SIZE_GROUP[tpu_sq_bsize(size)] * 14;
+    }
+    int y_mode = cand_modes[0];
+    int kmax = c->n_cands < N_MODE_CANDS ? c->n_cands : N_MODE_CANDS;
+    double best_mode_cost = -1.0;
+    if (kmax > 1) {
+        for (int k = 0; k < kmax; k++) {
+            int m = cand_modes[k];
+            int dup = 0;
+            for (int k2 = 0; k2 < k; k2++)
+                if (cand_modes[k2] == m) dup = 1;
+            if (dup) continue;
+            tpu_predict_txb(c, 0, m, 0, r, c4, r, c4, ts_y, pred_cand);
+            const uint16_t *sp = c->src[0];
+            int ss = c->sstride[0];
+            for (int i = 0; i < size; i++)
+                for (int j = 0; j < size; j++)
+                    resid_cand[i * size + j] =
+                        (int32_t)sp[(r * 4 + i) * ss + c4 * 4 + j] -
+                        pred_cand[i * size + j];
+            tpu_trial_txb(c, 0, ts_y, 0, resid_cand, q, 0, sgn_y, 0, &tmp);
+            double rate = tmp.rate512 / 512.0 +
+                          tpu_sym_cost_bits(ymode_cdf, m);
+            if (m >= 1 && m <= 8)
+                rate += tpu_sym_cost_bits(mc->angle_delta + (m - 1) * 8, 3);
+            double cost = (double)tmp.sse + c->rdmult * rate;
+            if (best_mode_cost < 0 || cost < best_mode_cost) {
+                best_mode_cost = cost;
+                y_mode = m;
+                memcpy(s_pred_y, pred_cand, sizeof(int32_t) * size * size);
+                memcpy(s_resid_y, resid_cand,
+                       sizeof(int32_t) * size * size);
+            }
+        }
+    } else {
+        tpu_predict_txb(c, 0, y_mode, 0, r, c4, r, c4, ts_y, s_pred_y);
+        const uint16_t *sp = c->src[0];
+        int ss = c->sstride[0];
+        for (int i = 0; i < size; i++)
+            for (int j = 0; j < size; j++)
+                s_resid_y[i * size + j] =
+                    (int32_t)sp[(r * 4 + i) * ss + c4 * 4 + j] -
+                    s_pred_y[i * size + j];
+    }
+
+    /* tx-type trial for the winning mode (DCT reused from stage 1 when
+     * the mode funnel ran) */
+    int set = intra_tx_set_of(ts_y);
+    const int *cands = set == 0 ? SET0_CANDS
+                       : set == 1 ? SET1_CANDS : SET2_CANDS;
+    int ncands = set == 0 ? 1 : set == 1 ? 4 : 2;
+    double best_cost = -1.0;
+    for (int i = 0; i < ncands; i++) {
+        int tt = cands[i];
+        tpu_trial_txb(c, 0, ts_y, tt, s_resid_y, q, 0, sgn_y, 0, &tmp);
+        double rate = tmp.rate512 / 512.0;
+        if (tmp.eob && set > 0)
+            rate += tpu_sym_cost_bits(
+                mc->intra_ext_tx +
+                    ((set * 4 + TX_SQR[ts_y]) * 13 + y_mode) * 17,
+                txtype_sym(set, tt));
+        double cost = (double)tmp.sse + c->rdmult * rate;
+        if (best_cost < 0 || cost < best_cost) {
+            best_cost = cost;
+            s_ty = tmp;
+        }
+        if (i == 0 && tmp.eob == 0) break;
+    }
+
+    /* chroma trial: DC, SMOOTH, same-as-luma */
+    static const int UVM[2] = {0, 9};
+    int uv_cands[3];
+    int nuv = 2;
+    for (int i = 0; i < 2; i++) uv_cands[i] = UVM[i];
+    if (y_mode != 0 && y_mode != 9) uv_cands[nuv++] = y_mode;
+    int cfl_ok = size <= 32;
+    int sgn_u = tpu_dc_sign_ctx(c, 1, cr, cc, ts_c);
+    int sgn_v = tpu_dc_sign_ctx(c, 2, cr, cc, ts_c);
+    int cw = TXW[ts_c], chh = TXH[ts_c];
+    double best_uv_cost = -1.0;
+    int uv_mode = 0;
+    static __thread int32_t resid_u[32 * 32], resid_v[32 * 32];
+    static __thread int32_t tpu2[32 * 32], tpv2[32 * 32];
+    for (int i = 0; i < nuv; i++) {
+        int m = uv_cands[i];
+        int tt = 0;
+        {
+            int uset = intra_tx_set_of(ts_c);
+            if (uset > 0) {
+                int t = MODE2TXFM[m];
+                tt = txtype_sym(uset, t) >= 0 ? t : 0;
+            }
+        }
+        tpu_predict_txb(c, 1, m, 0, r, c4, cr, cc, ts_c, tpu2);
+        tpu_predict_txb(c, 2, m, 0, r, c4, cr, cc, ts_c, tpv2);
+        const uint16_t *su = c->src[1], *sv = c->src[2];
+        int ss = c->sstride[1];
+        for (int ii = 0; ii < chh; ii++)
+            for (int jj = 0; jj < cw; jj++) {
+                int off = (cr * 4 + ii) * ss + cc * 4 + jj;
+                resid_u[ii * cw + jj] = (int32_t)su[off] - tpu2[ii * cw + jj];
+                resid_v[ii * cw + jj] = (int32_t)sv[off] - tpv2[ii * cw + jj];
+            }
+        static __thread TxTrial cu2, cv2;
+        tpu_trial_txb(c, 1, ts_c, tt, resid_u, q, 1, sgn_u, 0, &cu2);
+        tpu_trial_txb(c, 2, ts_c, tt, resid_v, q, 1, sgn_v, 0, &cv2);
+        double rate = (cu2.rate512 + cv2.rate512) / 512.0 +
+                      tpu_sym_cost_bits(mc->uv_mode +
+                                            (cfl_ok * 13 + y_mode) * 15, m);
+        double cost = (double)(cu2.sse + cv2.sse) + c->rdmult * rate;
+        if (best_uv_cost < 0 || cost < best_uv_cost) {
+            best_uv_cost = cost;
+            uv_mode = m;
+            au = cu2;
+            av = cv2;
+            memcpy(s_pred_u, tpu2, sizeof(int32_t) * cw * chh);
+            memcpy(s_pred_v, tpv2, sizeof(int32_t) * cw * chh);
+        }
+    }
+    s_tu = au;
+    s_tv = av;
+    out->y_mode = y_mode;
+    out->uv_mode = uv_mode;
+    out->skip = (s_ty.eob == 0 && s_tu.eob == 0 && s_tv.eob == 0);
+    double mode_rate = tpu_sym_cost_bits(ymode_cdf, y_mode);
+    if (y_mode >= 1 && y_mode <= 8)
+        mode_rate += tpu_sym_cost_bits(mc->angle_delta + (y_mode - 1) * 8,
+                                       3);
+    out->cost = best_cost + best_uv_cost + c->rdmult * mode_rate;
+}
+
+static void intra_write_commit(TpuCommit *c, int r, int c4, int size,
+                               const IntraChoice *ch, int frame_is_intra) {
+    ModeCdfs *mc = c->mc;
+    int ts_y = tpu_sq_tx(size);
+    int ts_c = tpu_uv_tx(size);
+    int cr = r >> 1, cc = c4 >> 1;
+    int w4 = size / 4;
+    int y_mode = ch->y_mode, uv_mode = ch->uv_mode, skip = ch->skip;
+    int cfl_ok = size <= 32;
+
+    if (frame_is_intra) {
+        int am = r > 0 ? c->above_mode[c4] : 0;
+        int lm = c4 > 0 ? c->left_mode[r] : 0;
+        tpuec_symbol(c->ec, y_mode,
+                     mc->kf_y + (IMODE_CTX[am] * 5 + IMODE_CTX[lm]) * 14,
+                     13, 1);
+    } else {
+        tpuec_symbol(c->ec, y_mode,
+                     c->ic->y_mode + SIZE_GROUP[tpu_sq_bsize(size)] * 14,
+                     13, 1);
+    }
+    if (y_mode >= 1 && y_mode <= 8)
+        tpuec_symbol(c->ec, 3, mc->angle_delta + (y_mode - 1) * 8, 7, 1);
+    tpuec_symbol(c->ec, uv_mode, mc->uv_mode + (cfl_ok * 13 + y_mode) * 15,
+                 cfl_ok ? 14 : 13, 1);
+    if (uv_mode >= 1 && uv_mode <= 8)
+        tpuec_symbol(c->ec, 3, mc->angle_delta + (uv_mode - 1) * 8, 7, 1);
+
+    int aw4 = w4 < c->mi_cols - c4 ? w4 : c->mi_cols - c4;
+    int lh4 = w4 < c->mi_rows - r ? w4 : c->mi_rows - r;
+    memset(c->above_mode + c4, y_mode, aw4);
+    memset(c->left_mode + r, y_mode, lh4);
+    memset(c->above_skip + c4, skip, aw4);
+    memset(c->left_skip + r, skip, lh4);
+    int ysm = (y_mode >= 9 && y_mode <= 11);
+    int usm = (uv_mode >= 9 && uv_mode <= 11);
+    memset(c->above_smooth[0] + c4, ysm, aw4);
+    memset(c->left_smooth[0] + r, ysm, lh4);
+    memset(c->above_smooth[1] + c4, usm, aw4);
+    memset(c->left_smooth[1] + r, usm, lh4);
+
+    if (c->lf_txdim[0]) {
+        for (int i = 0; i < lh4; i++)
+            memset(c->lf_txdim[0] + (r + i) * c->lf_stride[0] + c4,
+                   TXW[ts_y] > 64 ? 64 : TXW[ts_y], aw4);
+        int ch4 = tpu_clamp_h4(c, 1, cr, w4 >> 1 ? w4 >> 1 : 1);
+        int cw4c = tpu_clamp_w4(c, 1, cc, w4 >> 1 ? w4 >> 1 : 1);
+        for (int i = 0; i < ch4; i++)
+            memset(c->lf_txdim[1] + (cr + i) * c->lf_stride[1] + cc,
+                   TXW[ts_c], cw4c);
+    }
+    if (c->grid)
+        tpui_grid_set(c->grid, r, c4, w4, w4, tpu_sq_bsize(size), 0, 0, 0,
+                      0);
+
+    if (skip) {
+        memset(c->above_coef[0] + c4, 0, aw4);
+        memset(c->left_coef[0] + r, 0, lh4);
+        int cw4 = w4 >> 1 ? w4 >> 1 : 1;
+        for (int p = 1; p < 3; p++) {
+            memset(c->above_coef[p] + cc, 0, tpu_clamp_w4(c, p, cc, cw4));
+            memset(c->left_coef[p] + cr, 0, tpu_clamp_h4(c, p, cr, cw4));
+        }
+        tpu_commit_recon(c, 0, r, c4, ts_y, s_pred_y, NULL);
+        tpu_commit_recon(c, 1, cr, cc, ts_c, s_pred_u, NULL);
+        tpu_commit_recon(c, 2, cr, cc, ts_c, s_pred_v, NULL);
+        c->dist_acc += s_ty.sse + s_tu.sse + s_tv.sse;
+        return;
+    }
+    write_block_txb(c, 0, r, c4, ts_y, size, size, y_mode, 0, &s_ty);
+    tpu_commit_recon(c, 0, r, c4, ts_y, s_pred_y, &s_ty);
+    write_block_txb(c, 1, cr, cc, ts_c, size >> 1, size >> 1, y_mode, 0,
+                    &s_tu);
+    tpu_commit_recon(c, 1, cr, cc, ts_c, s_pred_u, &s_tu);
+    write_block_txb(c, 2, cr, cc, ts_c, size >> 1, size >> 1, y_mode, 0,
+                    &s_tv);
+    tpu_commit_recon(c, 2, cr, cc, ts_c, s_pred_v, &s_tv);
+    c->dist_acc += s_ty.sse + s_tu.sse + s_tv.sse;
+}
+
+void tpu_intra_block(TpuCommit *c, int r, int c4, int size,
+                     const uint8_t *cand_modes, int q, int frame_is_intra,
+                     int *out_skip) {
+    IntraChoice ch;
+    intra_trial(c, r, c4, size, cand_modes, q, frame_is_intra, &ch);
+    *out_skip = ch.skip;
+    intra_write_commit(c, r, c4, size, &ch, frame_is_intra);
+}
+
+void tpu_intra_trial_only(TpuCommit *c, int r, int c4, int size,
+                          const uint8_t *cand_modes, int q,
+                          double *cost, int *y_mode, int *uv_mode,
+                          int *skip) {
+    IntraChoice ch;
+    intra_trial(c, r, c4, size, cand_modes, q, 0, &ch);
+    *cost = ch.cost;
+    *y_mode = ch.y_mode;
+    *uv_mode = ch.uv_mode;
+    *skip = ch.skip;
+}
+void tpu_intra_commit_choice(TpuCommit *c, int r, int c4, int size,
+                             int y_mode, int uv_mode, int skip) {
+    IntraChoice ch;
+    ch.y_mode = y_mode;
+    ch.uv_mode = uv_mode;
+    ch.skip = skip;
+    ch.cost = 0.0;
+    intra_write_commit(c, r, c4, size, &ch, 0);
+}
+
+/* ---- intra partition walk ---------------------------------------------- */
+static void encode_block_intra_frame(TpuCommit *c, int r, int c4, int size,
+                                     const uint8_t *mode_map, int mode_cols,
+                                     int q, int *dq_pending, int *prev_q,
+                                     int dq_res_log2) {
+    const uint8_t *cand_modes =
+        mode_map + (((r * 4) / size) * mode_cols + (c4 * 4) / size) *
+                       N_MODE_CANDS;
+    IntraChoice ch;
+    intra_trial(c, r, c4, size, cand_modes, q, 1, &ch);
+    int skip_ctx = c->above_skip[c4] + c->left_skip[r];
+    tpuec_symbol(c->ec, ch.skip, c->mc->skip + skip_ctx * 3, 2, 1);
+    if (*dq_pending && !(size == 64 && ch.skip)) {
+        int delta = (q - *prev_q) >> dq_res_log2;
+        tpu_write_delta_q(c, delta < 0 ? -delta : delta, delta < 0);
+        *prev_q = q;
+        *dq_pending = 0;
+    }
+    intra_write_commit(c, r, c4, size, &ch, 1);
+}
 
 static void walk_partition(TpuCommit *c, int r, int c4, int size,
                            const uint8_t *split64, const uint8_t *split32,
@@ -930,7 +1214,7 @@ static void walk_partition(TpuCommit *c, int r, int c4, int size,
         split = forced || sm[((r * 4) / size) * nc + (c4 * 4) / size];
     }
     if (split) {
-        write_partition_sym(c, r, c4, size, 3);
+        tpu_write_partition(c, r, c4, size, 3);
         int h4 = w4 >> 1;
         walk_partition(c, r, c4, size / 2, split64, split32, split16,
                        mode64, mode32, mode16, mode8, ncols64, ncols32,
@@ -947,20 +1231,16 @@ static void walk_partition(TpuCommit *c, int r, int c4, int size,
                        dq_res_log2);
         return;
     }
-    write_partition_sym(c, r, c4, size, 0);
+    tpu_write_partition(c, r, c4, size, 0);
     const uint8_t *mm = size == 64 ? mode64
                         : size == 32 ? mode32
                         : size == 16 ? mode16 : mode8;
     int nc = size == 64 ? ncols64
              : size == 32 ? ncols32
              : size == 16 ? ncols16 : ncols8;
-    encode_block_full(c, r, c4, size, mm, nc, q, dq_pending, prev_q,
-                      dq_res_log2);
-    /* partition context: NONE with subsize == bsize (frame-edge clamped) */
-    memset(c->above_part + c4, part_ctx_byte(size),
-           w4 < c->mi_cols - c4 ? w4 : c->mi_cols - c4);
-    memset(c->left_part + r, part_ctx_byte(size),
-           w4 < c->mi_rows - r ? w4 : c->mi_rows - r);
+    encode_block_intra_frame(c, r, c4, size, mm, nc, q, dq_pending, prev_q,
+                             dq_res_log2);
+    tpu_update_part_ctx(c, r, c4, size);
 }
 
 int64_t tpuc_encode_intra(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,
@@ -982,7 +1262,7 @@ int64_t tpuc_encode_intra(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,
     c->t_mi_row1 = mi_row1;
     c->t_mi_col0 = mi_col0;
     c->t_mi_col1 = mi_col1;
-    int paw4 = 0;
+    int paw4;
     {
         int aw = c->mi_cols * 4;
         paw4 = ((aw + 63) & ~63);
@@ -993,12 +1273,12 @@ int64_t tpuc_encode_intra(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,
     int nsb_c = (c->mi_cols + 15) / 16;
     for (int sbr = mi_row0; sbr < mi_row1; sbr += 16) {
         for (int sbc = mi_col0; sbc < mi_col1; sbc += 16) {
-            bd_reset_sb(c, sbr, sbc);
+            tpu_bd_reset_sb(c, sbr, sbc);
             int q = sbq ? sbq[(sbr / 16) * nsb_c + sbc / 16] : base_q;
             c->cur_q = q;
             {
                 const int32_t *pq = pq_of(c, q, 0);
-                double qstep = pq[8] / 8.0; /* dc dequant Q3 */
+                double qstep = pq[8] / 8.0;
                 c->rdmult = 0.12 * qstep * qstep;
             }
             int dq_pending = dq_res_log2 >= 0;
@@ -1009,225 +1289,4 @@ int64_t tpuc_encode_intra(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,
         }
     }
     return c->dist_acc;
-}
-
-/* Full block encode (search trials + syntax + commit), the completed
- * version of encode_block above. */
-static void encode_block_full(TpuCommit *c, int r, int c4, int size,
-                              const uint8_t *mode_map, int mode_cols,
-                              int q, int *dq_pending, int *prev_q,
-                              int dq_res_log2) {
-    ModeCdfs *mc = c->mc;
-    int w4 = size / 4;
-    int ts_y = sq_tx(size);
-    int ts_c = uv_tx(size);
-    int cr = r >> 1, cc = c4 >> 1;
-    const uint8_t *cand_modes =
-        mode_map + (((r * 4) / size) * mode_cols + (c4 * 4) / size) *
-                       N_MODE_CANDS;
-
-    static __thread int32_t pred_y[64 * 64], resid[64 * 64];
-    static __thread int32_t pred_cand[64 * 64], resid_cand[64 * 64];
-    static __thread int32_t pred_u[32 * 32], pred_v[32 * 32];
-    static __thread TxTrial ty, tu, tv, tmp, au, av;
-
-    /* luma stage 1: RD trial over the device's top-K mode candidates
-     * (true prediction from recon + DCT cost) — the md_stage_3 analog */
-    int sgn_y = dc_sign_ctx_of(c, 0, r, c4, ts_y);
-    int am = r > 0 ? c->above_mode[c4] : 0;
-    int lm = c4 > 0 ? c->left_mode[r] : 0;
-    const uint16_t *kf_row =
-        mc->kf_y + (IMODE_CTX[am] * 5 + IMODE_CTX[lm]) * 14;
-    int y_mode = cand_modes[0];
-    int kmax = c->n_cands < N_MODE_CANDS ? c->n_cands : N_MODE_CANDS;
-    if (kmax > 1) {
-        double best_mode_cost = -1.0;
-        for (int k = 0; k < kmax; k++) {
-            int m = cand_modes[k];
-            int dup = 0;
-            for (int k2 = 0; k2 < k; k2++)
-                if (cand_modes[k2] == m) dup = 1;
-            if (dup) continue;
-            predict_txb(c, 0, m, 0, r, c4, r, c4, ts_y, pred_cand);
-            const uint16_t *sp = c->src[0];
-            int ss = c->sstride[0];
-            for (int i = 0; i < size; i++)
-                for (int j = 0; j < size; j++)
-                    resid_cand[i * size + j] =
-                        (int32_t)sp[(r * 4 + i) * ss + c4 * 4 + j] -
-                        pred_cand[i * size + j];
-            trial_txb(c, 0, ts_y, 0, resid_cand, q, 0, sgn_y, &tmp);
-            double rate = tmp.rate512 / 512.0 + sym_cost_bits(kf_row, m);
-            if (m >= 1 && m <= 8)
-                rate += sym_cost_bits(mc->angle_delta + (m - 1) * 8, 3);
-            double cost = (double)tmp.sse + c->rdmult * rate;
-            if (best_mode_cost < 0 || cost < best_mode_cost) {
-                best_mode_cost = cost;
-                y_mode = m;
-                memcpy(pred_y, pred_cand, sizeof(int32_t) * size * size);
-                memcpy(resid, resid_cand, sizeof(int32_t) * size * size);
-            }
-        }
-    } else {
-        predict_txb(c, 0, y_mode, 0, r, c4, r, c4, ts_y, pred_y);
-        const uint16_t *sp = c->src[0];
-        int ss = c->sstride[0];
-        for (int i = 0; i < size; i++)
-            for (int j = 0; j < size; j++)
-                resid[i * size + j] =
-                    (int32_t)sp[(r * 4 + i) * ss + c4 * 4 + j] -
-                    pred_y[i * size + j];
-    }
-
-    /* luma stage 2: tx-type trial for the winning mode */
-    int set = intra_tx_set_of(ts_y);
-    const int *cands = set == 0 ? SET0_CANDS
-                       : set == 1 ? SET1_CANDS : SET2_CANDS;
-    int ncands = set == 0 ? 1 : set == 1 ? 4 : 2;
-    double best_cost = -1.0;
-    for (int i = 0; i < ncands; i++) {
-        int tt = cands[i];
-        trial_txb(c, 0, ts_y, tt, resid, q, 0, sgn_y, &tmp);
-        double rate = tmp.rate512 / 512.0;
-        if (tmp.eob && set > 0)
-            rate += sym_cost_bits(
-                mc->intra_ext_tx +
-                    ((set * 4 + TX_SQR[ts_y]) * 13 + y_mode) * 17,
-                txtype_sym(set, tt));
-        double cost = (double)tmp.sse + c->rdmult * rate;
-        if (best_cost < 0 || cost < best_cost) {
-            best_cost = cost;
-            ty = tmp;
-        }
-        if (i == 0 && tmp.eob == 0) break;  /* zero residual: types tie */
-    }
-
-    /* chroma trial: DC, SMOOTH, same-as-luma (the reference's chroma
-     * search spends most wins on these three; full set on quality path) */
-    static const int UVM[2] = {0, 9};
-    int uv_cands[3];
-    int nuv = 2;
-    for (int i = 0; i < 2; i++) uv_cands[i] = UVM[i];
-    if (y_mode != 0 && y_mode != 9) uv_cands[nuv++] = y_mode;
-    int cfl_ok = size <= 32;
-    int sgn_u = dc_sign_ctx_of(c, 1, cr, cc, ts_c);
-    int sgn_v = dc_sign_ctx_of(c, 2, cr, cc, ts_c);
-    int cw = TXW[ts_c], chh = TXH[ts_c];
-    double best_uv_cost = -1.0;
-    int uv_mode = 0, tt_uv = 0;
-    static __thread int32_t resid_u[32 * 32], resid_v[32 * 32];
-    static __thread int32_t tpu2[32 * 32], tpv2[32 * 32];
-    for (int i = 0; i < nuv; i++) {
-        int m = uv_cands[i];
-        int tt = 0;
-        {
-            int uset = intra_tx_set_of(ts_c);
-            if (uset > 0) {
-                int t = MODE2TXFM[m];
-                tt = txtype_sym(uset, t) >= 0 ? t : 0;
-            }
-        }
-        predict_txb(c, 1, m, 0, r, c4, cr, cc, ts_c, tpu2);
-        predict_txb(c, 2, m, 0, r, c4, cr, cc, ts_c, tpv2);
-        const uint16_t *su = c->src[1], *sv = c->src[2];
-        int ss = c->sstride[1];
-        for (int ii = 0; ii < chh; ii++)
-            for (int jj = 0; jj < cw; jj++) {
-                int off = (cr * 4 + ii) * ss + cc * 4 + jj;
-                resid_u[ii * cw + jj] = (int32_t)su[off] - tpu2[ii * cw + jj];
-                resid_v[ii * cw + jj] = (int32_t)sv[off] - tpv2[ii * cw + jj];
-            }
-        trial_txb(c, 1, ts_c, tt, resid_u, q, 1, sgn_u, &au);
-        trial_txb(c, 2, ts_c, tt, resid_v, q, 1, sgn_v, &av);
-        double rate = (au.rate512 + av.rate512) / 512.0 +
-                      sym_cost_bits(mc->uv_mode +
-                                        (cfl_ok * 13 + y_mode) * 15, m);
-        double cost = (double)(au.sse + av.sse) + c->rdmult * rate;
-        if (best_uv_cost < 0 || cost < best_uv_cost) {
-            best_uv_cost = cost;
-            uv_mode = m;
-            tt_uv = tt;
-            tu = au;
-            tv = av;
-            memcpy(pred_u, tpu2, sizeof(int32_t) * cw * chh);
-            memcpy(pred_v, tpv2, sizeof(int32_t) * cw * chh);
-        }
-    }
-    (void)tt_uv;
-
-    int skip = (ty.eob == 0 && tu.eob == 0 && tv.eob == 0);
-
-    /* syntax order: skip -> delta-q -> y mode -> angle -> uv mode -> angle */
-    int skip_ctx = c->above_skip[c4] + c->left_skip[r];
-    tpuec_symbol(c->ec, skip, mc->skip + skip_ctx * 3, 2, 1);
-    if (*dq_pending && !(size == 64 && skip)) {
-        int delta = (q - *prev_q) >> dq_res_log2;
-        write_delta_q(c, delta < 0 ? -delta : delta, delta < 0);
-        *prev_q = q;
-        *dq_pending = 0;
-    }
-    {
-        int am = r > 0 ? c->above_mode[c4] : 0;
-        int lm = c4 > 0 ? c->left_mode[r] : 0;
-        tpuec_symbol(c->ec, y_mode,
-                     mc->kf_y + (IMODE_CTX[am] * 5 + IMODE_CTX[lm]) * 14,
-                     13, 1);
-    }
-    if (y_mode >= 1 && y_mode <= 8)
-        tpuec_symbol(c->ec, 3, mc->angle_delta + (y_mode - 1) * 8, 7, 1);
-    tpuec_symbol(c->ec, uv_mode, mc->uv_mode + (cfl_ok * 13 + y_mode) * 15,
-                 cfl_ok ? 14 : 13, 1);
-    if (uv_mode >= 1 && uv_mode <= 8)
-        tpuec_symbol(c->ec, 3, mc->angle_delta + (uv_mode - 1) * 8, 7, 1);
-
-    /* neighbor rows (spans clamp at the frame edge) */
-    int aw4 = w4 < c->mi_cols - c4 ? w4 : c->mi_cols - c4;
-    int lh4 = w4 < c->mi_rows - r ? w4 : c->mi_rows - r;
-    memset(c->above_mode + c4, y_mode, aw4);
-    memset(c->left_mode + r, y_mode, lh4);
-    memset(c->above_skip + c4, skip, aw4);
-    memset(c->left_skip + r, skip, lh4);
-    int ysm = (y_mode >= 9 && y_mode <= 11);
-    int usm = (uv_mode >= 9 && uv_mode <= 11);
-    memset(c->above_smooth[0] + c4, ysm, aw4);
-    memset(c->left_smooth[0] + r, ysm, lh4);
-    memset(c->above_smooth[1] + c4, usm, aw4);
-    memset(c->left_smooth[1] + r, usm, lh4);
-
-    /* loop-filter tx-dim maps (skip blocks keep tx dims for edge rules;
-     * intra frames filter all tx edges) */
-    if (c->lf_txdim[0]) {
-        for (int i = 0; i < lh4; i++)
-            memset(c->lf_txdim[0] + (r + i) * c->lf_stride[0] + c4,
-                   TXW[ts_y] > 64 ? 64 : TXW[ts_y], aw4);
-        int ch4 = clamp_h4(c, 1, cr, w4 >> 1 ? w4 >> 1 : 1);
-        int cw4c = clamp_w4(c, 1, cc, w4 >> 1 ? w4 >> 1 : 1);
-        for (int i = 0; i < ch4; i++)
-            memset(c->lf_txdim[1] + (cr + i) * c->lf_stride[1] + cc,
-                   TXW[ts_c], cw4c);
-    }
-
-    if (skip) {
-        memset(c->above_coef[0] + c4, 0, aw4);
-        memset(c->left_coef[0] + r, 0, lh4);
-        int cw4 = w4 >> 1 ? w4 >> 1 : 1;
-        for (int p = 1; p < 3; p++) {
-            memset(c->above_coef[p] + cc, 0,
-                   clamp_w4(c, p, cc, cw4));
-            memset(c->left_coef[p] + cr, 0,
-                   clamp_h4(c, p, cr, cw4));
-        }
-        commit_recon(c, 0, r, c4, ts_y, pred_y, NULL);
-        commit_recon(c, 1, cr, cc, ts_c, pred_u, NULL);
-        commit_recon(c, 2, cr, cc, ts_c, pred_v, NULL);
-        c->dist_acc += ty.sse + tu.sse + tv.sse;
-        return;
-    }
-    write_block_txb(c, 0, r, c4, ts_y, size, size, y_mode, &ty);
-    commit_recon(c, 0, r, c4, ts_y, pred_y, &ty);
-    write_block_txb(c, 1, cr, cc, ts_c, size >> 1, size >> 1, y_mode, &tu);
-    commit_recon(c, 1, cr, cc, ts_c, pred_u, &tu);
-    write_block_txb(c, 2, cr, cc, ts_c, size >> 1, size >> 1, y_mode, &tv);
-    commit_recon(c, 2, cr, cc, ts_c, pred_v, &tv);
-    c->dist_acc += ty.sse + tu.sse + tv.sse;
 }

@@ -1,0 +1,106 @@
+/* Private shared state between commit_backend.c (intra walk) and
+ * inter_backend.c (P-frame walk). Not part of the Python ABI. */
+#ifndef TPU_COMMIT_INTERNAL_H
+#define TPU_COMMIT_INTERNAL_H
+
+#include "tpu_native.h"
+
+typedef struct InterGrid InterGrid;
+
+struct TpuCommit {
+    int width, height, bd;
+    int mi_rows, mi_cols;
+    int ystride, cstride;
+    uint16_t *plane[3];
+    int planes_owned;
+    /* tile bounds (mi units); whole frame when not set */
+    int t_mi_row0, t_mi_row1, t_mi_col0, t_mi_col1;
+    const uint16_t *src[3];
+    int sstride[3];
+    int32_t qtab[256 * 3 * 10];
+    /* neighbor context state (tile-wide) */
+    uint8_t *above_part, *left_part;
+    uint8_t *above_mode, *left_mode;
+    uint8_t *above_skip, *left_skip;
+    uint8_t *above_coef[3], *left_coef[3];
+    uint8_t *above_smooth[2], *left_smooth[2];
+    /* block-decoded bitmaps (per current SB), (n+2)x(n+2), n=16 luma */
+    uint8_t bdmap[3][18 * 18];
+    int sb_r4, sb_c4;
+    /* per-frame wiring */
+    TpuEc *ec;
+    ModeCdfs *mc;
+    TxbCdfs *tc;
+    double rdmult;
+    int cur_q;
+    int n_cands;
+    int64_t dist_acc;
+    /* shared loop-filter maps (uint8 tx dim in px per 4px unit) */
+    uint8_t *lf_txdim[2];   /* [0] luma, [1] chroma */
+    int lf_stride[2];
+    /* inter state */
+    InterCdfs *ic;
+    InterGrid *grid;                /* per-tile mode-info grid (shared) */
+    const uint16_t *refp[3];        /* reference planes (LAST recon) */
+    int ref_stride[3];
+};
+
+int16_t *tpu_scan(int ts, int tt, int *n);
+
+typedef struct {
+    int32_t qc[32 * 32];
+    int32_t dqc[32 * 32];
+    int rate512;
+    long sse;
+    int eob;
+    int tt;
+} TxTrial;
+
+/* helpers exported by commit_backend.c for the inter walk */
+int tpu_sq_bsize(int size);
+int tpu_sq_tx(int size);
+int tpu_uv_tx(int size);
+void tpu_predict_txb(TpuCommit *c, int plane, int mode, int ad, int mi_row,
+                     int mi_col, int u_row, int u_col, int ts,
+                     int32_t *pred);
+void tpu_trial_txb(TpuCommit *c, int plane, int ts, int tt,
+                   const int32_t *resid, int q, int ptype, int sctx_sign,
+                   int is_inter, TxTrial *out);
+int tpu_txb_skip_ctx(TpuCommit *c, int plane, int u_row, int u_col, int ts,
+                     int bw, int bh);
+int tpu_dc_sign_ctx(TpuCommit *c, int plane, int u_row, int u_col, int ts);
+void tpu_set_coef_ctx(TpuCommit *c, int plane, int u_row, int u_col, int ts,
+                      int cul);
+void tpu_commit_recon(TpuCommit *c, int plane, int u_row, int u_col, int ts,
+                      const int32_t *pred, const TxTrial *t);
+void tpu_write_partition(TpuCommit *c, int r, int c4, int size, int part);
+void tpu_write_delta_q(TpuCommit *c, int absv, int sign);
+void tpu_write_txb_inter(TpuCommit *c, int plane, int u_row, int u_col,
+                         int ts, int bw, int bh, const TxTrial *t);
+double tpu_sym_cost_bits(const uint16_t *icdf, int s);
+int tpu_clamp_w4(TpuCommit *c, int plane, int u_col, int tw4);
+int tpu_clamp_h4(TpuCommit *c, int plane, int u_row, int th4);
+void tpu_bd_reset_sb(TpuCommit *c, int sbr4, int sbc4);
+void tpu_bd_set(TpuCommit *c, int plane, int y4, int x4, int h4, int w4);
+void tpu_update_part_ctx(TpuCommit *c, int r, int c4, int size);
+void tpu_intra_block(TpuCommit *c, int r, int c4, int size,
+                     const uint8_t *cand_modes, int q, int frame_is_intra,
+                     int *out_skip);
+void tpu_intra_trial_only(TpuCommit *c, int r, int c4, int size,
+                          const uint8_t *cand_modes, int q,
+                          double *cost, int *y_mode, int *uv_mode,
+                          int *skip);
+void tpu_intra_commit_choice(TpuCommit *c, int r, int c4, int size,
+                             int y_mode, int uv_mode, int skip);
+
+/* inter_backend.c exports */
+InterGrid *tpui_grid_new(int mi_rows, int mi_cols);
+void tpui_grid_free(InterGrid *g);
+void tpui_grid_set(InterGrid *g, int r, int c, int h4, int w4, int bsize,
+                   int ref0, int mvr, int mvc, int has_newmv);
+
+void tpui_mc_block(const uint16_t *ref, int rstride, int rw, int rh,
+                   int px, int py, int w, int h, int mvx_q4, int mvy_q4,
+                   int bd, int32_t *out);
+
+#endif /* TPU_COMMIT_INTERNAL_H */

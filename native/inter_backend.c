@@ -1,0 +1,1134 @@
+/* Inter-frame commit engine: MC prediction, ref-MV stack, MV coding and
+ * the P-frame block walk.
+ *
+ * Ports of the repo's validated Python implementations (behavior pinned by
+ * transcode-identity and dav1d bit-exactness tests):
+ *   - subpel MC            svt_av1_psy_tpu/ops/mc.py      (spec 7.11.3)
+ *   - ref-MV stack         svt_av1_psy_tpu/inter/mvref.py (spec 7.10.2)
+ *   - inter syntax         svt_av1_psy_tpu/entropy/tile_writer.py
+ * Reference counterparts: Source/Lib/Codec/adaptive_mv_pred.c,
+ * inter_prediction.c, entropy_coding.c. Single-ref (LAST) translational
+ * path with identity global motion, REGULAR filter, quarter-pel MVs,
+ * TX_MODE_LARGEST — the fast low-delay configuration.
+ */
+#include <stdlib.h>
+#include <string.h>
+
+#include "commit_internal.h"
+
+static const int TXW[19] = {4, 8, 16, 32, 64, 4, 8, 8, 16, 16,
+                            32, 32, 64, 4, 16, 8, 32, 16, 64};
+static const int TXH[19] = {4, 8, 16, 32, 64, 8, 4, 16, 8, 32,
+                            16, 64, 32, 16, 4, 32, 8, 64, 16};
+
+/* ---- subpel interpolation filters (spec 7.11.3.4) ---------------------- */
+static const int16_t F_REG[16][8] = {
+    {0, 0, 0, 128, 0, 0, 0, 0},     {0, 2, -6, 126, 8, -2, 0, 0},
+    {0, 2, -10, 122, 18, -4, 0, 0}, {0, 2, -12, 116, 28, -8, 2, 0},
+    {0, 2, -14, 110, 38, -10, 2, 0}, {0, 2, -14, 102, 48, -12, 2, 0},
+    {0, 2, -16, 94, 58, -12, 2, 0}, {0, 2, -14, 84, 66, -12, 2, 0},
+    {0, 2, -14, 76, 76, -14, 2, 0}, {0, 2, -12, 66, 84, -14, 2, 0},
+    {0, 2, -12, 58, 94, -16, 2, 0}, {0, 2, -12, 48, 102, -14, 2, 0},
+    {0, 2, -10, 38, 110, -14, 2, 0}, {0, 2, -8, 28, 116, -12, 2, 0},
+    {0, 0, -4, 18, 122, -10, 2, 0}, {0, 0, -2, 8, 126, -6, 2, 0}};
+static const int16_t F_REG4[16][8] = {
+    {0, 0, 0, 128, 0, 0, 0, 0},    {0, 0, -4, 126, 8, -2, 0, 0},
+    {0, 0, -8, 122, 18, -4, 0, 0}, {0, 0, -10, 116, 28, -6, 0, 0},
+    {0, 0, -12, 110, 38, -8, 0, 0}, {0, 0, -12, 102, 48, -10, 0, 0},
+    {0, 0, -14, 94, 58, -10, 0, 0}, {0, 0, -12, 84, 66, -10, 0, 0},
+    {0, 0, -12, 76, 76, -12, 0, 0}, {0, 0, -10, 66, 84, -12, 0, 0},
+    {0, 0, -10, 58, 94, -14, 0, 0}, {0, 0, -10, 48, 102, -12, 0, 0},
+    {0, 0, -8, 38, 110, -12, 0, 0}, {0, 0, -6, 28, 116, -10, 0, 0},
+    {0, 0, -4, 18, 122, -8, 0, 0}, {0, 0, -2, 8, 126, -4, 0, 0}};
+
+#define FILTER_BITS 7
+#define ROUND0 3
+#define ROUND1 11
+
+static int clampi(int v, int lo, int hi) {
+    return v < lo ? lo : v > hi ? hi : v;
+}
+static int round2(int v, int n) { return (v + (1 << (n - 1))) >> n; }
+
+/* MC one block: ref plane (stride), block at (px, py), w x h, MV in
+ * 1/16-pel plane units. out: (h x w) int32. REGULAR filter. */
+void tpui_mc_block(const uint16_t *ref, int rstride, int rw, int rh,
+                   int px, int py, int w, int h, int mvx_q4, int mvy_q4,
+                   int bd, int32_t *out) {
+    int x0 = px + (mvx_q4 >> 4);
+    int y0 = py + (mvy_q4 >> 4);
+    int sx = mvx_q4 & 15, sy = mvy_q4 & 15;
+    int hi = (1 << bd) - 1;
+#define REFPX(yy, xx) \
+    ref[clampi(yy, 0, rh - 1) * rstride + clampi(xx, 0, rw - 1)]
+    if (sx == 0 && sy == 0) {
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++)
+                out[y * w + x] = REFPX(y0 + y, x0 + x);
+        return;
+    }
+    const int16_t *fx = (w <= 4 ? F_REG4 : F_REG)[sx];
+    const int16_t *fy = (h <= 4 ? F_REG4 : F_REG)[sy];
+    if (sx && sy) {
+        int32_t im[(64 + 7) * 64];
+        int offset_bits = bd + 2 * FILTER_BITS - ROUND0;
+        for (int y = 0; y < h + 7; y++)
+            for (int x = 0; x < w; x++) {
+                int acc = 1 << (bd + FILTER_BITS - 1);
+                for (int k = 0; k < 8; k++)
+                    acc += fx[k] * REFPX(y0 - 3 + y, x0 - 3 + x + k);
+                im[y * w + x] = round2(acc, ROUND0);
+            }
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                int acc = 1 << offset_bits;
+                for (int k = 0; k < 8; k++)
+                    acc += fy[k] * im[(y + k) * w + x];
+                int res = round2(acc, ROUND1) -
+                          ((1 << (offset_bits - ROUND1)) +
+                           (1 << (offset_bits - ROUND1 - 1)));
+                int bits = 2 * FILTER_BITS - ROUND0 - ROUND1;
+                if (bits > 0) res = round2(res, bits);
+                out[y * w + x] = clampi(res, 0, hi);
+            }
+        return;
+    }
+    if (sx) {
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                int acc = 0;
+                for (int k = 0; k < 8; k++)
+                    acc += fx[k] * REFPX(y0 + y, x0 - 3 + x + k);
+                acc = round2(acc, ROUND0);
+                out[y * w + x] = clampi(round2(acc, FILTER_BITS - ROUND0),
+                                        0, hi);
+            }
+        return;
+    }
+    for (int y = 0; y < h; y++)
+        for (int x = 0; x < w; x++) {
+            int acc = 0;
+            for (int k = 0; k < 8; k++)
+                acc += fy[k] * REFPX(y0 - 3 + y + k, x0 + x);
+            out[y * w + x] = clampi(round2(acc, FILTER_BITS), 0, hi);
+        }
+#undef REFPX
+}
+
+/* ---- per-unit mode-info grid (MiGrid port) ----------------------------- */
+struct InterGrid {
+    int mi_rows, mi_cols;
+    int8_t *ref0;
+    int16_t *mv;      /* (row, col) pairs, 1/8 px */
+    uint8_t *newmv;
+    uint8_t *bsize;
+};
+
+InterGrid *tpui_grid_new(int mi_rows, int mi_cols) {
+    InterGrid *g = calloc(1, sizeof(InterGrid));
+    g->mi_rows = mi_rows;
+    g->mi_cols = mi_cols;
+    size_t n = (size_t)mi_rows * mi_cols;
+    g->ref0 = malloc(n);
+    memset(g->ref0, -1, n);
+    g->mv = calloc(n * 2, 2);
+    g->newmv = calloc(n, 1);
+    g->bsize = calloc(n, 1);
+    return g;
+}
+void tpui_grid_free(InterGrid *g) {
+    if (!g) return;
+    free(g->ref0);
+    free(g->mv);
+    free(g->newmv);
+    free(g->bsize);
+    free(g);
+}
+void tpui_grid_set(InterGrid *g, int r, int c, int h4, int w4, int bsize,
+                   int ref0, int mvr, int mvc, int has_newmv) {
+    int rr1 = r + h4 < g->mi_rows ? r + h4 : g->mi_rows;
+    int cc1 = c + w4 < g->mi_cols ? c + w4 : g->mi_cols;
+    for (int i = r; i < rr1; i++)
+        for (int j = c; j < cc1; j++) {
+            size_t o = (size_t)i * g->mi_cols + j;
+            g->ref0[o] = (int8_t)ref0;
+            g->mv[o * 2] = (int16_t)mvr;
+            g->mv[o * 2 + 1] = (int16_t)mvc;
+            g->newmv[o] = (uint8_t)has_newmv;
+            g->bsize[o] = (uint8_t)bsize;
+        }
+}
+
+/* block dims in 4px units per bsize enum (square + rect subset) */
+static const int BW4[22] = {1, 1, 2, 2, 2, 4, 4, 4, 8, 8, 8,
+                            16, 16, 16, 32, 32, 1, 4, 2, 8, 4, 16};
+static const int BH4[22] = {1, 2, 1, 2, 4, 2, 4, 8, 4, 8, 16,
+                            8, 16, 32, 16, 32, 4, 1, 8, 2, 16, 4};
+
+/* ---- setup_ref_mv_list (spec 7.10.2; single ref, gm identity) ---------- */
+#define MV_BORDER (4 << 5)
+#define REF_CAT_LEVEL 640
+#define MAX_STACK 8
+#define MAX_MV_CANDS 2
+
+typedef struct {
+    int16_t mv[MAX_STACK][2];
+    int weight[MAX_STACK];
+    int n;          /* stack length incl. gm fill */
+    int n_found;    /* NumMvFound (gm fill excluded) */
+    int mode_context;
+} MvRefsC;
+
+typedef struct {
+    InterGrid *g;
+    int mi_row, mi_col, n8_w, n8_h, ref_frame;
+    int t_row0, t_row1, t_col0, t_col1;   /* tile bounds (mi units) */
+    MvRefsC *out;
+    int row_match, col_match, newmv_count;
+    int processed_rows, processed_cols;
+    int max_row_offset, max_col_offset;
+} MvCtx;
+
+static void add_candidate(MvCtx *m, int r, int c, int len, int weight) {
+    InterGrid *g = m->g;
+    if (c >= m->t_col1 || r >= m->t_row1) return;
+    size_t o = (size_t)r * g->mi_cols + c;
+    if (g->ref0[o] <= 0) return;
+    if (g->ref0[o] == m->ref_frame) {
+        int mvr = g->mv[o * 2], mvc = g->mv[o * 2 + 1];
+        MvRefsC *s = m->out;
+        int found = 0;
+        for (int i = 0; i < s->n; i++)
+            if (s->mv[i][0] == mvr && s->mv[i][1] == mvc) {
+                s->weight[i] += weight * len;
+                found = 1;
+                break;
+            }
+        if (!found && s->n < MAX_STACK) {
+            s->mv[s->n][0] = (int16_t)mvr;
+            s->mv[s->n][1] = (int16_t)mvc;
+            s->weight[s->n] = weight * len;
+            s->n++;
+        }
+        if (g->newmv[o]) m->newmv_count++;
+        /* which counter updated is chosen by the caller */
+    }
+}
+
+static void scan_row(MvCtx *m, int row_offset) {
+    InterGrid *g = m->g;
+    int end_mi = m->n8_w;
+    if (m->t_col1 - m->mi_col < end_mi) end_mi = m->t_col1 - m->mi_col;
+    if (end_mi > 16) end_mi = 16;
+    int col_offset = 0;
+    if (abs(row_offset) > 1) {
+        col_offset = 1;
+        if ((m->mi_col & 1) && m->n8_w < 2) col_offset--;
+    }
+    int use_step_16 = m->n8_w >= 16;
+    int i = 0;
+    while (i < end_mi) {
+        int r = m->mi_row + row_offset;
+        int c = m->mi_col + col_offset + i;
+        int cb = g->bsize[(size_t)r * g->mi_cols + c];
+        int cw4 = BW4[cb], ch4 = BH4[cb];
+        int ln = m->n8_w < cw4 ? m->n8_w : cw4;
+        if (use_step_16) {
+            if (ln < 4) ln = 4;
+        } else if (abs(row_offset) > 1) {
+            if (ln < 2) ln = 2;
+        }
+        int weight = 2;
+        if (m->n8_w >= 2 && m->n8_w <= cw4) {
+            int inc = -m->max_row_offset + row_offset + 1;
+            if (inc > ch4) inc = ch4;
+            if (inc > weight) weight = inc;
+            m->processed_rows = inc - row_offset - 1;
+        }
+        {
+            int matched = 0;
+            size_t o = (size_t)r * g->mi_cols + c;
+            if (c < g->mi_cols && r < g->mi_rows && g->ref0[o] > 0 &&
+                g->ref0[o] == m->ref_frame)
+                matched = 1;
+            add_candidate(m, r, c, ln, weight);
+            if (matched) m->row_match++;
+        }
+        i += ln;
+    }
+}
+
+static void scan_col(MvCtx *m, int col_offset) {
+    InterGrid *g = m->g;
+    int end_mi = m->n8_h;
+    if (m->t_row1 - m->mi_row < end_mi) end_mi = m->t_row1 - m->mi_row;
+    if (end_mi > 16) end_mi = 16;
+    int row_offset = 0;
+    if (abs(col_offset) > 1) {
+        row_offset = 1;
+        if ((m->mi_row & 1) && m->n8_h < 2) row_offset--;
+    }
+    int use_step_16 = m->n8_h >= 16;
+    int i = 0;
+    while (i < end_mi) {
+        int r = m->mi_row + row_offset + i;
+        int c = m->mi_col + col_offset;
+        int cb = g->bsize[(size_t)r * g->mi_cols + c];
+        int cw4 = BW4[cb], ch4 = BH4[cb];
+        int ln = m->n8_h < ch4 ? m->n8_h : ch4;
+        if (use_step_16) {
+            if (ln < 4) ln = 4;
+        } else if (abs(col_offset) > 1) {
+            if (ln < 2) ln = 2;
+        }
+        int weight = 2;
+        if (m->n8_h >= 2 && m->n8_h <= ch4) {
+            int inc = -m->max_col_offset + col_offset + 1;
+            if (inc > cw4) inc = cw4;
+            if (inc > weight) weight = inc;
+            m->processed_cols = inc - col_offset - 1;
+        }
+        {
+            int matched = 0;
+            size_t o = (size_t)r * g->mi_cols + c;
+            if (c < g->mi_cols && r < g->mi_rows && g->ref0[o] > 0 &&
+                g->ref0[o] == m->ref_frame)
+                matched = 1;
+            add_candidate(m, r, c, ln, weight);
+            if (matched) m->col_match++;
+        }
+        i += ln;
+    }
+}
+
+static void scan_blk(MvCtx *m, int row_offset, int col_offset) {
+    int r = m->mi_row + row_offset;
+    int c = m->mi_col + col_offset;
+    InterGrid *g = m->g;
+    if (r < m->t_row0 || c < m->t_col0 || r >= m->t_row1 ||
+        c >= m->t_col1)
+        return;
+    size_t o = (size_t)r * g->mi_cols + c;
+    int matched = g->ref0[o] > 0 && g->ref0[o] == m->ref_frame;
+    add_candidate(m, r, c, 2, 2);
+    if (matched) m->row_match++;
+}
+
+static int has_top_right(MvCtx *m, int sb_mi) {
+    int bs = m->n8_w > m->n8_h ? m->n8_w : m->n8_h;
+    if (bs > 16) return 0;
+    if (m->n8_w > m->n8_h) {
+        if (m->mi_row & (m->n8_w - 1)) return 0;
+    }
+    if (m->n8_w < m->n8_h) {
+        if ((m->mi_col + m->n8_w) & (m->n8_h - 1)) return 1;
+    }
+    int mask_row = m->mi_row & (sb_mi - 1);
+    int mask_col = m->mi_col & (sb_mi - 1);
+    int has_tr = !((mask_row & bs) && (mask_col & bs));
+    int b = bs;
+    while (b < sb_mi) {
+        if (mask_col & b) {
+            if ((mask_col & (2 * b)) && (mask_row & (2 * b))) {
+                has_tr = 0;
+                break;
+            }
+        } else {
+            break;
+        }
+        b <<= 1;
+    }
+    /* square-partition-only walk: no VERT_A special case */
+    return has_tr;
+}
+
+void tpui_ref_mv_list(InterGrid *g, int mi_row, int mi_col, int bsize,
+                      int ref_frame, int sb_mi, int t_row0, int t_row1,
+                      int t_col0, int t_col1, MvRefsC *out) {
+    int n8_w = BW4[bsize], n8_h = BH4[bsize];
+    memset(out, 0, sizeof(*out));
+    MvCtx m = {0};
+    m.g = g;
+    m.mi_row = mi_row;
+    m.mi_col = mi_col;
+    m.n8_w = n8_w;
+    m.n8_h = n8_h;
+    m.ref_frame = ref_frame;
+    m.t_row0 = t_row0;
+    m.t_row1 = t_row1;
+    m.t_col0 = t_col0;
+    m.t_col1 = t_col1;
+    m.out = out;
+
+    /* availability is TILE-relative (spec 7.10.2 MiRowStart/MiColStart) */
+    int up_avail = mi_row > t_row0, left_avail = mi_col > t_col0;
+    int row_adj = (n8_h < 2) && (mi_row & 1);
+    int col_adj = (n8_w < 2) && (mi_col & 1);
+    if (up_avail) {
+        m.max_row_offset = -(3 << 1) + row_adj;
+        if (n8_h < 2) m.max_row_offset = -(2 << 1) + row_adj;
+        m.max_row_offset = clampi(m.max_row_offset, -(mi_row - t_row0),
+                                  t_row1 - mi_row - 1);
+    }
+    if (left_avail) {
+        m.max_col_offset = -(3 << 1) + col_adj;
+        if (n8_w < 2) m.max_col_offset = -(2 << 1) + col_adj;
+        m.max_col_offset = clampi(m.max_col_offset, -(mi_col - t_col0),
+                                  t_col1 - mi_col - 1);
+    }
+
+    if (abs(m.max_row_offset) >= 1) scan_row(&m, -1);
+    if (abs(m.max_col_offset) >= 1) scan_col(&m, -1);
+    if (has_top_right(&m, sb_mi)) scan_blk(&m, -1, n8_w);
+
+    int nearest_match = (m.row_match > 0) + (m.col_match > 0);
+    int nearest_newmv = m.newmv_count;
+    for (int i = 0; i < out->n; i++) out->weight[i] += REF_CAT_LEVEL;
+
+    scan_blk(&m, -1, -1);
+    for (int idx = 2; idx <= 3; idx++) {
+        int row_offset = -(idx << 1) + 1 + row_adj;
+        int col_offset = -(idx << 1) + 1 + col_adj;
+        if (abs(row_offset) <= abs(m.max_row_offset) &&
+            abs(row_offset) > m.processed_rows)
+            scan_row(&m, row_offset);
+        if (abs(col_offset) <= abs(m.max_col_offset) &&
+            abs(col_offset) > m.processed_cols)
+            scan_col(&m, col_offset);
+    }
+
+    int ref_match_count = (m.row_match > 0) + (m.col_match > 0);
+    int mode_context = 0;
+    if (nearest_match == 0) {
+        if (ref_match_count >= 1) mode_context |= 1;
+        if (ref_match_count == 1)
+            mode_context |= (1 << 4);
+        else if (ref_match_count >= 2)
+            mode_context |= (2 << 4);
+    } else if (nearest_match == 1) {
+        mode_context |= nearest_newmv > 0 ? 2 : 3;
+        if (ref_match_count == 1)
+            mode_context |= (3 << 4);
+        else if (ref_match_count >= 2)
+            mode_context |= (4 << 4);
+    } else {
+        mode_context |= nearest_newmv >= 1 ? 4 : 5;
+        mode_context |= (5 << 4);
+    }
+    out->mode_context = mode_context;
+
+    /* stable sort by weight descending (insertion sort keeps stability) */
+    for (int i = 1; i < out->n; i++) {
+        int16_t tr = out->mv[i][0], tc = out->mv[i][1];
+        int tw = out->weight[i];
+        int j = i - 1;
+        while (j >= 0 && out->weight[j] < tw) {
+            out->mv[j + 1][0] = out->mv[j][0];
+            out->mv[j + 1][1] = out->mv[j][1];
+            out->weight[j + 1] = out->weight[j];
+            j--;
+        }
+        out->mv[j + 1][0] = tr;
+        out->mv[j + 1][1] = tc;
+        out->weight[j + 1] = tw;
+    }
+
+    int n_counted = -1;
+    if (out->n < MAX_MV_CANDS) {
+        int mi_width = n8_w;
+        if (t_col1 - mi_col < mi_width) mi_width = t_col1 - mi_col;
+        if (mi_width > 16) mi_width = 16;
+        int mi_height = n8_h;
+        if (t_row1 - mi_row < mi_height) mi_height = t_row1 - mi_row;
+        if (mi_height > 16) mi_height = 16;
+        int mi_size = mi_width < mi_height ? mi_width : mi_height;
+        if (abs(m.max_row_offset) >= 1) {
+            int i = 0;
+            while (i < mi_size && out->n < MAX_MV_CANDS) {
+                int r = mi_row - 1, c = mi_col + i;
+                size_t o = (size_t)r * g->mi_cols + c;
+                if (g->ref0[o] > 0) {
+                    int mvr = g->mv[o * 2], mvc = g->mv[o * 2 + 1];
+                    int dup = 0;
+                    for (int k = 0; k < out->n; k++)
+                        if (out->mv[k][0] == mvr && out->mv[k][1] == mvc)
+                            dup = 1;
+                    if (!dup) {
+                        out->mv[out->n][0] = (int16_t)mvr;
+                        out->mv[out->n][1] = (int16_t)mvc;
+                        out->weight[out->n] = 2;
+                        out->n++;
+                    }
+                }
+                i += BW4[g->bsize[o]];
+            }
+        }
+        if (abs(m.max_col_offset) >= 1) {
+            int i = 0;
+            while (i < mi_size && out->n < MAX_MV_CANDS) {
+                int r = mi_row + i, c = mi_col - 1;
+                size_t o = (size_t)r * g->mi_cols + c;
+                if (g->ref0[o] > 0) {
+                    int mvr = g->mv[o * 2], mvc = g->mv[o * 2 + 1];
+                    int dup = 0;
+                    for (int k = 0; k < out->n; k++)
+                        if (out->mv[k][0] == mvr && out->mv[k][1] == mvc)
+                            dup = 1;
+                    if (!dup) {
+                        out->mv[out->n][0] = (int16_t)mvr;
+                        out->mv[out->n][1] = (int16_t)mvc;
+                        out->weight[out->n] = 2;
+                        out->n++;
+                    }
+                }
+                i += BH4[g->bsize[o]];
+            }
+        }
+        n_counted = out->n;
+        while (out->n < MAX_MV_CANDS) {
+            out->mv[out->n][0] = 0;
+            out->mv[out->n][1] = 0;
+            out->weight[out->n] = 2;
+            out->n++;
+        }
+    }
+
+    /* clamp */
+    int bw8 = n8_w * 4 * 8, bh8 = n8_h * 4 * 8;
+    int to_left = -(mi_col * 4 * 8);
+    int to_right = (g->mi_cols - n8_w - mi_col) * 4 * 8;
+    int to_top = -(mi_row * 4 * 8);
+    int to_bottom = (g->mi_rows - n8_h - mi_row) * 4 * 8;
+    /* (MV clamp region is frame-based; only availability is tiled) */
+    for (int i = 0; i < out->n; i++) {
+        out->mv[i][1] = (int16_t)clampi(out->mv[i][1],
+                                        to_left - bw8 - MV_BORDER,
+                                        to_right + bw8 + MV_BORDER);
+        out->mv[i][0] = (int16_t)clampi(out->mv[i][0],
+                                        to_top - bh8 - MV_BORDER,
+                                        to_bottom + bh8 + MV_BORDER);
+    }
+    out->n_found = n_counted < 0 ? out->n : n_counted;
+}
+
+int tpui_drl_ctx(const MvRefsC *refs, int idx) {
+    if (idx < refs->n && refs->weight[idx] >= REF_CAT_LEVEL) {
+        if (idx + 1 < refs->n && refs->weight[idx + 1] >= REF_CAT_LEVEL)
+            return 0;
+        return 1;
+    }
+    if (idx + 1 < refs->n) return 2;
+    return 0;
+}
+
+/* ---- MV coding (spec 5.11.31/32; allow_hp=0, force_int=0) -------------- */
+static void write_mv_comp(TpuCommit *c, int comp, int val) {
+    InterCdfs *ic = c->ic;
+    int sign = val < 0;
+    int mag = sign ? -val : val;
+    tpuec_symbol(c->ec, sign, ic->sign[comp], 2, 1);
+    int off = mag - 1;
+    int cls = 0;
+    while (cls < 10) {
+        int base = cls == 0 ? 0 : (2 << (cls + 2));
+        int size = cls == 0 ? 16 : (2 << (cls + 2));
+        if (off >= base && off < base + size) break;
+        cls++;
+    }
+    tpuec_symbol(c->ec, cls, ic->classes[comp], 11, 1);
+    int rem = cls == 0 ? off : off - (2 << (cls + 2));
+    int fr = (rem >> 1) & 3;
+    int d = rem >> 3;
+    if (cls == 0) {
+        tpuec_symbol(c->ec, d, ic->class0[comp], 2, 1);
+    } else {
+        for (int b = 0; b < cls; b++)
+            tpuec_symbol(c->ec, (d >> b) & 1, ic->bits[comp] + b * 3, 2, 1);
+    }
+    if (cls == 0)
+        tpuec_symbol(c->ec, fr, ic->class0_fp[comp] + d * 5, 4, 1);
+    else
+        tpuec_symbol(c->ec, fr, ic->fp[comp], 4, 1);
+    /* allow_hp == 0: no hp bit */
+}
+
+static double cost_mv_comp(TpuCommit *c, int comp, int val) {
+    InterCdfs *ic = c->ic;
+    int sign = val < 0;
+    int mag = sign ? -val : val;
+    double bits = tpu_sym_cost_bits(ic->sign[comp], sign);
+    int off = mag - 1;
+    int cls = 0;
+    while (cls < 10) {
+        int base = cls == 0 ? 0 : (2 << (cls + 2));
+        int size = cls == 0 ? 16 : (2 << (cls + 2));
+        if (off >= base && off < base + size) break;
+        cls++;
+    }
+    bits += tpu_sym_cost_bits(ic->classes[comp], cls);
+    int rem = cls == 0 ? off : off - (2 << (cls + 2));
+    int fr = (rem >> 1) & 3;
+    int d = rem >> 3;
+    if (cls == 0)
+        bits += tpu_sym_cost_bits(ic->class0[comp], d);
+    else
+        for (int b = 0; b < cls; b++)
+            bits += tpu_sym_cost_bits(ic->bits[comp] + b * 3, (d >> b) & 1);
+    if (cls == 0)
+        bits += tpu_sym_cost_bits(ic->class0_fp[comp] + d * 5, fr);
+    else
+        bits += tpu_sym_cost_bits(ic->fp[comp], fr);
+    return bits;
+}
+
+static void write_mv(TpuCommit *c, int mvr, int mvc, int pr, int pc) {
+    int dr = mvr - pr, dc = mvc - pc;
+    int joint = (dr ? 2 : 0) | (dc ? 1 : 0);
+    tpuec_symbol(c->ec, joint, c->ic->nmv_joints, 4, 1);
+    if (dr) write_mv_comp(c, 0, dr);
+    if (dc) write_mv_comp(c, 1, dc);
+}
+
+static double cost_mv(TpuCommit *c, int mvr, int mvc, int pr, int pc) {
+    int dr = mvr - pr, dc = mvc - pc;
+    int joint = (dr ? 2 : 0) | (dc ? 1 : 0);
+    double bits = tpu_sym_cost_bits(c->ic->nmv_joints, joint);
+    if (dr) bits += cost_mv_comp(c, 0, dr);
+    if (dc) bits += cost_mv_comp(c, 1, dc);
+    return bits;
+}
+
+static void lower_precision(int *r, int *c2) {
+    if (*r & 1) *r += *r > 0 ? -1 : 1;
+    if (*c2 & 1) *c2 += *c2 > 0 ? -1 : 1;
+}
+
+/* ---- shared writer/parser context helpers ------------------------------ */
+static int intra_inter_ctx_of(TpuCommit *c, int r, int c4) {
+    InterGrid *g = c->grid;
+    int have_above = r > c->t_mi_row0, have_left = c4 > c->t_mi_col0;
+    if (have_above && have_left) {
+        int ai = g->ref0[(size_t)(r - 1) * g->mi_cols + c4] <= 0;
+        int li = g->ref0[(size_t)r * g->mi_cols + c4 - 1] <= 0;
+        return (ai && li) ? 3 : (ai || li) ? 1 : 0;
+    }
+    if (have_above || have_left) {
+        size_t o = have_above ? (size_t)(r - 1) * g->mi_cols + c4
+                              : (size_t)r * g->mi_cols + c4 - 1;
+        return 2 * (g->ref0[o] <= 0);
+    }
+    return 0;
+}
+
+static void neighbor_ref_counts(TpuCommit *c, int r, int c4, int *counts) {
+    InterGrid *g = c->grid;
+    memset(counts, 0, sizeof(int) * 8);
+    if (r > c->t_mi_row0) {
+        int r0 = g->ref0[(size_t)(r - 1) * g->mi_cols + c4];
+        if (r0 > 0) counts[r0]++;
+    }
+    if (c4 > c->t_mi_col0) {
+        int r0 = g->ref0[(size_t)r * g->mi_cols + c4 - 1];
+        if (r0 > 0) counts[r0]++;
+    }
+}
+static int ctx3(int a, int b) { return a == b ? 1 : (a < b ? 0 : 2); }
+
+/* single-ref (LAST) reference-frame tree bits */
+static void write_single_ref_last(TpuCommit *c, int r, int c4) {
+    InterCdfs *ic = c->ic;
+    int cnt[8];
+    neighbor_ref_counts(c, r, c4, cnt);
+    int fwd = cnt[1] + cnt[2] + cnt[3] + cnt[4];
+    int bwd = cnt[5] + cnt[6] + cnt[7];
+    /* ref=1 (LAST): !(ref>=5), !(ref>=3), !(ref==2) */
+    tpuec_symbol(c->ec, 0, ic->single_ref + (ctx3(fwd, bwd) * 6 + 0) * 3,
+                 2, 1);
+    tpuec_symbol(c->ec, 0,
+                 ic->single_ref +
+                     (ctx3(cnt[1] + cnt[2], cnt[3] + cnt[4]) * 6 + 2) * 3,
+                 2, 1);
+    tpuec_symbol(c->ec, 0, ic->single_ref + (ctx3(cnt[1], cnt[2]) * 6 + 3) *
+                               3, 2, 1);
+}
+static double cost_single_ref_last(TpuCommit *c, int r, int c4) {
+    InterCdfs *ic = c->ic;
+    int cnt[8];
+    neighbor_ref_counts(c, r, c4, cnt);
+    int fwd = cnt[1] + cnt[2] + cnt[3] + cnt[4];
+    int bwd = cnt[5] + cnt[6] + cnt[7];
+    return tpu_sym_cost_bits(ic->single_ref + (ctx3(fwd, bwd) * 6 + 0) * 3,
+                             0) +
+           tpu_sym_cost_bits(
+               ic->single_ref +
+                   (ctx3(cnt[1] + cnt[2], cnt[3] + cnt[4]) * 6 + 2) * 3,
+               0) +
+           tpu_sym_cost_bits(
+               ic->single_ref + (ctx3(cnt[1], cnt[2]) * 6 + 3) * 3, 0);
+}
+
+/* ---- inter block encode ------------------------------------------------ */
+static __thread int32_t i_pred_y[64 * 64], i_resid_y[64 * 64];
+static __thread int32_t i_pred_u[32 * 32], i_pred_v[32 * 32];
+static __thread TxTrial i_ty, i_tu, i_tv;
+
+/* Motion-compensated luma SSE of a candidate MV (trial preds kept) */
+static void mc_luma(TpuCommit *c, int r, int c4, int size, int mvr, int mvc,
+                    int32_t *out) {
+    /* MC clamp bounds are the DISPLAY dims (spec 7.11.3.2 lastX/lastY) */
+    tpui_mc_block(c->refp[0], c->ref_stride[0], c->width, c->height,
+                  c4 * 4, r * 4, size, size, mvc * 2, mvr * 2, c->bd, out);
+}
+
+static long sad_luma(TpuCommit *c, int r, int c4, int size,
+                     const int32_t *pred) {
+    const uint16_t *sp = c->src[0];
+    int ss = c->sstride[0];
+    long sad = 0;
+    for (int i = 0; i < size; i++)
+        for (int j = 0; j < size; j++) {
+            long d = (long)sp[(r * 4 + i) * ss + c4 * 4 + j] -
+                     pred[i * size + j];
+            sad += d < 0 ? -d : d;
+        }
+    return sad;
+}
+
+/* Encode one P-frame leaf block (inter-vs-intra decision inside). */
+static void encode_block_p(TpuCommit *c, int r, int c4, int size,
+                           const uint8_t *icand, const int16_t *mv16,
+                           int mv16_cols, int q, int *dq_pending,
+                           int *prev_q, int dq_res_log2) {
+    InterCdfs *ic = c->ic;
+    int ts_y = tpu_sq_tx(size);
+    int ts_c = tpu_uv_tx(size);
+    int cr = r >> 1, cc = c4 >> 1;
+    int bsize = tpu_sq_bsize(size);
+    int w4 = size / 4;
+
+    MvRefsC refs;
+    tpui_ref_mv_list(c->grid, r, c4, bsize, 1, 16, c->t_mi_row0,
+                     c->t_mi_row1, c->t_mi_col0, c->t_mi_col1, &refs);
+    int near0r = refs.mv[0][0], near0c = refs.mv[0][1];
+    lower_precision(&near0r, &near0c);
+
+    /* candidate list: (mode, mvr, mvc, drl) */
+    int cm[6][4];
+    int ncand = 0;
+    cm[ncand][0] = 0; cm[ncand][1] = near0r; cm[ncand][2] = near0c;
+    cm[ncand][3] = 0; ncand++;
+    if (refs.n_found >= 2) {
+        int m1r = refs.mv[1][0], m1c = refs.mv[1][1];
+        lower_precision(&m1r, &m1c);
+        if (m1r != near0r || m1c != near0c) {
+            cm[ncand][0] = 1; cm[ncand][1] = m1r; cm[ncand][2] = m1c;
+            cm[ncand][3] = 0; ncand++;
+        }
+    }
+    {
+        int dup = 0;
+        for (int i = 0; i < ncand; i++)
+            if (cm[i][1] == 0 && cm[i][2] == 0) dup = 1;
+        if (!dup) {
+            cm[ncand][0] = 2; cm[ncand][1] = 0; cm[ncand][2] = 0;
+            cm[ncand][3] = 0; ncand++;
+        }
+    }
+    /* NEWMV: device seed, fullpel already; subpel refine by luma SAD.
+     * Gated: skip the diamond when NEARESTMV already predicts well
+     * (ref enc_mode_config ME skip levels). */
+    static __thread int32_t near_pred[64 * 64];
+    mc_luma(c, r, c4, size, near0r, near0c, near_pred);
+    long near_sad = sad_luma(c, r, c4, size, near_pred);
+    if (near_sad > (long)size * size * 2) {
+        int cell_r = (r * 4) / 16, cell_c = (c4 * 4) / 16;
+        int seedr = mv16[(cell_r * mv16_cols + cell_c) * 2] * 8;
+        int seedc = mv16[(cell_r * mv16_cols + cell_c) * 2 + 1] * 8;
+        static __thread int32_t tmp_pred[64 * 64];
+        int bestr = seedr, bestc = seedc;
+        mc_luma(c, r, c4, size, bestr, bestc, tmp_pred);
+        long best_sad = sad_luma(c, r, c4, size, tmp_pred);
+        for (int step = 8; step >= 2; step >>= 1) {
+            int improved = 1;
+            int iters = 0;
+            while (improved && iters++ < 3) {
+                improved = 0;
+                static const int D[4][2] = {{-1, 0}, {1, 0}, {0, -1},
+                                            {0, 1}};
+                for (int k = 0; k < 4; k++) {
+                    int mr = bestr + D[k][0] * step;
+                    int mc2 = bestc + D[k][1] * step;
+                    mc_luma(c, r, c4, size, mr, mc2, tmp_pred);
+                    long s = sad_luma(c, r, c4, size, tmp_pred);
+                    if (s < best_sad) {
+                        best_sad = s;
+                        bestr = mr;
+                        bestc = mc2;
+                        improved = 1;
+                    }
+                }
+            }
+        }
+        cm[ncand][0] = 3; cm[ncand][1] = bestr; cm[ncand][2] = bestc;
+        cm[ncand][3] = 0; ncand++;
+    }
+
+    /* common inter rate: is_inter bit + single-ref tree */
+    int ii_ctx = intra_inter_ctx_of(c, r, c4);
+    double inter_base_rate =
+        tpu_sym_cost_bits(ic->intra_inter + ii_ctx * 3, 1) +
+        cost_single_ref_last(c, r, c4);
+    double intra_base_rate =
+        tpu_sym_cost_bits(ic->intra_inter + ii_ctx * 3, 0);
+
+    int sgn_y = tpu_dc_sign_ctx(c, 0, r, c4, ts_y);
+    static __thread int32_t cand_preds[4][64 * 64];
+    static __thread int32_t cand_resid[64 * 64];
+    static __thread TxTrial cand_trial;
+    /* MC once per candidate; SAD pre-rank keeps the best 2 for the full
+     * trial (md_stage_0 -> md_stage_3 funnel) */
+    long cand_sad[6];
+    if (ncand > 4) ncand = 4;
+    for (int i = 0; i < ncand; i++) {
+        if (i == 0) {
+            memcpy(cand_preds[0], near_pred,
+                   sizeof(int32_t) * size * size);
+            cand_sad[0] = near_sad;
+            continue;
+        }
+        mc_luma(c, r, c4, size, cm[i][1], cm[i][2], cand_preds[i]);
+        cand_sad[i] = sad_luma(c, r, c4, size, cand_preds[i]);
+    }
+    int pruned[6] = {0};
+    if (ncand > 2) {
+        long order[6];
+        memcpy(order, cand_sad, sizeof(order));
+        for (int keep = 0; keep < 2; keep++) {
+            int bi = -1;
+            for (int i = 0; i < ncand; i++)
+                if (!pruned[i] && order[i] >= 0 &&
+                    (bi < 0 || order[i] < order[bi]))
+                    bi = i;
+            if (bi >= 0) order[bi] = -1;   /* mark kept */
+        }
+        for (int i = 0; i < ncand; i++) pruned[i] = order[i] >= 0;
+    }
+    double best_cost = -1.0;
+    int best_mode = 0, best_mvr = 0, best_mvc = 0, best_drl = 0;
+    int best_i = 0;
+    for (int i = 0; i < ncand; i++) {
+        if (pruned[i]) continue;
+        int mode = cm[i][0], mvr = cm[i][1], mvc = cm[i][2];
+        const int32_t *cand_pred = cand_preds[i];
+        const uint16_t *sp = c->src[0];
+        int ss = c->sstride[0];
+        for (int y = 0; y < size; y++)
+            for (int x = 0; x < size; x++)
+                cand_resid[y * size + x] =
+                    (int32_t)sp[(r * 4 + y) * ss + c4 * 4 + x] -
+                    cand_pred[y * size + x];
+        tpu_trial_txb(c, 0, ts_y, 0, cand_resid, q, 0, sgn_y, 1,
+                      &cand_trial);
+        /* mode bits */
+        int newmv_ctx = refs.mode_context & 7;
+        int zeromv_ctx = (refs.mode_context >> 3) & 1;
+        int refmv_ctx = (refs.mode_context >> 4) & 15;
+        double rate = tpu_sym_cost_bits(ic->newmv + newmv_ctx * 3,
+                                        mode != 3);
+        if (mode != 3) {
+            rate += tpu_sym_cost_bits(ic->zeromv + zeromv_ctx * 3,
+                                      mode != 2);
+            if (mode != 2)
+                rate += tpu_sym_cost_bits(ic->refmv + refmv_ctx * 3,
+                                          mode != 0);
+        }
+        if (mode == 3) {
+            int pr = refs.mv[0][0], pc = refs.mv[0][1];
+            lower_precision(&pr, &pc);
+            rate += cost_mv(c, mvr, mvc, pr, pc);
+            if (refs.n_found > 1)
+                rate += tpu_sym_cost_bits(
+                    ic->drl + tpui_drl_ctx(&refs, 0) * 3, 0);
+        }
+        if (mode == 1 && refs.n_found > 2)
+            rate += tpu_sym_cost_bits(ic->drl + tpui_drl_ctx(&refs, 1) * 3,
+                                      0);
+        double cost = (double)cand_trial.sse +
+                      c->rdmult * (rate + cand_trial.rate512 / 512.0);
+        if (best_cost < 0 || cost < best_cost) {
+            best_cost = cost;
+            best_mode = mode;
+            best_mvr = mvr;
+            best_mvc = mvc;
+            best_drl = cm[i][3];
+            best_i = i;
+            i_ty = cand_trial;
+        }
+        if (i == 0 && cand_trial.eob == 0) break;  /* NEAREST already skips */
+    }
+    memcpy(i_pred_y, cand_preds[best_i], sizeof(int32_t) * size * size);
+    best_cost += c->rdmult * inter_base_rate;
+
+    /* chroma for the inter winner */
+    {
+        int cw = TXW[ts_c], chh = TXH[ts_c];
+        tpui_mc_block(c->refp[1], c->ref_stride[1], (c->width + 1) >> 1,
+                      (c->height + 1) >> 1, cc * 4, cr * 4, cw, chh,
+                      best_mvc, best_mvr, c->bd, i_pred_u);
+        tpui_mc_block(c->refp[2], c->ref_stride[2], (c->width + 1) >> 1,
+                      (c->height + 1) >> 1, cc * 4, cr * 4, cw, chh,
+                      best_mvc, best_mvr, c->bd, i_pred_v);
+        static __thread int32_t ru[32 * 32], rv[32 * 32];
+        const uint16_t *su = c->src[1], *sv = c->src[2];
+        int ss = c->sstride[1];
+        for (int y = 0; y < chh; y++)
+            for (int x = 0; x < cw; x++) {
+                int off = (cr * 4 + y) * ss + cc * 4 + x;
+                ru[y * cw + x] = (int32_t)su[off] - i_pred_u[y * cw + x];
+                rv[y * cw + x] = (int32_t)sv[off] - i_pred_v[y * cw + x];
+            }
+        int sgn_u = tpu_dc_sign_ctx(c, 1, cr, cc, ts_c);
+        int sgn_v = tpu_dc_sign_ctx(c, 2, cr, cc, ts_c);
+        tpu_trial_txb(c, 1, ts_c, 0, ru, q, 1, sgn_u, 1, &i_tu);
+        tpu_trial_txb(c, 2, ts_c, 0, rv, q, 1, sgn_v, 1, &i_tv);
+        best_cost += (double)(i_tu.sse + i_tv.sse) +
+                     c->rdmult * ((i_tu.rate512 + i_tv.rate512) / 512.0);
+    }
+
+    /* intra competitor — only consulted when the inter winner is poor
+     * (the reference's class pruning; avoids a full intra trial on every
+     * well-predicted block) */
+    double intra_cost = -1.0;
+    int iy = 0, iuv = 0, iskip = 0;
+    int use_intra = 0;
+    {
+        const int32_t *pq0 = c->qtab + ((q * 3) + 0) * 10;
+        double qstep = pq0[8] / 8.0;
+        double poor = 1.5 * qstep * qstep * size * size;
+        if ((double)i_ty.sse > poor) {
+            tpu_intra_trial_only(c, r, c4, size, icand, q, &intra_cost,
+                                 &iy, &iuv, &iskip);
+            intra_cost += c->rdmult * intra_base_rate;
+            use_intra = intra_cost < best_cost;
+        }
+    }
+    int skip;
+    if (use_intra) {
+        /* re-run trial to restore intra __thread buffers (the inter
+         * chroma trial may have clobbered nothing — intra buffers are
+         * separate — but CDF state was untouched; just reuse) */
+        skip = iskip;
+    } else {
+        skip = (i_ty.eob == 0 && i_tu.eob == 0 && i_tv.eob == 0);
+    }
+
+    /* syntax: skip -> delta q -> is_inter -> info -> residual */
+    int skip_ctx = c->above_skip[c4] + c->left_skip[r];
+    tpuec_symbol(c->ec, skip, c->mc->skip + skip_ctx * 3, 2, 1);
+    if (*dq_pending && !(size == 64 && skip)) {
+        int delta = (q - *prev_q) >> dq_res_log2;
+        tpu_write_delta_q(c, delta < 0 ? -delta : delta, delta < 0);
+        *prev_q = q;
+        *dq_pending = 0;
+    }
+    tpuec_symbol(c->ec, !use_intra, ic->intra_inter + ii_ctx * 3, 2, 1);
+    if (use_intra) {
+        tpu_intra_commit_choice(c, r, c4, size, iy, iuv, iskip);
+        return;
+    }
+
+    write_single_ref_last(c, r, c4);
+    {
+        int newmv_ctx = refs.mode_context & 7;
+        int zeromv_ctx = (refs.mode_context >> 3) & 1;
+        int refmv_ctx = (refs.mode_context >> 4) & 15;
+        tpuec_symbol(c->ec, best_mode != 3, ic->newmv + newmv_ctx * 3, 2,
+                     1);
+        if (best_mode != 3) {
+            tpuec_symbol(c->ec, best_mode != 2, ic->zeromv + zeromv_ctx * 3,
+                         2, 1);
+            if (best_mode != 2)
+                tpuec_symbol(c->ec, best_mode != 0,
+                             ic->refmv + refmv_ctx * 3, 2, 1);
+        }
+        /* DRL (refs.count == NumMvFound gates the bits) */
+        if (best_mode == 3) {
+            for (int idx = 0; idx < 2; idx++) {
+                if (refs.n_found > idx + 1) {
+                    int bit = best_drl != idx;
+                    tpuec_symbol(c->ec, bit,
+                                 ic->drl + tpui_drl_ctx(&refs, idx) * 3, 2,
+                                 1);
+                    if (!bit) break;
+                }
+            }
+        } else if (best_mode == 1) {
+            for (int idx = 1; idx < 3; idx++) {
+                if (refs.n_found > idx + 1) {
+                    int bit = (1 + best_drl) != idx;
+                    tpuec_symbol(c->ec, bit,
+                                 ic->drl + tpui_drl_ctx(&refs, idx) * 3, 2,
+                                 1);
+                    if (!bit) break;
+                }
+            }
+        }
+        if (best_mode == 3) {
+            int pos = refs.n_found > 1 ? best_drl : 0;
+            int pr = refs.mv[pos][0], pc = refs.mv[pos][1];
+            lower_precision(&pr, &pc);
+            write_mv(c, best_mvr, best_mvc, pr, pc);
+        }
+    }
+
+    /* neighbor rows + grid */
+    int aw4 = w4 < c->mi_cols - c4 ? w4 : c->mi_cols - c4;
+    int lh4 = w4 < c->mi_rows - r ? w4 : c->mi_rows - r;
+    memset(c->above_mode + c4, 0, aw4);
+    memset(c->left_mode + r, 0, lh4);
+    memset(c->above_skip + c4, skip, aw4);
+    memset(c->left_skip + r, skip, lh4);
+    memset(c->above_smooth[0] + c4, 0, aw4);
+    memset(c->left_smooth[0] + r, 0, lh4);
+    memset(c->above_smooth[1] + c4, 0, aw4);
+    memset(c->left_smooth[1] + r, 0, lh4);
+    tpui_grid_set(c->grid, r, c4, w4, w4, bsize, 1, best_mvr, best_mvc,
+                  best_mode == 3);
+    if (c->lf_txdim[0]) {
+        for (int i = 0; i < lh4; i++)
+            memset(c->lf_txdim[0] + (r + i) * c->lf_stride[0] + c4,
+                   TXW[ts_y] > 64 ? 64 : TXW[ts_y], aw4);
+        int ch4 = tpu_clamp_h4(c, 1, cr, w4 >> 1 ? w4 >> 1 : 1);
+        int cw4c = tpu_clamp_w4(c, 1, cc, w4 >> 1 ? w4 >> 1 : 1);
+        for (int i = 0; i < ch4; i++)
+            memset(c->lf_txdim[1] + (cr + i) * c->lf_stride[1] + cc,
+                   TXW[ts_c], cw4c);
+    }
+
+    if (skip) {
+        memset(c->above_coef[0] + c4, 0, aw4);
+        memset(c->left_coef[0] + r, 0, lh4);
+        int cw4 = w4 >> 1 ? w4 >> 1 : 1;
+        for (int p = 1; p < 3; p++) {
+            memset(c->above_coef[p] + cc, 0, tpu_clamp_w4(c, p, cc, cw4));
+            memset(c->left_coef[p] + cr, 0, tpu_clamp_h4(c, p, cr, cw4));
+        }
+        tpu_commit_recon(c, 0, r, c4, ts_y, i_pred_y, NULL);
+        tpu_commit_recon(c, 1, cr, cc, ts_c, i_pred_u, NULL);
+        tpu_commit_recon(c, 2, cr, cc, ts_c, i_pred_v, NULL);
+        c->dist_acc += i_ty.sse + i_tu.sse + i_tv.sse;
+        return;
+    }
+    tpu_write_txb_inter(c, 0, r, c4, ts_y, size, size, &i_ty);
+    tpu_commit_recon(c, 0, r, c4, ts_y, i_pred_y, &i_ty);
+    tpu_write_txb_inter(c, 1, cr, cc, ts_c, size >> 1, size >> 1, &i_tu);
+    tpu_commit_recon(c, 1, cr, cc, ts_c, i_pred_u, &i_tu);
+    tpu_write_txb_inter(c, 2, cr, cc, ts_c, size >> 1, size >> 1, &i_tv);
+    tpu_commit_recon(c, 2, cr, cc, ts_c, i_pred_v, &i_tv);
+    c->dist_acc += i_ty.sse + i_tu.sse + i_tv.sse;
+}
+
+/* ---- P-frame partition walk -------------------------------------------- */
+static void walk_p(TpuCommit *c, int r, int c4, int size,
+                   const uint8_t *s64, const uint8_t *s32,
+                   const uint8_t *s16, const uint8_t *m64,
+                   const uint8_t *m32, const uint8_t *m16,
+                   const uint8_t *m8, int nc64, int nc32, int nc16, int nc8,
+                   const int16_t *mv16, int mv16_cols, int q,
+                   int *dq_pending, int *prev_q, int dq_res_log2) {
+    if (r >= c->mi_rows || c4 >= c->mi_cols) return;
+    int w4 = size / 4;
+    int has_rows = r + (w4 >> 1) < c->mi_rows;
+    int has_cols = c4 + (w4 >> 1) < c->mi_cols;
+    int forced = !(has_rows && has_cols) && size > 8;
+    int split = 0;
+    if (size > 8) {
+        const uint8_t *sm = size == 64 ? s64 : size == 32 ? s32 : s16;
+        int nc = size == 64 ? nc64 : size == 32 ? nc32 : nc16;
+        split = forced || sm[((r * 4) / size) * nc + (c4 * 4) / size];
+    }
+    if (split) {
+        tpu_write_partition(c, r, c4, size, 3);
+        int h4 = w4 >> 1;
+        walk_p(c, r, c4, size / 2, s64, s32, s16, m64, m32, m16, m8, nc64,
+               nc32, nc16, nc8, mv16, mv16_cols, q, dq_pending, prev_q,
+               dq_res_log2);
+        walk_p(c, r, c4 + h4, size / 2, s64, s32, s16, m64, m32, m16, m8,
+               nc64, nc32, nc16, nc8, mv16, mv16_cols, q, dq_pending,
+               prev_q, dq_res_log2);
+        walk_p(c, r + h4, c4, size / 2, s64, s32, s16, m64, m32, m16, m8,
+               nc64, nc32, nc16, nc8, mv16, mv16_cols, q, dq_pending,
+               prev_q, dq_res_log2);
+        walk_p(c, r + h4, c4 + h4, size / 2, s64, s32, s16, m64, m32, m16,
+               m8, nc64, nc32, nc16, nc8, mv16, mv16_cols, q, dq_pending,
+               prev_q, dq_res_log2);
+        return;
+    }
+    tpu_write_partition(c, r, c4, size, 0);
+    const uint8_t *mm = size == 64 ? m64
+                        : size == 32 ? m32
+                        : size == 16 ? m16 : m8;
+    int nc = size == 64 ? nc64
+             : size == 32 ? nc32
+             : size == 16 ? nc16 : nc8;
+    const uint8_t *icand =
+        mm + (((r * 4) / size) * nc + (c4 * 4) / size) * 3;
+    encode_block_p(c, r, c4, size, icand, mv16, mv16_cols, q, dq_pending,
+                   prev_q, dq_res_log2);
+    tpu_update_part_ctx(c, r, c4, size);
+}
+
+int64_t tpuc_encode_inter(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,
+                          TxbCdfs *tc, InterCdfs *ic,
+                          const uint8_t *split64, const uint8_t *split32,
+                          const uint8_t *split16, const uint8_t *mode64,
+                          const uint8_t *mode32, const uint8_t *mode16,
+                          const uint8_t *mode8, const int16_t *mv16,
+                          int mv16_cols, const int16_t *sbq,
+                          int dq_res_log2, int base_q, int mi_row0,
+                          int mi_row1, int mi_col0, int mi_col1,
+                          int n_cands) {
+    c->n_cands = n_cands > 0 ? n_cands : 1;
+    c->ec = ec;
+    c->mc = mc;
+    c->tc = tc;
+    c->ic = ic;
+    c->dist_acc = 0;
+    if (mi_row1 <= 0) mi_row1 = c->mi_rows;
+    if (mi_col1 <= 0) mi_col1 = c->mi_cols;
+    c->t_mi_row0 = mi_row0;
+    c->t_mi_row1 = mi_row1;
+    c->t_mi_col0 = mi_col0;
+    c->t_mi_col1 = mi_col1;
+    if (c->grid) tpui_grid_free(c->grid);
+    c->grid = tpui_grid_new(c->mi_rows, c->mi_cols);
+    int paw4;
+    {
+        int aw = c->mi_cols * 4;
+        paw4 = ((aw + 63) & ~63);
+    }
+    int nc64 = paw4 / 64, nc32 = paw4 / 32, nc16 = paw4 / 16,
+        nc8 = paw4 / 8;
+    int prev_q = base_q;
+    int nsb_c = (c->mi_cols + 15) / 16;
+    for (int sbr = mi_row0; sbr < mi_row1; sbr += 16) {
+        for (int sbc = mi_col0; sbc < mi_col1; sbc += 16) {
+            tpu_bd_reset_sb(c, sbr, sbc);
+            int q = sbq ? sbq[(sbr / 16) * nsb_c + sbc / 16] : base_q;
+            c->cur_q = q;
+            {
+                const int32_t *pq =
+                    c->qtab + ((q * 3) + 0) * 10;
+                double qstep = pq[8] / 8.0;
+                c->rdmult = 0.12 * qstep * qstep;
+            }
+            int dq_pending = dq_res_log2 >= 0;
+            walk_p(c, sbr, sbc, 64, split64, split32, split16, mode64,
+                   mode32, mode16, mode8, nc64, nc32, nc16, nc8, mv16,
+                   mv16_cols, q, &dq_pending, &prev_q, dq_res_log2);
+        }
+    }
+    tpui_grid_free(c->grid);
+    c->grid = NULL;
+    return c->dist_acc;
+}

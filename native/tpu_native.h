@@ -82,6 +82,28 @@ typedef struct {
     uint16_t *txb_skip;     /* [5][13][3] */
 } ModeCdfs;
 
+/* inter-frame CDF pointers into FrameContext numpy arrays (uint16). */
+typedef struct {
+    uint16_t *y_mode;       /* [4][14]   (size-group keyed, inter frames) */
+    uint16_t *intra_inter;  /* [4][3] */
+    uint16_t *single_ref;   /* [3][6][3] */
+    uint16_t *newmv;        /* [6][3] */
+    uint16_t *zeromv;       /* [2][3] */
+    uint16_t *refmv;        /* [6][3] */
+    uint16_t *drl;          /* [3][3] */
+    uint16_t *nmv_joints;   /* [5] */
+    uint16_t *inter_ext_tx; /* [4][4][17] */
+    /* nmv per-component families (comp 0 = row, 1 = col) */
+    uint16_t *sign[2];      /* [3] */
+    uint16_t *classes[2];   /* [12] */
+    uint16_t *class0[2];    /* [3] */
+    uint16_t *bits[2];      /* [10][3] */
+    uint16_t *class0_fp[2]; /* [2][5] */
+    uint16_t *fp[2];        /* [5] */
+    uint16_t *class0_hp[2]; /* [3] */
+    uint16_t *hp[2];        /* [3] */
+} InterCdfs;
+
 typedef struct TpuCommit TpuCommit;
 
 TpuCommit *tpuc_new(int width, int height, int bd);
@@ -118,6 +140,22 @@ int64_t tpuc_encode_intra(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,
                           const uint8_t *mode16, const uint8_t *mode8,
                           const int16_t *sbq, int dq_res_log2, int base_q,
                           int mi_row0, int mi_row1, int mi_col0, int mi_col1,
+                          int n_cands);
+
+/* P-frame walk (inter_backend.c): split maps + intra candidate maps as in
+ * tpuc_encode_intra, plus a per-16x16 full-pel MV seed map from the device
+ * HME stage. The reference recon is set via tpuc_set_ref. */
+void tpuc_set_ref(TpuCommit *c, const uint16_t *y, const uint16_t *u,
+                  const uint16_t *v, int ystride, int cstride);
+int64_t tpuc_encode_inter(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,
+                          TxbCdfs *tc, InterCdfs *ic,
+                          const uint8_t *split64, const uint8_t *split32,
+                          const uint8_t *split16, const uint8_t *mode64,
+                          const uint8_t *mode32, const uint8_t *mode16,
+                          const uint8_t *mode8, const int16_t *mv16,
+                          int mv16_cols, const int16_t *sbq,
+                          int dq_res_log2, int base_q, int mi_row0,
+                          int mi_row1, int mi_col0, int mi_col1,
                           int n_cands);
 
 #endif /* TPU_NATIVE_H */

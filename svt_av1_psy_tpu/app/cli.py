@@ -78,7 +78,7 @@ def main(argv=None) -> int:
     from svt_av1_psy_tpu.bitstream.ivf import IvfWriter
     from svt_av1_psy_tpu.io.y4m import Y4mReader
 
-    fast = args.preset >= 10 and args.gop == 1
+    fast = args.preset >= 10
     t0 = time.time()
     n = 0
     total_bytes = 0
@@ -96,6 +96,7 @@ def main(argv=None) -> int:
                     enc = FastIntraEncoder(W, H, qindex=args.qindex, bd=bd,
                                            min_block=args.min_block,
                                            n_cands=n_cands)
+                    enc.gop_size = args.gop
                     enc.enable_variance_boost = \
                         bool(args.enable_variance_boost)
                     enc.vb_strength = args.variance_boost_strength

@@ -41,6 +41,15 @@ def _jitted_decide():
     return jax.jit(intra_decide, static_argnums=(2, 3))
 
 
+@functools.lru_cache(maxsize=1)
+def _jitted_hme():
+    import jax
+
+    from svt_av1_psy_tpu.ops.jax_backend import hme_search
+
+    return jax.jit(hme_search, static_argnums=(2,))
+
+
 class FastIntraEncoder:
     """Device-search + C-commit all-intra encoder (KEY frames only)."""
 
@@ -85,11 +94,17 @@ class FastIntraEncoder:
         # initialize the native layer once, single-threaded (tile engines
         # are constructed inside worker threads)
         native.CommitEngine(64, 64, bd)
-        # shared recon planes (numpy-owned, attached to every tile engine)
+        # shared recon planes (numpy-owned, attached to every tile engine);
+        # ping-pong pair: current frame writes one set while the previous
+        # (filtered) set serves as the LAST reference for P frames
         self._rec_y = np.zeros((self.pah + 64, self.paw + 64), np.uint16)
         self._rec_u = np.zeros((self.pah // 2 + 64, self.paw // 2 + 64),
                                np.uint16)
         self._rec_v = np.zeros_like(self._rec_u)
+        self._ref_y = np.zeros_like(self._rec_y)
+        self._ref_u = np.zeros_like(self._rec_u)
+        self._ref_v = np.zeros_like(self._rec_v)
+        self.gop_size = 1    # 1 = all intra, 0 = IPPP, N = keyint
         # shared loop-filter tx-dim maps + scratch for the level search
         self._lf_y = np.zeros((self.mi_rows, self.mi_cols), np.uint8)
         self._lf_uv = np.zeros(((self.mi_rows + 1) // 2,
@@ -156,6 +171,19 @@ class FastIntraEncoder:
 
     # --- frame -----------------------------------------------------------
     def encode_frame(self, y, u, v) -> EncodedFrame:
+        is_p = self.frame_index > 0 and self.gop_size != 1 and \
+            (self.gop_size == 0 or
+             self.frame_index % max(self.gop_size, 1) != 0)
+        if is_p:
+            return self._encode_p(y, u, v)
+        return self._encode_key(y, u, v)
+
+    def _swap_recon(self):
+        self._rec_y, self._ref_y = self._ref_y, self._rec_y
+        self._rec_u, self._ref_u = self._ref_u, self._rec_u
+        self._rec_v, self._ref_v = self._ref_v, self._rec_v
+
+    def _encode_key(self, y, u, v) -> EncodedFrame:
         native = self._native
         yp = _pad_to(np.asarray(y), self.pah, self.paw)
         up = _pad_to(np.asarray(u), self.pah // 2, self.paw // 2)
@@ -238,6 +266,94 @@ class FastIntraEncoder:
             rec_y = rec_y.astype(np.uint8)
             rec_u = rec_u.astype(np.uint8)
             rec_v = rec_v.astype(np.uint8)
+        self._swap_recon()
+        return EncodedFrame(payload=payload, recon_y=rec_y, recon_u=rec_u,
+                            recon_v=rec_v)
+
+    # --- P frames (low-delay, single LAST ref) ---------------------------
+    def _encode_p(self, y, u, v) -> EncodedFrame:
+        """IPPP P frame: device HME + intra decision maps -> native inter
+        walk (inter_backend.c). Reference = previous frame's filtered
+        recon (the ping-pong buffer)."""
+        import jax
+        import jax.numpy as jnp
+
+        native = self._native
+        yp = _pad_to(np.asarray(y), self.pah, self.paw)
+        up = _pad_to(np.asarray(u), self.pah // 2, self.paw // 2)
+        vp = _pad_to(np.asarray(v), self.pah // 2, self.paw // 2)
+
+        split, modes = self._decide(yp)
+        mv16, _sad16 = jax.device_get(_jitted_hme()(
+            jnp.asarray(yp),
+            jnp.asarray(self._ref_y[:self.pah, :self.paw])))
+        mv16 = np.clip(mv16, -127, 127).astype(np.int16)
+
+        base_q = self.qindex
+        self._lf_y[:] = 0
+        self._lf_uv[:] = 0
+
+        def encode_tile(ti):
+            c0 = self.tile_col_starts[ti] * 16
+            c1 = min(self.tile_col_starts[ti + 1] * 16, self.mi_cols)
+            eng = native.CommitEngine(self.width, self.height, self.bd)
+            eng.attach_planes(self._rec_y, self._rec_u, self._rec_v)
+            eng.set_ref(self._ref_y, self._ref_u, self._ref_v)
+            if self.enable_dlf:
+                eng.attach_lfmaps(self._lf_y, self._lf_uv)
+            eng.set_src(yp, up, vp)
+            fc = FrameContext(base_q)
+            ec = native.NativeRangeEncoder()
+            eng.encode_inter(ec, fc, split, modes, mv16, base_q=base_q,
+                             mi_bounds=(0, self.mi_rows, c0, c1),
+                             n_cands=self.n_cands)
+            return ec.done()
+
+        import os as _os
+        if self.n_tiles == 1 or _os.environ.get("SVT_TILE_SEQ"):
+            tile_bytes = [encode_tile(i) for i in range(self.n_tiles)]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=self.n_tiles) as tp:
+                tile_bytes = list(tp.map(encode_tile,
+                                         range(self.n_tiles)))
+
+        if self.n_tiles == 1:
+            tg = tile_bytes[0]
+        else:
+            parts = [b"\x00"]
+            for tb in tile_bytes[:-1]:
+                parts.append((len(tb) - 1).to_bytes(4, "little"))
+                parts.append(tb)
+            parts.append(tile_bytes[-1])
+            tg = b"".join(parts)
+
+        lf = (0, 0, 0, 0)
+        if self.enable_dlf:
+            lf = self._pick_and_apply_dlf(yp, up, vp, base_q)
+
+        fr_params = FrameParams(
+            frame_type=1, base_q_idx=base_q,
+            order_hint=self.frame_index & 0x7F,
+            tx_mode_select=False, primary_ref_frame=7,
+            refresh_frame_flags=0x01, ref_frame_idx=(0,) * 7,
+            allow_high_precision_mv=False, interp_filter=0,
+            tile_cols_log2=self.tile_cols_log2,
+            filter_level=(lf[0], lf[1]),
+            filter_level_uv=(lf[2], lf[3]))
+        payload = key_frame_temporal_unit(self.seq, fr_params, tg,
+                                          with_seq_header=False)
+        self.frame_index += 1
+        H, W = self.height, self.width
+        cH, cW = (H + 1) // 2, (W + 1) // 2
+        rec_y = self._rec_y[:H, :W].copy()
+        rec_u = self._rec_u[:cH, :cW].copy()
+        rec_v = self._rec_v[:cH, :cW].copy()
+        if self.bd == 8:
+            rec_y = rec_y.astype(np.uint8)
+            rec_u = rec_u.astype(np.uint8)
+            rec_v = rec_v.astype(np.uint8)
+        self._swap_recon()
         return EncodedFrame(payload=payload, recon_y=rec_y, recon_u=rec_u,
                             recon_v=rec_v)
 

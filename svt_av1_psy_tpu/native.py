@@ -17,8 +17,9 @@ import numpy as np
 
 _NATIVE = pathlib.Path(__file__).parent.parent / "native"
 _SRCS = [_NATIVE / "ec_backend.c", _NATIVE / "txfm_backend.c",
-         _NATIVE / "commit_backend.c", _NATIVE / "dlf_backend.c"]
-_HDRS = [_NATIVE / "tpu_native.h"]
+         _NATIVE / "commit_backend.c", _NATIVE / "dlf_backend.c",
+         _NATIVE / "inter_backend.c"]
+_HDRS = [_NATIVE / "tpu_native.h", _NATIVE / "commit_internal.h"]
 _SO = _NATIVE / "libtpuec.so"
 
 _lib = None
@@ -42,9 +43,15 @@ def _src_digest() -> str:
 
 
 def _build():
-    cmd = ["cc", "-O3", "-shared", "-fPIC", "-o", str(_SO)] + \
-        [str(x) for x in _SRCS]
-    subprocess.run(cmd, check=True)
+    cmd = ["cc", "-O3", "-march=native", "-funroll-loops", "-shared",
+           "-fPIC", "-o", str(_SO)] + [str(x) for x in _SRCS]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        # portable fallback (e.g. cross or restricted toolchains)
+        cmd = ["cc", "-O3", "-shared", "-fPIC", "-o", str(_SO)] + \
+            [str(x) for x in _SRCS]
+        subprocess.run(cmd, check=True)
     (_NATIVE / ".build_hash").write_text(_src_digest())
 
 
@@ -231,6 +238,36 @@ def make_mode_cdfs(fc) -> ModeCdfs:
         _u16p(fc.delta_q), _u16p(fc.tx_size), _u16p(fc.txb_skip))
 
 
+class InterCdfs(ctypes.Structure):
+    _fields_ = [("y_mode", ctypes.POINTER(ctypes.c_uint16)),
+                ("intra_inter", ctypes.POINTER(ctypes.c_uint16)),
+                ("single_ref", ctypes.POINTER(ctypes.c_uint16)),
+                ("newmv", ctypes.POINTER(ctypes.c_uint16)),
+                ("zeromv", ctypes.POINTER(ctypes.c_uint16)),
+                ("refmv", ctypes.POINTER(ctypes.c_uint16)),
+                ("drl", ctypes.POINTER(ctypes.c_uint16)),
+                ("nmv_joints", ctypes.POINTER(ctypes.c_uint16)),
+                ("inter_ext_tx", ctypes.POINTER(ctypes.c_uint16))] + [
+                (n, ctypes.POINTER(ctypes.c_uint16) * 2) for n in (
+                    "sign", "classes", "class0", "bits", "class0_fp",
+                    "fp", "class0_hp", "hp")]
+
+
+def make_inter_cdfs(fc) -> InterCdfs:
+    """Bind a FrameContext's inter tables (adapted IN PLACE by C)."""
+    ic = InterCdfs(
+        _u16p(fc.y_mode), _u16p(fc.intra_inter), _u16p(fc.single_ref),
+        _u16p(fc.newmv), _u16p(fc.zeromv), _u16p(fc.refmv), _u16p(fc.drl),
+        _u16p(fc.nmv_joints), _u16p(fc.inter_ext_tx))
+    for name in ("sign", "classes", "class0", "bits", "class0_fp", "fp",
+                 "class0_hp", "hp"):
+        pair = (ctypes.POINTER(ctypes.c_uint16) * 2)(
+            _u16p(fc.nmv_comp[f"comp0_{name}_cdf"]),
+            _u16p(fc.nmv_comp[f"comp1_{name}_cdf"]))
+        setattr(ic, name, pair)
+    return ic
+
+
 _commit_ready = False
 _init_lock = None
 
@@ -291,6 +328,14 @@ def _ensure_commit_locked(lib):
         ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ModeCdfs),
         ctypes.POINTER(TxbCdfs)] + [u8p] * 7 + [
         i16p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.tpuc_set_ref.argtypes = [ctypes.c_void_p, u16p, u16p, u16p,
+                                 ctypes.c_int, ctypes.c_int]
+    lib.tpuc_encode_inter.restype = ctypes.c_int64
+    lib.tpuc_encode_inter.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ModeCdfs),
+        ctypes.POINTER(TxbCdfs), ctypes.POINTER(InterCdfs)] + [u8p] * 7 + [
+        i16p, ctypes.c_int, i16p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
 
     # upload scan tables + directional derivative table once
@@ -367,6 +412,49 @@ class CommitEngine:
         self.lib.tpuc_set_src(self._c, y.ctypes.data_as(u16p),
                               u.ctypes.data_as(u16p), v.ctypes.data_as(u16p),
                               y.shape[1], u.shape[1])
+
+    def set_ref(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+        """Reference recon planes (uint16) for the P-frame walk."""
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        self._ref = (y, u, v)
+        self.lib.tpuc_set_ref(self._c, y.ctypes.data_as(u16p),
+                              u.ctypes.data_as(u16p),
+                              v.ctypes.data_as(u16p), y.shape[1],
+                              u.shape[1])
+
+    def encode_inter(self, ec, fc, split_maps, mode_maps, mv16, sbq=None,
+                     dq_res_log2=-1, base_q=60, mi_bounds=(0, 0, 0, 0),
+                     n_cands=1):
+        """P-frame walk: split + intra-candidate maps as encode_intra,
+        plus the per-16x16 full-pel MV seed map from device HME."""
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        mc = make_mode_cdfs(fc)
+        tc = make_txb_cdfs(fc)
+        ic = make_inter_cdfs(fc)
+        arrs = []
+
+        def m(x):
+            a = np.ascontiguousarray(x, np.uint8)
+            arrs.append(a)
+            return a.ctypes.data_as(u8p)
+
+        mv = np.ascontiguousarray(mv16, np.int16)
+        arrs.append(mv)
+        sq = None
+        if sbq is not None:
+            sq_a = np.ascontiguousarray(sbq, np.int16)
+            arrs.append(sq_a)
+            sq = sq_a.ctypes.data_as(i16p)
+        r0, r1, c0, c1 = mi_bounds
+        dist = self.lib.tpuc_encode_inter(
+            self._c, ec._ec, ctypes.byref(mc), ctypes.byref(tc),
+            ctypes.byref(ic),
+            m(split_maps[64]), m(split_maps[32]), m(split_maps[16]),
+            m(mode_maps[64]), m(mode_maps[32]), m(mode_maps[16]),
+            m(mode_maps[8]), mv.ctypes.data_as(i16p), mv.shape[1],
+            sq, dq_res_log2, base_q, r0, r1, c0, c1, n_cands)
+        return dist
 
     def attach_lfmaps(self, txdim_y: np.ndarray, txdim_uv: np.ndarray):
         """Shared per-4px-unit tx-dim maps the engines fill during the

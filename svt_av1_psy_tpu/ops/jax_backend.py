@@ -349,6 +349,53 @@ def intra_decide(plane_u8: jnp.ndarray, split_bias: jnp.ndarray,
             modes[64], modes[32], modes[16], modes[8])
 
 
+def hme_search(src_u8: jnp.ndarray, ref_u8: jnp.ndarray,
+               search_range: int = 12):
+    """Open-loop hierarchical ME: full-pel MV per 16x16 block.
+
+    The reference's HME pyramid (ref: motion_estimation.c hme_level_0/1/2)
+    as one dense device program: search at half resolution over
+    +-search_range (full-res +-2*search_range) with a fori running-min
+    over the offset grid, returning (mv16 (n16r, n16c, 2) int16 full-pel,
+    sad16 (n16r, n16c) int32). The host walk polishes with a +-fullpel /
+    subpel diamond (inter_backend.c)."""
+    import jax
+
+    H, W = src_u8.shape
+    src = src_u8.astype(jnp.int32)
+    ref = ref_u8.astype(jnp.int32)
+    # half-res decimation (average pool)
+    sh = (src[0::2, 0::2] + src[0::2, 1::2] + src[1::2, 0::2] +
+          src[1::2, 1::2] + 2) >> 2
+    rh = (ref[0::2, 0::2] + ref[0::2, 1::2] + ref[1::2, 0::2] +
+          ref[1::2, 1::2] + 2) >> 2
+    Hh, Wh = H // 2, W // 2
+    n16r, n16c = Hh // 8, Wh // 8
+    R = search_range
+    rp = jnp.pad(rh, ((R, R), (R, R)), mode="edge")
+    side = 2 * R + 1
+
+    def body(i, carry):
+        best_sad, best_mv = carry
+        dy = i // side - R
+        dx = i % side - R
+        shifted = jax.lax.dynamic_slice(rp, (dy + R, dx + R), (Hh, Wh))
+        d = jnp.abs(sh - shifted)
+        sad = d.reshape(n16r, 8, n16c, 8).sum(axis=(1, 3))
+        better = sad < best_sad
+        best_mv = jnp.where(better[..., None],
+                            jnp.stack([jnp.full((n16r, n16c), dy),
+                                       jnp.full((n16r, n16c), dx)],
+                                      axis=-1), best_mv)
+        best_sad = jnp.where(better, sad, best_sad)
+        return best_sad, best_mv
+
+    init = (jnp.full((n16r, n16c), 1 << 30, jnp.int32),
+            jnp.zeros((n16r, n16c, 2), jnp.int32))
+    best_sad, best_mv = jax.lax.fori_loop(0, side * side, body, init)
+    return (2 * best_mv).astype(jnp.int16), best_sad
+
+
 def sb_mode_costs(plane: jnp.ndarray, sb: int = 64, bd: int = 8):
     """Open-loop intra mode search costs for every SB of a plane.
 

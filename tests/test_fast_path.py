@@ -115,6 +115,45 @@ def test_fast_intra_multichip_equivalence():
     assert p1 == p8
 
 
+@pytest.mark.parametrize("n_tiles", [1, 4])
+def test_fast_ippp_bitexact(n_tiles):
+    """Fast low-delay path: device HME + native inter walk (MV stack, MC,
+    MV coding) must produce dav1d-bit-exact P frames (ref:
+    adaptive_mv_pred.c, inter_prediction.c)."""
+    w, h = 352, 288
+    rng = np.random.default_rng(5)
+    big = rng.integers(0, 255, (h + 40, w + 40)).astype(np.uint8)
+    frames = []
+    for t in range(4):
+        yy = np.ascontiguousarray(big[t * 3:t * 3 + h, t * 2:t * 2 + w])
+        u = np.full((h // 2, w // 2), 120, np.uint8)
+        frames.append((yy, u, u.copy()))
+    enc = FastIntraEncoder(w, h, qindex=120, n_tiles=n_tiles)
+    enc.gop_size = 0
+    outs = [enc.encode_frame(*f) for f in frames]
+    decoded = decode_obus(b"".join(o.payload for o in outs))
+    assert len(decoded) == 4
+    for d, o in zip(decoded, outs):
+        assert np.array_equal(d.y, o.recon_y)
+        assert np.array_equal(d.u, o.recon_u)
+        assert np.array_equal(d.v, o.recon_v)
+    # P frames must actually exploit motion: smaller than the key frame
+    assert all(len(o.payload) < len(outs[0].payload) for o in outs[1:])
+
+
+def test_fast_ippp_static_skip():
+    """Static content: P frames should collapse to near-all-skip."""
+    w, h = 176, 144
+    frames = _clip(w, h, n=1) * 3
+    enc = FastIntraEncoder(w, h, qindex=120)
+    enc.gop_size = 0
+    outs = [enc.encode_frame(*f) for f in frames]
+    assert len(outs[1].payload) < max(len(outs[0].payload) // 2, 300)
+    decoded = decode_obus(b"".join(o.payload for o in outs))
+    for d, o in zip(decoded, outs):
+        assert np.array_equal(d.y, o.recon_y)
+
+
 def test_fast_intra_quality_sane():
     """PSNR at moderate q must be reasonable (catches silent mode bugs)."""
     import math
