@@ -1050,6 +1050,8 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
             memcpy(s_pred_u, tpu2, sizeof(int32_t) * cw * chh);
             memcpy(s_pred_v, tpv2, sizeof(int32_t) * cw * chh);
         }
+        if (i == 0 && cu2.eob == 0 && cv2.eob == 0)
+            break;   /* DC already lossless-at-this-q: modes tie */
     }
     s_tu = au;
     s_tv = av;

@@ -191,7 +191,9 @@ class FastIntraEncoder:
 
         split, modes = self._decide(yp)
 
-        base_q = self.qindex
+        # key-frame boost in GOP modes (the kf_boost analog,
+        # ref rc_process.c kf qindex derivation): keys carry the GOP
+        base_q = self.qindex if self.gop_size == 1 else             max(0, self.qindex - self.qindex // 4)
         sbq = None
         dq_res_log2 = -1
         if self.enable_variance_boost:
@@ -204,6 +206,8 @@ class FastIntraEncoder:
 
         # one engine + CDF context + range coder per tile; tile walks run
         # concurrently in threads (ctypes releases the GIL in C)
+        tile_fcs = [FrameContext(base_q) for _ in range(self.n_tiles)]
+
         def encode_tile(ti):
             c0 = self.tile_col_starts[ti] * 16
             c1 = min(self.tile_col_starts[ti + 1] * 16, self.mi_cols)
@@ -212,9 +216,8 @@ class FastIntraEncoder:
             if self.enable_dlf:
                 eng.attach_lfmaps(self._lf_y, self._lf_uv)
             eng.set_src(yp, up, vp)
-            fc = FrameContext(base_q)
             ec = native.NativeRangeEncoder()
-            eng.encode_intra(ec, fc, split, modes, sbq=sbq,
+            eng.encode_intra(ec, tile_fcs[ti], split, modes, sbq=sbq,
                              dq_res_log2=dq_res_log2, base_q=base_q,
                              mi_bounds=(0, self.mi_rows, c0, c1),
                              n_cands=self.n_cands)
@@ -241,6 +244,9 @@ class FastIntraEncoder:
                 parts.append(tb)
             parts.append(tile_bytes[-1])
             tg = b"".join(parts)
+
+        # frame-end context save (refresh slot 0, context_update_tile_id=0)
+        self._fc_saved = tile_fcs[0]
 
         lf = (0, 0, 0, 0)
         if self.enable_dlf:
@@ -293,6 +299,12 @@ class FastIntraEncoder:
         self._lf_y[:] = 0
         self._lf_uv[:] = 0
 
+        # primary_ref_frame CDF inheritance: start from the saved frame-end
+        # context of the reference (spec load_cdfs; decoder mirrors this)
+        inherited = self._fc_saved.inherit_copy()
+        tile_fcs = [inherited if ti == 0 else inherited.copy()
+                    for ti in range(self.n_tiles)]
+
         def encode_tile(ti):
             c0 = self.tile_col_starts[ti] * 16
             c1 = min(self.tile_col_starts[ti + 1] * 16, self.mi_cols)
@@ -302,9 +314,9 @@ class FastIntraEncoder:
             if self.enable_dlf:
                 eng.attach_lfmaps(self._lf_y, self._lf_uv)
             eng.set_src(yp, up, vp)
-            fc = FrameContext(base_q)
             ec = native.NativeRangeEncoder()
-            eng.encode_inter(ec, fc, split, modes, mv16, base_q=base_q,
+            eng.encode_inter(ec, tile_fcs[ti], split, modes, mv16,
+                             base_q=base_q,
                              mi_bounds=(0, self.mi_rows, c0, c1),
                              n_cands=self.n_cands)
             return ec.done()
@@ -332,10 +344,12 @@ class FastIntraEncoder:
         if self.enable_dlf:
             lf = self._pick_and_apply_dlf(yp, up, vp, base_q)
 
+        self._fc_saved = tile_fcs[0]
+
         fr_params = FrameParams(
             frame_type=1, base_q_idx=base_q,
             order_hint=self.frame_index & 0x7F,
-            tx_mode_select=False, primary_ref_frame=7,
+            tx_mode_select=False, primary_ref_frame=0,
             refresh_frame_flags=0x01, ref_frame_idx=(0,) * 7,
             allow_high_precision_mv=False, interp_filter=0,
             tile_cols_log2=self.tile_cols_log2,

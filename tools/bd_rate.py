@@ -47,24 +47,22 @@ def psnr_stream(ivf_path, src_frames):
 
 def bd_rate(r1, p1, r2, p2):
     """BD-rate of curve 2 vs curve 1 (negative = curve 2 better).
-    r: bitrates (kbps), p: quality (dB). Piecewise-cubic in log-rate."""
-    lr1, lr2 = np.log(r1), np.log(r2)
-    # integrate rate over the overlapping quality interval
+    r: bitrates (kbps), p: quality (dB). Piecewise-linear in log-rate
+    over the overlapping quality range (robust to flat/crossing curves
+    where the classic cubic fit explodes)."""
     lo = max(min(p1), min(p2))
     hi = min(max(p1), max(p2))
-    if hi <= lo:
+    if hi - lo < 0.3:
         return float("nan")
-    samples = np.linspace(lo, hi, 100)
-    from numpy.polynomial import polynomial as P
+    samples = np.linspace(lo, hi, 200)
 
-    def fit_eval(p, lr):
+    def interp(p, r):
+        p = np.asarray(p, float)
+        lr = np.log(np.asarray(r, float))
         idx = np.argsort(p)
-        coeffs = np.polyfit(np.asarray(p)[idx], np.asarray(lr)[idx], 3)
-        return np.polyval(coeffs, samples)
+        return np.interp(samples, p[idx], lr[idx])
 
-    int1 = fit_eval(p1, lr1)
-    int2 = fit_eval(p2, lr2)
-    avg_exp_diff = np.mean(int2 - int1)
+    avg_exp_diff = np.mean(interp(p2, r2) - interp(p1, r1))
     return float((math.exp(avg_exp_diff) - 1) * 100)
 
 
@@ -80,12 +78,13 @@ def read_clip(path, n):
     return out
 
 
-def encode_ours(src, w, h, qindex, fps_hz, preset):
+def encode_ours(src, w, h, qindex, fps_hz, preset, gop=1):
     from svt_av1_psy_tpu.bitstream.ivf import IvfWriter
     import time
     if preset >= 10:
         from svt_av1_psy_tpu.models.fast_intra import FastIntraEncoder
         enc = FastIntraEncoder(w, h, qindex=qindex)
+        enc.gop_size = gop
     else:
         from svt_av1_psy_tpu.models.intra_encoder import IntraEncoder
         enc = IntraEncoder(w, h, qindex=qindex)
@@ -102,12 +101,16 @@ def encode_ours(src, w, h, qindex, fps_hz, preset):
     return tmp, total, len(src) / dt
 
 
-def encode_ref(ref_bin, clip, n, crf, preset):
+def encode_ref(ref_bin, clip, n, crf, preset, gop=1):
     tmp = tempfile.mktemp(suffix=".ivf")
     env = dict(os.environ, LD_LIBRARY_PATH=os.path.dirname(ref_bin))
-    subprocess.run([ref_bin, "-i", clip, "-b", tmp, "--preset", str(preset),
-                    "--crf", str(crf), "--keyint", "1", "-n", str(n)],
-                   env=env, capture_output=True, check=True)
+    cmd = [ref_bin, "-i", clip, "-b", tmp, "--preset", str(preset),
+           "--crf", str(crf), "-n", str(n)]
+    if gop == 1:
+        cmd += ["--keyint", "1"]
+    else:
+        cmd += ["--pred-struct", "1", "--tune", "1"]
+    subprocess.run(cmd, env=env, capture_output=True, check=True)
     return tmp, os.path.getsize(tmp)
 
 
@@ -121,6 +124,8 @@ def main():
     ap.add_argument("--our-preset", type=int, default=12)
     ap.add_argument("--fps", type=float, default=30.0)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--gop", type=int, default=1,
+                    help="1 = all-intra; 0 = low-delay IPPP")
     args = ap.parse_args()
 
     src = read_clip(args.clip, args.frames)
@@ -130,7 +135,8 @@ def main():
 
     ref_pts = []
     for crf in crfs:
-        path, size = encode_ref(args.ref_bin, args.clip, n, crf, args.preset)
+        path, size = encode_ref(args.ref_bin, args.clip, n, crf,
+                                args.preset, args.gop)
         py, pyuv = psnr_stream(path, src)
         kbps = size * 8 * args.fps / n / 1000
         ref_pts.append({"crf": crf, "kbps": kbps, "psnr_y": py,
@@ -141,7 +147,7 @@ def main():
     for crf in crfs:
         q = min(255, crf * 4)
         path, size, fps_enc = encode_ours(src, w, h, q, args.fps,
-                                          args.our_preset)
+                                          args.our_preset, args.gop)
         py, pyuv = psnr_stream(path, src)
         kbps = size * 8 * args.fps / n / 1000
         our_pts.append({"qindex": q, "kbps": kbps, "psnr_y": py,
@@ -171,7 +177,8 @@ def main():
                 existing = json.loads(open(args.out).read())
             except Exception:
                 existing = {}
-        existing[os.path.basename(args.clip)] = result
+        key = os.path.basename(args.clip) +             ("_lowdelay" if args.gop != 1 else "")
+        existing[key] = result
         open(args.out, "w").write(json.dumps(existing, indent=1))
     return 0
 
