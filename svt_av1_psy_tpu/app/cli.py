@@ -60,6 +60,12 @@ def main(argv=None) -> int:
                          "variance (PSY flagship feature)")
     ap.add_argument("--variance-boost-strength", type=int, default=2,
                     choices=(1, 2, 3, 4))
+    ap.add_argument("--sharpness", type=int, default=0,
+                    help="PSY sharpness -7..7: quant rounding bias that "
+                         "retains high-frequency energy")
+    ap.add_argument("--frame-luma-bias", type=int, default=0,
+                    help="PSY frame-luma-bias 0..100: lower q for dark "
+                         "frames")
     ap.add_argument("--variance-octile", type=int, default=6,
                     choices=range(1, 9))
     args = ap.parse_args(argv)
@@ -101,6 +107,8 @@ def main(argv=None) -> int:
                         bool(args.enable_variance_boost)
                     enc.vb_strength = args.variance_boost_strength
                     enc.vb_octile = args.variance_octile
+                    enc.sharpness = args.sharpness
+                    enc.frame_luma_bias = args.frame_luma_bias
                 else:
                     from svt_av1_psy_tpu.models.intra_encoder import \
                         IntraEncoder
@@ -115,6 +123,8 @@ def main(argv=None) -> int:
                         bool(args.enable_variance_boost)
                     enc.vb_strength = args.variance_boost_strength
                     enc.vb_octile = args.variance_octile
+                    enc.sharpness = args.sharpness
+                    enc.frame_luma_bias = args.frame_luma_bias
                     from svt_av1_psy_tpu.models.ratecontrol import \
                         RateControl
                     if args.bitrate > 0:

@@ -115,6 +115,12 @@ class FastIntraEncoder:
         self.enable_variance_boost = False
         self.vb_strength = 2
         self.vb_octile = 6
+        # PSY sharpness: diff-based quant rounding bias
+        # (ref md_config_process.c:96-117)
+        self.sharpness = 0
+        # PSY frame-luma-bias: more bits for dark frames
+        # (ref rc_process.c:3413)
+        self.frame_luma_bias = 0
 
     # --- sharded device search (multi-chip; SURVEY.md §2.2 P4) -----------
     def make_sharded_decide(self, mesh, axis: str = "sp"):
@@ -211,7 +217,9 @@ class FastIntraEncoder:
         def encode_tile(ti):
             c0 = self.tile_col_starts[ti] * 16
             c1 = min(self.tile_col_starts[ti + 1] * 16, self.mi_cols)
-            eng = native.CommitEngine(self.width, self.height, self.bd)
+            eng = native.CommitEngine(self.width, self.height, self.bd,
+                                      sharpness=self.sharpness,
+                                      base_q=base_q)
             eng.attach_planes(self._rec_y, self._rec_u, self._rec_v)
             if self.enable_dlf:
                 eng.attach_lfmaps(self._lf_y, self._lf_uv)
@@ -296,6 +304,13 @@ class FastIntraEncoder:
         mv16 = np.clip(mv16, -127, 127).astype(np.int16)
 
         base_q = self.qindex
+        if self.frame_luma_bias:
+            # ref rc_process.c:3413 (temporal layer 1 for flat IPPP)
+            avg_luma = float(yp[::4, ::4].mean()) / (1 << (self.bd - 8))
+            denom = 1024.0 / (1 * 4 * 0.01 * self.frame_luma_bias)
+            adj = round(-(((255.0 - avg_luma) / denom) ** 0.5) *
+                        (base_q / 8.0))
+            base_q = int(np.clip(base_q + adj, 0, 255))
         self._lf_y[:] = 0
         self._lf_uv[:] = 0
 
@@ -308,7 +323,9 @@ class FastIntraEncoder:
         def encode_tile(ti):
             c0 = self.tile_col_starts[ti] * 16
             c1 = min(self.tile_col_starts[ti + 1] * 16, self.mi_cols)
-            eng = native.CommitEngine(self.width, self.height, self.bd)
+            eng = native.CommitEngine(self.width, self.height, self.bd,
+                                      sharpness=self.sharpness,
+                                      base_q=base_q)
             eng.attach_planes(self._rec_y, self._rec_u, self._rec_v)
             eng.set_ref(self._ref_y, self._ref_u, self._ref_v)
             if self.enable_dlf:

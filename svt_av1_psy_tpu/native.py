@@ -360,16 +360,21 @@ def _ensure_commit_locked(lib):
 _qtab_cache = {}
 
 
-def build_qtab(bd: int = 8) -> np.ndarray:
+def build_qtab(bd: int = 8, sharpness: int = 0,
+               base_q: int = -1) -> np.ndarray:
     """Quantizer table for all 256 qindexes x 3 planes x 10 params
     (zbin dc/ac, round dc/ac, quant dc/ac, quant_shift dc/ac, dequant
-    dc/ac), consumed by the C commit engine. Cached per bit depth."""
-    if bd in _qtab_cache:
-        return _qtab_cache[bd]
+    dc/ac), consumed by the C commit engine. Cached per
+    (bd, sharpness, base_q); sharpness applies the PSY diff-based quant
+    bias (ref md_config_process.c:96-117)."""
+    key = (bd, sharpness, base_q if sharpness else -1)
+    if key in _qtab_cache:
+        return _qtab_cache[key]
     from svt_av1_psy_tpu.ops.quant import build_plane_quant
     out = np.zeros((256, 3, 10), np.int32)
     for q in range(256):
-        pq = build_plane_quant(q, bd=bd)
+        pq = build_plane_quant(q, bd=bd, sharpness=sharpness,
+                               base_q=base_q)
         row = [int(pq.zbin[0]), int(pq.zbin[1]), int(pq.round[0]),
                int(pq.round[1]), int(pq.quant[0]), int(pq.quant[1]),
                int(pq.quant_shift[0]), int(pq.quant_shift[1]),
@@ -377,21 +382,22 @@ def build_qtab(bd: int = 8) -> np.ndarray:
         for p in range(3):
             out[q, p] = row
     out = np.ascontiguousarray(out)
-    _qtab_cache[bd] = out
+    _qtab_cache[key] = out
     return out
 
 
 class CommitEngine:
     """ctypes wrapper over the native frame commit walk."""
 
-    def __init__(self, width: int, height: int, bd: int = 8):
+    def __init__(self, width: int, height: int, bd: int = 8,
+                 sharpness: int = 0, base_q: int = -1):
         self.lib = ensure_txfms()
         _ensure_commit(self.lib)
         self._c = self.lib.tpuc_new(width, height, bd)
         self.width, self.height, self.bd = width, height, bd
         self.mi_cols = 2 * ((width + 7) >> 3)
         self.mi_rows = 2 * ((height + 7) >> 3)
-        qt = build_qtab(bd)
+        qt = build_qtab(bd, sharpness, base_q)
         self._qt = np.ascontiguousarray(qt)
         self.lib.tpuc_set_qtab(
             self._c, self._qt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))

@@ -112,24 +112,57 @@ class PlaneQuant:
     dequant: np.ndarray       # (2,) int32
 
 
+def sharpness_factors(qindex: int, base_q: int, sharpness: int, bd: int):
+    """PSY sharpness quant bias (ref md_config_process.c:96-117):
+    positive sharpness shrinks the zbin and raises rounding for qindexes
+    BELOW the frame base (delta-q boosted blocks keep more energy);
+    negative does the reverse above the base. Returns
+    (qzbin_factor, qrounding_factor)."""
+    if qindex == 0:
+        qzbin = 64
+    else:
+        qzbin = 84 if dc_q(qindex, bd) < (148 << (2 * (bd - 8) // 2)) \
+            else 80
+    qround = 64 if qindex == 0 else 48
+    if sharpness:
+        diff = qindex - base_q
+        if sharpness > 0 and diff < 0:
+            adj = max(sharpness << 1, abs(diff))
+            qzbin -= adj
+            qround += adj
+        elif sharpness < 0 and diff > 0:
+            adj = min((-sharpness) << 1, diff)
+            qzbin += adj
+            qround -= adj
+        qzbin = min(max(qzbin, 1), 256)
+        qround = min(max(qround, 1), 256)
+    return qzbin, qround
+
+
 def build_plane_quant(qindex: int, dc_delta: int = 0, ac_delta: int = 0,
-                      bd: int = 8, sharpness_bias: int = 0) -> PlaneQuant:
+                      bd: int = 8, sharpness_bias: int = 0,
+                      sharpness: int = 0, base_q: int = -1) -> PlaneQuant:
     """av1_build_quantizer for one plane at one qindex.
 
-    sharpness_bias in [-7..7]: positive shrinks zbin & raises rounding
-    (retain more energy), mirroring the PSY sharpness quant bias."""
+    sharpness_bias in [-7..7]: legacy uniform bias (slow path);
+    sharpness/base_q: the reference's diff-based PSY rule."""
     dcq = dc_q(int(np.clip(qindex + dc_delta, 0, 255)), bd)
     acq = ac_q(int(np.clip(qindex + ac_delta, 0, 255)), bd)
-    # get_qzbin_factor: threshold scales 4x per 2 extra bits of depth
-    if qindex == 0:
-        qzbin_factor = 64
+    if sharpness and base_q >= 0:
+        qzbin_factor, qrounding_factor = sharpness_factors(
+            qindex, base_q, sharpness, bd)
     else:
-        qzbin_factor = 84 if dc_q(qindex, bd) < (148 << (2 * (bd - 8) // 2)) \
-            else 80
-    qrounding_factor = 64 if qindex == 0 else 48
-    if sharpness_bias > 0:
-        qzbin_factor = max(qzbin_factor - sharpness_bias * 2, 64)
-        qrounding_factor = min(qrounding_factor + sharpness_bias * 2, 63 + 1)
+        # get_qzbin_factor: threshold scales 4x per 2 extra bits of depth
+        if qindex == 0:
+            qzbin_factor = 64
+        else:
+            qzbin_factor = 84 if dc_q(qindex, bd) < \
+                (148 << (2 * (bd - 8) // 2)) else 80
+        qrounding_factor = 64 if qindex == 0 else 48
+        if sharpness_bias > 0:
+            qzbin_factor = max(qzbin_factor - sharpness_bias * 2, 64)
+            qrounding_factor = min(qrounding_factor + sharpness_bias * 2,
+                                   63 + 1)
     zbin = np.zeros(2, np.int32)
     rnd = np.zeros(2, np.int32)
     q = np.zeros(2, np.int32)

@@ -166,3 +166,33 @@ def test_fast_intra_quality_sane():
                    d.y.astype(np.float64)) ** 2)
     psnr = 10 * math.log10(255 * 255 / mse)
     assert psnr > 30.0, psnr
+
+
+def test_fast_sharpness_and_luma_bias():
+    """PSY sharpness (quant rounding bias, ref md_config_process.c:96-117)
+    changes encoder-side quantization only: streams stay conformant.
+    frame-luma-bias lowers q on dark P frames (ref rc_process.c:3413)."""
+    rng = np.random.default_rng(1)
+    y = np.zeros((288, 352), np.uint8)
+    y[:, :176] = rng.integers(0, 255, (288, 176))
+    y[:, 176:] = (np.arange(176) // 8 * 8).astype(np.uint8)
+    u = np.full((144, 176), 128, np.uint8)
+    sizes = {}
+    for sh in (0, 4):
+        enc = FastIntraEncoder(352, 288, qindex=160, n_tiles=1)
+        enc.enable_variance_boost = True
+        enc.sharpness = sh
+        o = enc.encode_frame(y, u, u.copy())
+        d = decode_obus(o.payload)[0]
+        assert np.array_equal(d.y, o.recon_y)
+        sizes[sh] = len(o.payload)
+    assert sizes[4] > sizes[0]    # energy retained in boosted blocks
+
+    dark = (y // 4).astype(np.uint8)
+    enc = FastIntraEncoder(352, 288, qindex=160, n_tiles=1)
+    enc.gop_size = 0
+    enc.frame_luma_bias = 50
+    k = enc.encode_frame(dark, u, u.copy())
+    p = enc.encode_frame(dark, u, u.copy())
+    dfs = decode_obus(k.payload + p.payload)
+    assert np.array_equal(dfs[1].y, p.recon_y)
