@@ -66,6 +66,10 @@ def main(argv=None) -> int:
     ap.add_argument("--frame-luma-bias", type=int, default=0,
                     help="PSY frame-luma-bias 0..100: lower q for dark "
                          "frames")
+    ap.add_argument("--film-grain", type=int, default=0,
+                    help="1 = estimate AR grain from the source and signal "
+                         "it for decoder-side synthesis (PSY adaptive "
+                         "block size)")
     ap.add_argument("--variance-octile", type=int, default=6,
                     choices=range(1, 9))
     args = ap.parse_args(argv)
@@ -109,6 +113,7 @@ def main(argv=None) -> int:
                     enc.vb_octile = args.variance_octile
                     enc.sharpness = args.sharpness
                     enc.frame_luma_bias = args.frame_luma_bias
+                    enc.film_grain = args.film_grain
                 else:
                     from svt_av1_psy_tpu.models.intra_encoder import \
                         IntraEncoder

@@ -130,6 +130,41 @@ def _write_color_config(w: BitWriter, seq: SequenceParams) -> None:
 
 
 @dataclass
+class FilmGrainParams:
+    """Film-grain synthesis parameters (spec 5.9.30; ref grainSynthesis.c).
+
+    scaling_* are lists of (value, scaling) piecewise points; ar_coeffs_*
+    are signed ints in [-128, 127]."""
+    apply_grain: bool = True
+    grain_seed: int = 7391
+    scaling_y: list = None
+    scaling_cb: list = None
+    scaling_cr: list = None
+    chroma_scaling_from_luma: bool = False
+    grain_scaling: int = 8                    # 8..11
+    ar_coeff_lag: int = 2
+    ar_coeffs_y: list = None
+    ar_coeffs_cb: list = None
+    ar_coeffs_cr: list = None
+    ar_coeff_shift: int = 6                   # 6..9
+    grain_scale_shift: int = 0
+    cb_mult: int = 128
+    cb_luma_mult: int = 192
+    cb_offset: int = 256
+    cr_mult: int = 128
+    cr_luma_mult: int = 192
+    cr_offset: int = 256
+    overlap_flag: bool = True
+    clip_to_restricted_range: bool = False
+
+    def __post_init__(self):
+        for a in ("scaling_y", "scaling_cb", "scaling_cr", "ar_coeffs_y",
+                  "ar_coeffs_cb", "ar_coeffs_cr"):
+            if getattr(self, a) is None:
+                setattr(self, a, [])
+
+
+@dataclass
 class FrameParams:
     """Per-frame header state for an intra (KEY) frame; extended for inter."""
     frame_type: int = 0                       # 0=KEY 1=INTER 2=INTRA_ONLY 3=S
@@ -160,6 +195,7 @@ class FrameParams:
     max_tile_rows_log2: int = 6
     context_update_tile_id: int = 0
     tile_size_bytes: int = 4
+    film_grain: object = None                 # Optional[FilmGrainParams]
     # loop filter
     filter_level: tuple = (0, 0)              # luma v/h
     filter_level_uv: tuple = (0, 0)
@@ -242,7 +278,71 @@ def write_frame_header_bits(w: BitWriter, seq: SequenceParams,
     if not fr.is_intra:
         for _ in range(7):
             w.bit(0)                          # is_global (identity GM)
-    # film_grain_params: none (seq.film_grain_params_present == 0)
+    _write_film_grain_params(w, seq, fr)
+
+
+def _write_film_grain_params(w: BitWriter, seq: SequenceParams,
+                             fr: FrameParams) -> None:
+    """film_grain_params (spec 5.9.30): AR-model grain table signalling
+    for decoder-side synthesis (ref grainSynthesis.c; PSY adaptive grain
+    noise_model.c:2132)."""
+    if not (seq.film_grain_params_present and
+            (fr.show_frame or fr.showable_frame)):
+        return
+    fg = fr.film_grain
+    if fg is None or not fg.apply_grain:
+        w.bit(0)                              # apply_grain
+        return
+    w.bit(1)
+    w.f(fg.grain_seed & 0xFFFF, 16)
+    if fr.frame_type == 1:
+        w.bit(1)                              # update_grain (always re-code)
+    w.f(len(fg.scaling_y), 4)
+    for (v, s) in fg.scaling_y:
+        w.f(v, 8)
+        w.f(s, 8)
+    w.bit(fg.chroma_scaling_from_luma)
+    mono = False
+    if not (mono or fg.chroma_scaling_from_luma or
+            (len(fg.scaling_y) == 0)):
+        w.f(len(fg.scaling_cb), 4)
+        for (v, s) in fg.scaling_cb:
+            w.f(v, 8)
+            w.f(s, 8)
+        w.f(len(fg.scaling_cr), 4)
+        for (v, s) in fg.scaling_cr:
+            w.f(v, 8)
+            w.f(s, 8)
+    w.f(fg.grain_scaling - 8, 2)
+    w.f(fg.ar_coeff_lag, 2)
+    num_pos_luma = 2 * fg.ar_coeff_lag * (fg.ar_coeff_lag + 1)
+    if len(fg.scaling_y):
+        assert len(fg.ar_coeffs_y) == num_pos_luma
+        for c in fg.ar_coeffs_y:
+            w.f(c + 128, 8)
+        num_pos_chroma = num_pos_luma + 1
+    else:
+        num_pos_chroma = num_pos_luma
+    if fg.chroma_scaling_from_luma or len(fg.scaling_cb):
+        assert len(fg.ar_coeffs_cb) == num_pos_chroma
+        for c in fg.ar_coeffs_cb:
+            w.f(c + 128, 8)
+    if fg.chroma_scaling_from_luma or len(fg.scaling_cr):
+        assert len(fg.ar_coeffs_cr) == num_pos_chroma
+        for c in fg.ar_coeffs_cr:
+            w.f(c + 128, 8)
+    w.f(fg.ar_coeff_shift - 6, 2)
+    w.f(fg.grain_scale_shift, 2)
+    if len(fg.scaling_cb):
+        w.f(fg.cb_mult, 8)
+        w.f(fg.cb_luma_mult, 8)
+        w.f(fg.cb_offset, 9)
+    if len(fg.scaling_cr):
+        w.f(fg.cr_mult, 8)
+        w.f(fg.cr_luma_mult, 8)
+        w.f(fg.cr_offset, 9)
+    w.bit(fg.overlap_flag)
+    w.bit(fg.clip_to_restricted_range)
 
 
 def _write_inter_header_head(w: BitWriter, seq: SequenceParams,
@@ -307,8 +407,6 @@ def _write_intra_header_head(w: BitWriter, seq: SequenceParams,
     w.bit(0)                                  # render_and_frame_size_different
     if fr.allow_screen_content_tools:
         w.bit(0)                              # allow_intrabc
-    if seq.film_grain_params_present and (fr.show_frame or fr.showable_frame):
-        w.bit(0)                              # apply_grain (off for now)
 
 
 def tile_log2(blk_size: int, target: int) -> int:

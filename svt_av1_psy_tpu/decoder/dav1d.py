@@ -246,9 +246,10 @@ def decode_ivf(path_or_bytes) -> list[DecodedFrame]:
     return frames
 
 
-def decode_obus(data: bytes) -> list[DecodedFrame]:
+def decode_obus(data: bytes,
+                apply_grain: bool = True) -> list[DecodedFrame]:
     """Decode a raw OBU stream (single temporal unit or concatenated TUs)."""
-    dec = Dav1dDecoder()
+    dec = Dav1dDecoder(apply_grain=apply_grain)
     try:
         frames = dec.send(data)
         frames.extend(dec.flush())

@@ -121,6 +121,11 @@ class FastIntraEncoder:
         # PSY frame-luma-bias: more bits for dark frames
         # (ref rc_process.c:3413)
         self.frame_luma_bias = 0
+        # film grain: 0 = off, 1 = estimate from source (PSY adaptive
+        # block size), or a FilmGrainParams for an external table
+        # (the --fgs-table analog)
+        self.film_grain = 0
+        self._fg_params = None
 
     # --- sharded device search (multi-chip; SURVEY.md §2.2 P4) -----------
     def make_sharded_decide(self, mesh, axis: str = "sp"):
@@ -256,6 +261,16 @@ class FastIntraEncoder:
         # frame-end context save (refresh slot 0, context_update_tile_id=0)
         self._fc_saved = tile_fcs[0]
 
+        if self.film_grain and self._fg_params is None:
+            from svt_av1_psy_tpu.bitstream.headers import FilmGrainParams
+            if isinstance(self.film_grain, FilmGrainParams):
+                self._fg_params = self.film_grain
+            else:
+                from svt_av1_psy_tpu.models.film_grain import                     estimate_film_grain
+                self._fg_params = estimate_film_grain(
+                    np.asarray(y), np.asarray(u), np.asarray(v), self.bd)
+            self.seq.film_grain_params_present = self._fg_params is not None
+
         lf = (0, 0, 0, 0)
         if self.enable_dlf:
             lf = self._pick_and_apply_dlf(yp, up, vp, base_q)
@@ -267,7 +282,8 @@ class FastIntraEncoder:
                                 delta_q_res_log2=max(dq_res_log2, 0),
                                 tile_cols_log2=self.tile_cols_log2,
                                 filter_level=(lf[0], lf[1]),
-                                filter_level_uv=(lf[2], lf[3]))
+                                filter_level_uv=(lf[2], lf[3]),
+                                film_grain=self._fg_params)
         payload = key_frame_temporal_unit(
             self.seq, fr_params, tg, with_seq_header=(self.frame_index == 0))
         self.frame_index += 1
@@ -371,7 +387,8 @@ class FastIntraEncoder:
             allow_high_precision_mv=False, interp_filter=0,
             tile_cols_log2=self.tile_cols_log2,
             filter_level=(lf[0], lf[1]),
-            filter_level_uv=(lf[2], lf[3]))
+            filter_level_uv=(lf[2], lf[3]),
+            film_grain=self._fg_params)
         payload = key_frame_temporal_unit(self.seq, fr_params, tg,
                                           with_seq_header=False)
         self.frame_index += 1

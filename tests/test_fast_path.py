@@ -196,3 +196,35 @@ def test_fast_sharpness_and_luma_bias():
     p = enc.encode_frame(dark, u, u.copy())
     dfs = decode_obus(k.payload + p.payload)
     assert np.array_equal(dfs[1].y, p.recon_y)
+
+
+def test_film_grain_estimation_and_synthesis():
+    """Grainy source -> estimated AR grain table signalled in the stream;
+    dav1d synthesizes it (spec 5.9.30; ref noise_model.c,
+    grainSynthesis.c). Pre-grain recon stays bit-exact."""
+    rng = np.random.default_rng(3)
+    base = np.clip(np.linspace(40, 200, 288)[:, None] +
+                   np.zeros((288, 352)), 0, 255)
+    y = np.clip(base + rng.normal(0, 6, (288, 352)), 0,
+                255).astype(np.uint8)
+    u = np.full((144, 176), 128, np.uint8)
+    enc = FastIntraEncoder(352, 288, qindex=140, n_tiles=2)
+    enc.gop_size = 0
+    enc.film_grain = 1
+    k = enc.encode_frame(y, u, u.copy())
+    y2 = np.clip(base + rng.normal(0, 6, (288, 352)), 0,
+                 255).astype(np.uint8)
+    p = enc.encode_frame(y2, u, u.copy())
+    assert enc._fg_params is not None and enc._fg_params.scaling_y
+    nog = decode_obus(k.payload + p.payload, apply_grain=False)
+    wg = decode_obus(k.payload + p.payload, apply_grain=True)
+    assert np.array_equal(nog[0].y, k.recon_y)
+    assert np.array_equal(nog[1].y, p.recon_y)
+    assert not np.array_equal(wg[0].y, nog[0].y)   # grain applied
+
+    # clean source: estimator declines to signal grain
+    clean = base.astype(np.uint8)
+    enc2 = FastIntraEncoder(352, 288, qindex=140, n_tiles=1)
+    enc2.film_grain = 1
+    enc2.encode_frame(clean, u, u.copy())
+    assert enc2._fg_params is None
