@@ -1,0 +1,103 @@
+"""Public encoder API: the EbSvtAv1Enc.h analog.
+
+Lifecycle mirrors the reference's C API (ref Source/API/EbSvtAv1Enc.h:
+svt_av1_enc_init_handle -> set_parameter -> init -> send_picture ->
+get_packet -> deinit) collapsed into one idiomatic class driven by the
+single EncoderConfig schema (config.py — the EbSvtAv1EncConfiguration
+mirror, shared by the CLI flags, key=value parameter strings, and this
+API):
+
+    cfg = EncoderConfig(enc_mode=12, qp=35)
+    cfg = parse_parameter_string(cfg, "sharpness=2:film-grain=1")
+    enc = Encoder(cfg, width=1920, height=1080)
+    for (y, u, v) in frames:
+        pkt = enc.encode(y, u, v)        # returns an EncodedFrame
+    enc.flush()
+
+Preset routing (the enc_mode_config.c role): enc_mode >= 10 runs the
+fast two-phase path (device search + native commit walk); lower presets
+run the full RD funnel.
+"""
+
+from __future__ import annotations
+
+from svt_av1_psy_tpu.config import (DEFAULT, EncoderConfig, PredStructure,
+                                    validate_config)
+
+
+def _gop_from_cfg(cfg: EncoderConfig) -> int:
+    """Map (pred_structure, intra_period) to the encoder gop convention
+    (1 = all intra, 0 = open IPPP, N = keyint)."""
+    ip = cfg.intra_period_length
+    if ip == 0:
+        return 1
+    if ip == -2:
+        # auto keyint: ~5s of video
+        return max(1, int(cfg.frame_rate * 5))
+    if ip == -1:
+        return 0
+    return ip + 1
+
+
+class Encoder:
+    """One encode channel (the EbComponentType analog)."""
+
+    def __init__(self, cfg: EncoderConfig, width: int, height: int,
+                 bit_depth: int | None = None):
+        cfg = cfg.replace(source_width=width, source_height=height)
+        if bit_depth is not None:
+            cfg = cfg.replace(encoder_bit_depth=bit_depth)
+        self.cfg = validate_config(cfg)
+        self.width, self.height = width, height
+        bd = self.cfg.encoder_bit_depth
+        qindex = min(255, int(round(self.cfg.crf * 4)))
+        preset = self.cfg.enc_mode
+        self._fast = preset >= 10
+        gop = _gop_from_cfg(self.cfg)
+        if self._fast:
+            from svt_av1_psy_tpu.models.fast_intra import FastIntraEncoder
+            n_cands = {13: 1, 12: 2}.get(preset, 3)
+            tc = self.cfg.tile_columns
+            enc = FastIntraEncoder(
+                width, height, qindex=qindex, bd=bd, n_cands=n_cands,
+                n_tiles=0 if tc == DEFAULT else max(1, 1 << tc))
+            enc.gop_size = gop
+            enc.enable_variance_boost = self.cfg.enable_variance_boost
+            enc.vb_strength = self.cfg.variance_boost_strength
+            enc.vb_octile = self.cfg.variance_octile
+            enc.sharpness = self.cfg.sharpness
+            enc.frame_luma_bias = self.cfg.frame_luma_bias
+            if self.cfg.film_grain_denoise_strength > 0:
+                enc.film_grain = 1
+        else:
+            from svt_av1_psy_tpu.models.intra_encoder import IntraEncoder
+            enc = IntraEncoder(width, height, qindex=qindex, bd=bd,
+                               search_top_k=2 if preset >= 7 else 3)
+            enc.gop_size = gop
+            enc.enable_variance_boost = self.cfg.enable_variance_boost
+            enc.vb_strength = self.cfg.variance_boost_strength
+            enc.vb_octile = self.cfg.variance_octile
+        self._enc = enc
+        self._frames = 0
+
+    def encode(self, y, u, v):
+        """send_picture + get_packet: encode one frame, return the
+        EncodedFrame (payload + reconstruction)."""
+        out = self._enc.encode_frame(y, u, v)
+        self._frames += 1
+        return out
+
+    def flush(self):
+        """End of stream (no frame reordering yet: nothing buffered)."""
+        return []
+
+    @property
+    def frames_encoded(self) -> int:
+        return self._frames
+
+    def stream_header(self) -> bytes:
+        """svt_av1_enc_stream_header analog: standalone sequence header."""
+        from svt_av1_psy_tpu.bitstream.headers import write_sequence_header
+        from svt_av1_psy_tpu.bitstream.obu import ObuType, wrap_obu
+        return wrap_obu(ObuType.SEQUENCE_HEADER,
+                        write_sequence_header(self._enc.seq))

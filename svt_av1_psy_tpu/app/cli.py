@@ -72,6 +72,10 @@ def main(argv=None) -> int:
                          "block size)")
     ap.add_argument("--variance-octile", type=int, default=6,
                     choices=range(1, 9))
+    ap.add_argument("--svtav1-params", default=None,
+                    help="colon-separated key=value parameter string "
+                         "(the svt_av1_enc_parse_parameter surface, "
+                         "ref EbSvtAv1Enc.h:1143)")
     args = ap.parse_args(argv)
 
     if args.qindex is None:
@@ -88,7 +92,6 @@ def main(argv=None) -> int:
     from svt_av1_psy_tpu.bitstream.ivf import IvfWriter
     from svt_av1_psy_tpu.io.y4m import Y4mReader
 
-    fast = args.preset >= 10
     t0 = time.time()
     n = 0
     total_bytes = 0
@@ -99,49 +102,31 @@ def main(argv=None) -> int:
             if enc is None:
                 H, W = y.shape
                 bd = reader.header.bit_depth
-                if fast:
-                    from svt_av1_psy_tpu.models.fast_intra import \
-                        FastIntraEncoder
-                    n_cands = {13: 1, 12: 2}.get(args.preset, 3)
-                    enc = FastIntraEncoder(W, H, qindex=args.qindex, bd=bd,
-                                           min_block=args.min_block,
-                                           n_cands=n_cands)
-                    enc.gop_size = args.gop
-                    enc.enable_variance_boost = \
-                        bool(args.enable_variance_boost)
-                    enc.vb_strength = args.variance_boost_strength
-                    enc.vb_octile = args.variance_octile
-                    enc.sharpness = args.sharpness
-                    enc.frame_luma_bias = args.frame_luma_bias
-                    enc.film_grain = args.film_grain
-                else:
-                    from svt_av1_psy_tpu.models.intra_encoder import \
-                        IntraEncoder
-                    enc = IntraEncoder(
-                        W, H, qindex=args.qindex, bd=bd,
-                        backend=args.backend,
-                        min_block=args.min_block,
-                        use_device_search=not args.no_device_search,
-                        search_top_k=2 if args.preset >= 7 else 3)
-                    enc.gop_size = args.gop
-                    enc.enable_variance_boost = \
-                        bool(args.enable_variance_boost)
-                    enc.vb_strength = args.variance_boost_strength
-                    enc.vb_octile = args.variance_octile
-                    enc.sharpness = args.sharpness
-                    enc.frame_luma_bias = args.frame_luma_bias
-                    from svt_av1_psy_tpu.models.ratecontrol import \
-                        RateControl
-                    if args.bitrate > 0:
-                        enc.rc = RateControl(
-                            mode="abr", base_qindex=args.qindex,
-                            target_bits_per_frame=args.bitrate * 1000 /
-                            args.fps)
-                    elif args.gop != 1:
-                        enc.rc = RateControl(mode="crf",
-                                             base_qindex=args.qindex)
+                # single config schema behind CLI flags, key=value params
+                # and the library API (config.py = EbSvtAv1EncConfiguration)
+                from svt_av1_psy_tpu.api import Encoder
+                from svt_av1_psy_tpu.config import (EncoderConfig,
+                                                    parse_parameter_string)
+                cfg = EncoderConfig(
+                    enc_mode=args.preset,
+                    qp=args.qindex // 4,
+                    intra_period_length=(0 if args.gop == 1 else
+                                         -1 if args.gop == 0 else
+                                         args.gop - 1),
+                    enable_variance_boost=bool(args.enable_variance_boost),
+                    variance_boost_strength=args.variance_boost_strength,
+                    variance_octile=args.variance_octile,
+                    sharpness=args.sharpness,
+                    frame_luma_bias=args.frame_luma_bias,
+                    film_grain_denoise_strength=args.film_grain)
+                if args.svtav1_params:
+                    cfg = parse_parameter_string(cfg, args.svtav1_params)
+                api = Encoder(cfg, W, H, bit_depth=bd)
+                # qindex-level precision (qp grid is 4x coarser)
+                api._enc.qindex = args.qindex
+                enc = api
                 ivf = IvfWriter(args.output, W, H)
-            f = enc.encode_frame(y, u, v)
+            f = enc.encode(y, u, v)
             ivf.write_frame(f.payload, n)
             total_bytes += len(f.payload)
             n += 1
