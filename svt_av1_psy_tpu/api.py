@@ -67,6 +67,12 @@ class Encoder:
             enc.vb_octile = self.cfg.variance_octile
             enc.sharpness = self.cfg.sharpness
             enc.frame_luma_bias = self.cfg.frame_luma_bias
+            if self.cfg.hierarchical_levels and \
+                    self.cfg.pred_structure == PredStructure.LOW_DELAY_B:
+                enc.hierarchical_levels = min(self.cfg.hierarchical_levels,
+                                              3)
+                enc.qp_scale_compress_strength = \
+                    self.cfg.qp_scale_compress_strength
             if self.cfg.film_grain_denoise_strength > 0:
                 enc.film_grain = 1
         else:

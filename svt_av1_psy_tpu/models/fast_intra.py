@@ -105,6 +105,15 @@ class FastIntraEncoder:
         self._ref_u = np.zeros_like(self._rec_u)
         self._ref_v = np.zeros_like(self._rec_v)
         self.gop_size = 1    # 1 = all intra, 0 = IPPP, N = keyint
+        # hierarchical low-delay pyramid: 0 = flat IPPP; L in 1..3 gives a
+        # 2^L mini-GoP with per-layer q offsets (ref pred_structure.c;
+        # PSY qp-scale-compress weights rc_process.c:777)
+        self.hierarchical_levels = 0
+        self.qp_scale_compress_strength = 1
+        # DPB: one stored recon + CDF context per temporal layer slot
+        self._dpb = {}          # slot -> (y, u, v) copies
+        self._dpb_fc = {}       # slot -> FrameContext
+        self._last_slot_by_layer = {}
         # shared loop-filter tx-dim maps + scratch for the level search
         self._lf_y = np.zeros((self.mi_rows, self.mi_cols), np.uint8)
         self._lf_uv = np.zeros(((self.mi_rows + 1) // 2,
@@ -260,6 +269,9 @@ class FastIntraEncoder:
 
         # frame-end context save (refresh slot 0, context_update_tile_id=0)
         self._fc_saved = tile_fcs[0]
+        if self.hierarchical_levels > 0:
+            self._dpb_fc[0] = tile_fcs[0]
+            self._last_slot_by_layer = {0: 0}
 
         if self.film_grain and self._fg_params is None:
             from svt_av1_psy_tpu.bitstream.headers import FilmGrainParams
@@ -274,6 +286,10 @@ class FastIntraEncoder:
         lf = (0, 0, 0, 0)
         if self.enable_dlf:
             lf = self._pick_and_apply_dlf(yp, up, vp, base_q)
+        if self.hierarchical_levels > 0:
+            # a shown KEY frame refreshes every DPB slot
+            self._dpb = {0: (self._rec_y.copy(), self._rec_u.copy(),
+                             self._rec_v.copy())}
 
         fr_params = FrameParams(base_q_idx=base_q,
                                 order_hint=self.frame_index & 0x7F,
@@ -319,7 +335,31 @@ class FastIntraEncoder:
             jnp.asarray(self._ref_y[:self.pah, :self.paw])))
         mv16 = np.clip(mv16, -127, 127).astype(np.int16)
 
+        L = self.hierarchical_levels
+        gop_pos = self.frame_index if self.gop_size == 0 else \
+            self.frame_index % max(self.gop_size, 1)
+        if L > 0:
+            m = 1 << L
+            pos = gop_pos % m
+            tz = (pos & -pos).bit_length() - 1 if pos else L
+            layer = L - min(tz, L)
+        else:
+            layer = 0
+        # reference slot: most recent stored frame at layer <= ours
+        ref_slot = 0
+        for l2 in range(min(layer, L), -1, -1):
+            if l2 in self._last_slot_by_layer:
+                ref_slot = self._last_slot_by_layer[l2]
+                break
+
         base_q = self.qindex
+        if L > 0 and layer > 0:
+            # per-layer q spread with PSY qp-scale-compress
+            w = (1.0, 1.125, 1.25, 1.375)[min(layer, 3)]
+            qsc = 1.0 / (1.0 + 0.5 * self.qp_scale_compress_strength)
+            base_q = int(np.clip(round(self.qindex +
+                                       self.qindex * (w - 1.0) * qsc),
+                                 0, 255))
         if self.frame_luma_bias:
             # ref rc_process.c:3413 (temporal layer 1 for flat IPPP)
             avg_luma = float(yp[::4, ::4].mean()) / (1 << (self.bd - 8))
@@ -332,7 +372,13 @@ class FastIntraEncoder:
 
         # primary_ref_frame CDF inheritance: start from the saved frame-end
         # context of the reference (spec load_cdfs; decoder mirrors this)
-        inherited = self._fc_saved.inherit_copy()
+        if L > 0:
+            src_fc = self._dpb_fc.get(ref_slot, self._fc_saved)
+            ref_planes = self._dpb.get(ref_slot)
+        else:
+            src_fc = self._fc_saved
+            ref_planes = None
+        inherited = src_fc.inherit_copy()
         tile_fcs = [inherited if ti == 0 else inherited.copy()
                     for ti in range(self.n_tiles)]
 
@@ -343,7 +389,10 @@ class FastIntraEncoder:
                                       sharpness=self.sharpness,
                                       base_q=base_q)
             eng.attach_planes(self._rec_y, self._rec_u, self._rec_v)
-            eng.set_ref(self._ref_y, self._ref_u, self._ref_v)
+            if ref_planes is not None:
+                eng.set_ref(*ref_planes)
+            else:
+                eng.set_ref(self._ref_y, self._ref_u, self._ref_v)
             if self.enable_dlf:
                 eng.attach_lfmaps(self._lf_y, self._lf_uv)
             eng.set_src(yp, up, vp)
@@ -378,17 +427,32 @@ class FastIntraEncoder:
             lf = self._pick_and_apply_dlf(yp, up, vp, base_q)
 
         self._fc_saved = tile_fcs[0]
+        refresh = 0x01
+        ref_idx = (0,) * 7
+        if L > 0:
+            ref_idx = (ref_slot,) + (0,) * 6
+            if layer < L:
+                refresh = 1 << layer      # store in the layer's slot
+            else:
+                refresh = 0               # top layer: never referenced
 
         fr_params = FrameParams(
             frame_type=1, base_q_idx=base_q,
             order_hint=self.frame_index & 0x7F,
             tx_mode_select=False, primary_ref_frame=0,
-            refresh_frame_flags=0x01, ref_frame_idx=(0,) * 7,
+            refresh_frame_flags=refresh, ref_frame_idx=ref_idx,
             allow_high_precision_mv=False, interp_filter=0,
             tile_cols_log2=self.tile_cols_log2,
             filter_level=(lf[0], lf[1]),
             filter_level_uv=(lf[2], lf[3]),
             film_grain=self._fg_params)
+        if L > 0 and layer < L:
+            slot = layer
+            self._dpb[slot] = (self._rec_y.copy(), self._rec_u.copy(),
+                               self._rec_v.copy())
+            self._dpb_fc[slot] = tile_fcs[0]
+            self._last_slot_by_layer[layer] = slot
+
         payload = key_frame_temporal_unit(self.seq, fr_params, tg,
                                           with_seq_header=False)
         self.frame_index += 1

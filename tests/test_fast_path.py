@@ -228,3 +228,24 @@ def test_film_grain_estimation_and_synthesis():
     enc2.film_grain = 1
     enc2.encode_frame(clean, u, u.copy())
     assert enc2._fg_params is None
+
+
+def test_hierarchical_lowdelay_pyramid():
+    """2-level low-delay pyramid: multi-slot DPB, per-slot CDF chains,
+    ref_frame_idx/refresh signalling, per-layer q (qp-scale-compress) —
+    all must decode bit-exact (ref pred_structure.c; rc_process.c:777)."""
+    rng = np.random.default_rng(2)
+    big = rng.integers(0, 255, (340, 400)).astype(np.uint8)
+    frames = [(np.ascontiguousarray(big[t * 2:t * 2 + 288,
+                                        t * 3:t * 3 + 352]),
+               np.full((144, 176), 128, np.uint8),
+               np.full((144, 176), 128, np.uint8)) for t in range(6)]
+    enc = FastIntraEncoder(352, 288, qindex=120, n_tiles=2)
+    enc.gop_size = 0
+    enc.hierarchical_levels = 2
+    outs = [enc.encode_frame(*f) for f in frames]
+    decoded = decode_obus(b"".join(o.payload for o in outs))
+    assert len(decoded) == 6
+    for d, o in zip(decoded, outs):
+        assert np.array_equal(d.y, o.recon_y)
+        assert np.array_equal(d.u, o.recon_u)
