@@ -232,6 +232,11 @@ void tpuc_attach_lfmaps(TpuCommit *c, uint8_t *txdim_y, uint8_t *txdim_uv,
     c->lf_stride[1] = cstride;
 }
 
+void tpuc_attach_skipmap(TpuCommit *c, uint8_t *skip, int stride) {
+    c->skip_map = skip;
+    c->skip_stride = stride;
+}
+
 void tpuc_set_ref(TpuCommit *c, const uint16_t *y, const uint16_t *u,
                   const uint16_t *v, int ystride, int cstride) {
     c->refp[0] = y;
@@ -1116,6 +1121,9 @@ static void intra_write_commit(TpuCommit *c, int r, int c4, int size,
             memset(c->lf_txdim[1] + (cr + i) * c->lf_stride[1] + cc,
                    TXW[ts_c], cw4c);
     }
+    if (c->skip_map)
+        for (int i = 0; i < lh4; i++)
+            memset(c->skip_map + (r + i) * c->skip_stride + c4, skip, aw4);
     if (c->grid)
         tpui_grid_set(c->grid, r, c4, w4, w4, tpu_sq_bsize(size), 0, 0, 0,
                       0);

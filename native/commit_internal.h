@@ -38,6 +38,9 @@ struct TpuCommit {
     /* shared loop-filter maps (uint8 tx dim in px per 4px unit) */
     uint8_t *lf_txdim[2];   /* [0] luma, [1] chroma */
     int lf_stride[2];
+    /* shared per-4x4 skip map (CDEF block lists) */
+    uint8_t *skip_map;
+    int skip_stride;
     /* inter state */
     InterCdfs *ic;
     InterGrid *grid;                /* per-tile mode-info grid (shared) */

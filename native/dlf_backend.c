@@ -268,10 +268,13 @@ double tpud_try_level(const uint16_t *img, int stride, const uint16_t *src,
                       int sstride, uint16_t *scratch, const uint8_t *txdim,
                       int map_stride, int rows, int cols, int is_luma,
                       int level, int sharpness, int bd, int w, int h) {
-    int hh = rows * 4;
-    (void)h;
+    /* the horizontal pass reads up to 3 rows below the last unit row —
+     * copy extra rows so the trial sees the same pixels as the apply;
+     * the SSE itself covers only the frame area */
+    int copy_rows = rows * 4 + 8;
+    int hh = rows * 4 < h ? rows * 4 : h;
     int ww = cols * 4 < w ? cols * 4 : w;
-    for (int y = 0; y < hh; y++)
+    for (int y = 0; y < copy_rows; y++)
         memcpy(scratch + y * stride, img + y * stride, sizeof(uint16_t) *
                                                             (size_t)stride);
     tpud_apply_plane(scratch, stride, txdim, map_stride, rows, cols,

@@ -1004,6 +1004,9 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
             memset(c->lf_txdim[1] + (cr + i) * c->lf_stride[1] + cc,
                    TXW[ts_c], cw4c);
     }
+    if (c->skip_map)
+        for (int i = 0; i < lh4; i++)
+            memset(c->skip_map + (r + i) * c->skip_stride + c4, skip, aw4);
 
     if (skip) {
         memset(c->above_coef[0] + c4, 0, aw4);

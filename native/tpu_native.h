@@ -116,6 +116,18 @@ void tpuc_attach_planes(TpuCommit *c, uint16_t *y, uint16_t *u, uint16_t *v,
 uint16_t *tpuc_plane(TpuCommit *c, int plane, int *stride);
 void tpuc_attach_lfmaps(TpuCommit *c, uint8_t *txdim_y, uint8_t *txdim_uv,
                         int ystride, int cstride);
+void tpuc_attach_skipmap(TpuCommit *c, uint8_t *skip, int stride);
+
+/* ---- CDEF (cdef_backend.c) --------------------------------------------- */
+void tpue_cdef(uint16_t *py, int ys, uint16_t *pu, uint16_t *pv, int cs,
+               const uint16_t *iny, const uint16_t *inu,
+               const uint16_t *inv,
+               const uint16_t *sy, int sys, const uint16_t *su,
+               const uint16_t *sv, int scs, const uint8_t *skip,
+               int mi_rows, int mi_cols, int skip_stride, int w, int h,
+               int bd, int damping, int y_pri, int y_sec, int uv_pri,
+               int uv_sec, int apply, int sample, int fbr0, int fbr1,
+               double *sse_out);
 
 /* ---- deblocking filter (dlf_backend.c) --------------------------------- */
 void tpud_apply_plane(uint16_t *img, int stride, const uint8_t *txdim,

@@ -120,6 +120,10 @@ class FastIntraEncoder:
                                 (self.mi_cols + 1) // 2), np.uint8)
         self._lf_scratch = np.zeros_like(self._rec_y)
         self.enable_dlf = True
+        self._skip_map = np.zeros((self.mi_rows, self.mi_cols), np.uint8)
+        self.enable_cdef = True
+        self.cdef_search_interval = 8   # re-search on keys / every Nth
+        self._cdef_cache = None
         # variance-boost AQ (PSY flagship; ref rc_process.c:1516)
         self.enable_variance_boost = False
         self.vb_strength = 2
@@ -237,6 +241,7 @@ class FastIntraEncoder:
             eng.attach_planes(self._rec_y, self._rec_u, self._rec_v)
             if self.enable_dlf:
                 eng.attach_lfmaps(self._lf_y, self._lf_uv)
+            eng.attach_skipmap(self._skip_map)
             eng.set_src(yp, up, vp)
             ec = native.NativeRangeEncoder()
             eng.encode_intra(ec, tile_fcs[ti], split, modes, sbq=sbq,
@@ -286,6 +291,11 @@ class FastIntraEncoder:
         lf = (0, 0, 0, 0)
         if self.enable_dlf:
             lf = self._pick_and_apply_dlf(yp, up, vp, base_q)
+        cdef_st, cdef_damp = ((0, 0, 0, 0), 3)
+        if self.enable_cdef:
+            cdef_st, cdef_damp = self._search_apply_cdef(yp, up, vp,
+                                                         base_q,
+                                                         is_key=True)
         if self.hierarchical_levels > 0:
             # a shown KEY frame refreshes every DPB slot
             self._dpb = {0: (self._rec_y.copy(), self._rec_u.copy(),
@@ -299,7 +309,15 @@ class FastIntraEncoder:
                                 tile_cols_log2=self.tile_cols_log2,
                                 filter_level=(lf[0], lf[1]),
                                 filter_level_uv=(lf[2], lf[3]),
-                                film_grain=self._fg_params)
+                                film_grain=self._fg_params,
+                                cdef_damping=cdef_damp,
+                                cdef_bits=0,
+                                cdef_y_pri=(cdef_st[0],),
+                                cdef_y_sec=(cdef_st[1] -
+                                            (cdef_st[1] == 4),),
+                                cdef_uv_pri=(cdef_st[2],),
+                                cdef_uv_sec=(cdef_st[3] -
+                                             (cdef_st[3] == 4),))
         payload = key_frame_temporal_unit(
             self.seq, fr_params, tg, with_seq_header=(self.frame_index == 0))
         self.frame_index += 1
@@ -395,6 +413,7 @@ class FastIntraEncoder:
                 eng.set_ref(self._ref_y, self._ref_u, self._ref_v)
             if self.enable_dlf:
                 eng.attach_lfmaps(self._lf_y, self._lf_uv)
+            eng.attach_skipmap(self._skip_map)
             eng.set_src(yp, up, vp)
             ec = native.NativeRangeEncoder()
             eng.encode_inter(ec, tile_fcs[ti], split, modes, mv16,
@@ -425,6 +444,9 @@ class FastIntraEncoder:
         lf = (0, 0, 0, 0)
         if self.enable_dlf:
             lf = self._pick_and_apply_dlf(yp, up, vp, base_q)
+        cdef_st, cdef_damp = ((0, 0, 0, 0), 3)
+        if self.enable_cdef:
+            cdef_st, cdef_damp = self._search_apply_cdef(yp, up, vp, base_q)
 
         self._fc_saved = tile_fcs[0]
         refresh = 0x01
@@ -445,7 +467,12 @@ class FastIntraEncoder:
             tile_cols_log2=self.tile_cols_log2,
             filter_level=(lf[0], lf[1]),
             filter_level_uv=(lf[2], lf[3]),
-            film_grain=self._fg_params)
+            film_grain=self._fg_params,
+            cdef_damping=cdef_damp, cdef_bits=0,
+            cdef_y_pri=(cdef_st[0],),
+            cdef_y_sec=(cdef_st[1] - (cdef_st[1] == 4),),
+            cdef_uv_pri=(cdef_st[2],),
+            cdef_uv_sec=(cdef_st[3] - (cdef_st[3] == 4),))
         if L > 0 and layer < L:
             slot = layer
             self._dpb[slot] = (self._rec_y.copy(), self._rec_u.copy(),
@@ -469,7 +496,60 @@ class FastIntraEncoder:
         return EncodedFrame(payload=payload, recon_y=rec_y, recon_u=rec_u,
                             recon_v=rec_v)
 
+
+    def _search_apply_cdef(self, yp, up, vp, base_q, is_key=False):
+        yp = np.ascontiguousarray(yp, np.uint16)
+        up = np.ascontiguousarray(up, np.uint16)
+        vp = np.ascontiguousarray(vp, np.uint16)
+        """Frame-level CDEF strength ladder (subsampled SSE) + apply
+        (ref enc_cdef.c search at cdef_bits=0 scope). The search reruns
+        on key frames / every cdef_search_interval frames; in between the
+        cached strengths are applied directly."""
+        native = self._native
+        damping = 3 + (base_q >> 6)
+        planes = (self._rec_y, self._rec_u, self._rec_v)
+        srcs = (yp, up, vp)
+        if self._cdef_cache is not None and \
+                (self.frame_index % max(self.cdef_search_interval, 1)):
+            st = self._cdef_cache
+            if any(st):
+                native.cdef_run(planes, srcs, self._skip_map, self.width,
+                                self.height, self.bd, damping, st,
+                                apply=True)
+            return st, damping
+
+        def sse(st, sample):
+            return native.cdef_run(planes, srcs, self._skip_map,
+                                   self.width, self.height, self.bd,
+                                   damping, st, apply=False, sample=sample)
+
+        base_y, base_c = sse((0, 0, 0, 0), 4)
+        best_y, cost_y = 0, base_y
+        for pri in (1, 2, 4, 7, 12):
+            cy, _ = sse((pri, 0, 0, 0), 4)
+            if cy < cost_y:
+                best_y, cost_y = pri, cy
+        best_ys = 0
+        for sec in (1, 2):
+            cy, _ = sse((best_y, sec, 0, 0), 4)
+            if cy < cost_y:
+                best_ys, cost_y = sec, cy
+        best_c, cost_c = 0, base_c
+        for pri in (1, 2, 4):
+            _, cc2 = sse((0, 0, pri, 0), 4)
+            if cc2 < cost_c:
+                best_c, cost_c = pri, cc2
+        st = (best_y, best_ys, best_c, 0)
+        self._cdef_cache = st
+        if any(st):
+            native.cdef_run(planes, srcs, self._skip_map, self.width,
+                            self.height, self.bd, damping, st, apply=True)
+        return st, damping
+
     def _pick_and_apply_dlf(self, yp, up, vp, base_q):
+        yp = np.ascontiguousarray(yp, np.uint16)
+        up = np.ascontiguousarray(up, np.uint16)
+        vp = np.ascontiguousarray(vp, np.uint16)
         """Ladder level search around a q-derived guess, then apply
         (ref av1_pick_filter_level's bisection; dlf_process.c kernel)."""
         native = self._native

@@ -18,7 +18,7 @@ import numpy as np
 _NATIVE = pathlib.Path(__file__).parent.parent / "native"
 _SRCS = [_NATIVE / "ec_backend.c", _NATIVE / "txfm_backend.c",
          _NATIVE / "commit_backend.c", _NATIVE / "dlf_backend.c",
-         _NATIVE / "inter_backend.c"]
+         _NATIVE / "inter_backend.c", _NATIVE / "cdef_backend.c"]
 _HDRS = [_NATIVE / "tpu_native.h", _NATIVE / "commit_internal.h"]
 _SO = _NATIVE / "libtpuec.so"
 
@@ -306,6 +306,16 @@ def _ensure_commit_locked(lib):
                                        ctypes.c_int, ctypes.c_int]
     lib.tpuc_attach_lfmaps.argtypes = [ctypes.c_void_p, u8p, u8p,
                                        ctypes.c_int, ctypes.c_int]
+    lib.tpuc_attach_skipmap.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int]
+    lib.tpue_cdef.argtypes = [
+        u16p, ctypes.c_int, u16p, u16p, ctypes.c_int,
+        u16p, u16p, u16p,
+        u16p, ctypes.c_int, u16p, u16p, ctypes.c_int,
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double)]
     lib.tpud_apply_plane.argtypes = [u16p, ctypes.c_int, u8p, ctypes.c_int,
                                      ctypes.c_int, ctypes.c_int,
                                      ctypes.c_int, ctypes.c_int,
@@ -462,6 +472,13 @@ class CommitEngine:
             sq, dq_res_log2, base_q, r0, r1, c0, c1, n_cands)
         return dist
 
+    def attach_skipmap(self, skip: np.ndarray):
+        """Shared per-4x4 skip map (CDEF block lists)."""
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        self._skipmap = skip
+        self.lib.tpuc_attach_skipmap(self._c, skip.ctypes.data_as(u8p),
+                                     skip.shape[1])
+
     def attach_lfmaps(self, txdim_y: np.ndarray, txdim_uv: np.ndarray):
         """Shared per-4px-unit tx-dim maps the engines fill during the
         walk (consumed by the deblocking filter)."""
@@ -542,6 +559,7 @@ def dlf_try_level(plane: np.ndarray, src: np.ndarray, scratch: np.ndarray,
                   sharpness: int, bd: int, rows: int, cols: int,
                   w: int, h: int) -> float:
     """SSE vs source after filtering a copy at `level` (encoder search)."""
+    assert plane.dtype == np.uint16 and src.dtype == np.uint16
     lib = get_lib()
     u16p = ctypes.POINTER(ctypes.c_uint16)
     u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -551,6 +569,52 @@ def dlf_try_level(plane: np.ndarray, src: np.ndarray, scratch: np.ndarray,
         scratch.ctypes.data_as(u16p), txdim.ctypes.data_as(u8p),
         txdim.shape[1], rows, cols, int(is_luma), level, sharpness, bd,
         w, h)
+
+
+def cdef_run(planes, srcs, skip: np.ndarray, w: int, h: int, bd: int,
+             damping: int, strengths, apply: bool,
+             sample: int = 1, n_threads: int = 4):
+    """Run CDEF over the frame; returns (sse_y, sse_uv). planes/srcs:
+    (y, u, v) uint16 arrays; strengths: (y_pri, y_sec, uv_pri, uv_sec).
+    Banded over 64px rows across threads (blocks are independent: reads
+    come from an internal pre-CDEF copy)."""
+    lib = get_lib()
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    py, pu, pv = planes
+    sy, su, sv = srcs
+    assert all(p.dtype == np.uint16 for p in (py, pu, pv, sy, su, sv))
+    if apply:
+        iny, inu, inv = py.copy(), pu.copy(), pv.copy()
+    else:
+        iny, inu, inv = py, pu, pv
+    mi_rows, mi_cols = skip.shape
+    n64r = (mi_rows + 15) // 16
+
+    def band(fbr0, fbr1):
+        sse = (ctypes.c_double * 2)()
+        lib.tpue_cdef(py.ctypes.data_as(u16p), py.shape[1],
+                      pu.ctypes.data_as(u16p), pv.ctypes.data_as(u16p),
+                      pu.shape[1],
+                      iny.ctypes.data_as(u16p), inu.ctypes.data_as(u16p),
+                      inv.ctypes.data_as(u16p),
+                      sy.ctypes.data_as(u16p), sy.shape[1],
+                      su.ctypes.data_as(u16p), sv.ctypes.data_as(u16p),
+                      su.shape[1],
+                      skip.ctypes.data_as(u8p), mi_rows, mi_cols,
+                      skip.shape[1], w, h, bd, damping, strengths[0],
+                      strengths[1], strengths[2], strengths[3], int(apply),
+                      sample, fbr0, fbr1, sse)
+        return float(sse[0]), float(sse[1])
+
+    nb = min(n_threads, n64r)
+    if nb <= 1:
+        return band(0, n64r)
+    bounds = [(i * n64r // nb, (i + 1) * n64r // nb) for i in range(nb)]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=nb) as tp:
+        parts = list(tp.map(lambda b: band(*b), bounds))
+    return (sum(p[0] for p in parts), sum(p[1] for p in parts))
 
 
 # --- native transforms / quantizer -----------------------------------------
