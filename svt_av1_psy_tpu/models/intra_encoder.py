@@ -423,13 +423,6 @@ class IntraEncoder:
         coeff = forward_transform_2d(resid, ts, tt, self.bd)
         return quantize_b(coeff, ts, self.pq)
 
-    @staticmethod
-    def _coeff_bits_est(qc) -> float:
-        nz = qc[qc != 0]
-        if nz.size == 0:
-            return 1.0
-        return 2.0 * nz.size + float(np.log2(1.0 + np.abs(nz)).sum()) + 4.0
-
     # --- block coding ------------------------------------------------------
     def _search_block(self, r, c, bsize):
         from svt_av1_psy_tpu.entropy.tile_writer import MAX_TX_SIZE_RECT
@@ -661,16 +654,6 @@ class IntraEncoder:
             commits.append((1, cr, cc_, ts_uv, tt_uv, qu, pu))
             commits.append((2, cr, cc_, ts_uv, tt_uv, qv, pv))
         return total_cost, rec, (blk, hc, commits)
-
-    def _replay_block(self, replay):
-        """Re-commit a previously searched block's reconstruction after the
-        containing region was rolled back to the identical pre-state."""
-        blk, hc, commits = replay
-        fr = self.fr
-        fr.start_block(blk.mi_row, blk.mi_col)
-        for (plane, u_row, u_col, ts, tt, qc, pred) in commits:
-            fr.commit_txb(blk, plane, u_row, u_col, ts, tt, qc, pred)
-        fr.finish_block(blk, hc)
 
     def _luma_tx_types(self, ts):
         tx_set = intra_tx_set(ts, False)
