@@ -280,6 +280,10 @@ void tpuc_set_qtab(TpuCommit *c, const int32_t *qtab) {
     memcpy(c->qtab, qtab, sizeof(c->qtab));
 }
 
+void tpuc_set_psy_rd(TpuCommit *c, double strength) {
+    c->psy_rd = strength;
+}
+
 uint16_t *tpuc_plane(TpuCommit *c, int plane, int *stride) {
     *stride = plane ? c->cstride : c->ystride;
     return c->plane[plane];
@@ -689,6 +693,14 @@ void tpu_trial_txb(TpuCommit *c, int plane, int ts, int tt,
         for (int i = 0; i < w * h; i++)
             sse += (long)resid[i] * resid[i];
         out->sse = sse;
+        if (c->psy_rd > 0 && TXW[ts] <= 32 && TXH[ts] <= 32) {
+            long ea = 0;
+            for (int i = 1; i < cw * ch; i++)
+                ea += coeff[i] < 0 ? -(long)coeff[i] : coeff[i];
+            out->psy = ea >> (3 - tx_log_scale(ts));
+        } else {
+            out->psy = 0;
+        }
         return;
     }
     out->rate512 = tpuec_cost_txb(c->tc, out->qc, scan, n, cw, ch, TXW[ts],
@@ -705,6 +717,20 @@ void tpu_trial_txb(TpuCommit *c, int plane, int ts, int tt,
             sse += d * d;
         }
         out->sse = sse >> (6 - 2 * tx_log_scale(ts));
+        if (c->psy_rd > 0) {
+            /* PSY energy preservation (psy_rd.c analog): penalize losing
+             * AC energy to quantization, computed in the transform
+             * domain (amplitude gain 2^(3 - log_scale)) */
+            long ea = 0, eb = 0;
+            for (int i = 1; i < cw * ch; i++) {
+                ea += coeff[i] < 0 ? -(long)coeff[i] : coeff[i];
+                eb += out->dqc[i] < 0 ? -(long)out->dqc[i] : out->dqc[i];
+            }
+            long d = ea - eb;
+            out->psy = (d < 0 ? -d : d) >> (3 - tx_log_scale(ts));
+        } else {
+            out->psy = 0;
+        }
         return;
     }
     tputx_inv2d(out->dqc, rresid, ts, tt, c->bd);
@@ -715,6 +741,7 @@ void tpu_trial_txb(TpuCommit *c, int plane, int ts, int tt,
         sse += d * d;
     }
     out->sse = sse;
+    out->psy = 0;
 }
 
 /* ---- coefficient neighbor contexts ------------------------------------- */
@@ -962,7 +989,8 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
                           tpu_sym_cost_bits(ymode_cdf, m);
             if (m >= 1 && m <= 8)
                 rate += tpu_sym_cost_bits(mc->angle_delta + (m - 1) * 8, 3);
-            double cost = (double)tmp.sse + c->rdmult * rate;
+            double cost = (double)tmp.sse + c->psy_rd * tmp.psy +
+                          c->rdmult * rate;
             if (best_mode_cost < 0 || cost < best_mode_cost) {
                 best_mode_cost = cost;
                 y_mode = m;
@@ -998,7 +1026,8 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
                 mc->intra_ext_tx +
                     ((set * 4 + TX_SQR[ts_y]) * 13 + y_mode) * 17,
                 txtype_sym(set, tt));
-        double cost = (double)tmp.sse + c->rdmult * rate;
+        double cost = (double)tmp.sse + c->psy_rd * tmp.psy +
+                      c->rdmult * rate;
         if (best_cost < 0 || cost < best_cost) {
             best_cost = cost;
             s_ty = tmp;

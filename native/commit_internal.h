@@ -32,6 +32,7 @@ struct TpuCommit {
     ModeCdfs *mc;
     TxbCdfs *tc;
     double rdmult;
+    double psy_rd;        /* PSY energy-preservation strength (0 = off) */
     int cur_q;
     int n_cands;
     int64_t dist_acc;
@@ -55,6 +56,7 @@ typedef struct {
     int32_t dqc[32 * 32];
     int rate512;
     long sse;
+    long psy;          /* |AC energy(src) - AC energy(rec)|, pixel scale */
     int eob;
     int tt;
 } TxTrial;

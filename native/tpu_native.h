@@ -117,6 +117,7 @@ uint16_t *tpuc_plane(TpuCommit *c, int plane, int *stride);
 void tpuc_attach_lfmaps(TpuCommit *c, uint8_t *txdim_y, uint8_t *txdim_uv,
                         int ystride, int cstride);
 void tpuc_attach_skipmap(TpuCommit *c, uint8_t *skip, int stride);
+void tpuc_set_psy_rd(TpuCommit *c, double strength);
 
 /* ---- CDEF (cdef_backend.c) --------------------------------------------- */
 void tpue_cdef(uint16_t *py, int ys, uint16_t *pu, uint16_t *pv, int cs,

@@ -67,6 +67,7 @@ class Encoder:
             enc.vb_octile = self.cfg.variance_octile
             enc.sharpness = self.cfg.sharpness
             enc.frame_luma_bias = self.cfg.frame_luma_bias
+            enc.psy_rd = self.cfg.psy_rd
             if self.cfg.hierarchical_levels and \
                     self.cfg.pred_structure == PredStructure.LOW_DELAY_B:
                 enc.hierarchical_levels = min(self.cfg.hierarchical_levels,

@@ -66,6 +66,8 @@ def main(argv=None) -> int:
     ap.add_argument("--frame-luma-bias", type=int, default=0,
                     help="PSY frame-luma-bias 0..100: lower q for dark "
                          "frames")
+    ap.add_argument("--psy-rd", type=float, default=0.0,
+                    help="PSY psy-rd 0..6: energy-preservation RD bias")
     ap.add_argument("--film-grain", type=int, default=0,
                     help="1 = estimate AR grain from the source and signal "
                          "it for decoder-side synthesis (PSY adaptive "
@@ -118,7 +120,9 @@ def main(argv=None) -> int:
                     variance_octile=args.variance_octile,
                     sharpness=args.sharpness,
                     frame_luma_bias=args.frame_luma_bias,
-                    film_grain_denoise_strength=args.film_grain)
+                    film_grain_denoise_strength=args.film_grain,
+                    psy_rd=args.psy_rd,
+                    tune=2 if args.psy_rd else 2)
                 if args.svtav1_params:
                     cfg = parse_parameter_string(cfg, args.svtav1_params)
                 api = Encoder(cfg, W, H, bit_depth=bd)

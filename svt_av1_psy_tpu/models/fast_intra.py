@@ -128,6 +128,9 @@ class FastIntraEncoder:
         self.enable_variance_boost = False
         self.vb_strength = 2
         self.vb_octile = 6
+        # PSY psy-rd: transform-domain AC-energy preservation in RD
+        # (ref psy_rd.c:51-123; tune 2/3 semantics, strength 0..6)
+        self.psy_rd = 0.0
         # PSY sharpness: diff-based quant rounding bias
         # (ref md_config_process.c:96-117)
         self.sharpness = 0
@@ -242,6 +245,8 @@ class FastIntraEncoder:
             if self.enable_dlf:
                 eng.attach_lfmaps(self._lf_y, self._lf_uv)
             eng.attach_skipmap(self._skip_map)
+            if self.psy_rd:
+                eng.set_psy_rd(self.psy_rd)
             eng.set_src(yp, up, vp)
             ec = native.NativeRangeEncoder()
             eng.encode_intra(ec, tile_fcs[ti], split, modes, sbq=sbq,
@@ -414,6 +419,8 @@ class FastIntraEncoder:
             if self.enable_dlf:
                 eng.attach_lfmaps(self._lf_y, self._lf_uv)
             eng.attach_skipmap(self._skip_map)
+            if self.psy_rd:
+                eng.set_psy_rd(self.psy_rd)
             eng.set_src(yp, up, vp)
             ec = native.NativeRangeEncoder()
             eng.encode_inter(ec, tile_fcs[ti], split, modes, mv16,

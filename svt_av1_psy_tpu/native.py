@@ -307,6 +307,7 @@ def _ensure_commit_locked(lib):
     lib.tpuc_attach_lfmaps.argtypes = [ctypes.c_void_p, u8p, u8p,
                                        ctypes.c_int, ctypes.c_int]
     lib.tpuc_attach_skipmap.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int]
+    lib.tpuc_set_psy_rd.argtypes = [ctypes.c_void_p, ctypes.c_double]
     lib.tpue_cdef.argtypes = [
         u16p, ctypes.c_int, u16p, u16p, ctypes.c_int,
         u16p, u16p, u16p,
@@ -471,6 +472,10 @@ class CommitEngine:
             m(mode_maps[8]), mv.ctypes.data_as(i16p), mv.shape[1],
             sq, dq_res_log2, base_q, r0, r1, c0, c1, n_cands)
         return dist
+
+    def set_psy_rd(self, strength: float):
+        """PSY energy-preservation RD strength (the psy_rd.c analog)."""
+        self.lib.tpuc_set_psy_rd(self._c, float(strength))
 
     def attach_skipmap(self, skip: np.ndarray):
         """Shared per-4x4 skip map (CDEF block lists)."""

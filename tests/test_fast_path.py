@@ -249,3 +249,40 @@ def test_hierarchical_lowdelay_pyramid():
     for d, o in zip(decoded, outs):
         assert np.array_equal(d.y, o.recon_y)
         assert np.array_equal(d.u, o.recon_u)
+
+
+def test_fast_path_10bit():
+    """Fast path at 10-bit: qtab, planes, EC, MC all bd-aware."""
+    rng = np.random.default_rng(0)
+    h, w = 144, 176
+    y = rng.integers(0, 1023, (h, w)).astype(np.uint16)
+    u = rng.integers(0, 1023, (h // 2, w // 2)).astype(np.uint16)
+    v = rng.integers(0, 1023, (h // 2, w // 2)).astype(np.uint16)
+    enc = FastIntraEncoder(w, h, qindex=120, bd=10, n_tiles=2)
+    enc.gop_size = 0
+    k = enc.encode_frame(y, u, v)
+    p = enc.encode_frame(np.clip(y + 2, 0, 1023).astype(np.uint16), u, v)
+    dfs = decode_obus(k.payload + p.payload)
+    assert dfs[0].bit_depth == 10
+    for d, o in zip(dfs, (k, p)):
+        assert np.array_equal(d.y, o.recon_y)
+        assert np.array_equal(d.u, o.recon_u)
+
+
+def test_psy_rd_energy_preservation():
+    """psy-rd (transform-domain AC energy term, the psy_rd.c analog):
+    higher strength keeps more high-frequency energy; conformant."""
+    rng = np.random.default_rng(1)
+    y = np.zeros((288, 352), np.uint8)
+    y[:, :176] = rng.integers(0, 255, (288, 176))
+    y[:, 176:] = (np.arange(176) // 8 * 8).astype(np.uint8)
+    u = np.full((144, 176), 128, np.uint8)
+    res = {}
+    for pr in (0.0, 4.0):
+        enc = FastIntraEncoder(352, 288, qindex=160, n_tiles=1)
+        enc.psy_rd = pr
+        o = enc.encode_frame(y, u, u.copy())
+        d = decode_obus(o.payload)[0]
+        assert np.array_equal(d.y, o.recon_y)
+        res[pr] = np.abs(np.diff(d.y.astype(int), axis=1)).sum()
+    assert res[4.0] >= res[0.0]
