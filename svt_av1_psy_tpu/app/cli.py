@@ -66,6 +66,10 @@ def main(argv=None) -> int:
     ap.add_argument("--frame-luma-bias", type=int, default=0,
                     help="PSY frame-luma-bias 0..100: lower q for dark "
                          "frames")
+    ap.add_argument("--enable-tf", type=int, default=0,
+                    help="alt-ref temporal filtering strength 0..4 for key "
+                         "frames (2-frame lookahead; PSY tf-strength "
+                         "semantics)")
     ap.add_argument("--psy-rd", type=float, default=0.0,
                     help="PSY psy-rd 0..6: energy-preservation RD bias")
     ap.add_argument("--film-grain", type=int, default=0,
@@ -97,10 +101,58 @@ def main(argv=None) -> int:
     t0 = time.time()
     n = 0
     total_bytes = 0
+
+    def is_key(idx):
+        if args.gop == 1:
+            return True
+        if args.gop == 0:
+            return idx == 0
+        return idx % args.gop == 0
+
     with Y4mReader(args.input) as reader:
         enc = None
         ivf = None
-        for (y, u, v) in reader:
+        pending = []       # lookahead buffer [(idx, (y,u,v))]
+        history = []       # last 2 source frames (TF window)
+        src_idx = 0
+
+        def frames_iter():
+            """Source frames with key-frame temporal filtering applied
+            (ref temporal_filtering.c; 2-frame lookahead window)."""
+            nonlocal src_idx
+            look = 2 if args.enable_tf else 0
+            for f in reader:
+                pending.append(f)
+                if args.frames and src_idx + len(pending) > args.frames                         and len(pending) > 1:
+                    pending.pop()
+                    continue
+                while len(pending) > look:
+                    cur = pending.pop(0)
+                    if args.enable_tf and is_key(src_idx):
+                        from svt_av1_psy_tpu.models.temporal_filter import                             temporal_filter
+                        win = history[-2:] + [cur] + pending[:2]
+                        cur = temporal_filter(win, len(history[-2:]),
+                                              strength=args.enable_tf)
+                    history.append(cur if not args.enable_tf else
+                                   (pending[0] if pending else cur))
+                    if len(history) > 2:
+                        history.pop(0)
+                    yield cur
+                    src_idx += 1
+            while pending:
+                cur = pending.pop(0)
+                if args.enable_tf and is_key(src_idx):
+                    from svt_av1_psy_tpu.models.temporal_filter import                         temporal_filter
+                    win = history[-2:] + [cur] + pending[:2]
+                    cur = temporal_filter(win, len(history[-2:]),
+                                          strength=args.enable_tf)
+                history.append(cur)
+                if len(history) > 2:
+                    history.pop(0)
+                yield cur
+                src_idx += 1
+
+        for (y, u, v) in frames_iter():
             if enc is None:
                 H, W = y.shape
                 bd = reader.header.bit_depth

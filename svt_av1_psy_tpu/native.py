@@ -308,6 +308,11 @@ def _ensure_commit_locked(lib):
                                        ctypes.c_int, ctypes.c_int]
     lib.tpuc_attach_skipmap.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int]
     lib.tpuc_set_psy_rd.argtypes = [ctypes.c_void_p, ctypes.c_double]
+    lib.tpui_mc_block.argtypes = [u16p, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_int, ctypes.c_int,
+                                  ctypes.POINTER(ctypes.c_int32)]
     lib.tpue_cdef.argtypes = [
         u16p, ctypes.c_int, u16p, u16p, ctypes.c_int,
         u16p, u16p, u16p,
@@ -574,6 +579,23 @@ def dlf_try_level(plane: np.ndarray, src: np.ndarray, scratch: np.ndarray,
         scratch.ctypes.data_as(u16p), txdim.ctypes.data_as(u8p),
         txdim.shape[1], rows, cols, int(is_luma), level, sharpness, bd,
         w, h)
+
+
+def mc_block(ref: np.ndarray, px: int, py: int, w: int, h: int,
+             mvx_q4: int, mvy_q4: int, bd: int = 8,
+             frame_w: int = None, frame_h: int = None) -> np.ndarray:
+    """Subpel MC one block from a uint16 reference plane (REGULAR filter,
+    normative 7.11.3)."""
+    lib = get_lib()
+    assert ref.dtype == np.uint16
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    out = np.empty((h, w), np.int32)
+    lib.tpui_mc_block(ref.ctypes.data_as(u16p), ref.shape[1],
+                      frame_w if frame_w else ref.shape[1],
+                      frame_h if frame_h else ref.shape[0],
+                      px, py, w, h, mvx_q4, mvy_q4, bd,
+                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
 
 
 def cdef_run(planes, srcs, skip: np.ndarray, w: int, h: int, bd: int,

@@ -286,3 +286,24 @@ def test_psy_rd_energy_preservation():
         assert np.array_equal(d.y, o.recon_y)
         res[pr] = np.abs(np.diff(d.y.astype(int), axis=1)).sum()
     assert res[4.0] >= res[0.0]
+
+
+def test_temporal_filter_denoises_keys():
+    """Alt-ref temporal filtering (ref temporal_filtering.c): MC-aligned
+    window blending reduces key-frame noise without smearing motion."""
+    from svt_av1_psy_tpu.models.temporal_filter import temporal_filter
+    rng = np.random.default_rng(0)
+    h, w = 144, 176
+    base = np.clip(np.linspace(30, 220, h)[:, None] + np.zeros((h, w)),
+                   0, 255)
+    frames = []
+    for t in range(5):
+        y = np.clip(base + rng.normal(0, 8, (h, w)), 0,
+                    255).astype(np.uint8)
+        u = np.clip(128 + rng.normal(0, 4, (h // 2, w // 2)), 0,
+                    255).astype(np.uint8)
+        frames.append((y, u, u.copy()))
+    fy, fu, fv = temporal_filter(frames, 2, strength=2)
+    before = (frames[2][0].astype(float) - base).std()
+    after = (fy.astype(float) - base).std()
+    assert after < before * 0.9
