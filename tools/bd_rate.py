@@ -165,11 +165,16 @@ def main():
                      [p["psnr_yuv"] for p in our_pts])
     print(f"BD-rate (PSNR-Y):   {bd_y:+.1f}%  (negative = ours better)")
     print(f"BD-rate (PSNR-YUV): {bd_yuv:+.1f}%")
+    def _num(v):
+        return None if (v != v) else round(v, 2)   # NaN -> null (strict JSON)
     result = {"clip": args.clip, "frames": n,
               "ref_preset": args.preset, "our_preset": args.our_preset,
               "ref": ref_pts, "ours": our_pts,
-              "bd_rate_psnr_y_pct": round(bd_y, 2),
-              "bd_rate_psnr_yuv_pct": round(bd_yuv, 2)}
+              "bd_rate_psnr_y_pct": _num(bd_y),
+              "bd_rate_psnr_yuv_pct": _num(bd_yuv)}
+    if bd_y != bd_y:
+        result["note"] = ("quality ranges barely overlap: compare the "
+                          "per-point (kbps, dB) pairs directly")
     if args.out:
         existing = {}
         if os.path.exists(args.out):
