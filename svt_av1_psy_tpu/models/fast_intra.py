@@ -124,6 +124,7 @@ class FastIntraEncoder:
         self.enable_cdef = True
         self.cdef_search_interval = 8   # re-search on keys / every Nth
         self._cdef_cache = None
+        self._dlf_cache = None
         # variance-boost AQ (PSY flagship; ref rc_process.c:1516)
         self.enable_variance_boost = False
         self.vb_strength = 2
@@ -557,6 +558,22 @@ class FastIntraEncoder:
         yp = np.ascontiguousarray(yp, np.uint16)
         up = np.ascontiguousarray(up, np.uint16)
         vp = np.ascontiguousarray(vp, np.uint16)
+        native = self._native
+        if self._dlf_cache is not None and \
+                (self.frame_index % max(self.cdef_search_interval, 1)):
+            ly, lu, lv_ = self._dlf_cache
+            rows, cols = self.mi_rows, self.mi_cols
+            crows, ccols = (rows + 1) // 2, (cols + 1) // 2
+            if ly:
+                native.dlf_apply(self._rec_y, self._lf_y, True, ly, ly, 0,
+                                 self.bd, rows, cols)
+            if lu:
+                native.dlf_apply(self._rec_u, self._lf_uv, False, lu, lu,
+                                 0, self.bd, crows, ccols)
+            if lv_:
+                native.dlf_apply(self._rec_v, self._lf_uv, False, lv_,
+                                 lv_, 0, self.bd, crows, ccols)
+            return (ly, ly, lu, lv_)
         """Ladder level search around a q-derived guess, then apply
         (ref av1_pick_filter_level's bisection; dlf_process.c kernel)."""
         native = self._native
@@ -587,6 +604,7 @@ class FastIntraEncoder:
         if ly == 0:
             # chroma levels only coded when a luma level is nonzero
             lu = lv_ = 0
+        self._dlf_cache = (ly, lu, lv_)
         if ly:
             native.dlf_apply(self._rec_y, self._lf_y, True, ly, ly, 0,
                              self.bd, rows, cols)

@@ -83,7 +83,8 @@ def encode_ours(src, w, h, qindex, fps_hz, preset, gop=1):
     import time
     if preset >= 10:
         from svt_av1_psy_tpu.models.fast_intra import FastIntraEncoder
-        enc = FastIntraEncoder(w, h, qindex=qindex)
+        enc = FastIntraEncoder(w, h, qindex=qindex,
+                               n_cands={13: 1, 12: 2}.get(preset, 3))
         enc.gop_size = gop
     else:
         from svt_av1_psy_tpu.models.intra_encoder import IntraEncoder
