@@ -76,6 +76,7 @@ class Encoder:
                     self.cfg.qp_scale_compress_strength
             if self.cfg.film_grain_denoise_strength > 0:
                 enc.film_grain = 1
+            enc.enable_scenecut = bool(self.cfg.scene_change_detection)
         else:
             from svt_av1_psy_tpu.models.intra_encoder import IntraEncoder
             enc = IntraEncoder(width, height, qindex=qindex, bd=bd,

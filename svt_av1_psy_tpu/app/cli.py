@@ -66,6 +66,11 @@ def main(argv=None) -> int:
     ap.add_argument("--frame-luma-bias", type=int, default=0,
                     help="PSY frame-luma-bias 0..100: lower q for dark "
                          "frames")
+    ap.add_argument("--enable-stat-report", action="store_true",
+                    help="per-frame PSNR report + end summary (the "
+                         "--enable-stat-report / svt_psnr.c analog)")
+    ap.add_argument("--stat-file", default=None,
+                    help="write the per-frame stats to a file")
     ap.add_argument("--enable-tf", type=int, default=0,
                     help="alt-ref temporal filtering strength 0..4 for key "
                          "frames (2-frame lookahead; PSY tf-strength "
@@ -152,6 +157,7 @@ def main(argv=None) -> int:
                 yield cur
                 src_idx += 1
 
+        stats = []
         for (y, u, v) in frames_iter():
             if enc is None:
                 H, W = y.shape
@@ -185,6 +191,22 @@ def main(argv=None) -> int:
             f = enc.encode(y, u, v)
             ivf.write_frame(f.payload, n)
             total_bytes += len(f.payload)
+            if args.enable_stat_report:
+                import math
+
+                import numpy as np
+                peak = float((1 << reader.header.bit_depth) - 1) ** 2
+
+                def psnr(a, b):
+                    m = float(np.mean((np.asarray(a, np.float64) -
+                                       np.asarray(b, np.float64)) ** 2))
+                    return 10 * math.log10(peak / max(m, 1e-9))
+
+                stats.append((n, len(f.payload), psnr(y, f.recon_y),
+                              psnr(u, f.recon_u), psnr(v, f.recon_v)))
+                print(f"frame {n}: {len(f.payload):7d} B  "
+                      f"PSNR Y {stats[-1][2]:.2f}  U {stats[-1][3]:.2f}  "
+                      f"V {stats[-1][4]:.2f}", file=sys.stderr)
             n += 1
             if args.frames and n >= args.frames:
                 break
@@ -194,6 +216,17 @@ def main(argv=None) -> int:
     if n:
         print(f"encoded {n} frames, {total_bytes} bytes, "
               f"{dt:.2f}s ({n / dt:.3f} fps)", file=sys.stderr)
+        if args.enable_stat_report and stats:
+            avg = [sum(s[i] for s in stats) / len(stats) for i in (2, 3, 4)]
+            kbps = total_bytes * 8 * args.fps / n / 1000
+            print(f"SUMMARY: {kbps:.1f} kbps  avg PSNR "
+                  f"Y {avg[0]:.2f}  U {avg[1]:.2f}  V {avg[2]:.2f}",
+                  file=sys.stderr)
+            if args.stat_file:
+                with open(args.stat_file, "w") as sf:
+                    sf.write("frame,bytes,psnr_y,psnr_u,psnr_v\n")
+                    for s2 in stats:
+                        sf.write(",".join(str(x) for x in s2) + "\n")
     return 0
 
 

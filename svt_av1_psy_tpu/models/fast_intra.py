@@ -43,10 +43,22 @@ def _jitted_decide():
 
 @functools.lru_cache(maxsize=1)
 def _jitted_hme():
+    import os
+
     import jax
 
-    from svt_av1_psy_tpu.ops.jax_backend import hme_search
+    from svt_av1_psy_tpu.ops.jax_backend import hme_search, hme_search_pallas
 
+    # SVT_HME_PALLAS=1 routes full-pel ME through the Pallas kernel
+    # (on-chip SAD scan; validated bit-identical to hme_search in
+    # tests/test_fast_path.py::test_pallas_hme_matches). On CPU the
+    # interpreter path is slower than the XLA fori version, so the
+    # kernel is opt-in off-TPU.
+    if os.environ.get("SVT_HME_PALLAS") == "1":
+        interp = jax.default_backend() == "cpu"
+        return jax.jit(functools.partial(hme_search_pallas,
+                                         interpret=interp),
+                       static_argnums=(2,))
     return jax.jit(hme_search, static_argnums=(2,))
 
 
@@ -199,12 +211,30 @@ class FastIntraEncoder:
 
     # --- frame -----------------------------------------------------------
     def encode_frame(self, y, u, v) -> EncodedFrame:
+        idx = self.frame_index - getattr(self, "_gop_anchor", 0)
         is_p = self.frame_index > 0 and self.gop_size != 1 and \
-            (self.gop_size == 0 or
-             self.frame_index % max(self.gop_size, 1) != 0)
+            (self.gop_size == 0 or idx % max(self.gop_size, 1) != 0)
+        if is_p and getattr(self, "enable_scenecut", False) \
+                and self._is_scene_cut(y):
+            is_p = False
+            self._gop_anchor = self.frame_index
+        if getattr(self, "enable_scenecut", False):
+            self._prev_src_y = np.asarray(y)[::2, ::2].astype(np.int32)
         if is_p:
             return self._encode_p(y, u, v)
         return self._encode_key(y, u, v)
+
+    def _is_scene_cut(self, y) -> bool:
+        """Source-diff scene-change detection (the scd_mode=1 analog,
+        ref pic_analysis_process.c scene_change_detection): a cut when
+        the mean abs source diff vs the previous frame exceeds the
+        threshold. Quarter-res sampling; deterministic."""
+        prev = getattr(self, "_prev_src_y", None)
+        if prev is None:
+            return False
+        cur = np.asarray(y)[::2, ::2].astype(np.int32)
+        mad = float(np.abs(cur - prev).mean()) / (1 << (self.bd - 8))
+        return mad > getattr(self, "scenecut_threshold", 20.0)
 
     def _swap_recon(self):
         self._rec_y, self._ref_y = self._ref_y, self._rec_y

@@ -56,7 +56,7 @@ def temporal_filter(frames, center_idx: int, strength: int = 1,
     import jax
     import jax.numpy as jnp
 
-    from svt_av1_psy_tpu.ops.jax_backend import hme_search
+    from svt_av1_psy_tpu.models.fast_intra import _jitted_hme
 
     cy, cu, cv = [np.asarray(p) for p in frames[center_idx]]
     H, W = cy.shape
@@ -72,7 +72,7 @@ def temporal_filter(frames, center_idx: int, strength: int = 1,
     # noise-adaptive threshold: weight decays with block MSE
     sigma2 = max(4.0, float(np.var(np.diff(cy.astype(np.int32), axis=1)))
                  / 8.0)
-    hme = jax.jit(hme_search, static_argnums=(2,))
+    hme = _jitted_hme()
     for i, f in enumerate(frames):
         if i == center_idx:
             continue

@@ -396,6 +396,78 @@ def hme_search(src_u8: jnp.ndarray, ref_u8: jnp.ndarray,
     return (2 * best_mv).astype(jnp.int16), best_sad
 
 
+def hme_search_pallas(src_u8: jnp.ndarray, ref_u8: jnp.ndarray,
+                      search_range: int = 12, interpret: bool = False):
+    """Pallas ME kernel: the hme_search cost volume as an on-chip kernel.
+
+    Grid = (n16r, n16c) half-res 8x8 blocks; each program holds its source
+    block in VMEM and scans the (2R+1)^2 offset window of the padded
+    reference with an in-register running min — the SAD tree of the
+    reference's ASM ME kernels (ref: ASM_AVX2 sad kernels, SURVEY.md
+    §2.8) expressed as one Pallas program. `interpret=True` runs the same
+    kernel through the Pallas interpreter (CPU validation path).
+    Returns (mv16 full-pel int16, sad16 int32), identical to hme_search."""
+    import jax
+    from jax.experimental import pallas as pl
+
+    H, W = src_u8.shape
+    src = src_u8.astype(jnp.int32)
+    ref = ref_u8.astype(jnp.int32)
+    sh = (src[0::2, 0::2] + src[0::2, 1::2] + src[1::2, 0::2] +
+          src[1::2, 1::2] + 2) >> 2
+    rh = (ref[0::2, 0::2] + ref[0::2, 1::2] + ref[1::2, 0::2] +
+          ref[1::2, 1::2] + 2) >> 2
+    Hh, Wh = H // 2, W // 2
+    n16r, n16c = Hh // 8, Wh // 8
+    R = search_range
+    side = 2 * R + 1
+    rp = jnp.pad(rh, ((R, R), (R, R)), mode="edge")
+
+    def kernel(src_ref, ref_ref, sad_ref, mv_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        blk = src_ref[...]                       # (8, 8)
+
+        def body(k, carry):
+            best, bdy, bdx = carry
+            dy = k // side - R
+            dx = k % side - R
+            win = ref_ref[pl.dslice(i * 8 + dy + R, 8),
+                          pl.dslice(j * 8 + dx + R, 8)]
+            sad = jnp.abs(blk - win).sum()
+            better = sad < best
+            return (jnp.where(better, sad, best),
+                    jnp.where(better, dy, bdy),
+                    jnp.where(better, dx, bdx))
+
+        best, bdy, bdx = jax.lax.fori_loop(
+            0, side * side, body,
+            (jnp.int32(1 << 30), jnp.int32(0), jnp.int32(0)))
+        sad_ref[0, 0] = best
+        mv_ref[0, 0] = bdy
+        mv_ref[0, 1] = bdx
+
+    sad, mv = pl.pallas_call(
+        kernel,
+        grid=(n16r, n16c),
+        in_specs=[
+            pl.BlockSpec((8, 8), lambda i, j: (i, j)),
+            pl.BlockSpec((Hh + 2 * R, Wh + 2 * R), lambda i, j: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (i, j)),
+            pl.BlockSpec((1, 2), lambda i, j: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n16r, n16c), jnp.int32),
+            jax.ShapeDtypeStruct((n16r, n16c * 2), jnp.int32),
+        ],
+        interpret=interpret,
+    )(sh, rp)
+    mv = mv.reshape(n16r, n16c, 2)
+    return (2 * mv).astype(jnp.int16), sad
+
+
 def sb_mode_costs(plane: jnp.ndarray, sb: int = 64, bd: int = 8):
     """Open-loop intra mode search costs for every SB of a plane.
 

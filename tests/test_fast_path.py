@@ -5,6 +5,8 @@ dav1d bit-exactly to the engine's own reconstruction (the reference's
 RefDecoder gate, ref: test/e2e_test/SvtAv1E2EFramework.h:65).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -307,3 +309,80 @@ def test_temporal_filter_denoises_keys():
     before = (frames[2][0].astype(float) - base).std()
     after = (fy.astype(float) - base).std()
     assert after < before * 0.9
+
+
+def test_pallas_hme_matches():
+    """The Pallas ME kernel (on-chip SAD scan) is bit-identical to the
+    XLA fori-loop hme_search on every block: same argmin MVs, same SADs
+    (interpret mode on CPU; the same kernel compiles for TPU)."""
+    import jax
+    import jax.numpy as jnp
+    from svt_av1_psy_tpu.ops.jax_backend import hme_search, hme_search_pallas
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 255, (144, 176)).astype(np.uint8)
+    # shifted + noisy reference so argmins are nontrivial
+    ref = np.roll(src, (6, -10), (0, 1))
+    ref = np.clip(ref.astype(np.int16)
+                  + rng.integers(-6, 7, ref.shape), 0, 255).astype(np.uint8)
+    mv1, sad1 = jax.device_get(hme_search(jnp.asarray(src),
+                                          jnp.asarray(ref)))
+    mv2, sad2 = jax.device_get(
+        hme_search_pallas(jnp.asarray(src), jnp.asarray(ref),
+                          interpret=True))
+    assert np.array_equal(np.asarray(mv1), np.asarray(mv2))
+    assert np.array_equal(np.asarray(sad1), np.asarray(sad2))
+
+
+def test_pallas_hme_end_to_end():
+    """SVT_HME_PALLAS=1 routes P-frame ME through the Pallas kernel and
+    produces the byte-identical stream (kernel == fori proof, in situ)."""
+    import svt_av1_psy_tpu.models.fast_intra as fi
+    frames = _clip(176, 144, 3, seed=5)
+    outs = {}
+    for flag in ("0", "1"):
+        os.environ["SVT_HME_PALLAS"] = flag
+        fi._jitted_hme.cache_clear()
+        try:
+            enc = FastIntraEncoder(176, 144, qindex=120)
+            enc.gop_size = 8
+            outs[flag] = b"".join(
+                enc.encode_frame(*f).payload for f in frames)
+        finally:
+            del os.environ["SVT_HME_PALLAS"]
+            fi._jitted_hme.cache_clear()
+    assert outs["0"] == outs["1"]
+
+
+def test_scene_cut_forces_key():
+    """scene_change_detection (scd, ref pic_analysis_process.c): a hard
+    content cut inside an open GOP forces a key frame and realigns the
+    GOP; the stream stays dav1d bit-exact."""
+    rng = np.random.default_rng(9)
+
+    def frame(seed):
+        r = np.random.default_rng(seed)
+        return (r.integers(0, 255, (144, 176)).astype(np.uint8),
+                r.integers(0, 255, (72, 88)).astype(np.uint8),
+                r.integers(0, 255, (72, 88)).astype(np.uint8))
+
+    base = frame(1)
+    clip = []
+    for _ in range(4):
+        y = np.clip(base[0].astype(np.int16)
+                    + rng.integers(-3, 4, base[0].shape), 0,
+                    255).astype(np.uint8)
+        clip.append((y, base[1], base[2]))
+    clip += [frame(99), frame(99)]          # hard cut at frame 4
+    enc = FastIntraEncoder(176, 144, qindex=120)
+    enc.gop_size = 0                        # open GOP: only frame 0 key
+    enc.enable_scenecut = True
+    sizes, recons, payload = [], [], b""
+    for f in clip:
+        o = enc.encode_frame(*f)
+        payload += o.payload
+        recons.append(o.recon_y)
+        sizes.append(len(o.payload))
+    for d, r in zip(decode_obus(payload), recons):
+        assert np.array_equal(d.y, r)
+    assert sizes[4] > 2.0 * sizes[3]        # cut frame intra-coded
+    assert sizes[5] < 0.7 * sizes[4]        # next frame P again
