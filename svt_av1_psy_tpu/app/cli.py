@@ -75,6 +75,10 @@ def main(argv=None) -> int:
                     help="alt-ref temporal filtering strength 0..4 for key "
                          "frames (2-frame lookahead; PSY tf-strength "
                          "semantics)")
+    ap.add_argument("--enable-tpl", type=int, default=0,
+                    help="1 = TPL lookahead AQ: per-SB qindex offsets "
+                         "from temporal dependency propagation (the "
+                         "enable-tpl-la / tpl_model.c analog)")
     ap.add_argument("--psy-rd", type=float, default=0.0,
                     help="PSY psy-rd 0..6: energy-preservation RD bias")
     ap.add_argument("--film-grain", type=int, default=0,
@@ -125,7 +129,8 @@ def main(argv=None) -> int:
             """Source frames with key-frame temporal filtering applied
             (ref temporal_filtering.c; 2-frame lookahead window)."""
             nonlocal src_idx
-            look = 2 if args.enable_tf else 0
+            look = max(2 if args.enable_tf else 0,
+                       3 if args.enable_tpl else 0)
             for f in reader:
                 pending.append(f)
                 if args.frames and src_idx + len(pending) > args.frames                         and len(pending) > 1:
@@ -142,7 +147,7 @@ def main(argv=None) -> int:
                                    (pending[0] if pending else cur))
                     if len(history) > 2:
                         history.pop(0)
-                    yield cur
+                    yield cur, [p[0] for p in pending[:3]]
                     src_idx += 1
             while pending:
                 cur = pending.pop(0)
@@ -154,11 +159,11 @@ def main(argv=None) -> int:
                 history.append(cur)
                 if len(history) > 2:
                     history.pop(0)
-                yield cur
+                yield cur, [p[0] for p in pending[:3]]
                 src_idx += 1
 
         stats = []
-        for (y, u, v) in frames_iter():
+        for (y, u, v), la_frames in frames_iter():
             if enc is None:
                 H, W = y.shape
                 bd = reader.header.bit_depth
@@ -188,6 +193,9 @@ def main(argv=None) -> int:
                 api._enc.qindex = args.qindex
                 enc = api
                 ivf = IvfWriter(args.output, W, H)
+            if args.enable_tpl:
+                from svt_av1_psy_tpu.models.tpl import tpl_sb_offsets
+                enc._enc.tpl_offsets = tpl_sb_offsets(y, la_frames)
             f = enc.encode(y, u, v)
             ivf.write_frame(f.payload, n)
             total_bytes += len(f.payload)

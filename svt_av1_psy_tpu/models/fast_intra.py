@@ -137,6 +137,9 @@ class FastIntraEncoder:
         self.cdef_search_interval = 8   # re-search on keys / every Nth
         self._cdef_cache = None
         self._dlf_cache = None
+        # TPL per-SB qindex offsets for the NEXT frame (set by the
+        # lookahead driver from models/tpl.tpl_sb_offsets; None = off)
+        self.tpl_offsets = None
         # variance-boost AQ (PSY flagship; ref rc_process.c:1516)
         self.enable_variance_boost = False
         self.vb_strength = 2
@@ -261,6 +264,13 @@ class FastIntraEncoder:
                 self.qindex, sb_8x8_variances(yp), self.vb_strength,
                 self.vb_octile, self.bd)
             sbq = vb.astype(np.int16)
+        if self.tpl_offsets is not None:
+            from svt_av1_psy_tpu.models.tpl import snap_sb_q
+            base = sbq.astype(np.int32) if sbq is not None else \
+                np.full(self.tpl_offsets.shape, base_q, np.int32)
+            merged, dq_res_log2 = snap_sb_q(base_q,
+                                            base + self.tpl_offsets)
+            sbq = merged.astype(np.int16)
 
         # one engine + CDF context + range coder per tile; tile walks run
         # concurrently in threads (ctypes releases the GIL in C)
@@ -421,6 +431,14 @@ class FastIntraEncoder:
             adj = round(-(((255.0 - avg_luma) / denom) ** 0.5) *
                         (base_q / 8.0))
             base_q = int(np.clip(base_q + adj, 0, 255))
+        sbq = None
+        dq_res_log2 = -1
+        if self.tpl_offsets is not None:
+            from svt_av1_psy_tpu.models.tpl import snap_sb_q
+            merged, dq_res_log2 = snap_sb_q(
+                base_q, base_q + self.tpl_offsets.astype(np.int32))
+            sbq = merged.astype(np.int16)
+
         self._lf_y[:] = 0
         self._lf_uv[:] = 0
 
@@ -455,6 +473,7 @@ class FastIntraEncoder:
             eng.set_src(yp, up, vp)
             ec = native.NativeRangeEncoder()
             eng.encode_inter(ec, tile_fcs[ti], split, modes, mv16,
+                             sbq=sbq, dq_res_log2=dq_res_log2,
                              base_q=base_q,
                              mi_bounds=(0, self.mi_rows, c0, c1),
                              n_cands=self.n_cands)
@@ -502,6 +521,8 @@ class FastIntraEncoder:
             tx_mode_select=False, primary_ref_frame=0,
             refresh_frame_flags=refresh, ref_frame_idx=ref_idx,
             allow_high_precision_mv=False, interp_filter=0,
+            delta_q_present=sbq is not None,
+            delta_q_res_log2=max(dq_res_log2, 0),
             tile_cols_log2=self.tile_cols_log2,
             filter_level=(lf[0], lf[1]),
             filter_level_uv=(lf[2], lf[3]),

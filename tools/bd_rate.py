@@ -78,7 +78,7 @@ def read_clip(path, n):
     return out
 
 
-def encode_ours(src, w, h, qindex, fps_hz, preset, gop=1):
+def encode_ours(src, w, h, qindex, fps_hz, preset, gop=1, tpl=0):
     from svt_av1_psy_tpu.bitstream.ivf import IvfWriter
     import time
     if preset >= 10:
@@ -94,6 +94,10 @@ def encode_ours(src, w, h, qindex, fps_hz, preset, gop=1):
     total = 0
     t0 = time.time()
     for i, f in enumerate(src):
+        if tpl and preset >= 10:
+            from svt_av1_psy_tpu.models.tpl import tpl_sb_offsets
+            enc.tpl_offsets = tpl_sb_offsets(
+                np.asarray(f[0]), [g[0] for g in src[i + 1:i + 4]])
         out = enc.encode_frame(*f)
         wtr.write_frame(out.payload, i)
         total += len(out.payload)
@@ -127,6 +131,8 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--gop", type=int, default=1,
                     help="1 = all-intra; 0 = low-delay IPPP")
+    ap.add_argument("--tpl", type=int, default=0,
+                    help="1 = enable TPL lookahead AQ in our encoder")
     args = ap.parse_args()
 
     src = read_clip(args.clip, args.frames)
@@ -148,7 +154,8 @@ def main():
     for crf in crfs:
         q = min(255, crf * 4)
         path, size, fps_enc = encode_ours(src, w, h, q, args.fps,
-                                          args.our_preset, args.gop)
+                                          args.our_preset, args.gop,
+                                          args.tpl)
         py, pyuv = psnr_stream(path, src)
         kbps = size * 8 * args.fps / n / 1000
         our_pts.append({"qindex": q, "kbps": kbps, "psnr_y": py,
