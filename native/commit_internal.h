@@ -42,6 +42,14 @@ struct TpuCommit {
     /* shared per-4x4 skip map (CDEF block lists) */
     uint8_t *skip_map;
     int skip_stride;
+    /* loop-restoration syntax state (lr_syntax.c); per-tile subexp refs */
+    int lr_ftype[3];              /* 0=NONE 1=WIENER 2=SGR 3=SWITCHABLE */
+    int lr_usize[3];              /* unit size, plane px */
+    const int16_t *lr_units[3];   /* [urows*ucols][10]:
+                                     type, v0..2, h0..2, ep, xq0, xq1 */
+    int lr_ucols[3], lr_urows[3];
+    int lr_ref_wiener[3][2][3];
+    int lr_ref_sgr[3][2];
     /* inter state */
     InterCdfs *ic;
     InterGrid *grid;                /* per-tile mode-info grid (shared) */

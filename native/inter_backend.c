@@ -1114,9 +1114,11 @@ int64_t tpuc_encode_inter(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,
         nc8 = paw4 / 8;
     int prev_q = base_q;
     int nsb_c = (c->mi_cols + 15) / 16;
+    tpu_lr_reset_refs(c);
     for (int sbr = mi_row0; sbr < mi_row1; sbr += 16) {
         for (int sbc = mi_col0; sbc < mi_col1; sbc += 16) {
             tpu_bd_reset_sb(c, sbr, sbc);
+            tpu_write_lr_sb(c, sbr, sbc);
             int q = sbq ? sbq[(sbr / 16) * nsb_c + sbc / 16] : base_q;
             c->cur_q = q;
             {

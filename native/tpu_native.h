@@ -80,6 +80,9 @@ typedef struct {
     uint16_t *delta_q;      /* [5] */
     uint16_t *tx_size;      /* [4][3][4] */
     uint16_t *txb_skip;     /* [5][13][3] */
+    uint16_t *wiener_restore;     /* [3] */
+    uint16_t *sgrproj_restore;    /* [3] */
+    uint16_t *switchable_restore; /* [4] */
 } ModeCdfs;
 
 /* inter-frame CDF pointers into FrameContext numpy arrays (uint16). */
@@ -118,6 +121,16 @@ void tpuc_attach_lfmaps(TpuCommit *c, uint8_t *txdim_y, uint8_t *txdim_uv,
                         int ystride, int cstride);
 void tpuc_attach_skipmap(TpuCommit *c, uint8_t *skip, int stride);
 void tpuc_set_psy_rd(TpuCommit *c, double strength);
+
+/* ---- loop-restoration syntax (lr_syntax.c) ----------------------------- */
+/* Arm read_lr emission for the next walk. ftype/usize/ucols/urows are
+ * int32[3] per plane; units are per-plane [urows*ucols][10] int16 rows:
+ * {type, vtap0..2, htap0..2, ep, xqd0, xqd1}. NULL ftype disables. */
+void tpuc_set_lr(TpuCommit *c, const int32_t *ftype, const int32_t *usize,
+                 const int16_t *u0, const int16_t *u1, const int16_t *u2,
+                 const int32_t *ucols, const int32_t *urows);
+void tpu_lr_reset_refs(TpuCommit *c);
+void tpu_write_lr_sb(TpuCommit *c, int sbr, int sbc);
 
 /* ---- CDEF (cdef_backend.c) --------------------------------------------- */
 void tpue_cdef(uint16_t *py, int ys, uint16_t *pu, uint16_t *pv, int cs,

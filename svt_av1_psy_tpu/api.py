@@ -77,6 +77,11 @@ class Encoder:
             if self.cfg.film_grain_denoise_strength > 0:
                 enc.film_grain = 1
             enc.enable_scenecut = bool(self.cfg.scene_change_detection)
+            # restoration: auto (-1) follows the reference's preset
+            # derivation — off at the fast presets (ref enc_mode_config.c
+            # derives enable_restoration=0 for M10+), opt-in via
+            # --enable-restoration 1
+            enc.enable_lr = self.cfg.enable_restoration_filtering == 1
         else:
             from svt_av1_psy_tpu.models.intra_encoder import IntraEncoder
             enc = IntraEncoder(width, height, qindex=qindex, bd=bd,

@@ -87,6 +87,12 @@ def main(argv=None) -> int:
                          "block size)")
     ap.add_argument("--variance-octile", type=int, default=6,
                     choices=range(1, 9))
+    ap.add_argument("--enable-restoration", type=int, default=-1,
+                    choices=(-1, 0, 1),
+                    help="loop restoration (Wiener): -1 = preset default "
+                         "(off at fast presets, the M10+ derivation), "
+                         "1 = on (cross-frame param cache in the fast "
+                         "path)")
     ap.add_argument("--svtav1-params", default=None,
                     help="colon-separated key=value parameter string "
                          "(the svt_av1_enc_parse_parameter surface, "
@@ -184,6 +190,7 @@ def main(argv=None) -> int:
                     sharpness=args.sharpness,
                     frame_luma_bias=args.frame_luma_bias,
                     film_grain_denoise_strength=args.film_grain,
+                    enable_restoration_filtering=args.enable_restoration,
                     psy_rd=args.psy_rd,
                     tune=2 if args.psy_rd else 2)
                 if args.svtav1_params:

@@ -137,6 +137,11 @@ class FastIntraEncoder:
         self.cdef_search_interval = 8   # re-search on keys / every Nth
         self._cdef_cache = None
         self._dlf_cache = None
+        # loop restoration (Wiener; cross-frame param cache — the walk
+        # writes lr syntax before this frame's recon exists, so params
+        # searched on frame N signal on frame N+1; ref restoration_pick.c)
+        self.enable_lr = False
+        self._lr_pending = None
         # TPL per-SB qindex offsets for the NEXT frame (set by the
         # lookahead driver from models/tpl.tpl_sb_offsets; None = off)
         self.tpl_offsets = None
@@ -221,6 +226,7 @@ class FastIntraEncoder:
                 and self._is_scene_cut(y):
             is_p = False
             self._gop_anchor = self.frame_index
+            self._lr_pending = None      # cross-cut LR params are stale
         if getattr(self, "enable_scenecut", False):
             self._prev_src_y = np.asarray(y)[::2, ::2].astype(np.int32)
         if is_p:
@@ -272,6 +278,10 @@ class FastIntraEncoder:
                                             base + self.tpl_offsets)
             sbq = merged.astype(np.int16)
 
+        if self.frame_index == 0:
+            self.seq.enable_restoration = bool(self.enable_lr)
+        lr_dec = self._lr_pending if self.enable_lr else None
+
         # one engine + CDF context + range coder per tile; tile walks run
         # concurrently in threads (ctypes releases the GIL in C)
         tile_fcs = [FrameContext(base_q) for _ in range(self.n_tiles)]
@@ -288,6 +298,9 @@ class FastIntraEncoder:
             eng.attach_skipmap(self._skip_map)
             if self.psy_rd:
                 eng.set_psy_rd(self.psy_rd)
+            if lr_dec is not None:
+                eng.set_lr(lr_dec.lr_type, lr_dec.unit_size, lr_dec.flat,
+                           lr_dec.ucols, lr_dec.urows)
             eng.set_src(yp, up, vp)
             ec = native.NativeRangeEncoder()
             eng.encode_intra(ec, tile_fcs[ti], split, modes, sbq=sbq,
@@ -337,11 +350,17 @@ class FastIntraEncoder:
         lf = (0, 0, 0, 0)
         if self.enable_dlf:
             lf = self._pick_and_apply_dlf(yp, up, vp, base_q)
+        pre_cdef = None
+        if self.enable_lr:
+            pre_cdef = (self._rec_y.copy(), self._rec_u.copy(),
+                        self._rec_v.copy())
         cdef_st, cdef_damp = ((0, 0, 0, 0), 3)
         if self.enable_cdef:
             cdef_st, cdef_damp = self._search_apply_cdef(yp, up, vp,
                                                          base_q,
                                                          is_key=True)
+        if self.enable_lr:
+            self._lr_apply_and_search(yp, up, vp, base_q, lr_dec, pre_cdef)
         if self.hierarchical_levels > 0:
             # a shown KEY frame refreshes every DPB slot
             self._dpb = {0: (self._rec_y.copy(), self._rec_u.copy(),
@@ -352,6 +371,8 @@ class FastIntraEncoder:
                                 tx_mode_select=False,
                                 delta_q_present=sbq is not None,
                                 delta_q_res_log2=max(dq_res_log2, 0),
+                                lr_type=self._lr_coded_type(lr_dec),
+                                lr_unit_shift=0, lr_uv_shift=1,
                                 tile_cols_log2=self.tile_cols_log2,
                                 filter_level=(lf[0], lf[1]),
                                 filter_level_uv=(lf[2], lf[3]),
@@ -450,6 +471,8 @@ class FastIntraEncoder:
         else:
             src_fc = self._fc_saved
             ref_planes = None
+        lr_dec = self._lr_pending if self.enable_lr else None
+
         inherited = src_fc.inherit_copy()
         tile_fcs = [inherited if ti == 0 else inherited.copy()
                     for ti in range(self.n_tiles)]
@@ -470,6 +493,9 @@ class FastIntraEncoder:
             eng.attach_skipmap(self._skip_map)
             if self.psy_rd:
                 eng.set_psy_rd(self.psy_rd)
+            if lr_dec is not None:
+                eng.set_lr(lr_dec.lr_type, lr_dec.unit_size, lr_dec.flat,
+                           lr_dec.ucols, lr_dec.urows)
             eng.set_src(yp, up, vp)
             ec = native.NativeRangeEncoder()
             eng.encode_inter(ec, tile_fcs[ti], split, modes, mv16,
@@ -501,9 +527,15 @@ class FastIntraEncoder:
         lf = (0, 0, 0, 0)
         if self.enable_dlf:
             lf = self._pick_and_apply_dlf(yp, up, vp, base_q)
+        pre_cdef = None
+        if self.enable_lr:
+            pre_cdef = (self._rec_y.copy(), self._rec_u.copy(),
+                        self._rec_v.copy())
         cdef_st, cdef_damp = ((0, 0, 0, 0), 3)
         if self.enable_cdef:
             cdef_st, cdef_damp = self._search_apply_cdef(yp, up, vp, base_q)
+        if self.enable_lr:
+            self._lr_apply_and_search(yp, up, vp, base_q, lr_dec, pre_cdef)
 
         self._fc_saved = tile_fcs[0]
         refresh = 0x01
@@ -523,6 +555,8 @@ class FastIntraEncoder:
             allow_high_precision_mv=False, interp_filter=0,
             delta_q_present=sbq is not None,
             delta_q_res_log2=max(dq_res_log2, 0),
+            lr_type=self._lr_coded_type(lr_dec),
+            lr_unit_shift=0, lr_uv_shift=1,
             tile_cols_log2=self.tile_cols_log2,
             filter_level=(lf[0], lf[1]),
             filter_level_uv=(lf[2], lf[3]),
@@ -555,6 +589,34 @@ class FastIntraEncoder:
         return EncodedFrame(payload=payload, recon_y=rec_y, recon_u=rec_u,
                             recon_v=rec_v)
 
+
+    @staticmethod
+    def _lr_coded_type(lr_dec):
+        """Frame-header coded lr type per plane (spec remap_lr_type:
+        NONE=0 SWITCHABLE=1 WIENER=2 SGRPROJ=3 as coded values)."""
+        if lr_dec is None:
+            return (0, 0, 0)
+        coded = {0: 0, 1: 2, 2: 3, 3: 1}
+        return tuple(coded[t] for t in lr_dec.lr_type)
+
+    def _lr_apply_and_search(self, yp, up, vp, base_q, lr_dec, pre_cdef):
+        """Apply this frame's signalled LR params (normative, in place on
+        the recon) and search params for the next frame on the pre-LR
+        post-CDEF recon (the cross-frame cache; ref rest_process.c)."""
+        from svt_av1_psy_tpu.models.lr_search import search_lr_frame
+        from svt_av1_psy_tpu.ops.quant import ac_q
+        from svt_av1_psy_tpu.ops.restoration import apply_lr_frame
+        H, W = self.height, self.width
+        cw, ch = (W + 1) // 2, (H + 1) // 2
+        dims = [(W, H), (cw, ch), (cw, ch)]
+        planes = [self._rec_y, self._rec_u, self._rec_v]
+        qstep = ac_q(base_q, self.bd) / 8.0
+        rdmult = 0.12 * qstep * qstep
+        nxt = search_lr_frame((yp, up, vp), planes, dims, rdmult, self.bd)
+        if lr_dec is not None:
+            apply_lr_frame(planes, list(pre_cdef), dims, lr_dec.lr_type,
+                           lr_dec.unit_size, lr_dec.units, bd=self.bd)
+        self._lr_pending = nxt
 
     def _search_apply_cdef(self, yp, up, vp, base_q, is_key=False):
         yp = np.ascontiguousarray(yp, np.uint16)

@@ -18,7 +18,8 @@ import numpy as np
 _NATIVE = pathlib.Path(__file__).parent.parent / "native"
 _SRCS = [_NATIVE / "ec_backend.c", _NATIVE / "txfm_backend.c",
          _NATIVE / "commit_backend.c", _NATIVE / "dlf_backend.c",
-         _NATIVE / "inter_backend.c", _NATIVE / "cdef_backend.c"]
+         _NATIVE / "inter_backend.c", _NATIVE / "cdef_backend.c",
+         _NATIVE / "lr_syntax.c"]
 _HDRS = [_NATIVE / "tpu_native.h", _NATIVE / "commit_internal.h"]
 _SO = _NATIVE / "libtpuec.so"
 
@@ -227,7 +228,8 @@ def cost_txb(cdfs: TxbCdfs, qcoeff: np.ndarray, scan: np.ndarray,
 class ModeCdfs(ctypes.Structure):
     _fields_ = [(n, ctypes.POINTER(ctypes.c_uint16)) for n in (
         "partition", "skip", "kf_y", "angle_delta", "uv_mode",
-        "intra_ext_tx", "delta_q", "tx_size", "txb_skip")]
+        "intra_ext_tx", "delta_q", "tx_size", "txb_skip",
+        "wiener_restore", "sgrproj_restore", "switchable_restore")]
 
 
 def make_mode_cdfs(fc) -> ModeCdfs:
@@ -235,7 +237,9 @@ def make_mode_cdfs(fc) -> ModeCdfs:
     return ModeCdfs(
         _u16p(fc.partition), _u16p(fc.skip), _u16p(fc.kf_y),
         _u16p(fc.angle_delta), _u16p(fc.uv_mode), _u16p(fc.intra_ext_tx),
-        _u16p(fc.delta_q), _u16p(fc.tx_size), _u16p(fc.txb_skip))
+        _u16p(fc.delta_q), _u16p(fc.tx_size), _u16p(fc.txb_skip),
+        _u16p(fc.wiener_restore), _u16p(fc.sgrproj_restore),
+        _u16p(fc.switchable_restore))
 
 
 class InterCdfs(ctypes.Structure):
@@ -308,6 +312,8 @@ def _ensure_commit_locked(lib):
                                        ctypes.c_int, ctypes.c_int]
     lib.tpuc_attach_skipmap.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int]
     lib.tpuc_set_psy_rd.argtypes = [ctypes.c_void_p, ctypes.c_double]
+    lib.tpuc_set_lr.argtypes = [ctypes.c_void_p, i32p, i32p,
+                                i16p, i16p, i16p, i32p, i32p]
     lib.tpui_mc_block.argtypes = [u16p, ctypes.c_int, ctypes.c_int,
                                   ctypes.c_int, ctypes.c_int, ctypes.c_int,
                                   ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -481,6 +487,33 @@ class CommitEngine:
     def set_psy_rd(self, strength: float):
         """PSY energy-preservation RD strength (the psy_rd.c analog)."""
         self.lib.tpuc_set_psy_rd(self._c, float(strength))
+
+    def set_lr(self, lr_type, unit_size, unit_arrays, ucols, urows):
+        """Arm loop-restoration syntax emission for the next walk.
+
+        lr_type/unit_size: per-plane (enum 0..3 / px); unit_arrays:
+        per-plane int16 (urows*ucols, 10) rows {type, vtaps, htaps, ep,
+        xqd} or None."""
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        ft = np.ascontiguousarray(lr_type, np.int32)
+        us = np.ascontiguousarray(unit_size, np.int32)
+        uc = np.ascontiguousarray(ucols, np.int32)
+        ur = np.ascontiguousarray(urows, np.int32)
+        ptrs = []
+        keep = [ft, us, uc, ur]
+        for a in unit_arrays:
+            if a is None:
+                ptrs.append(None)
+            else:
+                a = np.ascontiguousarray(a, np.int16)
+                keep.append(a)
+                ptrs.append(a.ctypes.data_as(i16p))
+        self._lr_keep = keep
+        self.lib.tpuc_set_lr(self._c, ft.ctypes.data_as(i32p),
+                             us.ctypes.data_as(i32p), ptrs[0], ptrs[1],
+                             ptrs[2], uc.ctypes.data_as(i32p),
+                             ur.ctypes.data_as(i32p))
 
     def attach_skipmap(self, skip: np.ndarray):
         """Shared per-4x4 skip map (CDEF block lists)."""

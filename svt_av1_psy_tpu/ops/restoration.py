@@ -223,12 +223,16 @@ def apply_lr_frame(cdef_planes, deblock_planes, dims, lr_type, unit_size,
             if info["type"] == 0:
                 continue
             ux0 = uc * usize
-            uy0 = ur * usize
+            # unit ROWS are stripe-aligned: shifted up by 8>>subY px
+            # (libaom RESTORATION_UNIT_OFFSET; dav1d lr_apply), so unit
+            # row r spans [r*usize - off, (r+1)*usize - off), last row
+            # extended to the plane bottom
+            uy0 = max(ur * usize - stripe_off, 0)
+            uy1 = (ur + 1) * usize - stripe_off
             ux1 = min(ux0 + usize, pw) if uc < ucols - 1 else pw
-            uy1 = min(uy0 + usize, ph) if ur < urows - 1 else ph
             if uc == ucols - 1:
                 ux1 = pw
-            if ur == urows - 1:
+            if ur == urows - 1 or uy1 > ph:
                 uy1 = ph
             # walk stripes covering [uy0, uy1)
             y = uy0
