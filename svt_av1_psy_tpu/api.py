@@ -49,6 +49,7 @@ class Encoder:
             cfg = cfg.replace(encoder_bit_depth=bit_depth)
         self.cfg = validate_config(cfg)
         self.width, self.height = width, height
+        self._ra = None
         bd = self.cfg.encoder_bit_depth
         qindex = min(255, int(round(self.cfg.crf * 4)))
         preset = self.cfg.enc_mode
@@ -74,6 +75,18 @@ class Encoder:
                                               3)
                 enc.qp_scale_compress_strength = \
                     self.cfg.qp_scale_compress_strength
+            elif self.cfg.hierarchical_levels and gop != 1 and \
+                    self.cfg.pred_structure == PredStructure.RANDOM_ACCESS:
+                # out-of-order mini-GoP pyramid with hidden anchors +
+                # show_existing_frame display (models/ra.py; ref
+                # pd_process.c RA GoP typing)
+                from svt_av1_psy_tpu.models.ra import RaDriver
+                enc.qp_scale_compress_strength = \
+                    self.cfg.qp_scale_compress_strength
+                self._ra = RaDriver(
+                    enc, gop_levels=min(self.cfg.hierarchical_levels, 5),
+                    keyint=0 if gop == 0 else gop,
+                    tf_strength=self.cfg.tf_strength)
             if self.cfg.film_grain_denoise_strength > 0:
                 enc.film_grain = 1
             enc.enable_scenecut = bool(self.cfg.scene_change_detection)
@@ -95,13 +108,32 @@ class Encoder:
 
     def encode(self, y, u, v):
         """send_picture + get_packet: encode one frame, return the
-        EncodedFrame (payload + reconstruction)."""
+        EncodedFrame (payload + reconstruction). Display-order modes
+        only — RA sessions must use send_picture()/flush()."""
+        assert self._ra is None, \
+            "random-access reorders frames: use send_picture()/flush()"
         out = self._enc.encode_frame(y, u, v)
         self._frames += 1
         return out
 
+    def send_picture(self, y, u, v):
+        """Queue one source frame; returns finished packets in DECODE
+        order (list of models.ra.RaPacket). Low-delay modes return one
+        shown packet per call; RA buffers a mini-GoP and returns its
+        packets when complete (the send_picture/get_packet split of
+        ref EbSvtAv1Enc.h)."""
+        from svt_av1_psy_tpu.models.ra import RaPacket
+        self._frames += 1
+        if self._ra is not None:
+            return self._ra.push(y, u, v)
+        out = self._enc.encode_frame(y, u, v)
+        return [RaPacket(out.payload, self._frames - 1,
+                         (out.recon_y, out.recon_u, out.recon_v))]
+
     def flush(self):
-        """End of stream (no frame reordering yet: nothing buffered)."""
+        """End of stream: drain the buffered mini-GoP tail (RA)."""
+        if self._ra is not None:
+            return self._ra.flush()
         return []
 
     @property

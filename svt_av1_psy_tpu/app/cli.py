@@ -26,6 +26,77 @@ def crf_to_qindex(crf: float) -> int:
     return max(0, min(255, int(round(crf * 4))))
 
 
+def _run_ra(args, reader, enc, t0) -> int:
+    """Random-access encode loop: display-order sources in, decode-order
+    packets out (hidden anchors + show_existing_frame TUs). The IVF
+    carries one frame per temporal unit in decode order (the
+    packetization_process.c emission order)."""
+    import math
+
+    import numpy as np
+
+    from svt_av1_psy_tpu.bitstream.ivf import IvfWriter
+
+    W, H = reader.header.width, reader.header.height
+    ivf = IvfWriter(args.output, W, H)
+    peak = float((1 << reader.header.bit_depth) - 1) ** 2
+    sources = {}
+    stats = []
+    total_bytes = 0
+    npkt = 0
+    nshown = 0
+
+    def psnr(a, b):
+        m = float(np.mean((np.asarray(a, np.float64) -
+                           np.asarray(b, np.float64)) ** 2))
+        return 10 * math.log10(peak / max(m, 1e-9))
+
+    def handle(p):
+        nonlocal total_bytes, npkt, nshown
+        ivf.write_frame(p.payload, npkt)
+        total_bytes += len(p.payload)
+        npkt += 1
+        if p.display_idx >= 0:
+            nshown += 1
+            if args.enable_stat_report and p.display_idx in sources:
+                sy, su, sv = sources.pop(p.display_idx)
+                ry, ru, rv = p.recon
+                stats.append((p.display_idx, len(p.payload),
+                              psnr(sy, ry), psnr(su, ru), psnr(sv, rv)))
+                print(f"frame {p.display_idx}: {len(p.payload):7d} B  "
+                      f"PSNR Y {stats[-1][2]:.2f}  U {stats[-1][3]:.2f}  "
+                      f"V {stats[-1][4]:.2f}", file=sys.stderr)
+
+    src_count = 0
+    for (y, u, v) in reader:
+        if args.frames and src_count >= args.frames:
+            break
+        if args.enable_stat_report:
+            sources[src_count] = (y, u, v)
+        src_count += 1
+        for p in enc.send_picture(y, u, v):
+            handle(p)
+    for p in enc.flush():
+        handle(p)
+    ivf.close()
+    dt = time.time() - t0
+    if nshown:
+        print(f"encoded {nshown} frames, {total_bytes} bytes, "
+              f"{dt:.2f}s ({nshown / dt:.3f} fps)", file=sys.stderr)
+        if args.enable_stat_report and stats:
+            avg = [sum(s[i] for s in stats) / len(stats) for i in (2, 3, 4)]
+            kbps = total_bytes * 8 * args.fps / nshown / 1000
+            print(f"SUMMARY: {kbps:.1f} kbps  avg PSNR "
+                  f"Y {avg[0]:.2f}  U {avg[1]:.2f}  V {avg[2]:.2f}",
+                  file=sys.stderr)
+            if args.stat_file:
+                with open(args.stat_file, "w") as sf:
+                    sf.write("frame,bytes,psnr_y,psnr_u,psnr_v\n")
+                    for s2 in sorted(stats):
+                        sf.write(",".join(str(x) for x in s2) + "\n")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="svt_av1_psy_tpu")
     ap.add_argument("-i", "--input", required=True, help="input .y4m")
@@ -93,6 +164,15 @@ def main(argv=None) -> int:
                          "(off at fast presets, the M10+ derivation), "
                          "1 = on (cross-frame param cache in the fast "
                          "path)")
+    ap.add_argument("--hierarchical-levels", type=int, default=0,
+                    choices=(0, 2, 3, 4, 5),
+                    help="pyramid levels (0 = flat/preset default). With "
+                         "--pred-struct 2 and --keyint != 1 this enables "
+                         "the random-access mini-GoP pyramid (hidden "
+                         "anchors + show_existing_frame)")
+    ap.add_argument("--pred-struct", type=int, default=2, choices=(1, 2),
+                    help="1 = low delay, 2 = random access (the "
+                         "SVT_AV1_PRED_* enum)")
     ap.add_argument("--svtav1-params", default=None,
                     help="colon-separated key=value parameter string "
                          "(the svt_av1_enc_parse_parameter surface, "
@@ -125,7 +205,36 @@ def main(argv=None) -> int:
         return idx % args.gop == 0
 
     with Y4mReader(args.input) as reader:
-        enc = None
+        W = reader.header.width
+        H = reader.header.height
+        bd = reader.header.bit_depth
+        from svt_av1_psy_tpu.api import Encoder
+        from svt_av1_psy_tpu.config import (EncoderConfig,
+                                            parse_parameter_string)
+        cfg = EncoderConfig(
+            enc_mode=args.preset,
+            qp=args.qindex // 4,
+            intra_period_length=(0 if args.gop == 1 else
+                                 -1 if args.gop == 0 else
+                                 args.gop - 1),
+            enable_variance_boost=bool(args.enable_variance_boost),
+            variance_boost_strength=args.variance_boost_strength,
+            variance_octile=args.variance_octile,
+            sharpness=args.sharpness,
+            frame_luma_bias=args.frame_luma_bias,
+            film_grain_denoise_strength=args.film_grain,
+            enable_restoration_filtering=args.enable_restoration,
+            hierarchical_levels=args.hierarchical_levels,
+            pred_structure=args.pred_struct,
+            tf_strength=args.enable_tf,
+            psy_rd=args.psy_rd,
+            tune=2 if args.psy_rd else 2)
+        if args.svtav1_params:
+            cfg = parse_parameter_string(cfg, args.svtav1_params)
+        enc = Encoder(cfg, W, H, bit_depth=bd)
+        enc._enc.qindex = args.qindex   # qindex-level precision
+        if enc._ra is not None:
+            return _run_ra(args, reader, enc, t0)
         ivf = None
         pending = []       # lookahead buffer [(idx, (y,u,v))]
         history = []       # last 2 source frames (TF window)
@@ -170,35 +279,7 @@ def main(argv=None) -> int:
 
         stats = []
         for (y, u, v), la_frames in frames_iter():
-            if enc is None:
-                H, W = y.shape
-                bd = reader.header.bit_depth
-                # single config schema behind CLI flags, key=value params
-                # and the library API (config.py = EbSvtAv1EncConfiguration)
-                from svt_av1_psy_tpu.api import Encoder
-                from svt_av1_psy_tpu.config import (EncoderConfig,
-                                                    parse_parameter_string)
-                cfg = EncoderConfig(
-                    enc_mode=args.preset,
-                    qp=args.qindex // 4,
-                    intra_period_length=(0 if args.gop == 1 else
-                                         -1 if args.gop == 0 else
-                                         args.gop - 1),
-                    enable_variance_boost=bool(args.enable_variance_boost),
-                    variance_boost_strength=args.variance_boost_strength,
-                    variance_octile=args.variance_octile,
-                    sharpness=args.sharpness,
-                    frame_luma_bias=args.frame_luma_bias,
-                    film_grain_denoise_strength=args.film_grain,
-                    enable_restoration_filtering=args.enable_restoration,
-                    psy_rd=args.psy_rd,
-                    tune=2 if args.psy_rd else 2)
-                if args.svtav1_params:
-                    cfg = parse_parameter_string(cfg, args.svtav1_params)
-                api = Encoder(cfg, W, H, bit_depth=bd)
-                # qindex-level precision (qp grid is 4x coarser)
-                api._enc.qindex = args.qindex
-                enc = api
+            if ivf is None:
                 ivf = IvfWriter(args.output, W, H)
             if args.enable_tpl:
                 from svt_av1_psy_tpu.models.tpl import tpl_sb_offsets

@@ -349,7 +349,10 @@ def _write_inter_header_head(w: BitWriter, seq: SequenceParams,
                              fr: FrameParams) -> None:
     w.bit(0)                                  # show_existing_frame
     w.f(1, 2)                                 # frame_type = INTER
-    w.bit(1)                                  # show_frame
+    w.bit(fr.show_frame)
+    if not fr.show_frame:
+        w.bit(fr.showable_frame)              # hidden ARF: displayable via
+                                              # show_existing_frame later
     w.bit(0)                                  # error_resilient_mode
     w.bit(fr.disable_cdf_update)
     w.bit(0)                                  # allow_screen_content_tools
@@ -548,3 +551,20 @@ def key_frame_temporal_unit(seq: SequenceParams, fr: FrameParams,
         out += wrap_obu(ObuType.SEQUENCE_HEADER, write_sequence_header(seq))
     out += wrap_obu(ObuType.FRAME, frame_obu_payload(seq, fr, tile_payload))
     return out
+
+
+def show_existing_temporal_unit(slot: int) -> bytes:
+    """TU displaying an already-decoded hidden frame (spec 5.9.2
+    show_existing_frame=1 + frame_to_show_map_idx; the RA display path
+    for hidden ARF/anchor frames — ref pack_show_existing analog in
+    packetization_process.c)."""
+    from svt_av1_psy_tpu.bitstream.obu import temporal_delimiter
+
+    w = BitWriter()
+    w.bit(1)                                  # show_existing_frame
+    w.f(slot, 3)                              # frame_to_show_map_idx
+    # no decoder model / frame ids in our sequence headers; the shown
+    # frame is never a KEY frame here, so the header ends immediately
+    w.bit(1)                                  # trailing_one_bit
+    w.byte_align()
+    return temporal_delimiter() + wrap_obu(ObuType.FRAME_HEADER, w.data())

@@ -47,19 +47,23 @@ def _jitted_hme():
 
     import jax
 
-    from svt_av1_psy_tpu.ops.jax_backend import hme_search, hme_search_pallas
+    from svt_av1_psy_tpu.ops.jax_backend import (hme_search, hme_search2,
+                                                 hme_search_pallas)
 
     # SVT_HME_PALLAS=1 routes full-pel ME through the Pallas kernel
     # (on-chip SAD scan; validated bit-identical to hme_search in
     # tests/test_fast_path.py::test_pallas_hme_matches). On CPU the
     # interpreter path is slower than the XLA fori version, so the
-    # kernel is opt-in off-TPU.
+    # kernel is opt-in off-TPU. SVT_HME_1LEVEL=1 falls back to the
+    # single-level +-24 px search.
     if os.environ.get("SVT_HME_PALLAS") == "1":
         interp = jax.default_backend() == "cpu"
         return jax.jit(functools.partial(hme_search_pallas,
                                          interpret=interp),
                        static_argnums=(2,))
-    return jax.jit(hme_search, static_argnums=(2,))
+    if os.environ.get("SVT_HME_1LEVEL") == "1":
+        return jax.jit(hme_search, static_argnums=(2,))
+    return jax.jit(hme_search2, static_argnums=(2, 3))
 
 
 class FastIntraEncoder:
@@ -122,6 +126,10 @@ class FastIntraEncoder:
         # PSY qp-scale-compress weights rc_process.c:777)
         self.hierarchical_levels = 0
         self.qp_scale_compress_strength = 1
+        # random-access mode: the mini-GoP pyramid driver (models/ra.py)
+        # owns slot/refresh/order-hint decisions and calls _encode_key /
+        # _encode_p directly with explicit overrides
+        self.ra_mode = False
         # DPB: one stored recon + CDF context per temporal layer slot
         self._dpb = {}          # slot -> (y, u, v) copies
         self._dpb_fc = {}       # slot -> FrameContext
@@ -250,7 +258,7 @@ class FastIntraEncoder:
         self._rec_u, self._ref_u = self._ref_u, self._rec_u
         self._rec_v, self._ref_v = self._ref_v, self._rec_v
 
-    def _encode_key(self, y, u, v) -> EncodedFrame:
+    def _encode_key(self, y, u, v, order_hint=None) -> EncodedFrame:
         native = self._native
         yp = _pad_to(np.asarray(y), self.pah, self.paw)
         up = _pad_to(np.asarray(u), self.pah // 2, self.paw // 2)
@@ -333,7 +341,9 @@ class FastIntraEncoder:
 
         # frame-end context save (refresh slot 0, context_update_tile_id=0)
         self._fc_saved = tile_fcs[0]
-        if self.hierarchical_levels > 0:
+        if getattr(self, "ra_mode", False):
+            self._dpb_fc = {s: tile_fcs[0] for s in range(8)}
+        elif self.hierarchical_levels > 0:
             self._dpb_fc[0] = tile_fcs[0]
             self._last_slot_by_layer = {0: 0}
 
@@ -361,13 +371,17 @@ class FastIntraEncoder:
                                                          is_key=True)
         if self.enable_lr:
             self._lr_apply_and_search(yp, up, vp, base_q, lr_dec, pre_cdef)
-        if self.hierarchical_levels > 0:
+        if self.hierarchical_levels > 0 or getattr(self, "ra_mode", False):
             # a shown KEY frame refreshes every DPB slot
-            self._dpb = {0: (self._rec_y.copy(), self._rec_u.copy(),
-                             self._rec_v.copy())}
+            rec = (self._rec_y.copy(), self._rec_u.copy(),
+                   self._rec_v.copy())
+            self._dpb = {s: rec for s in range(8)} \
+                if getattr(self, "ra_mode", False) else {0: rec}
 
         fr_params = FrameParams(base_q_idx=base_q,
-                                order_hint=self.frame_index & 0x7F,
+                                order_hint=(self.frame_index
+                                            if order_hint is None
+                                            else order_hint) & 0x7F,
                                 tx_mode_select=False,
                                 delta_q_present=sbq is not None,
                                 delta_q_res_log2=max(dq_res_log2, 0),
@@ -402,10 +416,14 @@ class FastIntraEncoder:
                             recon_v=rec_v)
 
     # --- P frames (low-delay, single LAST ref) ---------------------------
-    def _encode_p(self, y, u, v) -> EncodedFrame:
-        """IPPP P frame: device HME + intra decision maps -> native inter
-        walk (inter_backend.c). Reference = previous frame's filtered
-        recon (the ping-pong buffer)."""
+    def _encode_p(self, y, u, v, ra=None) -> EncodedFrame:
+        """Inter frame: device HME + intra decision maps -> native inter
+        walk (inter_backend.c). Low-delay (ra=None): reference = previous
+        frame's filtered recon (the ping-pong buffer), layer/slot logic
+        from the hierarchical LD pyramid. Random access (ra=dict from
+        models/ra.py): explicit ref_slot / refresh / order_hint /
+        base_q / show — the driver owns the pyramid (ref
+        pd_process.c prediction-structure roles)."""
         import jax
         import jax.numpy as jnp
 
@@ -415,30 +433,38 @@ class FastIntraEncoder:
         vp = _pad_to(np.asarray(v), self.pah // 2, self.paw // 2)
 
         split, modes = self._decide(yp)
+        if ra is not None:
+            hme_ref = self._dpb[ra["ref_slot"]][0]
+        else:
+            hme_ref = self._ref_y
         mv16, _sad16 = jax.device_get(_jitted_hme()(
             jnp.asarray(yp),
-            jnp.asarray(self._ref_y[:self.pah, :self.paw])))
+            jnp.asarray(hme_ref[:self.pah, :self.paw])))
         mv16 = np.clip(mv16, -127, 127).astype(np.int16)
 
         L = self.hierarchical_levels
         gop_pos = self.frame_index if self.gop_size == 0 else \
             self.frame_index % max(self.gop_size, 1)
-        if L > 0:
+        if ra is not None:
+            layer = ra["layer"]
+            ref_slot = ra["ref_slot"]
+        elif L > 0:
             m = 1 << L
             pos = gop_pos % m
             tz = (pos & -pos).bit_length() - 1 if pos else L
             layer = L - min(tz, L)
         else:
             layer = 0
-        # reference slot: most recent stored frame at layer <= ours
-        ref_slot = 0
-        for l2 in range(min(layer, L), -1, -1):
-            if l2 in self._last_slot_by_layer:
-                ref_slot = self._last_slot_by_layer[l2]
-                break
+        if ra is None:
+            # reference slot: most recent stored frame at layer <= ours
+            ref_slot = 0
+            for l2 in range(min(layer, L), -1, -1):
+                if l2 in self._last_slot_by_layer:
+                    ref_slot = self._last_slot_by_layer[l2]
+                    break
 
-        base_q = self.qindex
-        if L > 0 and layer > 0:
+        base_q = self.qindex if ra is None else ra["base_q"]
+        if ra is None and L > 0 and layer > 0:
             # per-layer q spread with PSY qp-scale-compress
             w = (1.0, 1.125, 1.25, 1.375)[min(layer, 3)]
             qsc = 1.0 / (1.0 + 0.5 * self.qp_scale_compress_strength)
@@ -465,7 +491,7 @@ class FastIntraEncoder:
 
         # primary_ref_frame CDF inheritance: start from the saved frame-end
         # context of the reference (spec load_cdfs; decoder mirrors this)
-        if L > 0:
+        if ra is not None or L > 0:
             src_fc = self._dpb_fc.get(ref_slot, self._fc_saved)
             ref_planes = self._dpb.get(ref_slot)
         else:
@@ -540,7 +566,14 @@ class FastIntraEncoder:
         self._fc_saved = tile_fcs[0]
         refresh = 0x01
         ref_idx = (0,) * 7
-        if L > 0:
+        show = True
+        order_hint = self.frame_index & 0x7F
+        if ra is not None:
+            ref_idx = (ref_slot,) + (0,) * 6
+            refresh = ra["refresh"]
+            show = ra["show"]
+            order_hint = ra["order_hint"] & 0x7F
+        elif L > 0:
             ref_idx = (ref_slot,) + (0,) * 6
             if layer < L:
                 refresh = 1 << layer      # store in the layer's slot
@@ -549,7 +582,8 @@ class FastIntraEncoder:
 
         fr_params = FrameParams(
             frame_type=1, base_q_idx=base_q,
-            order_hint=self.frame_index & 0x7F,
+            order_hint=order_hint,
+            show_frame=show, showable_frame=not show,
             tx_mode_select=False, primary_ref_frame=0,
             refresh_frame_flags=refresh, ref_frame_idx=ref_idx,
             allow_high_precision_mv=False, interp_filter=0,
@@ -566,7 +600,15 @@ class FastIntraEncoder:
             cdef_y_sec=(cdef_st[1] - (cdef_st[1] == 4),),
             cdef_uv_pri=(cdef_st[2],),
             cdef_uv_sec=(cdef_st[3] - (cdef_st[3] == 4),))
-        if L > 0 and layer < L:
+        if ra is not None:
+            if refresh:
+                rec = (self._rec_y.copy(), self._rec_u.copy(),
+                       self._rec_v.copy())
+                for s in range(8):
+                    if refresh & (1 << s):
+                        self._dpb[s] = rec
+                        self._dpb_fc[s] = tile_fcs[0]
+        elif L > 0 and layer < L:
             slot = layer
             self._dpb[slot] = (self._rec_y.copy(), self._rec_u.copy(),
                                self._rec_v.copy())

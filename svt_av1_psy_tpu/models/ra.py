@@ -1,0 +1,225 @@
+"""Random-access mini-GoP pyramid driver (fast path).
+
+Implements the reference's hierarchical random-access prediction
+structure (ref Source/Lib/Codec/pd_process.c picture-decision GoP
+typing, pred_structure.c pyramid layers, packetization_process.c
+decode-order packet emission) the TPU-native way: the pyramid is pure
+host-side control flow over the existing single-ref device-search +
+native-commit inter path — each frame picks ONE reference frame-level
+(nearest coded past or future anchor, chosen by subsampled SAD), hidden
+anchors are emitted with show_frame=0 and displayed later through
+show_existing_frame TUs.
+
+Decode-order emission for a 4-GoP (base b, anchors hidden `h`,
+leaves shown `s`):   [b+4 h] [b+2 h] [b+1 s] [SE b+2] [b+3 s] [SE b+4]
+which displays b+1, b+2, b+3, b+4 in order — the standard AV1 RA
+packing.
+
+DPB slot management: base + the recursion stack of live anchors
+(max pyramid depth + 1 slots of the 8); slots are allocated from a
+free pool and released when both half-GoPs under an anchor are done.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class RaPacket:
+    """One temporal unit in decode order.
+
+    display_idx: display position this TU *shows* (-1 for hidden coded
+    frames); recon: clipped recon planes of the shown frame (None for
+    hidden TUs)."""
+    payload: bytes
+    display_idx: int
+    recon: tuple | None
+
+
+class RaDriver:
+    """Buffers a mini-GoP of source frames and encodes it out of order.
+
+    push() returns the finished packets whenever a full GoP (or a forced
+    key boundary) completes; flush() closes the tail GoP.
+    """
+
+    def __init__(self, enc, gop_levels: int = 4, keyint: int = 0,
+                 tf_strength: int = 0):
+        enc.ra_mode = True
+        self.enc = enc
+        self.levels = max(1, min(gop_levels, 5))
+        self.M = 1 << self.levels
+        self.keyint = keyint          # key every N displayed frames (0 =
+                                      # first frame only)
+        self.tf_strength = tf_strength
+        self._buf = []                # [(display_idx, (y, u, v))]
+        self._next_display = 0
+        self._base_slot = 0
+        self._base_display = -1
+        self._recon_by_display = {}
+
+    # -- q ladder (ref rc_process.c RA qindex offsets + PSY
+    #    qp-scale-compress weights) ---------------------------------------
+    #
+    # Measured on the synthetic BD clips (33f cif, 4 CRFs, vs the
+    # reference's p8 RA): a flat ladder + small ARF boost gives +14.6%
+    # BD-rate while steeper per-layer spreads lose 20-90% — without
+    # TPL-style boost statistics, pushing leaf q up quantizes away
+    # exactly the residual detail the anchors cannot predict. The
+    # layer_spread knob re-enables a spread (scaled by PSY
+    # qp-scale-compress); TPL-adaptive laddering is the intended
+    # upgrade (ref rc_process.c:873 r0/beta -> qindex).
+    layer_spread = 0.0
+
+    def _layer_q(self, depth: int) -> int:
+        q = self.enc.qindex
+        if depth == 0:                # ARF: boosted, everything refs it
+            return max(0, q - q // 16)
+        if not self.layer_spread:
+            return q
+        qsc = 1.0 / (1.0 + 0.5 * self.enc.qp_scale_compress_strength)
+        return int(np.clip(round(q * (1 + self.layer_spread * depth *
+                                      qsc)), 0, 255))
+
+    def _is_key(self, d: int) -> bool:
+        if d == 0:
+            return True
+        return self.keyint > 0 and d % self.keyint == 0
+
+    # -- source-level ref choice ------------------------------------------
+    def _pick_ref(self, src_y, lo_slot, hi_slot, lo_d, mid_d, hi_d):
+        """Frame-level reference selection between the past (lo) and
+        future (hi) anchors: subsampled SAD vs each anchor's recon (the
+        open-loop ME-cost role of pd_process ref pruning)."""
+        if lo_slot == hi_slot:
+            return lo_slot
+        s = np.asarray(src_y)[::4, ::4].astype(np.int32)
+        H, W = s.shape
+        best, best_cost = lo_slot, None
+        for slot, dist in ((lo_slot, mid_d - lo_d), (hi_slot,
+                                                     hi_d - mid_d)):
+            ry = self.enc._dpb[slot][0][:H * 4:4, :W * 4:4].astype(np.int32)
+            cost = float(np.abs(s - ry).mean()) * (1.0 + 0.02 * dist)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = slot, cost
+        return best
+
+    # -- public api --------------------------------------------------------
+    def push(self, y, u, v) -> list[RaPacket]:
+        d = self._next_display
+        self._next_display += 1
+        out = []
+        if self._is_key(d):
+            # close the pending GoP at the buffered tail, then key
+            out.extend(self._encode_gop())
+            out.append(self._encode_base_key(d, (y, u, v)))
+            return out
+        self._buf.append((d, (y, u, v)))
+        if len(self._buf) >= self.M:
+            out.extend(self._encode_gop())
+        return out
+
+    def flush(self) -> list[RaPacket]:
+        return self._encode_gop()
+
+    # -- internals ---------------------------------------------------------
+    def _encode_base_key(self, d: int, fuv) -> RaPacket:
+        y, u, v = fuv
+        if self.tf_strength and self._buf:
+            from svt_av1_psy_tpu.models.temporal_filter import \
+                temporal_filter
+            win = [f for _, f in self._buf[-2:]] + [(y, u, v)]
+            y, u, v = temporal_filter(win, len(win) - 1,
+                                      strength=self.tf_strength)
+        f = self.enc._encode_key(y, u, v, order_hint=d)
+        self._base_slot = 0
+        self._base_display = d
+        self._recon_by_display[d] = (f.recon_y, f.recon_u, f.recon_v)
+        return RaPacket(f.payload, d, (f.recon_y, f.recon_u, f.recon_v))
+
+    def _free_slots(self, in_use):
+        return [s for s in range(8) if s not in in_use]
+
+    def _encode_inter(self, d, fuv, ref_slot, refresh, show, depth):
+        ra = {"ref_slot": ref_slot, "refresh": refresh,
+              "order_hint": d, "show": show, "layer": depth,
+              "base_q": self._layer_q(depth)}
+        y, u, v = fuv
+        f = self.enc._encode_p(y, u, v, ra=ra)
+        self._recon_by_display[d] = (f.recon_y, f.recon_u, f.recon_v)
+        return f
+
+    def _encode_gop(self) -> list[RaPacket]:
+        buf, self._buf = self._buf, []
+        if not buf:
+            return []
+        frames = dict(buf)            # display -> (y,u,v)
+        b = self._base_display
+        arf_d = buf[-1][0]
+        packets: list[RaPacket] = []
+        in_use = {self._base_slot}
+
+        if len(buf) == 1:
+            # degenerate GoP: one shown P off the base
+            slot = self._free_slots(in_use)[0]
+            f = self._encode_inter(arf_d, frames[arf_d], self._base_slot,
+                                   1 << slot, True, 1)
+            packets.append(RaPacket(f.payload, arf_d,
+                                    self._recon_by_display[arf_d]))
+            self._base_slot, self._base_display = slot, arf_d
+            return packets
+
+        # ARF: temporal-filtered hidden anchor at the GoP end
+        arf_src = frames[arf_d]
+        if self.tf_strength:
+            from svt_av1_psy_tpu.models.temporal_filter import \
+                temporal_filter
+            win = [frames[dd] for dd in sorted(frames) if dd >= arf_d - 2]
+            arf_src = temporal_filter(win, len(win) - 1,
+                                      strength=self.tf_strength)
+        arf_slot = self._free_slots(in_use)[0]
+        in_use.add(arf_slot)
+        f = self._encode_inter(arf_d, arf_src, self._base_slot,
+                               1 << arf_slot, False, 0)
+        packets.append(RaPacket(f.payload, -1, None))
+
+        self._rec_pyramid(b, arf_d, self._base_slot, arf_slot, 1,
+                          frames, packets, in_use)
+
+        from svt_av1_psy_tpu.bitstream.headers import \
+            show_existing_temporal_unit
+        packets.append(RaPacket(show_existing_temporal_unit(arf_slot),
+                                arf_d, self._recon_by_display[arf_d]))
+        in_use.discard(self._base_slot)
+        self._base_slot, self._base_display = arf_slot, arf_d
+        return packets
+
+    def _rec_pyramid(self, lo, hi, lo_slot, hi_slot, depth, frames,
+                     packets, in_use):
+        if hi - lo < 2:
+            return
+        mid = (lo + hi) // 2
+        ref = self._pick_ref(frames[mid][0], lo_slot, hi_slot, lo, mid, hi)
+        if hi - lo == 2:
+            # leaf: shown in its own TU, never referenced
+            f = self._encode_inter(mid, frames[mid], ref, 0, True, depth)
+            packets.append(RaPacket(f.payload,
+                                    mid, self._recon_by_display[mid]))
+            return
+        mid_slot = self._free_slots(in_use)[0]
+        in_use.add(mid_slot)
+        f = self._encode_inter(mid, frames[mid], ref, 1 << mid_slot,
+                               False, depth)
+        packets.append(RaPacket(f.payload, -1, None))
+        self._rec_pyramid(lo, mid, lo_slot, mid_slot, depth + 1, frames,
+                          packets, in_use)
+        from svt_av1_psy_tpu.bitstream.headers import \
+            show_existing_temporal_unit
+        packets.append(RaPacket(show_existing_temporal_unit(mid_slot),
+                                mid, self._recon_by_display[mid]))
+        self._rec_pyramid(mid, hi, mid_slot, hi_slot, depth + 1, frames,
+                          packets, in_use)
+        in_use.discard(mid_slot)

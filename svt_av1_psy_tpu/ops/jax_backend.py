@@ -396,6 +396,90 @@ def hme_search(src_u8: jnp.ndarray, ref_u8: jnp.ndarray,
     return (2 * best_mv).astype(jnp.int16), best_sad
 
 
+def hme_search2(src_u8: jnp.ndarray, ref_u8: jnp.ndarray,
+                r0: int = 16, r1: int = 7):
+    """Two-level hierarchical full-pel ME: quarter-res pre-search seeds a
+    per-block half-res refinement (the reference's hme_level_0 -> 1/2
+    funnel, ref motion_estimation.c:820-1025, as two dense device
+    stages). Reach is +-(4*r0 + 2*r1) full-pel (+-78 at defaults) vs
+    hme_search's +-2*search_range — needed for long-distance ARF
+    references in the random-access pyramid (4 px/frame motion over a
+    16-frame mini-GoP is +-64 px).
+
+    Returns (mv16 (n16r, n16c, 2) int16 full-pel, sad16 (n16r, n16c)
+    int32 half-res 8x8 SAD) — same contract as hme_search."""
+    import jax
+
+    H, W = src_u8.shape
+    src = src_u8.astype(jnp.int32)
+    ref = ref_u8.astype(jnp.int32)
+    sh = (src[0::2, 0::2] + src[0::2, 1::2] + src[1::2, 0::2] +
+          src[1::2, 1::2] + 2) >> 2
+    rh = (ref[0::2, 0::2] + ref[0::2, 1::2] + ref[1::2, 0::2] +
+          ref[1::2, 1::2] + 2) >> 2
+    sq = (sh[0::2, 0::2] + sh[0::2, 1::2] + sh[1::2, 0::2] +
+          sh[1::2, 1::2] + 2) >> 2
+    rq = (rh[0::2, 0::2] + rh[0::2, 1::2] + rh[1::2, 0::2] +
+          rh[1::2, 1::2] + 2) >> 2
+    Hh, Wh = H // 2, W // 2
+    Hq, Wq = H // 4, W // 4
+    n16r, n16c = Hh // 8, Wh // 8          # 16x16 full-res blocks
+
+    # level 0: quarter-res plane-shift SAD over +-r0, one 4x4 block per
+    # 16x16 full-res block
+    rp0 = jnp.pad(rq, ((r0, r0), (r0, r0)), mode="edge")
+    side0 = 2 * r0 + 1
+
+    def body0(i, carry):
+        best_sad, best_mv = carry
+        dy = i // side0 - r0
+        dx = i % side0 - r0
+        shifted = jax.lax.dynamic_slice(rp0, (dy + r0, dx + r0), (Hq, Wq))
+        d = jnp.abs(sq - shifted)
+        sad = d.reshape(n16r, 4, n16c, 4).sum(axis=(1, 3))
+        better = sad < best_sad
+        best_mv = jnp.where(better[..., None],
+                            jnp.stack([jnp.full((n16r, n16c), dy),
+                                       jnp.full((n16r, n16c), dx)],
+                                      axis=-1), best_mv)
+        best_sad = jnp.where(better, sad, best_sad)
+        return best_sad, best_mv
+
+    init0 = (jnp.full((n16r, n16c), 1 << 30, jnp.int32),
+             jnp.zeros((n16r, n16c, 2), jnp.int32))
+    _, seed_q = jax.lax.fori_loop(0, side0 * side0, body0, init0)
+
+    # level 1: half-res per-block window refinement +-r1 around 2*seed
+    P = 2 * r0 + r1 + 8
+    rp1 = jnp.pad(rh, ((P, P), (P, P)), mode="edge")
+    wsz = 8 + 2 * r1
+    bi = jnp.arange(n16r * n16c)
+    by = bi // n16c
+    bx = bi % n16c
+    cy = by * 8 + 2 * seed_q.reshape(-1, 2)[:, 0] - r1 + P
+    cx = bx * 8 + 2 * seed_q.reshape(-1, 2)[:, 1] - r1 + P
+
+    def get_win(y0, x0):
+        return jax.lax.dynamic_slice(rp1, (y0, x0), (wsz, wsz))
+
+    wins = jax.vmap(get_win)(cy, cx)                    # (n, wsz, wsz)
+    blks = sh.reshape(n16r, 8, n16c, 8).transpose(0, 2, 1, 3) \
+        .reshape(-1, 8, 8)
+    best_sad = jnp.full((n16r * n16c,), 1 << 30, jnp.int32)
+    best_off = jnp.zeros((n16r * n16c, 2), jnp.int32)
+    for dy in range(2 * r1 + 1):
+        for dx in range(2 * r1 + 1):
+            sad = jnp.abs(wins[:, dy:dy + 8, dx:dx + 8] - blks) \
+                .sum(axis=(1, 2))
+            better = sad < best_sad
+            off = jnp.array([dy - r1, dx - r1], jnp.int32)
+            best_off = jnp.where(better[:, None], off, best_off)
+            best_sad = jnp.where(better, sad, best_sad)
+    mv_h = 2 * seed_q.reshape(-1, 2) + best_off         # half-pel units
+    mv16 = (2 * mv_h).reshape(n16r, n16c, 2).astype(jnp.int16)
+    return mv16, best_sad.reshape(n16r, n16c)
+
+
 def hme_search_pallas(src_u8: jnp.ndarray, ref_u8: jnp.ndarray,
                       search_range: int = 12, interpret: bool = False):
     """Pallas ME kernel: the hme_search cost volume as an on-chip kernel.

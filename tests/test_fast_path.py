@@ -339,8 +339,11 @@ def test_pallas_hme_end_to_end():
     import svt_av1_psy_tpu.models.fast_intra as fi
     frames = _clip(176, 144, 3, seed=5)
     outs = {}
-    for flag in ("0", "1"):
-        os.environ["SVT_HME_PALLAS"] = flag
+    # compare the Pallas kernel against the single-level XLA search it
+    # mirrors (the default is the two-level hme_search2, which widens
+    # the range and legitimately differs)
+    for var, flag in (("SVT_HME_1LEVEL", "0"), ("SVT_HME_PALLAS", "1")):
+        os.environ[var] = "1"
         fi._jitted_hme.cache_clear()
         try:
             enc = FastIntraEncoder(176, 144, qindex=120)
@@ -348,7 +351,7 @@ def test_pallas_hme_end_to_end():
             outs[flag] = b"".join(
                 enc.encode_frame(*f).payload for f in frames)
         finally:
-            del os.environ["SVT_HME_PALLAS"]
+            del os.environ[var]
             fi._jitted_hme.cache_clear()
     assert outs["0"] == outs["1"]
 

@@ -1,0 +1,112 @@
+"""Random-access pyramid (models/ra.py): dav1d bit-exactness, display
+order, keyint boundaries, API routing.
+
+The RA structure encodes mini-GoPs out of order: hidden anchors
+(show_frame=0) + show_existing_frame display TUs, each frame predicting
+frame-level from the nearest coded past or future anchor (ref
+pd_process.c GoP typing / packetization_process.c emission order).
+"""
+import numpy as np
+import pytest
+
+from svt_av1_psy_tpu.decoder.dav1d import decode_obus
+from svt_av1_psy_tpu.models.fast_intra import FastIntraEncoder
+from svt_av1_psy_tpu.models.ra import RaDriver
+
+W, H = 176, 144
+
+
+def _frames(n, seed=5):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(40, 200, (H, W)).astype(np.float64)
+    out = []
+    for i in range(n):
+        y = np.clip(np.roll(base, 2 * i, axis=1) +
+                    rng.normal(0, 2, (H, W)), 0, 255).astype(np.uint16)
+        u = np.clip(120 + rng.normal(0, 2, (H // 2, W // 2)),
+                    0, 255).astype(np.uint16)
+        v = np.clip(136 + rng.normal(0, 2, (H // 2, W // 2)),
+                    0, 255).astype(np.uint16)
+        out.append((y, u, v))
+    return out
+
+
+def _encode(frames, levels, keyint=0, tf=0):
+    enc = FastIntraEncoder(W, H, qindex=120)
+    enc.gop_size = 0
+    drv = RaDriver(enc, gop_levels=levels, keyint=keyint, tf_strength=tf)
+    pkts = []
+    for (y, u, v) in frames:
+        pkts += drv.push(y, u, v)
+    pkts += drv.flush()
+    return pkts
+
+
+def _check(frames, pkts):
+    shown = [p for p in pkts if p.display_idx >= 0]
+    assert [p.display_idx for p in shown] == list(range(len(frames))), \
+        "shown TUs must come out in display order"
+    decoded = decode_obus(b"".join(p.payload for p in pkts))
+    assert len(decoded) == len(frames)
+    for i, d in enumerate(decoded):
+        ry, ru, rv = shown[i].recon
+        assert np.array_equal(d.y, ry), f"display {i} Y not bit-exact"
+        assert np.array_equal(d.u, ru), f"display {i} U not bit-exact"
+        assert np.array_equal(d.v, rv), f"display {i} V not bit-exact"
+
+
+@pytest.mark.parametrize("levels,n", [(2, 9), (3, 17)])
+def test_ra_bit_exact_full_gops(levels, n):
+    frames = _frames(n)
+    _check(frames, _encode(frames, levels))
+
+
+def test_ra_partial_tail_gop():
+    # 12 frames at L=3: one full 8-GoP + a 3-frame tail via flush()
+    frames = _frames(12)
+    _check(frames, _encode(frames, 3))
+
+
+def test_ra_keyint_boundary():
+    # key every 6 displayed frames forces partial GoPs + mid-stream keys
+    frames = _frames(14)
+    _check(frames, _encode(frames, 2, keyint=6))
+
+
+def test_ra_temporal_filter():
+    frames = _frames(9)
+    _check(frames, _encode(frames, 2, tf=3))
+
+
+def test_ra_hidden_anchor_packets():
+    frames = _frames(9)
+    pkts = _encode(frames, 2)
+    hidden = [p for p in pkts if p.display_idx < 0]
+    shows = [p for p in pkts if p.display_idx >= 0 and len(p.payload) < 32]
+    # 2 GoPs of 4: each has an ARF + one mid anchor hidden, then shown
+    # via tiny show_existing TUs
+    assert len(hidden) >= 3
+    assert len(shows) == len(hidden)
+    for p in hidden:
+        assert p.recon is None
+
+
+def test_ra_api_routing():
+    from svt_av1_psy_tpu.api import Encoder
+    from svt_av1_psy_tpu.config import EncoderConfig
+
+    cfg = EncoderConfig(enc_mode=12, qp=30, intra_period_length=-1,
+                        hierarchical_levels=2, tf_strength=0)
+    enc = Encoder(cfg, W, H)
+    assert enc._ra is not None
+    with pytest.raises(AssertionError):
+        enc.encode(*_frames(1)[0])
+    frames = _frames(5)
+    pkts = []
+    for f in frames:
+        pkts += enc.send_picture(*f)
+    pkts += enc.flush()
+    shown = [p for p in pkts if p.display_idx >= 0]
+    assert len(shown) == len(frames)
+    decoded = decode_obus(b"".join(p.payload for p in pkts))
+    assert len(decoded) == len(frames)
