@@ -46,7 +46,11 @@ def main():
     enc.encode_frame(*frames[0])  # warmup: jit compile + native build
     t0 = time.perf_counter()
     total = 0
-    for f in frames:
+    for i, f in enumerate(frames):
+        if i + 1 < len(frames):
+            # pipeline: next frame's device decide overlaps this frame's
+            # host commit walk (SURVEY §2.2 P1)
+            enc.prefetch_decide(frames[i + 1][0])
         out = enc.encode_frame(*f)
         total += len(out.payload)
     dt = time.perf_counter() - t0

@@ -244,8 +244,10 @@ def main(argv=None) -> int:
             """Source frames with key-frame temporal filtering applied
             (ref temporal_filtering.c; 2-frame lookahead window)."""
             nonlocal src_idx
+            # >=1 frame of lookahead so the device decide for frame N+1
+            # can overlap frame N's host commit walk (prefetch_decide)
             look = max(2 if args.enable_tf else 0,
-                       3 if args.enable_tpl else 0)
+                       3 if args.enable_tpl else 0, 1)
             for f in reader:
                 pending.append(f)
                 if args.frames and src_idx + len(pending) > args.frames                         and len(pending) > 1:
@@ -284,6 +286,8 @@ def main(argv=None) -> int:
             if args.enable_tpl:
                 from svt_av1_psy_tpu.models.tpl import tpl_sb_offsets
                 enc._enc.tpl_offsets = tpl_sb_offsets(y, la_frames)
+            if la_frames and hasattr(enc._enc, "prefetch_decide"):
+                enc._enc.prefetch_decide(la_frames[0])
             f = enc.encode(y, u, v)
             ivf.write_frame(f.payload, n)
             total_bytes += len(f.payload)

@@ -208,14 +208,19 @@ class FastIntraEncoder:
         return decide
 
     # --- device search stage ---------------------------------------------
-    def _decide(self, yp: np.ndarray):
-        """Dense decision stage on device -> split + mode maps (one call)."""
-        import jax
+    def _decide_dispatch(self, yp: np.ndarray):
+        """Launch the device decision program asynchronously (jax async
+        dispatch): returns device buffers, no host sync."""
         import jax.numpy as jnp
 
         bias = np.int32(8 * ac_q(self.qindex, self.bd))
-        out = _jitted_decide()(jnp.asarray(yp), jnp.asarray(bias),
-                               self.bd, self.min_block)
+        return _jitted_decide()(jnp.asarray(yp), jnp.asarray(bias),
+                                self.bd, self.min_block)
+
+    @staticmethod
+    def _decide_finish(out):
+        import jax
+
         s64, s32, s16, m64, m32, m16, m8 = jax.device_get(out)
         # defensive clamp: a corrupted transfer must never reach the C
         # engine as an out-of-range symbol
@@ -224,6 +229,39 @@ class FastIntraEncoder:
             maps[k] = np.where(m <= 12, m, 0).astype(np.uint8)
         return ({64: np.minimum(s64, 1), 32: np.minimum(s32, 1),
                  16: np.minimum(s16, 1)}, maps)
+
+    def _decide(self, yp: np.ndarray):
+        """Dense decision stage on device -> split + mode maps (one call)."""
+        return self._decide_finish(self._decide_dispatch(yp))
+
+    def prefetch_decide(self, y) -> None:
+        """Pipeline hook (SURVEY §2.2 P1, the SRM frames-in-flight
+        analog): dispatch the decision stage for the frame the NEXT
+        encode_frame call will receive, so it computes on device while
+        the current frame's commit walk runs on host. The driver must
+        pass the SAME array object to the next encode_frame; anything
+        else falls back to a synchronous decide."""
+        if "_decide" in self.__dict__:        # sharded override active
+            return
+        import os
+
+        import jax
+        if jax.default_backend() == "cpu" and \
+                not os.environ.get("SVT_PREFETCH_CPU"):
+            # on the host backend the decide program and the commit-walk
+            # threads share the same cores: overlap oversubscribes and
+            # slows the critical path (measured 2.05 -> 1.25 fps at
+            # 1080p). Overlap only pays when decide runs on-chip.
+            return
+        yp = _pad_to(np.asarray(y), self.pah, self.paw)
+        self._pref = (y, self._decide_dispatch(yp))
+
+    def _take_decide(self, y, yp):
+        pref = getattr(self, "_pref", None)
+        self._pref = None
+        if pref is not None and pref[0] is y:
+            return self._decide_finish(pref[1])
+        return self._decide(yp)
 
     # --- frame -----------------------------------------------------------
     def encode_frame(self, y, u, v) -> EncodedFrame:
@@ -264,7 +302,7 @@ class FastIntraEncoder:
         up = _pad_to(np.asarray(u), self.pah // 2, self.paw // 2)
         vp = _pad_to(np.asarray(v), self.pah // 2, self.paw // 2)
 
-        split, modes = self._decide(yp)
+        split, modes = self._take_decide(y, yp)
 
         # key-frame boost in GOP modes (the kf_boost analog,
         # ref rc_process.c kf qindex derivation): keys carry the GOP
@@ -432,7 +470,7 @@ class FastIntraEncoder:
         up = _pad_to(np.asarray(u), self.pah // 2, self.paw // 2)
         vp = _pad_to(np.asarray(v), self.pah // 2, self.paw // 2)
 
-        split, modes = self._decide(yp)
+        split, modes = self._take_decide(y, yp)
         if ra is not None:
             hme_ref = self._dpb[ra["ref_slot"]][0]
         else:

@@ -148,6 +148,15 @@ class RaDriver:
               "order_hint": d, "show": show, "layer": depth,
               "base_q": self._layer_q(depth)}
         y, u, v = fuv
+        # pipeline: dispatch the NEXT planned frame's device decide so it
+        # overlaps this frame's host commit walk (SURVEY §2.2 P1)
+        plan = getattr(self, "_plan", None)
+        if plan:
+            plan.pop(0)
+            if plan and hasattr(self.enc, "prefetch_decide"):
+                nxt = plan[0][1]
+                self._pref_y = nxt       # keep the object alive for the
+                self.enc.prefetch_decide(nxt)   # id()-based match
         f = self.enc._encode_p(y, u, v, ra=ra)
         self._recon_by_display[d] = (f.recon_y, f.recon_u, f.recon_v)
         return f
@@ -182,6 +191,15 @@ class RaDriver:
                                       strength=self.tf_strength)
         arf_slot = self._free_slots(in_use)[0]
         in_use.add(arf_slot)
+
+        def enc_order(lo, hi):
+            if hi - lo < 2:
+                return []
+            mid = (lo + hi) // 2
+            return [mid] + enc_order(lo, mid) + enc_order(mid, hi)
+
+        self._plan = [(d, (arf_src if d == arf_d else frames[d])[0])
+                      for d in [arf_d] + enc_order(b, arf_d)]
         f = self._encode_inter(arf_d, arf_src, self._base_slot,
                                1 << arf_slot, False, 0)
         packets.append(RaPacket(f.payload, -1, None))

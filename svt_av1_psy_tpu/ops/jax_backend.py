@@ -465,16 +465,24 @@ def hme_search2(src_u8: jnp.ndarray, ref_u8: jnp.ndarray,
     wins = jax.vmap(get_win)(cy, cx)                    # (n, wsz, wsz)
     blks = sh.reshape(n16r, 8, n16c, 8).transpose(0, 2, 1, 3) \
         .reshape(-1, 8, 8)
-    best_sad = jnp.full((n16r * n16c,), 1 << 30, jnp.int32)
-    best_off = jnp.zeros((n16r * n16c, 2), jnp.int32)
-    for dy in range(2 * r1 + 1):
-        for dx in range(2 * r1 + 1):
-            sad = jnp.abs(wins[:, dy:dy + 8, dx:dx + 8] - blks) \
-                .sum(axis=(1, 2))
-            better = sad < best_sad
-            off = jnp.array([dy - r1, dx - r1], jnp.int32)
-            best_off = jnp.where(better[:, None], off, best_off)
-            best_sad = jnp.where(better, sad, best_sad)
+    side1 = 2 * r1 + 1
+
+    def body1(k, carry):
+        best_sad, best_off = carry
+        dy = k // side1
+        dx = k % side1
+        win = jax.lax.dynamic_slice(
+            wins, (0, dy, dx), (wins.shape[0], 8, 8))
+        sad = jnp.abs(win - blks).sum(axis=(1, 2))
+        better = sad < best_sad
+        off = jnp.stack([dy - r1, dx - r1]).astype(jnp.int32)
+        best_off = jnp.where(better[:, None], off, best_off)
+        best_sad = jnp.where(better, sad, best_sad)
+        return best_sad, best_off
+
+    init1 = (jnp.full((n16r * n16c,), 1 << 30, jnp.int32),
+             jnp.zeros((n16r * n16c, 2), jnp.int32))
+    best_sad, best_off = jax.lax.fori_loop(0, side1 * side1, body1, init1)
     mv_h = 2 * seed_q.reshape(-1, 2) + best_off         # half-pel units
     mv16 = (2 * mv_h).reshape(n16r, n16c, 2).astype(jnp.int16)
     return mv16, best_sad.reshape(n16r, n16c)
