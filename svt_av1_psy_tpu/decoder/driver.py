@@ -44,6 +44,12 @@ class Decoder:
                 self.seq = parse_sequence_header(p)
             elif t == ObuType.FRAME:
                 self._decode_frame(p)
+            elif t == ObuType.FRAME_HEADER:
+                fi = parse_frame_header(p, self.seq,
+                                        ref_order_hints=self.slot_hints)
+                assert fi.show_existing_frame, \
+                    "redundant frame headers unsupported"
+                self.frames.append(self.slots[fi.frame_to_show_map_idx])
 
     def _decode_frame(self, payload: bytes):
         seq = self.seq
@@ -54,34 +60,36 @@ class Decoder:
         is_inter = fi.frame_type == 1
 
         if fi.primary_ref_frame == 7 or not is_inter:
-            fc = FrameContext(fi.base_q_idx)
+            fc0 = FrameContext(fi.base_q_idx)
         else:
-            fc = self.slot_cdfs[fi.ref_frame_idx[fi.primary_ref_frame]].inherit_copy()
-        start_cdf = fc.copy() if fi.disable_frame_end_update_cdf else None
+            fc0 = self.slot_cdfs[
+                fi.ref_frame_idx[fi.primary_ref_frame]].inherit_copy()
+        start_cdf = fc0.copy() if fi.disable_frame_end_update_cdf else None
 
-        tp = TileParser(
-            fc, payload[fi.header_bytes:], mi_rows, mi_cols,
-            tx_mode_select=fi.tx_mode_select,
-            reduced_tx_set=fi.reduced_tx_set,
-            delta_q_present=fi.delta_q_present,
-            enable_filter_intra=seq.enable_filter_intra,
-            cdef_bits=fi.cdef_bits if seq.enable_cdef else -1,
-            frame_is_intra=not is_inter,
-            allow_hp=fi.allow_high_precision_mv,
-            force_integer_mv=fi.force_integer_mv,
-            reference_select=fi.reference_select,
-            switchable_filter=fi.is_filter_switchable,
-            dual_filter=seq.enable_dual_filter,
-            enable_interintra=seq.enable_interintra_compound,
-            motion_mode_switchable=fi.is_motion_mode_switchable,
-            allow_warped_motion=fi.allow_warped_motion,
-            skip_mode_present=fi.skip_mode_present,
-            lr_type=fi.lr_type, lr_unit_size=fi.lr_unit_size,
-            frame_width=W, frame_height=H,
-            base_q_idx=fi.base_q_idx,
-            delta_q_res_log2=fi.delta_q_res_log2,
-            allow_update_cdf=not fi.disable_cdf_update)
-        blocks = tp.parse_tile()
+        # tile grid (spec 5.11.1 tile_group_obu): column/row starts in SB
+        # units from the uniform tile info; each tile parses independently
+        # with its own CDF context starting from the frame-initial one
+        col_starts = fi.tile_col_starts or [0, (mi_cols + 15) // 16]
+        row_starts = fi.tile_row_starts or [0, (mi_rows + 15) // 16]
+        n_tile_cols = len(col_starts) - 1
+        n_tile_rows = len(row_starts) - 1
+        n_tiles = n_tile_cols * n_tile_rows
+        data = payload[fi.header_bytes:]
+        tile_data = []
+        if n_tiles == 1:
+            tile_data = [data]
+        else:
+            # OBU_FRAME: tile_start_and_end_present_flag == 0 + alignment
+            # -> one zero byte, then le(tile_size_bytes) sizes between
+            # tiles (none for the last)
+            pos = 1
+            for ti in range(n_tiles - 1):
+                sz = int.from_bytes(
+                    data[pos:pos + fi.tile_size_bytes], "little") + 1
+                pos += fi.tile_size_bytes
+                tile_data.append(data[pos:pos + sz])
+                pos += sz
+            tile_data.append(data[pos:])
 
         fr = FrameReconstructor(
             W, H, fi, bd=seq.bit_depth,
@@ -93,7 +101,50 @@ class Decoder:
                 for i in range(8)]
             fr.ref_frame_idx = fi.ref_frame_idx
             fr.interp_filter = fi.interp_filter
-        fr.decode_blocks(blocks)
+
+        tp = None                   # context_update_tile_id's parser
+        cdef_idx = None
+        lr_units = [{}, {}, {}]
+        for ti, td in enumerate(tile_data):
+            tr, tc = ti // n_tile_cols, ti % n_tile_cols
+            r0 = min(row_starts[tr] * 16, mi_rows)
+            r1 = min(row_starts[tr + 1] * 16, mi_rows)
+            c0 = min(col_starts[tc] * 16, mi_cols)
+            c1 = min(col_starts[tc + 1] * 16, mi_cols)
+            fc = fc0 if n_tiles == 1 else fc0.copy()
+            tpi = TileParser(
+                fc, td, mi_rows, mi_cols,
+                tx_mode_select=fi.tx_mode_select,
+                reduced_tx_set=fi.reduced_tx_set,
+                delta_q_present=fi.delta_q_present,
+                enable_filter_intra=seq.enable_filter_intra,
+                cdef_bits=fi.cdef_bits if seq.enable_cdef else -1,
+                frame_is_intra=not is_inter,
+                allow_hp=fi.allow_high_precision_mv,
+                force_integer_mv=fi.force_integer_mv,
+                reference_select=fi.reference_select,
+                switchable_filter=fi.is_filter_switchable,
+                dual_filter=seq.enable_dual_filter,
+                enable_interintra=seq.enable_interintra_compound,
+                motion_mode_switchable=fi.is_motion_mode_switchable,
+                allow_warped_motion=fi.allow_warped_motion,
+                skip_mode_present=fi.skip_mode_present,
+                lr_type=fi.lr_type, lr_unit_size=fi.lr_unit_size,
+                frame_width=W, frame_height=H,
+                base_q_idx=fi.base_q_idx,
+                delta_q_res_log2=fi.delta_q_res_log2,
+                allow_update_cdf=not fi.disable_cdf_update,
+                mi_bounds=(r0, r1, c0, c1))
+            blocks = tpi.parse_tile()
+            fr.set_tile(r0, r1, c0, c1)
+            fr.decode_blocks(blocks)
+            if ti == fi.context_update_tile_id:
+                tp = tpi
+            cdef_idx = tpi.cdef_idx if cdef_idx is None else \
+                np.where(tpi.cdef_idx >= 0, tpi.cdef_idx, cdef_idx)
+            for pl in range(3):
+                lr_units[pl].update(tpi.lr_units[pl])
+        fc = tp.fc
 
         lf = (fi.filter_level[0], fi.filter_level[1],
               fi.filter_level_uv[0], fi.filter_level_uv[1])
@@ -108,13 +159,13 @@ class Decoder:
                                               fi.cdef_uv_pri,
                                               fi.cdef_uv_sec)]
             if any(any(sv) for sv in sets):
-                fr.apply_cdef(sets, fi.cdef_damping, cdef_idx=tp.cdef_idx)
+                fr.apply_cdef(sets, fi.cdef_damping, cdef_idx=cdef_idx)
         if lr_active:
             from svt_av1_psy_tpu.ops.restoration import apply_lr_frame
             dims = [(W, H), ((W + 1) >> 1, (H + 1) >> 1),
                     ((W + 1) >> 1, (H + 1) >> 1)]
             apply_lr_frame(fr.planes, deblock_copy, dims, fi.lr_type,
-                           fi.lr_unit_size, tp.lr_units, bd=seq.bit_depth)
+                           fi.lr_unit_size, lr_units, bd=seq.bit_depth)
 
         out = DecodedPlanes(
             y=fr.planes[0][:H, :W].copy(),

@@ -110,6 +110,8 @@ def parse_sequence_header(payload: bytes) -> SeqInfo:
 class FrameInfo:
     frame_type: int = 0
     show_frame: bool = True
+    show_existing_frame: bool = False
+    frame_to_show_map_idx: int = 0
     disable_cdf_update: bool = False
     allow_screen_content_tools: bool = False
     order_hint: int = 0
@@ -145,6 +147,10 @@ class FrameInfo:
     reduced_tx_set: bool = False
     tile_cols_log2: int = 0
     tile_rows_log2: int = 0
+    context_update_tile_id: int = 0
+    tile_size_bytes: int = 4
+    tile_col_starts: list = None   # SB-unit col starts, + sentinel sb_cols
+    tile_row_starts: list = None   # SB-unit row starts, + sentinel sb_rows
     allow_intrabc: bool = False
     coded_lossless: bool = False
     header_bytes: int = 0      # byte offset where tile data starts (OBU_FRAME)
@@ -174,7 +180,12 @@ def parse_frame_header(payload: bytes, seq: SeqInfo,
     """Parse an intra (KEY) uncompressed_header from an OBU_FRAME payload."""
     r = BitReader(payload)
     fi = FrameInfo()
-    assert r.f(1) == 0, "show_existing_frame unsupported"
+    fi.show_existing_frame = bool(r.f(1))
+    if fi.show_existing_frame:
+        # spec 5.9.2: frame_to_show_map_idx; no temporal-point info or
+        # display-frame-id in our streams; rest of the header is absent
+        fi.frame_to_show_map_idx = r.f(3)
+        return fi
     fi.frame_type = r.f(2)
     assert fi.frame_type in (0, 1, 2), "switch frames unsupported"
     is_inter = fi.frame_type == 1
@@ -274,8 +285,14 @@ def parse_frame_header(payload: bytes, seq: SeqInfo,
             break
         fi.tile_rows_log2 += 1
     if fi.tile_cols_log2 or fi.tile_rows_log2:
-        r.f(fi.tile_cols_log2 + fi.tile_rows_log2)  # context_update_tile_id
-        r.f(2)                                       # tile_size_bytes_minus_1
+        fi.context_update_tile_id = r.f(fi.tile_cols_log2 +
+                                        fi.tile_rows_log2)
+        fi.tile_size_bytes = r.f(2) + 1
+    # uniform tile grid in SB units (spec tile_info MiColStarts/MiRowStarts)
+    tw_sb = (sb_cols + (1 << fi.tile_cols_log2) - 1) >> fi.tile_cols_log2
+    th_sb = (sb_rows + (1 << fi.tile_rows_log2) - 1) >> fi.tile_rows_log2
+    fi.tile_col_starts = list(range(0, sb_cols, tw_sb)) + [sb_cols]
+    fi.tile_row_starts = list(range(0, sb_rows, th_sb)) + [sb_rows]
     # quantization_params
     fi.base_q_idx = r.f(8)
     fi.delta_q_y_dc = _read_delta_q(r)

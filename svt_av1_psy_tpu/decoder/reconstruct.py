@@ -89,6 +89,10 @@ class FrameReconstructor:
         # Indexed [y4 + 1][x4 + 1] with the -1 border.
         self._bd_maps = None
         self._sb_rc = (-1, -1)
+        # active tile bounds in mi units (r0, r1, c0, c1): neighbor-pixel
+        # availability never crosses them (spec intra prediction uses
+        # tile-relative AvailU/AvailL). Default = whole frame.
+        self._tile = (0, self.mi_rows, 0, self.mi_cols)
         # loop-filter maps: per-plane-unit tx dims + block dims (px),
         # filled in finish_block, consumed by apply_dlf (spec 7.14)
         cmw = (self.mi_cols + 1) >> 1
@@ -108,17 +112,24 @@ class FrameReconstructor:
         self.left_smooth = [np.zeros(self.mi_rows, np.uint8) for _ in
                             range(2)]
 
+    def set_tile(self, r0: int, r1: int, c0: int, c1: int):
+        """Restrict reconstruction availability to one tile (mi units).
+        Call before decode_blocks for each tile of a multi-tile frame."""
+        self._tile = (r0, r1, c0, c1)
+        self._sb_rc = (-1, -1)      # force BlockDecoded rebuild
+
     # --- BlockDecoded ----------------------------------------------------
     def _reset_sb(self, sbr4: int, sbc4: int):
         """clear_block_decoded_flags (spec 5.11.31)."""
         self._sb_rc = (sbr4, sbc4)
         self._bd_maps = []
+        t_r0, t_r1, t_c0, t_c1 = self._tile
         for plane in range(3):
             sub = 1 if plane else 0
             n = (self.sb4 >> sub)
             m = np.zeros((n + 2, n + 2), np.uint8)
-            sb_w4 = (self.mi_cols - sbc4) >> sub     # to tile end
-            sb_h4 = (self.mi_rows - sbr4) >> sub
+            sb_w4 = (t_c1 - sbc4) >> sub             # to tile end
+            sb_h4 = (t_r1 - sbr4) >> sub
             # above row: x in [-1, n] available while x < sbWidth4
             xs = np.arange(-1, n + 1)
             m[0, :] = (xs < sb_w4).astype(np.uint8)
@@ -126,6 +137,12 @@ class FrameReconstructor:
             ys = np.arange(0, n + 1)
             m[1:, 0] = (ys < sb_h4).astype(np.uint8)
             m[n + 1, 0] = 0                          # bottom-left cleared
+            # interior tile edges: nothing left/above is available (frame
+            # edges keep the legacy maps — the x>0/y>0 checks gate those)
+            if sbc4 == t_c0 and t_c0 > 0:
+                m[:, 0] = 0
+            if sbr4 == t_r0 and t_r0 > 0:
+                m[0, :] = 0
             self._bd_maps.append(m)
 
     def _bdget(self, plane, y4, x4) -> bool:

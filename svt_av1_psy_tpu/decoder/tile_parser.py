@@ -99,10 +99,15 @@ class TileParser:
                  skip_mode_present: bool = False,
                  lr_type=None, lr_unit_size=None,
                  frame_width: int = 0, frame_height: int = 0,
-                 base_q_idx=None, delta_q_res_log2: int = 0):
+                 base_q_idx=None, delta_q_res_log2: int = 0,
+                 mi_bounds=None):
         self.fc = fc
         self.dec = RangeDecoder(data)
         self.mi_rows, self.mi_cols = mi_rows, mi_cols
+        # tile bounds (mi units): (row_start, row_end, col_start, col_end).
+        # Availability and scans never cross these (spec MiRowStart..End).
+        self.r0, self.r1, self.c0, self.c1 = \
+            mi_bounds if mi_bounds is not None else (0, mi_rows, 0, mi_cols)
         self.sb_mi = sb_size // 4
         self.tx_mode_select = tx_mode_select
         self.reduced_tx_set = reduced_tx_set
@@ -143,7 +148,9 @@ class TileParser:
         self.delta_q_res_log2 = delta_q_res_log2
         if not frame_is_intra:
             from svt_av1_psy_tpu.inter.mvref import MiGrid
-            self.grid = MiGrid(mi_rows, mi_cols)
+            self.grid = MiGrid(mi_rows, mi_cols, row_start=self.r0,
+                               col_start=self.c0, row_end=self.r1,
+                               col_end=self.c1)
             # per-4x4 luma tx types for inter-chroma tx type derivation
             # (spec compute_tx_type)
             self.txtype_grid = np.zeros((mi_rows, mi_cols), np.uint8)
@@ -186,8 +193,8 @@ class TileParser:
 
     # --- top level -------------------------------------------------------
     def parse_tile(self):
-        for sbr in range(0, self.mi_rows, self.sb_mi):
-            for sbc in range(0, self.mi_cols, self.sb_mi):
+        for sbr in range(self.r0, self.r1, self.sb_mi):
+            for sbc in range(self.c0, self.c1, self.sb_mi):
                 self.read_deltas = self.delta_q_present
                 if self.lr_type is not None and any(self.lr_type):
                     self._read_lr(sbr, sbc)
@@ -413,8 +420,8 @@ class TileParser:
         fc = self.fc
         w4 = BLOCK_SIZE_WIDE[bsize] // 4
         h4 = BLOCK_SIZE_HIGH[bsize] // 4
-        have_above = r > 0
-        have_left = c > 0
+        have_above = r > self.r0
+        have_left = c > self.c0
 
         if self.skip_mode_present and not self.frame_is_intra and \
                 min(BLOCK_SIZE_WIDE[bsize], BLOCK_SIZE_HIGH[bsize]) >= 8:
@@ -573,12 +580,12 @@ class TileParser:
 
     def _has_overlappable(self, r, c, w4, h4) -> bool:
         g = self.grid
-        if r > 0:
-            for i in range(0, min(w4, self.mi_cols - c)):
+        if r > self.r0:
+            for i in range(0, min(w4, self.c1 - c)):
                 if int(g.ref0[r - 1, c + i]) > 0:
                     return True
-        if c > 0:
-            for i in range(0, min(h4, self.mi_rows - r)):
+        if c > self.c0:
+            for i in range(0, min(h4, self.r1 - r)):
                 if int(g.ref0[r + i, c - 1]) > 0:
                     return True
         return False
@@ -595,8 +602,8 @@ class TileParser:
             nonlocal num
             if num >= 8:
                 return
-            if rr < 0 or cc2 < 0 or rr >= self.mi_rows or \
-                    cc2 >= self.mi_cols:
+            if rr < self.r0 or cc2 < self.c0 or rr >= self.r1 or \
+                    cc2 >= self.c1:
                 return
             if int(g.ref0[rr, cc2]) == ref and int(g.ref1[rr, cc2]) <= 0:
                 mvd = abs(int(g.mv0[rr, cc2, 0]) - mv[0]) + \
@@ -606,7 +613,7 @@ class TileParser:
 
         do_tl = True
         do_tr = True
-        if r > 0:
+        if r > self.r0:
             src_b = int(g.bsize[r - 1, c])
             src_w = BLOCK_SIZE_WIDE[src_b] // 4
             if w4 <= src_w:
@@ -618,13 +625,13 @@ class TileParser:
                 try_sample(r - 1, c)
             else:
                 i = 0
-                while i < min(w4, self.mi_cols - c):
+                while i < min(w4, self.c1 - c):
                     src_b = int(g.bsize[r - 1, c + i])
                     src_w = BLOCK_SIZE_WIDE[src_b] // 4
                     i = (i & ~(src_w - 1))
                     try_sample(r - 1, c + i)
                     i += src_w
-        if c > 0:
+        if c > self.c0:
             src_b = int(g.bsize[r, c - 1])
             src_h = BLOCK_SIZE_HIGH[src_b] // 4
             if h4 <= src_h:
@@ -634,7 +641,7 @@ class TileParser:
                 try_sample(r, c - 1)
             else:
                 i = 0
-                while i < min(h4, self.mi_rows - r):
+                while i < min(h4, self.r1 - r):
                     src_b = int(g.bsize[r + i, c - 1])
                     src_h = BLOCK_SIZE_HIGH[src_b] // 4
                     i = (i & ~(src_h - 1))

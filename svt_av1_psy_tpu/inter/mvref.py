@@ -28,8 +28,19 @@ class MiGrid:
     """Per-4x4-unit mode info of the frame being coded (decode order)."""
     mi_rows: int
     mi_cols: int
+    # tile bounds (mi units): availability and candidate scans never cross
+    # these (spec 5.11.x is_inside / MiColStart..MiColEnd). Defaults = the
+    # whole frame, i.e. single-tile behavior.
+    row_start: int = 0
+    col_start: int = 0
+    row_end: int = -1
+    col_end: int = -1
 
     def __post_init__(self):
+        if self.row_end < 0:
+            self.row_end = self.mi_rows
+        if self.col_end < 0:
+            self.col_end = self.mi_cols
         shape = (self.mi_rows, self.mi_cols)
         self.ref0 = np.full(shape, NONE_FRAME, np.int8)
         self.ref1 = np.full(shape, NONE_FRAME, np.int8)
@@ -105,11 +116,13 @@ def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
     """Build the single-ref MV stack (gm = identity, no temporal mvp)."""
     n8_w, n8_h = _bsize_dims(bsize)
     mi_rows, mi_cols = grid.mi_rows, grid.mi_cols
+    row_start, row_end = grid.row_start, grid.row_end
+    col_start, col_end = grid.col_start, grid.col_end
     out = MvRefs()
     stack: List[List[int]] = []   # [mv_row, mv_col, weight]
 
-    up_avail = mi_row > 0
-    left_avail = mi_col > 0
+    up_avail = mi_row > row_start
+    left_avail = mi_col > col_start
     row_adj = (n8_h < 2) and (mi_row & 1)
     col_adj = (n8_w < 2) and (mi_col & 1)
     max_row_offset = 0
@@ -118,19 +131,21 @@ def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
         max_row_offset = -(MVREF_ROW_COLS << 1) + row_adj
         if n8_h < 2:
             max_row_offset = -(2 << 1) + row_adj
-        max_row_offset = _clamp(max_row_offset, -mi_row, mi_rows - mi_row - 1)
+        max_row_offset = _clamp(max_row_offset, row_start - mi_row,
+                                row_end - mi_row - 1)
     if left_avail:
         max_col_offset = -(MVREF_ROW_COLS << 1) + col_adj
         if n8_w < 2:
             max_col_offset = -(2 << 1) + col_adj
-        max_col_offset = _clamp(max_col_offset, -mi_col, mi_cols - mi_col - 1)
+        max_col_offset = _clamp(max_col_offset, col_start - mi_col,
+                                col_end - mi_col - 1)
 
     counts = {"row_match": 0, "col_match": 0, "newmv": 0}
     processed = {"rows": 0, "cols": 0}
 
     def add_candidate(r, c, len_, weight, which):
         """add_ref_mv_candidate for single ref."""
-        if c >= mi_cols or r >= mi_rows:
+        if c >= col_end or r >= row_end or c < col_start or r < row_start:
             return
         if grid.ref0[r, c] <= INTRA_FRAME:
             return
@@ -150,7 +165,7 @@ def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
                 counts[which] += 1
 
     def scan_row(row_offset):
-        end_mi = min(n8_w, mi_cols - mi_col, 16)
+        end_mi = min(n8_w, col_end - mi_col, 16)
         col_offset = 0
         if abs(row_offset) > 1:
             col_offset = 1
@@ -177,7 +192,7 @@ def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
             i += ln
 
     def scan_col(col_offset):
-        end_mi = min(n8_h, mi_rows - mi_row, 16)
+        end_mi = min(n8_h, row_end - mi_row, 16)
         row_offset = 0
         if abs(col_offset) > 1:
             row_offset = 1
@@ -206,7 +221,7 @@ def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
     def scan_blk(row_offset, col_offset):
         r = mi_row + row_offset
         c = mi_col + col_offset
-        if r < 0 or c < 0 or r >= mi_rows or c >= mi_cols:
+        if r < row_start or c < col_start or r >= row_end or c >= col_end:
             return
         add_candidate(r, c, 2, 2, "row_match")
 
@@ -292,8 +307,8 @@ def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
     # single-ref extension: relaxed row/col rescans, then global-mv fill
     n_counted = None
     if len(stack) < MAX_MV_REF_CANDIDATES:
-        mi_width = min(16, n8_w, mi_cols - mi_col)
-        mi_height = min(16, n8_h, mi_rows - mi_row)
+        mi_width = min(16, n8_w, col_end - mi_col)
+        mi_height = min(16, n8_h, row_end - mi_row)
         mi_size = min(mi_width, mi_height)
         if abs(max_row_offset) >= 1:
             i = 0
@@ -357,7 +372,7 @@ def drl_ctx(weights: List[int], idx: int) -> int:
 # --- shared writer/parser context helpers (spec 5.11.*) --------------------
 
 def intra_inter_ctx(grid: MiGrid, r: int, c: int) -> int:
-    have_above, have_left = r > 0, c > 0
+    have_above, have_left = r > grid.row_start, c > grid.col_start
     if have_above and have_left:
         ai = int(grid.ref0[r - 1, c]) <= 0
         li = int(grid.ref0[r, c - 1]) <= 0
@@ -370,7 +385,8 @@ def intra_inter_ctx(grid: MiGrid, r: int, c: int) -> int:
 
 def neighbor_ref_counts(grid: MiGrid, r: int, c: int):
     counts = [0] * 8
-    for ok, pos in ((r > 0, (r - 1, c)), (c > 0, (r, c - 1))):
+    for ok, pos in ((r > grid.row_start, (r - 1, c)),
+                    (c > grid.col_start, (r, c - 1))):
         if not ok:
             continue
         r0 = int(grid.ref0[pos])
@@ -394,8 +410,8 @@ def interp_filter_ctx(grid: MiGrid, r: int, c: int, ref: int,
         if int(grid.ref0[rr, cc]) == ref or int(grid.ref1[rr, cc]) == ref:
             return int(grid.filters[rr, cc, direction])
         return 3
-    lt = ref_filt(r, c - 1) if c > 0 else 3
-    at = ref_filt(r - 1, c) if r > 0 else 3
+    lt = ref_filt(r, c - 1) if c > grid.col_start else 3
+    at = ref_filt(r - 1, c) if r > grid.row_start else 3
     if lt == at:
         return ctx + lt
     if lt == 3:
@@ -407,7 +423,7 @@ def interp_filter_ctx(grid: MiGrid, r: int, c: int, ref: int,
 
 def reference_mode_ctx(grid: MiGrid, r: int, c: int) -> int:
     """av1_get_reference_mode_context (ref entropy_coding.c:1860)."""
-    have_above, have_left = r > 0, c > 0
+    have_above, have_left = r > grid.row_start, c > grid.col_start
     g = grid
 
     def info(rr, cc):
@@ -432,12 +448,12 @@ def reference_mode_ctx(grid: MiGrid, r: int, c: int) -> int:
 
 
 def has_overlappable(grid: MiGrid, r: int, c: int, w4: int, h4: int) -> bool:
-    if r > 0:
-        for i in range(0, min(w4, grid.mi_cols - c)):
+    if r > grid.row_start:
+        for i in range(0, min(w4, grid.col_end - c)):
             if int(grid.ref0[r - 1, c + i]) > 0:
                 return True
-    if c > 0:
-        for i in range(0, min(h4, grid.mi_rows - r)):
+    if c > grid.col_start:
+        for i in range(0, min(h4, grid.row_end - r)):
             if int(grid.ref0[r + i, c - 1]) > 0:
                 return True
     return False
@@ -455,7 +471,8 @@ def count_warp_samples(grid: MiGrid, r: int, c: int, bsize: int, ref: int,
         nonlocal num
         if num >= 8:
             return
-        if rr < 0 or cc < 0 or rr >= grid.mi_rows or cc >= grid.mi_cols:
+        if rr < grid.row_start or cc < grid.col_start or \
+                rr >= grid.row_end or cc >= grid.col_end:
             return
         if int(grid.ref0[rr, cc]) == ref and int(grid.ref1[rr, cc]) <= 0:
             mvd = abs(int(grid.mv0[rr, cc, 0]) - mv[0]) + \
@@ -465,7 +482,7 @@ def count_warp_samples(grid: MiGrid, r: int, c: int, bsize: int, ref: int,
 
     do_tl = True
     do_tr = True
-    if r > 0:
+    if r > grid.row_start:
         src_b = int(grid.bsize[r - 1, c])
         src_w = BLOCK_SIZE_WIDE[src_b] // 4
         if w4 <= src_w:
@@ -477,13 +494,13 @@ def count_warp_samples(grid: MiGrid, r: int, c: int, bsize: int, ref: int,
             try_sample(r - 1, c)
         else:
             i = 0
-            while i < min(w4, grid.mi_cols - c):
+            while i < min(w4, grid.col_end - c):
                 src_b = int(grid.bsize[r - 1, c + i])
                 src_w = BLOCK_SIZE_WIDE[src_b] // 4
                 i = (i & ~(src_w - 1))
                 try_sample(r - 1, c + i)
                 i += src_w
-    if c > 0:
+    if c > grid.col_start:
         src_b = int(grid.bsize[r, c - 1])
         src_h = BLOCK_SIZE_HIGH[src_b] // 4
         if h4 <= src_h:
@@ -493,7 +510,7 @@ def count_warp_samples(grid: MiGrid, r: int, c: int, bsize: int, ref: int,
             try_sample(r, c - 1)
         else:
             i = 0
-            while i < min(h4, grid.mi_rows - r):
+            while i < min(h4, grid.row_end - r):
                 src_b = int(grid.bsize[r + i, c - 1])
                 src_h = BLOCK_SIZE_HIGH[src_b] // 4
                 i = (i & ~(src_h - 1))
