@@ -26,11 +26,13 @@ def crf_to_qindex(crf: float) -> int:
     return max(0, min(255, int(round(crf * 4))))
 
 
-def _run_ra(args, reader, enc, t0) -> int:
+def _run_ra(args, reader, enc, t0, rc=None) -> int:
     """Random-access encode loop: display-order sources in, decode-order
     packets out (hidden anchors + show_existing_frame TUs). The IVF
     carries one frame per temporal unit in decode order (the
-    packetization_process.c emission order)."""
+    packetization_process.c emission order). Rate control applies at
+    GoP granularity (base q adjusted between mini-GoPs; no recode —
+    the reference also disables recode at fast presets)."""
     import math
 
     import numpy as np
@@ -55,6 +57,9 @@ def _run_ra(args, reader, enc, t0) -> int:
         nonlocal total_bytes, npkt, nshown
         ivf.write_frame(p.payload, npkt)
         total_bytes += len(p.payload)
+        if rc is not None and len(p.payload) > 32:
+            rc.update(enc._enc.qindex, 8 * len(p.payload),
+                      is_key=(npkt == 0))
         npkt += 1
         if p.display_idx >= 0:
             nshown += 1
@@ -74,6 +79,8 @@ def _run_ra(args, reader, enc, t0) -> int:
         if args.enable_stat_report:
             sources[src_count] = (y, u, v)
         src_count += 1
+        if rc is not None:
+            enc._enc.qindex = rc.frame_qindex(is_key=False)
         for p in enc.send_picture(y, u, v):
             handle(p)
     for p in enc.flush():
@@ -122,8 +129,31 @@ def main(argv=None) -> int:
                          "back to cpu if the transport is wedged")
     ap.add_argument("--backend", default="native",
                     choices=("native", "python"))
-    ap.add_argument("--bitrate", type=float, default=0.0,
-                    help="target kbps (one-pass ABR); 0 = CRF-style")
+    ap.add_argument("--rc", type=int, default=0, choices=(0, 1, 2),
+                    help="rate control mode: 0 = CRF/CQP, 1 = VBR, "
+                         "2 = CBR (ref rc_process.c:3269)")
+    ap.add_argument("--tbr", "--bitrate", dest="bitrate", type=float,
+                    default=0.0,
+                    help="target bitrate in kbps (VBR/CBR, or 2-pass)")
+    ap.add_argument("--mbr", type=float, default=0.0,
+                    help="max bitrate kbps: capped CRF when --rc 0 "
+                         "(the --mbr analog), peak rate for CBR")
+    ap.add_argument("--undershoot-pct", type=int, default=25)
+    ap.add_argument("--overshoot-pct", type=int, default=25)
+    ap.add_argument("--buf-sz", type=int, default=1000,
+                    help="CBR buffer size in ms")
+    ap.add_argument("--recode", type=int, default=1, choices=(0, 1),
+                    help="re-encode frames that violate rate limits")
+    ap.add_argument("--pass", dest="pass_num", type=int, default=0,
+                    choices=(0, 1, 2),
+                    help="multi-pass: 1 collects stats, 2 allocates "
+                         "from them (ref pass2_strategy.c)")
+    ap.add_argument("--stats", default="svtav1_2pass.log",
+                    help="2-pass stats file path")
+    ap.add_argument("--qpfile", default=None,
+                    help="per-frame qindex overrides: lines of "
+                         "'<frame> <qindex>' applied on the fly (the "
+                         "--qpfile analog, ref app_process_cmd.c:551)")
     ap.add_argument("--fps", type=float, default=30.0)
     ap.add_argument("--enable-variance-boost", type=int, default=0,
                     choices=(0, 1),
@@ -233,8 +263,40 @@ def main(argv=None) -> int:
             cfg = parse_parameter_string(cfg, args.svtav1_params)
         enc = Encoder(cfg, W, H, bit_depth=bd)
         enc._enc.qindex = args.qindex   # qindex-level precision
+
+        # --- rate control setup (ref rc_process.c; pass2_strategy.c) ---
+        rc = None
+        twopass = None
+        fp_stats = None
+        qp_overrides = {}
+        if args.qpfile:
+            with open(args.qpfile) as qf:
+                for line in qf:
+                    parts = line.split()
+                    if len(parts) >= 2 and not parts[0].startswith("#"):
+                        qp_overrides[int(parts[0])] = int(parts[1])
+        from svt_av1_psy_tpu.models.ratecontrol import (FirstPassStats,
+                                                        RateController,
+                                                        TwoPassAllocator)
+        if args.pass_num == 1:
+            fp_stats = FirstPassStats()
+        elif args.pass_num == 2:
+            twopass = TwoPassAllocator(FirstPassStats.load(args.stats),
+                                       target_bps=args.bitrate * 1000,
+                                       fps=args.fps, bd=bd)
+        elif args.rc in (1, 2) or args.mbr > 0:
+            rc = RateController(
+                mode=("vbr" if args.rc == 1 else
+                      "cbr" if args.rc == 2 else "crf"),
+                base_qindex=args.qindex,
+                target_bps=args.bitrate * 1000, max_bps=args.mbr * 1000,
+                fps=args.fps, bd=bd, buf_size_ms=args.buf_sz,
+                undershoot_pct=args.undershoot_pct,
+                overshoot_pct=args.overshoot_pct,
+                gop_size=args.gop, recode=bool(args.recode))
+
         if enc._ra is not None:
-            return _run_ra(args, reader, enc, t0)
+            return _run_ra(args, reader, enc, t0, rc=rc)
         ivf = None
         pending = []       # lookahead buffer [(idx, (y,u,v))]
         history = []       # last 2 source frames (TF window)
@@ -286,9 +348,43 @@ def main(argv=None) -> int:
             if args.enable_tpl:
                 from svt_av1_psy_tpu.models.tpl import tpl_sb_offsets
                 enc._enc.tpl_offsets = tpl_sb_offsets(y, la_frames)
+            # per-frame q from qpfile / pass-2 allocation / one-pass RC
+            key = is_key(n)
+            q = None
+            if n in qp_overrides:
+                q = qp_overrides[n]
+            elif twopass is not None:
+                q = twopass.frame_qindex(n)
+            elif rc is not None:
+                q = rc.frame_qindex(key)
+            if q is not None:
+                enc._enc.qindex = max(1, min(255, q))
+            can_recode = (rc is not None and rc.recode and
+                          hasattr(enc._enc, "snapshot"))
+            snap = enc._enc.snapshot() if can_recode else None
             if la_frames and hasattr(enc._enc, "prefetch_decide"):
                 enc._enc.prefetch_decide(la_frames[0])
             f = enc.encode(y, u, v)
+            if can_recode:
+                # recode loop (ref rc_process.c:3269): re-encode when the
+                # frame size violates the buffer/overshoot constraints
+                attempt = 0
+                while True:
+                    nq = rc.recode_qindex(enc._enc.qindex,
+                                          8 * len(f.payload), key,
+                                          attempt=attempt)
+                    if nq is None:
+                        break
+                    enc._enc.restore(snap)
+                    enc._enc.qindex = nq
+                    f = enc.encode(y, u, v)
+                    attempt += 1
+            if rc is not None:
+                rc.update(enc._enc.qindex, 8 * len(f.payload), key)
+            if twopass is not None:
+                twopass.update(n, 8 * len(f.payload))
+            if fp_stats is not None:
+                fp_stats.add(n, enc._enc.qindex, 8 * len(f.payload), key)
             ivf.write_frame(f.payload, n)
             total_bytes += len(f.payload)
             if args.enable_stat_report:
@@ -312,6 +408,10 @@ def main(argv=None) -> int:
                 break
         if ivf is not None:
             ivf.close()
+        if fp_stats is not None:
+            fp_stats.dump(args.stats)
+            print(f"pass 1: wrote {len(fp_stats.frames)} frame stats to "
+                  f"{args.stats}", file=sys.stderr)
     dt = time.time() - t0
     if n:
         print(f"encoded {n} frames, {total_bytes} bytes, "

@@ -296,6 +296,49 @@ class FastIntraEncoder:
         self._rec_u, self._ref_u = self._ref_u, self._rec_u
         self._rec_v, self._ref_v = self._ref_v, self._rec_v
 
+    # --- recode support (ref rc_process.c:3269 recode loop) ---------------
+    def snapshot(self) -> dict:
+        """Capture the state encode_frame mutates, so a frame can be
+        re-encoded at a different qindex (the recode loop). Plane
+        ping-pong buffers are deep-copied; DPB entries/contexts are
+        immutable once stored, so shallow dict copies suffice."""
+        return {
+            "frame_index": self.frame_index,
+            "_gop_anchor": getattr(self, "_gop_anchor", None),
+            "_fc_saved": getattr(self, "_fc_saved", None),
+            "_dpb_fc": dict(getattr(self, "_dpb_fc", {})),
+            "_dpb": dict(getattr(self, "_dpb", {})),
+            "_last_slot_by_layer": dict(self._last_slot_by_layer),
+            "_lr_pending": self._lr_pending,
+            "_cdef_cache": self._cdef_cache,
+            "_dlf_cache": self._dlf_cache,
+            "_fg_params": self._fg_params,
+            "_prev_src_y": getattr(self, "_prev_src_y", None),
+            "_rec": (self._rec_y.copy(), self._rec_u.copy(),
+                     self._rec_v.copy()),
+            "_ref": (self._ref_y.copy(), self._ref_u.copy(),
+                     self._ref_v.copy()),
+        }
+
+    def restore(self, snap: dict) -> None:
+        self.frame_index = snap["frame_index"]
+        if snap["_gop_anchor"] is not None:
+            self._gop_anchor = snap["_gop_anchor"]
+        self._fc_saved = snap["_fc_saved"]
+        self._dpb_fc = snap["_dpb_fc"]
+        self._dpb = snap["_dpb"]
+        self._last_slot_by_layer = snap["_last_slot_by_layer"]
+        self._lr_pending = snap["_lr_pending"]
+        self._cdef_cache = snap["_cdef_cache"]
+        self._dlf_cache = snap["_dlf_cache"]
+        self._fg_params = snap["_fg_params"]
+        if snap["_prev_src_y"] is not None:
+            self._prev_src_y = snap["_prev_src_y"]
+        self._rec_y[...], self._rec_u[...], self._rec_v[...] = snap["_rec"]
+        self._ref_y[...], self._ref_u[...], self._ref_v[...] = snap["_ref"]
+        self._pref = None       # a prefetched decide is q-independent but
+        # single-shot; drop it so the retry re-dispatches cleanly
+
     def _encode_key(self, y, u, v, order_hint=None) -> EncodedFrame:
         native = self._native
         yp = _pad_to(np.asarray(y), self.pah, self.paw)
