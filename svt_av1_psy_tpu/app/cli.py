@@ -203,6 +203,17 @@ def main(argv=None) -> int:
     ap.add_argument("--pred-struct", type=int, default=2, choices=(1, 2),
                     help="1 = low delay, 2 = random access (the "
                          "SVT_AV1_PRED_* enum)")
+    ap.add_argument("--content-light", default=None,
+                    help="HDR CLL metadata 'maxcll,maxfall' (nits), "
+                         "emitted as a metadata OBU on key frames")
+    ap.add_argument("--mastering-display", default=None,
+                    help="HDR MDCV metadata "
+                         "'G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)' "
+                         "(the reference CLI string format)")
+    ap.add_argument("--t35-file", default=None,
+                    help="binary ITU-T T.35 blob (DoVi RPU / HDR10+ "
+                         "container) injected as a per-frame metadata "
+                         "OBU (ref app_process_cmd.c:463-495)")
     ap.add_argument("--svtav1-params", default=None,
                     help="colon-separated key=value parameter string "
                          "(the svt_av1_enc_parse_parameter surface, "
@@ -263,6 +274,18 @@ def main(argv=None) -> int:
             cfg = parse_parameter_string(cfg, args.svtav1_params)
         enc = Encoder(cfg, W, H, bit_depth=bd)
         enc._enc.qindex = args.qindex   # qindex-level precision
+
+        # --- HDR / T.35 metadata OBUs (ref metadata_handle.c) ---
+        if args.content_light or args.mastering_display or args.t35_file:
+            from svt_av1_psy_tpu.bitstream.metadata import \
+                build_metadata_payload
+            enc._enc.metadata_key = build_metadata_payload(
+                content_light=args.content_light,
+                mastering_display=args.mastering_display)
+            if args.t35_file:
+                with open(args.t35_file, "rb") as tf:
+                    enc._enc.metadata_frame = build_metadata_payload(
+                        t35_blob=tf.read())
 
         # --- rate control setup (ref rc_process.c; pass2_strategy.c) ---
         rc = None

@@ -542,13 +542,17 @@ def frame_obu_payload(seq: SequenceParams, fr: FrameParams,
 
 def key_frame_temporal_unit(seq: SequenceParams, fr: FrameParams,
                             tile_payload: bytes, *,
-                            with_seq_header: bool) -> bytes:
-    """Assemble a temporal unit: TD [+ SeqHdr] + Frame OBU (header+tiles)."""
+                            with_seq_header: bool,
+                            metadata: bytes = b"") -> bytes:
+    """Assemble a temporal unit: TD [+ SeqHdr] [+ metadata OBUs] +
+    Frame OBU (header+tiles). `metadata` carries pre-wrapped OBU bytes
+    (HDR CLL/MDCV/T.35 — the metadata_handle.c array analog)."""
     from svt_av1_psy_tpu.bitstream.obu import temporal_delimiter
 
     out = temporal_delimiter()
     if with_seq_header:
         out += wrap_obu(ObuType.SEQUENCE_HEADER, write_sequence_header(seq))
+    out += metadata
     out += wrap_obu(ObuType.FRAME, frame_obu_payload(seq, fr, tile_payload))
     return out
 

@@ -481,7 +481,9 @@ class FastIntraEncoder:
                                 cdef_uv_sec=(cdef_st[3] -
                                              (cdef_st[3] == 4),))
         payload = key_frame_temporal_unit(
-            self.seq, fr_params, tg, with_seq_header=(self.frame_index == 0))
+            self.seq, fr_params, tg, with_seq_header=(self.frame_index == 0),
+            metadata=(getattr(self, "metadata_key", b"") +
+                      getattr(self, "metadata_frame", b"")))
         self.frame_index += 1
         H, W = self.height, self.width
         cH, cW = (H + 1) // 2, (W + 1) // 2
@@ -696,8 +698,9 @@ class FastIntraEncoder:
             self._dpb_fc[slot] = tile_fcs[0]
             self._last_slot_by_layer[layer] = slot
 
-        payload = key_frame_temporal_unit(self.seq, fr_params, tg,
-                                          with_seq_header=False)
+        payload = key_frame_temporal_unit(
+            self.seq, fr_params, tg, with_seq_header=False,
+            metadata=getattr(self, "metadata_frame", b""))
         self.frame_index += 1
         H, W = self.height, self.width
         cH, cW = (H + 1) // 2, (W + 1) // 2
