@@ -55,6 +55,8 @@ struct TpuCommit {
     InterGrid *grid;                /* per-tile mode-info grid (shared) */
     const uint16_t *refp[3];        /* reference planes (LAST recon) */
     int ref_stride[3];
+    /* LAST-ref global MV (1/8 px, precision-lowered); {0,0} = identity */
+    int gm_mv[2];
 };
 
 int16_t *tpu_scan(int ts, int tt, int *n);

@@ -344,7 +344,8 @@ static int has_top_right(MvCtx *m, int sb_mi) {
 
 void tpui_ref_mv_list(InterGrid *g, int mi_row, int mi_col, int bsize,
                       int ref_frame, int sb_mi, int t_row0, int t_row1,
-                      int t_col0, int t_col1, MvRefsC *out) {
+                      int t_col0, int t_col1, int gm_r, int gm_c,
+                      MvRefsC *out) {
     int n8_w = BW4[bsize], n8_h = BH4[bsize];
     memset(out, 0, sizeof(*out));
     MvCtx m = {0};
@@ -486,8 +487,8 @@ void tpui_ref_mv_list(InterGrid *g, int mi_row, int mi_col, int bsize,
         }
         n_counted = out->n;
         while (out->n < MAX_MV_CANDS) {
-            out->mv[out->n][0] = 0;
-            out->mv[out->n][1] = 0;
+            out->mv[out->n][0] = (int16_t)gm_r;   /* gm fill (7.10.2) */
+            out->mv[out->n][1] = (int16_t)gm_c;
             out->weight[out->n] = 2;
             out->n++;
         }
@@ -708,7 +709,8 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
 
     MvRefsC refs;
     tpui_ref_mv_list(c->grid, r, c4, bsize, 1, 16, c->t_mi_row0,
-                     c->t_mi_row1, c->t_mi_col0, c->t_mi_col1, &refs);
+                     c->t_mi_row1, c->t_mi_col0, c->t_mi_col1,
+                     c->gm_mv[0], c->gm_mv[1], &refs);
     int near0r = refs.mv[0][0], near0c = refs.mv[0][1];
     lower_precision(&near0r, &near0c);
 
@@ -726,11 +728,14 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         }
     }
     {
+        /* GLOBALMV candidate: this ref's (precision-lowered) global MV —
+         * the zero-MV mode under identity gm (spec 7.10.2.1) */
+        int gmr = c->gm_mv[0], gmc = c->gm_mv[1];
         int dup = 0;
         for (int i = 0; i < ncand; i++)
-            if (cm[i][1] == 0 && cm[i][2] == 0) dup = 1;
+            if (cm[i][1] == gmr && cm[i][2] == gmc) dup = 1;
         if (!dup) {
-            cm[ncand][0] = 2; cm[ncand][1] = 0; cm[ncand][2] = 0;
+            cm[ncand][0] = 2; cm[ncand][1] = gmr; cm[ncand][2] = gmc;
             cm[ncand][3] = 0; ncand++;
         }
     }
@@ -1079,6 +1084,11 @@ static void walk_p(TpuCommit *c, int r, int c4, int size,
     encode_block_p(c, r, c4, size, icand, mv16, mv16_cols, q, dq_pending,
                    prev_q, dq_res_log2);
     tpu_update_part_ctx(c, r, c4, size);
+}
+
+void tpuc_set_gm(TpuCommit *c, int mv8_r, int mv8_c) {
+    c->gm_mv[0] = mv8_r;
+    c->gm_mv[1] = mv8_c;
 }
 
 int64_t tpuc_encode_inter(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,

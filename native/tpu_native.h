@@ -173,6 +173,9 @@ int64_t tpuc_encode_intra(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,
  * HME stage. The reference recon is set via tpuc_set_ref. */
 void tpuc_set_ref(TpuCommit *c, const uint16_t *y, const uint16_t *u,
                   const uint16_t *v, int ystride, int cstride);
+/* LAST-ref TRANSLATION global MV (1/8 px, precision-lowered); the walk
+ * uses it as the GLOBALMV candidate and the under-full MV-stack fill. */
+void tpuc_set_gm(TpuCommit *c, int mv8_r, int mv8_c);
 int64_t tpuc_encode_inter(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,
                           TxbCdfs *tc, InterCdfs *ic,
                           const uint8_t *split64, const uint8_t *split32,

@@ -218,6 +218,11 @@ class FrameParams:
     lr_type: tuple = (0, 0, 0)
     lr_unit_shift: int = 0                    # 64<<shift luma unit size
     lr_uv_shift: int = 0
+    # global motion: per-ref (LAST..ALTREF) TRANSLATION wmmat[0:2] in
+    # 1/(1<<16)px, or None for identity; gm_prev = PrevGmParams of the
+    # primary reference frame (spec 5.9.24)
+    gm_trans: tuple = None                    # 7x Optional[(wm0, wm1)]
+    gm_prev: tuple = None                     # 7x (wm0, wm1)
     # modes
     tx_mode_select: bool = False              # False => TX_MODE_LARGEST
     reduced_tx_set: bool = False
@@ -276,8 +281,20 @@ def write_frame_header_bits(w: BitWriter, seq: SequenceParams,
             w.bit(0)                          # allow_warped_motion
     w.bit(fr.reduced_tx_set)
     if not fr.is_intra:
-        for _ in range(7):
-            w.bit(0)                          # is_global (identity GM)
+        # global_motion_params (spec 5.9.24): TRANSLATION-only coding,
+        # deltas vs the primary reference frame's params (ref
+        # entropy_coding.c:2958 write_global_motion_params)
+        from svt_av1_psy_tpu.inter.global_motion import \
+            write_translation_params
+        for ref in range(7):
+            wm = fr.gm_trans[ref] if fr.gm_trans else None
+            w.bit(wm is not None)             # is_global
+            if wm is not None:
+                w.bit(0)                      # is_rot_zoom
+                w.bit(1)                      # is_translation
+                prev = fr.gm_prev[ref] if fr.gm_prev else (0, 0)
+                write_translation_params(w, wm, prev,
+                                         fr.allow_high_precision_mv)
     _write_film_grain_params(w, seq, fr)
 
 

@@ -36,6 +36,8 @@ class Decoder:
         self.slots: List[Optional[DecodedPlanes]] = [None] * 8
         self.slot_cdfs: List[Optional[FrameContext]] = [None] * 8
         self.slot_hints = [0] * 8
+        # SavedGmParams per slot (spec 7.20): 7x (wm0, wm1), identity=0
+        self.slot_gm = [((0, 0),) * 7 for _ in range(8)]
         self.frames: List[DecodedPlanes] = []
 
     def decode_temporal_unit(self, payload: bytes):
@@ -53,7 +55,8 @@ class Decoder:
 
     def _decode_frame(self, payload: bytes):
         seq = self.seq
-        fi = parse_frame_header(payload, seq, ref_order_hints=self.slot_hints)
+        fi = parse_frame_header(payload, seq, ref_order_hints=self.slot_hints,
+                                ref_gm=self.slot_gm)
         W, H = seq.width, seq.height
         mi_rows = 2 * ((H + 7) >> 3)
         mi_cols = 2 * ((W + 7) >> 3)
@@ -129,6 +132,7 @@ class Decoder:
                 motion_mode_switchable=fi.is_motion_mode_switchable,
                 allow_warped_motion=fi.allow_warped_motion,
                 skip_mode_present=fi.skip_mode_present,
+                gm_trans=fi.gm_trans,
                 lr_type=fi.lr_type, lr_unit_size=fi.lr_unit_size,
                 frame_width=W, frame_height=H,
                 base_q_idx=fi.base_q_idx,
@@ -180,11 +184,14 @@ class Decoder:
         store_cdf = start_cdf if fi.disable_frame_end_update_cdf else fc
         refresh = fi.refresh_frame_flags if is_inter or not fi.show_frame \
             else 0xFF
+        cur_gm = tuple((wm if wm is not None else (0, 0))
+                       for wm in (fi.gm_trans or [None] * 7))
         for i in range(8):
             if refresh & (1 << i):
                 self.slots[i] = out
                 self.slot_cdfs[i] = store_cdf
                 self.slot_hints[i] = fi.order_hint
+                self.slot_gm[i] = cur_gm
 
 
 def decode_ivf(data: bytes) -> List[DecodedPlanes]:

@@ -169,6 +169,8 @@ class FrameInfo:
     allow_warped_motion: bool = False
     error_resilient: bool = False
     disable_frame_end_update_cdf: bool = True
+    # per-ref TRANSLATION gm wmmat[0:2] (1/(1<<16)px) or None (identity)
+    gm_trans: list = None
 
 
 def _read_delta_q(r: BitReader) -> int:
@@ -176,7 +178,7 @@ def _read_delta_q(r: BitReader) -> int:
 
 
 def parse_frame_header(payload: bytes, seq: SeqInfo,
-                       ref_order_hints=None) -> FrameInfo:
+                       ref_order_hints=None, ref_gm=None) -> FrameInfo:
     """Parse an intra (KEY) uncompressed_header from an OBU_FRAME payload."""
     r = BitReader(payload)
     fi = FrameInfo()
@@ -420,8 +422,22 @@ def parse_frame_header(payload: bytes, seq: SeqInfo,
             fi.allow_warped_motion = bool(r.f(1))
     fi.reduced_tx_set = bool(r.f(1))
     if is_inter:
-        for _ in range(7):                     # global_motion_params
-            assert r.f(1) == 0, "global motion unsupported"
+        # global_motion_params (spec 5.9.24): TRANSLATION only; deltas
+        # are coded against the primary reference frame's saved params
+        # (ref entropy_coding.c:2958 / dec read_global_motion)
+        from svt_av1_psy_tpu.inter.global_motion import \
+            read_translation_params
+        if fi.primary_ref_frame != 7 and ref_gm is not None:
+            prev = ref_gm[fi.ref_frame_idx[fi.primary_ref_frame]]
+        else:
+            prev = ((0, 0),) * 7
+        fi.gm_trans = [None] * 7
+        for ref in range(7):
+            if r.f(1):                         # is_global
+                assert r.f(1) == 0, "ROTZOOM gm unsupported"
+                assert r.f(1) == 1, "AFFINE gm unsupported"
+                fi.gm_trans[ref] = read_translation_params(
+                    r, prev[ref], fi.allow_high_precision_mv)
     # film grain
     if seq.film_grain_params_present and fi.show_frame:
         if r.f(1):

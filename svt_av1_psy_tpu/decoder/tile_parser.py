@@ -97,11 +97,21 @@ class TileParser:
                  motion_mode_switchable: bool = False,
                  allow_warped_motion: bool = False,
                  skip_mode_present: bool = False,
+                 gm_trans=None,
                  lr_type=None, lr_unit_size=None,
                  frame_width: int = 0, frame_height: int = 0,
                  base_q_idx=None, delta_q_res_log2: int = 0,
                  mi_bounds=None):
         self.fc = fc
+        # per-ref precision-lowered global MV (spec setup_global_mv);
+        # index 0 = LAST_FRAME
+        from svt_av1_psy_tpu.inter.global_motion import gm_mv8
+        self.gm_mv = [(0, 0)] * 7
+        if gm_trans is not None:
+            for i, wm in enumerate(gm_trans):
+                if wm is not None:
+                    self.gm_mv[i] = gm_mv8(wm, allow_hp,
+                                           bool(force_integer_mv))
         self.dec = RangeDecoder(data)
         self.mi_rows, self.mi_cols = mi_rows, mi_cols
         # tile bounds (mi units): (row_start, row_end, col_start, col_end).
@@ -775,7 +785,8 @@ class TileParser:
         ref = self._read_single_ref(r, c, have_above, have_left)
 
         refs = setup_ref_mv_list(self.grid, r, c, bsize, ref,
-                                 sb_mi=self.sb_mi)
+                                 sb_mi=self.sb_mi,
+                                 gm_mv=self.gm_mv[ref - 1])
 
         # inter mode (NEWMV / GLOBALMV / NEARESTMV / NEARMV)
         not_new = self._sym("newmv_flag", fc.newmv[refs.newmv_ctx])
@@ -814,7 +825,7 @@ class TileParser:
 
         # assign_mv
         if mode == 2:
-            mv = (0, 0)                          # identity global motion
+            mv = self.gm_mv[ref - 1]             # GLOBALMV (spec 7.10.2.1)
         elif mode == 3:
             pos = ref_mv_idx if refs.count > 1 else 0
             pred = self._lower_precision(refs.stack[pos], self.allow_hp,

@@ -120,8 +120,12 @@ class TileWriter:
                  enable_interintra: bool = False,
                  motion_mode_switchable: bool = False,
                  allow_warped_motion: bool = False,
-                 skip_mode_present: bool = False):
+                 skip_mode_present: bool = False,
+                 gm_mv=None):
         self.fc = fc
+        # per-ref precision-lowered global MV for the stack fill
+        # (index 0 = LAST_FRAME); identity when the frame codes no gm
+        self.gm_mv = list(gm_mv) if gm_mv is not None else [(0, 0)] * 7
         self.reduced_tx_set = reduced_tx_set
         self.tx_mode_select = tx_mode_select
         self.enable_filter_intra = enable_filter_intra
@@ -510,7 +514,8 @@ class TileWriter:
                                   adapt=True)
 
         refs = mvh.setup_ref_mv_list(g, r, c, b.bsize, ref,
-                                     sb_mi=self.sb_mi)
+                                     sb_mi=self.sb_mi,
+                                     gm_mv=self.gm_mv[ref - 1])
         mode = b.inter_mode
         enc.encode_symbol(int(mode != 3), fc.newmv[refs.newmv_ctx],
                           adapt=True)

@@ -112,8 +112,13 @@ def _bsize_dims(bsize):
 
 
 def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
-                      ref_frame: int, sb_mi: int = 16) -> MvRefs:
-    """Build the single-ref MV stack (gm = identity, no temporal mvp)."""
+                      ref_frame: int, sb_mi: int = 16,
+                      gm_mv=(0, 0)) -> MvRefs:
+    """Build the single-ref MV stack (no temporal mvp). gm_mv is this
+    ref's precision-lowered global motion vector (spec 7.10.2.1
+    setup_global_mv) used for the under-full stack fill; identity
+    (TRANSLATION type never routes candidates through gm — spec
+    is_global_mv_block requires type > TRANSLATION)."""
     n8_w, n8_h = _bsize_dims(bsize)
     mi_rows, mi_cols = grid.mi_rows, grid.mi_cols
     row_start, row_end = grid.row_start, grid.row_end
@@ -336,7 +341,7 @@ def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
         # (ref adaptive_mv_pred.c:632)
         n_counted = len(stack)
         while len(stack) < MAX_MV_REF_CANDIDATES:
-            stack.append([0, 0, 2])
+            stack.append([gm_mv[0], gm_mv[1], 2])
 
     # clamp
     bw8 = n8_w * 4 * 8

@@ -171,6 +171,11 @@ class FastIntraEncoder:
         # (the --fgs-table analog)
         self.film_grain = 0
         self._fg_params = None
+        # global motion (TRANSLATION): robust fit over the device HME
+        # field (ref global_me.c:126); params coded vs the primary ref's
+        # saved params, so mirror the decoder's SavedGmParams per slot
+        self.enable_gm = True
+        self._slot_gm = [((0, 0),) * 7 for _ in range(8)]
 
     # --- sharded device search (multi-chip; SURVEY.md §2.2 P4) -----------
     def make_sharded_decide(self, mesh, axis: str = "sp"):
@@ -458,6 +463,8 @@ class FastIntraEncoder:
                    self._rec_v.copy())
             self._dpb = {s: rec for s in range(8)} \
                 if getattr(self, "ra_mode", False) else {0: rec}
+        # KEY refreshes all slots with identity gm (spec 7.20)
+        self._slot_gm = [((0, 0),) * 7 for _ in range(8)]
 
         fr_params = FrameParams(base_q_idx=base_q,
                                 order_hint=(self.frame_index
@@ -524,6 +531,18 @@ class FastIntraEncoder:
             jnp.asarray(yp),
             jnp.asarray(hme_ref[:self.pah, :self.paw])))
         mv16 = np.clip(mv16, -127, 127).astype(np.int16)
+
+        # global motion: robust translation fit over the HME field
+        # (ref global_me.c:126; params coded per spec 5.9.24)
+        gm_wm = None
+        gm_mv8v = (0, 0)
+        if self.enable_gm:
+            from svt_av1_psy_tpu.inter.global_motion import (
+                estimate_translation, mv8_to_wm01)
+            est = estimate_translation(mv16)
+            if est is not None:
+                gm_mv8v = est
+                gm_wm = mv8_to_wm01(*est)
 
         L = self.hierarchical_levels
         gop_pos = self.frame_index if self.gop_size == 0 else \
@@ -606,6 +625,7 @@ class FastIntraEncoder:
                 eng.set_lr(lr_dec.lr_type, lr_dec.unit_size, lr_dec.flat,
                            lr_dec.ucols, lr_dec.urows)
             eng.set_src(yp, up, vp)
+            eng.set_gm(gm_mv8v)
             ec = native.NativeRangeEncoder()
             eng.encode_inter(ec, tile_fcs[ti], split, modes, mv16,
                              sbq=sbq, dq_res_log2=dq_res_log2,
@@ -663,11 +683,16 @@ class FastIntraEncoder:
             else:
                 refresh = 0               # top layer: never referenced
 
+        gm_trans = None
+        if gm_wm is not None:
+            gm_trans = (gm_wm,) + (None,) * 6      # LAST only
         fr_params = FrameParams(
             frame_type=1, base_q_idx=base_q,
             order_hint=order_hint,
             show_frame=show, showable_frame=not show,
             tx_mode_select=False, primary_ref_frame=0,
+            gm_trans=gm_trans,
+            gm_prev=self._slot_gm[ref_idx[0]],
             refresh_frame_flags=refresh, ref_frame_idx=ref_idx,
             allow_high_precision_mv=False, interp_filter=0,
             delta_q_present=sbq is not None,
@@ -697,6 +722,11 @@ class FastIntraEncoder:
                                self._rec_v.copy())
             self._dpb_fc[slot] = tile_fcs[0]
             self._last_slot_by_layer[layer] = slot
+        # mirror the decoder's SavedGmParams update (spec 7.20)
+        cur_gm = ((gm_wm if gm_wm is not None else (0, 0)),) + ((0, 0),) * 6
+        for s in range(8):
+            if refresh & (1 << s):
+                self._slot_gm[s] = cur_gm
 
         payload = key_frame_temporal_unit(
             self.seq, fr_params, tg, with_seq_header=False,

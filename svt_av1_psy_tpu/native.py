@@ -353,6 +353,7 @@ def _ensure_commit_locked(lib):
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.tpuc_set_ref.argtypes = [ctypes.c_void_p, u16p, u16p, u16p,
                                  ctypes.c_int, ctypes.c_int]
+    lib.tpuc_set_gm.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
     lib.tpuc_encode_inter.restype = ctypes.c_int64
     lib.tpuc_encode_inter.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ModeCdfs),
@@ -449,6 +450,11 @@ class CommitEngine:
                               u.ctypes.data_as(u16p),
                               v.ctypes.data_as(u16p), y.shape[1],
                               u.shape[1])
+
+    def set_gm(self, mv8):
+        """LAST-ref TRANSLATION global MV (1/8 px, precision-lowered);
+        (0, 0) disarms (identity gm)."""
+        self.lib.tpuc_set_gm(self._c, int(mv8[0]), int(mv8[1]))
 
     def encode_inter(self, ec, fc, split_maps, mode_maps, mv16, sbq=None,
                      dq_res_log2=-1, base_q=60, mi_bounds=(0, 0, 0, 0),
