@@ -97,6 +97,9 @@ class Decoder:
         fr = FrameReconstructor(
             W, H, fi, bd=seq.bit_depth,
             enable_intra_edge_filter=seq.enable_intra_edge_filter)
+        ref_hints = [self.slot_hints[fi.ref_frame_idx[k]] for k in range(7)] \
+            if is_inter else [0] * 7
+        ohb = seq.order_hint_bits if seq.enable_order_hint else 0
         if is_inter:
             fr.ref_planes = [
                 None if self.slots[i] is None else
@@ -104,6 +107,9 @@ class Decoder:
                 for i in range(8)]
             fr.ref_frame_idx = fi.ref_frame_idx
             fr.interp_filter = fi.interp_filter
+            fr.ref_hints = ref_hints
+            fr.cur_order_hint = fi.order_hint
+            fr.order_hint_bits = ohb
 
         tp = None                   # context_update_tile_id's parser
         cdef_idx = None
@@ -132,6 +138,12 @@ class Decoder:
                 motion_mode_switchable=fi.is_motion_mode_switchable,
                 allow_warped_motion=fi.allow_warped_motion,
                 skip_mode_present=fi.skip_mode_present,
+                skip_mode_frame=fi.skip_mode_frame,
+                ref_order_hints=ref_hints,
+                cur_order_hint=fi.order_hint,
+                order_hint_bits=ohb,
+                enable_jnt_comp=seq.enable_jnt_comp,
+                enable_masked_compound=seq.enable_masked_compound,
                 gm_trans=fi.gm_trans,
                 lr_type=fi.lr_type, lr_unit_size=fi.lr_unit_size,
                 frame_width=W, frame_height=H,

@@ -31,6 +31,7 @@ class SeqInfo:
     enable_dual_filter: bool = False
     enable_interintra_compound: bool = False
     enable_masked_compound: bool = False
+    enable_jnt_comp: bool = False
     enable_ref_frame_mvs: bool = False
     force_screen_content_tools: int = 0
     force_integer_mv: int = 0
@@ -73,7 +74,7 @@ def parse_sequence_header(payload: bytes) -> SeqInfo:
     s.enable_dual_filter = bool(r.f(1))
     s.enable_order_hint = bool(r.f(1))
     if s.enable_order_hint:
-        r.f(1)                                 # enable_jnt_comp
+        s.enable_jnt_comp = bool(r.f(1))
         s.enable_ref_frame_mvs = bool(r.f(1))
     if r.f(1):                                 # seq_choose_screen_content
         s.force_screen_content_tools = 2
@@ -171,6 +172,8 @@ class FrameInfo:
     disable_frame_end_update_cdf: bool = True
     # per-ref TRANSLATION gm wmmat[0:2] (1/(1<<16)px) or None (identity)
     gm_trans: list = None
+    # skip mode (spec 5.9.22): the derived compound ref pair (1-based)
+    skip_mode_frame: tuple = (1, 2)
 
 
 def _read_delta_q(r: BitReader) -> int:
@@ -396,26 +399,32 @@ def parse_frame_header(payload: bytes, seq: SeqInfo,
                 m = 1 << (seq.order_hint_bits - 1)
                 return (d & (m - 1)) - (d & m)
             hints = [ref_order_hints[fi.ref_frame_idx[k]] for k in range(7)]
+            fwd_idx = bwd_idx = -1
             fwd_hint = bwd_hint = None
-            for h in hints:
+            for k, h in enumerate(hints):
                 if rel(h, fi.order_hint) < 0:
                     if fwd_hint is None or rel(h, fwd_hint) > 0:
-                        fwd_hint = h
+                        fwd_idx, fwd_hint = k, h
                 elif rel(h, fi.order_hint) > 0:
                     if bwd_hint is None or rel(h, bwd_hint) < 0:
-                        bwd_hint = h
+                        bwd_idx, bwd_hint = k, h
             allowed = False
-            if fwd_hint is not None:
-                if bwd_hint is not None:
+            if fwd_idx >= 0:
+                if bwd_idx >= 0:
                     allowed = True
+                    fi.skip_mode_frame = (1 + min(fwd_idx, bwd_idx),
+                                          1 + max(fwd_idx, bwd_idx))
                 else:
                     # two forward refs with distinct hints (spec 5.9.22)
-                    snd = None
-                    for h in hints:
+                    snd_idx, snd = -1, None
+                    for k, h in enumerate(hints):
                         if rel(h, fwd_hint) < 0:
                             if snd is None or rel(h, snd) > 0:
-                                snd = h
-                    allowed = snd is not None
+                                snd_idx, snd = k, h
+                    if snd_idx >= 0:
+                        allowed = True
+                        fi.skip_mode_frame = (1 + min(fwd_idx, snd_idx),
+                                              1 + max(fwd_idx, snd_idx))
             if allowed:
                 fi.skip_mode_present = bool(r.f(1))
         if seq.enable_warped_motion:

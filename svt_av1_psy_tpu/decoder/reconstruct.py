@@ -85,6 +85,9 @@ class FrameReconstructor:
         self.ref_planes = None
         self.ref_frame_idx = None
         self.interp_filter = 0
+        self.ref_hints = [0] * 7        # order hints per ref (dist-wtd)
+        self.cur_order_hint = 0
+        self.order_hint_bits = 0
         # BlockDecoded bitmaps, one per plane, rebuilt per superblock.
         # Indexed [y4 + 1][x4 + 1] with the -1 border.
         self._bd_maps = None
@@ -277,12 +280,37 @@ class FrameReconstructor:
             self.above_smooth[1][b.mi_col:b.mi_col + w4] = usm
             self.left_smooth[1][b.mi_row:b.mi_row + h4] = usm
 
+    def _rel_dist(self, a: int, b: int) -> int:
+        ohb = getattr(self, "order_hint_bits", 0)
+        if ohb <= 0:
+            return 0
+        d = a - b
+        m = 1 << (ohb - 1)
+        return (d & (m - 1)) - (d & m)
+
     def _predict_inter_block(self, b, hc):
         """Whole-block MC prediction per plane written as base recon
-        (spec 7.11.3); residual txbs then add on top."""
-        from svt_av1_psy_tpu.ops.mc import mc_block
+        (spec 7.11.3); residual txbs then add on top. Compound blocks
+        (ref_frame2 > 0) blend two intermediate-precision components,
+        average or dist-wtd (spec 7.11.3.15)."""
+        from svt_av1_psy_tpu.ops.mc import (blend_compound,
+                                            dist_wtd_weights, mc_block,
+                                            mc_block_compound_part)
         slot = self.ref_frame_idx[b.ref_frame - 1]
         ref = self.ref_planes[slot]
+        ref2b = getattr(b, "ref_frame2", -1)
+        is_comp = ref2b > 0
+        ref2 = None
+        fwd_off = bck_off = 0
+        if is_comp:
+            ref2 = self.ref_planes[self.ref_frame_idx[ref2b - 1]]
+            if getattr(b, "compound_idx", 1) == 0:
+                hints = self.ref_hints
+                cur = self.cur_order_hint
+                d0 = min(31, abs(self._rel_dist(hints[ref2b - 1], cur)))
+                d1 = min(31, abs(self._rel_dist(cur,
+                                                hints[b.ref_frame - 1])))
+                fwd_off, bck_off = dist_wtd_weights(d0, d1)
         bw = BLOCK_SIZE_WIDE[b.bsize]
         bh = BLOCK_SIZE_HIGH[b.bsize]
         for plane in range(3 if hc else 1):
@@ -296,8 +324,21 @@ class FrameReconstructor:
             filters = getattr(b, "interp_filters", None)
             fx, fy = filters if filters else (self.interp_filter,
                                               self.interp_filter)
-            pred = mc_block(np.asarray(ref[plane]), x, y, w, h, mvx, mvy,
-                            fx, fy, bd=self.bd)
+            if is_comp:
+                p0 = mc_block_compound_part(np.asarray(ref[plane]), x, y,
+                                            w, h, mvx, mvy, fx, fy,
+                                            bd=self.bd)
+                mvx2 = int(b.mv2[1]) << (1 - ss)
+                mvy2 = int(b.mv2[0]) << (1 - ss)
+                p1 = mc_block_compound_part(np.asarray(ref2[plane]), x, y,
+                                            w, h, mvx2, mvy2, fx, fy,
+                                            bd=self.bd)
+                pred = blend_compound(p0, p1, bd=self.bd,
+                                      fwd_offset=fwd_off,
+                                      bck_offset=bck_off)
+            else:
+                pred = mc_block(np.asarray(ref[plane]), x, y, w, h, mvx,
+                                mvy, fx, fy, bd=self.bd)
             maxw = (self.mi_cols * 4) >> ss
             maxh = (self.mi_rows * 4) >> ss
             wx = min(w, maxw - x)

@@ -37,6 +37,16 @@ from svt_av1_psy_tpu.entropy.tx_sets import (EXT_TX_INV, EXT_TX_SET_SIZES,
                                              intra_tx_set, uv_tx_type)
 
 
+# compound inter modes (spec inter_compound_mode symbol order)
+NEAREST_NEARESTMV, NEAR_NEARMV, NEAREST_NEWMV, NEW_NEARESTMV, \
+    NEAR_NEWMV, NEW_NEARMV, GLOBAL_GLOBALMV, NEW_NEWMV = range(8)
+# per-component sub-mode (0 NEAREST, 1 NEAR, 2 GLOBAL, 3 NEW — matches
+# the single-ref inter_mode numbering)
+_COMP_MODE0 = (0, 1, 0, 3, 1, 3, 2, 3)
+_COMP_MODE1 = (0, 1, 3, 0, 3, 1, 2, 3)
+_COMP_HAS_NEWMV = (False, False, True, True, True, True, False, True)
+
+
 @dataclass
 class ParsedBlock:
     mi_row: int
@@ -59,6 +69,13 @@ class ParsedBlock:
     inter_mode: int = 0                        # 0 NEARESTMV 1 NEARMV 2 GLOBALMV 3 NEWMV
     ref_mv_idx: int = 0
     interp_filters: tuple = (0, 0)             # (x, y)
+    # compound prediction (ref_frame2 > 0): second ref + MV, the coded
+    # mode index (0..7, spec inter_compound_mode), jnt-comp index
+    ref_frame2: int = -1
+    mv2: tuple = (0, 0)
+    compound_mode: int = -1
+    compound_idx: int = 1
+    skip_mode: bool = False
     qindex: int = None                         # per-block q (delta_q)
     txbs: list = field(default_factory=list)   # (plane, u_row, u_col, TxSize, TxType, qcoeff|None)
     # inter var-tx (TX_MODE_SELECT): luma leaf layout + split flags in
@@ -97,12 +114,31 @@ class TileParser:
                  motion_mode_switchable: bool = False,
                  allow_warped_motion: bool = False,
                  skip_mode_present: bool = False,
+                 skip_mode_frame=(1, 2),
+                 ref_order_hints=None, cur_order_hint: int = 0,
+                 order_hint_bits: int = 0,
+                 enable_jnt_comp: bool = False,
+                 enable_masked_compound: bool = False,
                  gm_trans=None,
                  lr_type=None, lr_unit_size=None,
                  frame_width: int = 0, frame_height: int = 0,
                  base_q_idx=None, delta_q_res_log2: int = 0,
                  mi_bounds=None):
         self.fc = fc
+        self.skip_mode_frame = tuple(skip_mode_frame)
+        self.cur_order_hint = cur_order_hint
+        self.order_hint_bits = order_hint_bits
+        self.enable_jnt_comp = enable_jnt_comp
+        self.enable_masked_compound = enable_masked_compound
+        # per-ref order hints (index 0 = LAST_FRAME) and the derived
+        # RefFrameSignBias (spec 5.9.2: backward refs get bias 1)
+        self.ref_hints = list(ref_order_hints) if ref_order_hints \
+            else [0] * 7
+        self.sign_bias = [0] * 8
+        if order_hint_bits > 0:
+            for k in range(7):
+                self.sign_bias[k + 1] = int(self._rel_dist(
+                    self.ref_hints[k], cur_order_hint) > 0)
         # per-ref precision-lowered global MV (spec setup_global_mv);
         # index 0 = LAST_FRAME
         from svt_av1_psy_tpu.inter.global_motion import gm_mv8
@@ -433,17 +469,20 @@ class TileParser:
         have_above = r > self.r0
         have_left = c > self.c0
 
+        sm = 0
         if self.skip_mode_present and not self.frame_is_intra and \
                 min(BLOCK_SIZE_WIDE[bsize], BLOCK_SIZE_HIGH[bsize]) >= 8:
             smctx = int(self.above_skip_mode[c]) + \
                 int(self.left_skip_mode[r])
             sm = self._sym(f"skip_mode@{r},{c}", fc.skip_mode[smctx])
-            assert not sm, "skip_mode blocks unsupported"
-            self.above_skip_mode[c:c + w4] = 0
-            self.left_skip_mode[r:r + h4] = 0
+            self.above_skip_mode[c:c + w4] = sm
+            self.left_skip_mode[r:r + h4] = sm
 
-        skip_ctx = int(self.above_skip[c]) + int(self.left_skip[r])
-        skip = bool(self._sym(f"skip@{r},{c}", fc.skip[skip_ctx]))
+        if sm:
+            skip = True               # spec: skip inferred, not coded
+        else:
+            skip_ctx = int(self.above_skip[c]) + int(self.left_skip[r])
+            skip = bool(self._sym(f"skip@{r},{c}", fc.skip[skip_ctx]))
 
         # read_cdef (spec 5.11.56): first non-skip block per 64x64 unit
         if self.cdef_bits >= 0 and not skip:
@@ -479,12 +518,15 @@ class TileParser:
             self.read_deltas = False
 
         is_inter = False
-        if not self.frame_is_intra:
+        if sm:
+            is_inter = True           # spec: inferred for skip_mode
+        elif not self.frame_is_intra:
             ctx = self._intra_inter_ctx(r, c, have_above, have_left)
             is_inter = bool(self._sym(f"is_inter@{r},{c}",
                                       fc.intra_inter[ctx]))
         if is_inter:
-            self._parse_inter_block(r, c, bsize, skip, have_above, have_left)
+            self._parse_inter_block(r, c, bsize, skip, have_above,
+                                    have_left, skip_mode=bool(sm))
             return
 
         if self.frame_is_intra:
@@ -689,6 +731,94 @@ class TileParser:
                     counts[r1] += 1
         return counts
 
+    def _read_comp_refs(self, r, c, have_above, have_left):
+        """read_ref_frames compound branch (spec 5.11.25;
+        ref entropy_coding.c av1_get_comp_reference_type_context /
+        comp_ref / comp_bwdref trees)."""
+        from svt_av1_psy_tpu.inter.mvref import comp_ref_type_ctx
+        fc = self.fc
+        cnt = self._neighbor_ref_counts(r, c, have_above, have_left)
+
+        def ctx3(a, b):
+            return 1 if a == b else (0 if a < b else 2)
+
+        ctype = self._sym("comp_ref_type",
+                          fc.comp_ref_type[comp_ref_type_ctx(self.grid,
+                                                             r, c)])
+        if not ctype:                        # UNIDIR_COMP_REFERENCE
+            fwd = cnt[1] + cnt[2] + cnt[3] + cnt[4]
+            bwd = cnt[5] + cnt[6] + cnt[7]
+            p = self._sym("uni_comp_ref",
+                          fc.uni_comp_ref[ctx3(fwd, bwd)][0])
+            if p:
+                return (5, 7)                # (BWDREF, ALTREF)
+            p1 = self._sym("uni_comp_ref_p1",
+                           fc.uni_comp_ref[ctx3(cnt[2],
+                                                cnt[3] + cnt[4])][1])
+            if not p1:
+                return (1, 2)                # (LAST, LAST2)
+            p2 = self._sym("uni_comp_ref_p2",
+                           fc.uni_comp_ref[ctx3(cnt[3], cnt[4])][2])
+            return (1, 4) if p2 else (1, 3)  # (LAST, GOLDEN/LAST3)
+        # BIDIR: forward ref tree then backward ref tree
+        p = self._sym("comp_ref",
+                      fc.comp_ref[ctx3(cnt[1] + cnt[2],
+                                       cnt[3] + cnt[4])][0])
+        if not p:
+            p1 = self._sym("comp_ref_p1",
+                           fc.comp_ref[ctx3(cnt[1], cnt[2])][1])
+            ref0 = 2 if p1 else 1            # LAST2 / LAST
+        else:
+            p2 = self._sym("comp_ref_p2",
+                           fc.comp_ref[ctx3(cnt[3], cnt[4])][2])
+            ref0 = 4 if p2 else 3            # GOLDEN / LAST3
+        bp = self._sym("comp_bwdref",
+                       fc.comp_bwdref[ctx3(cnt[5] + cnt[6], cnt[7])][0])
+        if bp:
+            return (ref0, 7)                 # ALTREF
+        bp1 = self._sym("comp_bwdref_p1",
+                        fc.comp_bwdref[ctx3(cnt[5], cnt[6])][1])
+        return (ref0, 6 if bp1 else 5)       # ALTREF2 / BWDREF
+
+    def _comp_group_idx_ctx(self, r, c, have_above, have_left) -> int:
+        """get_comp_group_idx_context (libaom pred_common.h analog)."""
+        g = self.grid
+        above_ctx = left_ctx = 0
+        if have_above:
+            if int(g.ref1[r - 1, c]) > 0:
+                above_ctx = int(g.comp_group[r - 1, c])
+            elif int(g.ref0[r - 1, c]) == 7:
+                above_ctx = 3
+        if have_left:
+            if int(g.ref1[r, c - 1]) > 0:
+                left_ctx = int(g.comp_group[r, c - 1])
+            elif int(g.ref0[r, c - 1]) == 7:
+                left_ctx = 3
+        return min(5, above_ctx + left_ctx)
+
+    def _comp_index_ctx(self, r, c, ref, ref2, have_above,
+                        have_left) -> int:
+        """get_comp_index_context: order-hint distance symmetry +
+        neighbor compound_idx."""
+        fwd = abs(self._rel_dist(self.ref_hints[ref2 - 1],
+                                 self.cur_order_hint))
+        bck = abs(self._rel_dist(self.cur_order_hint,
+                                 self.ref_hints[ref - 1]))
+        offset = int(fwd == bck)
+        g = self.grid
+        above_ctx = left_ctx = 0
+        if have_above:
+            if int(g.ref1[r - 1, c]) > 0:
+                above_ctx = int(g.cmp_idx[r - 1, c])
+            elif int(g.ref0[r - 1, c]) == 7:
+                above_ctx = 1
+        if have_left:
+            if int(g.ref1[r, c - 1]) > 0:
+                left_ctx = int(g.cmp_idx[r, c - 1])
+            elif int(g.ref0[r, c - 1]) == 7:
+                left_ctx = 1
+        return above_ctx + left_ctx + 3 * offset
+
     def _read_single_ref(self, r, c, have_above, have_left) -> int:
         fc = self.fc
         cnt = self._neighbor_ref_counts(r, c, have_above, have_left)
@@ -769,83 +899,131 @@ class TileParser:
                 c += -1 if c > 0 else 1
         return (r, c)
 
-    def _parse_inter_block(self, r, c, bsize, skip, have_above, have_left):
+    def _rel_dist(self, a: int, b: int) -> int:
+        if self.order_hint_bits <= 0:
+            return 0
+        d = a - b
+        m = 1 << (self.order_hint_bits - 1)
+        return (d & (m - 1)) - (d & m)
+
+    def _parse_inter_block(self, r, c, bsize, skip, have_above, have_left,
+                           skip_mode=False):
         from svt_av1_psy_tpu.inter.mvref import drl_ctx, setup_ref_mv_list
         fc = self.fc
         w4 = BLOCK_SIZE_WIDE[bsize] // 4
         h4 = BLOCK_SIZE_HIGH[bsize] // 4
 
-        # read_ref_frames (single path; comp flag when selectable)
-        if self.reference_select and min(BLOCK_SIZE_WIDE[bsize],
-                                         BLOCK_SIZE_HIGH[bsize]) >= 8:
-            from svt_av1_psy_tpu.inter.mvref import reference_mode_ctx
-            comp = self._sym("comp_mode", fc.comp_inter[
-                reference_mode_ctx(self.grid, r, c)])
-            assert not comp, "compound prediction unsupported"
-        ref = self._read_single_ref(r, c, have_above, have_left)
-
-        refs = setup_ref_mv_list(self.grid, r, c, bsize, ref,
-                                 sb_mi=self.sb_mi,
-                                 gm_mv=self.gm_mv[ref - 1])
-
-        # inter mode (NEWMV / GLOBALMV / NEARESTMV / NEARMV)
-        not_new = self._sym("newmv_flag", fc.newmv[refs.newmv_ctx])
-        if not not_new:
-            mode = 3                            # NEWMV
+        # read_ref_frames (spec 5.11.25)
+        ref2 = -1
+        if skip_mode:
+            ref, ref2 = self.skip_mode_frame
         else:
-            not_zero = self._sym("zeromv_flag", fc.zeromv[refs.zeromv_ctx])
-            if not not_zero:
-                mode = 2                        # GLOBALMV
+            comp = False
+            if self.reference_select and min(BLOCK_SIZE_WIDE[bsize],
+                                             BLOCK_SIZE_HIGH[bsize]) >= 8:
+                from svt_av1_psy_tpu.inter.mvref import reference_mode_ctx
+                comp = bool(self._sym("comp_mode", fc.comp_inter[
+                    reference_mode_ctx(self.grid, r, c)]))
+            if comp:
+                ref, ref2 = self._read_comp_refs(r, c, have_above,
+                                                 have_left)
             else:
-                not_nearest = self._sym("refmv_flag",
-                                        fc.refmv[refs.refmv_ctx])
-                mode = 1 if not_nearest else 0  # NEARMV / NEARESTMV
+                ref = self._read_single_ref(r, c, have_above, have_left)
+        is_comp = ref2 > 0
 
-        # DRL index
-        ref_mv_idx = 0
-        if mode == 3:                            # NEWMV
-            for idx in range(2):
-                if refs.count > idx + 1:
-                    bit = self._sym("drl", fc.drl[drl_ctx(refs.weights,
-                                                          idx)])
-                    if not bit:
-                        ref_mv_idx = idx
-                        break
-                    ref_mv_idx = idx + 1
-        elif mode == 1:                          # NEARMV
-            ref_mv_idx = 1
-            for idx in range(1, 3):
-                if refs.count > idx + 1:
-                    bit = self._sym("drl", fc.drl[drl_ctx(refs.weights,
-                                                          idx)])
-                    if not bit:
-                        ref_mv_idx = idx
-                        break
-                    ref_mv_idx = idx + 1
+        refs = setup_ref_mv_list(
+            self.grid, r, c, bsize, ref, sb_mi=self.sb_mi,
+            gm_mv=self.gm_mv[ref - 1],
+            ref_frame2=ref2 if is_comp else -1,
+            gm_mv2=self.gm_mv[ref2 - 1] if is_comp else (0, 0),
+            sign_bias=self.sign_bias)
 
-        # assign_mv
-        if mode == 2:
-            mv = self.gm_mv[ref - 1]             # GLOBALMV (spec 7.10.2.1)
-        elif mode == 3:
-            pos = ref_mv_idx if refs.count > 1 else 0
-            pred = self._lower_precision(refs.stack[pos], self.allow_hp,
-                                         self.force_integer_mv)
-            mv = self._read_mv(pred)
+        cmode = -1
+        if skip_mode:
+            cmode = NEAREST_NEARESTMV
+            mode = -1
+        elif is_comp:
+            from svt_av1_psy_tpu.inter.mvref import compound_mode_ctx
+            cmode = self._sym("inter_compound_mode",
+                              fc.inter_compound_mode[
+                                  compound_mode_ctx(refs.mode_context)])
+            mode = -1
         else:
-            pos = 0 if mode == 0 else ref_mv_idx
-            mv = self._lower_precision(refs.stack[pos], self.allow_hp,
-                                       self.force_integer_mv)
+            # inter mode (NEWMV / GLOBALMV / NEARESTMV / NEARMV)
+            not_new = self._sym("newmv_flag", fc.newmv[refs.newmv_ctx])
+            if not not_new:
+                mode = 3                            # NEWMV
+            else:
+                not_zero = self._sym("zeromv_flag",
+                                     fc.zeromv[refs.zeromv_ctx])
+                if not not_zero:
+                    mode = 2                        # GLOBALMV
+                else:
+                    not_nearest = self._sym("refmv_flag",
+                                            fc.refmv[refs.refmv_ctx])
+                    mode = 1 if not_nearest else 0  # NEARMV / NEARESTMV
+
+        # DRL index (spec 5.11.24: NEWMV/NEW_NEWMV scan 0..1,
+        # have-nearmv modes scan 1..2)
+        ref_mv_idx = 0
+        if not skip_mode:
+            new_like = mode == 3 or cmode == NEW_NEWMV
+            near_like = mode == 1 or cmode in (NEAR_NEARMV, NEAR_NEWMV,
+                                               NEW_NEARMV)
+            if new_like:
+                for idx in range(2):
+                    if refs.count > idx + 1:
+                        bit = self._sym("drl",
+                                        fc.drl[drl_ctx(refs.weights, idx)])
+                        if not bit:
+                            ref_mv_idx = idx
+                            break
+                        ref_mv_idx = idx + 1
+            elif near_like:
+                ref_mv_idx = 1
+                for idx in range(1, 3):
+                    if refs.count > idx + 1:
+                        bit = self._sym("drl",
+                                        fc.drl[drl_ctx(refs.weights, idx)])
+                        if not bit:
+                            ref_mv_idx = idx
+                            break
+                        ref_mv_idx = idx + 1
+
+        # assign_mv (spec 5.11.26)
+        def assign(sub_mode, stack_i, ref_i, mv_comp_read):
+            if sub_mode == 2:                    # GLOBALMV component
+                return self.gm_mv[ref_i - 1]
+            if sub_mode == 3:                    # NEWMV component
+                pos = ref_mv_idx if refs.count > 1 else 0
+                pred = self._lower_precision(stack_i[pos], self.allow_hp,
+                                             self.force_integer_mv)
+                return mv_comp_read(pred)
+            pos = 0 if sub_mode == 0 else ref_mv_idx
+            return self._lower_precision(stack_i[pos], self.allow_hp,
+                                         self.force_integer_mv)
+
+        mv2 = (0, 0)
+        if is_comp:
+            mv = assign(_COMP_MODE0[cmode], refs.stack, ref, self._read_mv)
+            mv2 = assign(_COMP_MODE1[cmode], refs.stack2, ref2,
+                         self._read_mv)
+        else:
+            mv = assign(mode, refs.stack, ref, self._read_mv)
 
         # interintra (spec 5.11.28); only sizes 8x8..32x32, single ref
-        if self.enable_interintra and 8 <= BLOCK_SIZE_WIDE[bsize] <= 32 \
+        if self.enable_interintra and not skip_mode and not is_comp and \
+                8 <= BLOCK_SIZE_WIDE[bsize] <= 32 \
                 and 8 <= BLOCK_SIZE_HIGH[bsize] <= 32:
             ii = self._sym("interintra",
                            fc.interintra[_SIZE_GROUP[bsize]])
             assert not ii, "interintra prediction unsupported"
 
-        # read_motion_mode (spec 5.11.27): OBMC/WARP selection
-        if self.motion_mode_switchable and \
-                min(BLOCK_SIZE_WIDE[bsize], BLOCK_SIZE_HIGH[bsize]) >= 8 \
+        # read_motion_mode (spec 5.11.27): OBMC/WARP selection —
+        # single-ref, non-skip-mode blocks only
+        if self.motion_mode_switchable and not skip_mode and not is_comp \
+                and min(BLOCK_SIZE_WIDE[bsize],
+                        BLOCK_SIZE_HIGH[bsize]) >= 8 \
                 and self._has_overlappable(r, c, w4, h4):
             nsamp = self._count_warp_samples(r, c, bsize, ref, mv)
             if self.force_integer_mv or nsamp == 0 or \
@@ -855,14 +1033,32 @@ class TileParser:
                 mm = self._sym("motion_mode", fc.motion_mode[bsize])
             assert mm == 0, "OBMC/warped motion unsupported"
 
-        # read_mb_interp_filter (spec 5.11.27)
+        # read_compound_type (spec 5.11.29): average vs dist-wtd; masked
+        # compound (wedge/diffwtd) unsupported
+        comp_group_idx = 0
+        compound_idx = 1
+        if is_comp and not skip_mode:
+            if self.enable_masked_compound:
+                cg_ctx = self._comp_group_idx_ctx(r, c, have_above,
+                                                  have_left)
+                comp_group_idx = self._sym("comp_group_idx",
+                                           fc.comp_group_idx[cg_ctx])
+                assert not comp_group_idx, \
+                    "masked compound (wedge/diffwtd) unsupported"
+            if self.enable_jnt_comp:
+                ci_ctx = self._comp_index_ctx(r, c, ref, ref2,
+                                              have_above, have_left)
+                compound_idx = self._sym("compound_idx",
+                                         fc.compound_idx[ci_ctx])
+
+        # read_mb_interp_filter (spec 5.11.27); skip_mode => REGULAR
         filters = (0, 0)
-        if self.switchable_filter:
+        if self.switchable_filter and not skip_mode:
             g = self.grid
             fl = []
             ndirs = 2 if self.dual_filter else 1
             for d in range(ndirs):
-                ctx = (d & 1) * 8
+                ctx = (d & 1) * 8 + 4 * is_comp
                 def ref_filt(rr, cc2):
                     if int(g.ref0[rr, cc2]) == ref or \
                             int(g.ref1[rr, cc2]) == ref:
@@ -888,6 +1084,9 @@ class TileParser:
                           is_inter=True, ref_frame=ref, mv=mv,
                           inter_mode=mode, ref_mv_idx=ref_mv_idx,
                           interp_filters=filters,
+                          ref_frame2=ref2, mv2=mv2, compound_mode=cmode,
+                          compound_idx=compound_idx,
+                          skip_mode=skip_mode,
                           qindex=self.cur_q if (self.delta_q_present and
                                                self.base_q_idx is not None)
                           else None)
@@ -914,8 +1113,12 @@ class TileParser:
         self.left_mode[r:r + h4] = int(PredMode.DC_PRED)
         self.above_skip[c:c + w4] = int(skip)
         self.left_skip[r:r + h4] = int(skip)
-        self.grid.set_block(r, c, h4, w4, bsize, ref, -1, mv, (0, 0),
-                            mode == 3, filters=filters)
+        has_newmv = (mode == 3) if not is_comp else _COMP_HAS_NEWMV[cmode]
+        self.grid.set_block(r, c, h4, w4, bsize, ref,
+                            ref2 if is_comp else -1, mv, mv2,
+                            has_newmv, filters=filters,
+                            comp_group=comp_group_idx,
+                            cmp_idx=compound_idx)
 
         if skip:
             self.above_coef[0][c:c + w4] = 0

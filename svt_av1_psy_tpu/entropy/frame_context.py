@@ -58,6 +58,11 @@ class FrameContext:
         ("drl", "cdf_drl_cdf", False),
         ("single_ref", "cdf_single_ref_cdf", False),
         ("comp_inter", "cdf_comp_inter_cdf", False),
+        ("comp_ref_type", "cdf_comp_ref_type_cdf", False),
+        ("uni_comp_ref", "cdf_uni_comp_ref_cdf", False),
+        ("comp_ref", "cdf_comp_ref_cdf", False),
+        ("comp_bwdref", "cdf_comp_bwdref_cdf", False),
+        ("inter_compound_mode", "cdf_inter_compound_mode_cdf", False),
         ("switchable_interp", "cdf_switchable_interp_cdf", False),
         ("nmv_joints", "cdf_nmv_joints_cdf", False),
         ("interintra", "cdf_interintra_cdf", False),

@@ -50,21 +50,27 @@ class MiGrid:
         self.bsize = np.zeros(shape, np.uint8)
         self.partition = np.zeros(shape, np.uint8)
         self.filters = np.zeros(shape + (2,), np.uint8)
+        # compound syntax neighbor state (spec comp_group_idx /
+        # compound_idx contexts)
+        self.comp_group = np.zeros(shape, np.uint8)
+        self.cmp_idx = np.ones(shape, np.uint8)
+
+    _FIELDS = ("ref0", "ref1", "mv0", "mv1", "newmv", "bsize",
+               "partition", "filters", "comp_group", "cmp_idx")
 
     def snapshot(self, r, c, h4, w4):
         sl = (slice(r, r + h4), slice(c, c + w4))
-        return (r, c, tuple(getattr(self, a)[sl].copy() for a in
-                            ("ref0", "ref1", "mv0", "mv1", "newmv",
-                             "bsize", "partition", "filters")))
+        return (r, c, tuple(getattr(self, a)[sl].copy()
+                            for a in self._FIELDS))
 
     def restore(self, snap):
         r, c, arrs = snap
-        for a, v in zip(("ref0", "ref1", "mv0", "mv1", "newmv",
-                         "bsize", "partition", "filters"), arrs):
+        for a, v in zip(self._FIELDS, arrs):
             getattr(self, a)[r:r + v.shape[0], c:c + v.shape[1]] = v
 
     def set_block(self, r, c, h4, w4, bsize, ref0, ref1, mv0, mv1,
-                  has_newmv, partition=0, filters=(0, 0)):
+                  has_newmv, partition=0, filters=(0, 0),
+                  comp_group=0, cmp_idx=1):
         self.ref0[r:r + h4, c:c + w4] = ref0
         self.ref1[r:r + h4, c:c + w4] = ref1
         self.mv0[r:r + h4, c:c + w4] = mv0
@@ -73,6 +79,8 @@ class MiGrid:
         self.bsize[r:r + h4, c:c + w4] = bsize
         self.partition[r:r + h4, c:c + w4] = partition
         self.filters[r:r + h4, c:c + w4] = filters
+        self.comp_group[r:r + h4, c:c + w4] = comp_group
+        self.cmp_idx[r:r + h4, c:c + w4] = cmp_idx
 
 
 def _clamp(v, lo, hi):
@@ -80,10 +88,11 @@ def _clamp(v, lo, hi):
 
 
 class MvRefs:
-    """Result of setup_ref_mv_list for one (block, ref_frame)."""
+    """Result of setup_ref_mv_list for one (block, ref pair)."""
 
     def __init__(self):
         self.stack: List[Tuple[int, int]] = []    # (row, col) per candidate
+        self.stack2: List[Tuple[int, int]] = []   # comp_mv (compound only)
         self.weights: List[int] = []
         self.mode_context = 0
 
@@ -113,18 +122,25 @@ def _bsize_dims(bsize):
 
 def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
                       ref_frame: int, sb_mi: int = 16,
-                      gm_mv=(0, 0)) -> MvRefs:
-    """Build the single-ref MV stack (no temporal mvp). gm_mv is this
-    ref's precision-lowered global motion vector (spec 7.10.2.1
-    setup_global_mv) used for the under-full stack fill; identity
-    (TRANSLATION type never routes candidates through gm — spec
-    is_global_mv_block requires type > TRANSLATION)."""
+                      gm_mv=(0, 0), ref_frame2: int = NONE_FRAME,
+                      gm_mv2=(0, 0), sign_bias=None) -> MvRefs:
+    """Build the MV stack (no temporal mvp), single-ref or compound
+    (ref_frame2 > INTRA_FRAME). gm_mv/gm_mv2 are the precision-lowered
+    global motion vectors per component (spec 7.10.2.1 setup_global_mv)
+    used for the under-full stack fill; identity (TRANSLATION type never
+    routes candidates through gm — spec is_global_mv_block requires type
+    > TRANSLATION). sign_bias[1..7] = RefFrameSignBias, used by the
+    relaxed rescans to flip other-ref candidates pointing the other way
+    (ref adaptive_mv_pred.c:457 scan_row_col_light)."""
     n8_w, n8_h = _bsize_dims(bsize)
+    is_comp = ref_frame2 > INTRA_FRAME
+    if sign_bias is None:
+        sign_bias = [0] * 8
     mi_rows, mi_cols = grid.mi_rows, grid.mi_cols
     row_start, row_end = grid.row_start, grid.row_end
     col_start, col_end = grid.col_start, grid.col_end
     out = MvRefs()
-    stack: List[List[int]] = []   # [mv_row, mv_col, weight]
+    stack: List[List[int]] = []   # [mv0_r, mv0_c, mv1_r, mv1_c, weight]
 
     up_avail = mi_row > row_start
     left_avail = mi_col > col_start
@@ -149,10 +165,27 @@ def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
     processed = {"rows": 0, "cols": 0}
 
     def add_candidate(r, c, len_, weight, which):
-        """add_ref_mv_candidate for single ref."""
+        """add_ref_mv_candidate (ref adaptive_mv_pred.c:56)."""
         if c >= col_end or r >= row_end or c < col_start or r < row_start:
             return
         if grid.ref0[r, c] <= INTRA_FRAME:
+            return
+        if is_comp:
+            if int(grid.ref0[r, c]) == ref_frame and \
+                    int(grid.ref1[r, c]) == ref_frame2:
+                m0 = grid.mv0[r, c]
+                m1 = grid.mv1[r, c]
+                key = (int(m0[0]), int(m0[1]), int(m1[0]), int(m1[1]))
+                for ent in stack:
+                    if tuple(ent[:4]) == key:
+                        ent[4] += weight * len_
+                        break
+                else:
+                    if len(stack) < MAX_REF_MV_STACK_SIZE:
+                        stack.append([*key, weight * len_])
+                if grid.newmv[r, c]:
+                    counts["newmv"] += 1
+                counts[which] += 1
             return
         for ref_i, refs in ((0, grid.ref0), (1, grid.ref1)):
             if refs[r, c] == ref_frame:
@@ -160,11 +193,11 @@ def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
                 mv = (int(mv[0]), int(mv[1]))
                 for ent in stack:
                     if (ent[0], ent[1]) == mv:
-                        ent[2] += weight * len_
+                        ent[4] += weight * len_
                         break
                 else:
                     if len(stack) < MAX_REF_MV_STACK_SIZE:
-                        stack.append([mv[0], mv[1], weight * len_])
+                        stack.append([mv[0], mv[1], 0, 0, weight * len_])
                 if grid.newmv[r, c]:
                     counts["newmv"] += 1
                 counts[which] += 1
@@ -270,7 +303,7 @@ def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
     nearest_match = (counts["row_match"] > 0) + (counts["col_match"] > 0)
     nearest_newmv = counts["newmv"]
     for ent in stack:
-        ent[2] += REF_CAT_LEVEL
+        ent[4] += REF_CAT_LEVEL
 
     # top-left + outer rows/cols (newmv counter no longer updated)
     saved_newmv = counts["newmv"]
@@ -307,41 +340,107 @@ def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
 
     # stable sort by weight (reference's repeated bubble pass == stable
     # descending order)
-    stack.sort(key=lambda e: -e[2])
+    stack.sort(key=lambda e: -e[4])
 
-    # single-ref extension: relaxed row/col rescans, then global-mv fill
+    # under-full extension (ref adaptive_mv_pred.c:457 scan_row_col_light)
     n_counted = None
     if len(stack) < MAX_MV_REF_CANDIDATES:
         mi_width = min(16, n8_w, col_end - mi_col)
         mi_height = min(16, n8_h, row_end - mi_row)
         mi_size = min(mi_width, mi_height)
-        if abs(max_row_offset) >= 1:
-            i = 0
-            while i < mi_size and len(stack) < MAX_MV_REF_CANDIDATES:
-                r, c = mi_row - 1, mi_col + i
-                for ref_i, refs in ((0, grid.ref0), (1, grid.ref1)):
-                    if refs[r, c] > INTRA_FRAME:
-                        mvv = grid.mv0[r, c] if ref_i == 0 else grid.mv1[r, c]
-                        mv = (int(mvv[0]), int(mvv[1]))
-                        if not any((e[0], e[1]) == mv for e in stack):
-                            stack.append([mv[0], mv[1], 2])
-                i += _bsize_dims(int(grid.bsize[r, c]))[0]
-        if abs(max_col_offset) >= 1:
-            i = 0
-            while i < mi_size and len(stack) < MAX_MV_REF_CANDIDATES:
-                r, c = mi_row + i, mi_col - 1
-                for ref_i, refs in ((0, grid.ref0), (1, grid.ref1)):
-                    if refs[r, c] > INTRA_FRAME:
-                        mvv = grid.mv0[r, c] if ref_i == 0 else grid.mv1[r, c]
-                        mv = (int(mvv[0]), int(mvv[1]))
-                        if not any((e[0], e[1]) == mv for e in stack):
-                            stack.append([mv[0], mv[1], 2])
-                i += _bsize_dims(int(grid.bsize[r, c]))[1]
-        # gm fill writes stack entries but does NOT bump refmv_count
-        # (ref adaptive_mv_pred.c:632)
-        n_counted = len(stack)
-        while len(stack) < MAX_MV_REF_CANDIDATES:
-            stack.append([gm_mv[0], gm_mv[1], 2])
+        if is_comp:
+            # compound: collect same-ref / sign-flipped other-ref
+            # candidates per component, then combine
+            ref_id = [[], []]
+            ref_diff = [[], []]
+
+            def collect(r, c):
+                for ref_i in range(2):
+                    refs = grid.ref0 if ref_i == 0 else grid.ref1
+                    can_rf = int(refs[r, c])
+                    mvv = grid.mv0[r, c] if ref_i == 0 else grid.mv1[r, c]
+                    mv = (int(mvv[0]), int(mvv[1]))
+                    for ci, rf in enumerate((ref_frame, ref_frame2)):
+                        if can_rf == rf and len(ref_id[ci]) < 2:
+                            ref_id[ci].append(mv)
+                        elif can_rf > INTRA_FRAME and len(ref_diff[ci]) < 2:
+                            if sign_bias[can_rf] != sign_bias[rf]:
+                                mv2 = (-mv[0], -mv[1])
+                            else:
+                                mv2 = mv
+                            ref_diff[ci].append(mv2)
+
+            if abs(max_row_offset) >= 1:
+                i = 0
+                while i < mi_size:
+                    collect(mi_row - 1, mi_col + i)
+                    i += _bsize_dims(
+                        int(grid.bsize[mi_row - 1, mi_col + i]))[0]
+            if abs(max_col_offset) >= 1:
+                i = 0
+                while i < mi_size:
+                    collect(mi_row + i, mi_col - 1)
+                    i += _bsize_dims(
+                        int(grid.bsize[mi_row + i, mi_col - 1]))[1]
+            comp_list = [[None, None] for _ in
+                         range(MAX_MV_REF_CANDIDATES + 1)]
+            for ci, gmv in ((0, gm_mv), (1, gm_mv2)):
+                pool = (ref_id[ci] + ref_diff[ci])[:MAX_MV_REF_CANDIDATES]
+                while len(pool) < MAX_MV_REF_CANDIDATES:
+                    pool.append(tuple(gmv))
+                for k, mv in enumerate(pool):
+                    comp_list[k][ci] = mv
+            if stack:   # refmv_count == 1
+                if comp_list[0][0] == (stack[0][0], stack[0][1]) and \
+                        comp_list[0][1] == (stack[0][2], stack[0][3]):
+                    pick = comp_list[1]
+                else:
+                    pick = comp_list[0]
+                stack.append([pick[0][0], pick[0][1],
+                              pick[1][0], pick[1][1], 2])
+            else:
+                for k in range(MAX_MV_REF_CANDIDATES):
+                    stack.append([comp_list[k][0][0], comp_list[k][0][1],
+                                  comp_list[k][1][0], comp_list[k][1][1],
+                                  2])
+            # compound adds COUNT toward NumMvFound (unlike the single
+            # gm fill below)
+        else:
+            if abs(max_row_offset) >= 1:
+                i = 0
+                while i < mi_size and len(stack) < MAX_MV_REF_CANDIDATES:
+                    r, c = mi_row - 1, mi_col + i
+                    for ref_i, refs in ((0, grid.ref0), (1, grid.ref1)):
+                        can_rf = int(refs[r, c])
+                        if can_rf > INTRA_FRAME:
+                            mvv = grid.mv0[r, c] if ref_i == 0 \
+                                else grid.mv1[r, c]
+                            mv = (int(mvv[0]), int(mvv[1]))
+                            if sign_bias[can_rf] != sign_bias[ref_frame]:
+                                mv = (-mv[0], -mv[1])
+                            if not any((e[0], e[1]) == mv for e in stack):
+                                stack.append([mv[0], mv[1], 0, 0, 2])
+                    i += _bsize_dims(int(grid.bsize[r, c]))[0]
+            if abs(max_col_offset) >= 1:
+                i = 0
+                while i < mi_size and len(stack) < MAX_MV_REF_CANDIDATES:
+                    r, c = mi_row + i, mi_col - 1
+                    for ref_i, refs in ((0, grid.ref0), (1, grid.ref1)):
+                        can_rf = int(refs[r, c])
+                        if can_rf > INTRA_FRAME:
+                            mvv = grid.mv0[r, c] if ref_i == 0 \
+                                else grid.mv1[r, c]
+                            mv = (int(mvv[0]), int(mvv[1]))
+                            if sign_bias[can_rf] != sign_bias[ref_frame]:
+                                mv = (-mv[0], -mv[1])
+                            if not any((e[0], e[1]) == mv for e in stack):
+                                stack.append([mv[0], mv[1], 0, 0, 2])
+                    i += _bsize_dims(int(grid.bsize[r, c]))[1]
+            # gm fill writes stack entries but does NOT bump refmv_count
+            # (ref adaptive_mv_pred.c:632)
+            n_counted = len(stack)
+            while len(stack) < MAX_MV_REF_CANDIDATES:
+                stack.append([gm_mv[0], gm_mv[1], 0, 0, 2])
 
     # clamp
     bw8 = n8_w * 4 * 8
@@ -350,17 +449,92 @@ def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
     to_right = (mi_cols - n8_w - mi_col) * 4 * 8
     to_top = -(mi_row * 4 * 8)
     to_bottom = (mi_rows - n8_h - mi_row) * 4 * 8
+    lo_c = to_left - bw8 - MV_BORDER
+    hi_c = to_right + bw8 + MV_BORDER
+    lo_r = to_top - bh8 - MV_BORDER
+    hi_r = to_bottom + bh8 + MV_BORDER
     for ent in stack:
-        ent[1] = _clamp(ent[1], to_left - bw8 - MV_BORDER,
-                        to_right + bw8 + MV_BORDER)
-        ent[0] = _clamp(ent[0], to_top - bh8 - MV_BORDER,
-                        to_bottom + bh8 + MV_BORDER)
+        ent[0] = _clamp(ent[0], lo_r, hi_r)
+        ent[1] = _clamp(ent[1], lo_c, hi_c)
+        if is_comp:
+            ent[2] = _clamp(ent[2], lo_r, hi_r)
+            ent[3] = _clamp(ent[3], lo_c, hi_c)
 
     out.stack = [(e[0], e[1]) for e in stack]
-    out.weights = [e[2] for e in stack]
+    if is_comp:
+        out.stack2 = [(e[2], e[3]) for e in stack]
+    out.weights = [e[4] for e in stack]
     out.n_found = len(stack) if n_counted is None else n_counted
     out.mode_context = mode_context
     return out
+
+
+COMP_NEWMV_CTXS = 5
+_COMPOUND_MODE_CTX_MAP = ((0, 1, 1, 1, 1), (1, 2, 3, 4, 4), (4, 4, 5, 6, 7))
+
+
+def compound_mode_ctx(mode_context: int) -> int:
+    """av1_mode_context_analyzer compound mapping
+    (ref inter_prediction.c:2431)."""
+    newmv_ctx = mode_context & 7
+    refmv_ctx = (mode_context >> 4) & 15
+    return _COMPOUND_MODE_CTX_MAP[refmv_ctx >> 1][
+        min(newmv_ctx, COMP_NEWMV_CTXS - 1)]
+
+
+def _is_bwd(ref: int) -> bool:
+    return ref >= 5                      # BWDREF/ALTREF2/ALTREF
+
+
+def has_uni_comp_refs(ref0: int, ref1: int) -> bool:
+    return ref1 > INTRA_FRAME and not (_is_bwd(ref0) ^ _is_bwd(ref1))
+
+
+def comp_ref_type_ctx(grid: MiGrid, r: int, c: int) -> int:
+    """av1_get_comp_reference_type_context
+    (ref entropy_coding.c:1727)."""
+    have_above, have_left = r > grid.row_start, c > grid.col_start
+    g = grid
+
+    def info(rr, cc):
+        r0 = int(g.ref0[rr, cc])
+        r1 = int(g.ref1[rr, cc])
+        return (r0 > 0, r1 > 0, r0, r1)   # is_inter, has_second
+
+    if have_above and have_left:
+        a_in, a_cp, a0, a1 = info(r - 1, c)
+        l_in, l_cp, l0, l1 = info(r, c - 1)
+        if not a_in and not l_in:
+            return 2
+        if not a_in or not l_in:
+            ii, cp, i0, i1 = (l_in, l_cp, l0, l1) if not a_in else \
+                (a_in, a_cp, a0, a1)
+            if not cp:
+                return 2
+            return 1 + 2 * has_uni_comp_refs(i0, i1)
+        if not a_cp and not l_cp:
+            return 1 + 2 * (not (_is_bwd(a0) ^ _is_bwd(l0)))
+        if not a_cp or not l_cp:
+            uni = has_uni_comp_refs(l0, l1) if not a_cp else \
+                has_uni_comp_refs(a0, a1)
+            if not uni:
+                return 1
+            return 3 + (not (_is_bwd(a0) ^ _is_bwd(l0)))
+        a_uni = has_uni_comp_refs(a0, a1)
+        l_uni = has_uni_comp_refs(l0, l1)
+        if not a_uni and not l_uni:
+            return 0
+        if not a_uni or not l_uni:
+            return 2
+        return 3 + ((a0 == 5) == (l0 == 5))   # BWDREF_FRAME == 5
+    if have_above or have_left:
+        e_in, e_cp, e0, e1 = info(r - 1, c) if have_above else info(r, c - 1)
+        if not e_in:
+            return 2
+        if not e_cp:
+            return 2
+        return 4 * has_uni_comp_refs(e0, e1)
+    return 2
 
 
 def drl_ctx(weights: List[int], idx: int) -> int:

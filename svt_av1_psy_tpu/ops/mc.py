@@ -97,6 +97,94 @@ def _round2(v, n):
     return (v + (1 << (n - 1))) >> n
 
 
+COMPOUND_ROUND1 = 7                     # spec round_1 for compound
+
+
+def mc_block_compound_part(ref: np.ndarray, px: int, py: int, w: int,
+                           h: int, mvx_q4: int, mvy_q4: int,
+                           interp_x: int, interp_y: int,
+                           bd: int = 8) -> np.ndarray:
+    """One compound prediction component at intermediate precision (the
+    CONV_BUF value incl. round_offset; ref inter_prediction.c
+    svt_av1_jnt_convolve_2d_c / _x_c / _y_c / _2d_copy_c). Blend two of
+    these with blend_compound. round_0=3, round_1=7."""
+    r0, r1 = ROUND0, COMPOUND_ROUND1
+    offset_bits = bd + 2 * FILTER_BITS - r0
+    round_offset = (1 << (offset_bits - r1)) + \
+        (1 << (offset_bits - r1 - 1))
+    x0 = px + (mvx_q4 >> 4)
+    y0 = py + (mvy_q4 >> 4)
+    sx = mvx_q4 & 15
+    sy = mvy_q4 & 15
+    if sx == 0 and sy == 0:
+        reg = _gather(ref, np.arange(y0, y0 + h), np.arange(x0, x0 + w))
+        bits = 2 * FILTER_BITS - r0 - r1
+        return (reg << bits) + round_offset
+    fx = get_filter_kernel(interp_x, w, sx)
+    fy = get_filter_kernel(interp_y, h, sy)
+    if sx and sy:
+        reg = _gather(ref, np.arange(y0 - 3, y0 + h + 4),
+                      np.arange(x0 - 3, x0 + w + 4))
+        im = (1 << (bd + FILTER_BITS - 1)) + sum(
+            int(fx[k]) * reg[:, k:k + w] for k in range(8))
+        im = _round2(im, r0)
+        sm = (1 << offset_bits) + sum(
+            int(fy[k]) * im[k:k + h, :] for k in range(8))
+        return _round2(sm, r1)
+    if sx:
+        reg = _gather(ref, np.arange(y0, y0 + h),
+                      np.arange(x0 - 3, x0 + w + 4))
+        res = _round2(sum(int(fx[k]) * reg[:, k:k + w] for k in range(8)),
+                      r0)
+        return (res << (FILTER_BITS - r1)) + round_offset
+    reg = _gather(ref, np.arange(y0 - 3, y0 + h + 4),
+                  np.arange(x0, x0 + w))
+    res = sum(int(fy[k]) * reg[k:k + h, :] for k in range(8))
+    res = res << (FILTER_BITS - r0)
+    return _round2(res, r1) + round_offset
+
+
+def blend_compound(p0: np.ndarray, p1: np.ndarray, bd: int = 8,
+                   fwd_offset: int = 0, bck_offset: int = 0) -> np.ndarray:
+    """Average (or dist-wtd) blend of two CONV_BUF components + final
+    rounding (ref jnt convolve do_average branch)."""
+    r0, r1 = ROUND0, COMPOUND_ROUND1
+    offset_bits = bd + 2 * FILTER_BITS - r0
+    round_bits = 2 * FILTER_BITS - r0 - r1
+    if fwd_offset:
+        tmp = (p0 * fwd_offset + p1 * bck_offset) >> 4
+    else:
+        tmp = (p0 + p1) >> 1
+    tmp = tmp - ((1 << (offset_bits - r1)) +
+                 (1 << (offset_bits - r1 - 1)))
+    return np.clip(_round2(tmp, round_bits), 0, (1 << bd) - 1)
+
+
+_QUANT_DIST_WEIGHT = ((2, 3), (2, 5), (2, 7), (1, 31))
+_QUANT_DIST_LOOKUP = ((9, 7), (11, 5), (12, 4), (13, 3))
+
+
+def dist_wtd_weights(d0: int, d1: int):
+    """(fwd_offset, bck_offset) for compound_idx == 0 (spec 7.11.3.15;
+    ref svt_av1_dist_wtd_comp_weight_assign, order_idx = 0). d0 =
+    |dist(ref1 hint, cur)|, d1 = |dist(cur, ref0 hint)|, both clamped
+    to MAX_FRAME_DISTANCE before the call."""
+    order = int(d0 <= d1)
+    if d0 == 0 or d1 == 0:
+        return (_QUANT_DIST_LOOKUP[3][order],
+                _QUANT_DIST_LOOKUP[3][1 - order])
+    for i in range(3):
+        c0 = _QUANT_DIST_WEIGHT[i][order]
+        c1 = _QUANT_DIST_WEIGHT[i][1 - order]
+        if (d0 > d1 and d0 * c0 < d1 * c1) or \
+                (d0 <= d1 and d0 * c0 > d1 * c1):
+            break
+    else:
+        i = 3
+    return (_QUANT_DIST_LOOKUP[i][order],
+            _QUANT_DIST_LOOKUP[i][1 - order])
+
+
 def mc_block(ref: np.ndarray, px: int, py: int, w: int, h: int,
              mvx_q4: int, mvy_q4: int, interp_x: int, interp_y: int,
              bd: int = 8) -> np.ndarray:
