@@ -198,6 +198,8 @@ TpuCommit *tpuc_new(int width, int height, int bd) {
     c->left_mode = (uint8_t *)calloc(c->mi_rows, 1);
     c->above_skip = (uint8_t *)calloc(c->mi_cols, 1);
     c->left_skip = (uint8_t *)calloc(c->mi_rows, 1);
+    c->above_skip_mode = (uint8_t *)calloc(c->mi_cols, 1);
+    c->left_skip_mode = (uint8_t *)calloc(c->mi_rows, 1);
     for (int p = 0; p < 3; p++) {
         int n = p ? (c->mi_cols + 1) >> 1 : c->mi_cols;
         int m = p ? (c->mi_rows + 1) >> 1 : c->mi_rows;
@@ -259,6 +261,8 @@ void tpuc_free(TpuCommit *c) {
     free(c->left_mode);
     free(c->above_skip);
     free(c->left_skip);
+    free(c->above_skip_mode);
+    free(c->left_skip_mode);
     for (int p = 0; p < 2; p++) {
         free(c->above_smooth[p]);
         free(c->left_smooth[p]);

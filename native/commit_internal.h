@@ -57,6 +57,14 @@ struct TpuCommit {
     int ref_stride[3];
     /* LAST-ref global MV (1/8 px, precision-lowered); {0,0} = identity */
     int gm_mv[2];
+    /* compound (RA bidirectional) state: second reference (ALTREF),
+     * skip-mode signalling + neighbor rows, RefFrameSignBias */
+    const uint16_t *ref2p[3];
+    int ref2_stride[3];
+    int has_ref2;
+    int skip_mode_present;
+    uint8_t sign_bias[8];
+    uint8_t *above_skip_mode, *left_skip_mode;
 };
 
 int16_t *tpu_scan(int ts, int tt, int *n);

@@ -115,11 +115,92 @@ void tpui_mc_block(const uint16_t *ref, int rstride, int rw, int rh,
 #undef REFPX
 }
 
+/* One compound prediction component at CONV_BUF precision (incl. the
+ * round_offset; ref inter_prediction.c svt_av1_jnt_convolve_*_c).
+ * round_0 = 3, round_1 = COMPOUND_ROUND1 = 7. */
+#define CROUND1 7
+static void mc_comp_part(const uint16_t *ref, int rstride, int rw, int rh,
+                         int px, int py, int w, int h, int mvx_q4,
+                         int mvy_q4, int bd, int32_t *out) {
+    int x0 = px + (mvx_q4 >> 4);
+    int y0 = py + (mvy_q4 >> 4);
+    int sx = mvx_q4 & 15, sy = mvy_q4 & 15;
+    int offset_bits = bd + 2 * FILTER_BITS - ROUND0;
+    int round_offset = (1 << (offset_bits - CROUND1)) +
+                       (1 << (offset_bits - CROUND1 - 1));
+#define REFPX(yy, xx) \
+    ref[clampi(yy, 0, rh - 1) * rstride + clampi(xx, 0, rw - 1)]
+    if (sx == 0 && sy == 0) {
+        int bits = 2 * FILTER_BITS - ROUND0 - CROUND1;
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++)
+                out[y * w + x] = (REFPX(y0 + y, x0 + x) << bits) +
+                                 round_offset;
+        return;
+    }
+    const int16_t *fx = (w <= 4 ? F_REG4 : F_REG)[sx];
+    const int16_t *fy = (h <= 4 ? F_REG4 : F_REG)[sy];
+    if (sx && sy) {
+        int32_t im[(64 + 7) * 64];
+        for (int y = 0; y < h + 7; y++)
+            for (int x = 0; x < w; x++) {
+                int acc = 1 << (bd + FILTER_BITS - 1);
+                for (int k = 0; k < 8; k++)
+                    acc += fx[k] * REFPX(y0 - 3 + y, x0 - 3 + x + k);
+                im[y * w + x] = round2(acc, ROUND0);
+            }
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                int acc = 1 << offset_bits;
+                for (int k = 0; k < 8; k++)
+                    acc += fy[k] * im[(y + k) * w + x];
+                out[y * w + x] = round2(acc, CROUND1);
+            }
+        return;
+    }
+    if (sx) {
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                int acc = 0;
+                for (int k = 0; k < 8; k++)
+                    acc += fx[k] * REFPX(y0 + y, x0 - 3 + x + k);
+                acc = round2(acc, ROUND0) << (FILTER_BITS - CROUND1);
+                out[y * w + x] = acc + round_offset;
+            }
+        return;
+    }
+    for (int y = 0; y < h; y++)
+        for (int x = 0; x < w; x++) {
+            int acc = 0;
+            for (int k = 0; k < 8; k++)
+                acc += fy[k] * REFPX(y0 - 3 + y + k, x0 + x);
+            acc <<= FILTER_BITS - ROUND0;
+            out[y * w + x] = round2(acc, CROUND1) + round_offset;
+        }
+#undef REFPX
+}
+
+/* Average blend of two CONV_BUF components + final rounding. */
+static void blend_comp_avg(const int32_t *p0, const int32_t *p1, int n,
+                           int bd, int32_t *out) {
+    int offset_bits = bd + 2 * FILTER_BITS - ROUND0;
+    int round_bits = 2 * FILTER_BITS - ROUND0 - CROUND1;
+    int sub = (1 << (offset_bits - CROUND1)) +
+              (1 << (offset_bits - CROUND1 - 1));
+    int hi = (1 << bd) - 1;
+    for (int i = 0; i < n; i++) {
+        int tmp = ((p0[i] + p1[i]) >> 1) - sub;
+        out[i] = clampi(round2(tmp, round_bits), 0, hi);
+    }
+}
+
 /* ---- per-unit mode-info grid (MiGrid port) ----------------------------- */
 struct InterGrid {
     int mi_rows, mi_cols;
     int8_t *ref0;
+    int8_t *ref1;     /* second ref (compound) or -1 */
     int16_t *mv;      /* (row, col) pairs, 1/8 px */
+    int16_t *mv1;     /* compound second-component MV pairs */
     uint8_t *newmv;
     uint8_t *bsize;
 };
@@ -131,7 +212,10 @@ InterGrid *tpui_grid_new(int mi_rows, int mi_cols) {
     size_t n = (size_t)mi_rows * mi_cols;
     g->ref0 = malloc(n);
     memset(g->ref0, -1, n);
+    g->ref1 = malloc(n);
+    memset(g->ref1, -1, n);
     g->mv = calloc(n * 2, 2);
+    g->mv1 = calloc(n * 2, 2);
     g->newmv = calloc(n, 1);
     g->bsize = calloc(n, 1);
     return g;
@@ -139,7 +223,9 @@ InterGrid *tpui_grid_new(int mi_rows, int mi_cols) {
 void tpui_grid_free(InterGrid *g) {
     if (!g) return;
     free(g->ref0);
+    free(g->ref1);
     free(g->mv);
+    free(g->mv1);
     free(g->newmv);
     free(g->bsize);
     free(g);
@@ -152,8 +238,27 @@ void tpui_grid_set(InterGrid *g, int r, int c, int h4, int w4, int bsize,
         for (int j = c; j < cc1; j++) {
             size_t o = (size_t)i * g->mi_cols + j;
             g->ref0[o] = (int8_t)ref0;
+            g->ref1[o] = -1;
             g->mv[o * 2] = (int16_t)mvr;
             g->mv[o * 2 + 1] = (int16_t)mvc;
+            g->newmv[o] = (uint8_t)has_newmv;
+            g->bsize[o] = (uint8_t)bsize;
+        }
+}
+void tpui_grid_set_comp(InterGrid *g, int r, int c, int h4, int w4,
+                        int bsize, int ref0, int ref1, int mv0r, int mv0c,
+                        int mv1r, int mv1c, int has_newmv) {
+    int rr1 = r + h4 < g->mi_rows ? r + h4 : g->mi_rows;
+    int cc1 = c + w4 < g->mi_cols ? c + w4 : g->mi_cols;
+    for (int i = r; i < rr1; i++)
+        for (int j = c; j < cc1; j++) {
+            size_t o = (size_t)i * g->mi_cols + j;
+            g->ref0[o] = (int8_t)ref0;
+            g->ref1[o] = (int8_t)ref1;
+            g->mv[o * 2] = (int16_t)mv0r;
+            g->mv[o * 2 + 1] = (int16_t)mv0c;
+            g->mv1[o * 2] = (int16_t)mv1r;
+            g->mv1[o * 2 + 1] = (int16_t)mv1c;
             g->newmv[o] = (uint8_t)has_newmv;
             g->bsize[o] = (uint8_t)bsize;
         }
@@ -173,6 +278,7 @@ static const int BH4[22] = {1, 2, 1, 2, 4, 2, 4, 8, 4, 8, 16,
 
 typedef struct {
     int16_t mv[MAX_STACK][2];
+    int16_t mv2[MAX_STACK][2];   /* compound second component */
     int weight[MAX_STACK];
     int n;          /* stack length incl. gm fill */
     int n_found;    /* NumMvFound (gm fill excluded) */
@@ -182,6 +288,7 @@ typedef struct {
 typedef struct {
     InterGrid *g;
     int mi_row, mi_col, n8_w, n8_h, ref_frame;
+    int ref_frame2;                       /* <= 0 => single ref */
     int t_row0, t_row1, t_col0, t_col1;   /* tile bounds (mi units) */
     MvRefsC *out;
     int row_match, col_match, newmv_count;
@@ -189,14 +296,45 @@ typedef struct {
     int max_row_offset, max_col_offset;
 } MvCtx;
 
-static void add_candidate(MvCtx *m, int r, int c, int len, int weight) {
+/* add_ref_mv_candidate (spec 7.10.2); returns 1 when the candidate's
+ * ref(s) matched (the caller bumps its row/col match counter). */
+static int add_candidate(MvCtx *m, int r, int c, int len, int weight) {
     InterGrid *g = m->g;
-    if (c >= m->t_col1 || r >= m->t_row1) return;
+    if (c >= m->t_col1 || r >= m->t_row1) return 0;
     size_t o = (size_t)r * g->mi_cols + c;
-    if (g->ref0[o] <= 0) return;
-    if (g->ref0[o] == m->ref_frame) {
-        int mvr = g->mv[o * 2], mvc = g->mv[o * 2 + 1];
-        MvRefsC *s = m->out;
+    if (g->ref0[o] <= 0) return 0;
+    MvRefsC *s = m->out;
+    if (m->ref_frame2 > 0) {
+        /* compound: candidate must match BOTH refs */
+        if (g->ref0[o] != m->ref_frame || g->ref1[o] != m->ref_frame2)
+            return 0;
+        int m0r = g->mv[o * 2], m0c = g->mv[o * 2 + 1];
+        int m1r = g->mv1[o * 2], m1c = g->mv1[o * 2 + 1];
+        int found = 0;
+        for (int i = 0; i < s->n; i++)
+            if (s->mv[i][0] == m0r && s->mv[i][1] == m0c &&
+                s->mv2[i][0] == m1r && s->mv2[i][1] == m1c) {
+                s->weight[i] += weight * len;
+                found = 1;
+                break;
+            }
+        if (!found && s->n < MAX_STACK) {
+            s->mv[s->n][0] = (int16_t)m0r;
+            s->mv[s->n][1] = (int16_t)m0c;
+            s->mv2[s->n][0] = (int16_t)m1r;
+            s->mv2[s->n][1] = (int16_t)m1c;
+            s->weight[s->n] = weight * len;
+            s->n++;
+        }
+        if (g->newmv[o]) m->newmv_count++;
+        return 1;
+    }
+    int matched = 0;
+    for (int ri = 0; ri < 2; ri++) {
+        int cref = ri == 0 ? g->ref0[o] : g->ref1[o];
+        if (cref != m->ref_frame) continue;
+        const int16_t *cmv = ri == 0 ? g->mv + o * 2 : g->mv1 + o * 2;
+        int mvr = cmv[0], mvc = cmv[1];
         int found = 0;
         for (int i = 0; i < s->n; i++)
             if (s->mv[i][0] == mvr && s->mv[i][1] == mvc) {
@@ -211,8 +349,9 @@ static void add_candidate(MvCtx *m, int r, int c, int len, int weight) {
             s->n++;
         }
         if (g->newmv[o]) m->newmv_count++;
-        /* which counter updated is chosen by the caller */
+        matched = 1;
     }
+    return matched;
 }
 
 static void scan_row(MvCtx *m, int row_offset) {
@@ -245,15 +384,8 @@ static void scan_row(MvCtx *m, int row_offset) {
             if (inc > weight) weight = inc;
             m->processed_rows = inc - row_offset - 1;
         }
-        {
-            int matched = 0;
-            size_t o = (size_t)r * g->mi_cols + c;
-            if (c < g->mi_cols && r < g->mi_rows && g->ref0[o] > 0 &&
-                g->ref0[o] == m->ref_frame)
-                matched = 1;
-            add_candidate(m, r, c, ln, weight);
-            if (matched) m->row_match++;
-        }
+        if (add_candidate(m, r, c, ln, weight))
+            m->row_match++;
         i += ln;
     }
 }
@@ -288,15 +420,8 @@ static void scan_col(MvCtx *m, int col_offset) {
             if (inc > weight) weight = inc;
             m->processed_cols = inc - col_offset - 1;
         }
-        {
-            int matched = 0;
-            size_t o = (size_t)r * g->mi_cols + c;
-            if (c < g->mi_cols && r < g->mi_rows && g->ref0[o] > 0 &&
-                g->ref0[o] == m->ref_frame)
-                matched = 1;
-            add_candidate(m, r, c, ln, weight);
-            if (matched) m->col_match++;
-        }
+        if (add_candidate(m, r, c, ln, weight))
+            m->col_match++;
         i += ln;
     }
 }
@@ -308,10 +433,8 @@ static void scan_blk(MvCtx *m, int row_offset, int col_offset) {
     if (r < m->t_row0 || c < m->t_col0 || r >= m->t_row1 ||
         c >= m->t_col1)
         return;
-    size_t o = (size_t)r * g->mi_cols + c;
-    int matched = g->ref0[o] > 0 && g->ref0[o] == m->ref_frame;
-    add_candidate(m, r, c, 2, 2);
-    if (matched) m->row_match++;
+    if (add_candidate(m, r, c, 2, 2))
+        m->row_match++;
 }
 
 static int has_top_right(MvCtx *m, int sb_mi) {
@@ -345,7 +468,10 @@ static int has_top_right(MvCtx *m, int sb_mi) {
 void tpui_ref_mv_list(InterGrid *g, int mi_row, int mi_col, int bsize,
                       int ref_frame, int sb_mi, int t_row0, int t_row1,
                       int t_col0, int t_col1, int gm_r, int gm_c,
-                      MvRefsC *out) {
+                      int ref_frame2, int gm2_r, int gm2_c,
+                      const uint8_t *sign_bias, MvRefsC *out) {
+    static const uint8_t zero_bias[8] = {0};
+    if (!sign_bias) sign_bias = zero_bias;
     int n8_w = BW4[bsize], n8_h = BH4[bsize];
     memset(out, 0, sizeof(*out));
     MvCtx m = {0};
@@ -355,6 +481,7 @@ void tpui_ref_mv_list(InterGrid *g, int mi_row, int mi_col, int bsize,
     m.n8_w = n8_w;
     m.n8_h = n8_h;
     m.ref_frame = ref_frame;
+    m.ref_frame2 = ref_frame2;
     m.t_row0 = t_row0;
     m.t_row1 = t_row1;
     m.t_col0 = t_col0;
@@ -421,16 +548,21 @@ void tpui_ref_mv_list(InterGrid *g, int mi_row, int mi_col, int bsize,
     /* stable sort by weight descending (insertion sort keeps stability) */
     for (int i = 1; i < out->n; i++) {
         int16_t tr = out->mv[i][0], tc = out->mv[i][1];
+        int16_t tr2 = out->mv2[i][0], tc2 = out->mv2[i][1];
         int tw = out->weight[i];
         int j = i - 1;
         while (j >= 0 && out->weight[j] < tw) {
             out->mv[j + 1][0] = out->mv[j][0];
             out->mv[j + 1][1] = out->mv[j][1];
+            out->mv2[j + 1][0] = out->mv2[j][0];
+            out->mv2[j + 1][1] = out->mv2[j][1];
             out->weight[j + 1] = out->weight[j];
             j--;
         }
         out->mv[j + 1][0] = tr;
         out->mv[j + 1][1] = tc;
+        out->mv2[j + 1][0] = tr2;
+        out->mv2[j + 1][1] = tc2;
         out->weight[j + 1] = tw;
     }
 
@@ -443,54 +575,132 @@ void tpui_ref_mv_list(InterGrid *g, int mi_row, int mi_col, int bsize,
         if (t_row1 - mi_row < mi_height) mi_height = t_row1 - mi_row;
         if (mi_height > 16) mi_height = 16;
         int mi_size = mi_width < mi_height ? mi_width : mi_height;
-        if (abs(m.max_row_offset) >= 1) {
-            int i = 0;
-            while (i < mi_size && out->n < MAX_MV_CANDS) {
-                int r = mi_row - 1, c = mi_col + i;
-                size_t o = (size_t)r * g->mi_cols + c;
-                if (g->ref0[o] > 0) {
-                    int mvr = g->mv[o * 2], mvc = g->mv[o * 2 + 1];
-                    int dup = 0;
-                    for (int k = 0; k < out->n; k++)
-                        if (out->mv[k][0] == mvr && out->mv[k][1] == mvc)
-                            dup = 1;
-                    if (!dup) {
-                        out->mv[out->n][0] = (int16_t)mvr;
-                        out->mv[out->n][1] = (int16_t)mvc;
-                        out->weight[out->n] = 2;
-                        out->n++;
+        if (ref_frame2 > 0) {
+            /* compound light rescan (ref adaptive_mv_pred.c:457):
+             * same-ref / sign-flipped other-ref candidates per
+             * component, then combine */
+            int16_t ref_id[2][2][2], ref_diff[2][2][2];
+            int ref_id_n[2] = {0, 0}, ref_diff_n[2] = {0, 0};
+            int rf[2] = {ref_frame, ref_frame2};
+            for (int pass = 0; pass < 2; pass++) {
+                if (pass == 0 && abs(m.max_row_offset) < 1) continue;
+                if (pass == 1 && abs(m.max_col_offset) < 1) continue;
+                int i = 0;
+                while (i < mi_size) {
+                    int r = pass == 0 ? mi_row - 1 : mi_row + i;
+                    int c = pass == 0 ? mi_col + i : mi_col - 1;
+                    size_t o = (size_t)r * g->mi_cols + c;
+                    for (int ri = 0; ri < 2; ri++) {
+                        int can_rf = ri == 0 ? g->ref0[o] : g->ref1[o];
+                        const int16_t *cmv = ri == 0 ? g->mv + o * 2
+                                                     : g->mv1 + o * 2;
+                        for (int ci = 0; ci < 2; ci++) {
+                            if (can_rf == rf[ci] && ref_id_n[ci] < 2) {
+                                ref_id[ci][ref_id_n[ci]][0] = cmv[0];
+                                ref_id[ci][ref_id_n[ci]][1] = cmv[1];
+                                ref_id_n[ci]++;
+                            } else if (can_rf > 0 && ref_diff_n[ci] < 2) {
+                                int16_t vr = cmv[0], vc = cmv[1];
+                                if (sign_bias[can_rf] !=
+                                    sign_bias[rf[ci]]) {
+                                    vr = (int16_t)-vr;
+                                    vc = (int16_t)-vc;
+                                }
+                                ref_diff[ci][ref_diff_n[ci]][0] = vr;
+                                ref_diff[ci][ref_diff_n[ci]][1] = vc;
+                                ref_diff_n[ci]++;
+                            }
+                        }
                     }
+                    i += pass == 0 ? BW4[g->bsize[o]] : BH4[g->bsize[o]];
                 }
-                i += BW4[g->bsize[o]];
             }
-        }
-        if (abs(m.max_col_offset) >= 1) {
-            int i = 0;
-            while (i < mi_size && out->n < MAX_MV_CANDS) {
-                int r = mi_row + i, c = mi_col - 1;
-                size_t o = (size_t)r * g->mi_cols + c;
-                if (g->ref0[o] > 0) {
-                    int mvr = g->mv[o * 2], mvc = g->mv[o * 2 + 1];
-                    int dup = 0;
-                    for (int k = 0; k < out->n; k++)
-                        if (out->mv[k][0] == mvr && out->mv[k][1] == mvc)
-                            dup = 1;
-                    if (!dup) {
-                        out->mv[out->n][0] = (int16_t)mvr;
-                        out->mv[out->n][1] = (int16_t)mvc;
-                        out->weight[out->n] = 2;
-                        out->n++;
+            int16_t comp_list[MAX_MV_CANDS + 1][2][2];
+            for (int ci = 0; ci < 2; ci++) {
+                int k = 0;
+                for (int li = 0; li < ref_id_n[ci] && k < MAX_MV_CANDS;
+                     li++, k++) {
+                    comp_list[k][ci][0] = ref_id[ci][li][0];
+                    comp_list[k][ci][1] = ref_id[ci][li][1];
+                }
+                for (int li = 0; li < ref_diff_n[ci] && k < MAX_MV_CANDS;
+                     li++, k++) {
+                    comp_list[k][ci][0] = ref_diff[ci][li][0];
+                    comp_list[k][ci][1] = ref_diff[ci][li][1];
+                }
+                for (; k < MAX_MV_CANDS; k++) {
+                    comp_list[k][ci][0] = (int16_t)(ci ? gm2_r : gm_r);
+                    comp_list[k][ci][1] = (int16_t)(ci ? gm2_c : gm_c);
+                }
+            }
+            if (out->n) {   /* refmv_count == 1 */
+                int pick = (comp_list[0][0][0] == out->mv[0][0] &&
+                            comp_list[0][0][1] == out->mv[0][1] &&
+                            comp_list[0][1][0] == out->mv2[0][0] &&
+                            comp_list[0][1][1] == out->mv2[0][1])
+                               ? 1
+                               : 0;
+                out->mv[1][0] = comp_list[pick][0][0];
+                out->mv[1][1] = comp_list[pick][0][1];
+                out->mv2[1][0] = comp_list[pick][1][0];
+                out->mv2[1][1] = comp_list[pick][1][1];
+                out->weight[1] = 2;
+                out->n = 2;
+            } else {
+                for (int k = 0; k < MAX_MV_CANDS; k++) {
+                    out->mv[k][0] = comp_list[k][0][0];
+                    out->mv[k][1] = comp_list[k][0][1];
+                    out->mv2[k][0] = comp_list[k][1][0];
+                    out->mv2[k][1] = comp_list[k][1][1];
+                    out->weight[k] = 2;
+                }
+                out->n = MAX_MV_CANDS;
+            }
+            /* compound light-rescan adds COUNT toward NumMvFound */
+        } else {
+            for (int pass = 0; pass < 2; pass++) {
+                if (pass == 0 && abs(m.max_row_offset) < 1) continue;
+                if (pass == 1 && abs(m.max_col_offset) < 1) continue;
+                int i = 0;
+                while (i < mi_size && out->n < MAX_MV_CANDS) {
+                    int r = pass == 0 ? mi_row - 1 : mi_row + i;
+                    int c = pass == 0 ? mi_col + i : mi_col - 1;
+                    size_t o = (size_t)r * g->mi_cols + c;
+                    for (int ri = 0; ri < 2; ri++) {
+                        int can_rf = ri == 0 ? g->ref0[o] : g->ref1[o];
+                        if (can_rf <= 0) continue;
+                        const int16_t *cmv = ri == 0 ? g->mv + o * 2
+                                                     : g->mv1 + o * 2;
+                        int16_t mvr = cmv[0], mvc = cmv[1];
+                        if (sign_bias[can_rf] != sign_bias[ref_frame]) {
+                            mvr = (int16_t)-mvr;
+                            mvc = (int16_t)-mvc;
+                        }
+                        int dup = 0;
+                        for (int k = 0; k < out->n; k++)
+                            if (out->mv[k][0] == mvr &&
+                                out->mv[k][1] == mvc)
+                                dup = 1;
+                        /* append un-gated by MAX_MV_CANDS: both slots
+                         * of one candidate may add (count can reach 3,
+                         * matching the reference) */
+                        if (!dup && out->n < MAX_STACK) {
+                            out->mv[out->n][0] = mvr;
+                            out->mv[out->n][1] = mvc;
+                            out->weight[out->n] = 2;
+                            out->n++;
+                        }
                     }
+                    i += pass == 0 ? BW4[g->bsize[o]] : BH4[g->bsize[o]];
                 }
-                i += BH4[g->bsize[o]];
             }
-        }
-        n_counted = out->n;
-        while (out->n < MAX_MV_CANDS) {
-            out->mv[out->n][0] = (int16_t)gm_r;   /* gm fill (7.10.2) */
-            out->mv[out->n][1] = (int16_t)gm_c;
-            out->weight[out->n] = 2;
-            out->n++;
+            n_counted = out->n;
+            while (out->n < MAX_MV_CANDS) {
+                out->mv[out->n][0] = (int16_t)gm_r;   /* gm fill */
+                out->mv[out->n][1] = (int16_t)gm_c;
+                out->weight[out->n] = 2;
+                out->n++;
+            }
         }
     }
 
@@ -508,6 +718,14 @@ void tpui_ref_mv_list(InterGrid *g, int mi_row, int mi_col, int bsize,
         out->mv[i][0] = (int16_t)clampi(out->mv[i][0],
                                         to_top - bh8 - MV_BORDER,
                                         to_bottom + bh8 + MV_BORDER);
+        if (ref_frame2 > 0) {
+            out->mv2[i][1] = (int16_t)clampi(out->mv2[i][1],
+                                             to_left - bw8 - MV_BORDER,
+                                             to_right + bw8 + MV_BORDER);
+            out->mv2[i][0] = (int16_t)clampi(out->mv2[i][0],
+                                             to_top - bh8 - MV_BORDER,
+                                             to_bottom + bh8 + MV_BORDER);
+        }
     }
     out->n_found = n_counted < 0 ? out->n : n_counted;
 }
@@ -622,15 +840,22 @@ static int intra_inter_ctx_of(TpuCommit *c, int r, int c4) {
 }
 
 static void neighbor_ref_counts(TpuCommit *c, int r, int c4, int *counts) {
+    /* collect_neighbors_ref_counts: both ref slots of above/left */
     InterGrid *g = c->grid;
     memset(counts, 0, sizeof(int) * 8);
     if (r > c->t_mi_row0) {
-        int r0 = g->ref0[(size_t)(r - 1) * g->mi_cols + c4];
-        if (r0 > 0) counts[r0]++;
+        size_t o = (size_t)(r - 1) * g->mi_cols + c4;
+        if (g->ref0[o] > 0) {
+            counts[g->ref0[o]]++;
+            if (g->ref1[o] > 0) counts[g->ref1[o]]++;
+        }
     }
     if (c4 > c->t_mi_col0) {
-        int r0 = g->ref0[(size_t)r * g->mi_cols + c4 - 1];
-        if (r0 > 0) counts[r0]++;
+        size_t o = (size_t)r * g->mi_cols + c4 - 1;
+        if (g->ref0[o] > 0) {
+            counts[g->ref0[o]]++;
+            if (g->ref1[o] > 0) counts[g->ref1[o]]++;
+        }
     }
 }
 static int ctx3(int a, int b) { return a == b ? 1 : (a < b ? 0 : 2); }
@@ -668,6 +893,136 @@ static double cost_single_ref_last(TpuCommit *c, int r, int c4) {
                ic->single_ref + (ctx3(cnt[1], cnt[2]) * 6 + 3) * 3, 0);
 }
 
+/* ---- compound (LAST + ALTREF) syntax helpers --------------------------- */
+
+/* av1_get_reference_mode_context (comp_inter bit ctx) */
+static int reference_mode_ctx_c(TpuCommit *c, int r, int c4) {
+    InterGrid *g = c->grid;
+    int ha = r > c->t_mi_row0, hl = c4 > c->t_mi_col0;
+#define NINFO(rr, cc, in, cp, bwd)                                   \
+    do {                                                              \
+        size_t o = (size_t)(rr)*g->mi_cols + (cc);                    \
+        in = g->ref0[o] > 0;                                          \
+        cp = g->ref1[o] > 0;                                          \
+        bwd = g->ref0[o] >= 5;                                        \
+    } while (0)
+    if (ha && hl) {
+        int a_in, a_cp, a_b, l_in, l_cp, l_b;
+        NINFO(r - 1, c4, a_in, a_cp, a_b);
+        NINFO(r, c4 - 1, l_in, l_cp, l_b);
+        if (!a_cp && !l_cp) return a_b ^ l_b;
+        if (!a_cp) return 2 + (a_b || !a_in);
+        if (!l_cp) return 2 + (l_b || !l_in);
+        return 4;
+    }
+    if (ha || hl) {
+        int e_in, e_cp, e_b;
+        if (ha) NINFO(r - 1, c4, e_in, e_cp, e_b);
+        else NINFO(r, c4 - 1, e_in, e_cp, e_b);
+        return e_cp ? 3 : e_b;
+    }
+    return 1;
+#undef NINFO
+}
+
+/* av1_get_comp_reference_type_context */
+static int comp_ref_type_ctx_c(TpuCommit *c, int r, int c4) {
+    InterGrid *g = c->grid;
+    int ha = r > c->t_mi_row0, hl = c4 > c->t_mi_col0;
+#define RINFO(rr, cc, in, cp, r0, r1)                                 \
+    do {                                                              \
+        size_t o = (size_t)(rr)*g->mi_cols + (cc);                    \
+        r0 = g->ref0[o];                                              \
+        r1 = g->ref1[o];                                              \
+        in = r0 > 0;                                                  \
+        cp = r1 > 0;                                                  \
+    } while (0)
+#define UNI(r0, r1) (!((r0 >= 5) ^ (r1 >= 5)))
+    if (ha && hl) {
+        int a_in, a_cp, a0, a1, l_in, l_cp, l0, l1;
+        RINFO(r - 1, c4, a_in, a_cp, a0, a1);
+        RINFO(r, c4 - 1, l_in, l_cp, l0, l1);
+        if (!a_in && !l_in) return 2;
+        if (!a_in || !l_in) {
+            int e_cp = !a_in ? l_cp : a_cp;
+            int e0 = !a_in ? l0 : a0;
+            int e1 = !a_in ? l1 : a1;
+            if (!e_cp) return 2;
+            return 1 + 2 * UNI(e0, e1);
+        }
+        if (!a_cp && !l_cp) return 1 + 2 * (!((a0 >= 5) ^ (l0 >= 5)));
+        if (!a_cp || !l_cp) {
+            int uni = !a_cp ? UNI(l0, l1) : UNI(a0, a1);
+            if (!uni) return 1;
+            return 3 + (!((a0 >= 5) ^ (l0 >= 5)));
+        }
+        {
+            int a_uni = UNI(a0, a1), l_uni = UNI(l0, l1);
+            if (!a_uni && !l_uni) return 0;
+            if (!a_uni || !l_uni) return 2;
+            return 3 + ((a0 == 5) == (l0 == 5));
+        }
+    }
+    if (ha || hl) {
+        int e_in, e_cp, e0, e1;
+        if (ha) RINFO(r - 1, c4, e_in, e_cp, e0, e1);
+        else RINFO(r, c4 - 1, e_in, e_cp, e0, e1);
+        if (!e_in || !e_cp) return 2;
+        return 4 * UNI(e0, e1);
+    }
+    return 2;
+#undef RINFO
+#undef UNI
+}
+
+/* compound ref coding for our (LAST, ALTREF) pair: comp_ref_type=BIDIR,
+ * comp_ref p=0 p1=0, comp_bwdref p=1 */
+static double cost_comp_refs_last_alt(TpuCommit *c, int r, int c4) {
+    InterCdfs *ic = c->ic;
+    int cnt[8];
+    neighbor_ref_counts(c, r, c4, cnt);
+    return tpu_sym_cost_bits(
+               ic->comp_ref_type + comp_ref_type_ctx_c(c, r, c4) * 3, 1) +
+           tpu_sym_cost_bits(
+               ic->comp_ref +
+                   (ctx3(cnt[1] + cnt[2], cnt[3] + cnt[4]) * 3 + 0) * 3,
+               0) +
+           tpu_sym_cost_bits(
+               ic->comp_ref + (ctx3(cnt[1], cnt[2]) * 3 + 1) * 3, 0) +
+           tpu_sym_cost_bits(
+               ic->comp_bwdref +
+                   (ctx3(cnt[5] + cnt[6], cnt[7]) * 2 + 0) * 3,
+               1);
+}
+
+static void write_comp_refs_last_alt(TpuCommit *c, int r, int c4) {
+    InterCdfs *ic = c->ic;
+    int cnt[8];
+    neighbor_ref_counts(c, r, c4, cnt);
+    tpuec_symbol(c->ec, 1,
+                 ic->comp_ref_type + comp_ref_type_ctx_c(c, r, c4) * 3, 2,
+                 1);
+    tpuec_symbol(c->ec, 0,
+                 ic->comp_ref +
+                     (ctx3(cnt[1] + cnt[2], cnt[3] + cnt[4]) * 3 + 0) * 3,
+                 2, 1);
+    tpuec_symbol(c->ec, 0,
+                 ic->comp_ref + (ctx3(cnt[1], cnt[2]) * 3 + 1) * 3, 2, 1);
+    tpuec_symbol(c->ec, 1,
+                 ic->comp_bwdref +
+                     (ctx3(cnt[5] + cnt[6], cnt[7]) * 2 + 0) * 3,
+                 2, 1);
+}
+
+/* av1_mode_context_analyzer compound mapping */
+static int compound_mode_ctx_c(int mode_context) {
+    static const int map[3][5] = {
+        {0, 1, 1, 1, 1}, {1, 2, 3, 4, 4}, {4, 4, 5, 6, 7}};
+    int newmv_ctx = mode_context & 7;
+    int refmv_ctx = (mode_context >> 4) & 15;
+    return map[refmv_ctx >> 1][newmv_ctx < 4 ? newmv_ctx : 4];
+}
+
 /* ---- inter block encode ------------------------------------------------ */
 static __thread int32_t i_pred_y[64 * 64], i_resid_y[64 * 64];
 static __thread int32_t i_pred_u[32 * 32], i_pred_v[32 * 32];
@@ -695,11 +1050,43 @@ static long sad_luma(TpuCommit *c, int r, int c4, int size,
     return sad;
 }
 
-/* Encode one P-frame leaf block (inter-vs-intra decision inside). */
+/* Single-ref MC against the SECOND reference (ALTREF recon) */
+static void mc_luma2(TpuCommit *c, int r, int c4, int size, int mvr,
+                     int mvc, int32_t *out) {
+    tpui_mc_block(c->ref2p[0], c->ref2_stride[0], c->width, c->height,
+                  c4 * 4, r * 4, size, size, mvc * 2, mvr * 2, c->bd, out);
+}
+
+/* Compound average prediction, luma (CONV_BUF parts + blend) */
+static void mc_comp_luma(TpuCommit *c, int r, int c4, int size, int mv0r,
+                         int mv0c, int mv1r, int mv1c, int32_t *out) {
+    static __thread int32_t p0[64 * 64], p1[64 * 64];
+    mc_comp_part(c->refp[0], c->ref_stride[0], c->width, c->height,
+                 c4 * 4, r * 4, size, size, mv0c * 2, mv0r * 2, c->bd, p0);
+    mc_comp_part(c->ref2p[0], c->ref2_stride[0], c->width, c->height,
+                 c4 * 4, r * 4, size, size, mv1c * 2, mv1r * 2, c->bd, p1);
+    blend_comp_avg(p0, p1, size * size, c->bd, out);
+}
+
+/* Compound average prediction, one chroma plane */
+static void mc_comp_chroma(TpuCommit *c, int plane, int cr, int cc, int cw,
+                           int chh, int mv0r, int mv0c, int mv1r, int mv1c,
+                           int32_t *out) {
+    static __thread int32_t p0[32 * 32], p1[32 * 32];
+    int pw = (c->width + 1) >> 1, ph = (c->height + 1) >> 1;
+    mc_comp_part(c->refp[plane], c->ref_stride[plane], pw, ph, cc * 4,
+                 cr * 4, cw, chh, mv0c, mv0r, c->bd, p0);
+    mc_comp_part(c->ref2p[plane], c->ref2_stride[plane], pw, ph, cc * 4,
+                 cr * 4, cw, chh, mv1c, mv1r, c->bd, p1);
+    blend_comp_avg(p0, p1, cw * chh, c->bd, out);
+}
+
+/* Encode one P/B-frame leaf block (inter-vs-intra decision inside;
+ * compound LAST+ALTREF candidates when a second ref is attached). */
 static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                            const uint8_t *icand, const int16_t *mv16,
-                           int mv16_cols, int q, int *dq_pending,
-                           int *prev_q, int dq_res_log2) {
+                           const int16_t *mv16b, int mv16_cols, int q,
+                           int *dq_pending, int *prev_q, int dq_res_log2) {
     InterCdfs *ic = c->ic;
     int ts_y = tpu_sq_tx(size);
     int ts_c = tpu_uv_tx(size);
@@ -710,7 +1097,8 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     MvRefsC refs;
     tpui_ref_mv_list(c->grid, r, c4, bsize, 1, 16, c->t_mi_row0,
                      c->t_mi_row1, c->t_mi_col0, c->t_mi_col1,
-                     c->gm_mv[0], c->gm_mv[1], &refs);
+                     c->gm_mv[0], c->gm_mv[1], -1, 0, 0, c->sign_bias,
+                     &refs);
     int near0r = refs.mv[0][0], near0c = refs.mv[0][1];
     lower_precision(&near0r, &near0c);
 
@@ -778,10 +1166,17 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         cm[ncand][3] = 0; ncand++;
     }
 
-    /* common inter rate: is_inter bit + single-ref tree */
+    /* common inter rate: is_inter bit + [comp_inter bit] + ref tree */
     int ii_ctx = intra_inter_ctx_of(c, r, c4);
+    int comp_ok = c->has_ref2 && size >= 8;
+    double comp_bit0 = 0.0, comp_bit1 = 0.0;
+    if (comp_ok) {
+        int rm_ctx = reference_mode_ctx_c(c, r, c4);
+        comp_bit0 = tpu_sym_cost_bits(ic->comp_inter + rm_ctx * 3, 0);
+        comp_bit1 = tpu_sym_cost_bits(ic->comp_inter + rm_ctx * 3, 1);
+    }
     double inter_base_rate =
-        tpu_sym_cost_bits(ic->intra_inter + ii_ctx * 3, 1) +
+        tpu_sym_cost_bits(ic->intra_inter + ii_ctx * 3, 1) + comp_bit0 +
         cost_single_ref_last(c, r, c4);
     double intra_base_rate =
         tpu_sym_cost_bits(ic->intra_inter + ii_ctx * 3, 0);
@@ -900,6 +1295,206 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                      c->rdmult * ((i_tu.rate512 + i_tv.rate512) / 512.0);
     }
 
+    /* compound (LAST + ALTREF) candidates: NEAREST_NEARESTMV /
+     * NEAR_NEARMV / NEW_NEWMV with average blend; plus the skip_mode
+     * shortcut (one symbol codes refs+mode+mvs+skip). Evaluated
+     * against the single-ref winner incl. chroma. */
+    MvRefsC crefs;
+    int use_comp = 0, use_sm = 0;
+    int comp_cm = 0, cmv0r = 0, cmv0c = 0, cmv1r = 0, cmv1c = 0;
+    if (comp_ok) {
+        tpui_ref_mv_list(c->grid, r, c4, bsize, 1, 16, c->t_mi_row0,
+                         c->t_mi_row1, c->t_mi_col0, c->t_mi_col1,
+                         c->gm_mv[0], c->gm_mv[1], 7, 0, 0, c->sign_bias,
+                         &crefs);
+        int cc_cm[3], cc_mv[3][4], ncc = 0;
+        {
+            int m0r = crefs.mv[0][0], m0c = crefs.mv[0][1];
+            int m1r = crefs.mv2[0][0], m1c = crefs.mv2[0][1];
+            lower_precision(&m0r, &m0c);
+            lower_precision(&m1r, &m1c);
+            cc_cm[ncc] = 0;                      /* NEAREST_NEARESTMV */
+            cc_mv[ncc][0] = m0r; cc_mv[ncc][1] = m0c;
+            cc_mv[ncc][2] = m1r; cc_mv[ncc][3] = m1c;
+            ncc++;
+            if (crefs.n >= 2) {
+                int n0r = crefs.mv[1][0], n0c = crefs.mv[1][1];
+                int n1r = crefs.mv2[1][0], n1c = crefs.mv2[1][1];
+                lower_precision(&n0r, &n0c);
+                lower_precision(&n1r, &n1c);
+                if (n0r != m0r || n0c != m0c || n1r != m1r ||
+                    n1c != m1c) {
+                    cc_cm[ncc] = 1;              /* NEAR_NEARMV */
+                    cc_mv[ncc][0] = n0r; cc_mv[ncc][1] = n0c;
+                    cc_mv[ncc][2] = n1r; cc_mv[ncc][3] = n1c;
+                    ncc++;
+                }
+            }
+        }
+        if (mv16b) {
+            /* NEW_NEWMV: comp0 = single-ref winner MV, comp1 = device
+             * HME seed on the second ref refined by SAD diamond */
+            int cell_r = (r * 4) / 16, cell_c = (c4 * 4) / 16;
+            int b1r = mv16b[(cell_r * mv16_cols + cell_c) * 2] * 8;
+            int b1c = mv16b[(cell_r * mv16_cols + cell_c) * 2 + 1] * 8;
+            static __thread int32_t tmp2[64 * 64];
+            mc_luma2(c, r, c4, size, b1r, b1c, tmp2);
+            long bs2 = sad_luma(c, r, c4, size, tmp2);
+            for (int step = 8; step >= 2; step >>= 1) {
+                int improved = 1, iters = 0;
+                while (improved && iters++ < 3) {
+                    improved = 0;
+                    static const int D[4][2] = {{-1, 0}, {1, 0}, {0, -1},
+                                                {0, 1}};
+                    for (int k = 0; k < 4; k++) {
+                        int mr = b1r + D[k][0] * step;
+                        int mc2 = b1c + D[k][1] * step;
+                        mc_luma2(c, r, c4, size, mr, mc2, tmp2);
+                        long s = sad_luma(c, r, c4, size, tmp2);
+                        if (s < bs2) {
+                            bs2 = s;
+                            b1r = mr;
+                            b1c = mc2;
+                            improved = 1;
+                        }
+                    }
+                }
+            }
+            cc_cm[ncc] = 7;                      /* NEW_NEWMV */
+            cc_mv[ncc][0] = best_mvr; cc_mv[ncc][1] = best_mvc;
+            cc_mv[ncc][2] = b1r; cc_mv[ncc][3] = b1c;
+            ncc++;
+        }
+        double comp_base =
+            tpu_sym_cost_bits(ic->intra_inter + ii_ctx * 3, 1) +
+            comp_bit1 + cost_comp_refs_last_alt(c, r, c4);
+        int cm_ctx = compound_mode_ctx_c(crefs.mode_context);
+        static __thread int32_t comp_pred[64 * 64];
+        static __thread int32_t best_comp_pred[64 * 64];
+        static __thread TxTrial cmp_ty;
+        double cbest = -1.0;
+        int cbi = -1;
+        long cb_predsse = 0;
+        for (int i = 0; i < ncc; i++) {
+            mc_comp_luma(c, r, c4, size, cc_mv[i][0], cc_mv[i][1],
+                         cc_mv[i][2], cc_mv[i][3], comp_pred);
+            const uint16_t *sp = c->src[0];
+            int ss = c->sstride[0];
+            long predsse = 0;
+            for (int y = 0; y < size; y++)
+                for (int x = 0; x < size; x++) {
+                    int d = (int)sp[(r * 4 + y) * ss + c4 * 4 + x] -
+                            comp_pred[y * size + x];
+                    cand_resid[y * size + x] = d;
+                    predsse += (long)d * d;
+                }
+            tpu_trial_txb(c, 0, ts_y, 0, cand_resid, q, 0, sgn_y, 1,
+                          &cand_trial);
+            double rate = tpu_sym_cost_bits(
+                ic->inter_compound_mode + cm_ctx * 9, cc_cm[i]);
+            if (cc_cm[i] == 7) {
+                if (crefs.n_found > 1)
+                    rate += tpu_sym_cost_bits(
+                        ic->drl + tpui_drl_ctx(&crefs, 0) * 3, 0);
+                int p0r = crefs.mv[0][0], p0c = crefs.mv[0][1];
+                int p1r = crefs.mv2[0][0], p1c = crefs.mv2[0][1];
+                lower_precision(&p0r, &p0c);
+                lower_precision(&p1r, &p1c);
+                rate += cost_mv(c, cc_mv[i][0], cc_mv[i][1], p0r, p0c);
+                rate += cost_mv(c, cc_mv[i][2], cc_mv[i][3], p1r, p1c);
+            } else if (cc_cm[i] == 1 && crefs.n_found > 2) {
+                rate += tpu_sym_cost_bits(
+                    ic->drl + tpui_drl_ctx(&crefs, 1) * 3, 0);
+            }
+            double cost = (double)cand_trial.sse +
+                          c->rdmult * (rate + cand_trial.rate512 / 512.0);
+            if (cbest < 0 || cost < cbest) {
+                cbest = cost;
+                cbi = i;
+                cb_predsse = predsse;
+                cmp_ty = cand_trial;
+                memcpy(best_comp_pred, comp_pred,
+                       sizeof(int32_t) * size * size);
+            }
+        }
+        /* chroma for the compound winner */
+        static __thread int32_t cu[32 * 32], cv[32 * 32];
+        static __thread TxTrial cmp_tu, cmp_tv;
+        long chroma_predsse = 0;
+        {
+            int cw = TXW[ts_c], chh = TXH[ts_c];
+            mc_comp_chroma(c, 1, cr, cc, cw, chh, cc_mv[cbi][0],
+                           cc_mv[cbi][1], cc_mv[cbi][2], cc_mv[cbi][3],
+                           cu);
+            mc_comp_chroma(c, 2, cr, cc, cw, chh, cc_mv[cbi][0],
+                           cc_mv[cbi][1], cc_mv[cbi][2], cc_mv[cbi][3],
+                           cv);
+            static __thread int32_t ru2[32 * 32], rv2[32 * 32];
+            const uint16_t *su = c->src[1], *sv = c->src[2];
+            int ss = c->sstride[1];
+            for (int y = 0; y < chh; y++)
+                for (int x = 0; x < cw; x++) {
+                    int off = (cr * 4 + y) * ss + cc * 4 + x;
+                    int du = (int)su[off] - cu[y * cw + x];
+                    int dv = (int)sv[off] - cv[y * cw + x];
+                    ru2[y * cw + x] = du;
+                    rv2[y * cw + x] = dv;
+                    chroma_predsse += (long)du * du + (long)dv * dv;
+                }
+            int sgn_u = tpu_dc_sign_ctx(c, 1, cr, cc, ts_c);
+            int sgn_v = tpu_dc_sign_ctx(c, 2, cr, cc, ts_c);
+            tpu_trial_txb(c, 1, ts_c, 0, ru2, q, 1, sgn_u, 1, &cmp_tu);
+            tpu_trial_txb(c, 2, ts_c, 0, rv2, q, 1, sgn_v, 1, &cmp_tv);
+        }
+        double comp_total = cbest + c->rdmult * comp_base +
+                            (double)(cmp_tu.sse + cmp_tv.sse) +
+                            c->rdmult *
+                                ((cmp_tu.rate512 + cmp_tv.rate512) /
+                                 512.0);
+        if (comp_total < best_cost) {
+            best_cost = comp_total;
+            use_comp = 1;
+            comp_cm = cc_cm[cbi];
+            cmv0r = cc_mv[cbi][0]; cmv0c = cc_mv[cbi][1];
+            cmv1r = cc_mv[cbi][2]; cmv1c = cc_mv[cbi][3];
+            i_ty = cmp_ty;
+            i_tu = cmp_tu;
+            i_tv = cmp_tv;
+            memcpy(i_pred_y, best_comp_pred, sizeof(int32_t) * size * size);
+            memcpy(i_pred_u, cu, sizeof(int32_t) * 32 * 32);
+            memcpy(i_pred_v, cv, sizeof(int32_t) * 32 * 32);
+        }
+        /* skip_mode: NEAREST_NEARESTMV with forced-zero residual at the
+         * cost of a single symbol */
+        if (c->skip_mode_present && cbi == 0 && cc_cm[cbi] == 0) {
+            int sm_ctx = c->above_skip_mode[c4] + c->left_skip_mode[r];
+            double sm_cost =
+                (double)(cb_predsse + chroma_predsse) +
+                c->rdmult *
+                    tpu_sym_cost_bits(ic->skip_mode + sm_ctx * 3, 1);
+            double alt = best_cost +
+                         c->rdmult * tpu_sym_cost_bits(
+                                         ic->skip_mode + sm_ctx * 3, 0);
+            if (sm_cost < alt) {
+                use_sm = 1;
+                use_comp = 1;
+                comp_cm = 0;
+                cmv0r = cc_mv[0][0]; cmv0c = cc_mv[0][1];
+                cmv1r = cc_mv[0][2]; cmv1c = cc_mv[0][3];
+                memcpy(i_pred_y, best_comp_pred,
+                       sizeof(int32_t) * size * size);
+                memcpy(i_pred_u, cu, sizeof(int32_t) * 32 * 32);
+                memcpy(i_pred_v, cv, sizeof(int32_t) * 32 * 32);
+                i_ty.sse = cb_predsse;
+                i_ty.eob = 0;
+                i_tu.sse = 0;
+                i_tu.eob = 0;
+                i_tv.sse = chroma_predsse;
+                i_tv.eob = 0;
+            }
+        }
+    }
+
     /* intra competitor — only consulted when the inter winner is poor
      * (the reference's class pruning; avoids a full intra trial on every
      * well-predicted block) */
@@ -919,76 +1514,130 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     }
     int skip;
     if (use_intra) {
-        /* re-run trial to restore intra __thread buffers (the inter
-         * chroma trial may have clobbered nothing — intra buffers are
-         * separate — but CDF state was untouched; just reuse) */
+        use_sm = 0;
+        use_comp = 0;
         skip = iskip;
+    } else if (use_sm) {
+        skip = 1;
     } else {
         skip = (i_ty.eob == 0 && i_tu.eob == 0 && i_tv.eob == 0);
     }
 
-    /* syntax: skip -> delta q -> is_inter -> info -> residual */
+    /* syntax: [skip_mode] -> skip -> delta q -> is_inter -> info ->
+     * residual (mirrors the parser's read order exactly) */
+    int aw4 = w4 < c->mi_cols - c4 ? w4 : c->mi_cols - c4;
+    int lh4 = w4 < c->mi_rows - r ? w4 : c->mi_rows - r;
+    if (c->skip_mode_present && size >= 8) {
+        int sm_ctx = c->above_skip_mode[c4] + c->left_skip_mode[r];
+        tpuec_symbol(c->ec, use_sm, ic->skip_mode + sm_ctx * 3, 2, 1);
+        memset(c->above_skip_mode + c4, use_sm, aw4);
+        memset(c->left_skip_mode + r, use_sm, lh4);
+    }
     int skip_ctx = c->above_skip[c4] + c->left_skip[r];
-    tpuec_symbol(c->ec, skip, c->mc->skip + skip_ctx * 3, 2, 1);
+    if (!use_sm)
+        tpuec_symbol(c->ec, skip, c->mc->skip + skip_ctx * 3, 2, 1);
     if (*dq_pending && !(size == 64 && skip)) {
         int delta = (q - *prev_q) >> dq_res_log2;
         tpu_write_delta_q(c, delta < 0 ? -delta : delta, delta < 0);
         *prev_q = q;
         *dq_pending = 0;
     }
-    tpuec_symbol(c->ec, !use_intra, ic->intra_inter + ii_ctx * 3, 2, 1);
+    if (!use_sm)
+        tpuec_symbol(c->ec, !use_intra, ic->intra_inter + ii_ctx * 3, 2,
+                     1);
     if (use_intra) {
         tpu_intra_commit_choice(c, r, c4, size, iy, iuv, iskip);
         return;
     }
 
-    write_single_ref_last(c, r, c4);
-    {
-        int newmv_ctx = refs.mode_context & 7;
-        int zeromv_ctx = (refs.mode_context >> 3) & 1;
-        int refmv_ctx = (refs.mode_context >> 4) & 15;
-        tpuec_symbol(c->ec, best_mode != 3, ic->newmv + newmv_ctx * 3, 2,
-                     1);
-        if (best_mode != 3) {
-            tpuec_symbol(c->ec, best_mode != 2, ic->zeromv + zeromv_ctx * 3,
+    if (!use_sm) {
+        if (comp_ok)
+            tpuec_symbol(c->ec, use_comp,
+                         ic->comp_inter +
+                             reference_mode_ctx_c(c, r, c4) * 3,
                          2, 1);
-            if (best_mode != 2)
-                tpuec_symbol(c->ec, best_mode != 0,
-                             ic->refmv + refmv_ctx * 3, 2, 1);
-        }
-        /* DRL (refs.count == NumMvFound gates the bits) */
-        if (best_mode == 3) {
-            for (int idx = 0; idx < 2; idx++) {
-                if (refs.n_found > idx + 1) {
-                    int bit = best_drl != idx;
-                    tpuec_symbol(c->ec, bit,
-                                 ic->drl + tpui_drl_ctx(&refs, idx) * 3, 2,
-                                 1);
-                    if (!bit) break;
+        if (use_comp) {
+            write_comp_refs_last_alt(c, r, c4);
+            int cm_ctx = compound_mode_ctx_c(crefs.mode_context);
+            tpuec_symbol(c->ec, comp_cm,
+                         ic->inter_compound_mode + cm_ctx * 9, 8, 1);
+            if (comp_cm == 7) {               /* NEW_NEWMV, drl = 0 */
+                for (int idx = 0; idx < 2; idx++) {
+                    if (crefs.n_found > idx + 1) {
+                        int bit = 0 != idx;
+                        tpuec_symbol(c->ec, bit,
+                                     ic->drl + tpui_drl_ctx(&crefs, idx) *
+                                                   3,
+                                     2, 1);
+                        if (!bit) break;
+                    }
+                }
+                int p0r = crefs.mv[0][0], p0c = crefs.mv[0][1];
+                int p1r = crefs.mv2[0][0], p1c = crefs.mv2[0][1];
+                lower_precision(&p0r, &p0c);
+                lower_precision(&p1r, &p1c);
+                write_mv(c, cmv0r, cmv0c, p0r, p0c);
+                write_mv(c, cmv1r, cmv1c, p1r, p1c);
+            } else if (comp_cm == 1) {        /* NEAR_NEARMV, idx = 1 */
+                for (int idx = 1; idx < 3; idx++) {
+                    if (crefs.n_found > idx + 1) {
+                        int bit = 1 != idx;
+                        tpuec_symbol(c->ec, bit,
+                                     ic->drl + tpui_drl_ctx(&crefs, idx) *
+                                                   3,
+                                     2, 1);
+                        if (!bit) break;
+                    }
                 }
             }
-        } else if (best_mode == 1) {
-            for (int idx = 1; idx < 3; idx++) {
-                if (refs.n_found > idx + 1) {
-                    int bit = (1 + best_drl) != idx;
-                    tpuec_symbol(c->ec, bit,
-                                 ic->drl + tpui_drl_ctx(&refs, idx) * 3, 2,
-                                 1);
-                    if (!bit) break;
+        } else {
+            write_single_ref_last(c, r, c4);
+            int newmv_ctx = refs.mode_context & 7;
+            int zeromv_ctx = (refs.mode_context >> 3) & 1;
+            int refmv_ctx = (refs.mode_context >> 4) & 15;
+            tpuec_symbol(c->ec, best_mode != 3, ic->newmv + newmv_ctx * 3,
+                         2, 1);
+            if (best_mode != 3) {
+                tpuec_symbol(c->ec, best_mode != 2,
+                             ic->zeromv + zeromv_ctx * 3, 2, 1);
+                if (best_mode != 2)
+                    tpuec_symbol(c->ec, best_mode != 0,
+                                 ic->refmv + refmv_ctx * 3, 2, 1);
+            }
+            /* DRL (refs.count == NumMvFound gates the bits) */
+            if (best_mode == 3) {
+                for (int idx = 0; idx < 2; idx++) {
+                    if (refs.n_found > idx + 1) {
+                        int bit = best_drl != idx;
+                        tpuec_symbol(c->ec, bit,
+                                     ic->drl + tpui_drl_ctx(&refs, idx) *
+                                                   3,
+                                     2, 1);
+                        if (!bit) break;
+                    }
+                }
+            } else if (best_mode == 1) {
+                for (int idx = 1; idx < 3; idx++) {
+                    if (refs.n_found > idx + 1) {
+                        int bit = (1 + best_drl) != idx;
+                        tpuec_symbol(c->ec, bit,
+                                     ic->drl + tpui_drl_ctx(&refs, idx) *
+                                                   3,
+                                     2, 1);
+                        if (!bit) break;
+                    }
                 }
             }
-        }
-        if (best_mode == 3) {
-            int pos = refs.n_found > 1 ? best_drl : 0;
-            int pr = refs.mv[pos][0], pc = refs.mv[pos][1];
-            lower_precision(&pr, &pc);
-            write_mv(c, best_mvr, best_mvc, pr, pc);
+            if (best_mode == 3) {
+                int pos = refs.n_found > 1 ? best_drl : 0;
+                int pr = refs.mv[pos][0], pc = refs.mv[pos][1];
+                lower_precision(&pr, &pc);
+                write_mv(c, best_mvr, best_mvc, pr, pc);
+            }
         }
     }
 
     /* neighbor rows + grid */
-    int aw4 = w4 < c->mi_cols - c4 ? w4 : c->mi_cols - c4;
-    int lh4 = w4 < c->mi_rows - r ? w4 : c->mi_rows - r;
     memset(c->above_mode + c4, 0, aw4);
     memset(c->left_mode + r, 0, lh4);
     memset(c->above_skip + c4, skip, aw4);
@@ -997,8 +1646,12 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     memset(c->left_smooth[0] + r, 0, lh4);
     memset(c->above_smooth[1] + c4, 0, aw4);
     memset(c->left_smooth[1] + r, 0, lh4);
-    tpui_grid_set(c->grid, r, c4, w4, w4, bsize, 1, best_mvr, best_mvc,
-                  best_mode == 3);
+    if (use_comp)
+        tpui_grid_set_comp(c->grid, r, c4, w4, w4, bsize, 1, 7, cmv0r,
+                           cmv0c, cmv1r, cmv1c, comp_cm == 7);
+    else
+        tpui_grid_set(c->grid, r, c4, w4, w4, bsize, 1, best_mvr,
+                      best_mvc, best_mode == 3);
     if (c->lf_txdim[0]) {
         for (int i = 0; i < lh4; i++)
             memset(c->lf_txdim[0] + (r + i) * c->lf_stride[0] + c4,
@@ -1042,7 +1695,8 @@ static void walk_p(TpuCommit *c, int r, int c4, int size,
                    const uint8_t *s16, const uint8_t *m64,
                    const uint8_t *m32, const uint8_t *m16,
                    const uint8_t *m8, int nc64, int nc32, int nc16, int nc8,
-                   const int16_t *mv16, int mv16_cols, int q,
+                   const int16_t *mv16, const int16_t *mv16b,
+                   int mv16_cols, int q,
                    int *dq_pending, int *prev_q, int dq_res_log2) {
     if (r >= c->mi_rows || c4 >= c->mi_cols) return;
     int w4 = size / 4;
@@ -1059,16 +1713,16 @@ static void walk_p(TpuCommit *c, int r, int c4, int size,
         tpu_write_partition(c, r, c4, size, 3);
         int h4 = w4 >> 1;
         walk_p(c, r, c4, size / 2, s64, s32, s16, m64, m32, m16, m8, nc64,
-               nc32, nc16, nc8, mv16, mv16_cols, q, dq_pending, prev_q,
+               nc32, nc16, nc8, mv16, mv16b, mv16_cols, q, dq_pending, prev_q,
                dq_res_log2);
         walk_p(c, r, c4 + h4, size / 2, s64, s32, s16, m64, m32, m16, m8,
-               nc64, nc32, nc16, nc8, mv16, mv16_cols, q, dq_pending,
+               nc64, nc32, nc16, nc8, mv16, mv16b, mv16_cols, q, dq_pending,
                prev_q, dq_res_log2);
         walk_p(c, r + h4, c4, size / 2, s64, s32, s16, m64, m32, m16, m8,
-               nc64, nc32, nc16, nc8, mv16, mv16_cols, q, dq_pending,
+               nc64, nc32, nc16, nc8, mv16, mv16b, mv16_cols, q, dq_pending,
                prev_q, dq_res_log2);
         walk_p(c, r + h4, c4 + h4, size / 2, s64, s32, s16, m64, m32, m16,
-               m8, nc64, nc32, nc16, nc8, mv16, mv16_cols, q, dq_pending,
+               m8, nc64, nc32, nc16, nc8, mv16, mv16b, mv16_cols, q, dq_pending,
                prev_q, dq_res_log2);
         return;
     }
@@ -1081,7 +1735,7 @@ static void walk_p(TpuCommit *c, int r, int c4, int size,
              : size == 16 ? nc16 : nc8;
     const uint8_t *icand =
         mm + (((r * 4) / size) * nc + (c4 * 4) / size) * 3;
-    encode_block_p(c, r, c4, size, icand, mv16, mv16_cols, q, dq_pending,
+    encode_block_p(c, r, c4, size, icand, mv16, mv16b, mv16_cols, q, dq_pending,
                    prev_q, dq_res_log2);
     tpu_update_part_ctx(c, r, c4, size);
 }
@@ -1091,12 +1745,36 @@ void tpuc_set_gm(TpuCommit *c, int mv8_r, int mv8_c) {
     c->gm_mv[1] = mv8_c;
 }
 
+/* Second (future / ALTREF) reference for compound prediction. */
+void tpuc_set_ref2(TpuCommit *c, const uint16_t *y, const uint16_t *u,
+                   const uint16_t *v, int ystride, int cstride) {
+    c->ref2p[0] = y;
+    c->ref2p[1] = u;
+    c->ref2p[2] = v;
+    c->ref2_stride[0] = ystride;
+    c->ref2_stride[1] = cstride;
+    c->ref2_stride[2] = cstride;
+    c->has_ref2 = y != NULL;
+}
+
+/* Frame-level compound signalling state: skip_mode_present (spec
+ * 5.9.22 derived allowance) + RefFrameSignBias[1..7]. */
+void tpuc_set_compound(TpuCommit *c, int skip_mode_present,
+                       const uint8_t *sign_bias8) {
+    c->skip_mode_present = skip_mode_present;
+    if (sign_bias8)
+        memcpy(c->sign_bias, sign_bias8, 8);
+    else
+        memset(c->sign_bias, 0, 8);
+}
+
 int64_t tpuc_encode_inter(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,
                           TxbCdfs *tc, InterCdfs *ic,
                           const uint8_t *split64, const uint8_t *split32,
                           const uint8_t *split16, const uint8_t *mode64,
                           const uint8_t *mode32, const uint8_t *mode16,
                           const uint8_t *mode8, const int16_t *mv16,
+                          const int16_t *mv16b,
                           int mv16_cols, const int16_t *sbq,
                           int dq_res_log2, int base_q, int mi_row0,
                           int mi_row1, int mi_col0, int mi_col1,
@@ -1140,7 +1818,8 @@ int64_t tpuc_encode_inter(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,
             int dq_pending = dq_res_log2 >= 0;
             walk_p(c, sbr, sbc, 64, split64, split32, split16, mode64,
                    mode32, mode16, mode8, nc64, nc32, nc16, nc8, mv16,
-                   mv16_cols, q, &dq_pending, &prev_q, dq_res_log2);
+                   mv16b, mv16_cols, q, &dq_pending, &prev_q,
+                   dq_res_log2);
         }
     }
     tpui_grid_free(c->grid);

@@ -96,6 +96,13 @@ typedef struct {
     uint16_t *drl;          /* [3][3] */
     uint16_t *nmv_joints;   /* [5] */
     uint16_t *inter_ext_tx; /* [4][4][17] */
+    /* compound prediction syntax */
+    uint16_t *comp_inter;           /* [5][3] */
+    uint16_t *comp_ref_type;        /* [5][3] */
+    uint16_t *comp_ref;             /* [3][3][3] */
+    uint16_t *comp_bwdref;          /* [3][2][3] */
+    uint16_t *inter_compound_mode;  /* [8][9] */
+    uint16_t *skip_mode;            /* [3][3] */
     /* nmv per-component families (comp 0 = row, 1 = col) */
     uint16_t *sign[2];      /* [3] */
     uint16_t *classes[2];   /* [12] */
@@ -182,9 +189,17 @@ int64_t tpuc_encode_inter(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,
                           const uint8_t *split16, const uint8_t *mode64,
                           const uint8_t *mode32, const uint8_t *mode16,
                           const uint8_t *mode8, const int16_t *mv16,
+                          const int16_t *mv16b,
                           int mv16_cols, const int16_t *sbq,
                           int dq_res_log2, int base_q, int mi_row0,
                           int mi_row1, int mi_col0, int mi_col1,
                           int n_cands);
+/* Compound (bidirectional) prediction wiring: second reference planes
+ * + frame-level skip-mode allowance and RefFrameSignBias. mv16b is the
+ * per-16x16 HME seed field against the second reference (or NULL). */
+void tpuc_set_ref2(TpuCommit *c, const uint16_t *y, const uint16_t *u,
+                   const uint16_t *v, int ystride, int cstride);
+void tpuc_set_compound(TpuCommit *c, int skip_mode_present,
+                       const uint8_t *sign_bias8);
 
 #endif /* TPU_NATIVE_H */

@@ -207,6 +207,12 @@ class FrameParams:
     ref_frame_idx: tuple = (0, 0, 0, 0, 0, 0, 0)
     allow_high_precision_mv: bool = False
     interp_filter: int = 0
+    # compound prediction (spec 5.9.2 reference_select + 5.9.22
+    # skip_mode_params); skip_mode_allowed must equal the decoder's
+    # derivation from the ref order hints (the bit is only coded then)
+    reference_select: bool = False
+    skip_mode_allowed: bool = False
+    skip_mode_present: bool = False
     # cdef
     cdef_damping: int = 3
     cdef_bits: int = 0
@@ -275,8 +281,9 @@ def write_frame_header_bits(w: BitWriter, seq: SequenceParams,
     if not fr.coded_lossless:
         w.bit(fr.tx_mode_select)
     if not fr.is_intra:
-        w.bit(0)                              # reference_select (single)
-        # skip mode never allowed without reference_select -> no bit
+        w.bit(fr.reference_select)
+        if fr.reference_select and fr.skip_mode_allowed:
+            w.bit(fr.skip_mode_present)       # skip_mode_params (5.9.22)
         if seq.enable_warped_motion:
             w.bit(0)                          # allow_warped_motion
     w.bit(fr.reduced_tx_set)

@@ -176,6 +176,9 @@ class FastIntraEncoder:
         # saved params, so mirror the decoder's SavedGmParams per slot
         self.enable_gm = True
         self._slot_gm = [((0, 0),) * 7 for _ in range(8)]
+        # per-slot order hints (mirrors the decoder's slot_hints; feeds
+        # sign_bias + skip-mode allowance for compound frames)
+        self._slot_hint = [0] * 8
 
     # --- sharded device search (multi-chip; SURVEY.md §2.2 P4) -----------
     def make_sharded_decide(self, mesh, axis: str = "sp"):
@@ -465,6 +468,9 @@ class FastIntraEncoder:
                 if getattr(self, "ra_mode", False) else {0: rec}
         # KEY refreshes all slots with identity gm (spec 7.20)
         self._slot_gm = [((0, 0),) * 7 for _ in range(8)]
+        key_hint = (self.frame_index if order_hint is None
+                    else order_hint) & 0x7F
+        self._slot_hint = [key_hint] * 8
 
         fr_params = FrameParams(base_q_idx=base_q,
                                 order_hint=(self.frame_index
@@ -543,6 +549,49 @@ class FastIntraEncoder:
             if est is not None:
                 gm_mv8v = est
                 gm_wm = mv8_to_wm01(*est)
+
+        # compound (bidirectional) prediction: second reference =
+        # the FUTURE anchor (ALTREF slot); RA mids/leaves only
+        ref2_slot = ra.get("ref_slot2") if ra is not None else None
+        if ref2_slot is not None and (ref2_slot == ra["ref_slot"] or
+                                      ref2_slot not in self._dpb):
+            ref2_slot = None
+        mv16b = None
+        if ref2_slot is not None:
+            hme2_ref = self._dpb[ref2_slot][0]
+            mv16b, _s2 = jax.device_get(_jitted_hme()(
+                jnp.asarray(yp),
+                jnp.asarray(hme2_ref[:self.pah, :self.paw])))
+            mv16b = np.clip(mv16b, -127, 127).astype(np.int16)
+
+        # RefFrameSignBias + skip-mode allowance (spec 5.9.2 / 5.9.22;
+        # must equal the decoder's derivation from slot order hints)
+        sign_bias = [0] * 8
+        sm_present = False
+        if ref2_slot is not None:
+            def _rel(a, b):
+                d = a - b
+                m = 1 << 6                      # order_hint_bits = 7
+                return (d & (m - 1)) - (d & m)
+            cur_hint = ra["order_hint"] & 0x7F
+            hint_last = self._slot_hint[ra["ref_slot"]]
+            hint_alt = self._slot_hint[ref2_slot]
+            hints7 = [hint_last] * 6 + [hint_alt]
+            for k in range(7):
+                sign_bias[k + 1] = int(_rel(hints7[k], cur_hint) > 0)
+            fwd_h = bwd_h = None
+            for h in hints7:
+                if _rel(h, cur_hint) < 0:
+                    if fwd_h is None or _rel(h, fwd_h) > 0:
+                        fwd_h = h
+                elif _rel(h, cur_hint) > 0:
+                    if bwd_h is None or _rel(h, bwd_h) < 0:
+                        bwd_h = h
+            if fwd_h is not None:
+                if bwd_h is not None:
+                    sm_present = True
+                else:
+                    sm_present = any(_rel(h, fwd_h) < 0 for h in hints7)
 
         L = self.hierarchical_levels
         gop_pos = self.frame_index if self.gop_size == 0 else \
@@ -626,12 +675,15 @@ class FastIntraEncoder:
                            lr_dec.ucols, lr_dec.urows)
             eng.set_src(yp, up, vp)
             eng.set_gm(gm_mv8v)
+            if ref2_slot is not None:
+                eng.set_ref2(*self._dpb[ref2_slot])
+                eng.set_compound(sm_present, sign_bias)
             ec = native.NativeRangeEncoder()
             eng.encode_inter(ec, tile_fcs[ti], split, modes, mv16,
                              sbq=sbq, dq_res_log2=dq_res_log2,
                              base_q=base_q,
                              mi_bounds=(0, self.mi_rows, c0, c1),
-                             n_cands=self.n_cands)
+                             n_cands=self.n_cands, mv16b=mv16b)
             return ec.done()
 
         import os as _os
@@ -672,7 +724,10 @@ class FastIntraEncoder:
         show = True
         order_hint = self.frame_index & 0x7F
         if ra is not None:
-            ref_idx = (ref_slot,) + (0,) * 6
+            if ref2_slot is not None:
+                ref_idx = (ref_slot,) * 6 + (ref2_slot,)
+            else:
+                ref_idx = (ref_slot,) + (0,) * 6
             refresh = ra["refresh"]
             show = ra["show"]
             order_hint = ra["order_hint"] & 0x7F
@@ -693,6 +748,9 @@ class FastIntraEncoder:
             tx_mode_select=False, primary_ref_frame=0,
             gm_trans=gm_trans,
             gm_prev=self._slot_gm[ref_idx[0]],
+            reference_select=ref2_slot is not None,
+            skip_mode_allowed=sm_present,
+            skip_mode_present=sm_present,
             refresh_frame_flags=refresh, ref_frame_idx=ref_idx,
             allow_high_precision_mv=False, interp_filter=0,
             delta_q_present=sbq is not None,
@@ -722,11 +780,12 @@ class FastIntraEncoder:
                                self._rec_v.copy())
             self._dpb_fc[slot] = tile_fcs[0]
             self._last_slot_by_layer[layer] = slot
-        # mirror the decoder's SavedGmParams update (spec 7.20)
+        # mirror the decoder's SavedGmParams + slot-hint updates (7.20)
         cur_gm = ((gm_wm if gm_wm is not None else (0, 0)),) + ((0, 0),) * 6
         for s in range(8):
             if refresh & (1 << s):
                 self._slot_gm[s] = cur_gm
+                self._slot_hint[s] = order_hint
 
         payload = key_frame_temporal_unit(
             self.seq, fr_params, tg, with_seq_header=False,

@@ -143,10 +143,11 @@ class RaDriver:
     def _free_slots(self, in_use):
         return [s for s in range(8) if s not in in_use]
 
-    def _encode_inter(self, d, fuv, ref_slot, refresh, show, depth):
+    def _encode_inter(self, d, fuv, ref_slot, refresh, show, depth,
+                      ref_slot2=None):
         ra = {"ref_slot": ref_slot, "refresh": refresh,
               "order_hint": d, "show": show, "layer": depth,
-              "base_q": self._layer_q(depth)}
+              "base_q": self._layer_q(depth), "ref_slot2": ref_slot2}
         y, u, v = fuv
         # pipeline: dispatch the NEXT planned frame's device decide so it
         # overlaps this frame's host commit walk (SURVEY §2.2 P1)
@@ -220,17 +221,20 @@ class RaDriver:
         if hi - lo < 2:
             return
         mid = (lo + hi) // 2
-        ref = self._pick_ref(frames[mid][0], lo_slot, hi_slot, lo, mid, hi)
+        # bidirectional: LAST = past anchor, ALTREF = future anchor
+        # (compound NEAREST/NEW pairs + skip_mode in the walk)
+        ref, ref2 = lo_slot, (hi_slot if hi_slot != lo_slot else None)
         if hi - lo == 2:
             # leaf: shown in its own TU, never referenced
-            f = self._encode_inter(mid, frames[mid], ref, 0, True, depth)
+            f = self._encode_inter(mid, frames[mid], ref, 0, True, depth,
+                                   ref_slot2=ref2)
             packets.append(RaPacket(f.payload,
                                     mid, self._recon_by_display[mid]))
             return
         mid_slot = self._free_slots(in_use)[0]
         in_use.add(mid_slot)
         f = self._encode_inter(mid, frames[mid], ref, 1 << mid_slot,
-                               False, depth)
+                               False, depth, ref_slot2=ref2)
         packets.append(RaPacket(f.payload, -1, None))
         self._rec_pyramid(lo, mid, lo_slot, mid_slot, depth + 1, frames,
                           packets, in_use)

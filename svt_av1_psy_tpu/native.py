@@ -251,7 +251,13 @@ class InterCdfs(ctypes.Structure):
                 ("refmv", ctypes.POINTER(ctypes.c_uint16)),
                 ("drl", ctypes.POINTER(ctypes.c_uint16)),
                 ("nmv_joints", ctypes.POINTER(ctypes.c_uint16)),
-                ("inter_ext_tx", ctypes.POINTER(ctypes.c_uint16))] + [
+                ("inter_ext_tx", ctypes.POINTER(ctypes.c_uint16)),
+                ("comp_inter", ctypes.POINTER(ctypes.c_uint16)),
+                ("comp_ref_type", ctypes.POINTER(ctypes.c_uint16)),
+                ("comp_ref", ctypes.POINTER(ctypes.c_uint16)),
+                ("comp_bwdref", ctypes.POINTER(ctypes.c_uint16)),
+                ("inter_compound_mode", ctypes.POINTER(ctypes.c_uint16)),
+                ("skip_mode", ctypes.POINTER(ctypes.c_uint16))] + [
                 (n, ctypes.POINTER(ctypes.c_uint16) * 2) for n in (
                     "sign", "classes", "class0", "bits", "class0_fp",
                     "fp", "class0_hp", "hp")]
@@ -262,7 +268,10 @@ def make_inter_cdfs(fc) -> InterCdfs:
     ic = InterCdfs(
         _u16p(fc.y_mode), _u16p(fc.intra_inter), _u16p(fc.single_ref),
         _u16p(fc.newmv), _u16p(fc.zeromv), _u16p(fc.refmv), _u16p(fc.drl),
-        _u16p(fc.nmv_joints), _u16p(fc.inter_ext_tx))
+        _u16p(fc.nmv_joints), _u16p(fc.inter_ext_tx),
+        _u16p(fc.comp_inter), _u16p(fc.comp_ref_type), _u16p(fc.comp_ref),
+        _u16p(fc.comp_bwdref), _u16p(fc.inter_compound_mode),
+        _u16p(fc.skip_mode))
     for name in ("sign", "classes", "class0", "bits", "class0_fp", "fp",
                  "class0_hp", "hp"):
         pair = (ctypes.POINTER(ctypes.c_uint16) * 2)(
@@ -354,11 +363,14 @@ def _ensure_commit_locked(lib):
     lib.tpuc_set_ref.argtypes = [ctypes.c_void_p, u16p, u16p, u16p,
                                  ctypes.c_int, ctypes.c_int]
     lib.tpuc_set_gm.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+    lib.tpuc_set_ref2.argtypes = [ctypes.c_void_p, u16p, u16p, u16p,
+                                  ctypes.c_int, ctypes.c_int]
+    lib.tpuc_set_compound.argtypes = [ctypes.c_void_p, ctypes.c_int, u8p]
     lib.tpuc_encode_inter.restype = ctypes.c_int64
     lib.tpuc_encode_inter.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ModeCdfs),
         ctypes.POINTER(TxbCdfs), ctypes.POINTER(InterCdfs)] + [u8p] * 7 + [
-        i16p, ctypes.c_int, i16p, ctypes.c_int, ctypes.c_int,
+        i16p, i16p, ctypes.c_int, i16p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
 
     # upload scan tables + directional derivative table once
@@ -456,11 +468,31 @@ class CommitEngine:
         (0, 0) disarms (identity gm)."""
         self.lib.tpuc_set_gm(self._c, int(mv8[0]), int(mv8[1]))
 
+    def set_ref2(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+        """Second (future / ALTREF) reference recon for compound."""
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        self._ref2 = (y, u, v)
+        self.lib.tpuc_set_ref2(self._c, y.ctypes.data_as(u16p),
+                               u.ctypes.data_as(u16p),
+                               v.ctypes.data_as(u16p), y.shape[1],
+                               u.shape[1])
+
+    def set_compound(self, skip_mode_present: bool, sign_bias):
+        """Frame-level compound state: skip-mode allowance +
+        RefFrameSignBias[0..7] (index 1 = LAST)."""
+        sb = np.ascontiguousarray(sign_bias, np.uint8)
+        assert sb.size == 8
+        self._sb = sb
+        self.lib.tpuc_set_compound(
+            self._c, int(skip_mode_present),
+            sb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+
     def encode_inter(self, ec, fc, split_maps, mode_maps, mv16, sbq=None,
                      dq_res_log2=-1, base_q=60, mi_bounds=(0, 0, 0, 0),
-                     n_cands=1):
-        """P-frame walk: split + intra-candidate maps as encode_intra,
-        plus the per-16x16 full-pel MV seed map from device HME."""
+                     n_cands=1, mv16b=None):
+        """P/B-frame walk: split + intra-candidate maps as encode_intra,
+        plus per-16x16 full-pel MV seed maps from device HME (mv16
+        against LAST; mv16b against the second ref when compound)."""
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i16p = ctypes.POINTER(ctypes.c_int16)
         mc = make_mode_cdfs(fc)
@@ -475,6 +507,11 @@ class CommitEngine:
 
         mv = np.ascontiguousarray(mv16, np.int16)
         arrs.append(mv)
+        mvb = None
+        if mv16b is not None:
+            mvb_a = np.ascontiguousarray(mv16b, np.int16)
+            arrs.append(mvb_a)
+            mvb = mvb_a.ctypes.data_as(i16p)
         sq = None
         if sbq is not None:
             sq_a = np.ascontiguousarray(sbq, np.int16)
@@ -486,7 +523,7 @@ class CommitEngine:
             ctypes.byref(ic),
             m(split_maps[64]), m(split_maps[32]), m(split_maps[16]),
             m(mode_maps[64]), m(mode_maps[32]), m(mode_maps[16]),
-            m(mode_maps[8]), mv.ctypes.data_as(i16p), mv.shape[1],
+            m(mode_maps[8]), mv.ctypes.data_as(i16p), mvb, mv.shape[1],
             sq, dq_res_log2, base_q, r0, r1, c0, c1, n_cands)
         return dist
 
