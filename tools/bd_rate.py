@@ -81,6 +81,27 @@ def read_clip(path, n):
 def encode_ours(src, w, h, qindex, fps_hz, preset, gop=1, tpl=0):
     from svt_av1_psy_tpu.bitstream.ivf import IvfWriter
     import time
+    if gop == -1:
+        # random access: mini-GoP pyramid + bidirectional compound
+        from svt_av1_psy_tpu.models.fast_intra import FastIntraEncoder
+        from svt_av1_psy_tpu.models.ra import RaDriver
+        enc = FastIntraEncoder(w, h, qindex=qindex,
+                               n_cands={13: 1, 12: 2}.get(preset, 3))
+        drv = RaDriver(enc, gop_levels=4)
+        tmp = tempfile.mktemp(suffix=".ivf")
+        wtr = IvfWriter(tmp, w, h)
+        total = 0
+        t0 = time.time()
+        pkts = []
+        for f in src:
+            pkts.extend(drv.push(*f))
+        pkts.extend(drv.flush())
+        for i, p in enumerate(pkts):
+            wtr.write_frame(p.payload, i)
+            total += len(p.payload)
+        wtr.close()
+        dt = time.time() - t0
+        return tmp, total, len(src) / dt
     if preset >= 10:
         from svt_av1_psy_tpu.models.fast_intra import FastIntraEncoder
         enc = FastIntraEncoder(w, h, qindex=qindex,
@@ -113,6 +134,8 @@ def encode_ref(ref_bin, clip, n, crf, preset, gop=1):
            "--crf", str(crf), "-n", str(n)]
     if gop == 1:
         cmd += ["--keyint", "1"]
+    elif gop == -1:
+        cmd += ["--keyint", str(n), "--tune", "1"]   # RA (default struct)
     else:
         cmd += ["--pred-struct", "1", "--tune", "1"]
     subprocess.run(cmd, env=env, capture_output=True, check=True)
@@ -190,7 +213,9 @@ def main():
                 existing = json.loads(open(args.out).read())
             except Exception:
                 existing = {}
-        key = os.path.basename(args.clip) +             ("_lowdelay" if args.gop != 1 else "")
+        key = os.path.basename(args.clip) + \
+            ("_ra" if args.gop == -1 else
+             "_lowdelay" if args.gop != 1 else "")
         existing[key] = result
         open(args.out, "w").write(json.dumps(existing, indent=1))
     return 0
