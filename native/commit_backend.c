@@ -58,7 +58,7 @@ static int part_ctx_byte(int dim) {
 static const int IMODE_CTX[13] = {0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0};
 /* size_group_lookup (y_mode cdf row on inter frames) */
 static const int SIZE_GROUP[22] = {0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3,
-                                   3, 3, 3, 3, 3, 1, 1, 2, 2, 3, 3};
+                                   3, 3, 3, 3, 3, 0, 0, 1, 1, 2, 2};
 /* mode -> base angle (V..D67) */
 static const int MODE_ANGLE[13] = {0, 90, 180, 45, 135, 113, 157, 203, 67,
                                    0, 0, 0, 0};

@@ -280,6 +280,98 @@ class FrameReconstructor:
             self.above_smooth[1][b.mi_col:b.mi_col + w4] = usm
             self.left_smooth[1][b.mi_row:b.mi_row + h4] = usm
 
+    # obmc_mask_N (spec 7.11.3.10 Obmc_Mask; ref inter_prediction.c:2407)
+    _OBMC_MASK = {
+        1: (64,), 2: (45, 64), 4: (39, 50, 59, 64),
+        8: (36, 42, 48, 53, 57, 61, 64, 64),
+        16: (34, 37, 40, 43, 46, 49, 52, 54, 56, 58, 60, 61, 64, 64, 64,
+             64),
+        32: (33, 35, 36, 38, 40, 41, 43, 44, 45, 47, 48, 50, 51, 52, 53,
+             55, 56, 57, 58, 59, 60, 60, 61, 62, 64, 64, 64, 64, 64, 64,
+             64, 64)}
+
+    def _apply_obmc(self, b, hc):
+        """Overlapped block MC (spec 7.11.3.9; ref
+        enc_inter_prediction.c build_obmc_inter_pred_above/left):
+        re-predict the overlap strip from each neighbor's ref/MV/filters
+        and blend with the smooth obmc mask (above pass then left)."""
+        from svt_av1_psy_tpu.ops.mc import mc_block
+        bw = BLOCK_SIZE_WIDE[b.bsize]
+        bh = BLOCK_SIZE_HIGH[b.bsize]
+
+        def plane_skip(dir_, ss):
+            # svt_av1_skip_u4x4_pred_in_obmc: chroma plane blocks
+            # 4x4 / 8x4 / 4x8 skip the ABOVE pass only
+            if ss == 0:
+                return False
+            pw, ph = bw >> ss, bh >> ss
+            return dir_ == 0 and min(pw, ph) == 4 and max(pw, ph) <= 8
+
+        def blend(nbs, dir_):
+            for (rel4, n4, nref, nmv, nfil) in nbs:
+                slot = self.ref_frame_idx[nref - 1]
+                refp = self.ref_planes[slot]
+                for plane in range(3 if hc else 1):
+                    ss = 1 if plane else 0
+                    if plane and plane_skip(dir_, ss):
+                        continue
+                    if dir_ == 0:       # above strip
+                        ov = min(bh, 64) >> 1
+                        ph = ov >> ss
+                        pw = (n4 * 4) >> ss
+                        x = ((b.mi_col + rel4) * 4) >> ss
+                        y = (b.mi_row * 4) >> ss
+                        mask = np.array(self._OBMC_MASK[ph],
+                                        np.int32)[:, None]
+                    else:               # left strip
+                        ov = min(bw, 64) >> 1
+                        pw = ov >> ss
+                        ph = (n4 * 4) >> ss
+                        x = (b.mi_col * 4) >> ss
+                        y = ((b.mi_row + rel4) * 4) >> ss
+                        mask = np.array(self._OBMC_MASK[pw],
+                                        np.int32)[None, :]
+                    mvx = int(nmv[1]) << (1 - ss)
+                    mvy = int(nmv[0]) << (1 - ss)
+                    tmp = mc_block(np.asarray(refp[plane]), x, y, pw, ph,
+                                   mvx, mvy, nfil[0], nfil[1],
+                                   bd=self.bd)
+                    dst = self.planes[plane][y:y + ph, x:x + pw] \
+                        .astype(np.int32)
+                    out = (mask * dst + (64 - mask) * tmp + 32) >> 6
+                    self.planes[plane][y:y + ph, x:x + pw] = \
+                        out.astype(self.planes[plane].dtype)
+
+        if b.obmc_above:
+            blend(b.obmc_above, 0)
+        if b.obmc_left:
+            blend(b.obmc_left, 1)
+
+    # II_DC/V/H/SMOOTH -> DC_PRED/V_PRED/H_PRED/SMOOTH_PRED
+    _II_TO_INTRA = (0, 1, 2, 9)
+
+    def _blend_interintra(self, b, plane, ss, x, y, w, h, inter_pred):
+        """Inter-intra prediction (spec 7.11.3.13): whole-block intra
+        prediction of the mapped mode blended with the MC prediction via
+        the smooth II mask or a wedge mask (ref inter_prediction.c
+        svt_aom_combine_interintra_highbd)."""
+        from svt_av1_psy_tpu.inter import masks as mk
+        tr0, _, tc0, _ = self._tile
+        have_above = b.mi_row > tr0
+        have_left = b.mi_col > tc0
+        max_x = (self.mi_cols * 4 >> ss) - 1
+        max_y = (self.mi_rows * 4 >> ss) - 1
+        intra = self._predict(b, plane, self._II_TO_INTRA[b.interintra_mode],
+                              0, x, y, w, h, have_above, have_left,
+                              False, False, max_x, max_y)
+        if b.ii_wedge:
+            mask = mk.get_wedge_mask(b.bsize, b.ii_wedge_idx, 0)
+            if ss:
+                mask = mk.subsample_mask(mask, 1, 1)
+        else:
+            mask = mk.smooth_interintra_mask(b.interintra_mode, w, h)
+        return mk.blend_a64(mask, intra, inter_pred)
+
     def _rel_dist(self, a: int, b: int) -> int:
         ohb = getattr(self, "order_hint_bits", 0)
         if ohb <= 0:
@@ -324,6 +416,47 @@ class FrameReconstructor:
             filters = getattr(b, "interp_filters", None)
             fx, fy = filters if filters else (self.interp_filter,
                                               self.interp_filter)
+            if plane and (bw < 8 or bh < 8):
+                # sub-8x8 chroma: the chroma block covers the 8-aligned
+                # luma pair/quad area (ref enc_inter_prediction.c:3903)
+                cs = 1 if bw == 4 else 0
+                rs = 1 if bh == 4 else 0
+                x = ((b.mi_col - cs) * 4) >> 1
+                y = ((b.mi_row - rs) * 4) >> 1
+                sub = getattr(b, "chroma_sub8x8", None)
+                if sub:
+                    # mosaic: each covered luma 4x4's mv/ref/filters
+                    b4w, b4h = bw >> 1, bh >> 1
+                    pred = np.zeros((b4h * (rs + 1), b4w * (cs + 1)),
+                                    np.int32)
+                    for k, (refk, mvk, filk) in enumerate(sub):
+                        dy, dx = divmod(k, cs + 1)
+                        rp = self.ref_planes[
+                            self.ref_frame_idx[refk - 1]][plane]
+                        px = x + dx * b4w
+                        py = y + dy * b4h
+                        pred[dy * b4h:(dy + 1) * b4h,
+                             dx * b4w:(dx + 1) * b4w] = mc_block(
+                            np.asarray(rp), px, py, b4w, b4h,
+                            int(mvk[1]), int(mvk[0]), filk[0], filk[1],
+                            bd=self.bd)
+                else:
+                    # mixed-intra fallback: whole aligned chroma block
+                    # from this block's MV, single-ref
+                    w = (bw + 4 * cs) >> 1
+                    h = (bh + 4 * rs) >> 1
+                    pred = mc_block(np.asarray(ref[plane]), x, y, w, h,
+                                    mvx, mvy, fx, fy, bd=self.bd)
+                w, h = pred.shape[1], pred.shape[0]
+                maxw = (self.mi_cols * 4) >> ss
+                maxh = (self.mi_rows * 4) >> ss
+                wx = min(w, maxw - x)
+                wy = min(h, maxh - y)
+                self.planes[plane][y:y + wy, x:x + wx] = \
+                    pred[:wy, :wx].astype(self.planes[plane].dtype)
+                self._bdset(plane, y >> 2, x >> 2, (h + 3) >> 2,
+                            (w + 3) >> 2)
+                continue
             if is_comp:
                 p0 = mc_block_compound_part(np.asarray(ref[plane]), x, y,
                                             w, h, mvx, mvy, fx, fy,
@@ -333,12 +466,46 @@ class FrameReconstructor:
                 p1 = mc_block_compound_part(np.asarray(ref2[plane]), x, y,
                                             w, h, mvx2, mvy2, fx, fy,
                                             bd=self.bd)
-                pred = blend_compound(p0, p1, bd=self.bd,
-                                      fwd_offset=fwd_off,
-                                      bck_offset=bck_off)
+                ctype = getattr(b, "comp_type", 0)
+                if ctype == 0:
+                    pred = blend_compound(p0, p1, bd=self.bd,
+                                          fwd_offset=fwd_off,
+                                          bck_offset=bck_off)
+                else:
+                    # masked compound (spec 7.11.3.14): wedge from the
+                    # luma-bsize table, diffwtd built once from the luma
+                    # CONV_BUF preds and subsampled for chroma
+                    from svt_av1_psy_tpu.inter import masks as mk
+                    if ctype == 1:
+                        mask = mk.get_wedge_mask(b.bsize,
+                                                 b.comp_wedge_idx,
+                                                 b.comp_wedge_sign)
+                    else:
+                        if plane == 0:
+                            self._dw_mask = mk.diffwtd_mask_d16(
+                                p0, p1, b.comp_mask_type, bd=self.bd)
+                        mask = self._dw_mask
+                    subw = int(w << ss == bw and ss == 1)
+                    subh = int(h << ss == bh and ss == 1)
+                    if ss:
+                        mask = mk.subsample_mask(mask, subw, subh)
+                    pred = mk.blend_masked_d16(mask, p0, p1, bd=self.bd)
+            elif getattr(b, "motion_mode", 0) == 2 and \
+                    b.warp_params is not None and w >= 8 and h >= 8:
+                # warped motion (spec 7.11.3.5); planes smaller than 8x8
+                # fall back to translation (do_warp plane-dims gate)
+                from svt_av1_psy_tpu.inter.warp import warp_plane
+                rp = np.asarray(ref[plane])
+                pred = warp_plane(b.warp_params, rp,
+                                  (self.width + ss) >> ss,
+                                  (self.height + ss) >> ss,
+                                  x, y, w, h, ss, ss, bd=self.bd)
             else:
                 pred = mc_block(np.asarray(ref[plane]), x, y, w, h, mvx,
                                 mvy, fx, fy, bd=self.bd)
+                if getattr(b, "interintra", False):
+                    pred = self._blend_interintra(b, plane, ss, x, y, w, h,
+                                                  pred)
             maxw = (self.mi_cols * 4) >> ss
             maxh = (self.mi_rows * 4) >> ss
             wx = min(w, maxw - x)
@@ -349,6 +516,8 @@ class FrameReconstructor:
 
     def _decode_inter_block(self, b, hc):
         self._predict_inter_block(b, hc)
+        if getattr(b, "motion_mode", 0) == 1:
+            self._apply_obmc(b, hc)
         for (pl, u_row, u_col, ts, tt, q) in b.txbs:
             if q is None or not np.any(q):
                 continue

@@ -76,6 +76,26 @@ class ParsedBlock:
     compound_mode: int = -1
     compound_idx: int = 1
     skip_mode: bool = False
+    # motion modes (spec 5.11.27): 0 SIMPLE, 1 OBMC, 2 WARPED_CAUSAL
+    motion_mode: int = 0
+    warp_params: object = None       # wm dict or None (invalid -> simple)
+    obmc_above: list = None          # [(rel4, n4, ref, mv, filters)]
+    obmc_left: list = None
+    # inter-intra (spec 5.11.28): mode 0..3 = II_DC/V/H/SMOOTH
+    interintra: bool = False
+    interintra_mode: int = 0
+    ii_wedge: bool = False
+    ii_wedge_idx: int = 0
+    # masked compound (spec 5.11.29): 0 avg/dist-wtd, 1 wedge, 2 diffwtd
+    comp_type: int = 0
+    comp_wedge_idx: int = 0
+    comp_wedge_sign: int = 0
+    comp_mask_type: int = 0
+    # sub-8x8 chroma prediction group (ref enc_inter_prediction.c:3903
+    # inter_chroma_4xn_pred): [(ref0, (mv_r, mv_c), (fx, fy)), ...] in
+    # raster order over the covered luma 4x4s, or None when any covered
+    # block is intra (fallback: whole aligned chroma from this block's MV)
+    chroma_sub8x8: list = None
     qindex: int = None                         # per-block q (delta_q)
     txbs: list = field(default_factory=list)   # (plane, u_row, u_col, TxSize, TxType, qcoeff|None)
     # inter var-tx (TX_MODE_SELECT): luma leaf layout + split flags in
@@ -84,8 +104,9 @@ class ParsedBlock:
     txfm_splits: list = None                   # [0/1, ...] DFS order
 
 
+# min(3, min(log2(w4), log2(h4))) (ref definitions.h:1608)
 _SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
-               1, 1, 2, 2, 3, 3]
+               0, 0, 1, 1, 2, 2]
 
 
 _WIENER_TAP_SPEC = ((-5, 10, 1), (-23, 8, 2), (-17, 46, 3))
@@ -143,6 +164,7 @@ class TileParser:
         # index 0 = LAST_FRAME
         from svt_av1_psy_tpu.inter.global_motion import gm_mv8
         self.gm_mv = [(0, 0)] * 7
+        self.gm_trans = gm_trans
         if gm_trans is not None:
             for i, wm in enumerate(gm_trans):
                 if wm is not None:
@@ -475,8 +497,10 @@ class TileParser:
             smctx = int(self.above_skip_mode[c]) + \
                 int(self.left_skip_mode[r])
             sm = self._sym(f"skip_mode@{r},{c}", fc.skip_mode[smctx])
-            self.above_skip_mode[c:c + w4] = sm
-            self.left_skip_mode[r:r + h4] = sm
+        # every block stores skip_mode (0 when not read) — stale values
+        # would corrupt later skip_mode contexts
+        self.above_skip_mode[c:c + w4] = sm
+        self.left_skip_mode[r:r + h4] = sm
 
         if sm:
             skip = True               # spec: skip inferred, not coded
@@ -631,14 +655,16 @@ class TileParser:
         self.events.append(('block', blk))
 
     def _has_overlappable(self, r, c, w4, h4) -> bool:
+        """has_overlappable_candidates (spec 5.11.27): only ODD mi
+        positions are probed (the 4x4-pair representative convention)."""
         g = self.grid
         if r > self.r0:
-            for i in range(0, min(w4, self.c1 - c)):
-                if int(g.ref0[r - 1, c + i]) > 0:
+            for j in range(c | 1, min(self.c1, c + w4), 2):
+                if int(g.ref0[r - 1, j]) > 0:
                     return True
         if c > self.c0:
-            for i in range(0, min(h4, self.r1 - r)):
-                if int(g.ref0[r + i, c - 1]) > 0:
+            for k in range(r | 1, min(self.r1, r + h4), 2):
+                if int(g.ref0[k, c - 1]) > 0:
                     return True
         return False
 
@@ -730,6 +756,59 @@ class TileParser:
                 if r1 > 0:
                     counts[r1] += 1
         return counts
+
+    _MAX_NB_OBMC = (0, 1, 2, 3, 4, 4)
+
+    def _collect_obmc(self, r, c, bsize):
+        """Overlappable neighbor segments for OBMC prediction (ref
+        enc_inter_prediction.c:686 foreach_overlappable_nb_above/left):
+        [(rel4, n4, ref0, (mv_r, mv_c), (fx, fy)), ...]. Width-4
+        neighbors are treated as pairs, represented by the
+        chroma-bearing (odd) member."""
+        g = self.grid
+        w4 = BLOCK_SIZE_WIDE[bsize] // 4
+        h4 = BLOCK_SIZE_HIGH[bsize] // 4
+        above = []
+        if r > self.r0:
+            nb_max = self._MAX_NB_OBMC[w4.bit_length() - 1]
+            end_col = min(c + w4, self.mi_cols)
+            col = c
+            while col < end_col and len(above) < nb_max:
+                step = min(
+                    BLOCK_SIZE_WIDE[int(g.bsize[r - 1, col])] // 4, 16)
+                use = (r - 1, col)
+                if step == 1:
+                    col &= ~1
+                    use = (r - 1, col + 1)
+                    step = 2
+                if int(g.ref0[use]) > 0:
+                    above.append((col - c, min(w4, step),
+                                  int(g.ref0[use]),
+                                  (int(g.mv0[use][0]), int(g.mv0[use][1])),
+                                  (int(g.filters[use][0]),
+                                   int(g.filters[use][1]))))
+                col += step
+        left = []
+        if c > self.c0:
+            nb_max = self._MAX_NB_OBMC[h4.bit_length() - 1]
+            end_row = min(r + h4, self.mi_rows)
+            row = r
+            while row < end_row and len(left) < nb_max:
+                step = min(
+                    BLOCK_SIZE_HIGH[int(g.bsize[row, c - 1])] // 4, 16)
+                use = (row, c - 1)
+                if step == 1:
+                    row &= ~1
+                    use = (row + 1, c - 1)
+                    step = 2
+                if int(g.ref0[use]) > 0:
+                    left.append((row - r, min(h4, step),
+                                 int(g.ref0[use]),
+                                 (int(g.mv0[use][0]), int(g.mv0[use][1])),
+                                 (int(g.filters[use][0]),
+                                  int(g.filters[use][1]))))
+                row += step
+        return above, left
 
     def _read_comp_refs(self, r, c, have_above, have_left):
         """read_ref_frames compound branch (spec 5.11.25;
@@ -1011,49 +1090,103 @@ class TileParser:
         else:
             mv = assign(mode, refs.stack, ref, self._read_mv)
 
-        # interintra (spec 5.11.28); only sizes 8x8..32x32, single ref
+        # interintra (spec 5.11.28): allowed bsizes are the ENUM range
+        # 8x8..32x32 (excludes 8x32/32x8; libaom
+        # is_interintra_allowed_bsize), single ref only
+        ii = 0
+        ii_mode = 0
+        ii_wedge = 0
+        ii_wedge_idx = 0
         if self.enable_interintra and not skip_mode and not is_comp and \
-                8 <= BLOCK_SIZE_WIDE[bsize] <= 32 \
-                and 8 <= BLOCK_SIZE_HIGH[bsize] <= 32:
-            ii = self._sym("interintra",
-                           fc.interintra[_SIZE_GROUP[bsize]])
-            assert not ii, "interintra prediction unsupported"
+                3 <= bsize <= 9:
+            grp = _SIZE_GROUP[bsize]
+            ii = self._sym("interintra", fc.interintra[grp])
+            if ii:
+                ii_mode = self._sym("interintra_mode",
+                                    fc.interintra_mode[grp])
+                # wedge allowed for the whole interintra bsize range
+                ii_wedge = self._sym("wedge_interintra",
+                                     fc.wedge_interintra[bsize])
+                if ii_wedge:
+                    ii_wedge_idx = self._sym("wedge_idx",
+                                             fc.wedge_idx[bsize])
 
         # read_motion_mode (spec 5.11.27): OBMC/WARP selection —
         # single-ref, non-skip-mode blocks only
+        mm = 0
+        warp_params = None
+        obmc_above = obmc_left = None
         if self.motion_mode_switchable and not skip_mode and not is_comp \
+                and not ii \
                 and min(BLOCK_SIZE_WIDE[bsize],
                         BLOCK_SIZE_HIGH[bsize]) >= 8 \
                 and self._has_overlappable(r, c, w4, h4):
-            nsamp = self._count_warp_samples(r, c, bsize, ref, mv)
+            from svt_av1_psy_tpu.inter import warp as warpmod
+            pts, pts_ref = warpmod.find_warp_samples(
+                self.grid, r, c, bsize, ref, sb_mi=self.sb_mi)
+            nsamp = len(pts)
             if self.force_integer_mv or nsamp == 0 or \
                     not self.allow_warped_motion:
                 mm = self._sym("obmc", fc.obmc[bsize])
             else:
                 mm = self._sym("motion_mode", fc.motion_mode[bsize])
-            assert mm == 0, "OBMC/warped motion unsupported"
+            if mm == 2:                 # WARPED_CAUSAL
+                if nsamp > 1:
+                    pts, pts_ref = warpmod.select_samples(mv, pts,
+                                                          pts_ref, bsize)
+                # None = invalid params -> translational fallback
+                warp_params = warpmod.find_projection(pts, pts_ref,
+                                                      bsize, mv, r, c)
+            elif mm == 1:               # OBMC_CAUSAL
+                obmc_above, obmc_left = self._collect_obmc(r, c, bsize)
 
-        # read_compound_type (spec 5.11.29): average vs dist-wtd; masked
-        # compound (wedge/diffwtd) unsupported
+        # read_compound_type (spec 5.11.29): average / dist-wtd when
+        # comp_group_idx == 0, else wedge / diffwtd masked compound
         comp_group_idx = 0
         compound_idx = 1
+        comp_type = 0                   # 0 avg, 1 wedge, 2 diffwtd
+        comp_wedge_idx = 0
+        comp_wedge_sign = 0
+        comp_mask_type = 0
         if is_comp and not skip_mode:
             if self.enable_masked_compound:
                 cg_ctx = self._comp_group_idx_ctx(r, c, have_above,
                                                   have_left)
                 comp_group_idx = self._sym("comp_group_idx",
                                            fc.comp_group_idx[cg_ctx])
-                assert not comp_group_idx, \
-                    "masked compound (wedge/diffwtd) unsupported"
-            if self.enable_jnt_comp:
-                ci_ctx = self._comp_index_ctx(r, c, ref, ref2,
-                                              have_above, have_left)
-                compound_idx = self._sym("compound_idx",
-                                         fc.compound_idx[ci_ctx])
+            if comp_group_idx == 0:
+                if self.enable_jnt_comp:
+                    ci_ctx = self._comp_index_ctx(r, c, ref, ref2,
+                                                  have_above, have_left)
+                    compound_idx = self._sym("compound_idx",
+                                             fc.compound_idx[ci_ctx])
+            else:
+                from svt_av1_psy_tpu.inter.masks import wedge_used
+                if wedge_used(bsize):
+                    comp_type = 1 + self._sym("compound_type",
+                                              fc.compound_type[bsize])
+                else:
+                    comp_type = 2
+                if comp_type == 1:
+                    comp_wedge_idx = self._sym("wedge_idx",
+                                               fc.wedge_idx[bsize])
+                    comp_wedge_sign = self._lit("wedge_sign", 1)
+                else:
+                    comp_mask_type = self._lit("mask_type", 1)
 
-        # read_mb_interp_filter (spec 5.11.27); skip_mode => REGULAR
+        # read_mb_interp_filter (spec 5.11.27); not coded when interp is
+        # not needed: skip_mode, WARPED_CAUSAL, or GLOBAL modes whose gm
+        # type is non-TRANSLATION — including IDENTITY — => REGULAR
+        # (libaom av1_is_interp_needed / is_nontrans_global_motion)
+        nontrans_gm = False
+        if ((is_comp and cmode == 6) or (not is_comp and mode == 2)) \
+                and min(w4, h4) >= 2:
+            gms = self.gm_trans or [None] * 7
+            used = (ref, ref2) if is_comp else (ref,)
+            nontrans_gm = all(gms[rf - 1] is None for rf in used)
         filters = (0, 0)
-        if self.switchable_filter and not skip_mode:
+        if self.switchable_filter and not skip_mode and mm != 2 and \
+                not nontrans_gm:
             g = self.grid
             fl = []
             ndirs = 2 if self.dual_filter else 1
@@ -1087,6 +1220,15 @@ class TileParser:
                           ref_frame2=ref2, mv2=mv2, compound_mode=cmode,
                           compound_idx=compound_idx,
                           skip_mode=skip_mode,
+                          motion_mode=mm, warp_params=warp_params,
+                          obmc_above=obmc_above, obmc_left=obmc_left,
+                          interintra=bool(ii), interintra_mode=ii_mode,
+                          ii_wedge=bool(ii_wedge),
+                          ii_wedge_idx=ii_wedge_idx,
+                          comp_type=comp_type,
+                          comp_wedge_idx=comp_wedge_idx,
+                          comp_wedge_sign=comp_wedge_sign,
+                          comp_mask_type=comp_mask_type,
                           qindex=self.cur_q if (self.delta_q_present and
                                                self.base_q_idx is not None)
                           else None)
@@ -1114,11 +1256,38 @@ class TileParser:
         self.above_skip[c:c + w4] = int(skip)
         self.left_skip[r:r + h4] = int(skip)
         has_newmv = (mode == 3) if not is_comp else _COMP_HAS_NEWMV[cmode]
+        # interintra stores ref1 = INTRA_FRAME (0): excluded from warp
+        # samples (which require NONE) but still "no second ref" (> 0
+        # tests) everywhere else (libaom semantics)
         self.grid.set_block(r, c, h4, w4, bsize, ref,
-                            ref2 if is_comp else -1, mv, mv2,
+                            ref2 if is_comp else (0 if ii else -1), mv, mv2,
                             has_newmv, filters=filters,
                             comp_group=comp_group_idx,
                             cmp_idx=compound_idx)
+
+        # sub-8x8 chroma group: the covered luma 4x4s' mv/ref/filters
+        # (ref enc_inter_prediction.c:3944; libaom dec_build_inter_pred
+        # sub8x8 path). Any intra member -> None (normal-path fallback).
+        if has_chroma(r, c, bsize) and \
+                (BLOCK_SIZE_WIDE[bsize] < 8 or BLOCK_SIZE_HIGH[bsize] < 8):
+            g = self.grid
+            rs = 1 if BLOCK_SIZE_HIGH[bsize] == 4 else 0
+            cs = 1 if BLOCK_SIZE_WIDE[bsize] == 4 else 0
+            ents = []
+            for dy in range(-rs, 1):
+                for dx in range(-cs, 1):
+                    rr, cc = r + dy, c + dx
+                    if int(g.ref0[rr, cc]) <= 0:
+                        ents = None
+                        break
+                    ents.append((int(g.ref0[rr, cc]),
+                                 (int(g.mv0[rr, cc, 0]),
+                                  int(g.mv0[rr, cc, 1])),
+                                 (int(g.filters[rr, cc, 0]),
+                                  int(g.filters[rr, cc, 1]))))
+                if ents is None:
+                    break
+            blk.chroma_sub8x8 = ents
 
         if skip:
             self.above_coef[0][c:c + w4] = 0
@@ -1186,9 +1355,31 @@ class TileParser:
             self.left_txh[r:r + h4] = TX_SIZE_HIGH[tx]
 
     def _tx_size_ctx(self, r, c, bsize, have_above, have_left) -> int:
+        """get_tx_size_context: INTER neighbors contribute their BLOCK
+        dims, not the stored txfm-context dims (libaom
+        get_tx_size_context is_inter_block override)."""
         max_tx = int(MAX_TX_SIZE_RECT[bsize])
-        aw = int(self.above_txw[c]) >= TX_SIZE_WIDE[max_tx]
-        lh = int(self.left_txh[r]) >= TX_SIZE_HIGH[max_tx]
+        g = getattr(self, "grid", None)
+        if g is None:
+            aw = int(self.above_txw[c]) >= TX_SIZE_WIDE[max_tx]
+            lh = int(self.left_txh[r]) >= TX_SIZE_HIGH[max_tx]
+            if have_above and have_left:
+                return int(aw) + int(lh)
+            if have_above:
+                return int(aw)
+            if have_left:
+                return int(lh)
+            return 0
+        if have_above and int(g.ref0[r - 1, c]) > 0:
+            aw = BLOCK_SIZE_WIDE[int(g.bsize[r - 1, c])] >= \
+                TX_SIZE_WIDE[max_tx]
+        else:
+            aw = int(self.above_txw[c]) >= TX_SIZE_WIDE[max_tx]
+        if have_left and int(g.ref0[r, c - 1]) > 0:
+            lh = BLOCK_SIZE_HIGH[int(g.bsize[r, c - 1])] >= \
+                TX_SIZE_HIGH[max_tx]
+        else:
+            lh = int(self.left_txh[r]) >= TX_SIZE_HIGH[max_tx]
         if have_above and have_left:
             return int(aw) + int(lh)
         if have_above:

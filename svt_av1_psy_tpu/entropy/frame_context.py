@@ -67,6 +67,9 @@ class FrameContext:
         ("nmv_joints", "cdf_nmv_joints_cdf", False),
         ("interintra", "cdf_interintra_cdf", False),
         ("interintra_mode", "cdf_interintra_mode_cdf", False),
+        ("wedge_interintra", "cdf_wedge_interintra_cdf", False),
+        ("wedge_idx", "cdf_wedge_idx_cdf", False),
+        ("compound_type", "cdf_compound_type_cdf", False),
         ("motion_mode", "cdf_motion_mode_cdf", False),
         ("obmc", "cdf_obmc_cdf", False),
         ("compound_idx", "cdf_compound_index_cdf", False),

@@ -26,8 +26,9 @@ from svt_av1_psy_tpu.entropy.range_coder import RangeEncoder
 # intra_mode_context (libaom): mode -> kf_y cdf context bucket
 _INTRA_MODE_CTX = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
 # size_group_lookup
+# min(3, min(log2(w4), log2(h4))) (ref definitions.h:1608)
 _SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
-               1, 1, 2, 2, 3, 3]
+               0, 0, 1, 1, 2, 2]
 _WIENER_TAP_SPEC2 = ((-5, 10, 1), (-23, 8, 2), (-17, 46, 3))
 
 # partition ctx byte per block dimension (above uses width, left height);
@@ -384,20 +385,7 @@ class TileWriter:
                     depth += 1
                     assert depth <= max_d, (b.bsize, tx_size)
                 cat = tx_size_cat(b.bsize)
-                max_tx = int(MAX_TX_SIZE_RECT[b.bsize])
-                from svt_av1_psy_tpu.constants import (TX_SIZE_HIGH,
-                                                       TX_SIZE_WIDE)
-                aw_ok = int(self.above_txw[c]) >= TX_SIZE_WIDE[max_tx]
-                lh_ok = int(self.left_txh[r]) >= TX_SIZE_HIGH[max_tx]
-                have_above, have_left = r > 0, c > 0
-                if have_above and have_left:
-                    ctx = int(aw_ok) + int(lh_ok)
-                elif have_above:
-                    ctx = int(aw_ok)
-                elif have_left:
-                    ctx = int(lh_ok)
-                else:
-                    ctx = 0
+                ctx = self._tx_size_ctx(r, c, b.bsize)
                 enc.encode_symbol(depth, fc.tx_size[cat][ctx],
                                   nsyms=max_d + 1, adapt=True)
 
@@ -846,18 +834,32 @@ class TileWriter:
             t = int(SUB_TX[t])
             depth += 1
         cat = tx_size_cat(bsize)
-        max_tx = int(MAX_TX_SIZE_RECT[bsize])
-        aw_ok = int(self.above_txw[c]) >= TX_SIZE_WIDE[max_tx]
-        lh_ok = int(self.left_txh[r]) >= TX_SIZE_HIGH[max_tx]
-        if r > 0 and c > 0:
-            ctx = int(aw_ok) + int(lh_ok)
-        elif r > 0:
-            ctx = int(aw_ok)
-        elif c > 0:
-            ctx = int(lh_ok)
-        else:
-            ctx = 0
+        ctx = self._tx_size_ctx(r, c, bsize)
         return sym_cost(self.fc.tx_size[cat][ctx], depth)
+
+    def _tx_size_ctx(self, r: int, c: int, bsize: int) -> int:
+        """get_tx_size_context incl. the INTER-neighbor block-dims
+        override (mirrors TileParser._tx_size_ctx)."""
+        from svt_av1_psy_tpu.constants import TX_SIZE_HIGH, TX_SIZE_WIDE
+        max_tx = int(MAX_TX_SIZE_RECT[bsize])
+        g = getattr(self, "grid", None)
+        if g is not None and r > 0 and int(g.ref0[r - 1, c]) > 0:
+            aw_ok = BLOCK_SIZE_WIDE[int(g.bsize[r - 1, c])] >= \
+                TX_SIZE_WIDE[max_tx]
+        else:
+            aw_ok = int(self.above_txw[c]) >= TX_SIZE_WIDE[max_tx]
+        if g is not None and c > 0 and int(g.ref0[r, c - 1]) > 0:
+            lh_ok = BLOCK_SIZE_HIGH[int(g.bsize[r, c - 1])] >= \
+                TX_SIZE_HIGH[max_tx]
+        else:
+            lh_ok = int(self.left_txh[r]) >= TX_SIZE_HIGH[max_tx]
+        if r > 0 and c > 0:
+            return int(aw_ok) + int(lh_ok)
+        if r > 0:
+            return int(aw_ok)
+        if c > 0:
+            return int(lh_ok)
+        return 0
 
     def rate_txb(self, plane: int, bsize: int, qcoeff, tx_size: int,
                  tx_type: int, u_row: int, u_col: int,

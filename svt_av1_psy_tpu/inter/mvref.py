@@ -120,6 +120,40 @@ def _bsize_dims(bsize):
     return BLOCK_SIZE_WIDE[bsize] // 4, BLOCK_SIZE_HIGH[bsize] // 4
 
 
+def has_top_right(grid: MiGrid, mi_row: int, mi_col: int, n8_w: int,
+                  n8_h: int, sb_mi: int = 16) -> int:
+    """Top-right availability (spec has_top_right; shared by the MV
+    stack scan and warp-sample collection)."""
+    bs = max(n8_w, n8_h)
+    if bs > 16:
+        return 0
+    if n8_w > n8_h:
+        # bottom of two horizontal rects never has a TR
+        if mi_row & (n8_w - 1):
+            return 0
+    if n8_w < n8_h:
+        # left of two vertical rects always has a TR (is_sec_rect==0)
+        if (mi_col + n8_w) & (n8_h - 1):
+            return 1
+    mask_row = mi_row & (sb_mi - 1)
+    mask_col = mi_col & (sb_mi - 1)
+    has_tr = not ((mask_row & bs) and (mask_col & bs))
+    b = bs
+    while b < sb_mi:
+        if mask_col & b:
+            if (mask_col & (2 * b)) and (mask_row & (2 * b)):
+                has_tr = 0
+                break
+        else:
+            break
+        b <<= 1
+    # VERT_A bottom-left square
+    if int(grid.partition[mi_row, mi_col]) == 6 and n8_w == n8_h:
+        if mask_row & bs:
+            return 0
+    return has_tr
+
+
 def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
                       ref_frame: int, sb_mi: int = 16,
                       gm_mv=(0, 0), ref_frame2: int = NONE_FRAME,
@@ -263,41 +297,12 @@ def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
             return
         add_candidate(r, c, 2, 2, "row_match")
 
-    def has_top_right():
-        bs = max(n8_w, n8_h)
-        if bs > 16:
-            return 0
-        if n8_w > n8_h:
-            # bottom of two horizontal rects never has a TR
-            if mi_row & (n8_w - 1):
-                return 0
-        if n8_w < n8_h:
-            # left of two vertical rects always has a TR (is_sec_rect==0)
-            if (mi_col + n8_w) & (n8_h - 1):
-                return 1
-        mask_row = mi_row & (sb_mi - 1)
-        mask_col = mi_col & (sb_mi - 1)
-        has_tr = not ((mask_row & bs) and (mask_col & bs))
-        b = bs
-        while b < sb_mi:
-            if mask_col & b:
-                if (mask_col & (2 * b)) and (mask_row & (2 * b)):
-                    has_tr = 0
-                    break
-            else:
-                break
-            b <<= 1
-        # VERT_A bottom-left square
-        if int(grid.partition[mi_row, mi_col]) == 6 and n8_w == n8_h:
-            if mask_row & bs:
-                return 0
-        return has_tr
 
     if abs(max_row_offset) >= 1:
         scan_row(-1)
     if abs(max_col_offset) >= 1:
         scan_col(-1)
-    if has_top_right():
+    if has_top_right(grid, mi_row, mi_col, n8_w, n8_h, sb_mi):
         scan_blk(-1, n8_w)
 
     nearest_match = (counts["row_match"] > 0) + (counts["col_match"] > 0)
@@ -653,7 +658,7 @@ def count_warp_samples(grid: MiGrid, r: int, c: int, bsize: int, ref: int,
         if rr < grid.row_start or cc < grid.col_start or \
                 rr >= grid.row_end or cc >= grid.col_end:
             return
-        if int(grid.ref0[rr, cc]) == ref and int(grid.ref1[rr, cc]) <= 0:
+        if int(grid.ref0[rr, cc]) == ref and int(grid.ref1[rr, cc]) < 0:
             mvd = abs(int(grid.mv0[rr, cc, 0]) - mv[0]) + \
                 abs(int(grid.mv0[rr, cc, 1]) - mv[1])
             if mvd <= 256:

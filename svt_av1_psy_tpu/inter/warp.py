@@ -87,18 +87,22 @@ def _record_sample(grid, rr, cc, row_off, sign_r, col_off, sign_c):
     return (x * 8, y * 8), (x * 8 + mv_c, y * 8 + mv_r)
 
 
-def find_warp_samples(grid, r, c, bsize, ref):
+def find_warp_samples(grid, r, c, bsize, ref, sb_mi: int = 16):
     """Collect up to 8 (src, dst) warp samples from single-ref neighbors
-    using ref frame `ref` (ref adaptive_mv_pred.c:1404)."""
+    using ref frame `ref` (ref adaptive_mv_pred.c:1404 av1_find_samples;
+    the UNFILTERED count is the read_motion_mode gate — wm_count_samples
+    at adaptive_mv_pred.c:1542 applies no mvd threshold)."""
     w4 = BLOCK_SIZE_WIDE[bsize] // 4
     h4 = BLOCK_SIZE_HIGH[bsize] // 4
     pts, pts_ref = [], []
     do_tl = do_tr = True
 
     def usable(rr, cc):
-        return int(grid.ref0[rr, cc]) == ref and int(grid.ref1[rr, cc]) <= 0
+        # ref1 must be NONE (-1): interintra neighbors (ref1 = INTRA = 0)
+        # do NOT provide warp samples (libaom av1_find_samples)
+        return int(grid.ref0[rr, cc]) == ref and int(grid.ref1[rr, cc]) < 0
 
-    if r > 0:
+    if r > grid.row_start:
         src_b = int(grid.bsize[r - 1, c])
         src_w = BLOCK_SIZE_WIDE[src_b] // 4
         if w4 <= src_w:
@@ -113,7 +117,7 @@ def find_warp_samples(grid, r, c, bsize, ref):
                 pts_ref.append(q)
         else:
             i = 0
-            lim = min(w4, grid.mi_cols - c)
+            lim = min(w4, grid.col_end - c)
             while i < lim and len(pts) < LEAST_SQUARES_SAMPLES_MAX:
                 src_b = int(grid.bsize[r - 1, c + i])
                 src_w = BLOCK_SIZE_WIDE[src_b] // 4
@@ -123,7 +127,7 @@ def find_warp_samples(grid, r, c, bsize, ref):
                     pts.append(p)
                     pts_ref.append(q)
                 i += step
-    if c > 0 and len(pts) < LEAST_SQUARES_SAMPLES_MAX:
+    if c > grid.col_start and len(pts) < LEAST_SQUARES_SAMPLES_MAX:
         src_b = int(grid.bsize[r, c - 1])
         src_h = BLOCK_SIZE_HIGH[src_b] // 4
         if h4 <= src_h:
@@ -136,7 +140,7 @@ def find_warp_samples(grid, r, c, bsize, ref):
                 pts_ref.append(q)
         else:
             i = 0
-            lim = min(h4, grid.mi_rows - r)
+            lim = min(h4, grid.row_end - r)
             while i < lim and len(pts) < LEAST_SQUARES_SAMPLES_MAX:
                 src_b = int(grid.bsize[r + i, c - 1])
                 src_h = BLOCK_SIZE_HIGH[src_b] // 4
@@ -146,13 +150,16 @@ def find_warp_samples(grid, r, c, bsize, ref):
                     pts.append(p)
                     pts_ref.append(q)
                 i += step
-    if do_tl and r > 0 and c > 0 and len(pts) < LEAST_SQUARES_SAMPLES_MAX:
+    if do_tl and r > grid.row_start and c > grid.col_start and \
+            len(pts) < LEAST_SQUARES_SAMPLES_MAX:
         if usable(r - 1, c - 1):
             p, q = _record_sample(grid, r - 1, c - 1, 0, -1, 0, -1)
             pts.append(p)
             pts_ref.append(q)
-    if do_tr and r > 0 and c + w4 < grid.mi_cols and \
-            max(w4, h4) <= 16 and len(pts) < LEAST_SQUARES_SAMPLES_MAX:
+    from svt_av1_psy_tpu.inter.mvref import has_top_right
+    if do_tr and r > grid.row_start and c + w4 < grid.col_end and \
+            has_top_right(grid, r, c, w4, h4, sb_mi) and \
+            len(pts) < LEAST_SQUARES_SAMPLES_MAX:
         if usable(r - 1, c + w4):
             p, q = _record_sample(grid, r - 1, c + w4, 0, -1, w4, 1)
             pts.append(p)
@@ -309,7 +316,7 @@ def warp_plane(wm, ref_plane: np.ndarray, width: int, height: int,
     mat = wm["mat"]
     alpha, beta = wm["alpha"], wm["beta"]
     gamma, delta = wm["gamma"], wm["delta"]
-    round_0 = 3 if bd == 8 else bd - 5           # conv round_0 (spec 7.11.3.2)
+    round_0 = 5 if bd == 12 else 3               # conv round_0 (spec 7.11.3.2)
     reduce_bits_horiz = round_0
     reduce_bits_vert = 2 * FILTER_BITS - reduce_bits_horiz
     offset_bits_horiz = bd + FILTER_BITS - 1
@@ -340,7 +347,7 @@ def warp_plane(wm, ref_plane: np.ndarray, width: int, height: int,
 
             # horizontal: 15 rows x 8 cols
             iy = np.clip(iy4 + ks, 0, height - 1)                 # (15,)
-            sx = sx4 + beta * (ks + 4)[:, None] + alpha * ls[None, :]
+            sx = sx4 + beta * (ks + 4)[:, None] + alpha * (ls + 4)[None, :]
             offs = ((sx + (1 << (WARPEDDIFF_PREC_BITS - 1))) >>
                     WARPEDDIFF_PREC_BITS) + WARPEDPIXEL_PREC_SHIFTS
             coeffs = wf[offs]                                     # (15,8,8)
@@ -356,7 +363,7 @@ def warp_plane(wm, ref_plane: np.ndarray, width: int, height: int,
             lmax = min(4, p_col + p_width - j - 4)
             kv = np.arange(-4, kmax)
             lv = np.arange(-4, lmax)
-            sy = sy4 + delta * (kv + 4)[:, None] + gamma * lv[None, :]
+            sy = sy4 + delta * (kv + 4)[:, None] + gamma * (lv + 4)[None, :]
             offs = ((sy + (1 << (WARPEDDIFF_PREC_BITS - 1))) >>
                     WARPEDDIFF_PREC_BITS) + WARPEDPIXEL_PREC_SHIFTS
             coeffs = wf[offs]                                     # (kh,lw,8)

@@ -1,0 +1,98 @@
+"""Motion modes + inter-intra decode conformance.
+
+Golden streams are reference SvtAv1EncApp preset-4 RA encodes (keyint 16,
+mfmv/filters/TF off) of synthetic clips:
+
+- ref_ra_warp_p4.ivf: rotating/zooming texture -> warped-motion
+  (WARPED_CAUSAL) blocks dominate, plus OBMC blocks. Exercises warp
+  sample collection (spec 7.10.4), the integer LS affine solve + shear
+  validation (ref warped_motion.c:364/1045), and the two-stage warp
+  filter (ref warped_motion.c:570).
+- ref_ra_masked_ii_p2.ivf: scene-transition clip -> inter-intra blends
+  (spec 5.11.28/7.11.3.13), OBMC (spec 7.11.3.9), sub-8x8 chroma
+  prediction groups (ref enc_inter_prediction.c:3903), and the
+  get_tx_size_context inter-neighbor override.
+
+dav1d is the independent oracle; decode must be bit-exact.
+"""
+import os
+
+import numpy as np
+import pytest
+
+_DIR = os.path.join(os.path.dirname(__file__), "golden", "streams_inter")
+
+
+@pytest.mark.parametrize("name", ["ref_ra_warp_p4.ivf",
+                                  "ref_ra_masked_ii_p2.ivf"])
+def test_motion_mode_decode_matches_dav1d(name):
+    data = open(os.path.join(_DIR, name), "rb").read()
+    from svt_av1_psy_tpu.decoder.dav1d import decode_ivf as dav1d_decode
+    from svt_av1_psy_tpu.decoder.driver import decode_ivf as own_decode
+    own = own_decode(data)
+    dav = dav1d_decode(data)
+    assert len(own) == len(dav) == 16
+    for i, (a, b) in enumerate(zip(own, dav)):
+        assert np.array_equal(a.y, b.y), f"frame {i} luma"
+        assert np.array_equal(a.u, b.u), f"frame {i} u"
+        assert np.array_equal(a.v, b.v), f"frame {i} v"
+
+
+def test_streams_exercise_motion_modes():
+    """The goldens must actually contain warp/OBMC/inter-intra blocks."""
+    import svt_av1_psy_tpu.decoder.reconstruct as R
+    from svt_av1_psy_tpu.decoder.driver import decode_ivf
+
+    stats = {"obmc": 0, "warp": 0, "ii": 0, "sub8": 0, "wedge": 0,
+             "diffwtd": 0}
+    orig = R.FrameReconstructor._decode_block
+
+    def patched(self, b):
+        if getattr(b, "is_inter", False):
+            mm = getattr(b, "motion_mode", 0)
+            if mm == 1:
+                stats["obmc"] += 1
+            elif mm == 2 and b.warp_params is not None:
+                stats["warp"] += 1
+            if getattr(b, "interintra", False):
+                stats["ii"] += 1
+            if getattr(b, "chroma_sub8x8", None):
+                stats["sub8"] += 1
+            ct = getattr(b, "comp_type", 0)
+            if ct == 1:
+                stats["wedge"] += 1
+            elif ct == 2:
+                stats["diffwtd"] += 1
+        return orig(self, b)
+
+    R.FrameReconstructor._decode_block = patched
+    try:
+        for name in ("ref_ra_warp_p4.ivf", "ref_ra_masked_ii_p2.ivf"):
+            decode_ivf(open(os.path.join(_DIR, name), "rb").read())
+    finally:
+        R.FrameReconstructor._decode_block = orig
+    assert stats["warp"] >= 50, stats
+    assert stats["obmc"] >= 20, stats
+    assert stats["ii"] >= 5, stats
+    assert stats["sub8"] >= 1, stats
+    assert stats["wedge"] >= 10, stats
+    assert stats["diffwtd"] >= 50, stats
+
+
+def test_warp_filter_golden_vectors():
+    """warp_plane vs golden outputs generated dev-time by running the
+    reference svt_av1_warp_affine_c on random valid shear params
+    (tests/golden/warp_vectors.npz; same oracle role as the EC goldens)."""
+    from svt_av1_psy_tpu.inter.warp import warp_plane
+
+    g = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                             "warp_vectors.npz"))
+    for i, p in enumerate(g["params"]):
+        mat = [int(v) for v in p[:6]]
+        wm = {"mat": mat, "alpha": int(p[6]), "beta": int(p[7]),
+              "gamma": int(p[8]), "delta": int(p[9])}
+        pcol, prow, pw, ph = (int(v) for v in p[10:14])
+        ours = warp_plane(wm, g[f"ref{i}"], 64, 64, pcol, prow, pw, ph,
+                          0, 0, bd=8)
+        np.testing.assert_array_equal(ours, g[f"out{i}"].astype(np.int64),
+                                      err_msg=f"case {i}")
