@@ -276,3 +276,221 @@ void tpue_cdef(uint16_t *py, int ys, uint16_t *pu, uint16_t *pv, int cs,
     sse_out[0] = sseY;
     sse_out[1] = sseC;
 }
+
+/* ---- per-64x64-unit strength search + per-unit apply (cdef_bits > 0) ----
+ * Reference: enc_cdef.c cdef search (per-fb mse over candidate strengths,
+ * joint list selection done by the Python caller). One padded-buffer
+ * setup serves all candidates; per 8x8 block the direction is computed
+ * once and every candidate filter runs against it. */
+
+static int32_t *cdef_pad(const uint16_t *in, int stride, int w, int h,
+                         int gw, int gh, int *bs_out) {
+    int bs = gw + 12;
+    int32_t *b = malloc(sizeof(int32_t) * (gh + 12) * bs);
+    for (long i = 0; i < (long)(gh + 12) * bs; i++) b[i] = CDEF_VERY_LARGE;
+    for (int y = 0; y < h; y++)
+        for (int x = 0; x < w; x++) b[(y + 2) * bs + x + 2] = in[y * stride + x];
+    *bs_out = bs;
+    return b;
+}
+
+void tpue_cdef_unit_sse(const uint16_t *iny, int ys, const uint16_t *inu,
+                        const uint16_t *inv, int cs, const uint16_t *sy,
+                        int sys, const uint16_t *su, const uint16_t *sv,
+                        int scs, const uint8_t *skip, int mi_rows,
+                        int mi_cols, int skip_stride, int w, int h, int bd,
+                        int damping, const int *ycand, int ky,
+                        const int *ccand, int kc, int sample, int fbr0,
+                        int fbr1, double *ssey_out, double *ssec_out,
+                        uint8_t *has_out) {
+    int coeff_shift = bd > 8 ? bd - 8 : 0;
+    int gw = mi_cols * 4, gh = mi_rows * 4;
+    int cw = (w + 1) >> 1, chh = (h + 1) >> 1;
+    int bs, cbs;
+    int32_t *by = cdef_pad(iny, ys, w, h, gw, gh, &bs);
+    int32_t *bu = cdef_pad(inu, cs, cw, chh, gw >> 1, gh >> 1, &cbs);
+    int32_t *bv = cdef_pad(inv, cs, cw, chh, gw >> 1, gh >> 1, &cbs);
+    int n64r = (mi_rows + 15) / 16, n64c = (mi_cols + 15) / 16;
+    if (fbr1 <= 0 || fbr1 > n64r) fbr1 = n64r;
+    if (fbr0 < 0) fbr0 = 0;
+    int32_t outb[64];
+    long bcount = 0;
+    for (int fbr = fbr0; fbr < fbr1; fbr++)
+        for (int fbc = 0; fbc < n64c; fbc++) {
+            int unit = fbr * n64c + fbc;
+            double *uy = ssey_out + (long)unit * ky;
+            double *uc = ssec_out + (long)unit * kc;
+            int r0 = fbr * 16, c0 = fbc * 16;
+            int maxr = mi_rows - r0 < 16 ? mi_rows - r0 : 16;
+            int maxc = mi_cols - c0 < 16 ? mi_cols - c0 : 16;
+            for (int r = 0; r < maxr; r += 2)
+                for (int c = 0; c < maxc; c += 2) {
+                    int all_skip = 1;
+                    for (int i = 0; i < 2 && all_skip; i++)
+                        for (int j = 0; j < 2; j++)
+                            if (r0 + r + i < mi_rows &&
+                                c0 + c + j < mi_cols &&
+                                !skip[(r0 + r + i) * skip_stride + c0 + c + j]) {
+                                all_skip = 0;
+                                break;
+                            }
+                    if (all_skip) continue;
+                    has_out[unit] = 1;
+                    if (sample > 1 && (bcount++ % sample)) continue;
+                    int y0 = (r0 + r) * 4, x0 = (c0 + c) * 4;
+                    int var, dir = find_dir(by + (2 + y0) * bs + 2 + x0, bs,
+                                            coeff_shift, &var);
+                    int ny = h - y0 < 8 ? h - y0 : 8;
+                    int nx = w - x0 < 8 ? w - x0 : 8;
+                    for (int k = 0; k < ky; k++) {
+                        int pri = ycand[2 * k], sec = ycand[2 * k + 1];
+                        double acc = 0;
+                        if (pri || sec) {
+                            int t = adjust_strength(pri << coeff_shift, var);
+                            int pd = damping + coeff_shift;
+                            filter_block(by, bs, 2 + y0, 2 + x0, 8, t,
+                                         sec << coeff_shift,
+                                         (pri << coeff_shift) ? dir : 0, pd,
+                                         pd, coeff_shift, outb);
+                            for (int i = 0; i < ny; i++)
+                                for (int j = 0; j < nx; j++) {
+                                    double d = (double)outb[i * 8 + j] -
+                                               sy[(y0 + i) * sys + x0 + j];
+                                    acc += d * d;
+                                }
+                        } else {
+                            for (int i = 0; i < ny; i++)
+                                for (int j = 0; j < nx; j++) {
+                                    double d = (double)iny[(y0 + i) * ys +
+                                                           x0 + j] -
+                                               sy[(y0 + i) * sys + x0 + j];
+                                    acc += d * d;
+                                }
+                        }
+                        uy[k] += acc;
+                    }
+                    int cy0 = y0 >> 1, cx0 = x0 >> 1;
+                    int cny = chh - cy0 < 4 ? chh - cy0 : 4;
+                    int cnx = cw - cx0 < 4 ? cw - cx0 : 4;
+                    for (int k = 0; k < kc; k++) {
+                        int pri = ccand[2 * k], sec = ccand[2 * k + 1];
+                        double acc = 0;
+                        for (int pl = 0; pl < 2; pl++) {
+                            int32_t *b2 = pl ? bv : bu;
+                            const uint16_t *in2 = pl ? inv : inu;
+                            const uint16_t *s2 = pl ? sv : su;
+                            if (pri || sec) {
+                                int pd = damping + coeff_shift - 1;
+                                filter_block(b2, cbs, 2 + cy0, 2 + cx0, 4,
+                                             pri << coeff_shift,
+                                             sec << coeff_shift,
+                                             (pri << coeff_shift) ? dir : 0,
+                                             pd, pd, coeff_shift, outb);
+                                for (int i = 0; i < cny; i++)
+                                    for (int j = 0; j < cnx; j++) {
+                                        double d = (double)outb[i * 4 + j] -
+                                                   s2[(cy0 + i) * scs + cx0 + j];
+                                        acc += d * d;
+                                    }
+                            } else {
+                                for (int i = 0; i < cny; i++)
+                                    for (int j = 0; j < cnx; j++) {
+                                        double d = (double)in2[(cy0 + i) * cs +
+                                                               cx0 + j] -
+                                                   s2[(cy0 + i) * scs + cx0 + j];
+                                        acc += d * d;
+                                    }
+                            }
+                        }
+                        uc[k] += acc;
+                    }
+                }
+        }
+    free(by);
+    free(bu);
+    free(bv);
+}
+
+/* Apply per-64x64 strengths selected by idx_map into the signalled
+ * quadruple lists (ylist/clist are [2*nb] pri,sec pairs). */
+void tpue_cdef_apply_idx(uint16_t *py, int ys, uint16_t *pu, uint16_t *pv,
+                         int cs, const uint16_t *iny, const uint16_t *inu,
+                         const uint16_t *inv, const uint8_t *skip,
+                         int mi_rows, int mi_cols, int skip_stride, int w,
+                         int h, int bd, int damping, const int *ylist,
+                         const int *clist, const uint8_t *idx_map,
+                         int fbr0, int fbr1) {
+    int coeff_shift = bd > 8 ? bd - 8 : 0;
+    int gw = mi_cols * 4, gh = mi_rows * 4;
+    int cw = (w + 1) >> 1, chh = (h + 1) >> 1;
+    int bs, cbs;
+    int32_t *by = cdef_pad(iny, ys, w, h, gw, gh, &bs);
+    int32_t *bu = cdef_pad(inu, cs, cw, chh, gw >> 1, gh >> 1, &cbs);
+    int32_t *bv = cdef_pad(inv, cs, cw, chh, gw >> 1, gh >> 1, &cbs);
+    int n64r = (mi_rows + 15) / 16, n64c = (mi_cols + 15) / 16;
+    if (fbr1 <= 0 || fbr1 > n64r) fbr1 = n64r;
+    if (fbr0 < 0) fbr0 = 0;
+    int32_t outb[64];
+    for (int fbr = fbr0; fbr < fbr1; fbr++)
+        for (int fbc = 0; fbc < n64c; fbc++) {
+            int idx = idx_map[fbr * n64c + fbc];
+            int y_pri = ylist[2 * idx], y_sec = ylist[2 * idx + 1];
+            int uv_pri = clist[2 * idx], uv_sec = clist[2 * idx + 1];
+            if (!(y_pri | y_sec | uv_pri | uv_sec)) continue;
+            int r0 = fbr * 16, c0 = fbc * 16;
+            int maxr = mi_rows - r0 < 16 ? mi_rows - r0 : 16;
+            int maxc = mi_cols - c0 < 16 ? mi_cols - c0 : 16;
+            for (int r = 0; r < maxr; r += 2)
+                for (int c = 0; c < maxc; c += 2) {
+                    int all_skip = 1;
+                    for (int i = 0; i < 2 && all_skip; i++)
+                        for (int j = 0; j < 2; j++)
+                            if (r0 + r + i < mi_rows &&
+                                c0 + c + j < mi_cols &&
+                                !skip[(r0 + r + i) * skip_stride + c0 + c + j]) {
+                                all_skip = 0;
+                                break;
+                            }
+                    if (all_skip) continue;
+                    int y0 = (r0 + r) * 4, x0 = (c0 + c) * 4;
+                    int var, dir = find_dir(by + (2 + y0) * bs + 2 + x0, bs,
+                                            coeff_shift, &var);
+                    if (y_pri || y_sec) {
+                        int t = adjust_strength(y_pri << coeff_shift, var);
+                        int pd = damping + coeff_shift;
+                        filter_block(by, bs, 2 + y0, 2 + x0, 8, t,
+                                     y_sec << coeff_shift,
+                                     (y_pri << coeff_shift) ? dir : 0, pd,
+                                     pd, coeff_shift, outb);
+                        int ny = h - y0 < 8 ? h - y0 : 8;
+                        int nx = w - x0 < 8 ? w - x0 : 8;
+                        for (int i = 0; i < ny; i++)
+                            for (int j = 0; j < nx; j++)
+                                py[(y0 + i) * ys + x0 + j] =
+                                    (uint16_t)outb[i * 8 + j];
+                    }
+                    if (uv_pri || uv_sec) {
+                        int cy0 = y0 >> 1, cx0 = x0 >> 1;
+                        int pd = damping + coeff_shift - 1;
+                        for (int pl = 0; pl < 2; pl++) {
+                            int32_t *b2 = pl ? bv : bu;
+                            uint16_t *p2 = pl ? pv : pu;
+                            filter_block(b2, cbs, 2 + cy0, 2 + cx0, 4,
+                                         uv_pri << coeff_shift,
+                                         uv_sec << coeff_shift,
+                                         (uv_pri << coeff_shift) ? dir : 0,
+                                         pd, pd, coeff_shift, outb);
+                            int ny = chh - cy0 < 4 ? chh - cy0 : 4;
+                            int nx = cw - cx0 < 4 ? cw - cx0 : 4;
+                            for (int i = 0; i < ny; i++)
+                                for (int j = 0; j < nx; j++)
+                                    p2[(cy0 + i) * cs + cx0 + j] =
+                                        (uint16_t)outb[i * 4 + j];
+                        }
+                    }
+                }
+        }
+    free(by);
+    free(bu);
+    free(bv);
+}

@@ -149,6 +149,22 @@ void tpue_cdef(uint16_t *py, int ys, uint16_t *pu, uint16_t *pv, int cs,
                int bd, int damping, int y_pri, int y_sec, int uv_pri,
                int uv_sec, int apply, int sample, int fbr0, int fbr1,
                double *sse_out);
+void tpue_cdef_unit_sse(const uint16_t *iny, int ys, const uint16_t *inu,
+                        const uint16_t *inv, int cs, const uint16_t *sy,
+                        int sys, const uint16_t *su, const uint16_t *sv,
+                        int scs, const uint8_t *skip, int mi_rows,
+                        int mi_cols, int skip_stride, int w, int h, int bd,
+                        int damping, const int *ycand, int ky,
+                        const int *ccand, int kc, int sample, int fbr0,
+                        int fbr1, double *ssey_out, double *ssec_out,
+                        uint8_t *has_out);
+void tpue_cdef_apply_idx(uint16_t *py, int ys, uint16_t *pu, uint16_t *pv,
+                         int cs, const uint16_t *iny, const uint16_t *inu,
+                         const uint16_t *inv, const uint8_t *skip,
+                         int mi_rows, int mi_cols, int skip_stride, int w,
+                         int h, int bd, int damping, const int *ylist,
+                         const int *clist, const uint8_t *idx_map,
+                         int fbr0, int fbr1);
 
 /* ---- deblocking filter (dlf_backend.c) --------------------------------- */
 void tpud_apply_plane(uint16_t *img, int stride, const uint8_t *txdim,

@@ -242,18 +242,11 @@ class IntraEncoder:
         fr_params.filter_level_uv = (lf[2], lf[3])
         if any(lf):
             self.fr.apply_dlf(lf, sharpness=0)
-        cdef = self._pick_cdef(yp, up, vp)
-        fr_params.cdef_damping = 3 + (self.qindex >> 6)
-        fr_params.cdef_bits = 0
-        fr_params.cdef_y_pri = (cdef[0],)
-        fr_params.cdef_y_sec = (cdef[1] - (cdef[1] == 4),)
-        fr_params.cdef_uv_pri = (cdef[2],)
-        fr_params.cdef_uv_sec = (cdef[3] - (cdef[3] == 4),)
         deblock_copy = [pl.copy() for pl in self.fr.planes]
-        if any(cdef):
-            self.fr.apply_cdef(cdef, 3 + (self.qindex >> 6))
+        cdef_grid = self._cdef_stage(fr_params, yp, up, vp, self.qindex)
         tile = self._apply_and_sign_lr(fr_params, tile, deblock_copy,
-                                       yp, up, vp, self.qindex)
+                                       yp, up, vp, self.qindex,
+                                       cdef_grid=cdef_grid)
         payload = key_frame_temporal_unit(
             self.seq, fr_params, tile, with_seq_header=(self.frame_index == 0))
         self.frame_index += 1
@@ -413,6 +406,93 @@ class IntraEncoder:
         if not cs.blocks:
             return (0, 0, 0, 0)
         return cs.search(srcs, 3 + (self.qindex >> 6))
+
+    def _cdef_stage(self, fr_params, yp, up, vp, q):
+        """CDEF search + apply + header signalling. Per-64x64 search
+        (cdef_bits up to 2) when cdef_unit_search is on, else the
+        frame-level single-strength ladder. Returns the per-unit index
+        grid for the tile rewrite (None when cdef_bits == 0)."""
+        damping = 3 + (q >> 6)
+        fr_params.cdef_damping = damping
+        if getattr(self, "cdef_unit_search", True):
+            bits, ylist, clist, idx_map = self._pick_cdef_units(yp, up, vp)
+            fr_params.cdef_bits = bits
+            fr_params.cdef_y_pri = tuple(p for p, _ in ylist)
+            fr_params.cdef_y_sec = tuple(s - (s == 4) for _, s in ylist)
+            fr_params.cdef_uv_pri = tuple(p for p, _ in clist)
+            fr_params.cdef_uv_sec = tuple(s - (s == 4) for _, s in clist)
+            return idx_map if bits > 0 else None
+        cdef = self._pick_cdef(yp, up, vp)
+        fr_params.cdef_bits = 0
+        fr_params.cdef_y_pri = (cdef[0],)
+        fr_params.cdef_y_sec = (cdef[1] - (cdef[1] == 4),)
+        fr_params.cdef_uv_pri = (cdef[2],)
+        fr_params.cdef_uv_sec = (cdef[3] - (cdef[3] == 4),)
+        if any(cdef):
+            self.fr.apply_cdef(cdef, damping)
+        return None
+
+    # candidate (pri, sec) pairs for the per-unit search; sec 3 is not
+    # representable in the header (coded 3 decodes as 4), so sec in
+    # {0, 1, 2, 4}
+    _CDEF_YCANDS = ((0, 0), (1, 0), (1, 1), (2, 0), (2, 1), (3, 1),
+                    (4, 0), (4, 2), (6, 2), (8, 2), (12, 2), (15, 4))
+    _CDEF_CCANDS = ((0, 0), (1, 0), (2, 0), (2, 1), (4, 1), (6, 2))
+
+    def _pick_cdef_units(self, yp, up, vp):
+        """Per-64x64 CDEF strength search with greedy joint list
+        selection over luma x chroma candidate pairs (ref enc_cdef.c:728
+        per-fb mse + joint_strength_search_dual), then per-unit apply.
+        Returns (cdef_bits, ylist, clist, idx_map) — idx_map feeds the
+        tile rewrite's cdef_grid."""
+        from svt_av1_psy_tpu import native
+        H, W = self.height, self.width
+        damping = 3 + (self.qindex >> 6)
+        pl16 = [np.ascontiguousarray(p, np.uint16) for p in self.fr.planes]
+        sr16 = [np.ascontiguousarray(s, np.uint16) for s in (yp, up, vp)]
+        YC, CC = self._CDEF_YCANDS, self._CDEF_CCANDS
+        ssey, ssec, has = native.cdef_unit_sse(
+            pl16, sr16, self.fr.skip_map, W, H, self.bd, damping, YC, CC)
+        n64r, n64c = has.shape
+        units = has.reshape(-1)
+        if not units.any():
+            return 0, [(0, 0)], [(0, 0)], np.zeros((n64r, n64c), np.uint8)
+        sy = ssey.reshape(-1, len(YC))[units]
+        sc = ssec.reshape(-1, len(CC))[units]
+        # quadruple cost matrix: (U, ky*kc), index q = iy * kc + ic
+        tot = (sy[:, :, None] + sc[:, None, :]).reshape(len(sy), -1)
+        lam_bit = self.rdmult * 4.0          # filter-search rate scale
+
+        def greedy(nb):
+            sel = [int(tot.sum(axis=0).argmin())]
+            cur = tot[:, sel[0]].copy()
+            while len(sel) < nb:
+                gains = np.minimum(cur[:, None], tot).sum(axis=0)
+                gains[sel] = np.inf
+                nxt = int(gains.argmin())
+                sel.append(nxt)
+                cur = np.minimum(cur, tot[:, nxt])
+            return sel, cur.sum()
+
+        best = None
+        for bits in (0, 1, 2):
+            sel, dist = greedy(1 << bits)
+            cost = dist + lam_bit * bits * len(sy)
+            if best is None or cost < best[0]:
+                best = (cost, bits, sel)
+        _, bits, sel = best
+        idxq = tot[:, sel].argmin(axis=1).astype(np.uint8)
+        idx_map = np.zeros(n64r * n64c, np.uint8)
+        idx_map[units] = idxq
+        idx_map = idx_map.reshape(n64r, n64c)
+        ylist = [YC[s // len(CC)] for s in sel]
+        clist = [CC[s % len(CC)] for s in sel]
+        if any(any(q) for q in ylist) or any(any(q) for q in clist):
+            native.cdef_apply_idx(pl16, self.fr.skip_map, W, H, self.bd,
+                                  damping, ylist, clist, idx_map)
+            for p, p16 in zip(self.fr.planes, pl16):
+                p[:] = p16
+        return bits, ylist, clist, idx_map
 
     # --- transforms (native or python) ------------------------------------
     def _tq(self, resid, ts, tt):
@@ -781,18 +861,10 @@ class IntraEncoder:
         fr_params.filter_level_uv = (lf[2], lf[3])
         if any(lf):
             self.fr.apply_dlf(lf, sharpness=0)
-        cdef = self._pick_cdef(yp, up, vp)
-        fr_params.cdef_damping = 3 + (q >> 6)
-        fr_params.cdef_bits = 0
-        fr_params.cdef_y_pri = (cdef[0],)
-        fr_params.cdef_y_sec = (cdef[1] - (cdef[1] == 4),)
-        fr_params.cdef_uv_pri = (cdef[2],)
-        fr_params.cdef_uv_sec = (cdef[3] - (cdef[3] == 4),)
         deblock_copy = [pl.copy() for pl in self.fr.planes]
-        if any(cdef):
-            self.fr.apply_cdef(cdef, 3 + (q >> 6))
+        cdef_grid = self._cdef_stage(fr_params, yp, up, vp, q)
         tile = self._apply_and_sign_lr(fr_params, tile, deblock_copy,
-                                       yp, up, vp, q)
+                                       yp, up, vp, q, cdef_grid=cdef_grid)
         payload = key_frame_temporal_unit(self.seq, fr_params, tile,
                                           with_seq_header=False)
         self.pq = pq_save
@@ -1104,11 +1176,14 @@ class IntraEncoder:
 
     # --- loop restoration search + final tile rewrite ----------------------
     def _apply_and_sign_lr(self, fr_params, tile, deblock_copy,
-                           yp, up, vp, q):
-        """SGR-only restoration search per 64-px unit; if any unit helps,
-        re-encode the tile with the LR syntax interleaved and apply LR to
-        the recon (ref search: pick_sgrproj in enc_restoration)."""
+                           yp, up, vp, q, cdef_grid=None):
+        """SGR-only restoration search per 64-px unit; if any unit helps
+        (or per-unit CDEF indices must be interleaved), re-encode the
+        tile and apply LR to the recon (ref search: pick_sgrproj in
+        enc_restoration)."""
         if not self.seq.enable_restoration:
+            if cdef_grid is not None:
+                return self._rewrite_tile(q, fr_params, cdef_grid=cdef_grid)
             return tile
         from svt_av1_psy_tpu.ops.restoration import (SGR_PARAMS, apply_sgr,
                                                      apply_lr_frame,
@@ -1213,6 +1288,8 @@ class IntraEncoder:
                     if best[1]["type"]:
                         any_used = True
         if not any_used:
+            if cdef_grid is not None:
+                return self._rewrite_tile(q, fr_params, cdef_grid=cdef_grid)
             return tile
         lr_type = [2 if any(v["type"] for v in units[pl].values()) else 0
                    for pl in range(3)]
@@ -1223,25 +1300,42 @@ class IntraEncoder:
         fr_params.lr_type = tuple(3 if t else 0 for t in lr_type)
         fr_params.lr_unit_shift = 0
         fr_params.lr_uv_shift = 0
-        # rewrite the tile with LR syntax
+        new_tile = self._rewrite_tile(q, fr_params, cdef_grid=cdef_grid,
+                                      lr=(lr_type, usize, units, W, H))
+        # apply to recon
+        apply_lr_frame(self.fr.planes, deblock_copy, dims, lr_type,
+                       usize, units, bd=self.bd)
+        return new_tile
+
+    def _rewrite_tile(self, q, fr_params, cdef_grid=None, lr=None):
+        """Replay the recorded SB ops into a fresh tile with the final
+        filter syntax (per-unit cdef_idx literals and/or LR units)."""
         fc2 = FrameContext(q)
         tw2 = TileWriter(fc2, self.mi_rows, self.mi_cols, sb_size=SB,
                          backend=self.backend,
                          tx_mode_select=self.tw.tx_mode_select,
-                         cdef_bits=0,
+                         cdef_bits=(fr_params.cdef_bits
+                                    if cdef_grid is not None else 0),
                          frame_is_intra=self.tw.frame_is_intra)
-        tw2.init_lr(lr_type, usize, units, W, H)
+        if cdef_grid is not None:
+            tw2.cdef_grid = cdef_grid
+        if lr is not None:
+            tw2.init_lr(*lr)
+        # mirror the first-pass writer's inter configuration
+        for attr in ("allow_hp", "force_integer_mv", "reference_select",
+                     "switchable_filter", "dual_filter", "enable_interintra",
+                     "motion_mode_switchable", "allow_warped_motion",
+                     "skip_mode_present", "gm_mv"):
+            if hasattr(self.tw, attr):
+                setattr(tw2, attr, getattr(self.tw, attr))
         save_tw = self.tw
         self.tw = tw2
         save_records = self.records
         self.records = []
         for (sbr, sbc, ops, dq) in self._sb_ops:
-            tw2.write_lr(sbr, sbc)
+            if lr is not None:
+                tw2.write_lr(sbr, sbc)
             self._write_ops(ops, dq=dq)
         self.tw = save_tw
         self.records = save_records
-        new_tile = tw2.finish()
-        # apply to recon
-        apply_lr_frame(self.fr.planes, deblock_copy, dims, lr_type,
-                       usize, units, bd=self.bd)
-        return new_tile
+        return tw2.finish()

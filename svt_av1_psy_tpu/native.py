@@ -337,6 +337,22 @@ def _ensure_commit_locked(lib):
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_double)]
+    i32cp = ctypes.POINTER(ctypes.c_int)
+    lib.tpue_cdef_unit_sse.argtypes = [
+        u16p, ctypes.c_int, u16p, u16p, ctypes.c_int,
+        u16p, ctypes.c_int, u16p, u16p, ctypes.c_int,
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        i32cp, ctypes.c_int, i32cp, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        u8p]
+    lib.tpue_cdef_apply_idx.argtypes = [
+        u16p, ctypes.c_int, u16p, u16p, ctypes.c_int,
+        u16p, u16p, u16p,
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        i32cp, i32cp, u8p, ctypes.c_int, ctypes.c_int]
     lib.tpud_apply_plane.argtypes = [u16p, ctypes.c_int, u8p, ctypes.c_int,
                                      ctypes.c_int, ctypes.c_int,
                                      ctypes.c_int, ctypes.c_int,
@@ -718,6 +734,92 @@ def cdef_run(planes, srcs, skip: np.ndarray, w: int, h: int, bd: int,
     with ThreadPoolExecutor(max_workers=nb) as tp:
         parts = list(tp.map(lambda b: band(*b), bounds))
     return (sum(p[0] for p in parts), sum(p[1] for p in parts))
+
+
+def cdef_unit_sse(planes, srcs, skip: np.ndarray, w: int, h: int, bd: int,
+                  damping: int, ycands, ccands, sample: int = 1,
+                  n_threads: int = 4):
+    """Per-64x64-unit CDEF SSE for candidate (pri, sec) lists; luma and
+    chroma are separable (one index selects a quadruple at signal time).
+    Returns (ssey (n64r, n64c, ky), ssec (n64r, n64c, kc),
+    has (n64r, n64c) bool)."""
+    lib = get_lib()
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int)
+    py, pu, pv = planes
+    sy, su, sv = srcs
+    assert all(p.dtype == np.uint16 for p in (py, pu, pv, sy, su, sv))
+    mi_rows, mi_cols = skip.shape
+    n64r, n64c = (mi_rows + 15) // 16, (mi_cols + 15) // 16
+    ky, kc = len(ycands), len(ccands)
+    yc = np.ascontiguousarray(np.array(ycands, np.int32).reshape(-1))
+    cc = np.ascontiguousarray(np.array(ccands, np.int32).reshape(-1))
+    ssey = np.zeros((n64r, n64c, ky), np.float64)
+    ssec = np.zeros((n64r, n64c, kc), np.float64)
+    has = np.zeros((n64r, n64c), np.uint8)
+    f64p = ctypes.POINTER(ctypes.c_double)
+
+    def band(fbr0, fbr1):
+        lib.tpue_cdef_unit_sse(
+            py.ctypes.data_as(u16p), py.shape[1],
+            pu.ctypes.data_as(u16p), pv.ctypes.data_as(u16p), pu.shape[1],
+            sy.ctypes.data_as(u16p), sy.shape[1],
+            su.ctypes.data_as(u16p), sv.ctypes.data_as(u16p), su.shape[1],
+            skip.ctypes.data_as(u8p), mi_rows, mi_cols, skip.shape[1],
+            w, h, bd, damping,
+            yc.ctypes.data_as(i32p), ky, cc.ctypes.data_as(i32p), kc,
+            sample, fbr0, fbr1,
+            ssey.ctypes.data_as(f64p), ssec.ctypes.data_as(f64p),
+            has.ctypes.data_as(u8p))
+
+    nb = min(n_threads, n64r)
+    if nb <= 1:
+        band(0, n64r)
+    else:
+        bounds = [(i * n64r // nb, (i + 1) * n64r // nb) for i in range(nb)]
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=nb) as tp:
+            list(tp.map(lambda b: band(*b), bounds))
+    return ssey, ssec, has.astype(bool)
+
+
+def cdef_apply_idx(planes, skip: np.ndarray, w: int, h: int, bd: int,
+                   damping: int, ylist, clist, idx_map: np.ndarray,
+                   n_threads: int = 4):
+    """Apply per-64x64 CDEF strengths selected by idx_map (n64r x n64c
+    uint8) from the signalled (pri, sec) quadruple lists, in place."""
+    lib = get_lib()
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int)
+    py, pu, pv = planes
+    iny, inu, inv = py.copy(), pu.copy(), pv.copy()
+    mi_rows, mi_cols = skip.shape
+    n64r = (mi_rows + 15) // 16
+    yl = np.ascontiguousarray(np.array(ylist, np.int32).reshape(-1))
+    cl = np.ascontiguousarray(np.array(clist, np.int32).reshape(-1))
+    idx = np.ascontiguousarray(idx_map, np.uint8)
+
+    def band(fbr0, fbr1):
+        lib.tpue_cdef_apply_idx(
+            py.ctypes.data_as(u16p), py.shape[1],
+            pu.ctypes.data_as(u16p), pv.ctypes.data_as(u16p), pu.shape[1],
+            iny.ctypes.data_as(u16p), inu.ctypes.data_as(u16p),
+            inv.ctypes.data_as(u16p),
+            skip.ctypes.data_as(u8p), mi_rows, mi_cols, skip.shape[1],
+            w, h, bd, damping,
+            yl.ctypes.data_as(i32p), cl.ctypes.data_as(i32p),
+            idx.ctypes.data_as(u8p), fbr0, fbr1)
+
+    nb = min(n_threads, n64r)
+    if nb <= 1:
+        band(0, n64r)
+    else:
+        bounds = [(i * n64r // nb, (i + 1) * n64r // nb) for i in range(nb)]
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=nb) as tp:
+            list(tp.map(lambda b: band(*b), bounds))
 
 
 # --- native transforms / quantizer -----------------------------------------
