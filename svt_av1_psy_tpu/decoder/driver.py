@@ -36,6 +36,8 @@ class Decoder:
         self.slots: List[Optional[DecodedPlanes]] = [None] * 8
         self.slot_cdfs: List[Optional[FrameContext]] = [None] * 8
         self.slot_hints = [0] * 8
+        # saved motion fields per slot (spec 7.20; MFMV input)
+        self.slot_mf = [None] * 8
         # SavedGmParams per slot (spec 7.20): 7x (wm0, wm1), identity=0
         self.slot_gm = [((0, 0),) * 7 for _ in range(8)]
         self.frames: List[DecodedPlanes] = []
@@ -111,9 +113,18 @@ class Decoder:
             fr.cur_order_hint = fi.order_hint
             fr.order_hint_bits = ohb
 
+        # motion field projection (spec 7.9) for the temporal MV stack
+        tpl_mvs = None
+        if is_inter and fi.use_ref_frame_mvs:
+            from svt_av1_psy_tpu.inter.mfmv import setup_motion_field
+            tpl_mvs = setup_motion_field(self.slot_mf, fi.ref_frame_idx,
+                                         fi.order_hint, ohb, mi_rows,
+                                         mi_cols)
+
         tp = None                   # context_update_tile_id's parser
         cdef_idx = None
         lr_units = [{}, {}, {}]
+        tile_grids = []
         for ti, td in enumerate(tile_data):
             tr, tc = ti // n_tile_cols, ti % n_tile_cols
             r0 = min(row_starts[tr] * 16, mi_rows)
@@ -150,8 +161,10 @@ class Decoder:
                 base_q_idx=fi.base_q_idx,
                 delta_q_res_log2=fi.delta_q_res_log2,
                 allow_update_cdf=not fi.disable_cdf_update,
-                mi_bounds=(r0, r1, c0, c1))
+                mi_bounds=(r0, r1, c0, c1), tpl_mvs=tpl_mvs)
             blocks = tpi.parse_tile()
+            if is_inter:
+                tile_grids.append((tpi.grid, (r0, r1, c0, c1)))
             fr.set_tile(r0, r1, c0, c1)
             fr.decode_blocks(blocks)
             if ti == fi.context_update_tile_id:
@@ -198,12 +211,17 @@ class Decoder:
             else 0xFF
         cur_gm = tuple((wm if wm is not None else (0, 0))
                        for wm in (fi.gm_trans or [None] * 7))
+        from svt_av1_psy_tpu.inter.mfmv import save_motion_field
+        mf = save_motion_field(tile_grids, mi_rows, mi_cols,
+                               fi.order_hint, ref_hints, ref_hints, ohb,
+                               is_intra=not is_inter)
         for i in range(8):
             if refresh & (1 << i):
                 self.slots[i] = out
                 self.slot_cdfs[i] = store_cdf
                 self.slot_hints[i] = fi.order_hint
                 self.slot_gm[i] = cur_gm
+                self.slot_mf[i] = mf
 
 
 def decode_ivf(data: bytes) -> List[DecodedPlanes]:

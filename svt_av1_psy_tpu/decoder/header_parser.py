@@ -253,7 +253,6 @@ def parse_frame_header(payload: bytes, seq: SeqInfo,
         fi.is_motion_mode_switchable = bool(r.f(1))
         if not fi.error_resilient and seq.enable_ref_frame_mvs:
             fi.use_ref_frame_mvs = bool(r.f(1))
-        assert not fi.use_ref_frame_mvs, "ref-frame-mvs (MFMV) unsupported"
     else:
         if seq.enable_superres:
             assert r.f(1) == 0, "superres unsupported"

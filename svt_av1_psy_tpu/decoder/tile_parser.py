@@ -144,7 +144,7 @@ class TileParser:
                  lr_type=None, lr_unit_size=None,
                  frame_width: int = 0, frame_height: int = 0,
                  base_q_idx=None, delta_q_res_log2: int = 0,
-                 mi_bounds=None):
+                 mi_bounds=None, tpl_mvs=None):
         self.fc = fc
         self.skip_mode_frame = tuple(skip_mode_frame)
         self.cur_order_hint = cur_order_hint
@@ -194,6 +194,9 @@ class TileParser:
                                 -1, np.int32)
         self.frame_is_intra = frame_is_intra
         self.allow_hp = allow_hp
+        # projected motion field (spec 7.9): (mv (n8r,n8c,2) int16,
+        # ref_frame_offset (n8r,n8c) int16, valid (n8r,n8c) bool)
+        self.tpl_mvs = tpl_mvs
         self.force_integer_mv = force_integer_mv
         self.reference_select = reference_select
         self.switchable_filter = switchable_filter
@@ -1010,12 +1013,20 @@ class TileParser:
                 ref = self._read_single_ref(r, c, have_above, have_left)
         is_comp = ref2 > 0
 
+        tpl = None
+        if self.tpl_mvs is not None:
+            cur_off0 = self._rel_dist(self.cur_order_hint,
+                                      self.ref_hints[ref - 1])
+            cur_off1 = self._rel_dist(self.cur_order_hint,
+                                      self.ref_hints[ref2 - 1]) \
+                if is_comp else 0
+            tpl = self.tpl_mvs + (cur_off0, cur_off1, self.allow_hp)
         refs = setup_ref_mv_list(
             self.grid, r, c, bsize, ref, sb_mi=self.sb_mi,
             gm_mv=self.gm_mv[ref - 1],
             ref_frame2=ref2 if is_comp else -1,
             gm_mv2=self.gm_mv[ref2 - 1] if is_comp else (0, 0),
-            sign_bias=self.sign_bias)
+            sign_bias=self.sign_bias, tpl=tpl)
 
         cmode = -1
         if skip_mode:

@@ -120,6 +120,46 @@ def _bsize_dims(bsize):
     return BLOCK_SIZE_WIDE[bsize] // 4, BLOCK_SIZE_HIGH[bsize] // 4
 
 
+# Div_Mult (spec 7.9.3; ref mcomp.c div_mult): 16384/d rounded
+DIV_MULT = (0, 16384, 8192, 5461, 4096, 3276, 2730, 2340, 2048, 1820,
+            1638, 1489, 1365, 1260, 1170, 1092, 1024, 963, 910, 862, 819,
+            780, 744, 712, 682, 655, 630, 606, 585, 564, 546, 528)
+MAX_FRAME_DISTANCE = 31
+_MV_MAX = (1 << 14) - 1
+
+
+def _round2_signed(v: int, n: int) -> int:
+    if v >= 0:
+        return (v + (1 << (n - 1))) >> n
+    return -((-v + (1 << (n - 1))) >> n)
+
+
+def mv_projection(mv, num: int, den: int):
+    """get_mv_projection (spec 7.9.3): scale mv by num/den with the
+    Div_Mult reciprocal table."""
+    den = min(den, MAX_FRAME_DISTANCE)
+    num = min(num, MAX_FRAME_DISTANCE) if num > 0 \
+        else max(num, -MAX_FRAME_DISTANCE)
+    r = _clamp(_round2_signed(int(mv[0]) * num * DIV_MULT[den], 14),
+               -_MV_MAX, _MV_MAX)
+    c = _clamp(_round2_signed(int(mv[1]) * num * DIV_MULT[den], 14),
+               -_MV_MAX, _MV_MAX)
+    return (r, c)
+
+
+def _lower_precision(mv, allow_hp: bool):
+    """lower_mv_precision with force_integer 0 (temporal candidates are
+    never force-integer rounded; ref add_tpl_ref_mv passes 0)."""
+    if allow_hp:
+        return mv
+    out = []
+    for v in mv:
+        if v & 1:
+            v = v - 1 if v > 0 else v + 1
+        out.append(v)
+    return tuple(out)
+
+
 def has_top_right(grid: MiGrid, mi_row: int, mi_col: int, n8_w: int,
                   n8_h: int, sb_mi: int = 16) -> int:
     """Top-right availability (spec has_top_right; shared by the MV
@@ -157,7 +197,7 @@ def has_top_right(grid: MiGrid, mi_row: int, mi_col: int, n8_w: int,
 def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
                       ref_frame: int, sb_mi: int = 16,
                       gm_mv=(0, 0), ref_frame2: int = NONE_FRAME,
-                      gm_mv2=(0, 0), sign_bias=None) -> MvRefs:
+                      gm_mv2=(0, 0), sign_bias=None, tpl=None) -> MvRefs:
     """Build the MV stack (no temporal mvp), single-ref or compound
     (ref_frame2 > INTRA_FRAME). gm_mv/gm_mv2 are the precision-lowered
     global motion vectors per component (spec 7.10.2.1 setup_global_mv)
@@ -310,6 +350,81 @@ def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
     for ent in stack:
         ent[4] += REF_CAT_LEVEL
 
+    # --- temporal (MFMV) candidates (spec 7.10.2; ref add_tpl_ref_mv /
+    # the use_ref_frame_mvs block of setup_ref_mv_list). tpl carries the
+    # current frame's projected motion field + the cur-to-ref offsets.
+    gm_bit = [False]
+    if tpl is not None:
+        tpl_mv, tpl_off, tpl_valid, cur_off0, cur_off1, allow_hp = tpl
+
+        def add_tpl(blk_row, blk_col):
+            pos_r = blk_row if (mi_row & 1) else blk_row + 1
+            pos_c = blk_col if (mi_col & 1) else blk_col + 1
+            rr, cc = mi_row + pos_r, mi_col + pos_c
+            if rr < row_start or rr >= row_end or \
+                    cc < col_start or cc >= col_end:
+                return 0
+            i8, j8 = rr >> 1, cc >> 1
+            if not tpl_valid[i8, j8]:
+                return 0
+            src = (int(tpl_mv[i8, j8, 0]), int(tpl_mv[i8, j8, 1]))
+            off = int(tpl_off[i8, j8])
+            this = _lower_precision(mv_projection(src, cur_off0, off),
+                                    allow_hp)
+            if not is_comp:
+                if blk_row == 0 and blk_col == 0:
+                    if abs(this[0] - gm_mv[0]) >= 16 or \
+                            abs(this[1] - gm_mv[1]) >= 16:
+                        gm_bit[0] = True
+                for ent in stack:
+                    if (ent[0], ent[1]) == this:
+                        ent[4] += 2
+                        break
+                else:
+                    if len(stack) < MAX_REF_MV_STACK_SIZE:
+                        stack.append([this[0], this[1], 0, 0, 2])
+                return 1
+            comp = _lower_precision(mv_projection(src, cur_off1, off),
+                                    allow_hp)
+            if blk_row == 0 and blk_col == 0:
+                if abs(this[0] - gm_mv[0]) >= 16 or \
+                        abs(this[1] - gm_mv[1]) >= 16 or \
+                        abs(comp[0] - gm_mv2[0]) >= 16 or \
+                        abs(comp[1] - gm_mv2[1]) >= 16:
+                    gm_bit[0] = True
+            for ent in stack:
+                if (ent[0], ent[1]) == this and (ent[2], ent[3]) == comp:
+                    ent[4] += 2
+                    break
+            else:
+                if len(stack) < MAX_REF_MV_STACK_SIZE:
+                    stack.append([this[0], this[1], comp[0], comp[1], 2])
+            return 1
+
+        blk_row_end = min(n8_h, 16)
+        blk_col_end = min(n8_w, 16)
+        allow_ext = (2 <= n8_h < 16) and (2 <= n8_w < 16)
+        step_h = 4 if n8_h >= 16 else 2
+        step_w = 4 if n8_w >= 16 else 2
+        is_available = 0
+        for blk_row in range(0, blk_row_end, step_h):
+            for blk_col in range(0, blk_col_end, step_w):
+                ret = add_tpl(blk_row, blk_col)
+                if blk_row == 0 and blk_col == 0:
+                    is_available = ret
+        if not is_available:
+            gm_bit[0] = True
+        if allow_ext:
+            voff = max(2, n8_h)
+            hoff = max(2, n8_w)
+            mrow = mi_row & (sb_mi - 1)
+            mcol = mi_col & (sb_mi - 1)
+            for br, bc in ((voff, -2), (voff, hoff), (voff - 2, hoff)):
+                # check_sb_border: stay within the current superblock
+                if not (0 <= mrow + br < sb_mi and 0 <= mcol + bc < sb_mi):
+                    continue
+                add_tpl(br, bc)
+
     # top-left + outer rows/cols (newmv counter no longer updated)
     saved_newmv = counts["newmv"]
     scan_blk(-1, -1)
@@ -342,6 +457,8 @@ def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
     else:
         mode_context |= 4 if nearest_newmv >= 1 else 5
         mode_context |= (5 << 4)
+    if gm_bit[0]:
+        mode_context |= (1 << 3)      # GLOBALMV_OFFSET
 
     # stable sort by weight (reference's repeated bubble pass == stable
     # descending order)
