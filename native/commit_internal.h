@@ -65,6 +65,9 @@ struct TpuCommit {
     int skip_mode_present;
     uint8_t sign_bias[8];
     uint8_t *above_skip_mode, *left_skip_mode;
+    /* per-block interpolation filter search (is_filter_switchable) */
+    int switchable_filter;
+    int gm_coded;   /* gm type > IDENTITY (is_nontrans gate needs it) */
 };
 
 int16_t *tpu_scan(int ts, int tt, int *n);

@@ -41,6 +41,41 @@ static const int16_t F_REG4[16][8] = {
     {0, 0, -8, 38, 110, -12, 0, 0}, {0, 0, -6, 28, 116, -10, 0, 0},
     {0, 0, -4, 18, 122, -8, 0, 0}, {0, 0, -2, 8, 126, -4, 0, 0}};
 
+static const int16_t F_SMOOTH[16][8] = {
+    {0, 0, 0, 128, 0, 0, 0, 0},   {0, 2, 28, 62, 34, 2, 0, 0},
+    {0, 0, 26, 62, 36, 4, 0, 0},  {0, 0, 22, 62, 40, 4, 0, 0},
+    {0, 0, 20, 60, 42, 6, 0, 0},  {0, 0, 18, 58, 44, 8, 0, 0},
+    {0, 0, 16, 56, 46, 10, 0, 0}, {0, -2, 16, 54, 48, 12, 0, 0},
+    {0, -2, 14, 52, 52, 14, -2, 0}, {0, 0, 12, 48, 54, 16, -2, 0},
+    {0, 0, 10, 46, 56, 16, 0, 0}, {0, 0, 8, 44, 58, 18, 0, 0},
+    {0, 0, 6, 42, 60, 20, 0, 0},  {0, 0, 4, 40, 62, 22, 0, 0},
+    {0, 0, 4, 36, 62, 26, 0, 0},  {0, 0, 2, 34, 62, 28, 2, 0}};
+static const int16_t F_SHARP[16][8] = {
+    {0, 0, 0, 128, 0, 0, 0, 0},      {-2, 2, -6, 126, 8, -2, 2, 0},
+    {-2, 6, -12, 124, 16, -6, 4, -2}, {-2, 8, -18, 120, 26, -10, 6, -2},
+    {-4, 10, -22, 116, 38, -14, 6, -2}, {-4, 10, -22, 108, 48, -18, 8, -2},
+    {-4, 10, -24, 100, 60, -20, 8, -2}, {-4, 10, -24, 90, 70, -22, 10, -2},
+    {-4, 12, -24, 80, 80, -24, 12, -4}, {-2, 10, -22, 70, 90, -24, 10, -4},
+    {-2, 8, -20, 60, 100, -24, 10, -4}, {-2, 8, -18, 48, 108, -22, 10, -4},
+    {-2, 6, -14, 38, 116, -22, 10, -4}, {-2, 6, -10, 26, 120, -18, 8, -2},
+    {-2, 4, -6, 16, 124, -12, 6, -2}, {0, 2, -2, 8, 126, -6, 2, -2}};
+static const int16_t F_SMOOTH4[16][8] = {
+    {0, 0, 0, 128, 0, 0, 0, 0},   {0, 0, 30, 62, 34, 2, 0, 0},
+    {0, 0, 26, 62, 36, 4, 0, 0},  {0, 0, 22, 62, 40, 4, 0, 0},
+    {0, 0, 20, 60, 42, 6, 0, 0},  {0, 0, 18, 58, 44, 8, 0, 0},
+    {0, 0, 16, 56, 46, 10, 0, 0}, {0, 0, 14, 54, 48, 12, 0, 0},
+    {0, 0, 12, 52, 52, 12, 0, 0}, {0, 0, 12, 48, 54, 14, 0, 0},
+    {0, 0, 10, 46, 56, 16, 0, 0}, {0, 0, 8, 44, 58, 18, 0, 0},
+    {0, 0, 6, 42, 60, 20, 0, 0},  {0, 0, 4, 40, 62, 22, 0, 0},
+    {0, 0, 4, 36, 62, 26, 0, 0},  {0, 0, 2, 34, 62, 30, 0, 0}};
+
+/* spec 7.11.3.4 filter selection: 4-tap variants for dims <= 4
+ * (SHARP falls back to the 4-tap REGULAR kernel) */
+static const int16_t (*filt_tab(int f, int dim))[8] {
+    if (dim <= 4) return f == 1 ? F_SMOOTH4 : F_REG4;
+    return f == 1 ? F_SMOOTH : (f == 2 ? F_SHARP : F_REG);
+}
+
 #define FILTER_BITS 7
 #define ROUND0 3
 #define ROUND1 11
@@ -52,9 +87,10 @@ static int round2(int v, int n) { return (v + (1 << (n - 1))) >> n; }
 
 /* MC one block: ref plane (stride), block at (px, py), w x h, MV in
  * 1/16-pel plane units. out: (h x w) int32. REGULAR filter. */
-void tpui_mc_block(const uint16_t *ref, int rstride, int rw, int rh,
-                   int px, int py, int w, int h, int mvx_q4, int mvy_q4,
-                   int bd, int32_t *out) {
+static void mc_block_f(const uint16_t *ref, int rstride, int rw, int rh,
+                       int px, int py, int w, int h, int mvx_q4,
+                       int mvy_q4, int bd, int ffx, int ffy,
+                       int32_t *out) {
     int x0 = px + (mvx_q4 >> 4);
     int y0 = py + (mvy_q4 >> 4);
     int sx = mvx_q4 & 15, sy = mvy_q4 & 15;
@@ -67,8 +103,8 @@ void tpui_mc_block(const uint16_t *ref, int rstride, int rw, int rh,
                 out[y * w + x] = REFPX(y0 + y, x0 + x);
         return;
     }
-    const int16_t *fx = (w <= 4 ? F_REG4 : F_REG)[sx];
-    const int16_t *fy = (h <= 4 ? F_REG4 : F_REG)[sy];
+    const int16_t *fx = filt_tab(ffx, w)[sx];
+    const int16_t *fy = filt_tab(ffy, h)[sy];
     if (sx && sy) {
         int32_t im[(64 + 7) * 64];
         int offset_bits = bd + 2 * FILTER_BITS - ROUND0;
@@ -119,6 +155,13 @@ void tpui_mc_block(const uint16_t *ref, int rstride, int rw, int rh,
  * round_offset; ref inter_prediction.c svt_av1_jnt_convolve_*_c).
  * round_0 = 3, round_1 = COMPOUND_ROUND1 = 7. */
 #define CROUND1 7
+void tpui_mc_block(const uint16_t *ref, int rstride, int rw, int rh,
+                   int px, int py, int w, int h, int mvx_q4, int mvy_q4,
+                   int bd, int32_t *out) {
+    mc_block_f(ref, rstride, rw, rh, px, py, w, h, mvx_q4, mvy_q4, bd, 0,
+               0, out);
+}
+
 static void mc_comp_part(const uint16_t *ref, int rstride, int rw, int rh,
                          int px, int py, int w, int h, int mvx_q4,
                          int mvy_q4, int bd, int32_t *out) {
@@ -138,8 +181,8 @@ static void mc_comp_part(const uint16_t *ref, int rstride, int rw, int rh,
                                  round_offset;
         return;
     }
-    const int16_t *fx = (w <= 4 ? F_REG4 : F_REG)[sx];
-    const int16_t *fy = (h <= 4 ? F_REG4 : F_REG)[sy];
+    const int16_t *fx = filt_tab(0, w)[sx];
+    const int16_t *fy = filt_tab(0, h)[sy];
     if (sx && sy) {
         int32_t im[(64 + 7) * 64];
         for (int y = 0; y < h + 7; y++)
@@ -203,6 +246,7 @@ struct InterGrid {
     int16_t *mv1;     /* compound second-component MV pairs */
     uint8_t *newmv;
     uint8_t *bsize;
+    uint8_t *filt;    /* interp filter (both dirs; dual_filter off) */
 };
 
 InterGrid *tpui_grid_new(int mi_rows, int mi_cols) {
@@ -218,6 +262,7 @@ InterGrid *tpui_grid_new(int mi_rows, int mi_cols) {
     g->mv1 = calloc(n * 2, 2);
     g->newmv = calloc(n, 1);
     g->bsize = calloc(n, 1);
+    g->filt = calloc(n, 1);
     return g;
 }
 void tpui_grid_free(InterGrid *g) {
@@ -228,6 +273,7 @@ void tpui_grid_free(InterGrid *g) {
     free(g->mv1);
     free(g->newmv);
     free(g->bsize);
+    free(g->filt);
     free(g);
 }
 void tpui_grid_set(InterGrid *g, int r, int c, int h4, int w4, int bsize,
@@ -1050,6 +1096,41 @@ static long sad_luma(TpuCommit *c, int r, int c4, int size,
     return sad;
 }
 
+static long sse_luma(TpuCommit *c, int r, int c4, int size,
+                     const int32_t *pred) {
+    const uint16_t *sp = c->src[0];
+    int ss = c->sstride[0];
+    long sse = 0;
+    for (int i = 0; i < size; i++)
+        for (int j = 0; j < size; j++) {
+            long d = (long)sp[(r * 4 + i) * ss + c4 * 4 + j] -
+                     pred[i * size + j];
+            sse += d * d;
+        }
+    return sse;
+}
+
+/* switchable interp filter context (spec read_mb_interp_filter ctx;
+ * mirrors inter/mvref.interp_filter_ctx, dir 0 / dual_filter off) */
+static int interp_filter_ctx_c(TpuCommit *c, int r, int c4, int ref,
+                               int is_comp) {
+    InterGrid *g = c->grid;
+    int ctx = is_comp * 4;
+    int lt = 3, at = 3;
+    if (c4 > c->t_mi_col0) {
+        size_t o = (size_t)r * g->mi_cols + (c4 - 1);
+        if (g->ref0[o] == ref || g->ref1[o] == ref) lt = g->filt[o];
+    }
+    if (r > c->t_mi_row0) {
+        size_t o = (size_t)(r - 1) * g->mi_cols + c4;
+        if (g->ref0[o] == ref || g->ref1[o] == ref) at = g->filt[o];
+    }
+    if (lt == at) return ctx + lt;
+    if (lt == 3) return ctx + at;
+    if (at == 3) return ctx + lt;
+    return ctx + 3;
+}
+
 /* Single-ref MC against the SECOND reference (ALTREF recon) */
 static void mc_luma2(TpuCommit *c, int r, int c4, int size, int mvr,
                      int mvc, int32_t *out) {
@@ -1269,15 +1350,62 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     memcpy(i_pred_y, cand_preds[best_i], sizeof(int32_t) * size * size);
     best_cost += c->rdmult * inter_base_rate;
 
+    /* interpolation filter search (ref interpolation_filter_search):
+     * tail-search on the winner's luma pred, pred-domain SSE + symbol
+     * rate; fullpel MVs keep REGULAR. GLOBALMV under identity gm does
+     * not code the filter (is_nontrans_global_motion). */
+    int best_filt = 0;
+    int filt_coded = c->switchable_filter &&
+                     !(best_mode == 2 && !c->gm_coded);
+    if (filt_coded && (((best_mvr | best_mvc) & 7) != 0)) {
+        int fctx = interp_filter_ctx_c(c, r, c4, 1, 0);
+        const uint16_t *fcdf = ic->switchable_interp + fctx * 4;
+        static __thread int32_t fpred[64 * 64];
+        double best_fc = 0.0;
+        for (int f = 0; f < 3; f++) {
+            const int32_t *pp = i_pred_y;
+            if (f) {
+                mc_block_f(c->refp[0], c->ref_stride[0], c->width,
+                           c->height, c4 * 4, r * 4, size, size,
+                           best_mvc * 2, best_mvr * 2, c->bd, f, f,
+                           fpred);
+                pp = fpred;
+            }
+            double cost = (double)sse_luma(c, r, c4, size, pp) +
+                          c->rdmult * tpu_sym_cost_bits(fcdf, f);
+            if (f == 0 || cost < best_fc) {
+                best_fc = cost;
+                best_filt = f;
+            }
+        }
+        if (best_filt) {
+            mc_block_f(c->refp[0], c->ref_stride[0], c->width, c->height,
+                       c4 * 4, r * 4, size, size, best_mvc * 2,
+                       best_mvr * 2, c->bd, best_filt, best_filt,
+                       i_pred_y);
+            const uint16_t *sp = c->src[0];
+            int ss = c->sstride[0];
+            for (int y = 0; y < size; y++)
+                for (int x = 0; x < size; x++)
+                    cand_resid[y * size + x] =
+                        (int32_t)sp[(r * 4 + y) * ss + c4 * 4 + x] -
+                        i_pred_y[y * size + x];
+            tpu_trial_txb(c, 0, ts_y, 0, cand_resid, q, 0, sgn_y, 1,
+                          &i_ty);
+        }
+    }
+
     /* chroma for the inter winner */
     {
         int cw = TXW[ts_c], chh = TXH[ts_c];
-        tpui_mc_block(c->refp[1], c->ref_stride[1], (c->width + 1) >> 1,
-                      (c->height + 1) >> 1, cc * 4, cr * 4, cw, chh,
-                      best_mvc, best_mvr, c->bd, i_pred_u);
-        tpui_mc_block(c->refp[2], c->ref_stride[2], (c->width + 1) >> 1,
-                      (c->height + 1) >> 1, cc * 4, cr * 4, cw, chh,
-                      best_mvc, best_mvr, c->bd, i_pred_v);
+        mc_block_f(c->refp[1], c->ref_stride[1], (c->width + 1) >> 1,
+                   (c->height + 1) >> 1, cc * 4, cr * 4, cw, chh,
+                   best_mvc, best_mvr, c->bd, best_filt, best_filt,
+                   i_pred_u);
+        mc_block_f(c->refp[2], c->ref_stride[2], (c->width + 1) >> 1,
+                   (c->height + 1) >> 1, cc * 4, cr * 4, cw, chh,
+                   best_mvc, best_mvr, c->bd, best_filt, best_filt,
+                   i_pred_v);
         static __thread int32_t ru[32 * 32], rv[32 * 32];
         const uint16_t *su = c->src[1], *sv = c->src[2];
         int ss = c->sstride[1];
@@ -1637,6 +1765,15 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         }
     }
 
+    /* interp filter symbol (after modes/MVs, spec 5.11.27 order);
+     * not coded for skip_mode or GLOBALMV-under-identity-gm blocks */
+    if (c->switchable_filter && !use_sm &&
+        !(!use_comp && best_mode == 2 && !c->gm_coded)) {
+        int wf = use_comp ? 0 : best_filt;
+        int fctx = interp_filter_ctx_c(c, r, c4, 1, use_comp);
+        tpuec_symbol(c->ec, wf, ic->switchable_interp + fctx * 4, 3, 1);
+    }
+
     /* neighbor rows + grid */
     memset(c->above_mode + c4, 0, aw4);
     memset(c->left_mode + r, 0, lh4);
@@ -1652,6 +1789,15 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     else
         tpui_grid_set(c->grid, r, c4, w4, w4, bsize, 1, best_mvr,
                       best_mvc, best_mode == 3);
+    {
+        /* neighbor filter state for later interp-filter contexts */
+        int wf = (use_comp || use_sm) ? 0 : best_filt;
+        InterGrid *g = c->grid;
+        int rr1 = r + w4 < g->mi_rows ? r + w4 : g->mi_rows;
+        int cc1 = c4 + w4 < g->mi_cols ? c4 + w4 : g->mi_cols;
+        for (int i = r; i < rr1; i++)
+            memset(g->filt + (size_t)i * g->mi_cols + c4, wf, cc1 - c4);
+    }
     if (c->lf_txdim[0]) {
         for (int i = 0; i < lh4; i++)
             memset(c->lf_txdim[0] + (r + i) * c->lf_stride[0] + c4,
@@ -1738,6 +1884,11 @@ static void walk_p(TpuCommit *c, int r, int c4, int size,
     encode_block_p(c, r, c4, size, icand, mv16, mv16b, mv16_cols, q, dq_pending,
                    prev_q, dq_res_log2);
     tpu_update_part_ctx(c, r, c4, size);
+}
+
+void tpuc_set_interp(TpuCommit *c, int switchable, int gm_coded) {
+    c->switchable_filter = switchable;
+    c->gm_coded = gm_coded;
 }
 
 void tpuc_set_gm(TpuCommit *c, int mv8_r, int mv8_c) {

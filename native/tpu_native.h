@@ -103,6 +103,7 @@ typedef struct {
     uint16_t *comp_bwdref;          /* [3][2][3] */
     uint16_t *inter_compound_mode;  /* [8][9] */
     uint16_t *skip_mode;            /* [3][3] */
+    uint16_t *switchable_interp;    /* [16][4] */
     /* nmv per-component families (comp 0 = row, 1 = col) */
     uint16_t *sign[2];      /* [3] */
     uint16_t *classes[2];   /* [12] */

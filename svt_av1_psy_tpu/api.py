@@ -90,6 +90,10 @@ class Encoder:
             if self.cfg.film_grain_denoise_strength > 0:
                 enc.film_grain = 1
             enc.enable_scenecut = bool(self.cfg.scene_change_detection)
+            # per-block interpolation-filter search (ref
+            # interpolation_filter_search; preset-gated like
+            # enc_mode_config's ifs levels)
+            enc.interp_search = preset <= 11
             # restoration: auto (-1) follows the reference's preset
             # derivation — off at the fast presets (ref enc_mode_config.c
             # derives enable_restoration=0 for M10+), opt-in via

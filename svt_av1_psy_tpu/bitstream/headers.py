@@ -207,6 +207,7 @@ class FrameParams:
     ref_frame_idx: tuple = (0, 0, 0, 0, 0, 0, 0)
     allow_high_precision_mv: bool = False
     interp_filter: int = 0
+    is_filter_switchable: bool = False    # per-block filter signalling
     # compound prediction (spec 5.9.2 reference_select + 5.9.22
     # skip_mode_params); skip_mode_allowed must equal the decoder's
     # derivation from the ref order hints (the bit is only coded then)
@@ -396,8 +397,9 @@ def _write_inter_header_head(w: BitWriter, seq: SequenceParams,
         w.bit(0)
     w.bit(0)                                  # render size
     w.bit(fr.allow_high_precision_mv)         # (force_integer_mv == 0)
-    w.bit(0)                                  # is_filter_switchable
-    w.f(fr.interp_filter, 2)
+    w.bit(int(fr.is_filter_switchable))
+    if not fr.is_filter_switchable:
+        w.f(fr.interp_filter, 2)
     w.bit(0)                                  # is_motion_mode_switchable
     if seq.enable_ref_frame_mvs:
         w.bit(0)                              # use_ref_frame_mvs

@@ -675,6 +675,8 @@ class FastIntraEncoder:
                            lr_dec.ucols, lr_dec.urows)
             eng.set_src(yp, up, vp)
             eng.set_gm(gm_mv8v)
+            if getattr(self, "interp_search", False):
+                eng.set_interp(True, gm_wm is not None)
             if ref2_slot is not None:
                 eng.set_ref2(*self._dpb[ref2_slot])
                 eng.set_compound(sm_present, sign_bias)
@@ -753,6 +755,7 @@ class FastIntraEncoder:
             skip_mode_present=sm_present,
             refresh_frame_flags=refresh, ref_frame_idx=ref_idx,
             allow_high_precision_mv=False, interp_filter=0,
+            is_filter_switchable=getattr(self, "interp_search", False),
             delta_q_present=sbq is not None,
             delta_q_res_log2=max(dq_res_log2, 0),
             lr_type=self._lr_coded_type(lr_dec),

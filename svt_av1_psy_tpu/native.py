@@ -257,7 +257,8 @@ class InterCdfs(ctypes.Structure):
                 ("comp_ref", ctypes.POINTER(ctypes.c_uint16)),
                 ("comp_bwdref", ctypes.POINTER(ctypes.c_uint16)),
                 ("inter_compound_mode", ctypes.POINTER(ctypes.c_uint16)),
-                ("skip_mode", ctypes.POINTER(ctypes.c_uint16))] + [
+                ("skip_mode", ctypes.POINTER(ctypes.c_uint16)),
+                ("switchable_interp", ctypes.POINTER(ctypes.c_uint16))] + [
                 (n, ctypes.POINTER(ctypes.c_uint16) * 2) for n in (
                     "sign", "classes", "class0", "bits", "class0_fp",
                     "fp", "class0_hp", "hp")]
@@ -271,7 +272,7 @@ def make_inter_cdfs(fc) -> InterCdfs:
         _u16p(fc.nmv_joints), _u16p(fc.inter_ext_tx),
         _u16p(fc.comp_inter), _u16p(fc.comp_ref_type), _u16p(fc.comp_ref),
         _u16p(fc.comp_bwdref), _u16p(fc.inter_compound_mode),
-        _u16p(fc.skip_mode))
+        _u16p(fc.skip_mode), _u16p(fc.switchable_interp))
     for name in ("sign", "classes", "class0", "bits", "class0_fp", "fp",
                  "class0_hp", "hp"):
         pair = (ctypes.POINTER(ctypes.c_uint16) * 2)(
@@ -379,6 +380,8 @@ def _ensure_commit_locked(lib):
     lib.tpuc_set_ref.argtypes = [ctypes.c_void_p, u16p, u16p, u16p,
                                  ctypes.c_int, ctypes.c_int]
     lib.tpuc_set_gm.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+    lib.tpuc_set_interp.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                    ctypes.c_int]
     lib.tpuc_set_ref2.argtypes = [ctypes.c_void_p, u16p, u16p, u16p,
                                   ctypes.c_int, ctypes.c_int]
     lib.tpuc_set_compound.argtypes = [ctypes.c_void_p, ctypes.c_int, u8p]
@@ -483,6 +486,12 @@ class CommitEngine:
         """LAST-ref TRANSLATION global MV (1/8 px, precision-lowered);
         (0, 0) disarms (identity gm)."""
         self.lib.tpuc_set_gm(self._c, int(mv8[0]), int(mv8[1]))
+
+    def set_interp(self, switchable: bool, gm_coded: bool):
+        """Enable per-block interpolation-filter signalling + search
+        (frame header is_filter_switchable); gm_coded gates the
+        is_nontrans_global_motion no-filter rule for GLOBALMV blocks."""
+        self.lib.tpuc_set_interp(self._c, int(switchable), int(gm_coded))
 
     def set_ref2(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
         """Second (future / ALTREF) reference recon for compound."""
