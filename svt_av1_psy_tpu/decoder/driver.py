@@ -38,6 +38,9 @@ class Decoder:
         self.slot_hints = [0] * 8
         # saved motion fields per slot (spec 7.20; MFMV input)
         self.slot_mf = [None] * 8
+        # saved segmentation per slot: ((feat_en, feat_data, last_active,
+        # pre_skip), seg_map) — spec 7.20 SegmentIds / feature persistence
+        self.slot_seg = [None] * 8
         # SavedGmParams per slot (spec 7.20): 7x (wm0, wm1), identity=0
         self.slot_gm = [((0, 0),) * 7 for _ in range(8)]
         self.frames: List[DecodedPlanes] = []
@@ -113,6 +116,34 @@ class Decoder:
             fr.cur_order_hint = fi.order_hint
             fr.order_hint_bits = ohb
 
+        # segmentation wiring (spec 5.11.14): resolve inherited feature
+        # data + the primary ref's segment map for prediction
+        seg = None
+        seg_store = None
+        if fi.segmentation_enabled:
+            feat_en = fi.seg_feature_enabled
+            feat_data = fi.seg_feature_data
+            last_active = fi.seg_last_active
+            pre_skip = fi.seg_id_pre_skip
+            prev_map = None
+            if fi.primary_ref_frame != 7:
+                ps = self.slot_seg[fi.ref_frame_idx[fi.primary_ref_frame]]
+                if ps is not None:
+                    if not fi.seg_update_data:
+                        feat_en, feat_data, last_active, pre_skip = ps[0]
+                    prev_map = ps[1]
+            for i in range(8):
+                for j in range(1, 8):
+                    assert not feat_en[i][j], \
+                        f"segmentation feature {j} unsupported"
+            seg = dict(enabled=True, update_map=fi.seg_update_map,
+                       temporal=fi.seg_temporal_update,
+                       pre_skip=pre_skip, last_active=last_active,
+                       altq=[feat_data[i][0] if feat_en[i][0] else None
+                             for i in range(8)],
+                       prev_map=prev_map)
+            seg_store = (feat_en, feat_data, last_active, pre_skip)
+
         # motion field projection (spec 7.9) for the temporal MV stack
         tpl_mvs = None
         if is_inter and fi.use_ref_frame_mvs:
@@ -125,6 +156,7 @@ class Decoder:
         cdef_idx = None
         lr_units = [{}, {}, {}]
         tile_grids = []
+        seg_map = None
         for ti, td in enumerate(tile_data):
             tr, tc = ti // n_tile_cols, ti % n_tile_cols
             r0 = min(row_starts[tr] * 16, mi_rows)
@@ -161,10 +193,14 @@ class Decoder:
                 base_q_idx=fi.base_q_idx,
                 delta_q_res_log2=fi.delta_q_res_log2,
                 allow_update_cdf=not fi.disable_cdf_update,
-                mi_bounds=(r0, r1, c0, c1), tpl_mvs=tpl_mvs)
+                mi_bounds=(r0, r1, c0, c1), tpl_mvs=tpl_mvs, seg=seg)
             blocks = tpi.parse_tile()
             if is_inter:
                 tile_grids.append((tpi.grid, (r0, r1, c0, c1)))
+            if seg is not None:
+                if seg_map is None:
+                    seg_map = np.zeros((mi_rows, mi_cols), np.int8)
+                seg_map[r0:r1, c0:c1] = tpi.seg_map[r0:r1, c0:c1]
             fr.set_tile(r0, r1, c0, c1)
             fr.decode_blocks(blocks)
             if ti == fi.context_update_tile_id:
@@ -222,6 +258,8 @@ class Decoder:
                 self.slot_hints[i] = fi.order_hint
                 self.slot_gm[i] = cur_gm
                 self.slot_mf[i] = mf
+                self.slot_seg[i] = (seg_store, seg_map) \
+                    if seg_store is not None else None
 
 
 def decode_ivf(data: bytes) -> List[DecodedPlanes]:

@@ -205,11 +205,15 @@ def parse_frame_header(payload: bytes, seq: SeqInfo,
         fi.allow_screen_content_tools = bool(r.f(1))
     else:
         fi.allow_screen_content_tools = bool(seq.force_screen_content_tools)
-    if fi.allow_screen_content_tools and is_inter:
+    if fi.allow_screen_content_tools:
+        # the bit is read regardless of frame type (libaom
+        # read_uncompressed_header); intra frames then force it to 1
         if seq.force_integer_mv == 2:
             fi.force_integer_mv = bool(r.f(1))
         else:
             fi.force_integer_mv = bool(seq.force_integer_mv)
+    if frame_is_intra:
+        fi.force_integer_mv = True
     size_override = r.f(1)
     assert not size_override
     if seq.enable_order_hint:
@@ -320,8 +324,54 @@ def parse_frame_header(payload: bytes, seq: SeqInfo,
             fi.qm_v = r.f(4)
         else:
             fi.qm_v = fi.qm_u
+    # segmentation_params (spec 5.9.14)
     fi.segmentation_enabled = bool(r.f(1))
-    assert not fi.segmentation_enabled, "segmentation unsupported"
+    fi.seg_update_map = False
+    fi.seg_temporal_update = False
+    fi.seg_update_data = False
+    fi.seg_feature_enabled = [[False] * 8 for _ in range(8)]
+    fi.seg_feature_data = [[0] * 8 for _ in range(8)]
+    fi.seg_id_pre_skip = False
+    fi.seg_last_active = 0
+    fi.seg_inherit = False
+    if fi.segmentation_enabled:
+        if fi.primary_ref_frame == 7:
+            fi.seg_update_map = True
+            fi.seg_update_data = True
+        else:
+            fi.seg_update_map = bool(r.f(1))
+            if fi.seg_update_map:
+                fi.seg_temporal_update = bool(r.f(1))
+            fi.seg_update_data = bool(r.f(1))
+        if fi.seg_update_data:
+            bits = (8, 6, 6, 6, 6, 3, 0, 0)
+            signed = (1, 1, 1, 1, 1, 0, 0, 0)
+            fmax = (255, 63, 63, 63, 63, 7, 0, 0)
+            for i in range(8):
+                for j in range(8):
+                    if not r.f(1):
+                        continue
+                    fi.seg_feature_enabled[i][j] = True
+                    v = 0
+                    if bits[j]:
+                        if signed[j]:
+                            v = r.f(bits[j] + 1)
+                            if v >= (1 << bits[j]):       # su(): sign bit
+                                v -= (1 << (bits[j] + 1))
+                            v = max(-fmax[j], min(fmax[j], v))
+                        else:
+                            v = min(fmax[j], r.f(bits[j]))
+                    fi.seg_feature_data[i][j] = v
+        else:
+            # inherit the primary ref frame's feature data (spec: the
+            # previous data persists); driver substitutes via ref_seg
+            fi.seg_inherit = True
+        for i in range(8):
+            for j in range(8):
+                if fi.seg_feature_enabled[i][j]:
+                    fi.seg_last_active = i
+                    if j >= 5:                  # SEG_LVL_REF_FRAME..
+                        fi.seg_id_pre_skip = True
     fi.coded_lossless = (fi.base_q_idx == 0 and fi.delta_q_y_dc == 0 and
                          fi.delta_q_u_dc == 0 and fi.delta_q_u_ac == 0 and
                          fi.delta_q_v_dc == 0 and fi.delta_q_v_ac == 0)

@@ -109,6 +109,25 @@ _SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
                0, 0, 1, 1, 2, 2]
 
 
+def _neg_deinterleave(diff: int, ref: int, mx: int) -> int:
+    """neg_deinterleave (spec 5.11.14 segment-id decoding)."""
+    if ref == 0:
+        return diff
+    if ref >= mx - 1:
+        return mx - diff - 1
+    if 2 * ref < mx:
+        if diff <= 2 * ref:
+            if diff & 1:
+                return ref + ((diff + 1) >> 1)
+            return ref - (diff >> 1)
+        return diff
+    if diff <= 2 * (mx - ref - 1):
+        if diff & 1:
+            return ref + ((diff + 1) >> 1)
+        return ref - (diff >> 1)
+    return mx - (diff + 1)
+
+
 _WIENER_TAP_SPEC = ((-5, 10, 1), (-23, 8, 2), (-17, 46, 3))
 
 
@@ -144,7 +163,7 @@ class TileParser:
                  lr_type=None, lr_unit_size=None,
                  frame_width: int = 0, frame_height: int = 0,
                  base_q_idx=None, delta_q_res_log2: int = 0,
-                 mi_bounds=None, tpl_mvs=None):
+                 mi_bounds=None, tpl_mvs=None, seg=None):
         self.fc = fc
         self.skip_mode_frame = tuple(skip_mode_frame)
         self.cur_order_hint = cur_order_hint
@@ -197,6 +216,10 @@ class TileParser:
         # projected motion field (spec 7.9): (mv (n8r,n8c,2) int16,
         # ref_frame_offset (n8r,n8c) int16, valid (n8r,n8c) bool)
         self.tpl_mvs = tpl_mvs
+        # segmentation (spec 5.11.14): dict(enabled, update_map, temporal,
+        # pre_skip, last_active, altq[8] (int or None), prev_map) or None
+        self.seg = seg if (seg is not None and seg.get("enabled")) else None
+        self.cur_seg_id = 0
         self.force_integer_mv = force_integer_mv
         self.reference_select = reference_select
         self.switchable_filter = switchable_filter
@@ -234,6 +257,9 @@ class TileParser:
         self.left_skip = np.zeros(mi_rows, np.uint8)
         self.above_skip_mode = np.zeros(mi_cols, np.uint8)
         self.left_skip_mode = np.zeros(mi_rows, np.uint8)
+        self.seg_map = np.zeros((mi_rows, mi_cols), np.int8)
+        self.above_seg_pred = np.zeros(mi_cols, np.uint8)
+        self.left_seg_pred = np.zeros(mi_rows, np.uint8)
         # txfm context: above stores tx widths, left tx heights (px per 4-unit)
         self.above_txw = np.full(mi_cols, 64, np.int32)
         self.left_txh = np.full(mi_rows, 64, np.int32)
@@ -494,6 +520,12 @@ class TileParser:
         have_above = r > self.r0
         have_left = c > self.c0
 
+        seg_id = 0
+        seg = self.seg
+        if seg is not None and seg["pre_skip"]:
+            seg_id = self._read_block_segment(r, c, w4, h4, skip=False,
+                                              pre_skip=True)
+
         sm = 0
         if self.skip_mode_present and not self.frame_is_intra and \
                 min(BLOCK_SIZE_WIDE[bsize], BLOCK_SIZE_HIGH[bsize]) >= 8:
@@ -510,6 +542,11 @@ class TileParser:
         else:
             skip_ctx = int(self.above_skip[c]) + int(self.left_skip[r])
             skip = bool(self._sym(f"skip@{r},{c}", fc.skip[skip_ctx]))
+
+        if seg is not None and not seg["pre_skip"]:
+            seg_id = self._read_block_segment(r, c, w4, h4, skip=skip,
+                                              pre_skip=False)
+        self.cur_seg_id = seg_id
 
         # read_cdef (spec 5.11.56): first non-skip block per 64x64 unit
         if self.cdef_bits >= 0 and not skip:
@@ -626,9 +663,7 @@ class TileParser:
                           cfl_joint_sign=cfl_js, cfl_idx_u=cfl_u,
                           cfl_idx_v=cfl_v, use_filter_intra=use_fi,
                           filter_intra_mode=fi_mode,
-                          qindex=self.cur_q if (self.delta_q_present and
-                                               self.base_q_idx is not None)
-                          else None)
+                          qindex=self._block_qindex())
 
         # txfm context update
         self.above_txw[c:c + w4] = TX_SIZE_WIDE[tx_size]
@@ -1240,9 +1275,7 @@ class TileParser:
                           comp_wedge_idx=comp_wedge_idx,
                           comp_wedge_sign=comp_wedge_sign,
                           comp_mask_type=comp_mask_type,
-                          qindex=self.cur_q if (self.delta_q_present and
-                                               self.base_q_idx is not None)
-                          else None)
+                          qindex=self._block_qindex())
         if self.tx_mode_select and not skip:
             # read_var_tx_size over max-tx units (spec 5.11.16; write-side
             # mirror: ref entropy_coding.c:4389 write_tx_size_vartx)
@@ -1364,6 +1397,90 @@ class TileParser:
             leaves.append((r_off, c_off, tx))
             self.above_txw[c:c + w4] = TX_SIZE_WIDE[tx]
             self.left_txh[r:r + h4] = TX_SIZE_HIGH[tx]
+
+    # --- segmentation (spec 5.11.14 / 5.11.24) ---------------------------
+    def _read_block_segment(self, r, c, w4, h4, skip, pre_skip) -> int:
+        """intra_segment_id / inter_segment_id: spatial neg-interleave
+        coding with optional temporal prediction (libaom
+        read_inter_segment_id / read_segment_id)."""
+        seg = self.seg
+        if not seg["enabled"]:
+            return 0
+        prev = seg.get("prev_map")
+        if not self.frame_is_intra:
+            # predicted id: min over the block extent of the prev map
+            pred_t = 0
+            if prev is not None:
+                r1 = min(r + h4, prev.shape[0])
+                c1 = min(c + w4, prev.shape[1])
+                pred_t = int(prev[r:r1, c:c1].min())
+            if not seg["update_map"]:
+                self.seg_map[r:r + h4, c:c + w4] = pred_t
+                return pred_t
+            if not pre_skip and skip:
+                if seg["temporal"]:
+                    self.above_seg_pred[c:c + w4] = 0
+                    self.left_seg_pred[r:r + h4] = 0
+                return self._read_segment_id(r, c, w4, h4, skip=True)
+            if seg["temporal"]:
+                ctx = int(self.above_seg_pred[c]) + \
+                    int(self.left_seg_pred[r])
+                flag = self._sym("seg_pred", self.fc.seg_pred[ctx])
+                self.above_seg_pred[c:c + w4] = flag
+                self.left_seg_pred[r:r + h4] = flag
+                if flag:
+                    self.seg_map[r:r + h4, c:c + w4] = pred_t
+                    return pred_t
+            return self._read_segment_id(r, c, w4, h4, skip=False)
+        if not seg["update_map"]:
+            return 0
+        return self._read_segment_id(r, c, w4, h4, skip=skip)
+
+    def _read_segment_id(self, r, c, w4, h4, skip) -> int:
+        sm = self.seg_map
+        au = r > self.r0
+        al = c > self.c0
+        prev_ul = int(sm[r - 1, c - 1]) if (au and al) else -1
+        prev_u = int(sm[r - 1, c]) if au else -1
+        prev_l = int(sm[r, c - 1]) if al else -1
+        if prev_u == -1:
+            pred = 0 if prev_l == -1 else prev_l
+        elif prev_l == -1:
+            pred = prev_u
+        else:
+            pred = prev_u if prev_ul == prev_u else prev_l
+        if skip:
+            seg_id = pred
+        else:
+            if prev_ul < 0:
+                ctx = 0
+            elif prev_ul == prev_u and prev_ul == prev_l:
+                ctx = 2
+            elif prev_ul == prev_u or prev_ul == prev_l or \
+                    prev_u == prev_l:
+                ctx = 1
+            else:
+                ctx = 0
+            coded = self._sym("segment_id", self.fc.seg_id[ctx])
+            seg_id = _neg_deinterleave(coded, pred,
+                                       self.seg["last_active"] + 1)
+            seg_id = max(0, min(7, seg_id))
+        sm[r:r + h4, c:c + w4] = seg_id
+        return seg_id
+
+    def _block_qindex(self, seg_id=None):
+        """get_qindex (spec 7.12.2): segment ALT_Q delta on top of the
+        delta-q-evolved (or base) qindex."""
+        if seg_id is None:
+            seg_id = getattr(self, "cur_seg_id", 0)
+        altq = None
+        if self.seg is not None and self.seg["enabled"]:
+            altq = self.seg["altq"][seg_id]
+        dq = self.delta_q_present and self.base_q_idx is not None
+        if altq is not None:
+            base = self.cur_q if dq else (self.base_q_idx or 0)
+            return max(0, min(255, base + altq))
+        return self.cur_q if dq else None
 
     def _tx_size_ctx(self, r, c, bsize, have_above, have_left) -> int:
         """get_tx_size_context: INTER neighbors contribute their BLOCK

@@ -70,6 +70,8 @@ class FrameContext:
         ("wedge_interintra", "cdf_wedge_interintra_cdf", False),
         ("wedge_idx", "cdf_wedge_idx_cdf", False),
         ("compound_type", "cdf_compound_type_cdf", False),
+        ("seg_id", "cdf_seg_spatial_pred_seg_cdf", False),
+        ("seg_pred", "cdf_seg_pred_cdf", False),
         ("motion_mode", "cdf_motion_mode_cdf", False),
         ("obmc", "cdf_obmc_cdf", False),
         ("compound_idx", "cdf_compound_index_cdf", False),
