@@ -193,7 +193,10 @@ class Decoder:
                 base_q_idx=fi.base_q_idx,
                 delta_q_res_log2=fi.delta_q_res_log2,
                 allow_update_cdf=not fi.disable_cdf_update,
-                mi_bounds=(r0, r1, c0, c1), tpl_mvs=tpl_mvs, seg=seg)
+                mi_bounds=(r0, r1, c0, c1), tpl_mvs=tpl_mvs, seg=seg,
+                allow_intrabc=fi.allow_intrabc,
+                allow_screen_content=fi.allow_screen_content_tools,
+                bit_depth=seq.bit_depth)
             blocks = tpi.parse_tile()
             if is_inter:
                 tile_grids.append((tpi.grid, (r0, r1, c0, c1)))

@@ -263,7 +263,6 @@ def parse_frame_header(payload: bytes, seq: SeqInfo,
         assert r.f(1) == 0, "render size unsupported"
         if fi.allow_screen_content_tools:
             fi.allow_intrabc = bool(r.f(1))
-            assert not fi.allow_intrabc, "intrabc unsupported"
     if not fi.disable_cdf_update:
         fi.disable_frame_end_update_cdf = bool(r.f(1))
     else:
@@ -380,10 +379,11 @@ def parse_frame_header(payload: bytes, seq: SeqInfo,
         fi.delta_q_present = bool(r.f(1))
     if fi.delta_q_present:
         fi.delta_q_res_log2 = r.f(2)
-        fi.delta_lf_present = bool(r.f(1))
-        if fi.delta_lf_present:
-            r.f(2)                             # delta_lf_res
-            r.f(1)                             # delta_lf_multi
+        if not fi.allow_intrabc:               # spec delta_lf_params gate
+            fi.delta_lf_present = bool(r.f(1))
+            if fi.delta_lf_present:
+                r.f(2)                         # delta_lf_res
+                r.f(1)                         # delta_lf_multi
     # loop_filter_params
     if not (fi.coded_lossless or fi.allow_intrabc):
         l0 = r.f(6)

@@ -388,6 +388,41 @@ class FrameReconstructor:
         from svt_av1_psy_tpu.ops.mc import (blend_compound,
                                             dist_wtd_weights, mc_block,
                                             mc_block_compound_part)
+        if getattr(b, "use_intrabc", False):
+            # intra block copy (spec 7.11.3): prediction from the current
+            # frame's recon, integer luma DV, BILINEAR chroma taps
+            bw = BLOCK_SIZE_WIDE[b.bsize]
+            bh = BLOCK_SIZE_HIGH[b.bsize]
+            for plane in range(3 if hc else 1):
+                ss = 1 if plane else 0
+                x = (b.mi_col * 4) >> ss
+                y = (b.mi_row * 4) >> ss
+                w = max(4, bw >> ss)
+                h = max(4, bh >> ss)
+                if ss and (bw < 8 or bh < 8):
+                    # sub-8x8 chroma: intrabc always takes the normal
+                    # path over the aligned pair area (libaom forces
+                    # sub8x8_inter = 0 for intrabc)
+                    cs = 1 if bw == 4 else 0
+                    rs = 1 if bh == 4 else 0
+                    x = ((b.mi_col - cs) * 4) >> 1
+                    y = ((b.mi_row - rs) * 4) >> 1
+                    w = (bw + 4 * cs) >> 1
+                    h = (bh + 4 * rs) >> 1
+                mvx = int(b.mv[1]) << (1 - ss)
+                mvy = int(b.mv[0]) << (1 - ss)
+                src = self.planes[plane]
+                pred = mc_block(np.asarray(src), x, y, w, h, mvx, mvy,
+                                3, 3, bd=self.bd)
+                maxw = (self.mi_cols * 4) >> ss
+                maxh = (self.mi_rows * 4) >> ss
+                wx = min(w, maxw - x)
+                wy = min(h, maxh - y)
+                self.planes[plane][y:y + wy, x:x + wx] = \
+                    pred[:wy, :wx].astype(self.planes[plane].dtype)
+                self._bdset(plane, y >> 2, x >> 2, (h + 3) >> 2,
+                            (w + 3) >> 2)
+            return
         slot = self.ref_frame_idx[b.ref_frame - 1]
         ref = self.ref_planes[slot]
         ref2b = getattr(b, "ref_frame2", -1)
@@ -600,6 +635,13 @@ class FrameReconstructor:
         have_ar = self._bdget(plane, u_row - 1, u_col + step_x)
         have_bl = self._bdget(plane, u_row + step_y, u_col - 1)
 
+        if plane == 0 and getattr(b, "palette", None) is not None:
+            # palette prediction (spec 5.11.49 -> predict): map indices
+            # into the block's color list
+            oy = y - b.mi_row * 4
+            ox = x - b.mi_col * 4
+            colors = np.array(b.palette, np.int32)
+            return colors[b.palette_map[oy:oy + h, ox:ox + w]]
         if plane == 0:
             mode = b.y_mode
         else:

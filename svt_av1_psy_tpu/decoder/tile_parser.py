@@ -91,6 +91,11 @@ class ParsedBlock:
     comp_wedge_idx: int = 0
     comp_wedge_sign: int = 0
     comp_mask_type: int = 0
+    # intrabc (spec 5.11.31): DV in mv, prediction from the current frame
+    use_intrabc: bool = False
+    # luma palette (spec 5.11.42/5.11.49): colors tuple + index map
+    palette: tuple = None
+    palette_map: object = None
     # sub-8x8 chroma prediction group (ref enc_inter_prediction.c:3903
     # inter_chroma_4xn_pred): [(ref0, (mv_r, mv_c), (fx, fy)), ...] in
     # raster order over the covered luma 4x4s, or None when any covered
@@ -107,6 +112,10 @@ class ParsedBlock:
 # min(3, min(log2(w4), log2(h4))) (ref definitions.h:1608)
 _SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
                0, 0, 1, 1, 2, 2]
+
+
+def _ceil_log2(n: int) -> int:
+    return 0 if n < 2 else (n - 1).bit_length()
 
 
 def _neg_deinterleave(diff: int, ref: int, mx: int) -> int:
@@ -163,7 +172,10 @@ class TileParser:
                  lr_type=None, lr_unit_size=None,
                  frame_width: int = 0, frame_height: int = 0,
                  base_q_idx=None, delta_q_res_log2: int = 0,
-                 mi_bounds=None, tpl_mvs=None, seg=None):
+                 mi_bounds=None, tpl_mvs=None, seg=None,
+                 allow_intrabc: bool = False,
+                 allow_screen_content: bool = False,
+                 bit_depth: int = 8):
         self.fc = fc
         self.skip_mode_frame = tuple(skip_mode_frame)
         self.cur_order_hint = cur_order_hint
@@ -221,6 +233,9 @@ class TileParser:
         self.seg = seg if (seg is not None and seg.get("enabled")) else None
         self.cur_seg_id = 0
         self.force_integer_mv = force_integer_mv
+        self.allow_intrabc = allow_intrabc
+        self.allow_screen_content = allow_screen_content
+        self.bit_depth = bit_depth
         self.reference_select = reference_select
         self.switchable_filter = switchable_filter
         self.dual_filter = dual_filter
@@ -240,7 +255,7 @@ class TileParser:
         self.base_q_idx = base_q_idx
         self.cur_q = base_q_idx if base_q_idx is not None else 0
         self.delta_q_res_log2 = delta_q_res_log2
-        if not frame_is_intra:
+        if not frame_is_intra or allow_intrabc:
             from svt_av1_psy_tpu.inter.mvref import MiGrid
             self.grid = MiGrid(mi_rows, mi_cols, row_start=self.r0,
                                col_start=self.c0, row_end=self.r1,
@@ -248,6 +263,10 @@ class TileParser:
             # per-4x4 luma tx types for inter-chroma tx type derivation
             # (spec compute_tx_type)
             self.txtype_grid = np.zeros((mi_rows, mi_cols), np.uint8)
+        # palette neighbor state: each mi column/row remembers the
+        # covering block's luma palette (colors tuple) or None
+        self.above_pal = [None] * mi_cols
+        self.left_pal = [None] * mi_rows
 
         self.above_part = np.zeros(mi_cols, np.uint8)
         self.left_part = np.zeros(mi_rows, np.uint8)
@@ -581,6 +600,11 @@ class TileParser:
                                         (delta << self.delta_q_res_log2)))
             self.read_deltas = False
 
+        if self.frame_is_intra and self.allow_intrabc:
+            if self._sym("use_intrabc", fc.intrabc):
+                self._parse_intrabc_block(r, c, bsize, skip)
+                return
+
         is_inter = False
         if sm:
             is_inter = True           # spec: inferred for skip_mode
@@ -634,14 +658,45 @@ class TileParser:
             ad_uv = self._sym("angle_uv",
                               fc.angle_delta[uv_mode - PredMode.V_PRED]) - 3
 
-        # palette: requires allow_screen_content_tools (assumed off)
+        # palette_mode_info (spec 5.11.42): luma palette for DC blocks
+        # 8x8..64x64 when screen content tools are on; the reference
+        # never emits chroma palettes (palette_size[1] asserts 0)
+        pal_colors = None
+        hc = has_chroma(r, c, bsize)
+        if self.allow_screen_content and bsize >= 3 \
+                and BLOCK_SIZE_WIDE[bsize] <= 64 \
+                and BLOCK_SIZE_HIGH[bsize] <= 64:
+            bctx = (BLOCK_SIZE_WIDE[bsize].bit_length() +
+                    BLOCK_SIZE_HIGH[bsize].bit_length() - 2) - 6
+            if y_mode == int(PredMode.DC_PRED):
+                pctx = int(have_above and
+                           self.above_pal[c] is not None) + \
+                    int(have_left and self.left_pal[r] is not None)
+                if self._sym("palette_y_mode",
+                             fc.palette_y_mode[bctx][pctx]):
+                    n_pal = self._sym("palette_y_size",
+                                      fc.palette_y_size[bctx]) + 2
+                    pal_colors = self._read_palette_colors_y(r, c, n_pal)
+            if hc and uv_mode == int(PredMode.DC_PRED):
+                has_uv = self._sym(
+                    "palette_uv_mode",
+                    fc.palette_uv_mode[int(pal_colors is not None)])
+                assert not has_uv, "chroma palette unsupported"
+
         use_fi, fi_mode = False, 0
         if (self.enable_filter_intra and y_mode == int(PredMode.DC_PRED)
+                and pal_colors is None
                 and BLOCK_SIZE_WIDE[bsize] <= 32
                 and BLOCK_SIZE_HIGH[bsize] <= 32):
             use_fi = bool(self._sym("filter_intra", fc.filter_intra[bsize]))
             if use_fi:
                 fi_mode = self._sym("filter_intra_mode", fc.filter_intra_mode)
+
+        # palette_tokens (spec 5.11.49): color index map, decoded after
+        # mode info and before the tx-size symbols (spec decode_block)
+        pal_map = None
+        if pal_colors is not None:
+            pal_map = self._read_palette_map(r, c, bsize, len(pal_colors))
 
         # tx size
         max_tx = int(MAX_TX_SIZE_RECT[bsize])
@@ -663,11 +718,14 @@ class TileParser:
                           cfl_joint_sign=cfl_js, cfl_idx_u=cfl_u,
                           cfl_idx_v=cfl_v, use_filter_intra=use_fi,
                           filter_intra_mode=fi_mode,
+                          palette=pal_colors, palette_map=pal_map,
                           qindex=self._block_qindex())
 
         # txfm context update
         self.above_txw[c:c + w4] = TX_SIZE_WIDE[tx_size]
         self.left_txh[r:r + h4] = TX_SIZE_HIGH[tx_size]
+        self.above_pal[c:c + w4] = [pal_colors] * w4
+        self.left_pal[r:r + h4] = [pal_colors] * h4
         self.above_mode[c:c + w4] = y_mode
         self.left_mode[r:r + h4] = y_mode
         self.above_skip[c:c + w4] = int(skip)
@@ -965,29 +1023,32 @@ class TileParser:
                        fc.single_ref[ctx3(cnt[1], cnt[2])][3])
         return 2 if p4 else 1
 
-    def _read_mv_component(self, comp: int) -> int:
+    def _read_mv_component(self, comp: int, tabs=None,
+                           integer=None) -> int:
         fc = self.fc
+        tabs = fc.nmv_comp if tabs is None else tabs
+        integer = self.force_integer_mv if integer is None else integer
         pre = f"comp{comp}_"
-        sign = self._sym("mv_sign", fc.nmv_comp[pre + "sign_cdf"])
-        cls = self._sym("mv_class", fc.nmv_comp[pre + "classes_cdf"])
+        sign = self._sym("mv_sign", tabs[pre + "sign_cdf"])
+        cls = self._sym("mv_class", tabs[pre + "classes_cdf"])
         if cls == 0:
-            int_bit = self._sym("mv_class0", fc.nmv_comp[pre + "class0_cdf"])
+            int_bit = self._sym("mv_class0", tabs[pre + "class0_cdf"])
             d = int_bit
         else:
             d = 0
             for b in range(cls):
                 d |= self._sym("mv_bit",
-                               fc.nmv_comp[pre + "bits_cdf"][b]) << b
-        if self.force_integer_mv:
+                               tabs[pre + "bits_cdf"][b]) << b
+        if integer:
             fr, hp = 3, 1
         else:
             if cls == 0:
                 fr = self._sym("mv_fr",
-                               fc.nmv_comp[pre + "class0_fp_cdf"][d])
+                               tabs[pre + "class0_fp_cdf"][d])
             else:
-                fr = self._sym("mv_fr", fc.nmv_comp[pre + "fp_cdf"])
+                fr = self._sym("mv_fr", tabs[pre + "fp_cdf"])
             if self.allow_hp:
-                hp = self._sym("mv_hp", fc.nmv_comp[
+                hp = self._sym("mv_hp", tabs[
                     pre + ("class0_hp_cdf" if cls == 0 else "hp_cdf")])
             else:
                 hp = 1
@@ -1001,6 +1062,17 @@ class TileParser:
         joint = self._sym("mv_joint", self.fc.nmv_joints)
         dr = self._read_mv_component(0) if joint & 2 else 0
         dc = self._read_mv_component(1) if joint & 1 else 0
+        return (pred[0] + dr, pred[1] + dc)
+
+    def _read_dv(self, pred):
+        """read_mv for intrabc (spec 5.11.31): the DV coder uses its own
+        NMV context instance at integer precision (MV_SUBPEL_NONE)."""
+        fc = self.fc
+        joint = self._sym("dv_joint", fc.dv_joints)
+        dr = self._read_mv_component(0, tabs=fc.dv_comp, integer=True) \
+            if joint & 2 else 0
+        dc = self._read_mv_component(1, tabs=fc.dv_comp, integer=True) \
+            if joint & 1 else 0
         return (pred[0] + dr, pred[1] + dc)
 
     @staticmethod
@@ -1299,6 +1371,8 @@ class TileParser:
         self.left_mode[r:r + h4] = int(PredMode.DC_PRED)
         self.above_skip[c:c + w4] = int(skip)
         self.left_skip[r:r + h4] = int(skip)
+        self.above_pal[c:c + w4] = [None] * w4
+        self.left_pal[r:r + h4] = [None] * h4
         has_newmv = (mode == 3) if not is_comp else _COMP_HAS_NEWMV[cmode]
         # interintra stores ref1 = INTRA_FRAME (0): excluded from warp
         # samples (which require NONE) but still "no second ref" (> 0
@@ -1338,6 +1412,68 @@ class TileParser:
             self.left_coef[0][r:r + h4] = 0
             # chroma ctx reset only for chroma-bearing blocks
             # (ref entropy_coding.c:4111 resets uv only if blk_geom->has_uv)
+            if has_chroma(r, c, bsize):
+                cw4 = max(1, w4 >> 1)
+                ch4 = max(1, h4 >> 1)
+                for p in (1, 2):
+                    self.above_coef[p][(c >> 1):(c >> 1) + cw4] = 0
+                    self.left_coef[p][(r >> 1):(r >> 1) + ch4] = 0
+        else:
+            self._parse_residual(blk)
+        self.blocks.append(blk)
+        self.events.append(('block', blk))
+
+    def _parse_intrabc_block(self, r, c, bsize, skip):
+        """Intra block copy (spec 5.11.31): DV from the intrabc MV stack
+        (default DV rule when empty), inter-style var-tx + residual,
+        prediction from the current frame's recon with BILINEAR chroma
+        taps."""
+        from svt_av1_psy_tpu.inter.mvref import setup_ref_mv_list
+        w4 = BLOCK_SIZE_WIDE[bsize] // 4
+        h4 = BLOCK_SIZE_HIGH[bsize] // 4
+        refs = setup_ref_mv_list(self.grid, r, c, bsize, 0,
+                                 sb_mi=self.sb_mi, ibc=True)
+        pred = refs.stack[0] if refs.stack else (0, 0)
+        if pred == (0, 0):
+            # default DV (spec assign_mv intrabc branch)
+            if r - self.sb_mi < self.r0:
+                pred = (0, -(self.sb_mi * 4 + 256) * 8)
+            else:
+                pred = (-(self.sb_mi * 4 * 8), 0)
+        dv = self._read_dv(pred)
+
+        blk = ParsedBlock(mi_row=r, mi_col=c, bsize=bsize, y_mode=0,
+                          uv_mode=0, skip=skip,
+                          tx_size=int(MAX_TX_SIZE_RECT[bsize]),
+                          is_inter=True, ref_frame=0, mv=dv,
+                          inter_mode=3, interp_filters=(3, 3),
+                          use_intrabc=True,
+                          qindex=self._block_qindex())
+        if self.tx_mode_select and not skip:
+            maxtx = int(MAX_TX_SIZE_RECT[bsize])
+            splits, leaves = [], []
+            mw4 = TX_SIZE_WIDE[maxtx] // 4
+            mh4 = TX_SIZE_HIGH[maxtx] // 4
+            for i in range(0, h4, mh4):
+                for j in range(0, w4, mw4):
+                    self._read_var_tx(blk, maxtx, 0, i, j, splits, leaves)
+            blk.txfm_splits = splits
+            blk.tx_leaves = leaves
+        else:
+            self.above_txw[c:c + w4] = TX_SIZE_WIDE[blk.tx_size]
+            self.left_txh[r:r + h4] = TX_SIZE_HIGH[blk.tx_size]
+
+        self.above_mode[c:c + w4] = int(PredMode.DC_PRED)
+        self.left_mode[r:r + h4] = int(PredMode.DC_PRED)
+        self.above_skip[c:c + w4] = int(skip)
+        self.left_skip[r:r + h4] = int(skip)
+        self.above_pal[c:c + w4] = [None] * w4
+        self.left_pal[r:r + h4] = [None] * h4
+        self.grid.set_block(r, c, h4, w4, bsize, 0, -1, dv, (0, 0), True)
+        self.grid.ibc[r:r + h4, c:c + w4] = 1
+        if skip:
+            self.above_coef[0][c:c + w4] = 0
+            self.left_coef[0][r:r + h4] = 0
             if has_chroma(r, c, bsize):
                 cw4 = max(1, w4 >> 1)
                 ch4 = max(1, h4 >> 1)
@@ -1397,6 +1533,138 @@ class TileParser:
             leaves.append((r_off, c_off, tx))
             self.above_txw[c:c + w4] = TX_SIZE_WIDE[tx]
             self.left_txh[r:r + h4] = TX_SIZE_HIGH[tx]
+
+    # --- palette (spec 5.11.42-5.11.49) -----------------------------------
+    def _read_palette_colors_y(self, r, c, n):
+        """Luma palette colors: per-cache-entry reuse flags, then delta
+        coding of the new colors (ref write_palette_colors_y inverse;
+        cache = sorted dedupe merge of the above/left palettes,
+        above only when not at a superblock top row)."""
+        above = self.above_pal[c] if ((r * 4) % 64) and r > self.r0 \
+            else None
+        left = self.left_pal[r] if c > self.c0 else None
+        cache = []
+        a = list(above) if above else []
+        l = list(left) if left else []
+        ai = li = 0
+        while ai < len(a) and li < len(l):
+            va, vl = a[ai], l[li]
+            if vl < va:
+                if not cache or vl != cache[-1]:
+                    cache.append(vl)
+                li += 1
+            else:
+                if not cache or va != cache[-1]:
+                    cache.append(va)
+                ai += 1
+                if vl == va:
+                    li += 1
+        cache.extend(v for v in a[ai:] if not cache or v != cache[-1])
+        while li < len(l):
+            if not cache or l[li] != cache[-1]:
+                cache.append(l[li])
+            li += 1
+        got = []
+        i = 0
+        while i < len(cache) and len(got) < n:
+            if self._lit("pal_cache_flag", 1):
+                got.append(cache[i])
+            i += 1
+        n_out = n - len(got)
+        new = []
+        if n_out > 0:
+            bd = self.bit_depth
+            v = self._lit("pal_color0", bd)
+            new.append(v)
+            if n_out > 1:
+                bits = (bd - 3) + self._lit("pal_bits", 2)
+                rng = (1 << bd) - v - 1
+                for _ in range(n_out - 1):
+                    d = self._lit("pal_delta", bits) + 1
+                    v = min(v + d, (1 << bd) - 1)
+                    new.append(v)
+                    rng -= d
+                    bits = min(bits, _ceil_log2(rng))
+        return tuple(sorted(got + new))
+
+    _PAL_CTX_LOOKUP = (-1, -1, 0, -1, -1, 4, 3, 2, 1)
+
+    def _pal_color_ctx(self, m, rr, cc, n):
+        """get_palette_color_context (ref cabac_context_model.c:2458):
+        returns (cdf ctx, color order)."""
+        nb = [int(m[rr, cc - 1]) if cc > 0 else -1,
+              int(m[rr - 1, cc]) if rr > 0 else -1,
+              int(m[rr - 1, cc - 1]) if (rr > 0 and cc > 0) else -1]
+        sc = [2, 2, 1]
+        if nb[0] == nb[1]:
+            sc[0] += sc[1]
+            nb[1] = -1
+            if nb[0] == nb[2]:
+                sc[0] += sc[2]
+                nb[2] = -1
+        elif nb[0] == nb[2]:
+            sc[0] += sc[2]
+            nb[2] = -1
+        elif nb[1] == nb[2]:
+            sc[1] += sc[2]
+            nb[2] = -1
+        ranks = []
+        scores = []
+        for idx in range(3):
+            if nb[idx] != -1:
+                ranks.append(nb[idx])
+                scores.append(sc[idx])
+        # stable-ish sort per the reference's explicit swaps
+        if len(ranks) >= 2 and (scores[0] < scores[1] or
+                                (scores[0] == scores[1] and
+                                 ranks[0] > ranks[1])):
+            ranks[0], ranks[1] = ranks[1], ranks[0]
+            scores[0], scores[1] = scores[1], scores[0]
+        if len(ranks) >= 3:
+            if scores[0] < scores[2]:
+                ranks[0], ranks[2] = ranks[2], ranks[0]
+                scores[0], scores[2] = scores[2], scores[0]
+            if scores[1] < scores[2]:
+                ranks[1], ranks[2] = ranks[2], ranks[1]
+                scores[1], scores[2] = scores[2], scores[1]
+        h = 0
+        mult = (1, 2, 2)
+        pads = scores + [0] * (3 - len(scores))
+        for idx in range(3):
+            h += pads[idx] * mult[idx]
+        ctx = self._PAL_CTX_LOOKUP[h]
+        order = ranks + [x for x in range(n) if x not in ranks]
+        return ctx, order
+
+    def _read_palette_map(self, r, c, bsize, n):
+        """palette_tokens (spec 5.11.49): first index uniform-coded, the
+        rest in anti-diagonal wavefront order with neighbor contexts;
+        offscreen region replicated from the last onscreen column/row."""
+        bw = BLOCK_SIZE_WIDE[bsize]
+        bh = BLOCK_SIZE_HIGH[bsize]
+        w_on = min(bw, (self.mi_cols - c) * 4)
+        h_on = min(bh, (self.mi_rows - r) * 4)
+        m = np.zeros((bh, bw), np.uint8)
+        # read_uniform(n) inverse of write_uniform
+        lbits = n.bit_length() - 1 if (n & (n - 1)) == 0 else \
+            (n - 1).bit_length()
+        mm = (1 << lbits) - n
+        v = self._lit("pal_first", lbits - 1) if lbits > 1 else 0
+        if v >= mm:
+            v = (v << 1) - mm + self._lit("pal_first_b", 1)
+        m[0, 0] = v
+        cdf = self.fc.palette_y_color[n - 2]
+        for i in range(1, h_on + w_on - 1):
+            for j in range(min(i, w_on - 1), max(0, i - h_on + 1) - 1, -1):
+                rr, cc = i - j, j
+                ctx, order = self._pal_color_ctx(m, rr, cc, n)
+                sym = self._sym("pal_color_idx", cdf[ctx], nsyms=n)
+                m[rr, cc] = order[sym]
+        if w_on < bw:
+            m[:, w_on:] = m[:, w_on - 1:w_on]
+        if h_on < bh:
+            m[h_on:, :] = m[h_on - 1:h_on, :]
+        return m
 
     # --- segmentation (spec 5.11.14 / 5.11.24) ---------------------------
     def _read_block_segment(self, r, c, w4, h4, skip, pre_skip) -> int:
@@ -1498,12 +1766,13 @@ class TileParser:
             if have_left:
                 return int(lh)
             return 0
-        if have_above and int(g.ref0[r - 1, c]) > 0:
+        if have_above and (int(g.ref0[r - 1, c]) > 0 or
+                           g.ibc[r - 1, c]):
             aw = BLOCK_SIZE_WIDE[int(g.bsize[r - 1, c])] >= \
                 TX_SIZE_WIDE[max_tx]
         else:
             aw = int(self.above_txw[c]) >= TX_SIZE_WIDE[max_tx]
-        if have_left and int(g.ref0[r, c - 1]) > 0:
+        if have_left and (int(g.ref0[r, c - 1]) > 0 or g.ibc[r, c - 1]):
             lh = BLOCK_SIZE_HIGH[int(g.bsize[r, c - 1])] >= \
                 TX_SIZE_HIGH[max_tx]
         else:

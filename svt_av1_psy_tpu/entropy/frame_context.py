@@ -72,6 +72,13 @@ class FrameContext:
         ("compound_type", "cdf_compound_type_cdf", False),
         ("seg_id", "cdf_seg_spatial_pred_seg_cdf", False),
         ("seg_pred", "cdf_seg_pred_cdf", False),
+        ("intrabc", "cdf_intrabc_cdf", False),
+        ("palette_y_mode", "cdf_palette_y_mode_cdf", False),
+        ("palette_uv_mode", "cdf_palette_uv_mode_cdf", False),
+        ("palette_y_size", "cdf_palette_y_size_cdf", False),
+        ("palette_uv_size", "cdf_palette_uv_size_cdf", False),
+        ("palette_y_color", "cdf_palette_y_color_index_cdf", False),
+        ("palette_uv_color", "cdf_palette_uv_color_index_cdf", False),
         ("motion_mode", "cdf_motion_mode_cdf", False),
         ("obmc", "cdf_obmc_cdf", False),
         ("compound_idx", "cdf_compound_index_cdf", False),
@@ -96,6 +103,9 @@ class FrameContext:
             if k.startswith("cdf_nmv_comp"):
                 self.nmv_comp[k[len("cdf_nmv_"):]] = \
                     t[k].astype(np.uint16).copy()
+        # intrabc DV coder: its own NMV context instance (spec NdvContext)
+        self.dv_joints = t["cdf_nmv_joints_cdf"].astype(np.uint16).copy()
+        self.dv_comp = {k: v.copy() for k, v in self.nmv_comp.items()}
 
     def eob_flag(self, eob_multi_size: int) -> np.ndarray:
         return getattr(self, f"eob_flag{16 << eob_multi_size}")
@@ -105,6 +115,8 @@ class FrameContext:
         for attr, _, _ in self._SPEC:
             setattr(out, attr, getattr(self, attr).copy())
         out.nmv_comp = {k: v.copy() for k, v in self.nmv_comp.items()}
+        out.dv_joints = self.dv_joints.copy()
+        out.dv_comp = {k: v.copy() for k, v in self.dv_comp.items()}
         return out
 
     def inherit_copy(self) -> "FrameContext":
@@ -117,6 +129,13 @@ class FrameContext:
             getattr(out, attr)[..., -1] = 0
         for v in out.nmv_comp.values():
             v[..., -1] = 0
+        out.dv_joints[..., -1] = 0
+        for v in out.dv_comp.values():
+            v[..., -1] = 0
+        # palette color-index tables: nsyms = size_idx + 2 per row
+        for i in range(7):
+            out.palette_y_color[i, :, i + 2] = 0
+            out.palette_uv_color[i, :, i + 2] = 0
         # variable-nsyms tables: counter at icdf[nsyms] per row
         out.partition[0:4, 4] = 0          # 8x8 ctxs: 4 symbols
         out.partition[16:20, 8] = 0        # 128x128 ctxs: 8 symbols

@@ -54,9 +54,10 @@ class MiGrid:
         # compound_idx contexts)
         self.comp_group = np.zeros(shape, np.uint8)
         self.cmp_idx = np.ones(shape, np.uint8)
+        self.ibc = np.zeros(shape, np.uint8)     # use_intrabc blocks
 
     _FIELDS = ("ref0", "ref1", "mv0", "mv1", "newmv", "bsize",
-               "partition", "filters", "comp_group", "cmp_idx")
+               "partition", "filters", "comp_group", "cmp_idx", "ibc")
 
     def snapshot(self, r, c, h4, w4):
         sl = (slice(r, r + h4), slice(c, c + w4))
@@ -197,7 +198,8 @@ def has_top_right(grid: MiGrid, mi_row: int, mi_col: int, n8_w: int,
 def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
                       ref_frame: int, sb_mi: int = 16,
                       gm_mv=(0, 0), ref_frame2: int = NONE_FRAME,
-                      gm_mv2=(0, 0), sign_bias=None, tpl=None) -> MvRefs:
+                      gm_mv2=(0, 0), sign_bias=None, tpl=None,
+                      ibc=False) -> MvRefs:
     """Build the MV stack (no temporal mvp), single-ref or compound
     (ref_frame2 > INTRA_FRAME). gm_mv/gm_mv2 are the precision-lowered
     global motion vectors per component (spec 7.10.2.1 setup_global_mv)
@@ -241,6 +243,21 @@ def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
     def add_candidate(r, c, len_, weight, which):
         """add_ref_mv_candidate (ref adaptive_mv_pred.c:56)."""
         if c >= col_end or r >= row_end or c < col_start or r < row_start:
+            return
+        if ibc:
+            # intrabc DV stack (spec 7.10.2 with RefFrame = INTRA):
+            # candidates are previous intrabc blocks only
+            if not grid.ibc[r, c]:
+                return
+            mv = (int(grid.mv0[r, c, 0]), int(grid.mv0[r, c, 1]))
+            for ent in stack:
+                if (ent[0], ent[1]) == mv:
+                    ent[4] += weight * len_
+                    break
+            else:
+                if len(stack) < MAX_REF_MV_STACK_SIZE:
+                    stack.append([mv[0], mv[1], 0, 0, weight * len_])
+            counts[which] += 1
             return
         if grid.ref0[r, c] <= INTRA_FRAME:
             return
