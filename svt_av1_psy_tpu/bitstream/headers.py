@@ -208,6 +208,10 @@ class FrameParams:
     allow_high_precision_mv: bool = False
     interp_filter: int = 0
     is_filter_switchable: bool = False    # per-block filter signalling
+    # segmentation (spec 5.9.14): aq-mode-1 shape — ALT_Q only, spatial
+    # map updated every frame. seg_altq[i] = delta or None (disabled)
+    seg_enabled: bool = False
+    seg_altq: tuple = (None,) * 8
     # compound prediction (spec 5.9.2 reference_select + 5.9.22
     # skip_mode_params); skip_mode_allowed must equal the decoder's
     # derivation from the ref order hints (the bit is only coded then)
@@ -269,7 +273,21 @@ def write_frame_header_bits(w: BitWriter, seq: SequenceParams,
         w.bit(0)                              # disable_frame_end_update_cdf
     _write_tile_info(w, seq, fr)
     _write_quantization_params(w, seq, fr)
-    w.bit(0)                                  # segmentation_enabled
+    # segmentation_params (spec 5.9.14)
+    w.bit(int(fr.seg_enabled))
+    if fr.seg_enabled:
+        if fr.primary_ref_frame != 7:
+            w.bit(1)                          # segmentation_update_map
+            w.bit(0)                          # segmentation_temporal_update
+            w.bit(1)                          # segmentation_update_data
+        for i in range(8):
+            for j in range(8):
+                if j == 0 and fr.seg_altq[i] is not None:
+                    w.bit(1)
+                    v = max(-255, min(255, int(fr.seg_altq[i])))
+                    w.f(v & 0x1FF, 9)         # su(1+8) two's complement
+                else:
+                    w.bit(0)
     # delta_q_params
     if fr.base_q_idx > 0:
         w.bit(fr.delta_q_present)

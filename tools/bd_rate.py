@@ -87,6 +87,7 @@ def encode_ours(src, w, h, qindex, fps_hz, preset, gop=1, tpl=0):
         from svt_av1_psy_tpu.models.ra import RaDriver
         enc = FastIntraEncoder(w, h, qindex=qindex,
                                n_cands={13: 1, 12: 2}.get(preset, 3))
+        enc.interp_search = preset <= 11
         drv = RaDriver(enc, gop_levels=4)
         tmp = tempfile.mktemp(suffix=".ivf")
         wtr = IvfWriter(tmp, w, h)
