@@ -107,6 +107,10 @@ class Encoder:
             enc.enable_variance_boost = self.cfg.enable_variance_boost
             enc.vb_strength = self.cfg.variance_boost_strength
             enc.vb_octile = self.cfg.variance_octile
+            # aq-mode 1: variance-based AV1 segments (seg syntax);
+            # 2 = deltaq (variance boost covers that shape)
+            enc.aq_mode = 1 if \
+                self.cfg.enable_adaptive_quantization == 1 else 0
         self._enc = enc
         self._frames = 0
 

@@ -29,6 +29,20 @@ _INTRA_MODE_CTX = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
 # min(3, min(log2(w4), log2(h4))) (ref definitions.h:1608)
 _SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
                0, 0, 1, 1, 2, 2]
+
+
+def _neg_interleave(x: int, ref: int, mx: int) -> int:
+    """neg_interleave (spec segment-id coding; inverse of the parser's
+    _neg_deinterleave)."""
+    d = x - ref
+    if not ref:
+        return x
+    if ref >= mx - 1:
+        return -x + mx - 1
+    lim = ref if 2 * ref < mx else mx - ref - 1
+    if abs(d) <= lim:
+        return (d << 1) - 1 if d > 0 else (-d) << 1
+    return x if 2 * ref < mx else (mx - 1) - x
 _WIENER_TAP_SPEC2 = ((-5, 10, 1), (-23, 8, 2), (-17, 46, 3))
 
 # partition ctx byte per block dimension (above uses width, left height);
@@ -122,7 +136,7 @@ class TileWriter:
                  motion_mode_switchable: bool = False,
                  allow_warped_motion: bool = False,
                  skip_mode_present: bool = False,
-                 gm_mv=None):
+                 gm_mv=None, seg=None):
         self.fc = fc
         # per-ref precision-lowered global MV for the stack fill
         # (index 0 = LAST_FRAME); identity when the frame codes no gm
@@ -142,6 +156,13 @@ class TileWriter:
         self.mi_rows = mi_rows
         self.mi_cols = mi_cols
         self.sb_mi = sb_size // 4
+        # segmentation (aq-mode 1): dict(last_active, map (mi int8));
+        # written-state map mirrors what the decoder reconstructs (skip
+        # blocks store the prediction, not the intended id)
+        self.seg = seg
+        if seg is not None:
+            import numpy as _np
+            self.seg_written = _np.zeros((mi_rows, mi_cols), _np.int8)
         # write_cdef state (spec 5.11.56); grid set via set_cdef_grid
         self.cdef_bits = cdef_bits
         self.cdef_grid = None
@@ -290,6 +311,37 @@ class TileWriter:
         # skip (coded first in intra_frame_mode_info, spec 5.11.8)
         skip_ctx = int(self.above_skip[c]) + int(self.left_skip[r])
         enc.encode_symbol(int(b.skip), fc.skip[skip_ctx], adapt=True)
+
+        # segment id (spec 5.11.14, SegIdPreSkip=0 shape): spatial
+        # neg-interleave coding vs the UL/U/L prediction
+        if self.seg is not None:
+            sm = self.seg_written
+            au, al = r > 0, c > 0
+            p_ul = int(sm[r - 1, c - 1]) if (au and al) else -1
+            p_u = int(sm[r - 1, c]) if au else -1
+            p_l = int(sm[r, c - 1]) if al else -1
+            if p_u == -1:
+                pred = 0 if p_l == -1 else p_l
+            elif p_l == -1:
+                pred = p_u
+            else:
+                pred = p_u if p_ul == p_u else p_l
+            if b.skip:
+                sm[r:r + h4, c:c + w4] = pred
+            else:
+                if p_ul < 0:
+                    ctx = 0
+                elif p_ul == p_u and p_ul == p_l:
+                    ctx = 2
+                elif p_ul == p_u or p_ul == p_l or p_u == p_l:
+                    ctx = 1
+                else:
+                    ctx = 0
+                want = int(self.seg["map"][r, c])
+                coded = _neg_interleave(want, pred,
+                                        self.seg["last_active"] + 1)
+                enc.encode_symbol(coded, fc.seg_id[ctx], adapt=True)
+                sm[r:r + h4, c:c + w4] = want
 
         # write_cdef (spec 5.11.56): first non-skip block per 64x64
         if self.cdef_bits >= 0 and not b.skip:

@@ -195,19 +195,32 @@ class IntraEncoder:
             self.qindex, dq_res_log2, vb = adjust_sb_qindex(
                 cfg_q, sb_8x8_variances(yp), self.vb_strength,
                 self.vb_octile, bd)
+        # aq-mode 1: variance-based AV1 segments instead of delta-q
+        # (ref segmentation.c svt_aom_setup_segmentation /
+        # find_segment_qps + apply_segmentation_based_quantization)
+        seg_info = None
+        if getattr(self, "aq_mode", 0) == 1 and vb is None:
+            seg_info = self._setup_segmentation_aq(yp)
 
         fr_params = FrameParams(base_q_idx=self.qindex,
                                 order_hint=self.frame_index & 0x7F,
                                 tx_mode_select=True,
                                 delta_q_present=vb is not None,
                                 delta_q_res_log2=dq_res_log2)
+        if seg_info is not None:
+            fr_params.seg_enabled = True
+            fr_params.seg_altq = tuple(seg_info["altq"])
         self.fr = FrameReconstructor(
             self.width, self.height, fr_params, bd=bd,
             enable_intra_edge_filter=self.seq.enable_intra_edge_filter)
         fc = FrameContext(self.qindex)
         self.tw = TileWriter(fc, self.mi_rows, self.mi_cols, sb_size=SB,
                              backend=self.backend, tx_mode_select=True,
-                             cdef_bits=0)
+                             cdef_bits=0,
+                             seg=(None if seg_info is None else
+                                  dict(last_active=seg_info["last_active"],
+                                       map=seg_info["map"])))
+        self._seg_info = seg_info
         self._sb_ops = []
         prev_q = self.qindex
         for sby in range(0, self.ah, SB):
@@ -217,6 +230,10 @@ class IntraEncoder:
                     sbq = int(vb[sby // SB, sbx // SB])
                     self._set_block_q(sbq)
                     self.fr.q_override = sbq
+                elif seg_info is not None:
+                    sbq = seg_info["sbq"][sby // SB, sbx // SB]
+                    self._set_block_q(int(sbq))
+                    self.fr.q_override = int(sbq)
                 self.fr.start_block(sby // 4, sbx // 4)
                 _, ops = self._search_partition(sby // 4, sbx // 4, 64)
                 dq = None
@@ -232,7 +249,7 @@ class IntraEncoder:
                         prev_q = sbq
                 self._sb_ops.append((sby // 4, sbx // 4, ops, dq))
                 self._write_ops(ops, dq=dq)
-        if vb is not None:
+        if vb is not None or seg_info is not None:
             self._set_block_q(self.qindex)
             self.fr.q_override = None
 
@@ -406,6 +423,38 @@ class IntraEncoder:
         if not cs.blocks:
             return (0, 0, 0, 0)
         return cs.search(srcs, 3 + (self.qindex >> 6))
+
+    def _setup_segmentation_aq(self, yp):
+        """aq-mode 1: bucket 64x64 SBs into AV1 segments by variance and
+        assign per-segment ALT_Q deltas (ref segmentation.c
+        find_segment_qps; the per-SB assignment plays the
+        apply_segmentation_based_quantization role at SB granularity)."""
+        sbr = (self.ah + 63) // 64
+        sbc = (self.aw + 63) // 64
+        var = np.zeros((sbr, sbc))
+        for i in range(sbr):
+            for j in range(sbc):
+                blk = yp[i * 64:(i + 1) * 64,
+                         j * 64:(j + 1) * 64].astype(np.float64)
+                var[i, j] = blk.var()
+        lo, hi = float(var.min()), float(var.max())
+        if hi - lo < 1e-6:
+            return None
+        edges = lo + (hi - lo) * (np.arange(1, 8) / 8.0)
+        seg_sb = np.digitize(var, edges).astype(np.int8)     # 0..7
+        avg_seg = int(np.digitize([var.mean()], edges)[0])
+        strength = int(getattr(self, "aq_strength", 4))
+        # keep base+altq >= 1 so the decode-side Clip3(0,255) agrees
+        altq = [max(1 - self.qindex, max(-48, min(48,
+                                                  (i - avg_seg) * strength)))
+                for i in range(8)]
+        # per-mi segment map + per-SB effective qindex
+        seg_map = np.repeat(np.repeat(seg_sb, 16, 0), 16, 1)
+        seg_map = seg_map[:self.mi_rows, :self.mi_cols]
+        sbq = np.clip(self.qindex +
+                      np.array(altq, np.int32)[seg_sb], 1, 255)
+        return dict(map=seg_map, sbq=sbq,
+                    altq=[int(a) for a in altq], last_active=7)
 
     def _cdef_stage(self, fr_params, yp, up, vp, q):
         """CDEF search + apply + header signalling. Per-64x64 search
@@ -1311,12 +1360,16 @@ class IntraEncoder:
         """Replay the recorded SB ops into a fresh tile with the final
         filter syntax (per-unit cdef_idx literals and/or LR units)."""
         fc2 = FrameContext(q)
+        seg_info = getattr(self, "_seg_info", None)
         tw2 = TileWriter(fc2, self.mi_rows, self.mi_cols, sb_size=SB,
                          backend=self.backend,
                          tx_mode_select=self.tw.tx_mode_select,
                          cdef_bits=(fr_params.cdef_bits
                                     if cdef_grid is not None else 0),
-                         frame_is_intra=self.tw.frame_is_intra)
+                         frame_is_intra=self.tw.frame_is_intra,
+                         seg=(None if seg_info is None else
+                              dict(last_active=seg_info["last_active"],
+                                   map=seg_info["map"])))
         if cdef_grid is not None:
             tw2.cdef_grid = cdef_grid
         if lr is not None:
