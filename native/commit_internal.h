@@ -68,6 +68,13 @@ struct TpuCommit {
     /* per-block interpolation filter search (is_filter_switchable) */
     int switchable_filter;
     int gm_coded;   /* gm type > IDENTITY (is_nontrans gate needs it) */
+    /* MFMV temporal motion field (spec 7.9 projection; NULL = off) */
+    const int16_t *tpl_mv;
+    const int16_t *tpl_off;
+    const uint8_t *tpl_valid;
+    int tpl_n8r, tpl_n8c;
+    int tpl_cur_off[8];
+    int tpl_allow_hp;
 };
 
 int16_t *tpu_scan(int ts, int tt, int *n);

@@ -340,7 +340,104 @@ typedef struct {
     int row_match, col_match, newmv_count;
     int processed_rows, processed_cols;
     int max_row_offset, max_col_offset;
+    int tpl_gm_bit;                       /* GLOBALMV_OFFSET ctx bit */
 } MvCtx;
+
+/* MFMV temporal candidates (spec 7.10.2 add_tpl_ref_mv; behavioral twin
+ * of svt_av1_psy_tpu/inter/mvref.py setup_ref_mv_list's tpl branch).
+ * The projected motion field comes from python (inter/mfmv.py). */
+typedef struct {
+    const int16_t *mv;       /* (n8r*n8c*2) projected field, 1/8 px */
+    const int16_t *off;      /* (n8r*n8c) ref_frame_offset of the source */
+    const uint8_t *valid;    /* (n8r*n8c) */
+    int n8r, n8c;
+    int cur_off0, cur_off1;  /* cur-to-ref rel dist: ref_frame / ref2 */
+    int allow_hp;
+} TplArgs;
+
+/* get_mv_projection (spec 7.9.3), Div_Mult reciprocal table */
+static const uint16_t DIV_MULT_T[32] = {
+    0,    16384, 8192, 5461, 4096, 3276, 2730, 2340, 2048, 1820, 1638,
+    1489, 1365,  1260, 1170, 1092, 1024, 963,  910,  862,  819,  780,
+    744,  712,   682,  655,  630,  606,  585,  564,  546,  528};
+
+static void mv_proj(int mvr, int mvc, int num, int den, int *or_, int *oc) {
+    const int MVMAX = (1 << 14) - 1;
+    if (den > 31) den = 31;
+    num = num > 0 ? (num < 31 ? num : 31) : (num > -31 ? num : -31);
+    int64_t pr = (int64_t)mvr * num * DIV_MULT_T[den];
+    int64_t pc = (int64_t)mvc * num * DIV_MULT_T[den];
+    int r2 = (int)(pr >= 0 ? (pr + 8192) >> 14 : -((-pr + 8192) >> 14));
+    int c2 = (int)(pc >= 0 ? (pc + 8192) >> 14 : -((-pc + 8192) >> 14));
+    *or_ = r2 < -MVMAX ? -MVMAX : (r2 > MVMAX ? MVMAX : r2);
+    *oc = c2 < -MVMAX ? -MVMAX : (c2 > MVMAX ? MVMAX : c2);
+}
+
+/* returns 1 when the projected field had a usable entry at the probe */
+static int tpl_add(MvCtx *m, const TplArgs *t, int blk_row, int blk_col,
+                   int gm_r, int gm_c, int gm2_r, int gm2_c) {
+    int pos_r = (m->mi_row & 1) ? blk_row : blk_row + 1;
+    int pos_c = (m->mi_col & 1) ? blk_col : blk_col + 1;
+    int rr = m->mi_row + pos_r, cc = m->mi_col + pos_c;
+    if (rr < m->t_row0 || rr >= m->t_row1 || cc < m->t_col0 ||
+        cc >= m->t_col1)
+        return 0;
+    int i8 = rr >> 1, j8 = cc >> 1;
+    if (i8 >= t->n8r || j8 >= t->n8c) return 0;
+    size_t o = (size_t)i8 * t->n8c + j8;
+    if (!t->valid[o]) return 0;
+    int this_r, this_c;
+    mv_proj(t->mv[o * 2], t->mv[o * 2 + 1], t->cur_off0, t->off[o],
+            &this_r, &this_c);
+    if (!t->allow_hp) {
+        if (this_r & 1) this_r += this_r > 0 ? -1 : 1;
+        if (this_c & 1) this_c += this_c > 0 ? -1 : 1;
+    }
+    MvRefsC *s = m->out;
+    if (m->ref_frame2 <= 0) {
+        if (blk_row == 0 && blk_col == 0 &&
+            (abs(this_r - gm_r) >= 16 || abs(this_c - gm_c) >= 16))
+            m->tpl_gm_bit = 1;
+        for (int i = 0; i < s->n; i++)
+            if (s->mv[i][0] == this_r && s->mv[i][1] == this_c) {
+                s->weight[i] += 2;
+                return 1;
+            }
+        if (s->n < MAX_STACK) {
+            s->mv[s->n][0] = (int16_t)this_r;
+            s->mv[s->n][1] = (int16_t)this_c;
+            s->weight[s->n] = 2;
+            s->n++;
+        }
+        return 1;
+    }
+    int comp_r, comp_c;
+    mv_proj(t->mv[o * 2], t->mv[o * 2 + 1], t->cur_off1, t->off[o],
+            &comp_r, &comp_c);
+    if (!t->allow_hp) {
+        if (comp_r & 1) comp_r += comp_r > 0 ? -1 : 1;
+        if (comp_c & 1) comp_c += comp_c > 0 ? -1 : 1;
+    }
+    if (blk_row == 0 && blk_col == 0 &&
+        (abs(this_r - gm_r) >= 16 || abs(this_c - gm_c) >= 16 ||
+         abs(comp_r - gm2_r) >= 16 || abs(comp_c - gm2_c) >= 16))
+        m->tpl_gm_bit = 1;
+    for (int i = 0; i < s->n; i++)
+        if (s->mv[i][0] == this_r && s->mv[i][1] == this_c &&
+            s->mv2[i][0] == comp_r && s->mv2[i][1] == comp_c) {
+            s->weight[i] += 2;
+            return 1;
+        }
+    if (s->n < MAX_STACK) {
+        s->mv[s->n][0] = (int16_t)this_r;
+        s->mv[s->n][1] = (int16_t)this_c;
+        s->mv2[s->n][0] = (int16_t)comp_r;
+        s->mv2[s->n][1] = (int16_t)comp_c;
+        s->weight[s->n] = 2;
+        s->n++;
+    }
+    return 1;
+}
 
 /* add_ref_mv_candidate (spec 7.10.2); returns 1 when the candidate's
  * ref(s) matched (the caller bumps its row/col match counter). */
@@ -515,7 +612,8 @@ void tpui_ref_mv_list(InterGrid *g, int mi_row, int mi_col, int bsize,
                       int ref_frame, int sb_mi, int t_row0, int t_row1,
                       int t_col0, int t_col1, int gm_r, int gm_c,
                       int ref_frame2, int gm2_r, int gm2_c,
-                      const uint8_t *sign_bias, MvRefsC *out) {
+                      const uint8_t *sign_bias, const TplArgs *tpl,
+                      MvRefsC *out) {
     static const uint8_t zero_bias[8] = {0};
     if (!sign_bias) sign_bias = zero_bias;
     int n8_w = BW4[bsize], n8_h = BH4[bsize];
@@ -559,6 +657,41 @@ void tpui_ref_mv_list(InterGrid *g, int mi_row, int mi_col, int bsize,
     int nearest_newmv = m.newmv_count;
     for (int i = 0; i < out->n; i++) out->weight[i] += REF_CAT_LEVEL;
 
+    /* temporal (MFMV) candidates between the nearest boost and the outer
+     * scans (spec 7.10.2 ordering; mirrors mvref.py's tpl branch) */
+    if (tpl && tpl->mv) {
+        int blk_row_end = n8_h < 16 ? n8_h : 16;
+        int blk_col_end = n8_w < 16 ? n8_w : 16;
+        int allow_ext = n8_h >= 2 && n8_h < 16 && n8_w >= 2 && n8_w < 16;
+        int step_h = n8_h >= 16 ? 4 : 2;
+        int step_w = n8_w >= 16 ? 4 : 2;
+        int is_available = 0;
+        for (int br = 0; br < blk_row_end; br += step_h)
+            for (int bc = 0; bc < blk_col_end; bc += step_w) {
+                int ret = tpl_add(&m, tpl, br, bc, gm_r, gm_c, gm2_r,
+                                  gm2_c);
+                if (br == 0 && bc == 0) is_available = ret;
+            }
+        if (!is_available) m.tpl_gm_bit = 1;
+        if (allow_ext) {
+            int voff = n8_h > 2 ? n8_h : 2;
+            int hoff = n8_w > 2 ? n8_w : 2;
+            int mrow = mi_row & (sb_mi - 1), mcol = mi_col & (sb_mi - 1);
+            int ext[3][2];
+            ext[0][0] = voff;     ext[0][1] = -2;
+            ext[1][0] = voff;     ext[1][1] = hoff;
+            ext[2][0] = voff - 2; ext[2][1] = hoff;
+            for (int k = 0; k < 3; k++) {
+                int br = ext[k][0], bc = ext[k][1];
+                /* check_sb_border: stay within the current superblock */
+                if (mrow + br < 0 || mrow + br >= sb_mi ||
+                    mcol + bc < 0 || mcol + bc >= sb_mi)
+                    continue;
+                tpl_add(&m, tpl, br, bc, gm_r, gm_c, gm2_r, gm2_c);
+            }
+        }
+    }
+
     scan_blk(&m, -1, -1);
     for (int idx = 2; idx <= 3; idx++) {
         int row_offset = -(idx << 1) + 1 + row_adj;
@@ -589,6 +722,7 @@ void tpui_ref_mv_list(InterGrid *g, int mi_row, int mi_col, int bsize,
         mode_context |= nearest_newmv >= 1 ? 4 : 5;
         mode_context |= (5 << 4);
     }
+    if (m.tpl_gm_bit) mode_context |= (1 << 3);   /* GLOBALMV_OFFSET */
     out->mode_context = mode_context;
 
     /* stable sort by weight descending (insertion sort keeps stability) */
@@ -1175,11 +1309,23 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     int bsize = tpu_sq_bsize(size);
     int w4 = size / 4;
 
+    TplArgs tplbuf, *tplp = NULL;
+    if (c->tpl_mv) {
+        tplbuf.mv = c->tpl_mv;
+        tplbuf.off = c->tpl_off;
+        tplbuf.valid = c->tpl_valid;
+        tplbuf.n8r = c->tpl_n8r;
+        tplbuf.n8c = c->tpl_n8c;
+        tplbuf.cur_off0 = c->tpl_cur_off[1];   /* LAST */
+        tplbuf.cur_off1 = c->tpl_cur_off[7];   /* ALTREF (compound) */
+        tplbuf.allow_hp = c->tpl_allow_hp;
+        tplp = &tplbuf;
+    }
     MvRefsC refs;
     tpui_ref_mv_list(c->grid, r, c4, bsize, 1, 16, c->t_mi_row0,
                      c->t_mi_row1, c->t_mi_col0, c->t_mi_col1,
                      c->gm_mv[0], c->gm_mv[1], -1, 0, 0, c->sign_bias,
-                     &refs);
+                     tplp, &refs);
     int near0r = refs.mv[0][0], near0c = refs.mv[0][1];
     lower_precision(&near0r, &near0c);
 
@@ -1434,7 +1580,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         tpui_ref_mv_list(c->grid, r, c4, bsize, 1, 16, c->t_mi_row0,
                          c->t_mi_row1, c->t_mi_col0, c->t_mi_col1,
                          c->gm_mv[0], c->gm_mv[1], 7, 0, 0, c->sign_bias,
-                         &crefs);
+                         tplp, &crefs);
         int cc_cm[3], cc_mv[3][4], ncc = 0;
         {
             int m0r = crefs.mv[0][0], m0c = crefs.mv[0][1];
@@ -1973,7 +2119,36 @@ int64_t tpuc_encode_inter(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,
                    dq_res_log2);
         }
     }
-    tpui_grid_free(c->grid);
-    c->grid = NULL;
+    /* grid kept alive for tpuc_grid_read (MFMV motion-field save);
+     * freed on the next encode_inter or at context teardown */
     return c->dist_acc;
+}
+
+/* MFMV: attach the projected temporal motion field for this frame
+ * (python inter/mfmv.py setup_motion_field output). NULL mv disables. */
+void tpuc_set_tpl(TpuCommit *c, const int16_t *mv, const int16_t *off,
+                  const uint8_t *valid, int n8r, int n8c,
+                  const int32_t *cur_off8, int allow_hp) {
+    c->tpl_mv = mv;
+    c->tpl_off = off;
+    c->tpl_valid = valid;
+    c->tpl_n8r = n8r;
+    c->tpl_n8c = n8c;
+    c->tpl_allow_hp = allow_hp;
+    for (int i = 0; i < 8; i++)
+        c->tpl_cur_off[i] = cur_off8 ? cur_off8[i] : 0;
+}
+
+/* Export the frame's coded per-mi motion info (for spec 7.20 motion
+ * field storage). Arrays sized mi_rows*mi_cols (mv: *2). Returns 0 when
+ * no grid is live (intra frame / never encoded). */
+int tpuc_grid_read(TpuCommit *c, int8_t *ref0, int8_t *ref1, int16_t *mv0,
+                   int16_t *mv1) {
+    if (!c->grid) return 0;
+    size_t n = (size_t)c->mi_rows * c->mi_cols;
+    memcpy(ref0, c->grid->ref0, n);
+    memcpy(ref1, c->grid->ref1, n);
+    memcpy(mv0, c->grid->mv, n * 2 * sizeof(int16_t));
+    memcpy(mv1, c->grid->mv1, n * 2 * sizeof(int16_t));
+    return 1;
 }

@@ -218,5 +218,17 @@ void tpuc_set_ref2(TpuCommit *c, const uint16_t *y, const uint16_t *u,
                    const uint16_t *v, int ystride, int cstride);
 void tpuc_set_compound(TpuCommit *c, int skip_mode_present,
                        const uint8_t *sign_bias8);
+/* MFMV (spec 7.9/7.10.2 temporal candidates): attach the projected
+ * motion field (mv/off/valid over (n8r, n8c) 8x8 units) + per-ref-id
+ * cur-to-ref distances. NULL mv disables. Pointers must stay valid
+ * through tpuc_encode_inter. */
+void tpuc_set_tpl(TpuCommit *c, const int16_t *mv, const int16_t *off,
+                  const uint8_t *valid, int n8r, int n8c,
+                  const int32_t *cur_off8, int allow_hp);
+/* Export the last encoded frame's per-mi motion info (mi_rows*mi_cols;
+ * mv arrays *2) for spec 7.20 motion-field storage. Returns 0 when no
+ * grid is live. */
+int tpuc_grid_read(TpuCommit *c, int8_t *ref0, int8_t *ref1, int16_t *mv0,
+                   int16_t *mv1);
 
 #endif /* TPU_NATIVE_H */

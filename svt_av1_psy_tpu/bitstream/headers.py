@@ -175,6 +175,8 @@ class FrameParams:
     allow_screen_content_tools: bool = False
     order_hint: int = 0
     refresh_frame_flags: int = 0xFF
+    # MFMV temporal MV prediction (needs seq.enable_ref_frame_mvs)
+    use_ref_frame_mvs: bool = False
     # quantization
     base_q_idx: int = 60
     delta_q_y_dc: int = 0
@@ -420,7 +422,7 @@ def _write_inter_header_head(w: BitWriter, seq: SequenceParams,
         w.f(fr.interp_filter, 2)
     w.bit(0)                                  # is_motion_mode_switchable
     if seq.enable_ref_frame_mvs:
-        w.bit(0)                              # use_ref_frame_mvs
+        w.bit(int(fr.use_ref_frame_mvs))
 
 
 def _write_intra_header_head(w: BitWriter, seq: SequenceParams,

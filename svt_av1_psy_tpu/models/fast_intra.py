@@ -179,6 +179,12 @@ class FastIntraEncoder:
         # per-slot order hints (mirrors the decoder's slot_hints; feeds
         # sign_bias + skip-mode allowance for compound frames)
         self._slot_hint = [0] * 8
+        # MFMV temporal MV prediction (spec 7.9/7.20; ref
+        # md_config_process.c:505 av1_setup_motion_field): per-slot saved
+        # motion fields + use_ref_frame_mvs signalling
+        self.enable_mfmv = True
+        self._slot_mf = [None] * 8
+        self.seq.enable_ref_frame_mvs = True
 
     # --- sharded device search (multi-chip; SURVEY.md §2.2 P4) -----------
     def make_sharded_decide(self, mesh, axis: str = "sp"):
@@ -322,6 +328,9 @@ class FastIntraEncoder:
             "_dlf_cache": self._dlf_cache,
             "_fg_params": self._fg_params,
             "_prev_src_y": getattr(self, "_prev_src_y", None),
+            "_slot_gm": list(self._slot_gm),
+            "_slot_hint": list(self._slot_hint),
+            "_slot_mf": list(self._slot_mf),
             "_rec": (self._rec_y.copy(), self._rec_u.copy(),
                      self._rec_v.copy()),
             "_ref": (self._ref_y.copy(), self._ref_u.copy(),
@@ -342,6 +351,9 @@ class FastIntraEncoder:
         self._fg_params = snap["_fg_params"]
         if snap["_prev_src_y"] is not None:
             self._prev_src_y = snap["_prev_src_y"]
+        self._slot_gm = snap["_slot_gm"]
+        self._slot_hint = snap["_slot_hint"]
+        self._slot_mf = snap["_slot_mf"]
         self._rec_y[...], self._rec_u[...], self._rec_v[...] = snap["_rec"]
         self._ref_y[...], self._ref_u[...], self._ref_v[...] = snap["_ref"]
         self._pref = None       # a prefetched decide is q-independent but
@@ -468,6 +480,14 @@ class FastIntraEncoder:
                 if getattr(self, "ra_mode", False) else {0: rec}
         # KEY refreshes all slots with identity gm (spec 7.20)
         self._slot_gm = [((0, 0),) * 7 for _ in range(8)]
+        # KEY refreshes every slot with an empty (intra) motion field
+        if self.enable_mfmv:
+            from svt_av1_psy_tpu.inter.mfmv import save_motion_field
+            kh = (self.frame_index if order_hint is None
+                  else order_hint) & 0x7F
+            mf = save_motion_field([], self.mi_rows, self.mi_cols, kh,
+                                   [kh] * 7, [kh] * 7, 7, is_intra=True)
+            self._slot_mf = [mf] * 8
         key_hint = (self.frame_index if order_hint is None
                     else order_hint) & 0x7F
         self._slot_hint = [key_hint] * 8
@@ -614,6 +634,41 @@ class FastIntraEncoder:
                     ref_slot = self._last_slot_by_layer[l2]
                     break
 
+        # MFMV (spec 7.9): project the DPB's saved motion fields into
+        # this frame; the C ref-MV stacks then insert temporal candidates
+        # (ref md_config_process.c:505 av1_setup_motion_field). The
+        # decoder rebuilds the same projection from its own saved fields,
+        # so the per-slot state must mirror the decode side exactly.
+        cur_hint_mf = (self.frame_index if ra is None
+                       else ra["order_hint"]) & 0x7F
+        if ra is not None:
+            ref_idx7 = (ref_slot,) * 6 + (ref2_slot,) \
+                if ref2_slot is not None else (ref_slot,) + (0,) * 6
+        else:
+            ref_idx7 = (ref_slot,) + (0,) * 6
+        hints7_mf = [self._slot_hint[ref_idx7[k]] for k in range(7)]
+        tpl_pack = None
+        use_rfm = False
+        if self.enable_mfmv and self.seq.enable_ref_frame_mvs:
+            from svt_av1_psy_tpu.inter.mfmv import setup_motion_field
+
+            def _rdist(a, b):
+                d = a - b
+                msk = 1 << 6
+                return (d & (msk - 1)) - (d & msk)
+
+            tpl_mv, tpl_off, tpl_valid = setup_motion_field(
+                self._slot_mf, ref_idx7, cur_hint_mf, 7,
+                self.mi_rows, self.mi_cols)
+            cur_off8 = np.zeros(8, np.int32)
+            for k in range(7):
+                cur_off8[k + 1] = _rdist(cur_hint_mf, hints7_mf[k])
+            tpl_pack = (np.ascontiguousarray(tpl_mv),
+                        np.ascontiguousarray(tpl_off),
+                        np.ascontiguousarray(tpl_valid, np.uint8),
+                        cur_off8)
+            use_rfm = True
+
         base_q = self.qindex if ra is None else ra["base_q"]
         if ra is None and L > 0 and layer > 0:
             # per-layer q spread with PSY qp-scale-compress
@@ -680,22 +735,45 @@ class FastIntraEncoder:
             if ref2_slot is not None:
                 eng.set_ref2(*self._dpb[ref2_slot])
                 eng.set_compound(sm_present, sign_bias)
+            if tpl_pack is not None:
+                eng.set_tpl(*tpl_pack)
             ec = native.NativeRangeEncoder()
             eng.encode_inter(ec, tile_fcs[ti], split, modes, mv16,
                              sbq=sbq, dq_res_log2=dq_res_log2,
                              base_q=base_q,
                              mi_bounds=(0, self.mi_rows, c0, c1),
                              n_cands=self.n_cands, mv16b=mv16b)
-            return ec.done()
+            grid_exp = None
+            if self.enable_mfmv:
+                grid_exp = (eng.grid_read(), (0, self.mi_rows, c0, c1))
+            return ec.done(), grid_exp
 
         import os as _os
         if self.n_tiles == 1 or _os.environ.get("SVT_TILE_SEQ"):
-            tile_bytes = [encode_tile(i) for i in range(self.n_tiles)]
+            tile_out = [encode_tile(i) for i in range(self.n_tiles)]
         else:
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=self.n_tiles) as tp:
-                tile_bytes = list(tp.map(encode_tile,
-                                         range(self.n_tiles)))
+                tile_out = list(tp.map(encode_tile,
+                                       range(self.n_tiles)))
+        tile_bytes = [t[0] for t in tile_out]
+
+        # spec 7.20 motion-field storage for later frames' MFMV
+        new_mf = None
+        if self.enable_mfmv:
+            from types import SimpleNamespace
+            from svt_av1_psy_tpu.inter.mfmv import save_motion_field
+            grids = []
+            for _, gb in tile_out:
+                if gb is None or gb[0] is None:
+                    continue
+                (g_ref0, g_ref1, g_mv0, g_mv1), bounds = gb
+                grids.append((SimpleNamespace(ref0=g_ref0, ref1=g_ref1,
+                                              mv0=g_mv0, mv1=g_mv1),
+                              bounds))
+            new_mf = save_motion_field(grids, self.mi_rows, self.mi_cols,
+                                       cur_hint_mf, hints7_mf, hints7_mf,
+                                       7, is_intra=False)
 
         if self.n_tiles == 1:
             tg = tile_bytes[0]
@@ -754,6 +832,7 @@ class FastIntraEncoder:
             skip_mode_allowed=sm_present,
             skip_mode_present=sm_present,
             refresh_frame_flags=refresh, ref_frame_idx=ref_idx,
+            use_ref_frame_mvs=use_rfm,
             allow_high_precision_mv=False, interp_filter=0,
             is_filter_switchable=getattr(self, "interp_search", False),
             delta_q_present=sbq is not None,
@@ -789,6 +868,8 @@ class FastIntraEncoder:
             if refresh & (1 << s):
                 self._slot_gm[s] = cur_gm
                 self._slot_hint[s] = order_hint
+                if new_mf is not None:
+                    self._slot_mf[s] = new_mf
 
         payload = key_frame_temporal_unit(
             self.seq, fr_params, tg, with_seq_header=False,

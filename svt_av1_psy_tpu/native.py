@@ -307,6 +307,7 @@ def _ensure_commit(lib):
 def _ensure_commit_locked(lib):
     global _commit_ready
     u16p = ctypes.POINTER(ctypes.c_uint16)
+    i8p = ctypes.POINTER(ctypes.c_int8)
     i16p = ctypes.POINTER(ctypes.c_int16)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -385,6 +386,11 @@ def _ensure_commit_locked(lib):
     lib.tpuc_set_ref2.argtypes = [ctypes.c_void_p, u16p, u16p, u16p,
                                   ctypes.c_int, ctypes.c_int]
     lib.tpuc_set_compound.argtypes = [ctypes.c_void_p, ctypes.c_int, u8p]
+    lib.tpuc_set_tpl.argtypes = [ctypes.c_void_p, i16p, i16p, u8p,
+                                 ctypes.c_int, ctypes.c_int, i32p,
+                                 ctypes.c_int]
+    lib.tpuc_grid_read.restype = ctypes.c_int
+    lib.tpuc_grid_read.argtypes = [ctypes.c_void_p, i8p, i8p, i16p, i16p]
     lib.tpuc_encode_inter.restype = ctypes.c_int64
     lib.tpuc_encode_inter.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ModeCdfs),
@@ -511,6 +517,46 @@ class CommitEngine:
         self.lib.tpuc_set_compound(
             self._c, int(skip_mode_present),
             sb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+
+    def set_tpl(self, tpl_mv, tpl_off, tpl_valid, cur_off8, allow_hp=False):
+        """MFMV: attach the frame's projected temporal motion field
+        (inter/mfmv.py setup_motion_field output) + per-ref-id
+        cur-to-ref distances; the ref-MV stack then inserts temporal
+        candidates (spec 7.10.2 add_tpl_ref_mv analog)."""
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        mv = np.ascontiguousarray(tpl_mv, np.int16)
+        off = np.ascontiguousarray(tpl_off, np.int16)
+        valid = np.ascontiguousarray(tpl_valid, np.uint8)
+        co = np.ascontiguousarray(cur_off8, np.int32)
+        assert co.size == 8 and mv.shape[:2] == valid.shape
+        self._tpl_keep = (mv, off, valid, co)
+        self.lib.tpuc_set_tpl(self._c, mv.ctypes.data_as(i16p),
+                              off.ctypes.data_as(i16p),
+                              valid.ctypes.data_as(u8p),
+                              valid.shape[0], valid.shape[1],
+                              co.ctypes.data_as(i32p), int(allow_hp))
+
+    def grid_read(self):
+        """Export the last encoded frame's per-mi motion info for
+        spec 7.20 motion-field storage: (ref0, ref1, mv0, mv1) numpy
+        arrays over (mi_rows, mi_cols), or None when no grid is live."""
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        sh = (self.mi_rows, self.mi_cols)
+        ref0 = np.empty(sh, np.int8)
+        ref1 = np.empty(sh, np.int8)
+        mv0 = np.empty(sh + (2,), np.int16)
+        mv1 = np.empty(sh + (2,), np.int16)
+        ok = self.lib.tpuc_grid_read(self._c, ref0.ctypes.data_as(i8p),
+                                     ref1.ctypes.data_as(i8p),
+                                     mv0.ctypes.data_as(i16p),
+                                     mv1.ctypes.data_as(i16p))
+        if not ok:
+            return None
+        return ref0, ref1, mv0, mv1
 
     def encode_inter(self, ec, fc, split_maps, mode_maps, mv16, sbq=None,
                      dq_res_log2=-1, base_q=60, mi_bounds=(0, 0, 0, 0),

@@ -66,3 +66,90 @@ def test_mv_projection_div_mult():
     assert mv_projection((64, -32), 2, 4) == (32, -16)
     assert mv_projection((7, -7), 1, 2) == (4, -4)   # round away from 0
     assert mv_projection((0, 0), 5, 1) == (0, 0)
+
+
+# ---- encoder-side MFMV (fast path, spec 7.9 projection in C) -----------
+
+def _enc_frames(n, seed=5, W=176, H=144):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(40, 200, (H + 64, W + 64)).astype(np.float64)
+    out = []
+    for i in range(n):
+        dx = (3 * i) % 32
+        y = np.clip(base[8:8 + H, dx:dx + W] +
+                    rng.normal(0, 2, (H, W)), 0, 255).astype(np.uint16)
+        u = np.clip(120 + rng.normal(0, 2, (H // 2, W // 2)),
+                    0, 255).astype(np.uint16)
+        v = np.clip(136 + rng.normal(0, 2, (H // 2, W // 2)),
+                    0, 255).astype(np.uint16)
+        out.append((y, u, v))
+    return out
+
+
+def _encode_ld(mfmv, n=9, levels=2):
+    from svt_av1_psy_tpu.models.fast_intra import FastIntraEncoder
+    enc = FastIntraEncoder(176, 144, qindex=120)
+    enc.gop_size = 0
+    enc.hierarchical_levels = levels
+    enc.enable_mfmv = mfmv
+    enc.seq.enable_ref_frame_mvs = mfmv
+    payload = b""
+    recons = []
+    for y, u, v in _enc_frames(n):
+        ef = enc.encode_frame(y, u, v)
+        payload += ef.payload
+        recons.append((ef.recon_y, ef.recon_u, ef.recon_v))
+    return payload, recons
+
+
+def test_encoder_mfmv_dav1d_bit_exact():
+    """Fast-path LD pyramid with MFMV on: temporal candidates in the C
+    ref-MV stacks (native/inter_backend.c tpl_add) must agree with
+    dav1d's own projection (spec 7.9/7.10.2), else recon diverges."""
+    from svt_av1_psy_tpu.decoder.dav1d import decode_obus
+    payload, recons = _encode_ld(True)
+    dec = decode_obus(payload)
+    assert len(dec) == len(recons)
+    for d, (ry, ru, rv) in zip(dec, recons):
+        assert np.array_equal(d.y, ry)
+        assert np.array_equal(d.u, ru)
+        assert np.array_equal(d.v, rv)
+
+
+def test_encoder_mfmv_own_decoder_and_header():
+    """Our conformance decoder agrees, and the header actually signals
+    use_ref_frame_mvs (spec 5.9.2)."""
+    from svt_av1_psy_tpu.bitstream.obu import ObuType, parse_obus
+    from svt_av1_psy_tpu.decoder.header_parser import (parse_frame_header,
+                                                       parse_sequence_header)
+    from svt_av1_psy_tpu.decoder.driver import Decoder
+    payload, recons = _encode_ld(True)
+    d = Decoder()
+    d.decode_temporal_unit(payload)
+    assert len(d.frames) == len(recons)
+    for fr, (ry, ru, rv) in zip(d.frames, recons):
+        assert np.array_equal(fr.y, ry)
+        assert np.array_equal(fr.u, ru)
+        assert np.array_equal(fr.v, rv)
+    seq = None
+    hints = [0] * 8
+    n_rfm = 0
+    for t, _, _, p in parse_obus(payload):
+        if t == ObuType.SEQUENCE_HEADER:
+            seq = parse_sequence_header(p)
+        elif t == ObuType.FRAME:
+            fi = parse_frame_header(p, seq, ref_order_hints=hints)
+            n_rfm += bool(fi.use_ref_frame_mvs)
+            for i in range(8):
+                if fi.refresh_frame_flags & (1 << i) or fi.frame_type == 0:
+                    hints[i] = fi.order_hint
+    assert seq.enable_ref_frame_mvs
+    assert n_rfm >= 6
+
+
+def test_encoder_mfmv_helps_rate():
+    """Temporal MV candidates should cut bitrate at fixed q (better
+    NEAREST/NEAR predictions -> smaller MV costs + residuals)."""
+    b_off, _ = _encode_ld(False)
+    b_on, _ = _encode_ld(True)
+    assert len(b_on) < len(b_off), (len(b_on), len(b_off))
