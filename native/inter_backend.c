@@ -316,6 +316,185 @@ static const int BW4[22] = {1, 1, 2, 2, 2, 4, 4, 4, 8, 8, 8,
 static const int BH4[22] = {1, 2, 1, 2, 4, 2, 4, 8, 4, 8, 16,
                             8, 16, 32, 16, 32, 4, 1, 8, 2, 16, 4};
 
+/* ---- OBMC (spec 7.11.3.9/7.11.3.10; twin of decoder/reconstruct.py
+ * _apply_obmc + tile_parser.py _collect_obmc) --------------------------- */
+static const uint8_t OBMC_M2[2] = {45, 64};
+static const uint8_t OBMC_M4[4] = {39, 50, 59, 64};
+static const uint8_t OBMC_M8[8] = {36, 42, 48, 53, 57, 61, 64, 64};
+static const uint8_t OBMC_M16[16] = {34, 37, 40, 43, 46, 49, 52, 54,
+                                     56, 58, 60, 61, 64, 64, 64, 64};
+static const uint8_t OBMC_M32[32] = {33, 35, 36, 38, 40, 41, 43, 44,
+                                     45, 47, 48, 50, 51, 52, 53, 55,
+                                     56, 57, 58, 59, 60, 60, 61, 62,
+                                     64, 64, 64, 64, 64, 64, 64, 64};
+
+static const uint8_t *obmc_mask(int len) {
+    switch (len) {
+    case 2: return OBMC_M2;
+    case 4: return OBMC_M4;
+    case 8: return OBMC_M8;
+    case 16: return OBMC_M16;
+    default: return OBMC_M32;
+    }
+}
+
+/* has_overlappable_candidates (spec 5.11.27): odd mi positions only */
+static int has_overlappable_c(TpuCommit *c, int r, int c4, int w4,
+                              int h4) {
+    InterGrid *g = c->grid;
+    if (r > c->t_mi_row0) {
+        int end = c4 + w4 < c->t_mi_col1 ? c4 + w4 : c->t_mi_col1;
+        for (int j = c4 | 1; j < end; j += 2)
+            if (g->ref0[(size_t)(r - 1) * g->mi_cols + j] > 0) return 1;
+    }
+    if (c4 > c->t_mi_col0) {
+        int end = r + h4 < c->t_mi_row1 ? r + h4 : c->t_mi_row1;
+        for (int k = r | 1; k < end; k += 2)
+            if (g->ref0[(size_t)k * g->mi_cols + c4 - 1] > 0) return 1;
+    }
+    return 0;
+}
+
+typedef struct {
+    int rel4, n4, ref;
+    int mvr, mvc;
+    int filt;
+} ObmcNb;
+
+static const uint8_t OBMC_MAX_NB[6] = {0, 1, 2, 3, 4, 4};
+
+static int bitlen_u(int v) {
+    int n = 0;
+    while (v) {
+        n++;
+        v >>= 1;
+    }
+    return n;
+}
+
+static int collect_obmc_above(TpuCommit *c, int r, int c4, int w4,
+                              ObmcNb *out) {
+    InterGrid *g = c->grid;
+    int n = 0;
+    if (r <= c->t_mi_row0) return 0;
+    int nb_max = OBMC_MAX_NB[bitlen_u(w4) - 1];
+    int end_col = c4 + w4 < g->mi_cols ? c4 + w4 : g->mi_cols;
+    int col = c4;
+    while (col < end_col && n < nb_max) {
+        int step = BW4[g->bsize[(size_t)(r - 1) * g->mi_cols + col]];
+        if (step > 16) step = 16;
+        int use_r = r - 1, use_c = col;
+        if (step == 1) {
+            col &= ~1;
+            use_c = col + 1;
+            step = 2;
+        }
+        size_t o = (size_t)use_r * g->mi_cols + use_c;
+        if (g->ref0[o] > 0) {
+            out[n].rel4 = col - c4;
+            out[n].n4 = w4 < step ? w4 : step;
+            out[n].ref = g->ref0[o];
+            out[n].mvr = g->mv[o * 2];
+            out[n].mvc = g->mv[o * 2 + 1];
+            out[n].filt = g->filt[o];
+            n++;
+        }
+        col += step;
+    }
+    return n;
+}
+
+static int collect_obmc_left(TpuCommit *c, int r, int c4, int h4,
+                             ObmcNb *out) {
+    InterGrid *g = c->grid;
+    int n = 0;
+    if (c4 <= c->t_mi_col0) return 0;
+    int nb_max = OBMC_MAX_NB[bitlen_u(h4) - 1];
+    int end_row = r + h4 < g->mi_rows ? r + h4 : g->mi_rows;
+    int row = r;
+    while (row < end_row && n < nb_max) {
+        int step = BH4[g->bsize[(size_t)row * g->mi_cols + c4 - 1]];
+        if (step > 16) step = 16;
+        int use_r = row, use_c = c4 - 1;
+        if (step == 1) {
+            row &= ~1;
+            use_r = row + 1;
+            step = 2;
+        }
+        size_t o = (size_t)use_r * g->mi_cols + use_c;
+        if (g->ref0[o] > 0) {
+            out[n].rel4 = row - r;
+            out[n].n4 = h4 < step ? h4 : step;
+            out[n].ref = g->ref0[o];
+            out[n].mvr = g->mv[o * 2];
+            out[n].mvc = g->mv[o * 2 + 1];
+            out[n].filt = g->filt[o];
+            n++;
+        }
+        row += step;
+    }
+    return n;
+}
+
+/* Blend the OBMC strips into a block-local pred buffer (pw_blk x ...).
+ * plane 0 luma (ss = 0) / 1,2 chroma (ss = 1); pred is (size >> ss)
+ * wide block-local. Mirrors reconstruct.py _apply_obmc exactly. */
+static void obmc_blend_plane(TpuCommit *c, int plane, int r, int c4,
+                             int size, const ObmcNb *above, int na,
+                             const ObmcNb *left, int nl, int32_t *pred) {
+    int ss = plane ? 1 : 0;
+    int bw = size >> ss, bh = size >> ss;
+    const uint16_t *refp = c->refp[plane];
+    int rstride = c->ref_stride[plane];
+    int rw = ss ? (c->width + 1) >> 1 : c->width;
+    int rh = ss ? (c->height + 1) >> 1 : c->height;
+    static __thread int32_t tmp[64 * 32];
+    /* svt_av1_skip_u4x4_pred_in_obmc: small chroma skips the ABOVE pass */
+    int skip_above = ss && bw <= 8 && bh <= 8 && (bw == 4 || bh == 4);
+    if (!skip_above) {
+        for (int j = 0; j < na; j++) {
+            const ObmcNb *nb = &above[j];
+            if (nb->ref != 1) continue;   /* encoder refs are LAST only */
+            int ov = (size < 64 ? size : 64) >> 1;
+            int ph = ov >> ss;
+            int pw = (nb->n4 * 4) >> ss;
+            int x = ((c4 + nb->rel4) * 4) >> ss;
+            int y = (r * 4) >> ss;
+            mc_block_f(refp, rstride, rw, rh, x, y, pw, ph,
+                       nb->mvc << (1 - ss), nb->mvr << (1 - ss), c->bd,
+                       nb->filt, nb->filt, tmp);
+            const uint8_t *m = obmc_mask(ph);
+            int lx = (nb->rel4 * 4) >> ss;
+            for (int yy = 0; yy < ph; yy++)
+                for (int xx = 0; xx < pw; xx++) {
+                    int32_t *d = pred + yy * bw + lx + xx;
+                    *d = (m[yy] * *d + (64 - m[yy]) * tmp[yy * pw + xx] +
+                          32) >> 6;
+                }
+        }
+    }
+    for (int j = 0; j < nl; j++) {
+        const ObmcNb *nb = &left[j];
+        if (nb->ref != 1) continue;
+        int ov = (size < 64 ? size : 64) >> 1;
+        int pw = ov >> ss;
+        int ph = (nb->n4 * 4) >> ss;
+        int x = (c4 * 4) >> ss;
+        int y = ((r + nb->rel4) * 4) >> ss;
+        mc_block_f(refp, rstride, rw, rh, x, y, pw, ph,
+                   nb->mvc << (1 - ss), nb->mvr << (1 - ss), c->bd,
+                   nb->filt, nb->filt, tmp);
+        const uint8_t *m = obmc_mask(pw);
+        int ly = (nb->rel4 * 4) >> ss;
+        for (int yy = 0; yy < ph; yy++)
+            for (int xx = 0; xx < pw; xx++) {
+                int32_t *d = pred + (ly + yy) * bw + xx;
+                *d = (m[xx] * *d + (64 - m[xx]) * tmp[yy * pw + xx] +
+                      32) >> 6;
+            }
+    }
+}
+
 /* ---- setup_ref_mv_list (spec 7.10.2; single ref, gm identity) ---------- */
 #define MV_BORDER (4 << 5)
 #define REF_CAT_LEVEL 640
@@ -1786,6 +1965,75 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
             use_intra = intra_cost < best_cost;
         }
     }
+    /* OBMC motion-mode search (spec 7.11.3.9; ref
+     * enc_inter_prediction.c obmc path + motion_estimation obmc level):
+     * blend the overlap strips from the overlappable neighbors' MC and
+     * keep OBMC_CAUSAL when the luma RD (incl. the obmc symbol) wins.
+     * The symbol is present for every eligible inter block once
+     * is_motion_mode_switchable is signalled, so both options carry
+     * their symbol rate. */
+    int obmc_eligible = 0, use_obmc = 0;
+    ObmcNb ob_above[4], ob_left[4];
+    int ob_na = 0, ob_nl = 0;
+    if (c->motion_mode_sw && !use_sm && !use_comp &&
+        has_overlappable_c(c, r, c4, w4, w4)) {
+        obmc_eligible = 1;
+        if (!use_intra) {
+            ob_na = collect_obmc_above(c, r, c4, w4, ob_above);
+            ob_nl = collect_obmc_left(c, r, c4, w4, ob_left);
+        }
+    }
+    if (obmc_eligible && !use_intra && ob_na + ob_nl > 0) {
+        static __thread int32_t ob_y[64 * 64];
+        static __thread TxTrial ob_ty;
+        memcpy(ob_y, i_pred_y, sizeof(int32_t) * size * size);
+        obmc_blend_plane(c, 0, r, c4, size, ob_above, ob_na, ob_left,
+                         ob_nl, ob_y);
+        const uint16_t *sp = c->src[0];
+        int ssrc = c->sstride[0];
+        static __thread int32_t ob_resid[64 * 64];
+        for (int y = 0; y < size; y++)
+            for (int x = 0; x < size; x++)
+                ob_resid[y * size + x] =
+                    (int32_t)sp[(r * 4 + y) * ssrc + c4 * 4 + x] -
+                    ob_y[y * size + x];
+        int sgn_y2 = tpu_dc_sign_ctx(c, 0, r, c4, ts_y);
+        tpu_trial_txb(c, 0, ts_y, 0, ob_resid, q, 0, sgn_y2, 1, &ob_ty);
+        const uint16_t *ocdf = ic->obmc + bsize * 3;
+        double cost_simple =
+            (double)i_ty.sse +
+            c->rdmult * (i_ty.rate512 / 512.0 + tpu_sym_cost_bits(ocdf, 0));
+        double cost_obmc =
+            (double)ob_ty.sse +
+            c->rdmult * (ob_ty.rate512 / 512.0 + tpu_sym_cost_bits(ocdf, 1));
+        if (cost_obmc < cost_simple) {
+            use_obmc = 1;
+            memcpy(i_pred_y, ob_y, sizeof(int32_t) * size * size);
+            i_ty = ob_ty;
+            /* chroma: re-blend + re-trial on the OBMC prediction */
+            int cw = TXW[ts_c], chh = TXH[ts_c];
+            obmc_blend_plane(c, 1, r, c4, size, ob_above, ob_na,
+                             ob_left, ob_nl, i_pred_u);
+            obmc_blend_plane(c, 2, r, c4, size, ob_above, ob_na,
+                             ob_left, ob_nl, i_pred_v);
+            static __thread int32_t oru[32 * 32], orv[32 * 32];
+            const uint16_t *su = c->src[1], *sv = c->src[2];
+            int scs = c->sstride[1];
+            for (int y = 0; y < chh; y++)
+                for (int x = 0; x < cw; x++) {
+                    int off = (cr * 4 + y) * scs + cc * 4 + x;
+                    oru[y * cw + x] =
+                        (int32_t)su[off] - i_pred_u[y * cw + x];
+                    orv[y * cw + x] =
+                        (int32_t)sv[off] - i_pred_v[y * cw + x];
+                }
+            int sgn_u2 = tpu_dc_sign_ctx(c, 1, cr, cc, ts_c);
+            int sgn_v2 = tpu_dc_sign_ctx(c, 2, cr, cc, ts_c);
+            tpu_trial_txb(c, 1, ts_c, 0, oru, q, 1, sgn_u2, 1, &i_tu);
+            tpu_trial_txb(c, 2, ts_c, 0, orv, q, 1, sgn_v2, 1, &i_tv);
+        }
+    }
+
     int skip;
     if (use_intra) {
         use_sm = 0;
@@ -1911,6 +2159,12 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         }
     }
 
+    /* motion_mode (obmc) symbol: after MVs, before the interp filter
+     * (spec 5.11.27 read order; allow_warped_motion is always 0 in our
+     * headers so the 2-ary obmc cdf applies) */
+    if (obmc_eligible && !use_sm)
+        tpuec_symbol(c->ec, use_obmc, ic->obmc + bsize * 3, 2, 1);
+
     /* interp filter symbol (after modes/MVs, spec 5.11.27 order);
      * not coded for skip_mode or GLOBALMV-under-identity-gm blocks */
     if (c->switchable_filter && !use_sm &&
@@ -2035,6 +2289,10 @@ static void walk_p(TpuCommit *c, int r, int c4, int size,
 void tpuc_set_interp(TpuCommit *c, int switchable, int gm_coded) {
     c->switchable_filter = switchable;
     c->gm_coded = gm_coded;
+}
+
+void tpuc_set_obmc(TpuCommit *c, int enable) {
+    c->motion_mode_sw = enable;
 }
 
 void tpuc_set_gm(TpuCommit *c, int mv8_r, int mv8_c) {

@@ -104,6 +104,7 @@ typedef struct {
     uint16_t *inter_compound_mode;  /* [8][9] */
     uint16_t *skip_mode;            /* [3][3] */
     uint16_t *switchable_interp;    /* [16][4] */
+    uint16_t *obmc;                 /* [22][3] (motion-mode OBMC flag) */
     /* nmv per-component families (comp 0 = row, 1 = col) */
     uint16_t *sign[2];      /* [3] */
     uint16_t *classes[2];   /* [12] */
@@ -218,6 +219,10 @@ void tpuc_set_ref2(TpuCommit *c, const uint16_t *y, const uint16_t *u,
                    const uint16_t *v, int ystride, int cstride);
 void tpuc_set_compound(TpuCommit *c, int skip_mode_present,
                        const uint8_t *sign_bias8);
+/* OBMC motion-mode search: when enabled the walk trials OBMC_CAUSAL on
+ * eligible single-ref blocks and writes the motion-mode (obmc) symbol
+ * (frame header must set is_motion_mode_switchable). */
+void tpuc_set_obmc(TpuCommit *c, int enable);
 /* MFMV (spec 7.9/7.10.2 temporal candidates): attach the projected
  * motion field (mv/off/valid over (n8r, n8c) 8x8 units) + per-ref-id
  * cur-to-ref distances. NULL mv disables. Pointers must stay valid

@@ -177,6 +177,8 @@ class FrameParams:
     refresh_frame_flags: int = 0xFF
     # MFMV temporal MV prediction (needs seq.enable_ref_frame_mvs)
     use_ref_frame_mvs: bool = False
+    # motion-mode (OBMC) signalling per block
+    is_motion_mode_switchable: bool = False
     # quantization
     base_q_idx: int = 60
     delta_q_y_dc: int = 0
@@ -420,7 +422,7 @@ def _write_inter_header_head(w: BitWriter, seq: SequenceParams,
     w.bit(int(fr.is_filter_switchable))
     if not fr.is_filter_switchable:
         w.f(fr.interp_filter, 2)
-    w.bit(0)                                  # is_motion_mode_switchable
+    w.bit(int(fr.is_motion_mode_switchable))
     if seq.enable_ref_frame_mvs:
         w.bit(int(fr.use_ref_frame_mvs))
 

@@ -258,7 +258,8 @@ class InterCdfs(ctypes.Structure):
                 ("comp_bwdref", ctypes.POINTER(ctypes.c_uint16)),
                 ("inter_compound_mode", ctypes.POINTER(ctypes.c_uint16)),
                 ("skip_mode", ctypes.POINTER(ctypes.c_uint16)),
-                ("switchable_interp", ctypes.POINTER(ctypes.c_uint16))] + [
+                ("switchable_interp", ctypes.POINTER(ctypes.c_uint16)),
+                ("obmc", ctypes.POINTER(ctypes.c_uint16))] + [
                 (n, ctypes.POINTER(ctypes.c_uint16) * 2) for n in (
                     "sign", "classes", "class0", "bits", "class0_fp",
                     "fp", "class0_hp", "hp")]
@@ -272,7 +273,8 @@ def make_inter_cdfs(fc) -> InterCdfs:
         _u16p(fc.nmv_joints), _u16p(fc.inter_ext_tx),
         _u16p(fc.comp_inter), _u16p(fc.comp_ref_type), _u16p(fc.comp_ref),
         _u16p(fc.comp_bwdref), _u16p(fc.inter_compound_mode),
-        _u16p(fc.skip_mode), _u16p(fc.switchable_interp))
+        _u16p(fc.skip_mode), _u16p(fc.switchable_interp),
+        _u16p(fc.obmc))
     for name in ("sign", "classes", "class0", "bits", "class0_fp", "fp",
                  "class0_hp", "hp"):
         pair = (ctypes.POINTER(ctypes.c_uint16) * 2)(
@@ -386,6 +388,7 @@ def _ensure_commit_locked(lib):
     lib.tpuc_set_ref2.argtypes = [ctypes.c_void_p, u16p, u16p, u16p,
                                   ctypes.c_int, ctypes.c_int]
     lib.tpuc_set_compound.argtypes = [ctypes.c_void_p, ctypes.c_int, u8p]
+    lib.tpuc_set_obmc.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.tpuc_set_tpl.argtypes = [ctypes.c_void_p, i16p, i16p, u8p,
                                  ctypes.c_int, ctypes.c_int, i32p,
                                  ctypes.c_int]
@@ -517,6 +520,12 @@ class CommitEngine:
         self.lib.tpuc_set_compound(
             self._c, int(skip_mode_present),
             sb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+
+    def set_obmc(self, enable: bool):
+        """OBMC motion-mode search (frame is_motion_mode_switchable):
+        trial OBMC_CAUSAL on eligible single-ref blocks + write the
+        obmc symbol."""
+        self.lib.tpuc_set_obmc(self._c, int(enable))
 
     def set_tpl(self, tpl_mv, tpl_off, tpl_valid, cur_off8, allow_hp=False):
         """MFMV: attach the frame's projected temporal motion field
