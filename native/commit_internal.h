@@ -68,8 +68,10 @@ struct TpuCommit {
     /* per-block interpolation filter search (is_filter_switchable) */
     int switchable_filter;
     int gm_coded;   /* gm type > IDENTITY (is_nontrans gate needs it) */
-    /* OBMC motion-mode search (frame is_motion_mode_switchable) */
+    /* motion-mode search (frame is_motion_mode_switchable): OBMC +
+     * optionally WARPED_CAUSAL (frame allow_warped_motion) */
     int motion_mode_sw;
+    int allow_warp;
     /* MFMV temporal motion field (spec 7.9 projection; NULL = off) */
     const int16_t *tpl_mv;
     const int16_t *tpl_off;

@@ -495,6 +495,411 @@ static void obmc_blend_plane(TpuCommit *c, int plane, int r, int c4,
     }
 }
 
+/* ---- warped motion (spec 7.10.4/7.11.3.3-7; behavioral twin of
+ * svt_av1_psy_tpu/inter/warp.py, ref warped_motion.c:364/570/1045) ------ */
+#define WM_PREC_BITS 16
+#define WM_TRANS_CLAMP (128 << WM_PREC_BITS)
+#define WM_NONDIAG_CLAMP (1 << (WM_PREC_BITS - 3))
+#define WPX_PREC_BITS 6
+#define WPX_PREC_SHIFTS (1 << WPX_PREC_BITS)
+#define WDIFF_PREC_BITS (WM_PREC_BITS - WPX_PREC_BITS)
+#define WP_REDUCE_BITS 6
+#define WDIV_PREC_BITS 14
+#define WDIV_BITS 8
+#define LS_SAMPLES_MAX 8
+#define WLS_MV_MAX 256
+#define WLS_STEP 8
+#define WLS_DOWN_BITS 2
+
+static int16_t WARP_FILT[193][8];
+static uint16_t WARP_DIVLUT[257];
+
+void tpuc_upload_warp(const int32_t *wf193x8, const int32_t *div_lut257) {
+    for (int i = 0; i < 193; i++)
+        for (int k = 0; k < 8; k++)
+            WARP_FILT[i][k] = (int16_t)wf193x8[i * 8 + k];
+    for (int i = 0; i < 257; i++)
+        WARP_DIVLUT[i] = (uint16_t)div_lut257[i];
+}
+
+static int64_t wround2s(int64_t x, int n) {
+    if (n <= 0) return x;
+    if (x >= 0) return (x + ((int64_t)1 << (n - 1))) >> n;
+    return -((-x + ((int64_t)1 << (n - 1))) >> n);
+}
+
+static int msb64(int64_t v) {
+    int n = -1;
+    while (v) {
+        n++;
+        v >>= 1;
+    }
+    return n;
+}
+
+/* 1/d ~= lut/2^shift (ref warped_motion.c:320 resolve_divisor_64) */
+static int64_t wresolve_divisor(int64_t d, int *shift_out) {
+    int shift = msb64(d);
+    int64_t e = d - ((int64_t)1 << shift);
+    int f;
+    if (shift > WDIV_BITS)
+        f = (int)wround2s(e, shift - WDIV_BITS);
+    else
+        f = (int)(e << (WDIV_BITS - shift));
+    *shift_out = shift + WDIV_PREC_BITS;
+    return WARP_DIVLUT[f];
+}
+
+/* has_top_right (spec; twin of inter/mvref.py has_top_right) */
+static int has_tr_c(int mi_row, int mi_col, int n8w, int n8h, int sb_mi) {
+    int bs = n8w > n8h ? n8w : n8h;
+    if (bs > 16) return 0;
+    if (n8w > n8h && (mi_row & (n8w - 1))) return 0;
+    if (n8w < n8h && ((mi_col + n8w) & (n8h - 1))) return 1;
+    int mask_row = mi_row & (sb_mi - 1);
+    int mask_col = mi_col & (sb_mi - 1);
+    int has_tr = !((mask_row & bs) && (mask_col & bs));
+    int b = bs;
+    while (b < sb_mi) {
+        if (mask_col & b) {
+            if ((mask_col & (2 * b)) && (mask_row & (2 * b))) {
+                has_tr = 0;
+                break;
+            }
+        } else {
+            break;
+        }
+        b <<= 1;
+    }
+    return has_tr;
+}
+
+/* av1_find_samples (ref adaptive_mv_pred.c:1404; twin of
+ * inter/warp.py find_warp_samples). pts/pts_ref: 8 (x, y) pairs in
+ * 1/8 px block-relative coords. Returns the unfiltered count. */
+static int find_warp_samples_c(TpuCommit *c, int r, int c4, int w4,
+                               int h4, int ref, int pts[8][2],
+                               int pts_ref[8][2]) {
+    InterGrid *g = c->grid;
+    int n = 0;
+    int do_tl = 1, do_tr = 1;
+
+#define WS_USABLE(rr, cc)                                      \
+    (g->ref0[(size_t)(rr) * g->mi_cols + (cc)] == ref &&       \
+     g->ref1[(size_t)(rr) * g->mi_cols + (cc)] < 0)
+#define WS_RECORD(rr, cc, row_off, sign_r, col_off, sign_c)    \
+    do {                                                       \
+        size_t o_ = (size_t)(rr) * g->mi_cols + (cc);          \
+        int bs_ = g->bsize[o_];                                \
+        int bw_ = BW4[bs_] * 4, bh_ = BH4[bs_] * 4;            \
+        int x_ = (col_off) * 4 +                               \
+                 (sign_c) * ((bw_ > 4 ? bw_ : 4) / 2) - 1;     \
+        int y_ = (row_off) * 4 +                               \
+                 (sign_r) * ((bh_ > 4 ? bh_ : 4) / 2) - 1;     \
+        pts[n][0] = x_ * 8;                                    \
+        pts[n][1] = y_ * 8;                                    \
+        pts_ref[n][0] = x_ * 8 + g->mv[o_ * 2 + 1];            \
+        pts_ref[n][1] = y_ * 8 + g->mv[o_ * 2];                \
+        n++;                                                   \
+    } while (0)
+
+    if (r > c->t_mi_row0) {
+        int src_w = BW4[g->bsize[(size_t)(r - 1) * g->mi_cols + c4]];
+        if (w4 <= src_w) {
+            int col_off = -(c4 % src_w);
+            if (col_off < 0) do_tl = 0;
+            if (col_off + src_w > w4) do_tr = 0;
+            if (WS_USABLE(r - 1, c4))
+                WS_RECORD(r - 1, c4, 0, -1, col_off, 1);
+        } else {
+            int lim = w4 < c->t_mi_col1 - c4 ? w4 : c->t_mi_col1 - c4;
+            int i = 0;
+            while (i < lim && n < LS_SAMPLES_MAX) {
+                int sw =
+                    BW4[g->bsize[(size_t)(r - 1) * g->mi_cols + c4 + i]];
+                int step = w4 < sw ? w4 : sw;
+                if (WS_USABLE(r - 1, c4 + i))
+                    WS_RECORD(r - 1, c4 + i, 0, -1, i, 1);
+                i += step;
+            }
+        }
+    }
+    if (c4 > c->t_mi_col0 && n < LS_SAMPLES_MAX) {
+        int src_h = BH4[g->bsize[(size_t)r * g->mi_cols + c4 - 1]];
+        if (h4 <= src_h) {
+            int row_off = -(r % src_h);
+            if (row_off < 0) do_tl = 0;
+            if (WS_USABLE(r, c4 - 1))
+                WS_RECORD(r, c4 - 1, row_off, 1, 0, -1);
+        } else {
+            int lim = h4 < c->t_mi_row1 - r ? h4 : c->t_mi_row1 - r;
+            int i = 0;
+            while (i < lim && n < LS_SAMPLES_MAX) {
+                int sh =
+                    BH4[g->bsize[(size_t)(r + i) * g->mi_cols + c4 - 1]];
+                int step = h4 < sh ? h4 : sh;
+                if (WS_USABLE(r + i, c4 - 1))
+                    WS_RECORD(r + i, c4 - 1, i, 1, 0, -1);
+                i += step;
+            }
+        }
+    }
+    if (do_tl && r > c->t_mi_row0 && c4 > c->t_mi_col0 &&
+        n < LS_SAMPLES_MAX && WS_USABLE(r - 1, c4 - 1))
+        WS_RECORD(r - 1, c4 - 1, 0, -1, 0, -1);
+    if (do_tr && r > c->t_mi_row0 && c4 + w4 < c->t_mi_col1 &&
+        has_tr_c(r, c4, w4, h4, 16) && n < LS_SAMPLES_MAX &&
+        WS_USABLE(r - 1, c4 + w4))
+        WS_RECORD(r - 1, c4 + w4, 0, -1, w4, 1);
+#undef WS_USABLE
+#undef WS_RECORD
+    return n;
+}
+
+/* svt_aom_select_samples (ref warped_motion.c:1101) — in place */
+static int select_samples_c(int mvr, int mvc, int pts[8][2],
+                            int pts_ref[8][2], int n, int bw, int bh) {
+    int thresh = bw > bh ? bw : bh;
+    if (thresh < 16) thresh = 16;
+    if (thresh > 112) thresh = 112;
+    int keep = 0;
+    for (int i = 0; i < n; i++) {
+        int d = abs(pts_ref[i][0] - pts[i][0] - mvc) +
+                abs(pts_ref[i][1] - pts[i][1] - mvr);
+        if (d <= thresh) {
+            pts[keep][0] = pts[i][0];
+            pts[keep][1] = pts[i][1];
+            pts_ref[keep][0] = pts_ref[i][0];
+            pts_ref[keep][1] = pts_ref[i][1];
+            keep++;
+        }
+    }
+    return keep ? keep : 1;   /* keep >= 1 (first sample survives) */
+}
+
+typedef struct {
+    int32_t mat[6];
+    int alpha, beta, gamma, delta;
+} WarpParams;
+
+/* svt_get_shear_params (ref warped_motion.c:1045) */
+static int shear_params_c(WarpParams *wm) {
+    const int32_t *mat = wm->mat;
+    if (mat[2] <= 0) return 0;
+    int64_t alpha = mat[2] - (1 << WM_PREC_BITS);
+    int64_t beta = mat[3];
+    if (alpha < -32768) alpha = -32768;
+    if (alpha > 32767) alpha = 32767;
+    if (beta < -32768) beta = -32768;
+    if (beta > 32767) beta = 32767;
+    int shift;
+    int64_t y = wresolve_divisor(mat[2] < 0 ? -mat[2] : mat[2], &shift);
+    if (mat[2] < 0) y = -y;
+    int64_t v = ((int64_t)mat[4] << WM_PREC_BITS) * y;
+    int64_t gamma = wround2s(v, shift);
+    if (gamma < -32768) gamma = -32768;
+    if (gamma > 32767) gamma = 32767;
+    v = (int64_t)mat[3] * mat[4] * y;
+    int64_t delta = (int64_t)mat[5] - wround2s(v, shift) -
+                    (1 << WM_PREC_BITS);
+    if (delta < -32768) delta = -32768;
+    if (delta > 32767) delta = 32767;
+
+    alpha = wround2s(alpha, WP_REDUCE_BITS) << WP_REDUCE_BITS;
+    beta = wround2s(beta, WP_REDUCE_BITS) << WP_REDUCE_BITS;
+    gamma = wround2s(gamma, WP_REDUCE_BITS) << WP_REDUCE_BITS;
+    delta = wround2s(delta, WP_REDUCE_BITS) << WP_REDUCE_BITS;
+
+    if (4 * (alpha < 0 ? -alpha : alpha) + 7 * (beta < 0 ? -beta : beta) >=
+            (1 << WM_PREC_BITS) ||
+        4 * (gamma < 0 ? -gamma : gamma) +
+                4 * (delta < 0 ? -delta : delta) >=
+            (1 << WM_PREC_BITS))
+        return 0;
+    wm->alpha = (int)alpha;
+    wm->beta = (int)beta;
+    wm->gamma = (int)gamma;
+    wm->delta = (int)delta;
+    return 1;
+}
+
+/* find_affine_int (ref warped_motion.c:364): integer LS solve.
+ * Returns 1 + fills wm when the params are valid. */
+static int find_projection_c(const int pts[8][2], const int pts_ref[8][2],
+                             int np, int bw, int bh, int mvr, int mvc,
+                             int mi_row, int mi_col, WarpParams *wm) {
+    int rsuy = (bh > 4 ? bh : 4) / 2 - 1;
+    int rsux = (bw > 4 ? bw : 4) / 2 - 1;
+    int suy = rsuy * 8, sux = rsux * 8;
+    int duy = suy + mvr, dux = sux + mvc;
+    int isuy = mi_row * 4 + rsuy, isux = mi_col * 4 + rsux;
+
+    int64_t A00 = 0, A01 = 0, A11 = 0, bx0 = 0, bx1 = 0, by0 = 0, by1 = 0;
+#define LS_SQ(a) \
+    (((int64_t)(a) * (a) * 4 + (int64_t)(a) * 4 * WLS_STEP + \
+      WLS_STEP * WLS_STEP * 2) >> (2 + WLS_DOWN_BITS))
+#define LS_P1(a, b) \
+    (((int64_t)(a) * (b) * 4 + ((int64_t)(a) + (b)) * 2 * WLS_STEP + \
+      WLS_STEP * WLS_STEP) >> (2 + WLS_DOWN_BITS))
+#define LS_P2(a, b) \
+    (((int64_t)(a) * (b) * 4 + ((int64_t)(a) + (b)) * 2 * WLS_STEP + \
+      WLS_STEP * WLS_STEP * 2) >> (2 + WLS_DOWN_BITS))
+    for (int i = 0; i < np; i++) {
+        int dx = pts_ref[i][0] - dux;
+        int dy = pts_ref[i][1] - duy;
+        int sx = pts[i][0] - sux;
+        int sy = pts[i][1] - suy;
+        if (abs(sx - dx) < WLS_MV_MAX && abs(sy - dy) < WLS_MV_MAX) {
+            A00 += LS_SQ(sx);
+            A01 += LS_P1(sx, sy);
+            A11 += LS_SQ(sy);
+            bx0 += LS_P2(sx, dx);
+            bx1 += LS_P1(sy, dx);
+            by0 += LS_P1(sx, dy);
+            by1 += LS_P2(sy, dy);
+        }
+    }
+#undef LS_SQ
+#undef LS_P1
+#undef LS_P2
+    int64_t det = A00 * A11 - A01 * A01;
+    if (det == 0) return 0;
+    int shift;
+    int64_t i_det = wresolve_divisor(det < 0 ? -det : det, &shift);
+    if (det < 0) i_det = -i_det;
+    shift -= WM_PREC_BITS;
+    if (shift < 0) {
+        i_det <<= -shift;
+        shift = 0;
+    }
+    int64_t px0 = A11 * bx0 - A01 * bx1;
+    int64_t px1 = -A01 * bx0 + A00 * bx1;
+    int64_t py0 = A11 * by0 - A01 * by1;
+    int64_t py1 = -A01 * by0 + A00 * by1;
+
+#define MULT_DIAG(p) \
+    ({ \
+        int64_t v_ = wround2s((p) * i_det, shift); \
+        int64_t lo_ = (1 << WM_PREC_BITS) - WM_NONDIAG_CLAMP + 1; \
+        int64_t hi_ = (1 << WM_PREC_BITS) + WM_NONDIAG_CLAMP - 1; \
+        v_ < lo_ ? lo_ : (v_ > hi_ ? hi_ : v_); \
+    })
+#define MULT_NDIAG(p) \
+    ({ \
+        int64_t v_ = wround2s((p) * i_det, shift); \
+        v_ < -WM_NONDIAG_CLAMP + 1 \
+            ? -WM_NONDIAG_CLAMP + 1 \
+            : (v_ > WM_NONDIAG_CLAMP - 1 ? WM_NONDIAG_CLAMP - 1 : v_); \
+    })
+    int64_t m2 = MULT_DIAG(px0);
+    int64_t m3 = MULT_NDIAG(px1);
+    int64_t m4 = MULT_NDIAG(py0);
+    int64_t m5 = MULT_DIAG(py1);
+#undef MULT_DIAG
+#undef MULT_NDIAG
+    int64_t vx = (int64_t)mvc * (1 << (WM_PREC_BITS - 3)) -
+                 ((int64_t)isux * (m2 - (1 << WM_PREC_BITS)) +
+                  (int64_t)isuy * m3);
+    int64_t vy = (int64_t)mvr * (1 << (WM_PREC_BITS - 3)) -
+                 ((int64_t)isux * m4 +
+                  (int64_t)isuy * (m5 - (1 << WM_PREC_BITS)));
+    int64_t m0 = vx < -WM_TRANS_CLAMP
+                     ? -WM_TRANS_CLAMP
+                     : (vx > WM_TRANS_CLAMP - 1 ? WM_TRANS_CLAMP - 1 : vx);
+    int64_t m1 = vy < -WM_TRANS_CLAMP
+                     ? -WM_TRANS_CLAMP
+                     : (vy > WM_TRANS_CLAMP - 1 ? WM_TRANS_CLAMP - 1 : vy);
+    wm->mat[0] = (int32_t)m0;
+    wm->mat[1] = (int32_t)m1;
+    wm->mat[2] = (int32_t)m2;
+    wm->mat[3] = (int32_t)m3;
+    wm->mat[4] = (int32_t)m4;
+    wm->mat[5] = (int32_t)m5;
+    return shear_params_c(wm);
+}
+
+/* svt_av1_warp_affine_c (spec 7.11.3.3 block warp, single prediction;
+ * twin of inter/warp.py warp_plane). out: block-local (p_h x p_w). */
+static void warp_plane_c(const WarpParams *wm, const uint16_t *ref,
+                         int rstride, int width, int height, int p_col,
+                         int p_row, int p_w, int p_h, int ss_x, int ss_y,
+                         int bd, int32_t *out) {
+    const int32_t *mat = wm->mat;
+    int round_0 = bd == 12 ? 5 : 3;
+    int reduce_h = round_0;
+    int reduce_v = 2 * FILTER_BITS - reduce_h;
+    int offb_h = bd + FILTER_BITS - 1;
+    int offb_v = bd + 2 * FILTER_BITS - reduce_h;
+    int hi = (1 << bd) - 1;
+    int32_t tmp[15][8];
+    for (int i = p_row; i < p_row + p_h; i += 8) {
+        for (int j = p_col; j < p_col + p_w; j += 8) {
+            int32_t src_x = (j + 4) << ss_x;
+            int32_t src_y = (i + 4) << ss_y;
+            int64_t dst_x =
+                (int64_t)mat[2] * src_x + (int64_t)mat[3] * src_y + mat[0];
+            int64_t dst_y =
+                (int64_t)mat[4] * src_x + (int64_t)mat[5] * src_y + mat[1];
+            int64_t x4 = dst_x >> ss_x;
+            int64_t y4 = dst_y >> ss_y;
+            int32_t ix4 = (int32_t)(x4 >> WM_PREC_BITS);
+            int32_t sx4 = (int32_t)(x4 & ((1 << WM_PREC_BITS) - 1));
+            int32_t iy4 = (int32_t)(y4 >> WM_PREC_BITS);
+            int32_t sy4 = (int32_t)(y4 & ((1 << WM_PREC_BITS) - 1));
+            sx4 += wm->alpha * (-4) + wm->beta * (-4);
+            sy4 += wm->gamma * (-4) + wm->delta * (-4);
+            sx4 &= ~((1 << WP_REDUCE_BITS) - 1);
+            sy4 &= ~((1 << WP_REDUCE_BITS) - 1);
+
+            for (int k = -7; k < 8; k++) {
+                int iy = iy4 + k;
+                if (iy < 0) iy = 0;
+                if (iy > height - 1) iy = height - 1;
+                int sx = sx4 + wm->beta * (k + 4);
+                for (int l = -4; l < 4; l++) {
+                    int ox = sx + wm->alpha * (l + 4);
+                    int offs = ((ox + (1 << (WDIFF_PREC_BITS - 1))) >>
+                                WDIFF_PREC_BITS) +
+                               WPX_PREC_SHIFTS;
+                    const int16_t *co = WARP_FILT[offs];
+                    int32_t acc = 1 << offb_h;
+                    for (int m = 0; m < 8; m++) {
+                        int sxp = ix4 + l - 3 + m;
+                        if (sxp < 0) sxp = 0;
+                        if (sxp > width - 1) sxp = width - 1;
+                        acc += co[m] * (int32_t)ref[iy * rstride + sxp];
+                    }
+                    tmp[k + 7][l + 4] =
+                        (acc + (1 << (reduce_h - 1))) >> reduce_h;
+                }
+            }
+            int kmax = p_row + p_h - i - 4;
+            if (kmax > 4) kmax = 4;
+            int lmax = p_col + p_w - j - 4;
+            if (lmax > 4) lmax = 4;
+            for (int k = -4; k < kmax; k++) {
+                int sy = sy4 + wm->delta * (k + 4);
+                for (int l = -4; l < lmax; l++) {
+                    int oy = sy + wm->gamma * (l + 4);
+                    int offs = ((oy + (1 << (WDIFF_PREC_BITS - 1))) >>
+                                WDIFF_PREC_BITS) +
+                               WPX_PREC_SHIFTS;
+                    const int16_t *co = WARP_FILT[offs];
+                    int32_t acc = 1 << offb_v;
+                    for (int m = 0; m < 8; m++)
+                        acc += co[m] * tmp[k + m + 4][l + 4];
+                    acc = (acc + (1 << (reduce_v - 1))) >> reduce_v;
+                    acc -= (1 << (bd - 1)) + (1 << bd);
+                    if (acc < 0) acc = 0;
+                    if (acc > hi) acc = hi;
+                    out[(i - p_row + 4 + k) * p_w + (j - p_col + 4 + l)] =
+                        acc;
+                }
+            }
+        }
+    }
+}
+
 /* ---- setup_ref_mv_list (spec 7.10.2; single ref, gm identity) ---------- */
 #define MV_BORDER (4 << 5)
 #define REF_CAT_LEVEL 640
@@ -1972,65 +2377,159 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
      * The symbol is present for every eligible inter block once
      * is_motion_mode_switchable is signalled, so both options carry
      * their symbol rate. */
-    int obmc_eligible = 0, use_obmc = 0;
+    int obmc_eligible = 0, use_obmc = 0, use_warp = 0, warp_cdf = 0;
     ObmcNb ob_above[4], ob_left[4];
     int ob_na = 0, ob_nl = 0;
+    WarpParams wp;
     if (c->motion_mode_sw && !use_sm && !use_comp &&
         has_overlappable_c(c, r, c4, w4, w4)) {
         obmc_eligible = 1;
+        int wpts[8][2], wpts_ref[8][2];
+        int nsamp = 0;
+        if (c->allow_warp)
+            nsamp = find_warp_samples_c(c, r, c4, w4, w4, 1, wpts,
+                                        wpts_ref);
+        /* the symbol's cdf: 3-ary motion_mode when warp is possible
+         * (spec 5.11.27 read_motion_mode; allow_hp/force_int are 0/0) */
+        warp_cdf = c->allow_warp && nsamp > 0;
         if (!use_intra) {
+            const uint16_t *mmcdf = warp_cdf
+                                        ? ic->motion_mode + bsize * 4
+                                        : ic->obmc + bsize * 3;
             ob_na = collect_obmc_above(c, r, c4, w4, ob_above);
             ob_nl = collect_obmc_left(c, r, c4, w4, ob_left);
-        }
-    }
-    if (obmc_eligible && !use_intra && ob_na + ob_nl > 0) {
-        static __thread int32_t ob_y[64 * 64];
-        static __thread TxTrial ob_ty;
-        memcpy(ob_y, i_pred_y, sizeof(int32_t) * size * size);
-        obmc_blend_plane(c, 0, r, c4, size, ob_above, ob_na, ob_left,
-                         ob_nl, ob_y);
-        const uint16_t *sp = c->src[0];
-        int ssrc = c->sstride[0];
-        static __thread int32_t ob_resid[64 * 64];
-        for (int y = 0; y < size; y++)
-            for (int x = 0; x < size; x++)
-                ob_resid[y * size + x] =
-                    (int32_t)sp[(r * 4 + y) * ssrc + c4 * 4 + x] -
-                    ob_y[y * size + x];
-        int sgn_y2 = tpu_dc_sign_ctx(c, 0, r, c4, ts_y);
-        tpu_trial_txb(c, 0, ts_y, 0, ob_resid, q, 0, sgn_y2, 1, &ob_ty);
-        const uint16_t *ocdf = ic->obmc + bsize * 3;
-        double cost_simple =
-            (double)i_ty.sse +
-            c->rdmult * (i_ty.rate512 / 512.0 + tpu_sym_cost_bits(ocdf, 0));
-        double cost_obmc =
-            (double)ob_ty.sse +
-            c->rdmult * (ob_ty.rate512 / 512.0 + tpu_sym_cost_bits(ocdf, 1));
-        if (cost_obmc < cost_simple) {
-            use_obmc = 1;
-            memcpy(i_pred_y, ob_y, sizeof(int32_t) * size * size);
-            i_ty = ob_ty;
-            /* chroma: re-blend + re-trial on the OBMC prediction */
-            int cw = TXW[ts_c], chh = TXH[ts_c];
-            obmc_blend_plane(c, 1, r, c4, size, ob_above, ob_na,
-                             ob_left, ob_nl, i_pred_u);
-            obmc_blend_plane(c, 2, r, c4, size, ob_above, ob_na,
-                             ob_left, ob_nl, i_pred_v);
-            static __thread int32_t oru[32 * 32], orv[32 * 32];
-            const uint16_t *su = c->src[1], *sv = c->src[2];
-            int scs = c->sstride[1];
-            for (int y = 0; y < chh; y++)
-                for (int x = 0; x < cw; x++) {
-                    int off = (cr * 4 + y) * scs + cc * 4 + x;
-                    oru[y * cw + x] =
-                        (int32_t)su[off] - i_pred_u[y * cw + x];
-                    orv[y * cw + x] =
-                        (int32_t)sv[off] - i_pred_v[y * cw + x];
+            const uint16_t *sp = c->src[0];
+            int ssrc = c->sstride[0];
+            static __thread int32_t ob_y[64 * 64], wp_y[64 * 64];
+            static __thread int32_t ob_resid[64 * 64];
+            static __thread TxTrial ob_ty, wp_ty;
+            int sgn_y2 = tpu_dc_sign_ctx(c, 0, r, c4, ts_y);
+            /* WARPED doesn't code the interp filter — credit the saved
+             * symbol to the warp candidate (av1_is_interp_needed) */
+            double filt_rate = 0.0;
+            if (c->switchable_filter &&
+                !(best_mode == 2 && !c->gm_coded)) {
+                int fctx2 = interp_filter_ctx_c(c, r, c4, 1, 0);
+                filt_rate = tpu_sym_cost_bits(
+                    ic->switchable_interp + fctx2 * 4, best_filt);
+            }
+            double cost_best = (double)i_ty.sse +
+                               c->rdmult * (i_ty.rate512 / 512.0 +
+                                            filt_rate +
+                                            tpu_sym_cost_bits(mmcdf, 0));
+            int mm_pick = 0;
+            if (ob_na + ob_nl > 0) {
+                memcpy(ob_y, i_pred_y, sizeof(int32_t) * size * size);
+                obmc_blend_plane(c, 0, r, c4, size, ob_above, ob_na,
+                                 ob_left, ob_nl, ob_y);
+                for (int y = 0; y < size; y++)
+                    for (int x = 0; x < size; x++)
+                        ob_resid[y * size + x] =
+                            (int32_t)sp[(r * 4 + y) * ssrc + c4 * 4 + x] -
+                            ob_y[y * size + x];
+                tpu_trial_txb(c, 0, ts_y, 0, ob_resid, q, 0, sgn_y2, 1,
+                              &ob_ty);
+                double cost_obmc =
+                    (double)ob_ty.sse +
+                    c->rdmult * (ob_ty.rate512 / 512.0 + filt_rate +
+                                 tpu_sym_cost_bits(mmcdf, 1));
+                if (cost_obmc < cost_best) {
+                    cost_best = cost_obmc;
+                    mm_pick = 1;
                 }
-            int sgn_u2 = tpu_dc_sign_ctx(c, 1, cr, cc, ts_c);
-            int sgn_v2 = tpu_dc_sign_ctx(c, 2, cr, cc, ts_c);
-            tpu_trial_txb(c, 1, ts_c, 0, oru, q, 1, sgn_u2, 1, &i_tu);
-            tpu_trial_txb(c, 2, ts_c, 0, orv, q, 1, sgn_v2, 1, &i_tv);
+            }
+            int wp_valid = 0;
+            if (warp_cdf) {
+                int ns = nsamp;
+                if (ns > 1)
+                    ns = select_samples_c(best_mvr, best_mvc, wpts,
+                                          wpts_ref, ns, size, size);
+                wp_valid = find_projection_c(wpts, wpts_ref, ns, size,
+                                             size, best_mvr, best_mvc, r,
+                                             c4, &wp);
+                if (wp_valid) {
+                    warp_plane_c(&wp, c->refp[0], c->ref_stride[0],
+                                 c->width, c->height, c4 * 4, r * 4,
+                                 size, size, 0, 0, c->bd, wp_y);
+                    for (int y = 0; y < size; y++)
+                        for (int x = 0; x < size; x++)
+                            ob_resid[y * size + x] =
+                                (int32_t)
+                                    sp[(r * 4 + y) * ssrc + c4 * 4 + x] -
+                                wp_y[y * size + x];
+                    tpu_trial_txb(c, 0, ts_y, 0, ob_resid, q, 0, sgn_y2,
+                                  1, &wp_ty);
+                    double cost_warp =
+                        (double)wp_ty.sse +
+                        c->rdmult * (wp_ty.rate512 / 512.0 +
+                                     tpu_sym_cost_bits(mmcdf, 2));
+                    if (cost_warp < cost_best) {
+                        cost_best = cost_warp;
+                        mm_pick = 2;
+                    }
+                }
+            }
+            if (mm_pick) {
+                use_obmc = mm_pick == 1;
+                use_warp = mm_pick == 2;
+                memcpy(i_pred_y, mm_pick == 1 ? ob_y : wp_y,
+                       sizeof(int32_t) * size * size);
+                i_ty = mm_pick == 1 ? ob_ty : wp_ty;
+                /* chroma: re-predict under the chosen motion mode.
+                 * Warp falls back to translation on sub-8x8 chroma
+                 * (do_warp plane-dims gate), i.e. 8x8 blocks keep the
+                 * existing translational chroma. */
+                int cw = TXW[ts_c], chh = TXH[ts_c];
+                int redo_chroma = 1;
+                if (mm_pick == 1) {
+                    obmc_blend_plane(c, 1, r, c4, size, ob_above, ob_na,
+                                     ob_left, ob_nl, i_pred_u);
+                    obmc_blend_plane(c, 2, r, c4, size, ob_above, ob_na,
+                                     ob_left, ob_nl, i_pred_v);
+                } else if (size >= 16) {
+                    warp_plane_c(&wp, c->refp[1], c->ref_stride[1],
+                                 (c->width + 1) >> 1,
+                                 (c->height + 1) >> 1, cc * 4, cr * 4,
+                                 cw, chh, 1, 1, c->bd, i_pred_u);
+                    warp_plane_c(&wp, c->refp[2], c->ref_stride[2],
+                                 (c->width + 1) >> 1,
+                                 (c->height + 1) >> 1, cc * 4, cr * 4,
+                                 cw, chh, 1, 1, c->bd, i_pred_v);
+                } else if (c->switchable_filter && best_filt != 0) {
+                    /* 8x8 warp: chroma falls back to translation, and
+                     * the (uncoded) filter reads back REGULAR — the
+                     * chroma pred must be re-done with filter 0 */
+                    int pw2 = (c->width + 1) >> 1,
+                        ph2 = (c->height + 1) >> 1;
+                    mc_block_f(c->refp[1], c->ref_stride[1], pw2, ph2,
+                               cc * 4, cr * 4, cw, chh, best_mvc,
+                               best_mvr, c->bd, 0, 0, i_pred_u);
+                    mc_block_f(c->refp[2], c->ref_stride[2], pw2, ph2,
+                               cc * 4, cr * 4, cw, chh, best_mvc,
+                               best_mvr, c->bd, 0, 0, i_pred_v);
+                } else {
+                    redo_chroma = 0;
+                }
+                if (redo_chroma) {
+                    static __thread int32_t oru[32 * 32], orv[32 * 32];
+                    const uint16_t *su = c->src[1], *sv = c->src[2];
+                    int scs = c->sstride[1];
+                    for (int y = 0; y < chh; y++)
+                        for (int x = 0; x < cw; x++) {
+                            int off = (cr * 4 + y) * scs + cc * 4 + x;
+                            oru[y * cw + x] =
+                                (int32_t)su[off] - i_pred_u[y * cw + x];
+                            orv[y * cw + x] =
+                                (int32_t)sv[off] - i_pred_v[y * cw + x];
+                        }
+                    int sgn_u2 = tpu_dc_sign_ctx(c, 1, cr, cc, ts_c);
+                    int sgn_v2 = tpu_dc_sign_ctx(c, 2, cr, cc, ts_c);
+                    tpu_trial_txb(c, 1, ts_c, 0, oru, q, 1, sgn_u2, 1,
+                                  &i_tu);
+                    tpu_trial_txb(c, 2, ts_c, 0, orv, q, 1, sgn_v2, 1,
+                                  &i_tv);
+                }
+            }
         }
     }
 
@@ -2159,15 +2658,21 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         }
     }
 
-    /* motion_mode (obmc) symbol: after MVs, before the interp filter
-     * (spec 5.11.27 read order; allow_warped_motion is always 0 in our
-     * headers so the 2-ary obmc cdf applies) */
-    if (obmc_eligible && !use_sm)
-        tpuec_symbol(c->ec, use_obmc, ic->obmc + bsize * 3, 2, 1);
+    /* motion_mode symbol: after MVs, before the interp filter (spec
+     * 5.11.27 read order). 3-ary motion_mode cdf when warp samples
+     * exist under allow_warped_motion, else the 2-ary obmc cdf. */
+    if (obmc_eligible && !use_sm) {
+        int mmv = use_warp ? 2 : use_obmc;
+        if (warp_cdf)
+            tpuec_symbol(c->ec, mmv, ic->motion_mode + bsize * 4, 3, 1);
+        else
+            tpuec_symbol(c->ec, use_obmc, ic->obmc + bsize * 3, 2, 1);
+    }
 
     /* interp filter symbol (after modes/MVs, spec 5.11.27 order);
-     * not coded for skip_mode or GLOBALMV-under-identity-gm blocks */
-    if (c->switchable_filter && !use_sm &&
+     * not coded for skip_mode, WARPED_CAUSAL (av1_is_interp_needed),
+     * or GLOBALMV-under-identity-gm blocks */
+    if (c->switchable_filter && !use_sm && !use_warp &&
         !(!use_comp && best_mode == 2 && !c->gm_coded)) {
         int wf = use_comp ? 0 : best_filt;
         int fctx = interp_filter_ctx_c(c, r, c4, 1, use_comp);
@@ -2191,7 +2696,9 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                       best_mvc, best_mode == 3);
     {
         /* neighbor filter state for later interp-filter contexts */
-        int wf = (use_comp || use_sm) ? 0 : best_filt;
+        /* uncoded-filter blocks read back as REGULAR in the parser's
+         * neighbor-filter contexts (skip_mode, compound avg, WARPED) */
+        int wf = (use_comp || use_sm || use_warp) ? 0 : best_filt;
         InterGrid *g = c->grid;
         int rr1 = r + w4 < g->mi_rows ? r + w4 : g->mi_rows;
         int cc1 = c4 + w4 < g->mi_cols ? c4 + w4 : g->mi_cols;
@@ -2291,8 +2798,9 @@ void tpuc_set_interp(TpuCommit *c, int switchable, int gm_coded) {
     c->gm_coded = gm_coded;
 }
 
-void tpuc_set_obmc(TpuCommit *c, int enable) {
+void tpuc_set_obmc(TpuCommit *c, int enable, int allow_warp) {
     c->motion_mode_sw = enable;
+    c->allow_warp = allow_warp;
 }
 
 void tpuc_set_gm(TpuCommit *c, int mv8_r, int mv8_c) {

@@ -105,6 +105,7 @@ typedef struct {
     uint16_t *skip_mode;            /* [3][3] */
     uint16_t *switchable_interp;    /* [16][4] */
     uint16_t *obmc;                 /* [22][3] (motion-mode OBMC flag) */
+    uint16_t *motion_mode;          /* [22][4] (SIMPLE/OBMC/WARPED) */
     /* nmv per-component families (comp 0 = row, 1 = col) */
     uint16_t *sign[2];      /* [3] */
     uint16_t *classes[2];   /* [12] */
@@ -219,10 +220,14 @@ void tpuc_set_ref2(TpuCommit *c, const uint16_t *y, const uint16_t *u,
                    const uint16_t *v, int ystride, int cstride);
 void tpuc_set_compound(TpuCommit *c, int skip_mode_present,
                        const uint8_t *sign_bias8);
-/* OBMC motion-mode search: when enabled the walk trials OBMC_CAUSAL on
- * eligible single-ref blocks and writes the motion-mode (obmc) symbol
- * (frame header must set is_motion_mode_switchable). */
-void tpuc_set_obmc(TpuCommit *c, int enable);
+/* Motion-mode search: when enabled the walk trials OBMC_CAUSAL (and
+ * WARPED_CAUSAL when allow_warp) on eligible single-ref blocks and
+ * writes the motion-mode symbol (frame header must set
+ * is_motion_mode_switchable / allow_warped_motion accordingly). */
+void tpuc_set_obmc(TpuCommit *c, int enable, int allow_warp);
+/* Normative warp constants (spec 7.11.3.5 Warp_Filter [193][8] and
+ * 7.11.3.7 Div_Lut [257]), uploaded once from python. */
+void tpuc_upload_warp(const int32_t *wf193x8, const int32_t *div_lut257);
 /* MFMV (spec 7.9/7.10.2 temporal candidates): attach the projected
  * motion field (mv/off/valid over (n8r, n8c) 8x8 units) + per-ref-id
  * cur-to-ref distances. NULL mv disables. Pointers must stay valid

@@ -94,9 +94,10 @@ class Encoder:
             # interpolation_filter_search; preset-gated like
             # enc_mode_config's ifs levels)
             enc.interp_search = preset <= 11
-            # OBMC motion-mode search (ref enc_mode_config.c obmc_level:
-            # enabled at the quality-leaning presets)
+            # motion-mode search (ref enc_mode_config.c obmc_level /
+            # wm_level: enabled at the quality-leaning presets)
             enc.obmc_search = preset <= 10
+            enc.warp_search = preset <= 10
             # restoration: auto (-1) follows the reference's preset
             # derivation — off at the fast presets (ref enc_mode_config.c
             # derives enable_restoration=0 for M10+), opt-in via

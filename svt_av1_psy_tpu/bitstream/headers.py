@@ -177,8 +177,9 @@ class FrameParams:
     refresh_frame_flags: int = 0xFF
     # MFMV temporal MV prediction (needs seq.enable_ref_frame_mvs)
     use_ref_frame_mvs: bool = False
-    # motion-mode (OBMC) signalling per block
+    # motion-mode (OBMC/WARPED) signalling per block
     is_motion_mode_switchable: bool = False
+    allow_warped_motion: bool = False
     # quantization
     base_q_idx: int = 60
     delta_q_y_dc: int = 0
@@ -308,7 +309,7 @@ def write_frame_header_bits(w: BitWriter, seq: SequenceParams,
         if fr.reference_select and fr.skip_mode_allowed:
             w.bit(fr.skip_mode_present)       # skip_mode_params (5.9.22)
         if seq.enable_warped_motion:
-            w.bit(0)                          # allow_warped_motion
+            w.bit(int(fr.allow_warped_motion))
     w.bit(fr.reduced_tx_set)
     if not fr.is_intra:
         # global_motion_params (spec 5.9.24): TRANSLATION-only coding,

@@ -185,9 +185,11 @@ class FastIntraEncoder:
         self.enable_mfmv = True
         self._slot_mf = [None] * 8
         self.seq.enable_ref_frame_mvs = True
-        # OBMC motion-mode search (ref enc_mode_config obmc levels);
+        # motion-mode search (ref enc_mode_config obmc/warp levels);
         # preset-gated by the API layer
         self.obmc_search = False
+        self.warp_search = False
+        self.seq.enable_warped_motion = True
 
     # --- sharded device search (multi-chip; SURVEY.md §2.2 P4) -----------
     def make_sharded_decide(self, mesh, axis: str = "sp"):
@@ -735,8 +737,8 @@ class FastIntraEncoder:
             eng.set_gm(gm_mv8v)
             if getattr(self, "interp_search", False):
                 eng.set_interp(True, gm_wm is not None)
-            if self.obmc_search:
-                eng.set_obmc(True)
+            if self.obmc_search or self.warp_search:
+                eng.set_obmc(True, self.warp_search)
             if ref2_slot is not None:
                 eng.set_ref2(*self._dpb[ref2_slot])
                 eng.set_compound(sm_present, sign_bias)
@@ -838,7 +840,8 @@ class FastIntraEncoder:
             skip_mode_present=sm_present,
             refresh_frame_flags=refresh, ref_frame_idx=ref_idx,
             use_ref_frame_mvs=use_rfm,
-            is_motion_mode_switchable=self.obmc_search,
+            is_motion_mode_switchable=self.obmc_search or self.warp_search,
+            allow_warped_motion=self.warp_search,
             allow_high_precision_mv=False, interp_filter=0,
             is_filter_switchable=getattr(self, "interp_search", False),
             delta_q_present=sbq is not None,

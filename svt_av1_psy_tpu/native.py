@@ -259,7 +259,8 @@ class InterCdfs(ctypes.Structure):
                 ("inter_compound_mode", ctypes.POINTER(ctypes.c_uint16)),
                 ("skip_mode", ctypes.POINTER(ctypes.c_uint16)),
                 ("switchable_interp", ctypes.POINTER(ctypes.c_uint16)),
-                ("obmc", ctypes.POINTER(ctypes.c_uint16))] + [
+                ("obmc", ctypes.POINTER(ctypes.c_uint16)),
+                ("motion_mode", ctypes.POINTER(ctypes.c_uint16))] + [
                 (n, ctypes.POINTER(ctypes.c_uint16) * 2) for n in (
                     "sign", "classes", "class0", "bits", "class0_fp",
                     "fp", "class0_hp", "hp")]
@@ -274,7 +275,7 @@ def make_inter_cdfs(fc) -> InterCdfs:
         _u16p(fc.comp_inter), _u16p(fc.comp_ref_type), _u16p(fc.comp_ref),
         _u16p(fc.comp_bwdref), _u16p(fc.inter_compound_mode),
         _u16p(fc.skip_mode), _u16p(fc.switchable_interp),
-        _u16p(fc.obmc))
+        _u16p(fc.obmc), _u16p(fc.motion_mode))
     for name in ("sign", "classes", "class0", "bits", "class0_fp", "fp",
                  "class0_hp", "hp"):
         pair = (ctypes.POINTER(ctypes.c_uint16) * 2)(
@@ -388,7 +389,9 @@ def _ensure_commit_locked(lib):
     lib.tpuc_set_ref2.argtypes = [ctypes.c_void_p, u16p, u16p, u16p,
                                   ctypes.c_int, ctypes.c_int]
     lib.tpuc_set_compound.argtypes = [ctypes.c_void_p, ctypes.c_int, u8p]
-    lib.tpuc_set_obmc.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.tpuc_set_obmc.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                  ctypes.c_int]
+    lib.tpuc_upload_warp.argtypes = [i32p, i32p]
     lib.tpuc_set_tpl.argtypes = [ctypes.c_void_p, i16p, i16p, u8p,
                                  ctypes.c_int, ctypes.c_int, i32p,
                                  ctypes.c_int]
@@ -406,6 +409,9 @@ def _ensure_commit_locked(lib):
     from svt_av1_psy_tpu.entropy.tx_sets import EXT_TX_INV
     dr = np.ascontiguousarray(tables()["dr_intra_derivative"], np.int32)
     lib.tpuc_upload_dr(dr.ctypes.data_as(i32p))
+    wf = np.ascontiguousarray(tables()["warped_filter"], np.int32)
+    dl = np.ascontiguousarray(tables()["warp_div_lut"], np.int32)
+    lib.tpuc_upload_warp(wf.ctypes.data_as(i32p), dl.ctypes.data_as(i32p))
     for ts in range(19):
         for tt in range(16):
             try:
@@ -521,11 +527,12 @@ class CommitEngine:
             self._c, int(skip_mode_present),
             sb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
 
-    def set_obmc(self, enable: bool):
-        """OBMC motion-mode search (frame is_motion_mode_switchable):
-        trial OBMC_CAUSAL on eligible single-ref blocks + write the
-        obmc symbol."""
-        self.lib.tpuc_set_obmc(self._c, int(enable))
+    def set_obmc(self, enable: bool, allow_warp: bool = False):
+        """Motion-mode search (frame is_motion_mode_switchable): trial
+        OBMC_CAUSAL (and WARPED_CAUSAL when allow_warp, frame
+        allow_warped_motion) on eligible single-ref blocks + write the
+        motion-mode symbol."""
+        self.lib.tpuc_set_obmc(self._c, int(enable), int(allow_warp))
 
     def set_tpl(self, tpl_mv, tpl_off, tpl_valid, cur_off8, allow_hp=False):
         """MFMV: attach the frame's projected temporal motion field

@@ -182,3 +182,82 @@ def test_encoder_obmc_signalled_and_used():
     # coded for every eligible block)
     p_off, _ = _encode_obmc(False)
     assert payload != p_off
+
+
+def _zoom_frames(n, W=176, H=144, seed=5):
+    """Slight zoom + pan: affine motion that favors WARPED_CAUSAL."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(40, 200, (H + 96, W + 96)).astype(np.float64)
+    yy, xx = np.mgrid[0:H, 0:W]
+    out = []
+    for i in range(n):
+        s = 1.0 + 0.004 * i
+        sy = np.clip((yy - H / 2) / s + H / 2 + i * 1.5 + 16, 0, H + 95)
+        sx = np.clip((xx - W / 2) / s + W / 2 + i * 2.5 + 16, 0, W + 95)
+        y = np.clip(base[sy.astype(int), sx.astype(int)] +
+                    rng.normal(0, 1.5, (H, W)), 0, 255).astype(np.uint16)
+        u = np.clip(120 + rng.normal(0, 2, (H // 2, W // 2)),
+                    0, 255).astype(np.uint16)
+        v = np.clip(136 + rng.normal(0, 2, (H // 2, W // 2)),
+                    0, 255).astype(np.uint16)
+        out.append((y, u, v))
+    return out
+
+
+def _encode_warp(n=9):
+    from svt_av1_psy_tpu.models.fast_intra import FastIntraEncoder
+    enc = FastIntraEncoder(176, 144, qindex=120)
+    enc.gop_size = 0
+    enc.hierarchical_levels = 2
+    enc.obmc_search = True
+    enc.warp_search = True
+    payload = b""
+    recons = []
+    for y, u, v in _zoom_frames(n):
+        ef = enc.encode_frame(y, u, v)
+        payload += ef.payload
+        recons.append((ef.recon_y, ef.recon_u, ef.recon_v))
+    return payload, recons
+
+
+def test_encoder_warp_dav1d_bit_exact():
+    """Encoder-side WARPED_CAUSAL: the C sample collection, integer LS
+    affine solve, shear params, and two-stage warp filter
+    (native/inter_backend.c, spec 7.10.4/7.11.3.3) must all agree with
+    dav1d's reconstruction of the same signalled blocks."""
+    from svt_av1_psy_tpu.decoder.dav1d import decode_obus
+    payload, recons = _encode_warp()
+    dec = decode_obus(payload)
+    assert len(dec) == len(recons)
+    for d, (ry, ru, rv) in zip(dec, recons):
+        assert np.array_equal(d.y, ry)
+        assert np.array_equal(d.u, ru)
+        assert np.array_equal(d.v, rv)
+
+
+def test_encoder_warp_chosen_and_own_decoder():
+    """At least one WARPED_CAUSAL block is chosen on zooming content,
+    and our conformance decoder agrees bit-exactly."""
+    import svt_av1_psy_tpu.decoder.reconstruct as rc
+    from svt_av1_psy_tpu.decoder.driver import Decoder
+    payload, recons = _encode_warp()
+    n_warp = [0]
+    orig = rc.FrameReconstructor._predict_inter_block
+
+    def counting(self, b, hc):
+        if getattr(b, "motion_mode", 0) == 2:
+            n_warp[0] += 1
+        return orig(self, b, hc)
+
+    rc.FrameReconstructor._predict_inter_block = counting
+    try:
+        d = Decoder()
+        d.decode_temporal_unit(payload)
+    finally:
+        rc.FrameReconstructor._predict_inter_block = orig
+    assert len(d.frames) == len(recons)
+    for fr, (ry, ru, rv) in zip(d.frames, recons):
+        assert np.array_equal(fr.y, ry)
+        assert np.array_equal(fr.u, ru)
+        assert np.array_equal(fr.v, rv)
+    assert n_warp[0] > 0, "no WARPED_CAUSAL blocks chosen"

@@ -89,6 +89,7 @@ def encode_ours(src, w, h, qindex, fps_hz, preset, gop=1, tpl=0):
                                n_cands={13: 1, 12: 2}.get(preset, 3))
         enc.interp_search = preset <= 11
         enc.obmc_search = preset <= 10
+        enc.warp_search = preset <= 10
         drv = RaDriver(enc, gop_levels=4)
         tmp = tempfile.mktemp(suffix=".ivf")
         wtr = IvfWriter(tmp, w, h)
