@@ -64,13 +64,17 @@ def _run_ra(args, reader, enc, t0, rc=None) -> int:
         if p.display_idx >= 0:
             nshown += 1
             if args.enable_stat_report and p.display_idx in sources:
+                from svt_av1_psy_tpu.ops.metrics import ssim_plane
                 sy, su, sv = sources.pop(p.display_idx)
                 ry, ru, rv = p.recon
+                bd = reader.header.bit_depth
                 stats.append((p.display_idx, len(p.payload),
-                              psnr(sy, ry), psnr(su, ru), psnr(sv, rv)))
+                              psnr(sy, ry), psnr(su, ru), psnr(sv, rv),
+                              ssim_plane(sy, ry, bd=bd)))
                 print(f"frame {p.display_idx}: {len(p.payload):7d} B  "
                       f"PSNR Y {stats[-1][2]:.2f}  U {stats[-1][3]:.2f}  "
-                      f"V {stats[-1][4]:.2f}", file=sys.stderr)
+                      f"V {stats[-1][4]:.2f}  SSIM {stats[-1][5]:.4f}",
+                      file=sys.stderr)
 
     src_count = 0
     for (y, u, v) in reader:
@@ -91,14 +95,15 @@ def _run_ra(args, reader, enc, t0, rc=None) -> int:
         print(f"encoded {nshown} frames, {total_bytes} bytes, "
               f"{dt:.2f}s ({nshown / dt:.3f} fps)", file=sys.stderr)
         if args.enable_stat_report and stats:
-            avg = [sum(s[i] for s in stats) / len(stats) for i in (2, 3, 4)]
+            avg = [sum(s[i] for s in stats) / len(stats)
+                   for i in (2, 3, 4, 5)]
             kbps = total_bytes * 8 * args.fps / nshown / 1000
             print(f"SUMMARY: {kbps:.1f} kbps  avg PSNR "
-                  f"Y {avg[0]:.2f}  U {avg[1]:.2f}  V {avg[2]:.2f}",
-                  file=sys.stderr)
+                  f"Y {avg[0]:.2f}  U {avg[1]:.2f}  V {avg[2]:.2f}  "
+                  f"SSIM {avg[3]:.4f}", file=sys.stderr)
             if args.stat_file:
                 with open(args.stat_file, "w") as sf:
-                    sf.write("frame,bytes,psnr_y,psnr_u,psnr_v\n")
+                    sf.write("frame,bytes,psnr_y,psnr_u,psnr_v,ssim_y\n")
                     for s2 in sorted(stats):
                         sf.write(",".join(str(x) for x in s2) + "\n")
     return 0
@@ -421,11 +426,15 @@ def main(argv=None) -> int:
                                        np.asarray(b, np.float64)) ** 2))
                     return 10 * math.log10(peak / max(m, 1e-9))
 
+                from svt_av1_psy_tpu.ops.metrics import ssim_plane
                 stats.append((n, len(f.payload), psnr(y, f.recon_y),
-                              psnr(u, f.recon_u), psnr(v, f.recon_v)))
+                              psnr(u, f.recon_u), psnr(v, f.recon_v),
+                              ssim_plane(y, f.recon_y,
+                                         bd=reader.header.bit_depth)))
                 print(f"frame {n}: {len(f.payload):7d} B  "
                       f"PSNR Y {stats[-1][2]:.2f}  U {stats[-1][3]:.2f}  "
-                      f"V {stats[-1][4]:.2f}", file=sys.stderr)
+                      f"V {stats[-1][4]:.2f}  SSIM {stats[-1][5]:.4f}",
+                      file=sys.stderr)
             n += 1
             if args.frames and n >= args.frames:
                 break
@@ -440,14 +449,15 @@ def main(argv=None) -> int:
         print(f"encoded {n} frames, {total_bytes} bytes, "
               f"{dt:.2f}s ({n / dt:.3f} fps)", file=sys.stderr)
         if args.enable_stat_report and stats:
-            avg = [sum(s[i] for s in stats) / len(stats) for i in (2, 3, 4)]
+            avg = [sum(s[i] for s in stats) / len(stats)
+                   for i in (2, 3, 4, 5)]
             kbps = total_bytes * 8 * args.fps / n / 1000
             print(f"SUMMARY: {kbps:.1f} kbps  avg PSNR "
-                  f"Y {avg[0]:.2f}  U {avg[1]:.2f}  V {avg[2]:.2f}",
-                  file=sys.stderr)
+                  f"Y {avg[0]:.2f}  U {avg[1]:.2f}  V {avg[2]:.2f}  "
+                  f"SSIM {avg[3]:.4f}", file=sys.stderr)
             if args.stat_file:
                 with open(args.stat_file, "w") as sf:
-                    sf.write("frame,bytes,psnr_y,psnr_u,psnr_v\n")
+                    sf.write("frame,bytes,psnr_y,psnr_u,psnr_v,ssim_y\n")
                     for s2 in stats:
                         sf.write(",".join(str(x) for x in s2) + "\n")
     return 0

@@ -39,3 +39,22 @@ def test_api_gop_routing():
     k = enc.encode(y, u, u.copy())
     p = enc.encode(y, u, u.copy())
     assert len(p.payload) < len(k.payload)   # P frame followed the key
+
+
+def test_ssim_metric():
+    """aom_ssim2-analog windowed SSIM (ref svt_psnr.c stat report)."""
+    import numpy as np
+    from svt_av1_psy_tpu.ops.metrics import psnr, ssim_plane
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 255, (72, 96)).astype(np.int64)
+    assert abs(ssim_plane(a, a) - 1.0) < 1e-12
+    b = np.clip(a + rng.normal(0, 8, a.shape), 0, 255).astype(np.int64)
+    s = ssim_plane(a, b)
+    assert 0.5 < s < 1.0
+    # more distortion -> lower ssim, lower psnr
+    c = np.clip(a + rng.normal(0, 25, a.shape), 0, 255).astype(np.int64)
+    assert ssim_plane(a, c) < s
+    assert psnr(a, c) < psnr(a, b)
+    # 10-bit scale invariance (same content scaled by 4)
+    s10 = ssim_plane(a * 4, b * 4, bd=10)
+    assert abs(s10 - s) < 0.02
