@@ -112,7 +112,15 @@ class RaDriver:
         d = self._next_display
         self._next_display += 1
         out = []
-        if self._is_key(d):
+        # scene-change detection in picture decision (ref
+        # pic_analysis_process.c scene_change_detection feeding
+        # pd_process GoP typing): a cut closes the pending mini-GoP at
+        # its buffered tail and re-keys on the cut frame
+        cut = getattr(self.enc, "enable_scenecut", False) and \
+            self.enc._is_scene_cut(y)
+        if getattr(self.enc, "enable_scenecut", False):
+            self.enc._prev_src_y = np.asarray(y)[::2, ::2].astype(np.int32)
+        if self._is_key(d) or cut:
             # close the pending GoP at the buffered tail, then key
             out.extend(self._encode_gop())
             out.append(self._encode_base_key(d, (y, u, v)))

@@ -110,3 +110,48 @@ def test_ra_api_routing():
     assert len(shown) == len(frames)
     decoded = decode_obus(b"".join(p.payload for p in pkts))
     assert len(decoded) == len(frames)
+
+
+def test_ra_scene_cut_rekeys():
+    """Picture decision: a scene cut closes the pending mini-GoP and
+    keys on the cut frame (ref pic_analysis scene_change_detection ->
+    pd_process GoP typing); the stream stays dav1d bit-exact."""
+    rng = np.random.default_rng(7)
+    a = rng.integers(30, 120, (H, W)).astype(np.uint16)
+    b = rng.integers(140, 250, (H, W)).astype(np.uint16)   # hard cut
+    frames = []
+    for i in range(11):
+        base = a if i < 6 else b
+        y = np.clip(base + rng.normal(0, 2, (H, W)), 0, 255) \
+            .astype(np.uint16)
+        u = np.full((H // 2, W // 2), 120, np.uint16)
+        v = np.full((H // 2, W // 2), 136, np.uint16)
+        frames.append((y, u, v))
+    enc = FastIntraEncoder(W, H, qindex=120)
+    enc.gop_size = 0
+    enc.enable_scenecut = True
+    drv = RaDriver(enc, gop_levels=2, keyint=0)
+    pkts = []
+    for f in frames:
+        pkts += drv.push(*f)
+    pkts += drv.flush()
+    _check(frames, pkts)
+    # the cut frame must be a KEY frame (frame_type 0)
+    from svt_av1_psy_tpu.bitstream.obu import ObuType, parse_obus
+    from svt_av1_psy_tpu.decoder.header_parser import (parse_frame_header,
+                                                       parse_sequence_header)
+    seq = None
+    hints = [0] * 8
+    keys = 0
+    for p in pkts:
+        for t, _, _, pl in parse_obus(p.payload):
+            if t == ObuType.SEQUENCE_HEADER:
+                seq = parse_sequence_header(pl)
+            elif t == ObuType.FRAME:
+                fi = parse_frame_header(pl, seq, ref_order_hints=hints)
+                keys += fi.frame_type == 0
+                for i in range(8):
+                    if fi.refresh_frame_flags & (1 << i) or \
+                            fi.frame_type == 0:
+                        hints[i] = fi.order_hint
+    assert keys >= 2, f"expected a re-key at the cut, saw {keys} keys"
