@@ -365,12 +365,15 @@ class FastIntraEncoder:
         # single-shot; drop it so the retry re-dispatches cleanly
 
     def _encode_key(self, y, u, v, order_hint=None) -> EncodedFrame:
+        from svt_av1_psy_tpu.utils.trace import stage as _tstage
+
         native = self._native
         yp = _pad_to(np.asarray(y), self.pah, self.paw)
         up = _pad_to(np.asarray(u), self.pah // 2, self.paw // 2)
         vp = _pad_to(np.asarray(v), self.pah // 2, self.paw // 2)
 
-        split, modes = self._take_decide(y, yp)
+        with _tstage("device_search"):
+            split, modes = self._take_decide(y, yp)
 
         # key-frame boost in GOP modes (the kf_boost analog,
         # ref rc_process.c kf qindex derivation): keys carry the GOP
@@ -424,13 +427,14 @@ class FastIntraEncoder:
             return ec.done()
 
         import os as _os
-        if self.n_tiles == 1 or _os.environ.get("SVT_TILE_SEQ"):
-            tile_bytes = [encode_tile(i) for i in range(self.n_tiles)]
-        else:
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=self.n_tiles) as tp:
-                tile_bytes = list(tp.map(encode_tile,
-                                         range(self.n_tiles)))
+        with _tstage("intra_commit_walk"):
+            if self.n_tiles == 1 or _os.environ.get("SVT_TILE_SEQ"):
+                tile_bytes = [encode_tile(i) for i in range(self.n_tiles)]
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=self.n_tiles) as tp:
+                    tile_bytes = list(tp.map(encode_tile,
+                                             range(self.n_tiles)))
 
         # tile group assembly (spec 5.11.1): OBU_FRAME requires
         # tile_start_and_end_present_flag == 0 (one aligned zero bit),
@@ -533,6 +537,8 @@ class FastIntraEncoder:
             rec_u = rec_u.astype(np.uint8)
             rec_v = rec_v.astype(np.uint8)
         self._swap_recon()
+        from svt_av1_psy_tpu.utils.trace import next_frame as _tnext
+        _tnext()
         return EncodedFrame(payload=payload, recon_y=rec_y, recon_u=rec_u,
                             recon_v=rec_v)
 
@@ -548,20 +554,23 @@ class FastIntraEncoder:
         import jax
         import jax.numpy as jnp
 
+        from svt_av1_psy_tpu.utils.trace import stage as _tstage
+
         native = self._native
         yp = _pad_to(np.asarray(y), self.pah, self.paw)
         up = _pad_to(np.asarray(u), self.pah // 2, self.paw // 2)
         vp = _pad_to(np.asarray(v), self.pah // 2, self.paw // 2)
 
-        split, modes = self._take_decide(y, yp)
-        if ra is not None:
-            hme_ref = self._dpb[ra["ref_slot"]][0]
-        else:
-            hme_ref = self._ref_y
-        mv16, _sad16 = jax.device_get(_jitted_hme()(
-            jnp.asarray(yp),
-            jnp.asarray(hme_ref[:self.pah, :self.paw])))
-        mv16 = np.clip(mv16, -127, 127).astype(np.int16)
+        with _tstage("device_search"):
+            split, modes = self._take_decide(y, yp)
+            if ra is not None:
+                hme_ref = self._dpb[ra["ref_slot"]][0]
+            else:
+                hme_ref = self._ref_y
+            mv16, _sad16 = jax.device_get(_jitted_hme()(
+                jnp.asarray(yp),
+                jnp.asarray(hme_ref[:self.pah, :self.paw])))
+            mv16 = np.clip(mv16, -127, 127).astype(np.int16)
 
         # global motion: robust translation fit over the HME field
         # (ref global_me.c:126; params coded per spec 5.9.24)
@@ -656,15 +665,17 @@ class FastIntraEncoder:
         use_rfm = False
         if self.enable_mfmv and self.seq.enable_ref_frame_mvs:
             from svt_av1_psy_tpu.inter.mfmv import setup_motion_field
+            from svt_av1_psy_tpu.utils.trace import stage as _ts0
 
             def _rdist(a, b):
                 d = a - b
                 msk = 1 << 6
                 return (d & (msk - 1)) - (d & msk)
 
-            tpl_mv, tpl_off, tpl_valid = setup_motion_field(
-                self._slot_mf, ref_idx7, cur_hint_mf, 7,
-                self.mi_rows, self.mi_cols)
+            with _ts0("mfmv_projection"):
+                tpl_mv, tpl_off, tpl_valid = setup_motion_field(
+                    self._slot_mf, ref_idx7, cur_hint_mf, 7,
+                    self.mi_rows, self.mi_cols)
             cur_off8 = np.zeros(8, np.int32)
             for k in range(7):
                 cur_off8[k + 1] = _rdist(cur_hint_mf, hints7_mf[k])
@@ -756,13 +767,14 @@ class FastIntraEncoder:
             return ec.done(), grid_exp
 
         import os as _os
-        if self.n_tiles == 1 or _os.environ.get("SVT_TILE_SEQ"):
-            tile_out = [encode_tile(i) for i in range(self.n_tiles)]
-        else:
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=self.n_tiles) as tp:
-                tile_out = list(tp.map(encode_tile,
-                                       range(self.n_tiles)))
+        with _tstage("inter_commit_walk"):
+            if self.n_tiles == 1 or _os.environ.get("SVT_TILE_SEQ"):
+                tile_out = [encode_tile(i) for i in range(self.n_tiles)]
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=self.n_tiles) as tp:
+                    tile_out = list(tp.map(encode_tile,
+                                           range(self.n_tiles)))
         tile_bytes = [t[0] for t in tile_out]
 
         # spec 7.20 motion-field storage for later frames' MFMV
@@ -794,16 +806,21 @@ class FastIntraEncoder:
 
         lf = (0, 0, 0, 0)
         if self.enable_dlf:
-            lf = self._pick_and_apply_dlf(yp, up, vp, base_q)
+            with _tstage("dlf"):
+                lf = self._pick_and_apply_dlf(yp, up, vp, base_q)
         pre_cdef = None
         if self.enable_lr:
             pre_cdef = (self._rec_y.copy(), self._rec_u.copy(),
                         self._rec_v.copy())
         cdef_st, cdef_damp = ((0, 0, 0, 0), 3)
         if self.enable_cdef:
-            cdef_st, cdef_damp = self._search_apply_cdef(yp, up, vp, base_q)
+            with _tstage("cdef"):
+                cdef_st, cdef_damp = self._search_apply_cdef(yp, up, vp,
+                                                             base_q)
         if self.enable_lr:
-            self._lr_apply_and_search(yp, up, vp, base_q, lr_dec, pre_cdef)
+            with _tstage("loop_restoration"):
+                self._lr_apply_and_search(yp, up, vp, base_q, lr_dec,
+                                          pre_cdef)
 
         self._fc_saved = tile_fcs[0]
         refresh = 0x01
@@ -894,6 +911,8 @@ class FastIntraEncoder:
             rec_u = rec_u.astype(np.uint8)
             rec_v = rec_v.astype(np.uint8)
         self._swap_recon()
+        from svt_av1_psy_tpu.utils.trace import next_frame as _tnext
+        _tnext()
         return EncodedFrame(payload=payload, recon_y=rec_y, recon_u=rec_u,
                             recon_v=rec_v)
 
