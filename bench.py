@@ -43,6 +43,7 @@ def main():
     # preset-12 configuration (n_cands=2), matching the measured
     # reference preset-12 baseline (BD-rate +2.3% PSNR-Y on CIF)
     enc = FastIntraEncoder(W, H, qindex=QINDEX, n_cands=2)
+    enc.tx_split_search = True    # preset-12 feature set (api.py)
     enc.encode_frame(*frames[0])  # warmup: jit compile + native build
     t0 = time.perf_counter()
     total = 0

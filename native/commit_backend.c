@@ -16,6 +16,7 @@
  */
 #include <math.h>
 #include <stdlib.h>
+#include <stdio.h>
 #include <string.h>
 
 #include "commit_internal.h"
@@ -210,8 +211,19 @@ TpuCommit *tpuc_new(int width, int height, int bd) {
         c->above_smooth[p] = (uint8_t *)calloc(c->mi_cols, 1);
         c->left_smooth[p] = (uint8_t *)calloc(c->mi_rows, 1);
     }
+    /* TX-size context rows (spec AboveTxWidth/LeftTxHeight, init 64) */
+    c->above_txw = (uint8_t *)malloc(c->mi_cols);
+    c->left_txh = (uint8_t *)malloc(c->mi_rows);
+    memset(c->above_txw, 64, c->mi_cols);
+    memset(c->left_txh, 64, c->mi_rows);
     c->sb_r4 = c->sb_c4 = -1;
     return c;
+}
+
+/* TX_MODE_SELECT for the intra walk: per-block depth-1 TX split search
+ * + tx_size signalling (spec 5.11.15 read_tx_size). */
+void tpuc_set_tx_select(TpuCommit *c, int enable) {
+    c->tx_select = enable;
 }
 
 void tpuc_attach_planes(TpuCommit *c, uint16_t *y, uint16_t *u, uint16_t *v,
@@ -267,6 +279,8 @@ void tpuc_free(TpuCommit *c) {
         free(c->above_smooth[p]);
         free(c->left_smooth[p]);
     }
+    free(c->above_txw);
+    free(c->left_txh);
     if (c->grid) tpui_grid_free(c->grid);
     free(c);
 }
@@ -951,6 +965,36 @@ static __thread int32_t s_pred_y[64 * 64], s_resid_y[64 * 64];
 static __thread int32_t s_pred_u[32 * 32], s_pred_v[32 * 32];
 static __thread TxTrial s_ty, s_tu, s_tv;
 static __thread int s_ad;     /* chosen luma angle delta (-3..3) */
+static __thread int s_split;  /* depth-1 TX split chosen (TX_SELECT) */
+static __thread TxTrial s_sub_t[4];
+
+/* packed cul_level byte (the tpuec_encode_txb return) from a trial */
+static int cul_of_trial(const TxTrial *t, int ts) {
+    if (t->eob == 0) return 0;
+    const int16_t *scan = g_scan[ts][t->tt];
+    int cul = 0;
+    for (int i = 0; i < t->eob; i++) {
+        int v = t->qc[scan[i]];
+        cul += v < 0 ? -v : v;
+    }
+    if (cul > 63) cul = 63;
+    int dc = t->qc[scan[0]];
+    if (dc < 0)
+        cul |= 64;
+    else if (dc > 0)
+        cul += 128;
+    return cul;
+}
+
+/* get_tx_size_context (all-intra frames: txfm-context rows only) */
+static int tx_depth_ctx(TpuCommit *c, int r, int c4, int ts_y) {
+    int av = r > c->t_mi_row0 ? (c->above_txw[c4] >= TXW[ts_y]) : -1;
+    int lh = c4 > c->t_mi_col0 ? (c->left_txh[r] >= TXH[ts_y]) : -1;
+    if (av >= 0 && lh >= 0) return av + lh;
+    if (av >= 0) return av;
+    if (lh >= 0) return lh;
+    return 0;
+}
 
 static void intra_trial(TpuCommit *c, int r, int c4, int size,
                         const uint8_t *cand_modes, int q,
@@ -1089,6 +1133,113 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
         if (i == 0 && tmp.eob == 0) break;
     }
 
+    /* depth-1 TX split trial (TX_MODE_SELECT, spec 5.11.15): per-sub-TXB
+     * prediction from recon with speculative commit + rollback; compare
+     * against the full-size winner incl. the tx_size depth symbol and
+     * per-txb skip/type rates (ref tx_search.c tx-depth RD). */
+    s_split = 0;
+    if (c->tx_select && frame_is_intra && ts_y >= 1 && ts_y <= 4 &&
+        c->n_cands >= 2) {
+        int sub_ts = ts_y - 1;
+        int h4q = (size / 2) / 4;
+        int cat = ts_y - 1;
+        int nsyms = ts_y == 1 ? 2 : 3;
+        const uint16_t *dcdf =
+            mc->tx_size + (cat * 3 + tx_depth_ctx(c, r, c4, ts_y)) * 4;
+        int set0 = intra_tx_set_of(ts_y);
+        double tt0 = 0.0;
+        if (s_ty.eob && set0 > 0)
+            tt0 = tpu_sym_cost_bits(
+                mc->intra_ext_tx +
+                    ((set0 * 4 + TX_SQR[ts_y]) * 13 + y_mode) * 17,
+                txtype_sym(set0, s_ty.tt));
+        double skip0 = tpu_sym_cost_bits(
+            mc->txb_skip + (txs_entropy_ctx_of(ts_y) * 13 + 0) * 3,
+            s_ty.eob == 0);
+        double cost0 = (double)s_ty.sse + c->psy_rd * s_ty.psy +
+                       c->rdmult * (s_ty.rate512 / 512.0 + skip0 + tt0 +
+                                    tpu_sym_cost_bits(dcdf, 0));
+        /* save state touched by the speculative quadrant walk */
+        int w4b = size / 4;
+        int aw4b = w4b < c->mi_cols - c4 ? w4b : c->mi_cols - c4;
+        int lh4b = w4b < c->mi_rows - r ? w4b : c->mi_rows - r;
+        uint8_t sv_ac[16], sv_lc[16], sv_bd[18 * 18];
+        memcpy(sv_ac, c->above_coef[0] + c4, aw4b);
+        memcpy(sv_lc, c->left_coef[0] + r, lh4b);
+        memcpy(sv_bd, c->bdmap[0], sizeof(sv_bd));
+        static __thread uint16_t sv_plane[64 * 64];
+        int px = c4 * 4, py = r * 4;
+        int maxw = c->mi_cols * 4, maxh = c->mi_rows * 4;
+        int wx = size < maxw - px ? size : maxw - px;
+        int wy = size < maxh - py ? size : maxh - py;
+        for (int i = 0; i < wy; i++)
+            memcpy(sv_plane + i * size,
+                   c->plane[0] + (py + i) * c->ystride + px, wx * 2);
+
+        int sset = intra_tx_set_of(sub_ts);
+        const int *scands = sset == 0   ? SET0_CANDS
+                            : sset == 1 ? SET1_CANDS
+                                        : SET2_CANDS;
+        int nsc = sset == 0 ? 1 : sset == 1 ? 4 : 2;
+        double cost1 = c->rdmult * tpu_sym_cost_bits(dcdf, 1);
+        static __thread int32_t qpred[32 * 32], qresid[32 * 32];
+        static __thread TxTrial qt;
+        int sub_px = size / 2;
+        for (int qi = 0; qi < 4; qi++) {
+            int qr = r + (qi >> 1) * h4q, qc = c4 + (qi & 1) * h4q;
+            tpu_predict_txb(c, 0, y_mode, s_ad, r, c4, qr, qc, sub_ts,
+                            qpred);
+            const uint16_t *sp = c->src[0];
+            int ss = c->sstride[0];
+            for (int i = 0; i < sub_px; i++)
+                for (int j = 0; j < sub_px; j++)
+                    qresid[i * sub_px + j] =
+                        (int32_t)sp[(qr * 4 + i) * ss + qc * 4 + j] -
+                        qpred[i * sub_px + j];
+            int sctx =
+                tpu_txb_skip_ctx(c, 0, qr, qc, sub_ts, size, size);
+            int qsgn = tpu_dc_sign_ctx(c, 0, qr, qc, sub_ts);
+            double qbest = -1.0;
+            for (int ti = 0; ti < nsc; ti++) {
+                tpu_trial_txb(c, 0, sub_ts, scands[ti], qresid, q, 0,
+                              qsgn, 0, &qt);
+                double rate = qt.rate512 / 512.0 +
+                              tpu_sym_cost_bits(
+                                  mc->txb_skip +
+                                      (txs_entropy_ctx_of(sub_ts) * 13 +
+                                       sctx) * 3,
+                                  qt.eob == 0);
+                if (qt.eob && sset > 0)
+                    rate += tpu_sym_cost_bits(
+                        mc->intra_ext_tx +
+                            ((sset * 4 + TX_SQR[sub_ts]) * 13 + y_mode) *
+                                17,
+                        txtype_sym(sset, qt.tt));
+                double qcst = (double)qt.sse + c->psy_rd * qt.psy +
+                              c->rdmult * rate;
+                if (qbest < 0 || qcst < qbest) {
+                    qbest = qcst;
+                    s_sub_t[qi] = qt;
+                }
+                if (ti == 0 && qt.eob == 0) break;
+            }
+            cost1 += qbest;
+            /* speculative recon + ctx so the next quadrant predicts
+             * from this one (spec per-txb intra prediction) */
+            tpu_commit_recon(c, 0, qr, qc, sub_ts, qpred, &s_sub_t[qi]);
+            tpu_set_coef_ctx(c, 0, qr, qc, sub_ts,
+                             cul_of_trial(&s_sub_t[qi], sub_ts));
+        }
+        /* rollback: the write/commit phase redoes the walk for real */
+        memcpy(c->above_coef[0] + c4, sv_ac, aw4b);
+        memcpy(c->left_coef[0] + r, sv_lc, lh4b);
+        memcpy(c->bdmap[0], sv_bd, sizeof(sv_bd));
+        for (int i = 0; i < wy; i++)
+            memcpy(c->plane[0] + (py + i) * c->ystride + px,
+                   sv_plane + i * size, wx * 2);
+        if (cost1 < cost0) s_split = 1;
+    }
+
     /* chroma trial: DC, SMOOTH, same-as-luma */
     static const int UVM[2] = {0, 9};
     int uv_cands[3];
@@ -1145,12 +1296,33 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
     s_tv = av;
     out->y_mode = y_mode;
     out->uv_mode = uv_mode;
-    out->skip = (s_ty.eob == 0 && s_tu.eob == 0 && s_tv.eob == 0);
+    int y_eob = s_split ? (s_sub_t[0].eob | s_sub_t[1].eob |
+                           s_sub_t[2].eob | s_sub_t[3].eob)
+                        : s_ty.eob;
+    out->skip = (y_eob == 0 && s_tu.eob == 0 && s_tv.eob == 0);
     double mode_rate = tpu_sym_cost_bits(ymode_cdf, y_mode);
     if (y_mode >= 1 && y_mode <= 8)
         mode_rate += tpu_sym_cost_bits(mc->angle_delta + (y_mode - 1) * 8,
                                        3 + s_ad);
     out->cost = best_cost + best_uv_cost + c->rdmult * mode_rate;
+}
+
+/* neighbor-context rows updated AFTER the block's txbs (the parser does
+ * the same in finish_block; sub-txb predictions of a split block must
+ * see the pre-block smooth flags) */
+static void intra_update_rows(TpuCommit *c, int r, int c4, int aw4,
+                              int lh4, int y_mode, int uv_mode,
+                              int skip) {
+    memset(c->above_mode + c4, y_mode, aw4);
+    memset(c->left_mode + r, y_mode, lh4);
+    memset(c->above_skip + c4, skip, aw4);
+    memset(c->left_skip + r, skip, lh4);
+    int ysm = (y_mode >= 9 && y_mode <= 11);
+    int usm = (uv_mode >= 9 && uv_mode <= 11);
+    memset(c->above_smooth[0] + c4, ysm, aw4);
+    memset(c->left_smooth[0] + r, ysm, lh4);
+    memset(c->above_smooth[1] + c4, usm, aw4);
+    memset(c->left_smooth[1] + r, usm, lh4);
 }
 
 static void intra_write_commit(TpuCommit *c, int r, int c4, int size,
@@ -1184,21 +1356,24 @@ static void intra_write_commit(TpuCommit *c, int r, int c4, int size,
 
     int aw4 = w4 < c->mi_cols - c4 ? w4 : c->mi_cols - c4;
     int lh4 = w4 < c->mi_rows - r ? w4 : c->mi_rows - r;
-    memset(c->above_mode + c4, y_mode, aw4);
-    memset(c->left_mode + r, y_mode, lh4);
-    memset(c->above_skip + c4, skip, aw4);
-    memset(c->left_skip + r, skip, lh4);
-    int ysm = (y_mode >= 9 && y_mode <= 11);
-    int usm = (uv_mode >= 9 && uv_mode <= 11);
-    memset(c->above_smooth[0] + c4, ysm, aw4);
-    memset(c->left_smooth[0] + r, ysm, lh4);
-    memset(c->above_smooth[1] + c4, usm, aw4);
-    memset(c->left_smooth[1] + r, usm, lh4);
 
+    /* tx_size depth symbol (TX_MODE_SELECT, spec 5.11.15) + the
+     * AboveTxWidth/LeftTxHeight context rows */
+    int ts_eff = ts_y;
+    if (c->tx_select && frame_is_intra) {
+        int cat = ts_y - 1;
+        int nsyms = ts_y == 1 ? 2 : 3;
+        uint16_t *dcdf =
+            mc->tx_size + (cat * 3 + tx_depth_ctx(c, r, c4, ts_y)) * 4;
+        tpuec_symbol(c->ec, s_split, dcdf, nsyms, 1);
+        if (s_split) ts_eff = ts_y - 1;
+        memset(c->above_txw + c4, TXW[ts_eff], aw4);
+        memset(c->left_txh + r, TXH[ts_eff], lh4);
+    }
     if (c->lf_txdim[0]) {
         for (int i = 0; i < lh4; i++)
             memset(c->lf_txdim[0] + (r + i) * c->lf_stride[0] + c4,
-                   TXW[ts_y] > 64 ? 64 : TXW[ts_y], aw4);
+                   TXW[ts_eff] > 64 ? 64 : TXW[ts_eff], aw4);
         int ch4 = tpu_clamp_h4(c, 1, cr, w4 >> 1 ? w4 >> 1 : 1);
         int cw4c = tpu_clamp_w4(c, 1, cc, w4 >> 1 ? w4 >> 1 : 1);
         for (int i = 0; i < ch4; i++)
@@ -1212,6 +1387,8 @@ static void intra_write_commit(TpuCommit *c, int r, int c4, int size,
         tpui_grid_set(c->grid, r, c4, w4, w4, tpu_sq_bsize(size), 0, 0, 0,
                       0);
 
+    int do_split = c->tx_select && frame_is_intra && s_split;
+    static __thread int32_t wqpred[32 * 32];
     if (skip) {
         memset(c->above_coef[0] + c4, 0, aw4);
         memset(c->left_coef[0] + r, 0, lh4);
@@ -1220,21 +1397,50 @@ static void intra_write_commit(TpuCommit *c, int r, int c4, int size,
             memset(c->above_coef[p] + cc, 0, tpu_clamp_w4(c, p, cc, cw4));
             memset(c->left_coef[p] + cr, 0, tpu_clamp_h4(c, p, cr, cw4));
         }
-        tpu_commit_recon(c, 0, r, c4, ts_y, s_pred_y, NULL);
+        if (do_split) {
+            int h4q = (size / 2) / 4;
+            for (int qi = 0; qi < 4; qi++) {
+                int qr = r + (qi >> 1) * h4q, qc = c4 + (qi & 1) * h4q;
+                tpu_predict_txb(c, 0, y_mode, s_ad, r, c4, qr, qc,
+                                ts_y - 1, wqpred);
+                tpu_commit_recon(c, 0, qr, qc, ts_y - 1, wqpred, NULL);
+                c->dist_acc += s_sub_t[qi].sse;
+            }
+        } else {
+            tpu_commit_recon(c, 0, r, c4, ts_y, s_pred_y, NULL);
+            c->dist_acc += s_ty.sse;
+        }
         tpu_commit_recon(c, 1, cr, cc, ts_c, s_pred_u, NULL);
         tpu_commit_recon(c, 2, cr, cc, ts_c, s_pred_v, NULL);
-        c->dist_acc += s_ty.sse + s_tu.sse + s_tv.sse;
+        c->dist_acc += s_tu.sse + s_tv.sse;
+        intra_update_rows(c, r, c4, aw4, lh4, y_mode, uv_mode, skip);
         return;
     }
-    write_block_txb(c, 0, r, c4, ts_y, size, size, y_mode, 0, &s_ty);
-    tpu_commit_recon(c, 0, r, c4, ts_y, s_pred_y, &s_ty);
+    if (do_split) {
+        int h4q = (size / 2) / 4;
+        for (int qi = 0; qi < 4; qi++) {
+            int qr = r + (qi >> 1) * h4q, qc = c4 + (qi & 1) * h4q;
+            tpu_predict_txb(c, 0, y_mode, s_ad, r, c4, qr, qc, ts_y - 1,
+                            wqpred);
+            write_block_txb(c, 0, qr, qc, ts_y - 1, size, size, y_mode,
+                            0, &s_sub_t[qi]);
+            tpu_commit_recon(c, 0, qr, qc, ts_y - 1, wqpred,
+                             &s_sub_t[qi]);
+            c->dist_acc += s_sub_t[qi].sse;
+        }
+    } else {
+        write_block_txb(c, 0, r, c4, ts_y, size, size, y_mode, 0, &s_ty);
+        tpu_commit_recon(c, 0, r, c4, ts_y, s_pred_y, &s_ty);
+        c->dist_acc += s_ty.sse;
+    }
     write_block_txb(c, 1, cr, cc, ts_c, size >> 1, size >> 1, y_mode, 0,
                     &s_tu);
     tpu_commit_recon(c, 1, cr, cc, ts_c, s_pred_u, &s_tu);
     write_block_txb(c, 2, cr, cc, ts_c, size >> 1, size >> 1, y_mode, 0,
                     &s_tv);
     tpu_commit_recon(c, 2, cr, cc, ts_c, s_pred_v, &s_tv);
-    c->dist_acc += s_ty.sse + s_tu.sse + s_tv.sse;
+    c->dist_acc += s_tu.sse + s_tv.sse;
+    intra_update_rows(c, r, c4, aw4, lh4, y_mode, uv_mode, skip);
 }
 
 void tpu_intra_block(TpuCommit *c, int r, int c4, int size,

@@ -72,6 +72,9 @@ struct TpuCommit {
      * optionally WARPED_CAUSAL (frame allow_warped_motion) */
     int motion_mode_sw;
     int allow_warp;
+    /* TX_MODE_SELECT (intra walk): depth-1 tx split search + syntax */
+    int tx_select;
+    uint8_t *above_txw, *left_txh;   /* AboveTxWidth / LeftTxHeight */
     /* MFMV temporal motion field (spec 7.9 projection; NULL = off) */
     const int16_t *tpl_mv;
     const int16_t *tpl_off;

@@ -220,6 +220,9 @@ void tpuc_set_ref2(TpuCommit *c, const uint16_t *y, const uint16_t *u,
                    const uint16_t *v, int ystride, int cstride);
 void tpuc_set_compound(TpuCommit *c, int skip_mode_present,
                        const uint8_t *sign_bias8);
+/* TX_MODE_SELECT for the intra walk: per-block depth-1 TX split search
+ * + tx_size signalling (frame header must code tx_mode_select = 1). */
+void tpuc_set_tx_select(TpuCommit *c, int enable);
 /* Motion-mode search: when enabled the walk trials OBMC_CAUSAL (and
  * WARPED_CAUSAL when allow_warp) on eligible single-ref blocks and
  * writes the motion-mode symbol (frame header must set

@@ -98,6 +98,10 @@ class Encoder:
             # wm_level: enabled at the quality-leaning presets)
             enc.obmc_search = preset <= 10
             enc.warp_search = preset <= 10
+            # TX_MODE_SELECT on intra frames: depth-1 tx split search
+            # (ref enc_mode_config txs level; the funnel-width gate in
+            # the C walk keeps p13 at largest-tx)
+            enc.tx_split_search = preset <= 12
             # restoration: auto (-1) follows the reference's preset
             # derivation — off at the fast presets (ref enc_mode_config.c
             # derives enable_restoration=0 for M10+), opt-in via

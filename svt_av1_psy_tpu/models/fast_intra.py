@@ -190,6 +190,9 @@ class FastIntraEncoder:
         self.obmc_search = False
         self.warp_search = False
         self.seq.enable_warped_motion = True
+        # TX_MODE_SELECT on intra frames: depth-1 tx split search
+        # (ref enc_mode_config txt/txs levels)
+        self.tx_split_search = False
 
     # --- sharded device search (multi-chip; SURVEY.md §2.2 P4) -----------
     def make_sharded_decide(self, mesh, axis: str = "sp"):
@@ -419,6 +422,8 @@ class FastIntraEncoder:
                 eng.set_lr(lr_dec.lr_type, lr_dec.unit_size, lr_dec.flat,
                            lr_dec.ucols, lr_dec.urows)
             eng.set_src(yp, up, vp)
+            if getattr(self, "tx_split_search", False):
+                eng.set_tx_select(True)
             ec = native.NativeRangeEncoder()
             eng.encode_intra(ec, tile_fcs[ti], split, modes, sbq=sbq,
                              dq_res_log2=dq_res_log2, base_q=base_q,
@@ -505,7 +510,8 @@ class FastIntraEncoder:
                                 order_hint=(self.frame_index
                                             if order_hint is None
                                             else order_hint) & 0x7F,
-                                tx_mode_select=False,
+                                tx_mode_select=getattr(
+                                    self, "tx_split_search", False),
                                 delta_q_present=sbq is not None,
                                 delta_q_res_log2=max(dq_res_log2, 0),
                                 lr_type=self._lr_coded_type(lr_dec),

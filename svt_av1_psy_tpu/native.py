@@ -391,6 +391,7 @@ def _ensure_commit_locked(lib):
     lib.tpuc_set_compound.argtypes = [ctypes.c_void_p, ctypes.c_int, u8p]
     lib.tpuc_set_obmc.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                   ctypes.c_int]
+    lib.tpuc_set_tx_select.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.tpuc_upload_warp.argtypes = [i32p, i32p]
     lib.tpuc_set_tpl.argtypes = [ctypes.c_void_p, i16p, i16p, u8p,
                                  ctypes.c_int, ctypes.c_int, i32p,
@@ -526,6 +527,11 @@ class CommitEngine:
         self.lib.tpuc_set_compound(
             self._c, int(skip_mode_present),
             sb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+
+    def set_tx_select(self, enable: bool):
+        """TX_MODE_SELECT intra walk: per-block depth-1 TX split search
+        + tx_size depth signalling (frame tx_mode_select must be 1)."""
+        self.lib.tpuc_set_tx_select(self._c, int(enable))
 
     def set_obmc(self, enable: bool, allow_warp: bool = False):
         """Motion-mode search (frame is_motion_mode_switchable): trial

@@ -433,3 +433,41 @@ def test_angle_delta_search():
         tp.TileParser.__init__ = orig
     assert np.array_equal(dd.frames[0].y, o.recon_y)
     assert any(d_ != 0 for d_ in deltas), "no nonzero angle deltas chosen"
+
+
+def test_tx_split_search():
+    """Depth-1 TX split search (TX_MODE_SELECT, spec 5.11.15): detailed
+    content must pick sub-block TXs, stay dav1d bit-exact, and improve
+    RD vs largest-TX."""
+    yy, xx = np.mgrid[0:288, 0:352]
+    rng = np.random.default_rng(3)
+    y = np.clip(128 + 55 * np.sin((xx + 2.1 * yy) / 13.0) +
+                22 * np.sin(xx * yy / 900.0) +
+                rng.normal(0, 4, (288, 352)), 0, 255).astype(np.uint8)
+    u = np.full((144, 176), 128, np.uint8)
+    enc = FastIntraEncoder(352, 288, qindex=120, n_cands=2)
+    enc.tx_split_search = True
+    o = enc.encode_frame(y, u, u.copy())
+    d = decode_obus(o.payload)[0]
+    assert np.array_equal(d.y, o.recon_y)
+    assert np.array_equal(d.u, o.recon_u)
+    # some blocks must choose tx < block size
+    from svt_av1_psy_tpu.decoder.driver import Decoder
+    import svt_av1_psy_tpu.decoder.tile_parser as tp
+    found = []
+    orig = tp.ParsedBlock.__init__
+
+    def spy(self, *a, **k):
+        orig(self, *a, **k)
+        found.append((self.bsize, self.tx_size))
+
+    tp.ParsedBlock.__init__ = spy
+    try:
+        dd = Decoder()
+        dd.decode_temporal_unit(o.payload)
+    finally:
+        tp.ParsedBlock.__init__ = orig
+    assert np.array_equal(dd.frames[0].y, o.recon_y)
+    maxtx = {3: 1, 6: 2, 9: 3, 12: 4}
+    nsplit = sum(1 for bs, ts in found if ts != maxtx.get(bs, -1))
+    assert nsplit > 0, "no TX splits chosen"

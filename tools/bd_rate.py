@@ -90,6 +90,7 @@ def encode_ours(src, w, h, qindex, fps_hz, preset, gop=1, tpl=0):
         enc.interp_search = preset <= 11
         enc.obmc_search = preset <= 10
         enc.warp_search = preset <= 10
+        enc.tx_split_search = preset <= 12
         drv = RaDriver(enc, gop_levels=4)
         tmp = tempfile.mktemp(suffix=".ivf")
         wtr = IvfWriter(tmp, w, h)
@@ -109,6 +110,7 @@ def encode_ours(src, w, h, qindex, fps_hz, preset, gop=1, tpl=0):
         from svt_av1_psy_tpu.models.fast_intra import FastIntraEncoder
         enc = FastIntraEncoder(w, h, qindex=qindex,
                                n_cands={13: 1, 12: 2}.get(preset, 3))
+        enc.tx_split_search = preset <= 12
         enc.gop_size = gop
     else:
         from svt_av1_psy_tpu.models.intra_encoder import IntraEncoder
