@@ -63,6 +63,7 @@ struct TpuCommit {
     int ref2_stride[3];
     int has_ref2;
     int skip_mode_present;
+    int masked_comp;    /* masked-compound (wedge/diffwtd) search+syntax */
     uint8_t sign_bias[8];
     uint8_t *above_skip_mode, *left_skip_mode;
     /* per-block interpolation filter search (is_filter_switchable) */

@@ -237,6 +237,68 @@ static void blend_comp_avg(const int32_t *p0, const int32_t *p1, int n,
     }
 }
 
+/* ---- masked compound (spec 7.11.3.11-14; twin of inter/masks.py) ------- */
+/* wedge mask tables uploaded from python (inter/masks.py get_wedge_mask):
+ * index 0/1/2 = 8x8 / 16x16 / 32x32 (bsize 3/6/9) x 16 idx x 2 signs */
+static uint8_t WEDGE_TAB[3][16][2][32 * 32];
+static const int WEDGE_N[3] = {8, 16, 32};
+
+void tpuc_upload_wedge(int which, const int32_t *masks, int n) {
+    for (int i = 0; i < 16; i++)
+        for (int s = 0; s < 2; s++)
+            for (int k = 0; k < n * n; k++)
+                WEDGE_TAB[which][i][s][k] =
+                    (uint8_t)masks[(i * 2 + s) * n * n + k];
+}
+
+static int wedge_tab_of(int bsize) {
+    return bsize == 3 ? 0 : bsize == 6 ? 1 : bsize == 9 ? 2 : -1;
+}
+
+/* masked blend of two CONV_BUF components + final compound rounding
+ * (ref svt_aom_lowbd/highbd_blend_a64_d16_mask) */
+static void blend_masked_d16_c(const uint8_t *mask, const int32_t *p0,
+                               const int32_t *p1, int n, int bd,
+                               int32_t *out) {
+    int offset_bits = bd + 2 * FILTER_BITS - ROUND0;
+    int round_offset = (1 << (offset_bits - CROUND1)) +
+                       (1 << (offset_bits - CROUND1 - 1));
+    int round_bits = 2 * FILTER_BITS - ROUND0 - CROUND1;
+    int hi = (1 << bd) - 1;
+    for (int i = 0; i < n; i++) {
+        int m = mask[i];
+        int res = (int)(((int64_t)m * p0[i] + (64 - m) * (int64_t)p1[i]) >>
+                        6) - round_offset;
+        out[i] = clampi(round2(res, round_bits), 0, hi);
+    }
+}
+
+/* DIFFWTD_38 / DIFFWTD_38_INV from CONV_BUF preds (ref diffwtd_mask_d16) */
+static void diffwtd_mask_d16_c(const int32_t *p0, const int32_t *p1,
+                               int n, int mask_type, int bd, uint8_t *m) {
+    int rnd = 2 * FILTER_BITS - ROUND0 - CROUND1 + (bd - 8);
+    for (int i = 0; i < n; i++) {
+        int d = p0[i] - p1[i];
+        if (d < 0) d = -d;
+        d = round2(d, rnd);
+        int v = 38 + d / 16;
+        if (v > 64) v = 64;
+        m[i] = (uint8_t)(mask_type ? 64 - v : v);
+    }
+}
+
+/* blend_a64 mask 2x subsampling for the chroma planes */
+static void subsample_mask2_c(const uint8_t *m, int w, int h,
+                              uint8_t *out) {
+    for (int y = 0; y < h / 2; y++)
+        for (int x = 0; x < w / 2; x++)
+            out[y * (w / 2) + x] =
+                (uint8_t)((m[(2 * y) * w + 2 * x] +
+                           m[(2 * y) * w + 2 * x + 1] +
+                           m[(2 * y + 1) * w + 2 * x] +
+                           m[(2 * y + 1) * w + 2 * x + 1] + 2) >> 2);
+}
+
 /* ---- per-unit mode-info grid (MiGrid port) ----------------------------- */
 struct InterGrid {
     int mi_rows, mi_cols;
@@ -247,6 +309,7 @@ struct InterGrid {
     uint8_t *newmv;
     uint8_t *bsize;
     uint8_t *filt;    /* interp filter (both dirs; dual_filter off) */
+    uint8_t *comp_group;  /* comp_group_idx per mi (masked-compound ctx) */
 };
 
 InterGrid *tpui_grid_new(int mi_rows, int mi_cols) {
@@ -263,6 +326,7 @@ InterGrid *tpui_grid_new(int mi_rows, int mi_cols) {
     g->newmv = calloc(n, 1);
     g->bsize = calloc(n, 1);
     g->filt = calloc(n, 1);
+    g->comp_group = calloc(n, 1);
     return g;
 }
 void tpui_grid_free(InterGrid *g) {
@@ -274,6 +338,7 @@ void tpui_grid_free(InterGrid *g) {
     free(g->newmv);
     free(g->bsize);
     free(g->filt);
+    free(g->comp_group);
     free(g);
 }
 void tpui_grid_set(InterGrid *g, int r, int c, int h4, int w4, int bsize,
@@ -293,7 +358,8 @@ void tpui_grid_set(InterGrid *g, int r, int c, int h4, int w4, int bsize,
 }
 void tpui_grid_set_comp(InterGrid *g, int r, int c, int h4, int w4,
                         int bsize, int ref0, int ref1, int mv0r, int mv0c,
-                        int mv1r, int mv1c, int has_newmv) {
+                        int mv1r, int mv1c, int has_newmv,
+                        int comp_group) {
     int rr1 = r + h4 < g->mi_rows ? r + h4 : g->mi_rows;
     int cc1 = c + w4 < g->mi_cols ? c + w4 : g->mi_cols;
     for (int i = r; i < rr1; i++)
@@ -307,7 +373,31 @@ void tpui_grid_set_comp(InterGrid *g, int r, int c, int h4, int w4,
             g->mv1[o * 2 + 1] = (int16_t)mv1c;
             g->newmv[o] = (uint8_t)has_newmv;
             g->bsize[o] = (uint8_t)bsize;
+            g->comp_group[o] = (uint8_t)comp_group;
         }
+}
+
+/* get_comp_group_idx_context (libaom pred_common.h analog; twin of
+ * tile_parser._comp_group_idx_ctx) */
+static int comp_group_ctx_c(TpuCommit *c, int r, int c4) {
+    InterGrid *g = c->grid;
+    int above_ctx = 0, left_ctx = 0;
+    if (r > c->t_mi_row0) {
+        size_t o = (size_t)(r - 1) * g->mi_cols + c4;
+        if (g->ref1[o] > 0)
+            above_ctx = g->comp_group[o];
+        else if (g->ref0[o] == 7)
+            above_ctx = 3;
+    }
+    if (c4 > c->t_mi_col0) {
+        size_t o = (size_t)r * g->mi_cols + c4 - 1;
+        if (g->ref1[o] > 0)
+            left_ctx = g->comp_group[o];
+        else if (g->ref0[o] == 7)
+            left_ctx = 3;
+    }
+    int v = above_ctx + left_ctx;
+    return v < 5 ? v : 5;
 }
 
 /* block dims in 4px units per bsize enum (square + rect subset) */
@@ -2160,6 +2250,8 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     MvRefsC crefs;
     int use_comp = 0, use_sm = 0;
     int comp_cm = 0, cmv0r = 0, cmv0c = 0, cmv1r = 0, cmv1c = 0;
+    int comp_masked_type = 0;       /* 0 avg, 1 wedge, 2 diffwtd */
+    int comp_wedge_idx = 0, comp_wedge_sign = 0, comp_mask_type = 0;
     if (comp_ok) {
         tpui_ref_mv_list(c->grid, r, c4, bsize, 1, 16, c->t_mi_row0,
                          c->t_mi_row1, c->t_mi_col0, c->t_mi_col1,
@@ -2275,18 +2367,140 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                        sizeof(int32_t) * size * size);
             }
         }
+        /* masked compound refinement on the avg winner (spec 7.11.3.11:
+         * wedge from the normative tables, DIFFWTD from the d16 comps;
+         * ref compound_type RD in enc_inter_prediction.c). Pred-domain
+         * SSE pre-selects one candidate for the full TX trial, and the
+         * comp_group_idx syntax rates keep the comparison fair. */
+        static __thread int32_t cp0[64 * 64], cp1[64 * 64];
+        static __thread int32_t mbest_pred[64 * 64];
+        static __thread uint8_t dwmask[2][64 * 64];
+        const uint8_t *msk_luma = NULL;
+        if (c->masked_comp) {
+            mc_comp_part(c->refp[0], c->ref_stride[0], c->width,
+                         c->height, c4 * 4, r * 4, size, size,
+                         cc_mv[cbi][1] * 2, cc_mv[cbi][0] * 2, c->bd,
+                         cp0);
+            mc_comp_part(c->ref2p[0], c->ref2_stride[0], c->width,
+                         c->height, c4 * 4, r * 4, size, size,
+                         cc_mv[cbi][3] * 2, cc_mv[cbi][2] * 2, c->bd,
+                         cp1);
+            const uint16_t *sp = c->src[0];
+            int ssY = c->sstride[0];
+            static __thread int32_t mp[64 * 64];
+            long msse_best = -1;
+            int btype = 0, bidx = 0, bsign = 0, bmt = 0;
+            int wt = wedge_tab_of(bsize);
+            if (wt >= 0) {
+                for (int wi = 0; wi < 16; wi++)
+                    for (int sg = 0; sg < 2; sg++) {
+                        blend_masked_d16_c(WEDGE_TAB[wt][wi][sg], cp0,
+                                           cp1, size * size, c->bd, mp);
+                        long sse = 0;
+                        for (int y = 0; y < size; y++)
+                            for (int x = 0; x < size; x++) {
+                                int d = (int)sp[(r * 4 + y) * ssY +
+                                                c4 * 4 + x] -
+                                        mp[y * size + x];
+                                sse += (long)d * d;
+                            }
+                        if (msse_best < 0 || sse < msse_best) {
+                            msse_best = sse;
+                            btype = 1;
+                            bidx = wi;
+                            bsign = sg;
+                        }
+                    }
+            }
+            for (int mt = 0; mt < 2; mt++) {
+                diffwtd_mask_d16_c(cp0, cp1, size * size, mt, c->bd,
+                                   dwmask[mt]);
+                blend_masked_d16_c(dwmask[mt], cp0, cp1, size * size,
+                                   c->bd, mp);
+                long sse = 0;
+                for (int y = 0; y < size; y++)
+                    for (int x = 0; x < size; x++) {
+                        int d = (int)sp[(r * 4 + y) * ssY + c4 * 4 + x] -
+                                mp[y * size + x];
+                        sse += (long)d * d;
+                    }
+                if (msse_best < 0 || sse < msse_best) {
+                    msse_best = sse;
+                    btype = 2;
+                    bmt = mt;
+                }
+            }
+            /* full TX trial for the pre-selected masked candidate */
+            const uint8_t *mptr = btype == 1 ? WEDGE_TAB[wt][bidx][bsign]
+                                             : dwmask[bmt];
+            blend_masked_d16_c(mptr, cp0, cp1, size * size, c->bd,
+                               mbest_pred);
+            for (int y = 0; y < size; y++)
+                for (int x = 0; x < size; x++)
+                    cand_resid[y * size + x] =
+                        (int32_t)sp[(r * 4 + y) * ssY + c4 * 4 + x] -
+                        mbest_pred[y * size + x];
+            static __thread TxTrial mk_ty;
+            tpu_trial_txb(c, 0, ts_y, 0, cand_resid, q, 0, sgn_y, 1,
+                          &mk_ty);
+            int cg_ctx = comp_group_ctx_c(c, r, c4);
+            const uint16_t *cgcdf = ic->comp_group_idx + cg_ctx * 3;
+            double rate_msk = tpu_sym_cost_bits(cgcdf, 1) + 1.0;
+            if (wt >= 0)
+                rate_msk += tpu_sym_cost_bits(
+                    ic->compound_type + bsize * 3, btype - 1);
+            if (btype == 1)
+                rate_msk += tpu_sym_cost_bits(
+                    ic->wedge_idx + bsize * 17, bidx);
+            double cost_avg =
+                (double)cmp_ty.sse +
+                c->rdmult * (cmp_ty.rate512 / 512.0 +
+                             tpu_sym_cost_bits(cgcdf, 0));
+            double cost_msk =
+                (double)mk_ty.sse +
+                c->rdmult * (mk_ty.rate512 / 512.0 + rate_msk);
+            if (cost_msk < cost_avg) {
+                comp_masked_type = btype;
+                comp_wedge_idx = bidx;
+                comp_wedge_sign = bsign;
+                comp_mask_type = bmt;
+                cmp_ty = mk_ty;
+                cbest = cbest - cost_avg + cost_msk;
+                msk_luma = mptr;
+            } else {
+                cbest += c->rdmult * tpu_sym_cost_bits(cgcdf, 0);
+            }
+        }
         /* chroma for the compound winner */
         static __thread int32_t cu[32 * 32], cv[32 * 32];
         static __thread TxTrial cmp_tu, cmp_tv;
         long chroma_predsse = 0;
         {
             int cw = TXW[ts_c], chh = TXH[ts_c];
+            if (comp_masked_type) {
+                static __thread int32_t q0[32 * 32], q1[32 * 32];
+                static __thread uint8_t cmsk[32 * 32];
+                subsample_mask2_c(msk_luma, size, size, cmsk);
+                int pw = (c->width + 1) >> 1, ph = (c->height + 1) >> 1;
+                for (int pl = 1; pl < 3; pl++) {
+                    mc_comp_part(c->refp[pl], c->ref_stride[pl], pw, ph,
+                                 cc * 4, cr * 4, cw, chh, cc_mv[cbi][1],
+                                 cc_mv[cbi][0], c->bd, q0);
+                    mc_comp_part(c->ref2p[pl], c->ref2_stride[pl], pw,
+                                 ph, cc * 4, cr * 4, cw, chh,
+                                 cc_mv[cbi][3], cc_mv[cbi][2], c->bd,
+                                 q1);
+                    blend_masked_d16_c(cmsk, q0, q1, cw * chh, c->bd,
+                                       pl == 1 ? cu : cv);
+                }
+            } else {
             mc_comp_chroma(c, 1, cr, cc, cw, chh, cc_mv[cbi][0],
                            cc_mv[cbi][1], cc_mv[cbi][2], cc_mv[cbi][3],
                            cu);
             mc_comp_chroma(c, 2, cr, cc, cw, chh, cc_mv[cbi][0],
                            cc_mv[cbi][1], cc_mv[cbi][2], cc_mv[cbi][3],
                            cv);
+            }
             static __thread int32_t ru2[32 * 32], rv2[32 * 32];
             const uint16_t *su = c->src[1], *sv = c->src[2];
             int ss = c->sstride[1];
@@ -2309,6 +2523,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                             c->rdmult *
                                 ((cmp_tu.rate512 + cmp_tv.rate512) /
                                  512.0);
+        int comp_was_masked = comp_masked_type;
         if (comp_total < best_cost) {
             best_cost = comp_total;
             use_comp = 1;
@@ -2318,13 +2533,19 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
             i_ty = cmp_ty;
             i_tu = cmp_tu;
             i_tv = cmp_tv;
-            memcpy(i_pred_y, best_comp_pred, sizeof(int32_t) * size * size);
+            memcpy(i_pred_y,
+                   comp_masked_type ? mbest_pred : best_comp_pred,
+                   sizeof(int32_t) * size * size);
             memcpy(i_pred_u, cu, sizeof(int32_t) * 32 * 32);
             memcpy(i_pred_v, cv, sizeof(int32_t) * 32 * 32);
+        } else {
+            comp_masked_type = 0;
         }
         /* skip_mode: NEAREST_NEARESTMV with forced-zero residual at the
-         * cost of a single symbol */
-        if (c->skip_mode_present && cbi == 0 && cc_cm[cbi] == 0) {
+         * cost of a single symbol (avg prediction; a masked refinement
+         * makes the avg-based chroma buffers stale, so skip sm there) */
+        if (c->skip_mode_present && cbi == 0 && cc_cm[cbi] == 0 &&
+            !comp_was_masked) {
             int sm_ctx = c->above_skip_mode[c4] + c->left_skip_mode[r];
             double sm_cost =
                 (double)(cb_predsse + chroma_predsse) +
@@ -2611,6 +2832,28 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                     }
                 }
             }
+            /* read_compound_type (spec 5.11.29): comp_group_idx +
+             * wedge/diffwtd signalling when masked compound is on */
+            if (c->masked_comp) {
+                int cg = comp_masked_type > 0;
+                tpuec_symbol(c->ec, cg,
+                             ic->comp_group_idx +
+                                 comp_group_ctx_c(c, r, c4) * 3,
+                             2, 1);
+                if (cg) {
+                    if (wedge_tab_of(bsize) >= 0)
+                        tpuec_symbol(c->ec, comp_masked_type - 1,
+                                     ic->compound_type + bsize * 3, 2,
+                                     1);
+                    if (comp_masked_type == 1) {
+                        tpuec_symbol(c->ec, comp_wedge_idx,
+                                     ic->wedge_idx + bsize * 17, 16, 1);
+                        tpuec_literal(c->ec, comp_wedge_sign, 1);
+                    } else {
+                        tpuec_literal(c->ec, comp_mask_type, 1);
+                    }
+                }
+            }
         } else {
             write_single_ref_last(c, r, c4);
             int newmv_ctx = refs.mode_context & 7;
@@ -2690,7 +2933,8 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     memset(c->left_smooth[1] + r, 0, lh4);
     if (use_comp)
         tpui_grid_set_comp(c->grid, r, c4, w4, w4, bsize, 1, 7, cmv0r,
-                           cmv0c, cmv1r, cmv1c, comp_cm == 7);
+                           cmv0c, cmv1r, cmv1c, comp_cm == 7,
+                           use_sm ? 0 : comp_masked_type > 0);
     else
         tpui_grid_set(c->grid, r, c4, w4, w4, bsize, 1, best_mvr,
                       best_mvc, best_mode == 3);
@@ -2823,8 +3067,9 @@ void tpuc_set_ref2(TpuCommit *c, const uint16_t *y, const uint16_t *u,
 /* Frame-level compound signalling state: skip_mode_present (spec
  * 5.9.22 derived allowance) + RefFrameSignBias[1..7]. */
 void tpuc_set_compound(TpuCommit *c, int skip_mode_present,
-                       const uint8_t *sign_bias8) {
+                       const uint8_t *sign_bias8, int masked) {
     c->skip_mode_present = skip_mode_present;
+    c->masked_comp = masked;
     if (sign_bias8)
         memcpy(c->sign_bias, sign_bias8, 8);
     else

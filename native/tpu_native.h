@@ -104,6 +104,9 @@ typedef struct {
     uint16_t *inter_compound_mode;  /* [8][9] */
     uint16_t *skip_mode;            /* [3][3] */
     uint16_t *switchable_interp;    /* [16][4] */
+    uint16_t *comp_group_idx;       /* [6][3] */
+    uint16_t *compound_type;        /* [22][3] */
+    uint16_t *wedge_idx;            /* [22][17] */
     uint16_t *obmc;                 /* [22][3] (motion-mode OBMC flag) */
     uint16_t *motion_mode;          /* [22][4] (SIMPLE/OBMC/WARPED) */
     /* nmv per-component families (comp 0 = row, 1 = col) */
@@ -219,7 +222,10 @@ int64_t tpuc_encode_inter(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,
 void tpuc_set_ref2(TpuCommit *c, const uint16_t *y, const uint16_t *u,
                    const uint16_t *v, int ystride, int cstride);
 void tpuc_set_compound(TpuCommit *c, int skip_mode_present,
-                       const uint8_t *sign_bias8);
+                       const uint8_t *sign_bias8, int masked);
+/* Normative wedge master masks for bsize 8x8/16x16/32x32 (which =
+ * 0/1/2): 16 idx x 2 signs x n*n, from inter/masks.py. */
+void tpuc_upload_wedge(int which, const int32_t *masks, int n);
 /* TX_MODE_SELECT for the intra walk: per-block depth-1 TX split search
  * + tx_size signalling (frame header must code tx_mode_select = 1). */
 void tpuc_set_tx_select(TpuCommit *c, int enable);

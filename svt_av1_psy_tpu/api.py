@@ -98,6 +98,8 @@ class Encoder:
             # wm_level: enabled at the quality-leaning presets)
             enc.obmc_search = preset <= 10
             enc.warp_search = preset <= 10
+            # masked compound (wedge/diffwtd) on RA compound blocks
+            enc.masked_compound_search = preset <= 10
             # TX_MODE_SELECT on intra frames: depth-1 tx split search
             # (ref enc_mode_config txs level; the funnel-width gate in
             # the C walk keeps p13 at largest-tx)

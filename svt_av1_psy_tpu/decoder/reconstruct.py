@@ -120,6 +120,13 @@ class FrameReconstructor:
         Call before decode_blocks for each tile of a multi-tile frame."""
         self._tile = (r0, r1, c0, c1)
         self._sb_rc = (-1, -1)      # force BlockDecoded rebuild
+        # the smooth-flag neighbor rows are TILE-scoped contexts (the
+        # reference keeps them per tile): a fresh tile must not read
+        # another tile's flags through its interior edges
+        for a in self.above_smooth:
+            a[c0:c1] = 0
+        for a in self.left_smooth:
+            a[r0:r1] = 0
 
     # --- BlockDecoded ----------------------------------------------------
     def _reset_sb(self, sbr4: int, sbc4: int):
@@ -624,8 +631,11 @@ class FrameReconstructor:
         w, h = TX_SIZE_WIDE[ts], TX_SIZE_HIGH[ts]
         x = u_col * 4
         y = u_row * 4
-        max_x = (self.mi_cols * 4 >> sub) - 1
-        max_y = (self.mi_rows * 4 >> sub) - 1
+        # edge availability + extension clamp at TILE boundaries (the
+        # reference clamps intra edge reads to the tile, not the frame)
+        _, t_r1, _, t_c1 = self._tile
+        max_x = ((min(t_c1, self.mi_cols) * 4) >> sub) - 1
+        max_y = ((min(t_r1, self.mi_rows) * 4) >> sub) - 1
         if x > max_x or y > max_y:
             return None
         step_x = w // 4

@@ -193,6 +193,8 @@ class FastIntraEncoder:
         # TX_MODE_SELECT on intra frames: depth-1 tx split search
         # (ref enc_mode_config txt/txs levels)
         self.tx_split_search = False
+        # masked compound (wedge/diffwtd) search on RA compound blocks
+        self.masked_compound_search = False
 
     # --- sharded device search (multi-chip; SURVEY.md §2.2 P4) -----------
     def make_sharded_decide(self, mesh, axis: str = "sp"):
@@ -370,6 +372,10 @@ class FastIntraEncoder:
     def _encode_key(self, y, u, v, order_hint=None) -> EncodedFrame:
         from svt_av1_psy_tpu.utils.trace import stage as _tstage
 
+        # masked compound changes compound-block syntax: the seq flag
+        # must be armed before the stream's sequence header is written
+        self.seq.enable_masked_compound = bool(
+            getattr(self, "masked_compound_search", False))
         native = self._native
         yp = _pad_to(np.asarray(y), self.pah, self.paw)
         up = _pad_to(np.asarray(u), self.pah // 2, self.paw // 2)
@@ -758,7 +764,8 @@ class FastIntraEncoder:
                 eng.set_obmc(True, self.warp_search)
             if ref2_slot is not None:
                 eng.set_ref2(*self._dpb[ref2_slot])
-                eng.set_compound(sm_present, sign_bias)
+                eng.set_compound(sm_present, sign_bias,
+                                 self.masked_compound_search)
             if tpl_pack is not None:
                 eng.set_tpl(*tpl_pack)
             ec = native.NativeRangeEncoder()

@@ -259,6 +259,9 @@ class InterCdfs(ctypes.Structure):
                 ("inter_compound_mode", ctypes.POINTER(ctypes.c_uint16)),
                 ("skip_mode", ctypes.POINTER(ctypes.c_uint16)),
                 ("switchable_interp", ctypes.POINTER(ctypes.c_uint16)),
+                ("comp_group_idx", ctypes.POINTER(ctypes.c_uint16)),
+                ("compound_type", ctypes.POINTER(ctypes.c_uint16)),
+                ("wedge_idx", ctypes.POINTER(ctypes.c_uint16)),
                 ("obmc", ctypes.POINTER(ctypes.c_uint16)),
                 ("motion_mode", ctypes.POINTER(ctypes.c_uint16))] + [
                 (n, ctypes.POINTER(ctypes.c_uint16) * 2) for n in (
@@ -275,7 +278,8 @@ def make_inter_cdfs(fc) -> InterCdfs:
         _u16p(fc.comp_inter), _u16p(fc.comp_ref_type), _u16p(fc.comp_ref),
         _u16p(fc.comp_bwdref), _u16p(fc.inter_compound_mode),
         _u16p(fc.skip_mode), _u16p(fc.switchable_interp),
-        _u16p(fc.obmc), _u16p(fc.motion_mode))
+        _u16p(fc.comp_group_idx), _u16p(fc.compound_type),
+        _u16p(fc.wedge_idx), _u16p(fc.obmc), _u16p(fc.motion_mode))
     for name in ("sign", "classes", "class0", "bits", "class0_fp", "fp",
                  "class0_hp", "hp"):
         pair = (ctypes.POINTER(ctypes.c_uint16) * 2)(
@@ -388,7 +392,9 @@ def _ensure_commit_locked(lib):
                                     ctypes.c_int]
     lib.tpuc_set_ref2.argtypes = [ctypes.c_void_p, u16p, u16p, u16p,
                                   ctypes.c_int, ctypes.c_int]
-    lib.tpuc_set_compound.argtypes = [ctypes.c_void_p, ctypes.c_int, u8p]
+    lib.tpuc_set_compound.argtypes = [ctypes.c_void_p, ctypes.c_int, u8p,
+                                      ctypes.c_int]
+    lib.tpuc_upload_wedge.argtypes = [ctypes.c_int, i32p, ctypes.c_int]
     lib.tpuc_set_obmc.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                   ctypes.c_int]
     lib.tpuc_set_tx_select.argtypes = [ctypes.c_void_p, ctypes.c_int]
@@ -413,6 +419,16 @@ def _ensure_commit_locked(lib):
     wf = np.ascontiguousarray(tables()["warped_filter"], np.int32)
     dl = np.ascontiguousarray(tables()["warp_div_lut"], np.int32)
     lib.tpuc_upload_warp(wf.ctypes.data_as(i32p), dl.ctypes.data_as(i32p))
+    # wedge mask tables (spec 7.11.3.11) for the masked-compound search
+    from svt_av1_psy_tpu.inter.masks import get_wedge_mask
+    for which, bs in enumerate((3, 6, 9)):       # 8x8 / 16x16 / 32x32
+        n = 8 << which
+        tab = np.zeros((16, 2, n, n), np.int32)
+        for wi in range(16):
+            for sg in range(2):
+                tab[wi, sg] = get_wedge_mask(bs, wi, sg)
+        tab = np.ascontiguousarray(tab)
+        lib.tpuc_upload_wedge(which, tab.ctypes.data_as(i32p), n)
     for ts in range(19):
         for tt in range(16):
             try:
@@ -518,15 +534,18 @@ class CommitEngine:
                                v.ctypes.data_as(u16p), y.shape[1],
                                u.shape[1])
 
-    def set_compound(self, skip_mode_present: bool, sign_bias):
+    def set_compound(self, skip_mode_present: bool, sign_bias,
+                     masked: bool = False):
         """Frame-level compound state: skip-mode allowance +
-        RefFrameSignBias[0..7] (index 1 = LAST)."""
+        RefFrameSignBias[0..7] (index 1 = LAST) + masked-compound
+        (wedge/diffwtd) search & syntax."""
         sb = np.ascontiguousarray(sign_bias, np.uint8)
         assert sb.size == 8
         self._sb = sb
         self.lib.tpuc_set_compound(
             self._c, int(skip_mode_present),
-            sb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+            sb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            int(masked))
 
     def set_tx_select(self, enable: bool):
         """TX_MODE_SELECT intra walk: per-block depth-1 TX split search

@@ -119,3 +119,62 @@ def test_compound_blocks_in_own_stream():
         tpmod.TileParser._parse_inter_block = orig
     assert stats["comp"] > 50, stats
     assert stats["sm"] > 0, stats
+
+
+def test_masked_compound_encode():
+    """Encoder-side masked compound (spec 7.11.3.11-14): wedge masks from
+    the normative tables + DIFFWTD from the d16 comps, comp_group_idx /
+    compound_type / wedge syntax, subsampled-mask chroma blends — dav1d
+    and own-decoder bit-exact, and both mask families actually chosen on
+    occlusion content."""
+    from svt_av1_psy_tpu.decoder.dav1d import decode_obus
+    from svt_av1_psy_tpu.models.fast_intra import FastIntraEncoder
+    from svt_av1_psy_tpu.models.ra import RaDriver
+    from svt_av1_psy_tpu.decoder.driver import Decoder
+    import svt_av1_psy_tpu.decoder.tile_parser as tp
+    rng = np.random.default_rng(9)
+    W, H = 176, 144
+    base = rng.integers(40, 200, (H + 64, W + 64)).astype(np.float64)
+    frames = []
+    for i in range(17):
+        dx = (3 * i) % 32
+        y = np.clip(base[8:8 + H, dx:dx + W] + rng.normal(0, 2, (H, W)),
+                    0, 255).astype(np.uint16)
+        y[40:90, (20 + 5 * i) % 100:(20 + 5 * i) % 100 + 40] = 60 + 2 * i
+        u = np.clip(120 + rng.normal(0, 2, (H // 2, W // 2)),
+                    0, 255).astype(np.uint16)
+        v = np.clip(136 + rng.normal(0, 2, (H // 2, W // 2)),
+                    0, 255).astype(np.uint16)
+        frames.append((y, u, v))
+    enc = FastIntraEncoder(W, H, qindex=120)
+    enc.gop_size = 0
+    enc.masked_compound_search = True
+    drv = RaDriver(enc, gop_levels=3, keyint=0)
+    pkts = []
+    for f in frames:
+        pkts += drv.push(*f)
+    pkts += drv.flush()
+    shown = [p for p in pkts if p.display_idx >= 0]
+    data = b"".join(p.payload for p in pkts)
+    dec = decode_obus(data)
+    for d, s in zip(dec, shown):
+        assert np.array_equal(d.y, s.recon[0])
+        assert np.array_equal(d.u, s.recon[1])
+        assert np.array_equal(d.v, s.recon[2])
+    cnt = {0: 0, 1: 0, 2: 0}
+    orig = tp.ParsedBlock.__init__
+
+    def spy(self, *a, **k):
+        orig(self, *a, **k)
+        cnt[getattr(self, "comp_type", 0)] += 1
+
+    tp.ParsedBlock.__init__ = spy
+    try:
+        d2 = Decoder()
+        d2.decode_temporal_unit(data)
+    finally:
+        tp.ParsedBlock.__init__ = orig
+    for f2, s in zip(d2.frames, shown):
+        assert np.array_equal(f2.y, s.recon[0])
+    assert cnt[1] > 0, "no wedge blocks chosen"
+    assert cnt[2] > 0, "no diffwtd blocks chosen"

@@ -90,6 +90,7 @@ def encode_ours(src, w, h, qindex, fps_hz, preset, gop=1, tpl=0):
         enc.interp_search = preset <= 11
         enc.obmc_search = preset <= 10
         enc.warp_search = preset <= 10
+        enc.masked_compound_search = preset <= 10
         enc.tx_split_search = preset <= 12
         drv = RaDriver(enc, gop_levels=4)
         tmp = tempfile.mktemp(suffix=".ivf")
