@@ -53,7 +53,11 @@ class Encoder:
         bd = self.cfg.encoder_bit_depth
         qindex = min(255, int(round(self.cfg.crf * 4)))
         preset = self.cfg.enc_mode
-        self._fast = preset >= 10
+        # presets >= 4 run the two-phase device-search + C-commit path
+        # (the production configuration); presets <= 3 keep the full
+        # python RD funnel with its extra tools (per-64x64 CDEF search,
+        # CfL/filter-intra, segmentation AQ, LR search)
+        self._fast = preset >= 4
         gop = _gop_from_cfg(self.cfg)
         if self._fast:
             from svt_av1_psy_tpu.models.fast_intra import FastIntraEncoder
@@ -108,7 +112,9 @@ class Encoder:
             # derivation — off at the fast presets (ref enc_mode_config.c
             # derives enable_restoration=0 for M10+), opt-in via
             # --enable-restoration 1
-            enc.enable_lr = self.cfg.enable_restoration_filtering == 1
+            enc.enable_lr = self.cfg.enable_restoration_filtering == 1 \
+                or (self.cfg.enable_restoration_filtering == -1 and
+                    preset <= 7)
         else:
             from svt_av1_psy_tpu.models.intra_encoder import IntraEncoder
             enc = IntraEncoder(width, height, qindex=qindex, bd=bd,

@@ -107,7 +107,7 @@ def encode_ours(src, w, h, qindex, fps_hz, preset, gop=1, tpl=0):
         wtr.close()
         dt = time.time() - t0
         return tmp, total, len(src) / dt
-    if preset >= 10:
+    if preset >= 4:
         from svt_av1_psy_tpu.models.fast_intra import FastIntraEncoder
         enc = FastIntraEncoder(w, h, qindex=qindex,
                                n_cands={13: 1, 12: 2}.get(preset, 3))
