@@ -70,9 +70,11 @@ class RaDriver:
     # TPL-style boost statistics, pushing leaf q up quantizes away
     # exactly the residual detail the anchors cannot predict. The
     # layer_spread knob re-enables a spread (scaled by PSY
-    # qp-scale-compress); TPL-adaptive laddering is the intended
-    # upgrade (ref rc_process.c:873 r0/beta -> qindex).
+    # qp-scale-compress); tpl_strength > 0 replaces the whole ladder
+    # with the measured r0/beta per-frame q from the GoP dependency
+    # flow (models/tpl.tpl_gop_q; ref rc_process.c:873).
     layer_spread = 0.0
+    tpl_strength = 0.0
 
     def _layer_q(self, depth: int) -> int:
         q = self.enc.qindex
@@ -153,9 +155,11 @@ class RaDriver:
 
     def _encode_inter(self, d, fuv, ref_slot, refresh, show, depth,
                       ref_slot2=None):
+        tq = self._tpl_q.get(d) if getattr(self, "_tpl_q", None) else None
         ra = {"ref_slot": ref_slot, "refresh": refresh,
               "order_hint": d, "show": show, "layer": depth,
-              "base_q": self._layer_q(depth), "ref_slot2": ref_slot2}
+              "base_q": self._layer_q(depth) if tq is None else tq,
+              "ref_slot2": ref_slot2}
         y, u, v = fuv
         # pipeline: dispatch the NEXT planned frame's device decide so it
         # overlaps this frame's host commit walk (SURVEY §2.2 P1)
@@ -172,6 +176,7 @@ class RaDriver:
 
     def _encode_gop(self) -> list[RaPacket]:
         buf, self._buf = self._buf, []
+        self._tpl_q = None
         if not buf:
             return []
         frames = dict(buf)            # display -> (y,u,v)
@@ -201,6 +206,21 @@ class RaDriver:
         arf_slot = self._free_slots(in_use)[0]
         in_use.add(arf_slot)
 
+        # TPL r0/beta: per-frame q from the GoP dependency flow
+        # (ref tpl_model.c tpl_mc_flow; rc_process.c:873 generate_r0beta)
+        self._tpl_q = None
+        if self.tpl_strength > 0:
+            from svt_av1_psy_tpu.models.tpl import tpl_gop_q
+            plan = self._tpl_plan(b, arf_d)
+            fy = {d: (arf_src[0] if d == arf_d else frames[d][0])
+                  for d, _, _, _ in plan}
+            sy = np.asarray(arf_src[0])
+            fy[b] = np.asarray(self.enc._dpb[self._base_slot][0])[
+                :sy.shape[0], :sy.shape[1]]
+            self._tpl_q = tpl_gop_q(fy, plan, self.enc.qindex,
+                                    bd=getattr(self.enc, "bd", 8),
+                                    strength=self.tpl_strength)
+
         def enc_order(lo, hi):
             if hi - lo < 2:
                 return []
@@ -223,6 +243,24 @@ class RaDriver:
         in_use.discard(self._base_slot)
         self._base_slot, self._base_display = arf_slot, arf_d
         return packets
+
+    def _tpl_plan(self, b, arf_d):
+        """Encode-order (display, lo_ref, hi_ref, depth) tuples mirroring
+        _rec_pyramid's frame-level reference choices (references always
+        precede their dependents — the property tpl_gop_q's backward
+        induction relies on)."""
+        plan = [(arf_d, b, b, 0)]
+
+        def rec(lo, hi, depth):
+            if hi - lo < 2:
+                return
+            mid = (lo + hi) // 2
+            plan.append((mid, lo, hi, depth))
+            rec(lo, mid, depth + 1)
+            rec(mid, hi, depth + 1)
+
+        rec(b, arf_d, 1)
+        return plan
 
     def _rec_pyramid(self, lo, hi, lo_slot, hi_slot, depth, frames,
                      packets, in_use):

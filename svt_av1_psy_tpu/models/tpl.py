@@ -117,6 +117,131 @@ def tpl_sb_offsets(cur_y: np.ndarray, future_ys, strength: float = 4.0,
     return np.clip(np.rint(off), -12, 12).astype(np.int32)
 
 
+def qindex_for_qstep_ratio(base_q: int, ratio: float, bd: int = 8) -> int:
+    """qindex whose AC quantizer step is closest to ratio * qstep(base_q)
+    (the av1_get_q_index_from_qstep_ratio role in the reference's
+    tpl_get_q_index, ref rc_process.c:873 generate_r0beta consumer)."""
+    from svt_av1_psy_tpu.ops.quant import ac_q
+    target = ac_q(base_q, bd) * ratio
+    best, bestd = base_q, None
+    for q in range(1, 256):
+        d = abs(ac_q(q, bd) - target)
+        if bestd is None or d < bestd:
+            best, bestd = q, d
+    return best
+
+
+def _splat8(credit8: np.ndarray, y0: np.ndarray, x0: np.ndarray,
+            val: np.ndarray) -> None:
+    """Scatter per-block credit onto an 8x8-cell grid with bilinear
+    overlap weights (the tpl_model_update_b block-overlap rule): an 8x8
+    landing area at half-res pixel (y0, x0) overlaps up to four cells."""
+    n8r, n8c = credit8.shape
+    y0 = np.clip(y0, 0, n8r * 8 - 8)
+    x0 = np.clip(x0, 0, n8c * 8 - 8)
+    gr, gc = y0 // 8, x0 // 8
+    oy, ox = (y0 - gr * 8).astype(np.float64), \
+        (x0 - gc * 8).astype(np.float64)
+    for dy, dx, w in ((0, 0, (8 - oy) * (8 - ox)), (0, 1, (8 - oy) * ox),
+                      (1, 0, oy * (8 - ox)), (1, 1, oy * ox)):
+        rr = np.clip(gr + dy, 0, n8r - 1)
+        cc = np.clip(gc + dx, 0, n8c - 1)
+        np.add.at(credit8, (rr, cc), val * (w / 64.0))
+
+
+def tpl_gop_q(frames_y: dict, plan, base_q: int, bd: int = 8,
+              strength: float = 1.0) -> dict:
+    """Per-frame qindex for a mini-GoP from TPL dependency flow — the
+    r0/beta half of the reference's TPL (ref tpl_model.c tpl_mc_flow /
+    tpl_model_update_b backward induction; rc_process.c:873
+    generate_r0beta -> qindex), re-designed for the two-phase
+    architecture: the device HME supplies per-16x16 inter costs, gradient
+    activity the intra costs; dependency credit is splatted through the
+    MV onto the referenced frame's cell grid (bilinear overlap weights);
+    each coded frame's qstep then scales with beta^-1/2 where
+    beta = 1 + (propagated credit)/(own cost) — frames the rest of the
+    GoP leans on get finer quantization, never-referenced leaves stay at
+    base q.
+
+    frames_y: {display_idx: luma plane} (the base anchor entry may be
+    its recon). plan: encode-order [(d, lo_ref_d, hi_ref_d, depth)];
+    references always precede their dependents. Returns {d: qindex}
+    for every planned frame."""
+    import jax
+    import jax.numpy as jnp
+
+    from svt_av1_psy_tpu.models.fast_intra import _jitted_hme
+
+    hme = _jitted_hme()
+    some = next(iter(frames_y.values()))
+    H, W = np.asarray(some).shape[:2]
+    ph, pw = (H + 15) // 16 * 16, (W + 15) // 16 * 16
+
+    def pad(p):
+        p = np.asarray(p)[:H, :W]
+        return np.pad(p, ((0, ph - H), (0, pw - W)), mode="edge")
+
+    padded = {d: pad(y) for d, y in frames_y.items()}
+    jarr = {d: jnp.asarray(p) for d, p in padded.items()}
+    act = {d: np.maximum(_activity_halfres(_downsample2(p)),
+                         1).astype(np.float64)
+           for d, p in padded.items()}
+    n8r, n8c = next(iter(act.values())).shape
+    credit = {d: np.zeros((n8r, n8c)) for d in frames_y}
+    gy, gx = np.mgrid[0:n8r, 0:n8c]
+
+    # reverse encode order = backward induction: every frame that
+    # references d is processed before d, so credit[d] is complete when
+    # d's own flow is propagated further down to its references
+    for d, lo, hi, *_ in reversed(list(plan)):
+        best_sad = best_mv = best_ref = None
+        for r in sorted({lo, hi}):
+            mv, sad = jax.device_get(hme(jarr[d], jarr[r]))
+            sad = np.asarray(sad, np.float64)
+            mv = np.asarray(mv, np.int64)
+            if best_sad is None:
+                best_sad, best_mv = sad, mv
+                best_ref = np.full(sad.shape, r, np.int64)
+            else:
+                m = sad < best_sad
+                best_sad = np.where(m, sad, best_sad)
+                best_mv = np.where(m[..., None], mv, best_mv)
+                best_ref = np.where(m, r, best_ref)
+        # intra cost = half the gradient activity: gx+gy counts each
+        # pixel's unpredictability twice, while the temporal SAD counts
+        # it once — for temporally-independent noise E|gx| = E|a-b|, so
+        # the halving makes delta vanish on pure noise (no spurious
+        # dependency credit) and stay positive only where the future
+        # genuinely predicts from this frame
+        a = np.maximum(act[d] * 0.5, 1.0)
+        delta = np.clip(a - best_sad, 0.0, None)
+        # benefit + the transitive share of this frame's own accumulated
+        # dependency (the (intra-inter)/intra propagation fraction of
+        # tpl_model_update)
+        flow = delta + (delta / a) * credit[d]
+        y0 = gy * 8 + best_mv[..., 0] // 2
+        x0 = gx * 8 + best_mv[..., 1] // 2
+        for r in sorted({lo, hi}):
+            m = (best_ref == r) & (flow > 0)
+            if m.any():
+                _splat8(credit[r], y0[m].ravel(), x0[m].ravel(),
+                        flow[m].ravel())
+
+    # rate-neutral redistribution: normalize the per-frame qstep ratios
+    # by their geometric mean, so referenced frames get finer steps only
+    # as unreferenced ones get coarser (the GoP's average rate stays at
+    # the CRF operating point — the same zero-mean rule the per-SB
+    # variant applies; measured: an un-normalized pure boost loses 33%
+    # BD-rate on noisy content where anchors cannot predict the leaves)
+    ds = [p[0] for p in plan]
+    ratios = np.array([(1.0 + credit[d].sum() / (0.5 * act[d].sum()))
+                       ** (-0.5 * strength) for d in ds])
+    ratios /= np.exp(np.mean(np.log(ratios)))
+    ratios = np.clip(ratios, 0.5, 1.6)
+    return {d: qindex_for_qstep_ratio(base_q, float(r), bd)
+            for d, r in zip(ds, ratios)}
+
+
 def snap_sb_q(base_q: int, sbq: np.ndarray):
     """Snap absolute per-SB qindex values to the delta_q_res grid the
     bitstream signals (same res-by-operating-point rule as

@@ -93,6 +93,8 @@ def encode_ours(src, w, h, qindex, fps_hz, preset, gop=1, tpl=0):
         enc.masked_compound_search = preset <= 10
         enc.tx_split_search = preset <= 12
         drv = RaDriver(enc, gop_levels=4)
+        if tpl:
+            drv.tpl_strength = 1.0
         tmp = tempfile.mktemp(suffix=".ivf")
         wtr = IvfWriter(tmp, w, h)
         total = 0
