@@ -36,19 +36,35 @@ SB = 64
 def _jitted_decide():
     import jax
 
-    from svt_av1_psy_tpu.ops.jax_backend import intra_decide
+    from svt_av1_psy_tpu.ops.jax_backend import intra_decide_packed
 
-    return jax.jit(intra_decide, static_argnums=(2, 3))
+    # packed single-buffer output: the result comes home in ONE
+    # device->host transfer (started asynchronously at dispatch time) —
+    # the eval TPU transport charges ~100ms fixed cost per fetched array
+    return jax.jit(intra_decide_packed, static_argnums=(2, 3))
+
+
+def _host_copy_async(arr) -> None:
+    """Start the device->host copy of a computed jax array in the
+    background so the later np.asarray() is a cache hit. Best-effort:
+    not every backend exposes the hook."""
+    try:
+        arr.copy_to_host_async()
+    except (AttributeError, NotImplementedError):
+        pass
 
 
 @functools.lru_cache(maxsize=1)
 def _jitted_hme():
+    """Jitted full-pel ME returning the PACKED (mv16|sad16) int32 vector
+    (ops/jax_backend.hme2_unpack decodes it)."""
     import os
 
     import jax
 
     from svt_av1_psy_tpu.ops.jax_backend import (hme_search, hme_search2,
-                                                 hme_search_pallas)
+                                                 hme_search_pallas,
+                                                 pack_mv_sad)
 
     # SVT_HME_PALLAS=1 routes full-pel ME through the Pallas kernel
     # (on-chip SAD scan; validated bit-identical to hme_search in
@@ -58,12 +74,30 @@ def _jitted_hme():
     # single-level +-24 px search.
     if os.environ.get("SVT_HME_PALLAS") == "1":
         interp = jax.default_backend() == "cpu"
-        return jax.jit(functools.partial(hme_search_pallas,
-                                         interpret=interp),
-                       static_argnums=(2,))
-    if os.environ.get("SVT_HME_1LEVEL") == "1":
-        return jax.jit(hme_search, static_argnums=(2,))
-    return jax.jit(hme_search2, static_argnums=(2, 3))
+        base = functools.partial(hme_search_pallas, interpret=interp)
+    elif os.environ.get("SVT_HME_1LEVEL") == "1":
+        base = hme_search
+    else:
+        base = hme_search2
+
+    def packed(src, ref):
+        return pack_mv_sad(*base(src, ref))
+
+    return jax.jit(packed)
+
+
+def hme_mv_sad(src_p, ref_p):
+    """Run the jitted full-pel ME on (padded) planes and return
+    (mv16, sad16) as numpy — the packed transfer + unpack in one step
+    for callers outside the frame pipeline (TPL, temporal filter)."""
+    import jax.numpy as jnp
+
+    from svt_av1_psy_tpu.ops.jax_backend import hme2_unpack
+
+    out = _jitted_hme()(jnp.asarray(src_p), jnp.asarray(ref_p))
+    _host_copy_async(out)
+    ph, pw = src_p.shape
+    return hme2_unpack(np.asarray(out), ph // 16, pw // 16)
 
 
 class FastIntraEncoder:
@@ -234,18 +268,22 @@ class FastIntraEncoder:
     # --- device search stage ---------------------------------------------
     def _decide_dispatch(self, yp: np.ndarray):
         """Launch the device decision program asynchronously (jax async
-        dispatch): returns device buffers, no host sync."""
+        dispatch) and start its single-buffer host copy in the
+        background: returns the device buffer, no host sync."""
         import jax.numpy as jnp
 
         bias = np.int32(8 * ac_q(self.qindex, self.bd))
-        return _jitted_decide()(jnp.asarray(yp), jnp.asarray(bias),
-                                self.bd, self.min_block)
+        out = _jitted_decide()(jnp.asarray(yp), jnp.asarray(bias),
+                               self.bd, self.min_block)
+        _host_copy_async(out)
+        return out
 
-    @staticmethod
-    def _decide_finish(out):
-        import jax
+    def _decide_finish(self, out):
+        from svt_av1_psy_tpu.ops.jax_backend import intra_decide_unpack
 
-        s64, s32, s16, m64, m32, m16, m8 = jax.device_get(out)
+        buf = np.asarray(out)
+        s64, s32, s16, m64, m32, m16, m8 = intra_decide_unpack(
+            buf, (self.pah, self.paw))
         # defensive clamp: a corrupted transfer must never reach the C
         # engine as an out-of-range symbol
         maps = {}
@@ -278,13 +316,22 @@ class FastIntraEncoder:
             # 1080p). Overlap only pays when decide runs on-chip.
             return
         yp = _pad_to(np.asarray(y), self.pah, self.paw)
-        self._pref = (y, self._decide_dispatch(yp))
+        pend = getattr(self, "_pref", None)
+        if not isinstance(pend, dict):
+            pend = {}
+            self._pref = pend
+        if len(pend) >= 4:          # bound frames-in-flight
+            pend.pop(next(iter(pend)))
+        # key by object identity; holding y in the value keeps the id
+        # stable (no GC reuse) until the entry is consumed or evicted
+        pend[id(y)] = (y, self._decide_dispatch(yp))
 
     def _take_decide(self, y, yp):
-        pref = getattr(self, "_pref", None)
-        self._pref = None
-        if pref is not None and pref[0] is y:
-            return self._decide_finish(pref[1])
+        pend = getattr(self, "_pref", None)
+        if isinstance(pend, dict):
+            hit = pend.pop(id(y), None)
+            if hit is not None:
+                return self._decide_finish(hit[1])
         return self._decide(yp)
 
     # --- frame -----------------------------------------------------------
@@ -366,7 +413,7 @@ class FastIntraEncoder:
         self._slot_mf = snap["_slot_mf"]
         self._rec_y[...], self._rec_u[...], self._rec_v[...] = snap["_rec"]
         self._ref_y[...], self._ref_u[...], self._ref_v[...] = snap["_ref"]
-        self._pref = None       # a prefetched decide is q-independent but
+        self._pref = {}         # a prefetched decide is q-independent but
         # single-shot; drop it so the retry re-dispatches cleanly
 
     def _encode_key(self, y, u, v, order_hint=None) -> EncodedFrame:
@@ -573,16 +620,41 @@ class FastIntraEncoder:
         up = _pad_to(np.asarray(u), self.pah // 2, self.paw // 2)
         vp = _pad_to(np.asarray(v), self.pah // 2, self.paw // 2)
 
+        # compound (bidirectional) prediction: second reference =
+        # the FUTURE anchor (ALTREF slot); RA mids/leaves only
+        ref2_slot = ra.get("ref_slot2") if ra is not None else None
+        if ref2_slot is not None and (ref2_slot == ra["ref_slot"] or
+                                      ref2_slot not in self._dpb):
+            ref2_slot = None
+
+        mv16b = None
         with _tstage("device_search"):
-            split, modes = self._take_decide(y, yp)
+            from svt_av1_psy_tpu.ops.jax_backend import hme2_unpack
+
+            # dispatch every device program first (jax async dispatch),
+            # start the packed host copies, THEN sync — the transfers
+            # overlap each other and any still-running compute
             if ra is not None:
                 hme_ref = self._dpb[ra["ref_slot"]][0]
             else:
                 hme_ref = self._ref_y
-            mv16, _sad16 = jax.device_get(_jitted_hme()(
-                jnp.asarray(yp),
-                jnp.asarray(hme_ref[:self.pah, :self.paw])))
+            yp_dev = jnp.asarray(yp)
+            hme_dev = _jitted_hme()(
+                yp_dev, jnp.asarray(hme_ref[:self.pah, :self.paw]))
+            _host_copy_async(hme_dev)
+            hme2_dev = None
+            if ref2_slot is not None:
+                hme2_ref = self._dpb[ref2_slot][0]
+                hme2_dev = _jitted_hme()(
+                    yp_dev, jnp.asarray(hme2_ref[:self.pah, :self.paw]))
+                _host_copy_async(hme2_dev)
+            split, modes = self._take_decide(y, yp)
+            n16r, n16c = self.pah // 16, self.paw // 16
+            mv16, _sad16 = hme2_unpack(np.asarray(hme_dev), n16r, n16c)
             mv16 = np.clip(mv16, -127, 127).astype(np.int16)
+            if hme2_dev is not None:
+                mv16b, _s2 = hme2_unpack(np.asarray(hme2_dev), n16r, n16c)
+                mv16b = np.clip(mv16b, -127, 127).astype(np.int16)
 
         # global motion: robust translation fit over the HME field
         # (ref global_me.c:126; params coded per spec 5.9.24)
@@ -595,20 +667,6 @@ class FastIntraEncoder:
             if est is not None:
                 gm_mv8v = est
                 gm_wm = mv8_to_wm01(*est)
-
-        # compound (bidirectional) prediction: second reference =
-        # the FUTURE anchor (ALTREF slot); RA mids/leaves only
-        ref2_slot = ra.get("ref_slot2") if ra is not None else None
-        if ref2_slot is not None and (ref2_slot == ra["ref_slot"] or
-                                      ref2_slot not in self._dpb):
-            ref2_slot = None
-        mv16b = None
-        if ref2_slot is not None:
-            hme2_ref = self._dpb[ref2_slot][0]
-            mv16b, _s2 = jax.device_get(_jitted_hme()(
-                jnp.asarray(yp),
-                jnp.asarray(hme2_ref[:self.pah, :self.paw])))
-            mv16b = np.clip(mv16b, -127, 127).astype(np.int16)
 
         # RefFrameSignBias + skip-mode allowance (spec 5.9.2 / 5.9.22;
         # must equal the decoder's derivation from slot order hints)

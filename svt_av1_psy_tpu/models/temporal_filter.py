@@ -56,7 +56,7 @@ def temporal_filter(frames, center_idx: int, strength: int = 1,
     import jax
     import jax.numpy as jnp
 
-    from svt_av1_psy_tpu.models.fast_intra import _jitted_hme
+    from svt_av1_psy_tpu.models.fast_intra import hme_mv_sad
 
     cy, cu, cv = [np.asarray(p) for p in frames[center_idx]]
     H, W = cy.shape
@@ -72,13 +72,12 @@ def temporal_filter(frames, center_idx: int, strength: int = 1,
     # noise-adaptive threshold: weight decays with block MSE
     sigma2 = max(4.0, float(np.var(np.diff(cy.astype(np.int32), axis=1)))
                  / 8.0)
-    hme = _jitted_hme()
     for i, f in enumerate(frames):
         if i == center_idx:
             continue
         ny, nu, nv = [np.asarray(p) for p in f]
         nyp = np.pad(ny, ((0, ph - H), (0, pw - W)), mode="edge")
-        mv16, _ = jax.device_get(hme(jnp.asarray(cyp), jnp.asarray(nyp)))
+        mv16, _ = hme_mv_sad(cyp, nyp)
         mv16 = np.asarray(mv16, np.int32)
         ay, err = _align_plane(cy, ny, mv16, bd, 0)
         # per-block weights (medium planewise filter analog): the PSY

@@ -62,7 +62,7 @@ def tpl_sb_offsets(cur_y: np.ndarray, future_ys, strength: float = 4.0,
     import jax
     import jax.numpy as jnp
 
-    from svt_av1_psy_tpu.models.fast_intra import _jitted_hme
+    from svt_av1_psy_tpu.models.fast_intra import hme_mv_sad
 
     H, W = cur_y.shape
     ph = (H + 15) // 16 * 16
@@ -74,10 +74,9 @@ def tpl_sb_offsets(cur_y: np.ndarray, future_ys, strength: float = 4.0,
 
     cp = pad(cur_y)
     credit = np.zeros((ph // 2, pw // 2), np.float64)
-    hme = _jitted_hme()
     for k, fy in enumerate(future_ys):
         fp = pad(fy)
-        mv16, sad16 = jax.device_get(hme(jnp.asarray(fp), jnp.asarray(cp)))
+        mv16, sad16 = hme_mv_sad(fp, cp)
         mv16 = np.asarray(mv16, np.int64)
         sad16 = np.asarray(sad16, np.int64)
         act = _activity_halfres(_downsample2(fp))
@@ -170,9 +169,8 @@ def tpl_gop_q(frames_y: dict, plan, base_q: int, bd: int = 8,
     import jax
     import jax.numpy as jnp
 
-    from svt_av1_psy_tpu.models.fast_intra import _jitted_hme
+    from svt_av1_psy_tpu.models.fast_intra import hme_mv_sad
 
-    hme = _jitted_hme()
     some = next(iter(frames_y.values()))
     H, W = np.asarray(some).shape[:2]
     ph, pw = (H + 15) // 16 * 16, (W + 15) // 16 * 16
@@ -196,7 +194,7 @@ def tpl_gop_q(frames_y: dict, plan, base_q: int, bd: int = 8,
     for d, lo, hi, *_ in reversed(list(plan)):
         best_sad = best_mv = best_ref = None
         for r in sorted({lo, hi}):
-            mv, sad = jax.device_get(hme(jarr[d], jarr[r]))
+            mv, sad = hme_mv_sad(jarr[d], jarr[r])
             sad = np.asarray(sad, np.float64)
             mv = np.asarray(mv, np.int64)
             if best_sad is None:

@@ -349,6 +349,57 @@ def intra_decide(plane_u8: jnp.ndarray, split_bias: jnp.ndarray,
             modes[64], modes[32], modes[16], modes[8])
 
 
+def intra_decide_packed(plane_u8: jnp.ndarray, split_bias: jnp.ndarray,
+                        bd: int = 8, min_block: int = 8):
+    """intra_decide with all seven outputs packed into ONE uint8 vector.
+
+    The evaluation TPU sits behind a high-latency transport where every
+    device->host fetch of a computed buffer pays a large fixed cost
+    (measured ~100ms per array vs 0.8ms of compute for the whole decide
+    program at 1080p). Packing split + mode maps into a single buffer
+    makes the per-frame result exactly one transfer, which the encode
+    pipeline starts asynchronously at dispatch time (fast_intra.py
+    prefetch_decide) so it rides under the host commit walk."""
+    outs = intra_decide(plane_u8, split_bias, bd, min_block)
+    return jnp.concatenate([o.reshape(-1).astype(jnp.uint8) for o in outs])
+
+
+def intra_decide_unpack(buf, shape):
+    """Host-side unpack of intra_decide_packed (numpy). shape = padded
+    (H, W) of the plane the program ran on."""
+    import numpy as np
+
+    H, W = shape
+    parts = []
+    off = 0
+    for s in (64, 32, 16):
+        n = (H // s) * (W // s)
+        parts.append(buf[off:off + n].reshape(H // s, W // s))
+        off += n
+    for s in (64, 32, 16, 8):
+        n = (H // s) * (W // s) * N_CANDS
+        parts.append(buf[off:off + n].reshape(H // s, W // s, N_CANDS))
+        off += n
+    assert off == buf.size
+    return tuple(parts)
+
+
+def pack_mv_sad(mv16: jnp.ndarray, sad: jnp.ndarray):
+    """Pack a full-pel ME result (mv16, sad16) into ONE int32 vector
+    (same latency rationale as intra_decide_packed)."""
+    return jnp.concatenate([mv16.reshape(-1).astype(jnp.int32),
+                            sad.reshape(-1).astype(jnp.int32)])
+
+
+def hme2_unpack(buf, n16r, n16c):
+    import numpy as np
+
+    nmv = n16r * n16c * 2
+    mv16 = buf[:nmv].reshape(n16r, n16c, 2).astype(np.int16)
+    sad = buf[nmv:].reshape(n16r, n16c)
+    return mv16, sad
+
+
 def hme_search(src_u8: jnp.ndarray, ref_u8: jnp.ndarray,
                search_range: int = 12):
     """Open-loop hierarchical ME: full-pel MV per 16x16 block.
