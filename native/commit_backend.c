@@ -677,6 +677,36 @@ void tpu_predict_txb(TpuCommit *c, int plane, int mode, int ad, int mi_row,
 static const int32_t *pq_of(TpuCommit *c, int q, int plane) {
     return c->qtab + ((q * 3) + plane) * 10;
 }
+
+void tpuc_set_noise_norm(TpuCommit *c, int strength) {
+    c->noise_norm = strength;
+}
+
+void tpuc_set_tune_ssim(TpuCommit *c, int on) {
+    c->tune_ssim = on;
+}
+
+void tpuc_set_max_tx32(TpuCommit *c, int on) {
+    c->max_tx32 = on;
+}
+
+void tpuc_set_qm(TpuCommit *c,
+                 const int32_t *wt_y, const int32_t *iwt_y,
+                 const int32_t *wt_u, const int32_t *iwt_u,
+                 const int32_t *wt_v, const int32_t *iwt_v) {
+    c->qm_wt[0] = wt_y; c->qm_iwt[0] = iwt_y;
+    c->qm_wt[1] = wt_u; c->qm_iwt[1] = iwt_u;
+    c->qm_wt[2] = wt_v; c->qm_iwt[2] = iwt_v;
+}
+
+/* offset of a self-adjusted tx size in the flat QM table (libaom
+ * av1_qm_init traversal: TX_SIZES_ALL order, skipping sizes that remap) */
+static int qm_offset(int adj_ts) {
+    int off = 0, t;
+    for (t = 0; t < adj_ts; t++)
+        if (TX_ADJ[t] == t) off += TXW[t] * TXH[t];
+    return off;
+}
 static int tx_log_scale(int ts) {
     int w = TXW[ts], h = TXH[ts];
     if (w * h > 1024) return 2;
@@ -694,9 +724,20 @@ void tpu_trial_txb(TpuCommit *c, int plane, int ts, int tt,
     (void)is_inter;
     tputx_fwd2d(resid, coeff, ts, tt, c->bd);
     const int32_t *pq = pq_of(c, q, plane);
-    tputx_quantize_b(coeff, out->qc, out->dqc, cw * ch, tx_log_scale(ts),
-                     pq[0], pq[1], pq[2], pq[3], pq[4], pq[5], pq[6], pq[7],
-                     pq[8], pq[9]);
+    /* QM applies only to 2-D transform types (tx_type < IDTX; libaom
+     * IS_2D_TRANSFORM — mirrors decoder/reconstruct.py) */
+    if (c->qm_wt[plane] && tt < 9) {
+        int qoff = qm_offset(adj);
+        tputx_quantize_b_qm(coeff, out->qc, out->dqc, cw * ch,
+                            tx_log_scale(ts),
+                            pq[0], pq[1], pq[2], pq[3], pq[4], pq[5],
+                            pq[6], pq[7], pq[8], pq[9],
+                            c->qm_wt[plane] + qoff,
+                            c->qm_iwt[plane] + qoff);
+    } else
+        tputx_quantize_b(coeff, out->qc, out->dqc, cw * ch, tx_log_scale(ts),
+                         pq[0], pq[1], pq[2], pq[3], pq[4], pq[5], pq[6],
+                         pq[7], pq[8], pq[9]);
     int eob = 0;
     const int16_t *scan = g_scan[ts][tt];
     int n = g_scan_n[ts][tt];
@@ -704,6 +745,7 @@ void tpu_trial_txb(TpuCommit *c, int plane, int ts, int tt,
         if (out->qc[scan[i]]) eob = i + 1;
     out->eob = eob;
     out->tt = tt;
+    out->q = q;
     if (eob == 0) {
         out->rate512 = 0;
         long sse = 0;
@@ -760,6 +802,90 @@ void tpu_trial_txb(TpuCommit *c, int plane, int ts, int tt,
     }
     out->sse = sse;
     out->psy = 0;
+}
+
+/* ---- PSY noise normalization (ref full_loop.c:1464) --------------------
+ * Encode-pass-only AC coefficient revival: boosts the quantized-down AC
+ * coefficient whose dequantized step recovers the largest share of the
+ * original energy (textured blocks), or revives one zeroed AC coeff near
+ * DC on flat blocks. Luma, non-IDTX, blocks > 4x4 (is_encode_pass gate
+ * at full_loop.c:1818). */
+void tpu_noise_norm_txb(TpuCommit *c, int ts, const int32_t *resid, int q,
+                        TxTrial *t) {
+    if (!c->noise_norm || t->eob == 0 || t->tt == 9) return;
+    int w = TXW[ts], h = TXH[ts];
+    if (w == 4 && h == 4) return;
+    int adj = TX_ADJ[ts];
+    int cw = TXW[adj], ch = TXH[adj];
+    int shift = tx_log_scale(ts);
+    static __thread int32_t coeff[32 * 32];
+    tputx_fwd2d(resid, coeff, ts, t->tt, c->bd);
+    const int32_t *pq = pq_of(c, q, 0);
+    const int32_t *iqm = (c->qm_iwt[0] && t->tt < 9)
+        ? c->qm_iwt[0] + qm_offset(adj) : NULL;
+    const int16_t *scan = g_scan[ts][t->tt];
+    int n = g_scan_n[ts][t->tt];
+    int thresh = c->noise_norm == 1 ? 9 : c->noise_norm == 2 ? 8
+                 : c->noise_norm == 3 ? 6 : 4;
+    int best_si = -1;
+    long best_gap = 1L << 60;
+    int32_t best_qc_low = 0, best_dqc_low = 0;
+    if (t->eob > 1) {
+        for (int si = 1; si < t->eob; si++) {
+            int ci = scan[si];
+            int32_t tqc = coeff[ci], qc = t->qc[ci], dqc = t->dqc[ci];
+            int sign = tqc < 0;
+            if (dqc == 0) continue;
+            long atqc = tqc < 0 ? -(long)tqc : tqc;
+            long adqc = dqc < 0 ? -(long)dqc : dqc;
+            if (atqc - adqc <= 0) continue;
+            long dqv = pq[9];                     /* AC dequant */
+            if (iqm) dqv = (iqm[ci] * dqv + 16) >> 5;
+            long abs_qc_low = (qc < 0 ? -(long)qc : qc) + 1;
+            int32_t qc_low = (int32_t)(sign ? -abs_qc_low : abs_qc_low);
+            long abs_dqc_low = (abs_qc_low * dqv) >> shift;
+            int32_t dqc_low = (int32_t)(sign ? -abs_dqc_low : abs_dqc_low);
+            long gap = dqc_low > tqc ? dqc_low - tqc : tqc - dqc_low;
+            long step = dqc_low > dqc ? dqc_low - dqc : dqc - dqc_low;
+            if (step == 0) continue;
+            long ratio = ((step - gap) << 4) / step;
+            if (ratio >= thresh) {
+                best_si = si;
+                best_qc_low = qc_low;
+                best_dqc_low = dqc_low;
+            }
+        }
+    } else {
+        int lim = (cw * ch) / 16;
+        if (lim > n) lim = n;
+        for (int si = 1; si < lim; si++) {
+            int ci = scan[si];
+            int32_t tqc = coeff[ci], dqc = t->dqc[ci];
+            int sign = tqc < 0;
+            if (dqc != 0 || tqc == 0) continue;
+            long dqv = pq[9];
+            if (iqm) dqv = (iqm[ci] * dqv + 16) >> 5;
+            long abs_dqc_low = dqv >> shift;
+            int32_t qc_low = sign ? -1 : 1;
+            int32_t dqc_low = (int32_t)(sign ? -abs_dqc_low : abs_dqc_low);
+            long gap = dqc_low > tqc ? dqc_low - tqc : tqc - dqc_low;
+            long step = dqc_low > dqc ? dqc_low - dqc : dqc - dqc_low;
+            if (step == 0) continue;
+            long ratio = ((step - gap) << 4) / step;
+            if (ratio >= thresh && gap < best_gap) {
+                best_gap = gap;
+                best_si = si;
+                best_qc_low = qc_low;
+                best_dqc_low = dqc_low;
+            }
+        }
+    }
+    if (best_si > 0) {
+        int ci = scan[best_si];
+        t->qc[ci] = best_qc_low;
+        t->dqc[ci] = best_dqc_low;
+        if (best_si >= t->eob) t->eob = best_si + 1;
+    }
 }
 
 /* ---- coefficient neighbor contexts ------------------------------------- */
@@ -1038,8 +1164,8 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
                           tpu_sym_cost_bits(ymode_cdf, m);
             if (m >= 1 && m <= 8)
                 rate += tpu_sym_cost_bits(mc->angle_delta + (m - 1) * 8, 3);
-            double cost = (double)tmp.sse + c->psy_rd * tmp.psy +
-                          c->rdmult * rate;
+            double cost = tpu_dist_eval(c, ts_y, pred_cand, resid_cand,
+                                        &tmp) + c->rdmult * rate;
             if (best_mode_cost < 0 || cost < best_mode_cost) {
                 best_mode_cost = cost;
                 y_mode = m;
@@ -1070,7 +1196,7 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
         const uint16_t *sp = c->src[0];
         int ss = c->sstride[0];
         tpu_trial_txb(c, 0, ts_y, 0, s_resid_y, q, 0, sgn_y, 0, &tmp);
-        double base = (double)tmp.sse + c->psy_rd * tmp.psy +
+        double base = tpu_dist_eval(c, ts_y, s_pred_y, s_resid_y, &tmp) +
                       c->rdmult * (tmp.rate512 / 512.0 +
                                    tpu_sym_cost_bits(adcdf, 3));
         int dir = 0;
@@ -1089,7 +1215,7 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
                 tpu_trial_txb(c, 0, ts_y, 0, resid_cand, q, 0, sgn_y, 0,
                               &tmp);
                 double cost =
-                    (double)tmp.sse + c->psy_rd * tmp.psy +
+                    tpu_dist_eval(c, ts_y, pred_cand, resid_cand, &tmp) +
                     c->rdmult * (tmp.rate512 / 512.0 +
                                  tpu_sym_cost_bits(adcdf, 3 + ad));
                 if (cost < base) {
@@ -1156,7 +1282,8 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
         double skip0 = tpu_sym_cost_bits(
             mc->txb_skip + (txs_entropy_ctx_of(ts_y) * 13 + 0) * 3,
             s_ty.eob == 0);
-        double cost0 = (double)s_ty.sse + c->psy_rd * s_ty.psy +
+        double cost0 = tpu_dist_eval(c, ts_y, s_pred_y, s_resid_y,
+                                     &s_ty) +
                        c->rdmult * (s_ty.rate512 / 512.0 + skip0 + tt0 +
                                     tpu_sym_cost_bits(dcdf, 0));
         /* save state touched by the speculative quadrant walk */
@@ -1238,6 +1365,9 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
             memcpy(c->plane[0] + (py + i) * c->ystride + px,
                    sv_plane + i * size, wx * 2);
         if (cost1 < cost0) s_split = 1;
+        /* PSY max-32-tx-size: never keep a 64-side transform
+         * (ref README.md:67-69; enc_handle.c:1947) */
+        if (c->max_tx32 && ts_y == 4) s_split = 1;
     }
 
     /* chroma trial: DC, SMOOTH, same-as-luma */
@@ -1280,7 +1410,9 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
         double rate = (cu2.rate512 + cv2.rate512) / 512.0 +
                       tpu_sym_cost_bits(mc->uv_mode +
                                             (cfl_ok * 13 + y_mode) * 15, m);
-        double cost = (double)(cu2.sse + cv2.sse) + c->rdmult * rate;
+        double cost = tpu_dist_eval(c, ts_c, tpu2, resid_u, &cu2) +
+                      tpu_dist_eval(c, ts_c, tpv2, resid_v, &cv2) +
+                      c->rdmult * rate;
         if (best_uv_cost < 0 || cost < best_uv_cost) {
             best_uv_cost = cost;
             uv_mode = m;
@@ -1305,6 +1437,102 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
         mode_rate += tpu_sym_cost_bits(mc->angle_delta + (y_mode - 1) * 8,
                                        3 + s_ad);
     out->cost = best_cost + best_uv_cost + c->rdmult * mode_rate;
+}
+
+/* ---- Tune 3 SSIM-weighted distortion (ref full_loop.c:2220-2290,
+ * mode_decision.c:5118 svt_spatial_full_distortion_ssim_kernel) -------- */
+static const long long SSIM_CC1 = 26634;       /* (64^2*(.01*255)^2 */
+static const long long SSIM_CC2 = 239708;      /* (64^2*(.03*255)^2 */
+static const long long SSIM_CC1_10 = 428658;   /* (64^2*(.01*1023)^2 */
+static const long long SSIM_CC2_10 = 3857925;  /* (64^2*(.03*1023)^2 */
+
+/* one nxn SSIM window over uint16 samples (ref enc_dec_process.c:709
+ * similarity + mode_decision.c svt_ssim_8x8_c / svt_ssim_8x8_hbd_c) */
+static double ssim_win(const uint16_t *s, int sp, const uint16_t *r,
+                       int rp, int n, int bd) {
+    long long cnt = n * n;
+    long long cc1 = bd == 8 ? SSIM_CC1 : SSIM_CC1_10;
+    long long cc2 = bd == 8 ? SSIM_CC2 : SSIM_CC2_10;
+    double c1 = (double)((cc1 * cnt * cnt) >> 12);
+    double c2 = (double)((cc2 * cnt * cnt) >> 12);
+    unsigned ss = 0, sr = 0, sqs = 0, sqr = 0, sxr = 0;
+    for (int i = 0; i < n; i++, s += sp, r += rp)
+        for (int j = 0; j < n; j++) {
+            ss += s[j];
+            sr += r[j];
+            sqs += (unsigned)s[j] * s[j];
+            sqr += (unsigned)r[j] * r[j];
+            sxr += (unsigned)s[j] * r[j];
+        }
+    double nn = (2.0 * ss * sr + c1) *
+                (2.0 * cnt * sxr - 2.0 * ss * sr + c2);
+    double dd = ((double)ss * ss + (double)sr * sr + c1) *
+                ((double)cnt * sqs - (double)ss * ss +
+                 (double)cnt * sqr - (double)sr * sr + c2);
+    return nn / dd;
+}
+
+/* averaged SSIM over 8x8 (or 4x4 for thin blocks) windows (ref
+ * mode_decision.c ssim_8x8_blocks / ssim_4x4_blocks) */
+static double ssim_block(const uint16_t *s, int sp, const uint16_t *r,
+                         int rp, int w, int h, int bd) {
+    int n = (w % 8 == 0 && h % 8 == 0) ? 8 : 4;
+    int samples = 0;
+    double total = 0;
+    for (int i = 0; i + n <= h; i += n)
+        for (int j = 0; j + n <= w; j += n) {
+            double v = ssim_win(s + i * sp + j, sp, r + i * rp + j, rp, n,
+                                bd);
+            if (v < 0) v = 0;
+            if (v > 1) v = 1;
+            total += v;
+            samples++;
+        }
+    return samples ? total / samples : 1.0;
+}
+
+/* candidate distortion: SSE (+ psy) by default; Tune 3 swaps in the
+ * SSIM-weighted spatial distortion of the candidate's reconstruction
+ * (the DIST_SSIM arm of md_stage_3, ref full_loop.c:2220). pred+resid
+ * reproduce the source; pred+inv(dqc) the reconstruction. */
+double tpu_dist_eval(TpuCommit *c, int ts, const int32_t *pred,
+                     const int32_t *resid, const TxTrial *t) {
+    double d = (double)t->sse + c->psy_rd * t->psy;
+    if (!c->tune_ssim) return d;
+    int w = TXW[ts], h = TXH[ts];
+    static __thread uint16_t sbuf[64 * 64], rbuf[64 * 64];
+    static __thread int32_t rres[64 * 64];
+    int hi = (1 << c->bd) - 1;
+    if (t->eob)
+        tputx_inv2d(t->dqc, rres, ts, t->tt, c->bd);
+    for (int i = 0; i < w * h; i++) {
+        sbuf[i] = (uint16_t)(pred[i] + resid[i]);
+        int rv = pred[i] + (t->eob ? rres[i] : 0);
+        if (rv < 0) rv = 0;
+        if (rv > hi) rv = hi;
+        rbuf[i] = (uint16_t)rv;
+    }
+    double sv = ssim_block(sbuf, w, rbuf, w, w, h, c->bd);
+    int m = c->bd == 8 ? 1 : 8;
+    double ssim_dist = (1.0 - sv) * (w * h) * 100.0 * 7.0 * m;
+    return ssim_dist + c->psy_rd * t->psy;
+}
+
+/* rebuild the luma residual of a chosen txb from source - prediction and
+ * run PSY noise normalization on the trial's coefficients (the encode
+ * pass gate of full_loop.c:1818: luma, eob != 0, non-IDTX) */
+static void noise_norm_commit(TpuCommit *c, int u_row, int u_col, int ts,
+                              const int32_t *pred, TxTrial *t) {
+    static __thread int32_t nn_resid[64 * 64];
+    int w = TXW[ts], h = TXH[ts];
+    const uint16_t *sy = c->src[0];
+    int ss = c->sstride[0];
+    int y = u_row * 4, x = u_col * 4;
+    for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++)
+            nn_resid[i * w + j] =
+                (int32_t)sy[(y + i) * ss + x + j] - pred[i * w + j];
+    tpu_noise_norm_txb(c, ts, nn_resid, t->q, t);
 }
 
 /* neighbor-context rows updated AFTER the block's txbs (the parser does
@@ -1422,6 +1650,9 @@ static void intra_write_commit(TpuCommit *c, int r, int c4, int size,
             int qr = r + (qi >> 1) * h4q, qc = c4 + (qi & 1) * h4q;
             tpu_predict_txb(c, 0, y_mode, s_ad, r, c4, qr, qc, ts_y - 1,
                             wqpred);
+            if (c->noise_norm && s_sub_t[qi].eob)
+                noise_norm_commit(c, qr, qc, ts_y - 1, wqpred,
+                                  &s_sub_t[qi]);
             write_block_txb(c, 0, qr, qc, ts_y - 1, size, size, y_mode,
                             0, &s_sub_t[qi]);
             tpu_commit_recon(c, 0, qr, qc, ts_y - 1, wqpred,
@@ -1429,6 +1660,8 @@ static void intra_write_commit(TpuCommit *c, int r, int c4, int size,
             c->dist_acc += s_sub_t[qi].sse;
         }
     } else {
+        if (c->noise_norm && s_ty.eob)
+            noise_norm_commit(c, r, c4, ts_y, s_pred_y, &s_ty);
         write_block_txb(c, 0, r, c4, ts_y, size, size, y_mode, 0, &s_ty);
         tpu_commit_recon(c, 0, r, c4, ts_y, s_pred_y, &s_ty);
         c->dist_acc += s_ty.sse;

@@ -18,6 +18,21 @@ struct TpuCommit {
     const uint16_t *src[3];
     int sstride[3];
     int32_t qtab[256 * 3 * 10];
+    /* quantizer matrices (spec 5.9.12): flat per-plane forward/inverse
+     * Q5 weight tables at the frame's qm level, laid out over the
+     * self-adjusted tx sizes in TX_SIZES_ALL order (libaom av1_qm_init
+     * layout; ref md_config_process.c:218 svt_av1_qm_init). NULL = flat
+     * (level 15 / QM off). */
+    const int32_t *qm_wt[3], *qm_iwt[3];
+    /* PSY noise-normalization strength 0..4 (ref full_loop.c:1464;
+     * auto 3 at tune 3 handled by the caller) */
+    int noise_norm;
+    /* Tune 3: SSIM-weighted candidate distortion (the DIST_SSIM arm of
+     * md_stage_3; ref enc_mode_config.c:7883 tune_ssim_level) */
+    int tune_ssim;
+    /* PSY max-32-tx-size: force the depth-1 split for 64-side TX
+     * (ref README.md:67-69) */
+    int max_tx32;
     /* neighbor context state (tile-wide) */
     uint8_t *above_part, *left_part;
     uint8_t *above_mode, *left_mode;
@@ -95,7 +110,13 @@ typedef struct {
     long psy;          /* |AC energy(src) - AC energy(rec)|, pixel scale */
     int eob;
     int tt;
+    int q;             /* qindex the trial quantized at (noise-norm) */
 } TxTrial;
+
+void tpu_noise_norm_txb(struct TpuCommit *c, int ts, const int32_t *resid,
+                        int q, TxTrial *t);
+double tpu_dist_eval(struct TpuCommit *c, int ts, const int32_t *pred,
+                     const int32_t *resid, const TxTrial *t);
 
 /* helpers exported by commit_backend.c for the inter walk */
 int tpu_sq_bsize(int size);

@@ -2154,7 +2154,8 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         if (mode == 1 && refs.n_found > 2)
             rate += tpu_sym_cost_bits(ic->drl + tpui_drl_ctx(&refs, 1) * 3,
                                       0);
-        double cost = (double)cand_trial.sse +
+        double cost = tpu_dist_eval(c, ts_y, cand_pred, cand_resid,
+                                    &cand_trial) +
                       c->rdmult * (rate + cand_trial.rate512 / 512.0);
         if (best_cost < 0 || cost < best_cost) {
             best_cost = cost;
@@ -2356,7 +2357,8 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                 rate += tpu_sym_cost_bits(
                     ic->drl + tpui_drl_ctx(&crefs, 1) * 3, 0);
             }
-            double cost = (double)cand_trial.sse +
+            double cost = tpu_dist_eval(c, ts_y, comp_pred, cand_resid,
+                                        &cand_trial) +
                           c->rdmult * (rate + cand_trial.rate512 / 512.0);
             if (cbest < 0 || cost < cbest) {
                 cbest = cost;
@@ -2443,6 +2445,14 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
             static __thread TxTrial mk_ty;
             tpu_trial_txb(c, 0, ts_y, 0, cand_resid, q, 0, sgn_y, 1,
                           &mk_ty);
+            /* avg-blend residual for the tune-3 SSIM comparison */
+            static __thread int32_t avg_resid[64 * 64];
+            if (c->tune_ssim)
+                for (int y = 0; y < size; y++)
+                    for (int x = 0; x < size; x++)
+                        avg_resid[y * size + x] =
+                            (int32_t)sp[(r * 4 + y) * ssY + c4 * 4 + x] -
+                            best_comp_pred[y * size + x];
             int cg_ctx = comp_group_ctx_c(c, r, c4);
             const uint16_t *cgcdf = ic->comp_group_idx + cg_ctx * 3;
             double rate_msk = tpu_sym_cost_bits(cgcdf, 1) + 1.0;
@@ -2453,11 +2463,12 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                 rate_msk += tpu_sym_cost_bits(
                     ic->wedge_idx + bsize * 17, bidx);
             double cost_avg =
-                (double)cmp_ty.sse +
+                tpu_dist_eval(c, ts_y, best_comp_pred, avg_resid,
+                              &cmp_ty) +
                 c->rdmult * (cmp_ty.rate512 / 512.0 +
                              tpu_sym_cost_bits(cgcdf, 0));
             double cost_msk =
-                (double)mk_ty.sse +
+                tpu_dist_eval(c, ts_y, mbest_pred, cand_resid, &mk_ty) +
                 c->rdmult * (mk_ty.rate512 / 512.0 + rate_msk);
             if (cost_msk < cost_avg) {
                 comp_masked_type = btype;
@@ -2634,7 +2645,14 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                 filt_rate = tpu_sym_cost_bits(
                     ic->switchable_interp + fctx2 * 4, best_filt);
             }
-            double cost_best = (double)i_ty.sse +
+            if (c->tune_ssim)
+                for (int y = 0; y < size; y++)
+                    for (int x = 0; x < size; x++)
+                        ob_resid[y * size + x] =
+                            (int32_t)sp[(r * 4 + y) * ssrc + c4 * 4 + x] -
+                            i_pred_y[y * size + x];
+            double cost_best = tpu_dist_eval(c, ts_y, i_pred_y, ob_resid,
+                                             &i_ty) +
                                c->rdmult * (i_ty.rate512 / 512.0 +
                                             filt_rate +
                                             tpu_sym_cost_bits(mmcdf, 0));
@@ -2651,7 +2669,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                 tpu_trial_txb(c, 0, ts_y, 0, ob_resid, q, 0, sgn_y2, 1,
                               &ob_ty);
                 double cost_obmc =
-                    (double)ob_ty.sse +
+                    tpu_dist_eval(c, ts_y, ob_y, ob_resid, &ob_ty) +
                     c->rdmult * (ob_ty.rate512 / 512.0 + filt_rate +
                                  tpu_sym_cost_bits(mmcdf, 1));
                 if (cost_obmc < cost_best) {
@@ -2681,7 +2699,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                     tpu_trial_txb(c, 0, ts_y, 0, ob_resid, q, 0, sgn_y2,
                                   1, &wp_ty);
                     double cost_warp =
-                        (double)wp_ty.sse +
+                        tpu_dist_eval(c, ts_y, wp_y, ob_resid, &wp_ty) +
                         c->rdmult * (wp_ty.rate512 / 512.0 +
                                      tpu_sym_cost_bits(mmcdf, 2));
                     if (cost_warp < cost_best) {
@@ -2976,6 +2994,19 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         tpu_commit_recon(c, 2, cr, cc, ts_c, i_pred_v, NULL);
         c->dist_acc += i_ty.sse + i_tu.sse + i_tv.sse;
         return;
+    }
+    if (c->noise_norm && i_ty.eob) {
+        /* PSY noise normalization on the final luma txb (the inter arm
+         * of the encode-pass gate, ref full_loop.c:1818) */
+        const uint16_t *sy = c->src[0];
+        int ss = c->sstride[0];
+        int w = TXW[ts_y], h = TXH[ts_y];
+        for (int i = 0; i < h; i++)
+            for (int j = 0; j < w; j++)
+                i_resid_y[i * w + j] =
+                    (int32_t)sy[(r * 4 + i) * ss + c4 * 4 + j] -
+                    i_pred_y[i * w + j];
+        tpu_noise_norm_txb(c, ts_y, i_resid_y, i_ty.q, &i_ty);
     }
     tpu_write_txb_inter(c, 0, r, c4, ts_y, size, size, &i_ty);
     tpu_commit_recon(c, 0, r, c4, ts_y, i_pred_y, &i_ty);

@@ -66,6 +66,11 @@ void tputx_quantize_b(const int32_t *coeff, int32_t *qc, int32_t *dqc,
                       int n, int log_scale, int zbin0, int zbin1, int rnd0,
                       int rnd1, int quant0, int quant1, int qs0, int qs1,
                       int dq0, int dq1);
+void tputx_quantize_b_qm(const int32_t *coeff, int32_t *qc, int32_t *dqc,
+                         int n, int log_scale, int zbin0, int zbin1,
+                         int rnd0, int rnd1, int quant0, int quant1,
+                         int qs0, int qs1, int dq0, int dq1,
+                         const int32_t *wt, const int32_t *iwt);
 
 /* ---- commit engine (commit_backend.c) ---------------------------------- */
 
@@ -127,6 +132,10 @@ void tpuc_free(TpuCommit *c);
 void tpuc_set_src(TpuCommit *c, const uint16_t *y, const uint16_t *u,
                   const uint16_t *v, int ystride, int cstride);
 void tpuc_set_qtab(TpuCommit *c, const int32_t *qtab /* [256][3][10] */);
+void tpuc_set_qm(TpuCommit *c,
+                 const int32_t *wt_y, const int32_t *iwt_y,
+                 const int32_t *wt_u, const int32_t *iwt_u,
+                 const int32_t *wt_v, const int32_t *iwt_v);
 void tpuc_attach_planes(TpuCommit *c, uint16_t *y, uint16_t *u, uint16_t *v,
                         int ystride, int cstride);
 uint16_t *tpuc_plane(TpuCommit *c, int plane, int *stride);

@@ -370,6 +370,45 @@ void tputx_quantize_b(const int32_t *coeff, int32_t *qc, int32_t *dqc,
     }
 }
 
+/* quantize_b with quantizer matrices (ref svt_aom_quantize_b_c QM path,
+ * full_loop.c:78; exact mirror of ops/quant.py quantize_b with qm/iqm):
+ * wt/iwt are the per-coefficient Q5 weights in raster order. */
+void tputx_quantize_b_qm(const int32_t *coeff, int32_t *qc, int32_t *dqc,
+                         int n, int log_scale,
+                         int zbin_dc, int zbin_ac, int rnd_dc, int rnd_ac,
+                         int quant_dc, int quant_ac, int qshift_dc,
+                         int qshift_ac, int deq_dc, int deq_ac,
+                         const int32_t *wt, const int32_t *iwt) {
+    int i;
+    int half = (1 << log_scale) >> 1;
+    int zb_dc = (zbin_dc + half) >> log_scale;
+    int zb_ac = (zbin_ac + half) >> log_scale;
+    int rn_dc = (rnd_dc + half) >> log_scale;
+    int rn_ac = (rnd_ac + half) >> log_scale;
+    for (i = 0; i < n; i++) {
+        int dc = i == 0;
+        int32_t c = coeff[i];
+        int sign = c < 0 ? -1 : 1;
+        int64_t ac = c < 0 ? -(int64_t)c : c;
+        int64_t w = wt[i], iw = iwt[i];
+        int64_t tmp, tmp32, dqv, absdq;
+        if (ac * w < ((int64_t)(dc ? zb_dc : zb_ac) << 5)) {
+            qc[i] = 0;
+            dqc[i] = 0;
+            continue;
+        }
+        tmp = ac + (dc ? rn_dc : rn_ac);
+        if (tmp > 32767) tmp = 32767;
+        tmp *= w;
+        tmp32 = ((((tmp * (dc ? quant_dc : quant_ac)) >> 16) + tmp) *
+                 (dc ? qshift_dc : qshift_ac)) >> (16 - log_scale + 5);
+        qc[i] = (int32_t)(tmp32 * sign);
+        dqv = (((int64_t)(dc ? deq_dc : deq_ac)) * iw + 16) >> 5;
+        absdq = (tmp32 * dqv) >> log_scale;
+        dqc[i] = (int32_t)(absdq * sign);
+    }
+}
+
 /* Fused encoder RD trial for one txb candidate: forward transform,
  * quantize, dequantize, inverse transform, SSE vs the residual, and the
  * exact coefficient rate from the live CDFs. One call replaces four

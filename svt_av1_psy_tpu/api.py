@@ -73,6 +73,23 @@ class Encoder:
             enc.sharpness = self.cfg.sharpness
             enc.frame_luma_bias = self.cfg.frame_luma_bias
             enc.psy_rd = self.cfg.psy_rd
+            # PSY noise normalization (auto strength 3 at tune 3;
+            # ref full_loop.c:1486-1495)
+            nn = self.cfg.noise_norm_strength
+            if nn < 1 and int(self.cfg.tune) == 3:
+                nn = 3
+            enc.noise_norm = nn
+            # Tune 3 swaps candidate distortion to the SSIM-weighted
+            # kernel (SSIM_LVL_1; ref enc_mode_config.c:7883)
+            enc.tune_ssim = int(self.cfg.tune) == 3
+            # quantizer matrices (PSY default ON, decoupled chroma range;
+            # ref enc_settings.c:1084-1088, md_config_process.c:218)
+            if self.cfg.enable_qm:
+                enc.qm_cfg = (self.cfg.min_qm_level,
+                              self.cfg.max_qm_level,
+                              self.cfg.min_chroma_qm_level,
+                              self.cfg.max_chroma_qm_level,
+                              int(self.cfg.tune))
             if self.cfg.hierarchical_levels and \
                     self.cfg.pred_structure == PredStructure.LOW_DELAY_B:
                 enc.hierarchical_levels = min(self.cfg.hierarchical_levels,
@@ -108,6 +125,11 @@ class Encoder:
             # (ref enc_mode_config txs level; the funnel-width gate in
             # the C walk keeps p13 at largest-tx)
             enc.tx_split_search = preset <= 12
+            # PSY max-32-tx-size caps TX at 32x32 (README.md:67-69);
+            # requires the tx split search to express the cap
+            if self.cfg.max_32_tx_size:
+                enc.max_tx32 = True
+                enc.tx_split_search = True
             # restoration: auto (-1) follows the reference's preset
             # derivation — off at the fast presets (ref enc_mode_config.c
             # derives enable_restoration=0 for M10+), opt-in via

@@ -197,6 +197,20 @@ class FastIntraEncoder:
         # PSY sharpness: diff-based quant rounding bias
         # (ref md_config_process.c:96-117)
         self.sharpness = 0
+        # PSY max-32-tx-size (needs the TX_MODE_SELECT split search)
+        self.max_tx32 = False
+        # Tune 3: SSIM-weighted candidate distortion in the walks
+        # (ref enc_mode_config.c:7883 tune_ssim_level -> SSIM_LVL_1)
+        self.tune_ssim = False
+        # PSY noise normalization: AC coefficient revival in the encode
+        # pass (ref full_loop.c:1464; strength 1..4, auto 3 at tune 3)
+        self.noise_norm = 0
+        # quantizer matrices (spec 5.9.12; PSY default ON with decoupled
+        # chroma range — ref enc_settings.c:1084-1088): None = off, else
+        # (min_qm, max_qm, min_chroma_qm, max_chroma_qm, tune) and the
+        # per-frame levels follow the tune's curve
+        # (ref md_config_process.c:175-215)
+        self.qm_cfg = None
         # PSY frame-luma-bias: more bits for dark frames
         # (ref rc_process.c:3413)
         self.frame_luma_bias = 0
@@ -362,6 +376,20 @@ class FastIntraEncoder:
         mad = float(np.abs(cur - prev).mean()) / (1 << (self.bd - 8))
         return mad > getattr(self, "scenecut_threshold", 20.0)
 
+    def _frame_qm_levels(self, base_q: int):
+        """Per-frame QM levels from the frame qindex (ref
+        md_config_process.c svt_av1_qm_init; levels of 15 mean flat).
+        Returns (qm_y, qm_u, qm_v) or None when QM is off entirely."""
+        if self.qm_cfg is None:
+            return None
+        from svt_av1_psy_tpu.ops.quant import get_qmlevel
+        mn, mx, cmn, cmx, tune = self.qm_cfg
+        qy = get_qmlevel(base_q, mn, mx, tune)
+        qc = get_qmlevel(base_q, cmn, cmx, tune)
+        if qy >= 15 and qc >= 15:
+            return None
+        return (qy, qc, qc)
+
     def _swap_recon(self):
         self._rec_y, self._ref_y = self._ref_y, self._rec_y
         self._rec_u, self._ref_u = self._ref_u, self._rec_u
@@ -455,6 +483,8 @@ class FastIntraEncoder:
             self.seq.enable_restoration = bool(self.enable_lr)
         lr_dec = self._lr_pending if self.enable_lr else None
 
+        qm = self._frame_qm_levels(base_q)
+
         # one engine + CDF context + range coder per tile; tile walks run
         # concurrently in threads (ctypes releases the GIL in C)
         tile_fcs = [FrameContext(base_q) for _ in range(self.n_tiles)]
@@ -465,6 +495,14 @@ class FastIntraEncoder:
             eng = native.CommitEngine(self.width, self.height, self.bd,
                                       sharpness=self.sharpness,
                                       base_q=base_q)
+            if qm is not None:
+                eng.set_qm(*qm)
+            if self.noise_norm:
+                eng.set_noise_norm(self.noise_norm)
+            if self.tune_ssim:
+                eng.set_tune_ssim(True)
+            if self.max_tx32:
+                eng.set_max_tx32(True)
             eng.attach_planes(self._rec_y, self._rec_u, self._rec_v)
             if self.enable_dlf:
                 eng.attach_lfmaps(self._lf_y, self._lf_uv)
@@ -563,6 +601,10 @@ class FastIntraEncoder:
                                 order_hint=(self.frame_index
                                             if order_hint is None
                                             else order_hint) & 0x7F,
+                                using_qmatrix=qm is not None,
+                                qm_y=qm[0] if qm else 15,
+                                qm_u=qm[1] if qm else 15,
+                                qm_v=qm[2] if qm else 15,
                                 tx_mode_select=getattr(
                                     self, "tx_split_search", False),
                                 delta_q_present=sbq is not None,
@@ -794,6 +836,7 @@ class FastIntraEncoder:
         inherited = src_fc.inherit_copy()
         tile_fcs = [inherited if ti == 0 else inherited.copy()
                     for ti in range(self.n_tiles)]
+        qm = self._frame_qm_levels(base_q)
 
         def encode_tile(ti):
             c0 = self.tile_col_starts[ti] * 16
@@ -801,6 +844,12 @@ class FastIntraEncoder:
             eng = native.CommitEngine(self.width, self.height, self.bd,
                                       sharpness=self.sharpness,
                                       base_q=base_q)
+            if qm is not None:
+                eng.set_qm(*qm)
+            if self.noise_norm:
+                eng.set_noise_norm(self.noise_norm)
+            if self.tune_ssim:
+                eng.set_tune_ssim(True)
             eng.attach_planes(self._rec_y, self._rec_u, self._rec_v)
             if ref_planes is not None:
                 eng.set_ref(*ref_planes)
@@ -919,6 +968,10 @@ class FastIntraEncoder:
         fr_params = FrameParams(
             frame_type=1, base_q_idx=base_q,
             order_hint=order_hint,
+            using_qmatrix=qm is not None,
+            qm_y=qm[0] if qm else 15,
+            qm_u=qm[1] if qm else 15,
+            qm_v=qm[2] if qm else 15,
             show_frame=show, showable_frame=not show,
             tx_mode_select=False, primary_ref_frame=0,
             gm_trans=gm_trans,

@@ -330,6 +330,10 @@ def _ensure_commit_locked(lib):
                                        ctypes.c_int, ctypes.c_int]
     lib.tpuc_attach_skipmap.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int]
     lib.tpuc_set_psy_rd.argtypes = [ctypes.c_void_p, ctypes.c_double]
+    lib.tpuc_set_qm.argtypes = [ctypes.c_void_p] + [i32p] * 6
+    lib.tpuc_set_noise_norm.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.tpuc_set_tune_ssim.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.tpuc_set_max_tx32.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.tpuc_set_lr.argtypes = [ctypes.c_void_p, i32p, i32p,
                                 i16p, i16p, i16p, i32p, i32p]
     lib.tpui_mc_block.argtypes = [u16p, ctypes.c_int, ctypes.c_int,
@@ -642,6 +646,42 @@ class CommitEngine:
     def set_psy_rd(self, strength: float):
         """PSY energy-preservation RD strength (the psy_rd.c analog)."""
         self.lib.tpuc_set_psy_rd(self._c, float(strength))
+
+    def set_noise_norm(self, strength: int):
+        """PSY noise normalization strength 1..4 (ref full_loop.c:1464;
+        AC coefficient revival in the encode pass)."""
+        self.lib.tpuc_set_noise_norm(self._c, int(strength))
+
+    def set_max_tx32(self, on: bool):
+        """PSY max-32-tx-size: cap transforms at 32x32 by forcing the
+        depth-1 split of 64-side TX (ref README.md:67-69)."""
+        self.lib.tpuc_set_max_tx32(self._c, 1 if on else 0)
+
+    def set_tune_ssim(self, on: bool):
+        """Tune 3: SSIM-weighted candidate distortion (the DIST_SSIM arm
+        of md_stage_3; ref full_loop.c:2220, enc_mode_config.c:7883)."""
+        self.lib.tpuc_set_tune_ssim(self._c, 1 if on else 0)
+
+    def set_qm(self, qm_y: int, qm_u: int, qm_v: int):
+        """Arm quantizer matrices at the frame's per-plane levels (spec
+        5.9.12; ref md_config_process.c svt_av1_qm_init). Level 15 =
+        flat (NULL) for that plane."""
+        from svt_av1_psy_tpu.constants import tables
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        t = tables()
+        args = []
+        self._qm_keep = []   # own slot: set_src reassigns _keep
+        for plane, lvl in ((0, qm_y), (1, qm_u), (2, qm_v)):
+            if lvl >= 15:
+                args += [None, None]
+                continue
+            wt = np.ascontiguousarray(t["qm_wt"][lvl, 1 if plane else 0],
+                                      np.int32)
+            iwt = np.ascontiguousarray(t["qm_iwt"][lvl, 1 if plane else 0],
+                                       np.int32)
+            self._qm_keep += [wt, iwt]
+            args += [wt.ctypes.data_as(i32p), iwt.ctypes.data_as(i32p)]
+        self.lib.tpuc_set_qm(self._c, *args)
 
     def set_lr(self, lr_type, unit_size, unit_arrays, ucols, urows):
         """Arm loop-restoration syntax emission for the next walk.

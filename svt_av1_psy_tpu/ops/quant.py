@@ -91,6 +91,31 @@ def iqm_matrix(level: int, plane: int, ts: int) -> np.ndarray | None:
     return flat.reshape(h, w).astype(np.int32)
 
 
+def get_qmlevel(qindex: int, first: int, last: int, tune: int = 1) -> int:
+    """Frame QM level from qindex (ref md_config_process.c:175-215).
+
+    tune 0/1: linear aom_get_qmlevel; tune 2/3: PSY sigmoidal curve
+    (psy_get_qmlevel); tune 4: still-picture polynomial
+    (psy_still_get_qmlevel)."""
+    import math
+
+    if tune in (2, 3):
+        s = 2.0 / (1.0 + math.exp(0.01 * qindex))
+        v = int(round(first + (qindex ** s) * (last + 1 - first) /
+                      (256.0 ** s)))
+        return int(np.clip(v, first, last))
+    if tune == 4:
+        coeffs = [1.10464272e-14, -9.78597634e-12, 3.46261763e-09,
+                  -6.26759877e-07, 6.10876647e-05, -3.04942759e-03,
+                  4.79930113e-02, 9.86922373e+00]
+        result, x = 0.0, 1.0
+        for c in reversed(coeffs):
+            result += c * x
+            x *= qindex
+        return int(np.clip(int(round(result)), first, last))
+    return first + (qindex * (last + 1 - first)) // 256
+
+
 def _invert_quant(d: int) -> tuple[int, int]:
     """libaom invert_quant: returns (quant_q16_minus_65536, shift)."""
     t = d
