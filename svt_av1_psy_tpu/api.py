@@ -58,6 +58,10 @@ class Encoder:
         # python RD funnel with its extra tools (per-64x64 CDEF search,
         # CfL/filter-intra, segmentation AQ, LR search)
         self._fast = preset >= 4
+        # screen content tools live in the full RD path (palette + IBC
+        # searches, ref palette.c / hash_motion.c); --scm 1 routes there
+        if self.cfg.screen_content_mode == 1:
+            self._fast = False
         gop = _gop_from_cfg(self.cfg)
         if self._fast:
             from svt_av1_psy_tpu.models.fast_intra import FastIntraEncoder
@@ -149,6 +153,14 @@ class Encoder:
             # 2 = deltaq (variance boost covers that shape)
             enc.aq_mode = 1 if \
                 self.cfg.enable_adaptive_quantization == 1 else 0
+            # screen content tools (--scm): 1 forces palette + intra
+            # block copy, 2 detects per key frame (ref scs
+            # screen_content_mode derivation in pic_analysis_process.c)
+            if self.cfg.screen_content_mode == 1:
+                enc.screen_content = True
+                enc.enable_intrabc = True
+            elif self.cfg.screen_content_mode == 2:
+                enc.scm_auto = True
         self._enc = enc
         self._frames = 0
 

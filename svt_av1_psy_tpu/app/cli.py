@@ -219,6 +219,10 @@ def main(argv=None) -> int:
                     help="binary ITU-T T.35 blob (DoVi RPU / HDR10+ "
                          "container) injected as a per-frame metadata "
                          "OBU (ref app_process_cmd.c:463-495)")
+    ap.add_argument("--scm", type=int, default=2, choices=(0, 1, 2),
+                    help="screen content tools: 0 off, 1 on (palette + "
+                         "intra block copy, routes to the full RD path), "
+                         "2 content-based detection (ref --scm)")
     ap.add_argument("--svtav1-params", default=None,
                     help="colon-separated key=value parameter string "
                          "(the svt_av1_enc_parse_parameter surface, "
@@ -274,6 +278,7 @@ def main(argv=None) -> int:
             pred_structure=args.pred_struct,
             tf_strength=args.enable_tf,
             psy_rd=args.psy_rd,
+            screen_content_mode=args.scm,
             tune=2 if args.psy_rd else 2)
         if args.svtav1_params:
             cfg = parse_parameter_string(cfg, args.svtav1_params)

@@ -173,6 +173,7 @@ class FrameParams:
     error_resilient_mode: bool = False
     disable_cdf_update: bool = False
     allow_screen_content_tools: bool = False
+    allow_intrabc: bool = False               # key frames only (spec 5.9.2)
     order_hint: int = 0
     refresh_frame_flags: int = 0xFF
     # MFMV temporal MV prediction (needs seq.enable_ref_frame_mvs)
@@ -298,7 +299,8 @@ def write_frame_header_bits(w: BitWriter, seq: SequenceParams,
         w.bit(fr.delta_q_present)
     if fr.delta_q_present:
         w.f(fr.delta_q_res_log2, 2)
-        w.bit(0)                              # delta_lf_present
+        if not fr.allow_intrabc:
+            w.bit(0)                          # delta_lf_present
     _write_loop_filter_params(w, seq, fr)
     _write_cdef_params(w, seq, fr)
     _write_lr_params(w, seq, fr)
@@ -458,7 +460,7 @@ def _write_intra_header_head(w: BitWriter, seq: SequenceParams,
         w.bit(0)                              # use_superres
     w.bit(0)                                  # render_and_frame_size_different
     if fr.allow_screen_content_tools:
-        w.bit(0)                              # allow_intrabc
+        w.bit(int(fr.allow_intrabc))
 
 
 def tile_log2(blk_size: int, target: int) -> int:
@@ -535,7 +537,7 @@ def _write_quantization_params(w: BitWriter, seq: SequenceParams,
 
 def _write_loop_filter_params(w: BitWriter, seq: SequenceParams,
                               fr: FrameParams):
-    if fr.coded_lossless:
+    if fr.coded_lossless or fr.allow_intrabc:
         return
     w.f(fr.filter_level[0], 6)
     w.f(fr.filter_level[1], 6)
@@ -548,7 +550,7 @@ def _write_loop_filter_params(w: BitWriter, seq: SequenceParams,
         w.bit(0)                              # loop_filter_delta_update
 
 def _write_cdef_params(w: BitWriter, seq: SequenceParams, fr: FrameParams):
-    if fr.coded_lossless or not seq.enable_cdef:
+    if fr.coded_lossless or fr.allow_intrabc or not seq.enable_cdef:
         return
     w.f(fr.cdef_damping - 3, 2)
     w.f(fr.cdef_bits, 2)
@@ -560,7 +562,7 @@ def _write_cdef_params(w: BitWriter, seq: SequenceParams, fr: FrameParams):
 
 
 def _write_lr_params(w: BitWriter, seq: SequenceParams, fr: FrameParams):
-    if fr.coded_lossless or not seq.enable_restoration:
+    if fr.coded_lossless or fr.allow_intrabc or not seq.enable_restoration:
         return
     uses_lr = any(t != 0 for t in fr.lr_type)
     uses_chroma_lr = fr.lr_type[1] != 0 or fr.lr_type[2] != 0

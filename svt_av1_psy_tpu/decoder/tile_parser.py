@@ -1540,30 +1540,11 @@ class TileParser:
         coding of the new colors (ref write_palette_colors_y inverse;
         cache = sorted dedupe merge of the above/left palettes,
         above only when not at a superblock top row)."""
+        from svt_av1_psy_tpu.entropy.palette import merge_color_cache
         above = self.above_pal[c] if ((r * 4) % 64) and r > self.r0 \
             else None
         left = self.left_pal[r] if c > self.c0 else None
-        cache = []
-        a = list(above) if above else []
-        l = list(left) if left else []
-        ai = li = 0
-        while ai < len(a) and li < len(l):
-            va, vl = a[ai], l[li]
-            if vl < va:
-                if not cache or vl != cache[-1]:
-                    cache.append(vl)
-                li += 1
-            else:
-                if not cache or va != cache[-1]:
-                    cache.append(va)
-                ai += 1
-                if vl == va:
-                    li += 1
-        cache.extend(v for v in a[ai:] if not cache or v != cache[-1])
-        while li < len(l):
-            if not cache or l[li] != cache[-1]:
-                cache.append(l[li])
-            li += 1
+        cache = merge_color_cache(above, left)
         got = []
         i = 0
         while i < len(cache) and len(got) < n:
@@ -1587,54 +1568,11 @@ class TileParser:
                     bits = min(bits, _ceil_log2(rng))
         return tuple(sorted(got + new))
 
-    _PAL_CTX_LOOKUP = (-1, -1, 0, -1, -1, 4, 3, 2, 1)
-
     def _pal_color_ctx(self, m, rr, cc, n):
         """get_palette_color_context (ref cabac_context_model.c:2458):
         returns (cdf ctx, color order)."""
-        nb = [int(m[rr, cc - 1]) if cc > 0 else -1,
-              int(m[rr - 1, cc]) if rr > 0 else -1,
-              int(m[rr - 1, cc - 1]) if (rr > 0 and cc > 0) else -1]
-        sc = [2, 2, 1]
-        if nb[0] == nb[1]:
-            sc[0] += sc[1]
-            nb[1] = -1
-            if nb[0] == nb[2]:
-                sc[0] += sc[2]
-                nb[2] = -1
-        elif nb[0] == nb[2]:
-            sc[0] += sc[2]
-            nb[2] = -1
-        elif nb[1] == nb[2]:
-            sc[1] += sc[2]
-            nb[2] = -1
-        ranks = []
-        scores = []
-        for idx in range(3):
-            if nb[idx] != -1:
-                ranks.append(nb[idx])
-                scores.append(sc[idx])
-        # stable-ish sort per the reference's explicit swaps
-        if len(ranks) >= 2 and (scores[0] < scores[1] or
-                                (scores[0] == scores[1] and
-                                 ranks[0] > ranks[1])):
-            ranks[0], ranks[1] = ranks[1], ranks[0]
-            scores[0], scores[1] = scores[1], scores[0]
-        if len(ranks) >= 3:
-            if scores[0] < scores[2]:
-                ranks[0], ranks[2] = ranks[2], ranks[0]
-                scores[0], scores[2] = scores[2], scores[0]
-            if scores[1] < scores[2]:
-                ranks[1], ranks[2] = ranks[2], ranks[1]
-                scores[1], scores[2] = scores[2], scores[1]
-        h = 0
-        mult = (1, 2, 2)
-        pads = scores + [0] * (3 - len(scores))
-        for idx in range(3):
-            h += pads[idx] * mult[idx]
-        ctx = self._PAL_CTX_LOOKUP[h]
-        order = ranks + [x for x in range(n) if x not in ranks]
-        return ctx, order
+        from svt_av1_psy_tpu.entropy.palette import palette_color_ctx
+        return palette_color_ctx(m, rr, cc, n)
 
     def _read_palette_map(self, r, c, bsize, n):
         """palette_tokens (spec 5.11.49): first index uniform-coded, the

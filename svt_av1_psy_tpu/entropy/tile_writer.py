@@ -109,6 +109,11 @@ class BlockRecord:
     cfl_idx_v: int = 0
     use_filter_intra: bool = False
     filter_intra_mode: int = 0
+    # luma palette (spec 5.11.42/5.11.49): sorted color tuple + index map
+    palette: tuple = None
+    palette_map: object = None
+    # intra block copy (spec 5.11.31): mv carries the DV (1/8 px, integer)
+    use_intrabc: bool = False
     is_inter: bool = False
     ref_frame: int = 0
     mv: tuple = (0, 0)
@@ -136,7 +141,8 @@ class TileWriter:
                  motion_mode_switchable: bool = False,
                  allow_warped_motion: bool = False,
                  skip_mode_present: bool = False,
-                 gm_mv=None, seg=None):
+                 gm_mv=None, seg=None, allow_screen_content: bool = False,
+                 bd: int = 8, allow_intrabc: bool = False):
         self.fc = fc
         # per-ref precision-lowered global MV for the stack fill
         # (index 0 = LAST_FRAME); identity when the frame codes no gm
@@ -179,12 +185,19 @@ class TileWriter:
         self.motion_mode_switchable = motion_mode_switchable
         self.allow_warped_motion = allow_warped_motion
         self.skip_mode_present = skip_mode_present
-        if not frame_is_intra:
+        self.allow_intrabc = allow_intrabc
+        if not frame_is_intra or allow_intrabc:
             from svt_av1_psy_tpu.inter.mvref import MiGrid
             self.grid = MiGrid(mi_rows, mi_cols)
             self.txtype_grid = np.zeros((mi_rows, mi_cols), np.uint8)
             self.above_skip_mode = np.zeros(mi_cols, np.uint8)
             self.left_skip_mode = np.zeros(mi_rows, np.uint8)
+        # palette neighbor state (spec 5.11.42): covering block's luma
+        # palette (sorted colors tuple) or None, per mi column/row
+        self.allow_screen_content = allow_screen_content
+        self.bd = bd
+        self.above_pal = [None] * mi_cols
+        self.left_pal = [None] * mi_rows
         # neighbor state
         self.above_part = np.zeros(mi_cols, np.uint8)
         self.left_part = np.zeros(mi_rows, np.uint8)
@@ -358,6 +371,14 @@ class TileWriter:
         if delta_q is not None:
             self.write_delta_q(delta_q[0], delta_q[1])
 
+        # use_intrabc (spec 5.11.31; mirror of the parser order: after
+        # skip/seg/cdef/delta_q, before everything else)
+        if self.frame_is_intra and self.allow_intrabc:
+            enc.encode_symbol(int(b.use_intrabc), fc.intrabc, adapt=True)
+            if b.use_intrabc:
+                self._write_intrabc_info(b)
+                return
+
         if not self.frame_is_intra:
             from svt_av1_psy_tpu.inter import mvref as mvh
             ii_ctx = mvh.intra_inter_ctx(self.grid, r, c)
@@ -411,8 +432,32 @@ class TileWriter:
                               fc.angle_delta[b.uv_mode - PredMode.V_PRED],
                               adapt=True)
 
+        # palette_mode_info (spec 5.11.42; mirror of
+        # TileParser._parse_intra_block): luma palette for DC blocks
+        # 8x8..64x64 when screen content tools are on
+        if self.allow_screen_content and b.bsize >= 3 \
+                and BLOCK_SIZE_WIDE[b.bsize] <= 64 \
+                and BLOCK_SIZE_HIGH[b.bsize] <= 64:
+            bctx = (BLOCK_SIZE_WIDE[b.bsize].bit_length() +
+                    BLOCK_SIZE_HIGH[b.bsize].bit_length() - 2) - 6
+            if b.y_mode == int(PredMode.DC_PRED):
+                pctx = int(have_above and
+                           self.above_pal[c] is not None) + \
+                    int(have_left and self.left_pal[r] is not None)
+                enc.encode_symbol(int(b.palette is not None),
+                                  fc.palette_y_mode[bctx][pctx], adapt=True)
+                if b.palette is not None:
+                    enc.encode_symbol(len(b.palette) - 2,
+                                      fc.palette_y_size[bctx], adapt=True)
+                    self._write_palette_colors_y(r, c, b.palette)
+            if hc and b.uv_mode == int(PredMode.DC_PRED):
+                enc.encode_symbol(
+                    0, fc.palette_uv_mode[int(b.palette is not None)],
+                    adapt=True)
+
         # filter intra flag (seq-gated; only DC blocks <= 32x32)
         if (self.enable_filter_intra and b.y_mode == int(PredMode.DC_PRED)
+                and b.palette is None
                 and BLOCK_SIZE_WIDE[b.bsize] <= 32
                 and BLOCK_SIZE_HIGH[b.bsize] <= 32):
             enc.encode_symbol(int(b.use_filter_intra),
@@ -420,6 +465,11 @@ class TileWriter:
             if b.use_filter_intra:
                 enc.encode_symbol(b.filter_intra_mode, fc.filter_intra_mode,
                                   adapt=True)
+
+        # palette_tokens (spec 5.11.49): color index map, coded after
+        # mode info and before the tx-size symbols (spec decode_block)
+        if b.palette is not None:
+            self._write_palette_map(b)
 
         # tx size (TX_MODE_SELECT intra depth coding, spec 5.11.15)
         tx_size = b.tx_size if b.tx_size >= 0 else int(MAX_TX_SIZE_RECT[b.bsize])
@@ -449,6 +499,9 @@ class TileWriter:
         self.left_mode[r:r + h4] = b.y_mode
         self.above_skip[c:c + w4] = int(b.skip)
         self.left_skip[r:r + h4] = int(b.skip)
+        if self.allow_screen_content:
+            self.above_pal[c:c + w4] = [b.palette] * w4
+            self.left_pal[r:r + h4] = [b.palette] * h4
 
         if not self.frame_is_intra:
             self.grid.set_block(b.mi_row, b.mi_col, h4, w4, b.bsize, 0, -1,
@@ -460,13 +513,17 @@ class TileWriter:
             return
         self._write_residual(b)
 
-    def _write_mv_component(self, comp: int, val: int):
-        """encode_mv_component (spec 5.11.32 mirror)."""
+    def _write_mv_component(self, comp: int, val: int, tabs=None,
+                            integer: bool = False):
+        """encode_mv_component (spec 5.11.32 mirror). tabs/integer select
+        the intrabc DV context instance at MV_SUBPEL_NONE precision."""
         enc, fc = self.enc, self.fc
+        if tabs is None:
+            tabs = fc.nmv_comp
         pre = f"comp{comp}_"
         sign = 1 if val < 0 else 0
         mag = -val if sign else val
-        enc.encode_symbol(sign, fc.nmv_comp[pre + "sign_cdf"], adapt=True)
+        enc.encode_symbol(sign, tabs[pre + "sign_cdf"], adapt=True)
         off = mag - 1
         cls = 0
         while cls < 10:
@@ -475,27 +532,27 @@ class TileWriter:
             if base <= off < base + size:
                 break
             cls += 1
-        enc.encode_symbol(cls, fc.nmv_comp[pre + "classes_cdf"], adapt=True)
+        enc.encode_symbol(cls, tabs[pre + "classes_cdf"], adapt=True)
         rem = off if cls == 0 else off - (2 << (cls + 2))
         hp = rem & 1
         fr = (rem >> 1) & 3
         d = rem >> 3
         if cls == 0:
-            enc.encode_symbol(d, fc.nmv_comp[pre + "class0_cdf"], adapt=True)
+            enc.encode_symbol(d, tabs[pre + "class0_cdf"], adapt=True)
         else:
             for bpos in range(cls):
                 enc.encode_symbol((d >> bpos) & 1,
-                                  fc.nmv_comp[pre + "bits_cdf"][bpos],
+                                  tabs[pre + "bits_cdf"][bpos],
                                   adapt=True)
-        if not self.force_integer_mv:
+        if not integer and not self.force_integer_mv:
             if cls == 0:
-                enc.encode_symbol(fr, fc.nmv_comp[pre + "class0_fp_cdf"][d],
+                enc.encode_symbol(fr, tabs[pre + "class0_fp_cdf"][d],
                                   adapt=True)
             else:
-                enc.encode_symbol(fr, fc.nmv_comp[pre + "fp_cdf"],
+                enc.encode_symbol(fr, tabs[pre + "fp_cdf"],
                                   adapt=True)
             if self.allow_hp:
-                enc.encode_symbol(hp, fc.nmv_comp[
+                enc.encode_symbol(hp, tabs[
                     pre + ("class0_hp_cdf" if cls == 0 else "hp_cdf")],
                     adapt=True)
 
@@ -508,6 +565,106 @@ class TileWriter:
             self._write_mv_component(0, dr)
         if dc:
             self._write_mv_component(1, dc)
+
+    def _write_dv(self, dv, pred):
+        """write_mv for intrabc (mirror of TileParser._read_dv): the DV
+        coder uses its own NMV context at integer precision."""
+        fc = self.fc
+        dr = dv[0] - pred[0]
+        dc = dv[1] - pred[1]
+        joint = (2 if dr else 0) | (1 if dc else 0)
+        self.enc.encode_symbol(joint, fc.dv_joints, adapt=True)
+        if dr:
+            self._write_mv_component(0, dr, tabs=fc.dv_comp, integer=True)
+        if dc:
+            self._write_mv_component(1, dc, tabs=fc.dv_comp, integer=True)
+
+    def dv_pred(self, r: int, c: int, bsize: int):
+        """The DV predictor the parser will derive at this block (spec
+        assign_mv intrabc branch incl. the default-DV rule)."""
+        from svt_av1_psy_tpu.inter.mvref import setup_ref_mv_list
+        refs = setup_ref_mv_list(self.grid, r, c, bsize, 0,
+                                 sb_mi=self.sb_mi, ibc=True)
+        pred = refs.stack[0] if refs.stack else (0, 0)
+        if pred == (0, 0):
+            if r - self.sb_mi < 0:
+                pred = (0, -(self.sb_mi * 4 + 256) * 8)
+            else:
+                pred = (-(self.sb_mi * 4 * 8), 0)
+        return pred
+
+    def _write_intrabc_info(self, b: BlockRecord):
+        """Mode info + residual of a use_intrabc block (mirror of
+        TileParser._parse_intrabc_block)."""
+        from svt_av1_psy_tpu.constants import TX_SIZE_HIGH, TX_SIZE_WIDE
+        r, c = b.mi_row, b.mi_col
+        w4 = BLOCK_SIZE_WIDE[b.bsize] // 4
+        h4 = BLOCK_SIZE_HIGH[b.bsize] // 4
+        self._write_dv(b.mv, self.dv_pred(r, c, b.bsize))
+
+        tx_size = int(MAX_TX_SIZE_RECT[b.bsize])
+        if self.tx_mode_select and not b.skip:
+            splits = iter(b.txfm_splits or ())
+            mw4 = TX_SIZE_WIDE[tx_size] // 4
+            mh4 = TX_SIZE_HIGH[tx_size] // 4
+            for i in range(0, h4, mh4):
+                for j in range(0, w4, mw4):
+                    self._write_var_tx(b, tx_size, 0, i, j, splits)
+        else:
+            self.above_txw[c:c + w4] = TX_SIZE_WIDE[tx_size]
+            self.left_txh[r:r + h4] = TX_SIZE_HIGH[tx_size]
+        self.above_mode[c:c + w4] = int(PredMode.DC_PRED)
+        self.left_mode[r:r + h4] = int(PredMode.DC_PRED)
+        self.above_skip[c:c + w4] = int(b.skip)
+        self.left_skip[r:r + h4] = int(b.skip)
+        if self.allow_screen_content:
+            self.above_pal[c:c + w4] = [None] * w4
+            self.left_pal[r:r + h4] = [None] * h4
+        self.grid.set_block(r, c, h4, w4, b.bsize, 0, -1, b.mv, (0, 0),
+                            True)
+        self.grid.ibc[r:r + h4, c:c + w4] = 1
+        if b.skip:
+            self._reset_skip_context(b)
+            return
+        self._write_residual(b)
+
+    def rate_intrabc_flag(self, on: bool) -> float:
+        from svt_av1_psy_tpu.entropy.range_coder import sym_cost
+        return sym_cost(self.fc.intrabc, int(on))
+
+    def rate_dv(self, dv, pred) -> float:
+        """Approximate DV rate (joint + per-component class/offset bits
+        from the live DV CDFs; fractional bits absent at integer
+        precision)."""
+        from svt_av1_psy_tpu.entropy.range_coder import sym_cost
+        fc = self.fc
+        dr = dv[0] - pred[0]
+        dc = dv[1] - pred[1]
+        joint = (2 if dr else 0) | (1 if dc else 0)
+        bits = sym_cost(fc.dv_joints, joint)
+        for comp, val in ((0, dr), (1, dc)):
+            if not val:
+                continue
+            pre = f"comp{comp}_"
+            mag = abs(val)
+            off = mag - 1
+            cls = 0
+            while cls < 10:
+                base = 0 if cls == 0 else (2 << (cls + 2))
+                size = 16 if cls == 0 else (2 << (cls + 2))
+                if base <= off < base + size:
+                    break
+                cls += 1
+            bits += sym_cost(fc.dv_comp[pre + "sign_cdf"], int(val < 0))
+            bits += sym_cost(fc.dv_comp[pre + "classes_cdf"], cls)
+            d = (off if cls == 0 else off - (2 << (cls + 2))) >> 3
+            if cls == 0:
+                bits += sym_cost(fc.dv_comp[pre + "class0_cdf"], d)
+            else:
+                for bpos in range(cls):
+                    bits += sym_cost(fc.dv_comp[pre + "bits_cdf"][bpos],
+                                     (d >> bpos) & 1)
+        return bits
 
     def _write_inter_info(self, b: BlockRecord):
         from svt_av1_psy_tpu.inter import mvref as mvh
@@ -634,6 +791,9 @@ class TileWriter:
         self.left_mode[r:r + h4] = int(PredMode.DC_PRED)
         self.above_skip[c:c + w4] = int(b.skip)
         self.left_skip[r:r + h4] = int(b.skip)
+        if self.allow_screen_content:
+            self.above_pal[c:c + w4] = [None] * w4
+            self.left_pal[r:r + h4] = [None] * h4
         g.set_block(r, c, h4, w4, b.bsize, ref, -1, b.mv, (0, 0),
                     b.inter_mode == 3, filters=b.interp_filters)
 
@@ -867,6 +1027,123 @@ class TileWriter:
         if sign_v != 0:
             bits += sym_cost(self.fc.cfl_alpha[sign_v * 3 + sign_u - 3],
                              idx_v)
+        return bits
+
+    # --- palette (spec 5.11.42 / 5.11.49; mirror of the parser) -----------
+    def _pal_cache(self, r: int, c: int):
+        from svt_av1_psy_tpu.entropy.palette import merge_color_cache
+        above = self.above_pal[c] if ((r * 4) % 64) and r > 0 else None
+        left = self.left_pal[r] if c > 0 else None
+        return merge_color_cache(above, left)
+
+    def _write_palette_colors_y(self, r: int, c: int, colors):
+        """write_palette_colors_y: cache reuse flags + delta coding of
+        the new colors (inverse of TileParser._read_palette_colors_y)."""
+        from svt_av1_psy_tpu.entropy.palette import (ceil_log2,
+                                                     plan_color_coding)
+        enc = self.enc
+        plan = plan_color_coding(colors, self._pal_cache(r, c), self.bd)
+        assert plan is not None, "palette colors not representable"
+        flags, new, bits_extra, _ = plan
+        for f in flags:
+            enc.encode_literal(f, 1)
+        if new:
+            bd = self.bd
+            enc.encode_literal(new[0], bd)
+            if len(new) > 1:
+                enc.encode_literal(bits_extra, 2)
+                bits = (bd - 3) + bits_extra
+                v = new[0]
+                rng = (1 << bd) - v - 1
+                for nxt in new[1:]:
+                    d = nxt - v
+                    enc.encode_literal(d - 1, bits)
+                    v = nxt
+                    rng -= d
+                    bits = min(bits, ceil_log2(rng))
+
+    def _write_palette_map(self, b: BlockRecord):
+        """palette_tokens (spec 5.11.49): first index uniform-coded, the
+        rest in anti-diagonal wavefront order with neighbor contexts."""
+        from svt_av1_psy_tpu.entropy.palette import (palette_color_ctx,
+                                                     uniform_bits,
+                                                     wavefront_cells)
+        enc, fc = self.enc, self.fc
+        r, c = b.mi_row, b.mi_col
+        n = len(b.palette)
+        m = b.palette_map
+        bw = BLOCK_SIZE_WIDE[b.bsize]
+        bh = BLOCK_SIZE_HIGH[b.bsize]
+        w_on = min(bw, (self.mi_cols - c) * 4)
+        h_on = min(bh, (self.mi_rows - r) * 4)
+        # write_uniform(n, m[0,0])
+        lbits = uniform_bits(n)
+        mm = (1 << lbits) - n
+        v0 = int(m[0, 0])
+        if lbits > 1:
+            if v0 < mm:
+                enc.encode_literal(v0, lbits - 1)
+            else:
+                t = v0 + mm
+                enc.encode_literal(t >> 1, lbits - 1)
+                enc.encode_literal(t & 1, 1)
+        else:                       # n == 2: single bit (v >= mm == 0)
+            enc.encode_literal(v0, 1)
+        cdf = fc.palette_y_color[n - 2]
+        for rr, cc in wavefront_cells(h_on, w_on):
+            ctx, order = palette_color_ctx(m, rr, cc, n)
+            enc.encode_symbol(order.index(int(m[rr, cc])), cdf[ctx],
+                              nsyms=n, adapt=True)
+
+    def rate_palette_y(self, r: int, c: int, bsize: int, colors) -> float:
+        """Bits for palette_y_mode=1 + size + colors (header part)."""
+        from svt_av1_psy_tpu.entropy.palette import plan_color_coding
+        from svt_av1_psy_tpu.entropy.range_coder import sym_cost
+        bctx = (BLOCK_SIZE_WIDE[bsize].bit_length() +
+                BLOCK_SIZE_HIGH[bsize].bit_length() - 2) - 6
+        pctx = int(r > 0 and self.above_pal[c] is not None) + \
+            int(c > 0 and self.left_pal[r] is not None)
+        plan = plan_color_coding(colors, self._pal_cache(r, c), self.bd)
+        if plan is None:
+            return 1e9
+        bits = sym_cost(self.fc.palette_y_mode[bctx][pctx], 1)
+        bits += sym_cost(self.fc.palette_y_size[bctx], len(colors) - 2)
+        return bits + plan[3]
+
+    def rate_palette_flag(self, r: int, c: int, bsize: int,
+                          on: bool) -> float:
+        """Bits of the palette_y_mode flag alone (0 for non-palette DC
+        blocks once screen content tools are on)."""
+        from svt_av1_psy_tpu.entropy.range_coder import sym_cost
+        if not (self.allow_screen_content and bsize >= 3
+                and BLOCK_SIZE_WIDE[bsize] <= 64
+                and BLOCK_SIZE_HIGH[bsize] <= 64):
+            return 0.0
+        bctx = (BLOCK_SIZE_WIDE[bsize].bit_length() +
+                BLOCK_SIZE_HIGH[bsize].bit_length() - 2) - 6
+        pctx = int(r > 0 and self.above_pal[c] is not None) + \
+            int(c > 0 and self.left_pal[r] is not None)
+        return sym_cost(self.fc.palette_y_mode[bctx][pctx], int(on))
+
+    def rate_palette_map(self, bsize: int, r: int, c: int, pal_map,
+                         n: int) -> float:
+        """Bits of the color index map (wavefront, live CDFs, no
+        adaptation during estimation)."""
+        from svt_av1_psy_tpu.entropy.palette import (palette_color_ctx,
+                                                     uniform_bits,
+                                                     wavefront_cells)
+        from svt_av1_psy_tpu.entropy.range_coder import sym_cost
+        bw = BLOCK_SIZE_WIDE[bsize]
+        bh = BLOCK_SIZE_HIGH[bsize]
+        w_on = min(bw, (self.mi_cols - c) * 4)
+        h_on = min(bh, (self.mi_rows - r) * 4)
+        bits = float(max(uniform_bits(n) - 1, 0))
+        if int(pal_map[0, 0]) >= (1 << uniform_bits(n)) - n:
+            bits += 1.0
+        cdf = self.fc.palette_y_color[n - 2]
+        for rr, cc in wavefront_cells(h_on, w_on):
+            ctx, order = palette_color_ctx(pal_map, rr, cc, n)
+            bits += sym_cost(cdf[ctx], order.index(int(pal_map[rr, cc])))
         return bits
 
     def rate_tx_depth(self, r: int, c: int, bsize: int,

@@ -114,6 +114,14 @@ class IntraEncoder:
         self.force_ady = 0         # debug: forced angle delta
         self.force_types = None    # debug: force luma tx-type candidates
         self.enable_rect = True    # HORZ/VERT partition candidates
+        # screen content tools (--scm): luma palette search on key frames
+        self.screen_content = False
+        # intra block copy (spec 5.11.31; needs screen_content): DV search
+        # on key frames; disables in-loop filters for the frame (spec 5.9.11)
+        self.enable_intrabc = False
+        # --scm 2: per-key-frame screen-content detection (the
+        # pic_analysis_process.c sc detector role)
+        self.scm_auto = False
         # variance-boost AQ (ref rc_process.c:1516; PSY flagship feature)
         self.enable_variance_boost = False
         self.vb_strength = 2
@@ -186,6 +194,11 @@ class IntraEncoder:
         else:
             self.bests, self.split = None, None
 
+        if self.scm_auto:
+            sc = self._detect_screen_content(yp)
+            self.screen_content = sc
+            self.enable_intrabc = sc
+
         cfg_q = self.qindex
         vb = None
         dq_res_log2 = 0
@@ -202,11 +215,15 @@ class IntraEncoder:
         if getattr(self, "aq_mode", 0) == 1 and vb is None:
             seg_info = self._setup_segmentation_aq(yp)
 
+        ibc = self.screen_content and self.enable_intrabc
         fr_params = FrameParams(base_q_idx=self.qindex,
                                 order_hint=self.frame_index & 0x7F,
                                 tx_mode_select=True,
                                 delta_q_present=vb is not None,
-                                delta_q_res_log2=dq_res_log2)
+                                delta_q_res_log2=dq_res_log2,
+                                allow_screen_content_tools=
+                                self.screen_content,
+                                allow_intrabc=ibc)
         if seg_info is not None:
             fr_params.seg_enabled = True
             fr_params.seg_altq = tuple(seg_info["altq"])
@@ -216,10 +233,13 @@ class IntraEncoder:
         fc = FrameContext(self.qindex)
         self.tw = TileWriter(fc, self.mi_rows, self.mi_cols, sb_size=SB,
                              backend=self.backend, tx_mode_select=True,
-                             cdef_bits=0,
+                             cdef_bits=-1 if ibc else 0,
+                             allow_screen_content=self.screen_content,
+                             bd=bd, allow_intrabc=ibc,
                              seg=(None if seg_info is None else
                                   dict(last_active=seg_info["last_active"],
                                        map=seg_info["map"])))
+        self._ibc_index = self._build_ibc_index(yp) if ibc else None
         self._seg_info = seg_info
         self._sb_ops = []
         prev_q = self.qindex
@@ -254,16 +274,21 @@ class IntraEncoder:
             self.fr.q_override = None
 
         tile = self.tw.finish()
-        lf = self._pick_dlf_levels(yp, up, vp)
-        fr_params.filter_level = (lf[0], lf[1])
-        fr_params.filter_level_uv = (lf[2], lf[3])
-        if any(lf):
-            self.fr.apply_dlf(lf, sharpness=0)
-        deblock_copy = [pl.copy() for pl in self.fr.planes]
-        cdef_grid = self._cdef_stage(fr_params, yp, up, vp, self.qindex)
-        tile = self._apply_and_sign_lr(fr_params, tile, deblock_copy,
-                                       yp, up, vp, self.qindex,
-                                       cdef_grid=cdef_grid)
+        if ibc:
+            # allow_intrabc disables every in-loop filter for the frame
+            # (spec 5.9.11/5.9.19/5.9.20: params not coded, inferred off)
+            fr_params.cdef_bits = 0
+        else:
+            lf = self._pick_dlf_levels(yp, up, vp)
+            fr_params.filter_level = (lf[0], lf[1])
+            fr_params.filter_level_uv = (lf[2], lf[3])
+            if any(lf):
+                self.fr.apply_dlf(lf, sharpness=0)
+            deblock_copy = [pl.copy() for pl in self.fr.planes]
+            cdef_grid = self._cdef_stage(fr_params, yp, up, vp, self.qindex)
+            tile = self._apply_and_sign_lr(fr_params, tile, deblock_copy,
+                                           yp, up, vp, self.qindex,
+                                           cdef_grid=cdef_grid)
         payload = key_frame_temporal_unit(
             self.seq, fr_params, tile, with_seq_header=(self.frame_index == 0))
         self.frame_index += 1
@@ -568,6 +593,13 @@ class IntraEncoder:
         src_y = yp[y0:y0 + bh, x:x + bw].astype(np.int32)
         hc = has_chroma(r, c, bsize)
 
+        # IBC competes with intra on full RD; snapshot now, trial at the
+        # end (its source area never overlaps the current superblock)
+        ibc_snap = None
+        if getattr(self, "_ibc_index", None) is not None \
+                and bw >= 8 and bh >= 8 and self.force_y_mode is None:
+            ibc_snap = fr.snapshot_area(r, c, bh // 4, bw // 4)
+
         trial = ParsedBlock(mi_row=r, mi_col=c, bsize=bsize, y_mode=0,
                             uv_mode=0, tx_size=ts_y)
 
@@ -641,8 +673,32 @@ class IntraEncoder:
             cost += self.rdmult * self.tw.rate_tx_depth(r, c, bsize, ts)
             if best_trial is None or cost < best_trial[0]:
                 best_trial = (cost, ts, txbs)
-        _, ts_sel, txbs_y = best_trial
-        blk.tx_size = ts_sel
+        # palette candidate (spec 5.11.42; ref palette.c search): competes
+        # with the chosen intra mode on full luma RD + exact syntax rates
+        pal_pick = None
+        if getattr(self, "screen_content", False) and bsize >= 3 \
+                and bw <= 64 and bh <= 64 and self.force_y_mode is None:
+            pal_pick = self._palette_trial(r, c, bsize, (bw, bh), src_y,
+                                           depths)
+            if pal_pick is not None:
+                hdr_n = self.tw.rate_y_mode(r, c, y_mode)
+                if y_mode == 0:
+                    hdr_n += self.tw.rate_palette_flag(r, c, bsize, False)
+                if 1 <= y_mode <= 8 and use_angle_delta(bsize):
+                    hdr_n += self.tw.rate_angle_delta(y_mode, ad_y)
+                if pal_pick[0] >= best_trial[0] + self.rdmult * hdr_n:
+                    pal_pick = None
+        if pal_pick is not None:
+            _, pal_colors, pal_map, ts_sel, txbs_y, pal_cost, pal_hdr = \
+                pal_pick
+            y_mode, ad_y = 0, 0
+            blk = ParsedBlock(mi_row=r, mi_col=c, bsize=bsize, y_mode=0,
+                              uv_mode=0, tx_size=ts_sel,
+                              palette=pal_colors, palette_map=pal_map)
+            best_trial = (pal_cost, ts_sel, txbs_y)
+        else:
+            _, ts_sel, txbs_y = best_trial
+            blk.tx_size = ts_sel
         for (u_row, u_col, tt, qc, pred) in txbs_y:
             fr.commit_txb(blk, 0, u_row, u_col, ts_sel, tt, qc, pred)
 
@@ -764,17 +820,25 @@ class IntraEncoder:
             angle_delta_uv=ad_uv, skip=skip, tx_size=ts_sel,
             cfl_joint_sign=cfl_js if hc and uv_mode == 13 else -1,
             cfl_idx_u=cfl_iu if hc else 0, cfl_idx_v=cfl_iv if hc else 0,
+            palette=None if pal_pick is None else pal_colors,
+            palette_map=None if pal_pick is None else pal_map,
             txbs_y=[] if skip else [TxbData(q, ts_sel, tt)
                                     for (_, _, tt, q, _) in txbs_y],
             txbs_u=[] if (skip or not hc) else [TxbData(qu, ts_uv, tt_uv)],
             txbs_v=[] if (skip or not hc) else [TxbData(qv, ts_uv, tt_uv)])
         blk.skip = skip
         fr.finish_block(blk, hc)
-        # header rates (skip + luma mode + angle delta); txb/uv/depth rates
-        # are already inside best_trial / ubest costs
-        hdr = self.tw.rate_skip(r, c, skip) + self.tw.rate_y_mode(r, c, y_mode)
-        if 1 <= y_mode <= 8 and size >= 8:
-            hdr += self.tw.rate_angle_delta(y_mode, ad_y)
+        # header rates (skip + luma mode syntax); txb/uv/depth rates are
+        # already inside best_trial / ubest costs
+        hdr = self.tw.rate_skip(r, c, skip)
+        if getattr(self.tw, "allow_intrabc", False):
+            hdr += self.tw.rate_intrabc_flag(False)
+        if pal_pick is not None:
+            hdr += pal_hdr           # y_mode(DC) + palette colors + map
+        else:
+            hdr += self.tw.rate_y_mode(r, c, y_mode)
+            if 1 <= y_mode <= 8 and size >= 8:
+                hdr += self.tw.rate_angle_delta(y_mode, ad_y)
         total_cost = best_trial[0] + (ubest[0] if hc else 0.0) + \
             self.rdmult * hdr
         commits = [(0, u_row, u_col, ts_sel, tt, qc, pred)
@@ -782,6 +846,14 @@ class IntraEncoder:
         if hc:
             commits.append((1, cr, cc_, ts_uv, tt_uv, qu, pu))
             commits.append((2, cr, cc_, ts_uv, tt_uv, qv, pv))
+
+        # intra block copy trial (spec 5.11.31; ref hash_motion.c role):
+        # full RD vs the committed intra/palette winner
+        if ibc_snap is not None:
+            ibc = self._intrabc_trial(r, c, bsize, (bw, bh), src_y, hc)
+            if ibc is not None and ibc[0] < total_cost:
+                self.fr.restore_area(ibc_snap)
+                return self._commit_intrabc(r, c, bsize, ibc, hc)
         return total_cost, rec, (blk, hc, commits)
 
     def _luma_tx_types(self, ts):
@@ -827,6 +899,271 @@ class IntraEncoder:
                 fr.commit_txb(blk, 0, u_row, u_col, ts, tt, qc, pred)
                 out.append((u_row, u_col, tt, qc, pred))
         return total, out
+
+    @staticmethod
+    def _detect_screen_content(yp: np.ndarray) -> bool:
+        """Screen-content heuristic (the pic_analysis_process.c detector
+        role): a frame is screen-like when a large share of 16x16 blocks
+        uses very few distinct luma values."""
+        H, W = yp.shape
+        few = total = 0
+        for y in range(0, H - 15, 32):
+            for x in range(0, W - 15, 32):
+                blk = yp[y:y + 16, x:x + 16]
+                total += 1
+                if len(np.unique(blk)) <= 8:
+                    few += 1
+        return total > 0 and few / total >= 0.35
+
+    # --- palette search (screen content; ref palette.c k-means) ----------
+    @staticmethod
+    def _palette_colors(src: np.ndarray):
+        """Candidate palette color sets for a luma block: exact uniques
+        when few, else 1-D weighted Lloyd at k in {2,4,8}."""
+        vals = src.ravel()
+        uniq, counts = np.unique(vals, return_counts=True)
+        if len(uniq) < 2:
+            return []
+        if len(uniq) <= 8:
+            return [tuple(int(x) for x in uniq)]
+        if len(uniq) > 64:           # not screen-like; skip the trial
+            return []
+        u = uniq.astype(np.float64)
+        w = counts.astype(np.float64)
+        out = []
+        for k in (8, 4, 2):
+            # init at weighted quantiles
+            cw = np.cumsum(w)
+            qs = (np.arange(k) + 0.5) / k * cw[-1]
+            cents = u[np.searchsorted(cw, qs).clip(0, len(u) - 1)]
+            for _ in range(8):
+                mids = (cents[:-1] + cents[1:]) / 2.0
+                a = np.searchsorted(mids, u)
+                news = cents.copy()
+                for j in range(k):
+                    m = a == j
+                    if m.any():
+                        news[j] = (u[m] * w[m]).sum() / w[m].sum()
+                if np.allclose(news, cents):
+                    break
+                cents = np.sort(news)
+            colors = tuple(sorted(set(int(round(x)) for x in cents)))
+            if len(colors) >= 2 and colors not in out:
+                out.append(colors)
+        return out
+
+    def _palette_trial(self, r, c, bsize, dims, src_y, depths):
+        """Best luma palette candidate for this block: SSE+header
+        pre-rank over color sets, then full tx RD on the winner.
+        Returns (total_cost, colors, map, tx_size, txbs, luma_cost,
+        header_bits) or None."""
+        from svt_av1_psy_tpu.entropy.tile_writer import MAX_TX_SIZE_RECT
+        from svt_av1_psy_tpu.entropy.tx_trees import SUB_TX
+        cands = self._palette_colors(src_y)
+        if not cands:
+            return None
+        fr, tw = self.fr, self.tw
+        bw, bh = dims
+        ranked = []
+        for colors in cands:
+            arr = np.asarray(colors, np.int32)
+            idx = np.abs(src_y[..., None] - arr[None, None, :]) \
+                .argmin(-1).astype(np.uint8)
+            hdr = (tw.rate_palette_y(r, c, bsize, colors) +
+                   tw.rate_palette_map(bsize, r, c, idx, len(colors)) +
+                   tw.rate_y_mode(r, c, 0))
+            sse = float(((src_y - arr[idx]) ** 2).sum())
+            ranked.append((sse + self.rdmult * hdr, colors, idx, hdr))
+        ranked.sort(key=lambda t: t[0])
+        _, colors, idx, hdr = ranked[0]
+        blk = ParsedBlock(mi_row=r, mi_col=c, bsize=bsize, y_mode=0,
+                          uv_mode=0, tx_size=int(MAX_TX_SIZE_RECT[bsize]),
+                          palette=colors, palette_map=idx)
+        best = None
+        for depth in depths:
+            ts = int(MAX_TX_SIZE_RECT[bsize])
+            for _ in range(depth):
+                ts = int(SUB_TX[ts])
+            snap = fr.snapshot(0, r, c, bh // 4, bw // 4)
+            cost, txbs = self._trial_luma(blk, r, c, dims, ts, src_y)
+            fr.restore(snap)
+            cost += self.rdmult * tw.rate_tx_depth(r, c, bsize, ts)
+            total = cost + self.rdmult * hdr
+            if best is None or total < best[0]:
+                best = (total, colors, idx, ts, txbs, cost, hdr)
+        return best
+
+    # --- intra block copy search (spec 5.11.31; ref hash_motion.c) -------
+    @staticmethod
+    def _build_ibc_index(yp: np.ndarray):
+        """Exact-match index of 8x8 source tiles on the 8-px grid: tile
+        bytes -> earliest (y, x). The hash-ME analog of the reference's
+        hash_motion.c, over the source (recon equals source closely at
+        matched flat/text areas; candidates are re-verified by true RD
+        on the recon)."""
+        H, W = yp.shape
+        idx = {}
+        for y in range(0, H - 7, 8):
+            for x in range(0, W - 7, 8):
+                key = yp[y:y + 8, x:x + 8].tobytes()
+                if key not in idx:
+                    idx[key] = (y, x)
+        return idx
+
+    def _dv_valid(self, dv, r, c, bsize) -> bool:
+        """av1_is_dv_valid analog (single tile, 64px superblocks): full
+        pel, inside the frame, >= 4-SB64 raster delay + wavefront rule."""
+        bw = BLOCK_SIZE_WIDE[bsize]
+        bh = BLOCK_SIZE_HIGH[bsize]
+        if (dv[0] & 7) or (dv[1] & 7):
+            return False
+        src_t = r * 4 * 8 + dv[0]
+        src_l = c * 4 * 8 + dv[1]
+        src_b = (r * 4 + bh) * 8 + dv[0]
+        src_r = (c * 4 + bw) * 8 + dv[1]
+        if src_t < 0 or src_l < 0:
+            return False
+        if src_b > self.mi_rows * 4 * 8 or src_r > self.mi_cols * 4 * 8:
+            return False
+        delay = 4                    # INTRABC_DELAY_PX 256 / 64
+        active_sb_row = (r * 4) >> 6
+        active_sb64_col = (c * 4) >> 6
+        src_sb_row = ((src_b >> 3) - 1) >> 6
+        src_sb64_col = ((src_r >> 3) - 1) >> 6
+        total = ((self.mi_cols - 1) >> 4) + 1
+        if src_sb_row * total + src_sb64_col >= \
+                active_sb_row * total + active_sb64_col - delay:
+            return False
+        gradient = 1 + delay
+        wf = gradient * (active_sb_row - src_sb_row)
+        if src_sb_row > active_sb_row or \
+                src_sb64_col >= active_sb64_col - delay + wf:
+            return False
+        return True
+
+    def _intrabc_trial(self, r, c, bsize, dims, src_y, hc):
+        """Full-RD IBC candidate: hash + structured DVs filtered by
+        validity, ranked by source SSE, best one transformed/costed.
+        Returns (total_cost, dv, txbs_y, uvdata, n_units) or None."""
+        from svt_av1_psy_tpu.constants import TX_SIZE_HIGH, TX_SIZE_WIDE
+        from svt_av1_psy_tpu.entropy.tile_writer import MAX_TX_SIZE_RECT
+        from svt_av1_psy_tpu.entropy.tx_trees import max_uv_tx_size
+        fr, tw = self.fr, self.tw
+        bw, bh = dims
+        y0, x0 = r * 4, c * 4
+        cands = []
+        key = src_y[:8, :8].astype(self._src[0].dtype).tobytes()
+        hit = self._ibc_index.get(key)
+        if hit is not None and hit != (y0, x0):
+            cands.append(((hit[0] - y0) * 8, (hit[1] - x0) * 8))
+        for dpx in (64, 128):
+            cands.append((0, -dpx * 8))
+            cands.append((-dpx * 8, 0))
+            cands.append((-dpx * 8, -dpx * 8))
+        pred_dv = tw.dv_pred(r, c, bsize)
+        cands.append(pred_dv)
+        # even-full-pel only: chroma DV = dv/2 stays integer (plain copy)
+        cands = [d for d in dict.fromkeys(cands)
+                 if d[0] % 16 == 0 and d[1] % 16 == 0
+                 and self._dv_valid(d, r, c, bsize)]
+        if not cands:
+            return None
+        rec_y = fr.planes[0]
+        scored = []
+        for dv in cands:
+            sy, sx = y0 + dv[0] // 8, x0 + dv[1] // 8
+            p = rec_y[sy:sy + bh, sx:sx + bw].astype(np.int32)
+            scored.append((float(((src_y - p) ** 2).sum()), dv))
+        scored.sort(key=lambda t: t[0])
+        _, dv = scored[0]
+
+        ts = int(MAX_TX_SIZE_RECT[bsize])
+        tw_, th_ = TX_SIZE_WIDE[ts], TX_SIZE_HIGH[ts]
+        sy, sx = y0 + dv[0] // 8, x0 + dv[1] // 8
+        pred_y = rec_y[sy:sy + bh, sx:sx + bw].astype(np.int32)
+        total = 0.0
+        txbs = []
+        dct = int(TxType.DCT_DCT)
+        for oy in range(0, bh, th_):
+            for ox in range(0, bw, tw_):
+                u_row, u_col = r + oy // 4, c + ox // 4
+                pred = pred_y[oy:oy + th_, ox:ox + tw_]
+                resid = src_y[oy:oy + th_, ox:ox + tw_] - pred
+                d, qc, rate = tw.rd_txb(0, bsize, resid, ts, dct,
+                                        u_row, u_col, self.pq,
+                                        is_inter=True, bd=self.bd)
+                total += d + self.rdmult * rate
+                txbs.append((u_row, u_col, qc, pred))
+        uvdata = None
+        if hc:
+            from svt_av1_psy_tpu.entropy.tx_trees import max_uv_tx_size
+            ts_uv = max_uv_tx_size(bsize)
+            cr, cc_ = r >> 1, c >> 1
+            cy, cx = cr * 4, cc_ * 4
+            ch = max(bh >> 1, 4)
+            cw = max(bw >> 1, 4)
+            suy, sux = cy + dv[0] // 16, cx + dv[1] // 16
+            up, vp = self._src[1], self._src[2]
+            src_u = up[cy:cy + ch, cx:cx + cw].astype(np.int32)
+            src_v = vp[cy:cy + ch, cx:cx + cw].astype(np.int32)
+            pu = fr.planes[1][suy:suy + ch, sux:sux + cw].astype(np.int32)
+            pv = fr.planes[2][suy:suy + ch, sux:sux + cw].astype(np.int32)
+            du, qu, ru = tw.rd_txb(1, bsize, src_u - pu, ts_uv, dct,
+                                   cr, cc_, self.pq, is_inter=True,
+                                   bd=self.bd)
+            dvv, qv, rv = tw.rd_txb(2, bsize, src_v - pv, ts_uv, dct,
+                                    cr, cc_, self.pq, is_inter=True,
+                                    bd=self.bd)
+            total += du + dvv + self.rdmult * (ru + rv)
+            uvdata = (ts_uv, qu, pu, qv, pv, cr, cc_)
+        n_units = len(txbs)
+        skip = not (any(np.any(q) for (_, _, q, _) in txbs) or
+                    (uvdata is not None and
+                     (np.any(uvdata[1]) or np.any(uvdata[3]))))
+        hdr = (tw.rate_skip(r, c, skip) + tw.rate_intrabc_flag(True) +
+               tw.rate_dv(dv, pred_dv))
+        if not skip:
+            hdr += 1.0 * n_units     # all-zero var-tx split flags (approx)
+        total += self.rdmult * hdr
+        return (total, dv, ts, txbs, uvdata, skip)
+
+    def _commit_intrabc(self, r, c, bsize, ibc, hc):
+        """Commit the winning IBC candidate to recon + build records."""
+        from svt_av1_psy_tpu.constants import TX_SIZE_HIGH, TX_SIZE_WIDE
+        total, dv, ts, txbs, uvdata, skip = ibc
+        fr = self.fr
+        dct = int(TxType.DCT_DCT)
+        blk = ParsedBlock(mi_row=r, mi_col=c, bsize=bsize, y_mode=0,
+                          uv_mode=0, skip=skip, tx_size=ts,
+                          is_inter=True, ref_frame=0, mv=dv,
+                          inter_mode=3, interp_filters=(3, 3),
+                          use_intrabc=True)
+        commits = []
+        for (u_row, u_col, qc, pred) in txbs:
+            fr.commit_txb(blk, 0, u_row, u_col, ts, dct, qc, pred)
+            commits.append((0, u_row, u_col, ts, dct, qc, pred))
+        if uvdata is not None:
+            ts_uv, qu, pu, qv, pv, cr, cc_ = uvdata
+            fr.commit_txb(blk, 1, cr, cc_, ts_uv, dct, qu, pu)
+            fr.commit_txb(blk, 2, cr, cc_, ts_uv, dct, qv, pv)
+            commits.append((1, cr, cc_, ts_uv, dct, qu, pu))
+            commits.append((2, cr, cc_, ts_uv, dct, qv, pv))
+        fr.finish_block(blk, hc)
+        leaves = [(u_row - r, u_col - c, ts) for (u_row, u_col, _, _)
+                  in txbs]
+        rec = BlockRecord(
+            mi_row=r, mi_col=c, bsize=bsize, y_mode=0, uv_mode=0,
+            skip=skip, tx_size=ts, use_intrabc=True, is_inter=True,
+            ref_frame=0, mv=dv, inter_mode=3, interp_filters=(3, 3),
+            tx_leaves=None if skip else leaves,
+            txfm_splits=[0] * len(txbs),
+            txbs_y=[] if skip else [TxbData(qc, ts, dct)
+                                    for (_, _, qc, _) in txbs],
+            txbs_u=[] if (skip or uvdata is None) else
+            [TxbData(uvdata[1], uvdata[0], dct)],
+            txbs_v=[] if (skip or uvdata is None) else
+            [TxbData(uvdata[3], uvdata[0], dct)])
+        return total, rec, (blk, hc, commits)
 
     def _inv(self, dqc, ts, tt):
         if self.backend == "native":
@@ -1367,6 +1704,8 @@ class IntraEncoder:
                          cdef_bits=(fr_params.cdef_bits
                                     if cdef_grid is not None else 0),
                          frame_is_intra=self.tw.frame_is_intra,
+                         allow_screen_content=self.tw.allow_screen_content,
+                         bd=self.bd,
                          seg=(None if seg_info is None else
                               dict(last_active=seg_info["last_active"],
                                    map=seg_info["map"])))
