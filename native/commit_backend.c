@@ -15,11 +15,53 @@
  * analog); inter_backend.c builds the P-frame walk on the same helpers.
  */
 #include <math.h>
+#include <stdatomic.h>
 #include <stdlib.h>
 #include <stdio.h>
 #include <string.h>
+#include <time.h>
 
 #include "commit_internal.h"
+
+/* ---- native phase profiler (SVT_NATIVE_PROF=1) --------------------------
+ * Wall-clock accumulators per phase, summed across tile threads — the
+ * SRM-occupancy pipeline-monitor analog for the C walk (SURVEY §5).
+ * Buckets: 0 fwd txfm, 1 quantize, 2 coeff rate, 3 inv txfm,
+ *          4 intra predict, 5 txb write (EC), 6 trial-total, 7 spare. */
+static int g_prof_on = -1;
+static _Atomic long long g_prof_ns[8];
+
+static inline int prof_enabled(void) {
+    if (g_prof_on < 0) {
+        const char *e = getenv("SVT_NATIVE_PROF");
+        g_prof_on = (e && *e && *e != '0') ? 1 : 0;
+    }
+    return g_prof_on;
+}
+
+static inline long long prof_now(void) {
+    struct timespec t;
+    clock_gettime(CLOCK_MONOTONIC, &t);
+    return t.tv_sec * 1000000000LL + t.tv_nsec;
+}
+
+#define PROF_BEGIN long long _pt = prof_enabled() ? prof_now() : 0
+#define PROF_MARK(k)                                                   \
+    do {                                                               \
+        if (_pt) {                                                     \
+            long long _n = prof_now();                                 \
+            atomic_fetch_add(&g_prof_ns[k], _n - _pt);                 \
+            _pt = _n;                                                  \
+        }                                                              \
+    } while (0)
+
+void tpuc_prof_reset(void) {
+    for (int i = 0; i < 8; i++) g_prof_ns[i] = 0;
+}
+
+void tpuc_prof_get(long long *out) {
+    for (int i = 0; i < 8; i++) out[i] = g_prof_ns[i];
+}
 
 /* ---- geometry tables (AV1 spec constants) ------------------------------ */
 static const int TXW[19] = {4, 8, 16, 32, 64, 4, 8, 8, 16, 16,
@@ -603,6 +645,7 @@ static void predict_block(TpuCommit *c, int plane, int mode, int ad,
 void tpu_predict_txb(TpuCommit *c, int plane, int mode, int ad, int mi_row,
                      int mi_col, int u_row, int u_col, int ts,
                      int32_t *pred) {
+    PROF_BEGIN;
     int sub = plane ? 1 : 0;
     int w = TXW[ts], h = TXH[ts];
     int x = u_col * 4, y = u_row * 4;
@@ -671,6 +714,7 @@ void tpu_predict_txb(TpuCommit *c, int plane, int mode, int ad, int mi_row,
     }
     predict_block(c, plane, mode, ad, above, left, al, w, h, have_above,
                   have_left, max_x - x + 1, max_y - y + 1, ftype, pred);
+    PROF_MARK(4);
 }
 
 /* ---- quant + trial ----------------------------------------------------- */
@@ -722,7 +766,9 @@ void tpu_trial_txb(TpuCommit *c, int plane, int ts, int tt,
     int32_t coeff[32 * 32];
     int32_t rresid[64 * 64];
     (void)is_inter;
+    PROF_BEGIN;
     tputx_fwd2d(resid, coeff, ts, tt, c->bd);
+    PROF_MARK(0);
     const int32_t *pq = pq_of(c, q, plane);
     /* QM applies only to 2-D transform types (tx_type < IDTX; libaom
      * IS_2D_TRANSFORM — mirrors decoder/reconstruct.py) */
@@ -738,6 +784,7 @@ void tpu_trial_txb(TpuCommit *c, int plane, int ts, int tt,
         tputx_quantize_b(coeff, out->qc, out->dqc, cw * ch, tx_log_scale(ts),
                          pq[0], pq[1], pq[2], pq[3], pq[4], pq[5], pq[6],
                          pq[7], pq[8], pq[9]);
+    PROF_MARK(1);
     int eob = 0;
     const int16_t *scan = g_scan[ts][tt];
     int n = g_scan_n[ts][tt];
@@ -767,6 +814,7 @@ void tpu_trial_txb(TpuCommit *c, int plane, int ts, int tt,
                                   TXH[ts], eob_multi_size_of(ts),
                                   txs_entropy_ctx_of(ts), tx_class_of(tt),
                                   ptype, sctx_sign);
+    PROF_MARK(2);
     if (TXW[ts] <= 32 && TXH[ts] <= 32) {
         /* transform-domain distortion (ref av1_block_error): the integer
          * DCT gain is 2^(6 - 2*log_scale); avoids one inverse per trial
@@ -1125,6 +1173,7 @@ static int tx_depth_ctx(TpuCommit *c, int r, int c4, int ts_y) {
 static void intra_trial(TpuCommit *c, int r, int c4, int size,
                         const uint8_t *cand_modes, int q,
                         int frame_is_intra, IntraChoice *out) {
+    PROF_BEGIN;
     ModeCdfs *mc = c->mc;
     int ts_y = tpu_sq_tx(size);
     int ts_c = tpu_uv_tx(size);
@@ -1437,6 +1486,7 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
         mode_rate += tpu_sym_cost_bits(mc->angle_delta + (y_mode - 1) * 8,
                                        3 + s_ad);
     out->cost = best_cost + best_uv_cost + c->rdmult * mode_rate;
+    PROF_MARK(6);
 }
 
 /* ---- Tune 3 SSIM-weighted distortion (ref full_loop.c:2220-2290,
@@ -1555,6 +1605,7 @@ static void intra_update_rows(TpuCommit *c, int r, int c4, int aw4,
 
 static void intra_write_commit(TpuCommit *c, int r, int c4, int size,
                                const IntraChoice *ch, int frame_is_intra) {
+    PROF_BEGIN;
     ModeCdfs *mc = c->mc;
     int ts_y = tpu_sq_tx(size);
     int ts_c = tpu_uv_tx(size);
@@ -1642,6 +1693,7 @@ static void intra_write_commit(TpuCommit *c, int r, int c4, int size,
         tpu_commit_recon(c, 2, cr, cc, ts_c, s_pred_v, NULL);
         c->dist_acc += s_tu.sse + s_tv.sse;
         intra_update_rows(c, r, c4, aw4, lh4, y_mode, uv_mode, skip);
+        PROF_MARK(5);
         return;
     }
     if (do_split) {
@@ -1674,6 +1726,7 @@ static void intra_write_commit(TpuCommit *c, int r, int c4, int size,
     tpu_commit_recon(c, 2, cr, cc, ts_c, s_pred_v, &s_tv);
     c->dist_acc += s_tu.sse + s_tv.sse;
     intra_update_rows(c, r, c4, aw4, lh4, y_mode, uv_mode, skip);
+    PROF_MARK(5);
 }
 
 void tpu_intra_block(TpuCommit *c, int r, int c4, int size,

@@ -139,6 +139,11 @@ void tpuc_set_qm(TpuCommit *c,
 void tpuc_attach_planes(TpuCommit *c, uint16_t *y, uint16_t *u, uint16_t *v,
                         int ystride, int cstride);
 uint16_t *tpuc_plane(TpuCommit *c, int plane, int *stride);
+
+/* native phase profiler (SVT_NATIVE_PROF=1): ns accumulators
+ * [fwd, quant, rate, inv, predict, commit+ec, trial_total, spare] */
+void tpuc_prof_reset(void);
+void tpuc_prof_get(long long *out8);
 void tpuc_attach_lfmaps(TpuCommit *c, uint8_t *txdim_y, uint8_t *txdim_uv,
                         int ystride, int cstride);
 void tpuc_attach_skipmap(TpuCommit *c, uint8_t *skip, int stride);

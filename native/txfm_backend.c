@@ -99,6 +99,108 @@ static void run_stages(int64_t *x, const Txfm1d *t, int cos_bit,
     }
 }
 
+/* ---- lane-parallel variants --------------------------------------------
+ * The 2-D transform applies the SAME 1-D butterfly program to every
+ * column (then every row). Rather than interpreting the program once per
+ * column, these variants keep the data as [element][lane] (lane = column
+ * or row index) and run each butterfly over all L lanes in a contiguous
+ * inner loop — the structure a SIMD unit wants (auto-vectorized with
+ * -march=native; AVX-512 does 8 int64 lanes per op). Identical per-lane
+ * integer ops, so results stay bit-exact vs run_stages. This is the
+ * replacement for the reference's per-size hand-written SIMD
+ * (ASM_AVX2/av1_fwd_txfm2d_*.c) with one generic kernel. */
+static void run_stages_ln(int64_t *x, const Txfm1d *t, int cos_bit,
+                          int clamp_bits, int L) {
+    static __thread int64_t tmp[MAX_N * MAX_N];
+    int64_t half = 1ll << (cos_bit - 1);
+    const int64_t *cospi = g_cospi[cos_bit];
+    int s, i, l;
+    int n = t->n;
+    /* ping-pong between x and tmp instead of a per-stage copy-back */
+    int64_t *cur = x, *nxt = tmp;
+    for (s = 0; s < t->nstages; s++) {
+        for (i = 0; i < n; i++) {
+            const int64_t *xa = cur + (int)t->a[s][i] * L;
+            const int64_t *xb = cur + (int)t->b[s][i] * L;
+            int64_t *o = nxt + i * L;
+            if (t->mode[s][i]) {
+                int64_t w0 = (int64_t)t->c0s[s][i] * cospi[t->c0i[s][i]];
+                int64_t w1 = (int64_t)t->c1s[s][i] * cospi[t->c1i[s][i]];
+                for (l = 0; l < L; l++)
+                    o[l] = (w0 * xa[l] + w1 * xb[l] + half) >> cos_bit;
+            } else {
+                int64_t lw0 = t->lw0[s][i], lw1 = t->lw1[s][i];
+                if (clamp_bits > 0 && t->clamp[s][i]) {
+                    int64_t hi = (1ll << (clamp_bits - 1)) - 1;
+                    int64_t lo = -(1ll << (clamp_bits - 1));
+                    for (l = 0; l < L; l++) {
+                        int64_t v = lw0 * xa[l] + lw1 * xb[l];
+                        if (v > hi) v = hi;
+                        if (v < lo) v = lo;
+                        o[l] = v;
+                    }
+                } else {
+                    for (l = 0; l < L; l++)
+                        o[l] = lw0 * xa[l] + lw1 * xb[l];
+                }
+            }
+        }
+        {
+            int64_t *sw = cur;
+            cur = nxt;
+            nxt = sw;
+        }
+    }
+    if (cur != x) memcpy(x, cur, sizeof(int64_t) * n * L);
+}
+
+static void adst4_ln(int64_t *x, int cos_bit, int forward, int L) {
+    int64_t half = 1ll << (cos_bit - 1);
+    const int64_t *g_sinpi = g_sinpi_tab[cos_bit];
+    int64_t *x0 = x, *x1 = x + L, *x2 = x + 2 * L, *x3 = x + 3 * L;
+    int l;
+    if (forward) {
+        for (l = 0; l < L; l++) {
+            int64_t s0 = g_sinpi[1] * x0[l];
+            int64_t s1 = g_sinpi[4] * x0[l];
+            int64_t s2 = g_sinpi[2] * x1[l];
+            int64_t s3 = g_sinpi[1] * x1[l];
+            int64_t s4 = g_sinpi[3] * x2[l];
+            int64_t s5 = g_sinpi[4] * x3[l];
+            int64_t s6 = g_sinpi[2] * x3[l];
+            int64_t s7 = (x0[l] + x1[l]) - x3[l];
+            int64_t t0 = s0 + s2 + s5;
+            int64_t t1 = g_sinpi[3] * s7;
+            int64_t t2 = s1 - s3 + s6;
+            int64_t t3 = s4;
+            x0[l] = (t0 + t3 + half) >> cos_bit;
+            x1[l] = (t1 + half) >> cos_bit;
+            x2[l] = (t2 - t3 + half) >> cos_bit;
+            x3[l] = (t2 - t0 + t3 + half) >> cos_bit;
+        }
+    } else {
+        for (l = 0; l < L; l++) {
+            int64_t s0 = g_sinpi[1] * x0[l];
+            int64_t s1 = g_sinpi[2] * x0[l];
+            int64_t s2 = g_sinpi[3] * x1[l];
+            int64_t s3 = g_sinpi[4] * x2[l];
+            int64_t s4 = g_sinpi[1] * x2[l];
+            int64_t s5 = g_sinpi[2] * x3[l];
+            int64_t s6 = g_sinpi[4] * x3[l];
+            int64_t s7 = (x0[l] - x2[l]) + x3[l];
+            int64_t t0 = s0 + s3 + s5;
+            int64_t t1 = s1 - s4 - s6;
+            int64_t t3 = s2;
+            int64_t t2 = g_sinpi[3] * s7;
+            x0[l] = (t0 + t3 + half) >> cos_bit;
+            x1[l] = (t1 + t3 + half) >> cos_bit;
+            x2[l] = (t2 + half) >> cos_bit;
+            x3[l] = ((t0 + t1) - t3 + half) >> cos_bit;
+        }
+    }
+}
+
+
 static void adst4(int64_t *x, int cos_bit, int forward) {
     int64_t s0, s1, s2, s3, s4, s5, s6, s7, t0, t1, t2, t3, o0, o1, o2, o3;
     int64_t half = 1ll << (cos_bit - 1);
@@ -165,6 +267,24 @@ static void identity_1d(int64_t *x, int n) {
             x[i] = (x[i] * 4 * NEW_SQRT2 + 2048) >> 12;
 }
 
+static void identity_ln(int64_t *x, int n, int L) {
+    int i;
+    int total = n * L;
+    if (n == 4)
+        for (i = 0; i < total; i++)
+            x[i] = (x[i] * NEW_SQRT2 + 2048) >> 12;
+    else if (n == 8)
+        for (i = 0; i < total; i++) x[i] *= 2;
+    else if (n == 16)
+        for (i = 0; i < total; i++)
+            x[i] = (x[i] * 2 * NEW_SQRT2 + 2048) >> 12;
+    else if (n == 32)
+        for (i = 0; i < total; i++) x[i] *= 4;
+    else
+        for (i = 0; i < total; i++)
+            x[i] = (x[i] * 4 * NEW_SQRT2 + 2048) >> 12;
+}
+
 static int log2i(int v) {
     int n = -1;
     while (v) {
@@ -189,6 +309,24 @@ static void run_1d(int64_t *x, int kind, int n, int cos_bit, int clamp_bits,
         int k = (kind == 1 || kind == 2) ? 1 : 0;
         run_stages(x, &g_txfms[forward][k][log2i(n) - 2], cos_bit,
                    forward ? 0 : clamp_bits);
+    }
+}
+
+/* lane-parallel 1-D transform over x[n][L] (all L vectors at once) */
+static void run_1d_ln(int64_t *x, int kind, int n, int cos_bit,
+                      int clamp_bits, int forward, int L) {
+    if (kind == 3) {
+        identity_ln(x, n, L);
+        return;
+    }
+    if ((kind == 1 || kind == 2) && n == 4) {
+        adst4_ln(x, cos_bit, forward, L);
+        return;
+    }
+    {
+        int k = (kind == 1 || kind == 2) ? 1 : 0;
+        run_stages_ln(x, &g_txfms[forward][k][log2i(n) - 2], cos_bit,
+                      forward ? 0 : clamp_bits, L);
     }
 }
 
@@ -257,33 +395,31 @@ void tputx_inv2d(const int32_t *coeff, int32_t *resid, int tx_size,
     int64_t line[MAX_N];
     int i, j;
 
-    memset(buf, 0, sizeof(int64_t) * w * h);
+    /* row pass, lane-parallel over the h rows: layout [element j][lane i]
+     * (identical per-lane integer ops as the per-row loop — bit-exact) */
+    memset(colbuf, 0, sizeof(int64_t) * w * h);
     for (i = 0; i < ch; i++)
         for (j = 0; j < cw; j++) {
             int64_t v = coeff[i * cw + j];
             if (rect) v = (v * NEW_INV_SQRT2 + 2048) >> 12;
-            buf[i * w + j] = v;
+            colbuf[j * h + i] = v;
         }
-    clamp_arr(buf, w * h, bd + 8);
-    /* row transform + >> -s0 */
-    for (i = 0; i < h; i++) {
-        run_1d(buf + i * w, hk, w, INV_COS_BIT, range_row, 0);
-    }
-    round_shift_arr(buf, w * h, -s0);
-    /* transpose (+ lr flip over the column index) */
+    clamp_arr(colbuf, w * h, bd + 8);
+    run_1d_ln(colbuf, hk, w, INV_COS_BIT, range_row, 0, h);
+    round_shift_arr(colbuf, w * h, -s0);
+    /* transpose to [element i][lane j] (+ lr flip over the column index) */
     for (j = 0; j < w; j++) {
         int sj = lr_flip ? (w - 1 - j) : j;
-        for (i = 0; i < h; i++) colbuf[j * h + i] = buf[i * w + sj];
+        for (i = 0; i < h; i++) buf[i * w + j] = colbuf[sj * h + i];
     }
-    clamp_arr(colbuf, w * h, (bd + 6) > 16 ? (bd + 6) : 16);
-    for (j = 0; j < w; j++)
-        run_1d(colbuf + j * h, vk, h, INV_COS_BIT, range_col, 0);
-    round_shift_arr(colbuf, w * h, -s1);
-    /* ud flip over the h index, transpose back */
+    clamp_arr(buf, w * h, (bd + 6) > 16 ? (bd + 6) : 16);
+    run_1d_ln(buf, vk, h, INV_COS_BIT, range_col, 0, w);
+    round_shift_arr(buf, w * h, -s1);
+    /* ud flip over the h index */
     for (i = 0; i < h; i++) {
         int si = ud_flip ? (h - 1 - i) : i;
         for (j = 0; j < w; j++)
-            resid[i * w + j] = (int32_t)colbuf[j * h + si];
+            resid[i * w + j] = (int32_t)buf[si * w + j];
     }
     (void)line;
 }
@@ -308,30 +444,29 @@ void tputx_fwd2d(const int32_t *residual, int32_t *coeff, int tx_size,
     int i, j;
     (void)bd;
 
-    /* columns first (with ud flip on the row index) */
-    for (j = 0; j < w; j++)
-        for (i = 0; i < h; i++) {
-            int si = ud_flip ? (h - 1 - i) : i;
-            colbuf[j * h + i] = residual[si * w + j];
-        }
-    round_shift_arr(colbuf, w * h, -s0);
-    for (j = 0; j < w; j++)
-        run_1d(colbuf + j * h, vk, h, cos_bit_col, 0, 1);
-    round_shift_arr(colbuf, w * h, -s1);
-    /* transpose back (+ lr flip over the column index) */
-    for (i = 0; i < h; i++)
-        for (j = 0; j < w; j++) {
-            int sj = lr_flip ? (w - 1 - j) : j;
-            buf[i * w + j] = colbuf[sj * h + i];
-        }
-    for (i = 0; i < h; i++)
-        run_1d(buf + i * w, hk, w, cos_bit_row, 0, 1);
-    round_shift_arr(buf, w * h, -s2);
+    /* column pass, lane-parallel over the w columns: the [element i]
+     * [lane j] layout IS the input's row-major layout (with ud flip on
+     * the element index) — no gather needed */
+    for (i = 0; i < h; i++) {
+        int si = ud_flip ? (h - 1 - i) : i;
+        for (j = 0; j < w; j++) buf[i * w + j] = residual[si * w + j];
+    }
+    round_shift_arr(buf, w * h, -s0);
+    run_1d_ln(buf, vk, h, cos_bit_col, 0, 1, w);
+    round_shift_arr(buf, w * h, -s1);
+    /* transpose to [element j][lane i] (+ lr flip over the column index) */
+    for (j = 0; j < w; j++) {
+        int sj = lr_flip ? (w - 1 - j) : j;
+        for (i = 0; i < h; i++) colbuf[j * h + i] = buf[i * w + sj];
+    }
+    run_1d_ln(colbuf, hk, w, cos_bit_row, 0, 1, h);
+    round_shift_arr(colbuf, w * h, -s2);
     if (rect)
         for (i = 0; i < w * h; i++)
-            buf[i] = (buf[i] * NEW_SQRT2 + 2048) >> 12;
+            colbuf[i] = (colbuf[i] * NEW_SQRT2 + 2048) >> 12;
     for (i = 0; i < ch; i++)
-        for (j = 0; j < cw; j++) coeff[i * cw + j] = (int32_t)buf[i * w + j];
+        for (j = 0; j < cw; j++)
+            coeff[i * cw + j] = (int32_t)colbuf[j * h + i];
 }
 
 /* quantize_b: exact mirror of ops/quant.py quantize_b (no-QM path;

@@ -178,6 +178,9 @@ class FastIntraEncoder:
         self.enable_cdef = True
         self.cdef_search_interval = 8   # re-search on keys / every Nth
         self._cdef_cache = None
+        # deferred in-loop filter threads by recon-buffer id (all-intra
+        # pipelining; joined before a ping-pong buffer is rewritten)
+        self._pending_filters = {}
         self._dlf_cache = None
         # loop restoration (Wiener; cross-frame param cache — the walk
         # writes lr syntax before this frame's recon exists, so params
@@ -401,6 +404,9 @@ class FastIntraEncoder:
         re-encoded at a different qindex (the recode loop). Plane
         ping-pong buffers are deep-copied; DPB entries/contexts are
         immutable once stored, so shallow dict copies suffice."""
+        for th in list(self._pending_filters.values()):
+            th.join()
+        self._pending_filters.clear()
         return {
             "frame_index": self.frame_index,
             "_gop_anchor": getattr(self, "_gop_anchor", None),
@@ -485,6 +491,10 @@ class FastIntraEncoder:
 
         qm = self._frame_qm_levels(base_q)
 
+        # the walk rewrites this ping-pong buffer: a deferred filter from
+        # two frames ago may still be running on it
+        self._join_pending_filter(self._rec_y)
+
         # one engine + CDF context + range coder per tile; tile walks run
         # concurrently in threads (ctypes releases the GIL in C)
         tile_fcs = [FrameContext(base_q) for _ in range(self.n_tiles)]
@@ -563,20 +573,42 @@ class FastIntraEncoder:
                     np.asarray(y), np.asarray(u), np.asarray(v), self.bd)
             self.seq.film_grain_params_present = self._fg_params is not None
 
-        lf = (0, 0, 0, 0)
-        if self.enable_dlf:
-            lf = self._pick_and_apply_dlf(yp, up, vp, base_q)
-        pre_cdef = None
-        if self.enable_lr:
-            pre_cdef = (self._rec_y.copy(), self._rec_u.copy(),
-                        self._rec_v.copy())
-        cdef_st, cdef_damp = ((0, 0, 0, 0), 3)
-        if self.enable_cdef:
-            cdef_st, cdef_damp = self._search_apply_cdef(yp, up, vp,
-                                                         base_q,
-                                                         is_key=True)
-        if self.enable_lr:
-            self._lr_apply_and_search(yp, up, vp, base_q, lr_dec, pre_cdef)
+        # all-intra pipelining (SURVEY §2.2 P1): when the recon is never a
+        # reference, the DLF/CDEF APPLY (not the search — the frame header
+        # signals the searched levels) moves to a background thread that
+        # overlaps the next frame's walk; recon access joins it
+        # (EncodedFrame lazy resolve)
+        cached = self._dlf_cache is not None and \
+            self._cdef_cache is not None and \
+            (self.frame_index % max(self.cdef_search_interval, 1)) != 0
+        defer = (self.gop_size == 1 and self.hierarchical_levels == 0
+                 and not getattr(self, "ra_mode", False)
+                 and not self.enable_lr and self.enable_dlf
+                 and self.enable_cdef and cached)
+        deferred_task = None
+        if defer:
+            ly, lu, lv_ = self._dlf_cache
+            lf = (ly, ly, lu, lv_)
+            cdef_st = self._cdef_cache
+            cdef_damp = 3 + (base_q >> 6)
+            deferred_task = self._deferred_filter_task(
+                yp, up, vp, base_q, (ly, lu, lv_), cdef_st, cdef_damp)
+        else:
+            lf = (0, 0, 0, 0)
+            if self.enable_dlf:
+                lf = self._pick_and_apply_dlf(yp, up, vp, base_q)
+            pre_cdef = None
+            if self.enable_lr:
+                pre_cdef = (self._rec_y.copy(), self._rec_u.copy(),
+                            self._rec_v.copy())
+            cdef_st, cdef_damp = ((0, 0, 0, 0), 3)
+            if self.enable_cdef:
+                cdef_st, cdef_damp = self._search_apply_cdef(yp, up, vp,
+                                                             base_q,
+                                                             is_key=True)
+            if self.enable_lr:
+                self._lr_apply_and_search(yp, up, vp, base_q, lr_dec,
+                                          pre_cdef)
         if self.hierarchical_levels > 0 or getattr(self, "ra_mode", False):
             # a shown KEY frame refreshes every DPB slot
             rec = (self._rec_y.copy(), self._rec_u.copy(),
@@ -630,6 +662,11 @@ class FastIntraEncoder:
         self.frame_index += 1
         H, W = self.height, self.width
         cH, cW = (H + 1) // 2, (W + 1) // 2
+        if deferred_task is not None:
+            self._swap_recon()
+            from svt_av1_psy_tpu.utils.trace import next_frame as _tnext
+            _tnext()
+            return EncodedFrame(payload=payload, resolve=deferred_task)
         rec_y = self._rec_y[:H, :W].copy()
         rec_u = self._rec_u[:cH, :cW].copy()
         rec_v = self._rec_v[:cH, :cW].copy()
@@ -1117,6 +1154,66 @@ class FastIntraEncoder:
             native.cdef_run(planes, srcs, self._skip_map, self.width,
                             self.height, self.bd, damping, st, apply=True)
         return st, damping
+
+    def _deferred_filter_task(self, yp, up, vp, base_q, dlf_levels,
+                              cdef_st, damping):
+        """Spawn the DLF/CDEF apply + recon crop on a background thread
+        over THIS frame's recon buffers (all-intra: never a reference).
+        Returns a resolve() that joins and yields the cropped recon."""
+        import threading
+        native = self._native
+        ry, ru, rv = self._rec_y, self._rec_u, self._rec_v
+        lf_y = self._lf_y.copy()        # the next walk rewrites the maps
+        lf_uv = self._lf_uv.copy()
+        skip = self._skip_map.copy()
+        yp = np.ascontiguousarray(yp, np.uint16)
+        up = np.ascontiguousarray(up, np.uint16)
+        vp = np.ascontiguousarray(vp, np.uint16)
+        rows, cols = self.mi_rows, self.mi_cols
+        crows, ccols = (rows + 1) // 2, (cols + 1) // 2
+        H, W = self.height, self.width
+        cH, cW = (H + 1) // 2, (W + 1) // 2
+        bd = self.bd
+        out = {}
+
+        def task():
+            ly, lu, lv_ = dlf_levels
+            if ly:
+                native.dlf_apply(ry, lf_y, True, ly, ly, 0, bd, rows, cols)
+            if lu:
+                native.dlf_apply(ru, lf_uv, False, lu, lu, 0, bd,
+                                 crows, ccols)
+            if lv_:
+                native.dlf_apply(rv, lf_uv, False, lv_, lv_, 0, bd,
+                                 crows, ccols)
+            if any(cdef_st):
+                native.cdef_run((ry, ru, rv), (yp, up, vp), skip, W, H,
+                                bd, damping, cdef_st, apply=True)
+            a = ry[:H, :W].copy()
+            b = ru[:cH, :cW].copy()
+            c2 = rv[:cH, :cW].copy()
+            if bd == 8:
+                a = a.astype(np.uint8)
+                b = b.astype(np.uint8)
+                c2 = c2.astype(np.uint8)
+            out["rec"] = (a, b, c2)
+
+        th = threading.Thread(target=task, daemon=True)
+        th.start()
+        self._pending_filters[id(ry)] = th
+
+        def resolve():
+            th.join()
+            return out["rec"]
+
+        return resolve
+
+    def _join_pending_filter(self, buf) -> None:
+        """Join the deferred filter still running on `buf` (called before
+        the walk reuses a ping-pong buffer, and before any state copy)."""
+        th = self._pending_filters.pop(id(buf), None)
+        if th is not None:
+            th.join()
 
     def _pick_and_apply_dlf(self, yp, up, vp, base_q):
         yp = np.ascontiguousarray(yp, np.uint16)

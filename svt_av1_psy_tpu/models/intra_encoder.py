@@ -50,12 +50,41 @@ _SQ_TX = {64: int(TxSize.TX_64X64), 32: int(TxSize.TX_32X32),
 ALL_Y_MODES = tuple(range(13))          # DC..PAETH incl. directional
 
 
-@dataclass
 class EncodedFrame:
-    payload: bytes
-    recon_y: np.ndarray
-    recon_u: np.ndarray
-    recon_v: np.ndarray
+    """One coded packet + its reconstruction.
+
+    The reconstruction may be produced asynchronously (the fast path
+    defers in-loop filter application off the critical path in all-intra
+    mode, SURVEY §2.2 P1); accessing any recon plane joins that work.
+    """
+
+    __slots__ = ("payload", "_ry", "_ru", "_rv", "_resolve")
+
+    def __init__(self, payload: bytes, recon_y=None, recon_u=None,
+                 recon_v=None, resolve=None):
+        self.payload = payload
+        self._ry, self._ru, self._rv = recon_y, recon_u, recon_v
+        self._resolve = resolve
+
+    def _fin(self):
+        if self._resolve is not None:
+            self._ry, self._ru, self._rv = self._resolve()
+            self._resolve = None
+
+    @property
+    def recon_y(self):
+        self._fin()
+        return self._ry
+
+    @property
+    def recon_u(self):
+        self._fin()
+        return self._ru
+
+    @property
+    def recon_v(self):
+        self._fin()
+        return self._rv
 
 
 @functools.lru_cache(maxsize=1)

@@ -779,6 +779,23 @@ class CommitEngine:
         return dist
 
 
+_PROF_NAMES = ("fwd_txfm", "quantize", "coeff_rate", "inv_txfm",
+               "predict", "commit_ec", "trial_total", "spare")
+
+
+def prof_reset() -> None:
+    """Zero the native phase profiler (active when SVT_NATIVE_PROF=1)."""
+    get_lib().tpuc_prof_reset()
+
+
+def prof_get() -> dict:
+    """Phase-name -> milliseconds accumulated since the last reset,
+    summed across tile threads (buckets 0-4 nest inside 5/6)."""
+    buf = (ctypes.c_longlong * 8)()
+    get_lib().tpuc_prof_get(buf)
+    return {n: v / 1e6 for n, v in zip(_PROF_NAMES, buf)}
+
+
 def dlf_apply(plane: np.ndarray, txdim: np.ndarray, is_luma: bool,
               level_v: int, level_h: int, sharpness: int, bd: int,
               rows: int, cols: int):
