@@ -88,6 +88,8 @@ struct TpuCommit {
      * optionally WARPED_CAUSAL (frame allow_warped_motion) */
     int motion_mode_sw;
     int allow_warp;
+    /* inter-intra search (seq enable_interintra_compound) */
+    int interintra;
     /* TX_MODE_SELECT (intra walk): depth-1 tx split search + syntax */
     int tx_select;
     uint8_t *above_txw, *left_txh;   /* AboveTxWidth / LeftTxHeight */

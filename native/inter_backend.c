@@ -255,6 +255,24 @@ static int wedge_tab_of(int bsize) {
     return bsize == 3 ? 0 : bsize == 6 ? 1 : bsize == 9 ? 2 : -1;
 }
 
+/* smooth inter-intra masks (spec 7.11.3.13 ii_weights1d expansion),
+ * uploaded from inter/masks.py smooth_interintra_mask:
+ * [mode II_DC/V/H/SMOOTH][size 4/8/16/32 -> idx log2-2] */
+static uint8_t II_TAB[4][4][32 * 32];
+
+void tpuc_upload_ii(int mode, int size_idx, const int32_t *mask, int n) {
+    for (int k = 0; k < n * n; k++)
+        II_TAB[mode][size_idx][k] = (uint8_t)mask[k];
+}
+
+/* pixel-domain a64 blend: out = (m*intra + (64-m)*inter + 32) >> 6
+ * (ref svt_aom_blend_a64_mask; twin of inter/masks.py blend_a64) */
+static void blend_ii(const uint8_t *mask, const int32_t *intra,
+                     const int32_t *inter, int n, int32_t *out) {
+    for (int i = 0; i < n; i++)
+        out[i] = (mask[i] * intra[i] + (64 - mask[i]) * inter[i] + 32) >> 6;
+}
+
 /* masked blend of two CONV_BUF components + final compound rounding
  * (ref svt_aom_lowbd/highbd_blend_a64_d16_mask) */
 static void blend_masked_d16_c(const uint8_t *mask, const int32_t *p0,
@@ -2602,6 +2620,101 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
             use_intra = intra_cost < best_cost;
         }
     }
+    /* inter-intra search (spec 5.11.28 / 7.11.3.13; ref
+     * enc_inter_prediction.c inter_intra path): blend the single-ref MC
+     * prediction with a DC/V/H/SMOOTH intra prediction through the
+     * smooth II mask; full luma RD vs SIMPLE incl. the interintra
+     * symbol rates. Eligible at single-ref non-skip-mode square blocks
+     * 8x8..32x32 (the is_interintra_allowed_bsize ENUM range). */
+    int use_ii = 0, ii_mode = 0;
+    int ii_eligible = c->interintra && !use_comp && !use_sm &&
+                      size >= 8 && size <= 32;
+    if (ii_eligible && !use_intra) {
+        static const int II_TO_INTRA[4] = {0, 1, 2, 9};
+        int ii_grp = size == 8 ? 1 : size == 16 ? 2 : 3;
+        int sidx = size == 8 ? 1 : size == 16 ? 2 : 3;   /* log2-2 */
+        static __thread int32_t ii_intra[64 * 64], ii_blend[64 * 64];
+        static __thread int32_t ii_resid[64 * 64];
+        static __thread TxTrial ii_ty;
+        const uint16_t *sp2 = c->src[0];
+        int ss2 = c->sstride[0];
+        int sgn_ii = tpu_dc_sign_ctx(c, 0, r, c4, ts_y);
+        static __thread int32_t s_resid2[64 * 64];
+        if (c->tune_ssim)
+            for (int y = 0; y < size; y++)
+                for (int x = 0; x < size; x++)
+                    s_resid2[y * size + x] =
+                        (int32_t)sp2[(r * 4 + y) * ss2 + c4 * 4 + x] -
+                        i_pred_y[y * size + x];
+        double cost_simple =
+            tpu_dist_eval(c, ts_y, i_pred_y, s_resid2, &i_ty) +
+            c->rdmult * (i_ty.rate512 / 512.0 +
+                         tpu_sym_cost_bits(ic->interintra + ii_grp * 3,
+                                           0));
+        double ii_best = -1.0;
+        static __thread TxTrial ii_best_ty;
+        static __thread int32_t ii_best_pred[64 * 64];
+        for (int m = 0; m < 4; m++) {
+            tpu_predict_txb(c, 0, II_TO_INTRA[m], 0, r, c4, r, c4, ts_y,
+                            ii_intra);
+            blend_ii(II_TAB[m][sidx], ii_intra, i_pred_y, size * size,
+                     ii_blend);
+            for (int y = 0; y < size; y++)
+                for (int x = 0; x < size; x++)
+                    ii_resid[y * size + x] =
+                        (int32_t)sp2[(r * 4 + y) * ss2 + c4 * 4 + x] -
+                        ii_blend[y * size + x];
+            tpu_trial_txb(c, 0, ts_y, 0, ii_resid, q, 0, sgn_ii, 1,
+                          &ii_ty);
+            double rate =
+                tpu_sym_cost_bits(ic->interintra + ii_grp * 3, 1) +
+                tpu_sym_cost_bits(ic->interintra_mode + ii_grp * 5, m) +
+                tpu_sym_cost_bits(ic->wedge_interintra + bsize * 3, 0);
+            double cost = tpu_dist_eval(c, ts_y, ii_blend, ii_resid,
+                                        &ii_ty) +
+                          c->rdmult * (rate + ii_ty.rate512 / 512.0);
+            if (ii_best < 0 || cost < ii_best) {
+                ii_best = cost;
+                ii_mode = m;
+                ii_best_ty = ii_ty;
+                memcpy(ii_best_pred, ii_blend,
+                       sizeof(int32_t) * size * size);
+            }
+        }
+        if (ii_best >= 0 && ii_best < cost_simple) {
+            use_ii = 1;
+            memcpy(i_pred_y, ii_best_pred, sizeof(int32_t) * size * size);
+            i_ty = ii_best_ty;
+            /* chroma: re-blend + re-trial under the chosen II mode */
+            int cw = TXW[ts_c], chh = TXH[ts_c];
+            int csidx = sidx - 1;
+            static __thread int32_t ci[32 * 32], ru2[32 * 32],
+                rv2[32 * 32];
+            tpu_predict_txb(c, 1, II_TO_INTRA[ii_mode], 0, r, c4, cr, cc,
+                            ts_c, ci);
+            blend_ii(II_TAB[ii_mode][csidx], ci, i_pred_u, cw * chh,
+                     i_pred_u);
+            tpu_predict_txb(c, 2, II_TO_INTRA[ii_mode], 0, r, c4, cr, cc,
+                            ts_c, ci);
+            blend_ii(II_TAB[ii_mode][csidx], ci, i_pred_v, cw * chh,
+                     i_pred_v);
+            const uint16_t *su2 = c->src[1], *sv2 = c->src[2];
+            int ssc = c->sstride[1];
+            for (int y = 0; y < chh; y++)
+                for (int x = 0; x < cw; x++) {
+                    int off = (cr * 4 + y) * ssc + cc * 4 + x;
+                    ru2[y * cw + x] =
+                        (int32_t)su2[off] - i_pred_u[y * cw + x];
+                    rv2[y * cw + x] =
+                        (int32_t)sv2[off] - i_pred_v[y * cw + x];
+                }
+            int sgn_u2 = tpu_dc_sign_ctx(c, 1, cr, cc, ts_c);
+            int sgn_v2 = tpu_dc_sign_ctx(c, 2, cr, cc, ts_c);
+            tpu_trial_txb(c, 1, ts_c, 0, ru2, q, 1, sgn_u2, 1, &i_tu);
+            tpu_trial_txb(c, 2, ts_c, 0, rv2, q, 1, sgn_v2, 1, &i_tv);
+        }
+    }
+
     /* OBMC motion-mode search (spec 7.11.3.9; ref
      * enc_inter_prediction.c obmc path + motion_estimation obmc level):
      * blend the overlap strips from the overlappable neighbors' MC and
@@ -2613,7 +2726,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     ObmcNb ob_above[4], ob_left[4];
     int ob_na = 0, ob_nl = 0;
     WarpParams wp;
-    if (c->motion_mode_sw && !use_sm && !use_comp &&
+    if (c->motion_mode_sw && !use_sm && !use_comp && !use_ii &&
         has_overlappable_c(c, r, c4, w4, w4)) {
         obmc_eligible = 1;
         int wpts[8][2], wpts_ref[8][2];
@@ -2919,6 +3032,18 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         }
     }
 
+    /* interintra syntax (spec 5.11.28): after MVs, before motion_mode */
+    if (c->interintra && !use_comp && !use_sm && size >= 8 && size <= 32) {
+        int wgrp = size == 8 ? 1 : size == 16 ? 2 : 3;
+        tpuec_symbol(c->ec, use_ii, ic->interintra + wgrp * 3, 2, 1);
+        if (use_ii) {
+            tpuec_symbol(c->ec, ii_mode,
+                         ic->interintra_mode + wgrp * 5, 4, 1);
+            tpuec_symbol(c->ec, 0, ic->wedge_interintra + bsize * 3, 2,
+                         1);
+        }
+    }
+
     /* motion_mode symbol: after MVs, before the interp filter (spec
      * 5.11.27 read order). 3-ary motion_mode cdf when warp samples
      * exist under allow_warped_motion, else the 2-ary obmc cdf. */
@@ -3076,6 +3201,10 @@ void tpuc_set_interp(TpuCommit *c, int switchable, int gm_coded) {
 void tpuc_set_obmc(TpuCommit *c, int enable, int allow_warp) {
     c->motion_mode_sw = enable;
     c->allow_warp = allow_warp;
+}
+
+void tpuc_set_interintra(TpuCommit *c, int enable) {
+    c->interintra = enable;
 }
 
 void tpuc_set_gm(TpuCommit *c, int mv8_r, int mv8_c) {

@@ -114,6 +114,10 @@ typedef struct {
     uint16_t *wedge_idx;            /* [22][17] */
     uint16_t *obmc;                 /* [22][3] (motion-mode OBMC flag) */
     uint16_t *motion_mode;          /* [22][4] (SIMPLE/OBMC/WARPED) */
+    /* inter-intra (spec 5.11.28) */
+    uint16_t *interintra;           /* [4][3]  (size-group keyed) */
+    uint16_t *interintra_mode;      /* [4][5] */
+    uint16_t *wedge_interintra;     /* [22][3] */
     /* nmv per-component families (comp 0 = row, 1 = col) */
     uint16_t *sign[2];      /* [3] */
     uint16_t *classes[2];   /* [12] */
@@ -248,6 +252,8 @@ void tpuc_set_tx_select(TpuCommit *c, int enable);
  * writes the motion-mode symbol (frame header must set
  * is_motion_mode_switchable / allow_warped_motion accordingly). */
 void tpuc_set_obmc(TpuCommit *c, int enable, int allow_warp);
+void tpuc_set_interintra(TpuCommit *c, int enable);
+void tpuc_upload_ii(int mode, int size_idx, const int32_t *mask, int n);
 /* Normative warp constants (spec 7.11.3.5 Warp_Filter [193][8] and
  * 7.11.3.7 Div_Lut [257]), uploaded once from python. */
 void tpuc_upload_warp(const int32_t *wf193x8, const int32_t *div_lut257);

@@ -125,6 +125,9 @@ class Encoder:
             enc.warp_search = preset <= 10
             # masked compound (wedge/diffwtd) on RA compound blocks
             enc.masked_compound_search = preset <= 10
+            # inter-intra (smooth II blend; ref enc_mode_config.c
+            # inter_intra_level)
+            enc.interintra_search = preset <= 10
             # TX_MODE_SELECT on intra frames: depth-1 tx split search
             # (ref enc_mode_config txs level; the funnel-width gate in
             # the C walk keeps p13 at largest-tx)

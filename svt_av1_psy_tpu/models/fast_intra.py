@@ -246,6 +246,8 @@ class FastIntraEncoder:
         self.tx_split_search = False
         # masked compound (wedge/diffwtd) search on RA compound blocks
         self.masked_compound_search = False
+        # inter-intra search (smooth II blend; spec 5.11.28)
+        self.interintra_search = False
 
     # --- sharded device search (multi-chip; SURVEY.md §2.2 P4) -----------
     def make_sharded_decide(self, mesh, axis: str = "sp"):
@@ -457,6 +459,8 @@ class FastIntraEncoder:
         # must be armed before the stream's sequence header is written
         self.seq.enable_masked_compound = bool(
             getattr(self, "masked_compound_search", False))
+        self.seq.enable_interintra_compound = bool(
+            getattr(self, "interintra_search", False))
         native = self._native
         yp = _pad_to(np.asarray(y), self.pah, self.paw)
         up = _pad_to(np.asarray(u), self.pah // 2, self.paw // 2)
@@ -906,6 +910,8 @@ class FastIntraEncoder:
                 eng.set_interp(True, gm_wm is not None)
             if self.obmc_search or self.warp_search:
                 eng.set_obmc(True, self.warp_search)
+            if getattr(self, "interintra_search", False):
+                eng.set_interintra(True)
             if ref2_slot is not None:
                 eng.set_ref2(*self._dpb[ref2_slot])
                 eng.set_compound(sm_present, sign_bias,

@@ -263,7 +263,10 @@ class InterCdfs(ctypes.Structure):
                 ("compound_type", ctypes.POINTER(ctypes.c_uint16)),
                 ("wedge_idx", ctypes.POINTER(ctypes.c_uint16)),
                 ("obmc", ctypes.POINTER(ctypes.c_uint16)),
-                ("motion_mode", ctypes.POINTER(ctypes.c_uint16))] + [
+                ("motion_mode", ctypes.POINTER(ctypes.c_uint16)),
+                ("interintra", ctypes.POINTER(ctypes.c_uint16)),
+                ("interintra_mode", ctypes.POINTER(ctypes.c_uint16)),
+                ("wedge_interintra", ctypes.POINTER(ctypes.c_uint16))] + [
                 (n, ctypes.POINTER(ctypes.c_uint16) * 2) for n in (
                     "sign", "classes", "class0", "bits", "class0_fp",
                     "fp", "class0_hp", "hp")]
@@ -279,7 +282,9 @@ def make_inter_cdfs(fc) -> InterCdfs:
         _u16p(fc.comp_bwdref), _u16p(fc.inter_compound_mode),
         _u16p(fc.skip_mode), _u16p(fc.switchable_interp),
         _u16p(fc.comp_group_idx), _u16p(fc.compound_type),
-        _u16p(fc.wedge_idx), _u16p(fc.obmc), _u16p(fc.motion_mode))
+        _u16p(fc.wedge_idx), _u16p(fc.obmc), _u16p(fc.motion_mode),
+        _u16p(fc.interintra), _u16p(fc.interintra_mode),
+        _u16p(fc.wedge_interintra))
     for name in ("sign", "classes", "class0", "bits", "class0_fp", "fp",
                  "class0_hp", "hp"):
         pair = (ctypes.POINTER(ctypes.c_uint16) * 2)(
@@ -399,8 +404,11 @@ def _ensure_commit_locked(lib):
     lib.tpuc_set_compound.argtypes = [ctypes.c_void_p, ctypes.c_int, u8p,
                                       ctypes.c_int]
     lib.tpuc_upload_wedge.argtypes = [ctypes.c_int, i32p, ctypes.c_int]
+    lib.tpuc_upload_ii.argtypes = [ctypes.c_int, ctypes.c_int, i32p,
+                                   ctypes.c_int]
     lib.tpuc_set_obmc.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                   ctypes.c_int]
+    lib.tpuc_set_interintra.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.tpuc_set_tx_select.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.tpuc_upload_warp.argtypes = [i32p, i32p]
     lib.tpuc_set_tpl.argtypes = [ctypes.c_void_p, i16p, i16p, u8p,
@@ -433,6 +441,14 @@ def _ensure_commit_locked(lib):
                 tab[wi, sg] = get_wedge_mask(bs, wi, sg)
         tab = np.ascontiguousarray(tab)
         lib.tpuc_upload_wedge(which, tab.ctypes.data_as(i32p), n)
+    # smooth inter-intra masks (spec 7.11.3.13) for the II search:
+    # sizes 4..32 cover luma 8..32 + their chroma halves
+    from svt_av1_psy_tpu.inter.masks import smooth_interintra_mask
+    for mode in range(4):
+        for sidx, n in enumerate((4, 8, 16, 32)):
+            m = np.ascontiguousarray(
+                smooth_interintra_mask(mode, n, n), np.int32)
+            lib.tpuc_upload_ii(mode, sidx, m.ctypes.data_as(i32p), n)
     for ts in range(19):
         for tt in range(16):
             try:
@@ -562,6 +578,12 @@ class CommitEngine:
         allow_warped_motion) on eligible single-ref blocks + write the
         motion-mode symbol."""
         self.lib.tpuc_set_obmc(self._c, int(enable), int(allow_warp))
+
+    def set_interintra(self, enable: bool):
+        """Inter-intra search (seq enable_interintra_compound): trial
+        the smooth II blend on single-ref 8x8..32x32 blocks + write the
+        interintra syntax (spec 5.11.28)."""
+        self.lib.tpuc_set_interintra(self._c, int(enable))
 
     def set_tpl(self, tpl_mv, tpl_off, tpl_valid, cur_off8, allow_hp=False):
         """MFMV: attach the frame's projected temporal motion field

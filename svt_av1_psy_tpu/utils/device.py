@@ -25,14 +25,25 @@ _PROBE_SRC = (
 _cached: str | None = None
 
 
-def probe_default_backend(timeout: float = 25.0) -> bool:
-    """True if the default jax backend completes a host round-trip."""
-    try:
-        r = subprocess.run([sys.executable, "-c", _PROBE_SRC],
-                           capture_output=True, timeout=timeout)
-        return b"ok" in r.stdout
-    except (subprocess.TimeoutExpired, OSError):
-        return False
+def probe_default_backend(timeout: float = 25.0, retries: int = 3,
+                          backoff: float = 20.0) -> bool:
+    """True if the default jax backend completes a host round-trip.
+
+    The tunnel transport wedges transiently; retry with a backoff before
+    giving up (a CPU-fallback bench run is a 2x worse number, so a
+    minute of probing is worth it)."""
+    import time
+    for attempt in range(max(retries, 1)):
+        try:
+            r = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                               capture_output=True, timeout=timeout)
+            if b"ok" in r.stdout:
+                return True
+        except (subprocess.TimeoutExpired, OSError):
+            pass
+        if attempt + 1 < retries:
+            time.sleep(backoff)
+    return False
 
 
 def select_platform(preferred: str = "auto") -> str:
