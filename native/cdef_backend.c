@@ -158,12 +158,14 @@ void tpue_cdef(uint16_t *py, int ys, uint16_t *pu, uint16_t *pv, int cs,
     for (long i = 0; i < (long)(cgh + 12) * cbs; i++)
         bu[i] = bv[i] = CDEF_VERY_LARGE;
     /* filter input: the immutable pre-CDEF copy (bands write planes
-     * concurrently; CDEF input must stay pre-CDEF everywhere) */
-    for (int y = 0; y < h; y++)
-        for (int x = 0; x < w; x++)
+     * concurrently; CDEF input must stay pre-CDEF everywhere). The
+     * CDEF availability boundary is the MI AREA (spec 7.15: MiCols*4
+     * px), so mi columns past an odd display width are real pixels. */
+    for (int y = 0; y < gh; y++)
+        for (int x = 0; x < gw; x++)
             by[(y + 2) * bs + x + 2] = iny[y * ys + x];
-    for (int y = 0; y < chh; y++)
-        for (int x = 0; x < cw; x++) {
+    for (int y = 0; y < cgh; y++)
+        for (int x = 0; x < cgw; x++) {
             bu[(y + 2) * cbs + x + 2] = inu[y * cs + x];
             bv[(y + 2) * cbs + x + 2] = inv[y * cs + x];
         }
@@ -203,16 +205,21 @@ void tpue_cdef(uint16_t *py, int ys, uint16_t *pu, uint16_t *pv, int cs,
                                      y_sec << coeff_shift,
                                      (y_pri << coeff_shift) ? dir : 0, pd,
                                      pd, coeff_shift, outb);
-                        int ny = h - y0 < 8 ? h - y0 : 8;
-                        int nx = w - x0 < 8 ? w - x0 : 8;
+                        /* write the full MI-AREA extent (the upscaler /
+                         * later stages read mi columns past an odd
+                         * display width); SSE only over display pixels */
+                        int ny = gh - y0 < 8 ? gh - y0 : 8;
+                        int nx = gw - x0 < 8 ? gw - x0 : 8;
                         for (int i = 0; i < ny; i++)
                             for (int j = 0; j < nx; j++) {
                                 if (apply)
                                     py[(y0 + i) * ys + x0 + j] =
                                         (uint16_t)outb[i * 8 + j];
-                                double d = (double)outb[i * 8 + j] -
-                                           sy[(y0 + i) * sys + x0 + j];
-                                sseY += d * d;
+                                if (y0 + i < h && x0 + j < w) {
+                                    double d = (double)outb[i * 8 + j] -
+                                               sy[(y0 + i) * sys + x0 + j];
+                                    sseY += d * d;
+                                }
                             }
                     } else if (!apply) {
                         int ny = h - y0 < 8 ? h - y0 : 8;
@@ -238,17 +245,19 @@ void tpue_cdef(uint16_t *py, int ys, uint16_t *pu, uint16_t *pv, int cs,
                                          uv_sec << coeff_shift,
                                          (uv_pri << coeff_shift) ? dir : 0,
                                          pd, pd, coeff_shift, outb);
-                            int ny = chh - cy0 < 4 ? chh - cy0 : 4;
-                            int nx = cw - cx0 < 4 ? cw - cx0 : 4;
+                            int ny = cgh - cy0 < 4 ? cgh - cy0 : 4;
+                            int nx = cgw - cx0 < 4 ? cgw - cx0 : 4;
                             for (int i = 0; i < ny; i++)
                                 for (int j = 0; j < nx; j++) {
                                     if (apply)
                                         p2[(cy0 + i) * cs + cx0 + j] =
                                             (uint16_t)outb[i * 4 + j];
-                                    double d = (double)outb[i * 4 + j] -
-                                               s2[(cy0 + i) * scs + cx0 +
-                                                  j];
-                                    sseC += d * d;
+                                    if (cy0 + i < chh && cx0 + j < cw) {
+                                        double d = (double)outb[i * 4 + j] -
+                                                   s2[(cy0 + i) * scs +
+                                                      cx0 + j];
+                                        sseC += d * d;
+                                    }
                                 }
                         }
                     } else if (!apply) {
@@ -307,9 +316,13 @@ void tpue_cdef_unit_sse(const uint16_t *iny, int ys, const uint16_t *inu,
     int gw = mi_cols * 4, gh = mi_rows * 4;
     int cw = (w + 1) >> 1, chh = (h + 1) >> 1;
     int bs, cbs;
-    int32_t *by = cdef_pad(iny, ys, w, h, gw, gh, &bs);
-    int32_t *bu = cdef_pad(inu, cs, cw, chh, gw >> 1, gh >> 1, &cbs);
-    int32_t *bv = cdef_pad(inv, cs, cw, chh, gw >> 1, gh >> 1, &cbs);
+    /* pad from the full MI AREA (spec 7.15 boundary), not the display
+     * size — see cdef_run */
+    int32_t *by = cdef_pad(iny, ys, gw, gh, gw, gh, &bs);
+    int32_t *bu = cdef_pad(inu, cs, gw >> 1, gh >> 1, gw >> 1, gh >> 1,
+                           &cbs);
+    int32_t *bv = cdef_pad(inv, cs, gw >> 1, gh >> 1, gw >> 1, gh >> 1,
+                           &cbs);
     int n64r = (mi_rows + 15) / 16, n64c = (mi_cols + 15) / 16;
     if (fbr1 <= 0 || fbr1 > n64r) fbr1 = n64r;
     if (fbr0 < 0) fbr0 = 0;
@@ -424,9 +437,13 @@ void tpue_cdef_apply_idx(uint16_t *py, int ys, uint16_t *pu, uint16_t *pv,
     int gw = mi_cols * 4, gh = mi_rows * 4;
     int cw = (w + 1) >> 1, chh = (h + 1) >> 1;
     int bs, cbs;
-    int32_t *by = cdef_pad(iny, ys, w, h, gw, gh, &bs);
-    int32_t *bu = cdef_pad(inu, cs, cw, chh, gw >> 1, gh >> 1, &cbs);
-    int32_t *bv = cdef_pad(inv, cs, cw, chh, gw >> 1, gh >> 1, &cbs);
+    /* pad from the full MI AREA (spec 7.15 boundary), not the display
+     * size — see cdef_run */
+    int32_t *by = cdef_pad(iny, ys, gw, gh, gw, gh, &bs);
+    int32_t *bu = cdef_pad(inu, cs, gw >> 1, gh >> 1, gw >> 1, gh >> 1,
+                           &cbs);
+    int32_t *bv = cdef_pad(inv, cs, gw >> 1, gh >> 1, gw >> 1, gh >> 1,
+                           &cbs);
     int n64r = (mi_rows + 15) / 16, n64c = (mi_cols + 15) / 16;
     if (fbr1 <= 0 || fbr1 > n64r) fbr1 = n64r;
     if (fbr0 < 0) fbr0 = 0;
@@ -462,8 +479,8 @@ void tpue_cdef_apply_idx(uint16_t *py, int ys, uint16_t *pu, uint16_t *pv,
                                      y_sec << coeff_shift,
                                      (y_pri << coeff_shift) ? dir : 0, pd,
                                      pd, coeff_shift, outb);
-                        int ny = h - y0 < 8 ? h - y0 : 8;
-                        int nx = w - x0 < 8 ? w - x0 : 8;
+                        int ny = gh - y0 < 8 ? gh - y0 : 8;
+                        int nx = gw - x0 < 8 ? gw - x0 : 8;
                         for (int i = 0; i < ny; i++)
                             for (int j = 0; j < nx; j++)
                                 py[(y0 + i) * ys + x0 + j] =
@@ -480,8 +497,10 @@ void tpue_cdef_apply_idx(uint16_t *py, int ys, uint16_t *pu, uint16_t *pv,
                                          uv_sec << coeff_shift,
                                          (uv_pri << coeff_shift) ? dir : 0,
                                          pd, pd, coeff_shift, outb);
-                            int ny = chh - cy0 < 4 ? chh - cy0 : 4;
-                            int nx = cw - cx0 < 4 ? cw - cx0 : 4;
+                            int ny = (gh >> 1) - cy0 < 4
+                                         ? (gh >> 1) - cy0 : 4;
+                            int nx = (gw >> 1) - cx0 < 4
+                                         ? (gw >> 1) - cx0 : 4;
                             for (int i = 0; i < ny; i++)
                                 for (int j = 0; j < nx; j++)
                                     p2[(cy0 + i) * cs + cx0 + j] =

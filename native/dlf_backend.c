@@ -194,8 +194,14 @@ static void filter_line(int32_t *x, int half, int length, int blimit,
  * frame-wide per spec — the caller splits passes, not rows. */
 static void dlf_plane_pass(uint16_t *img, int stride, const uint8_t *txdim,
                            int map_stride, int rows, int cols, int is_luma,
-                           int level, int sharpness, int vertical, int bd) {
+                           int level, int sharpness, int vertical, int bd,
+                           int w, int h) {
     if (!level) return;
+    /* the loop filter skips mi units whose pixel origin lies outside
+     * the DISPLAY dims (spec 7.14.1); mi columns past an odd display
+     * width are reconstructed but not filtered. 0 = unbounded. */
+    if (w > 0 && (w + 3) / 4 < cols) cols = (w + 3) / 4;
+    if (h > 0 && (h + 3) / 4 < rows) rows = (h + 3) / 4;
     int blimit, limit, hev;
     thresholds(level, sharpness, &blimit, &limit, &hev);
     int sh8 = bd - 8;
@@ -254,11 +260,12 @@ static void dlf_plane_pass(uint16_t *img, int stride, const uint8_t *txdim,
  * Used by the fast path after all tiles commit. */
 void tpud_apply_plane(uint16_t *img, int stride, const uint8_t *txdim,
                       int map_stride, int rows, int cols, int is_luma,
-                      int level_v, int level_h, int sharpness, int bd) {
+                      int level_v, int level_h, int sharpness, int bd,
+                      int w, int h) {
     dlf_plane_pass(img, stride, txdim, map_stride, rows, cols, is_luma,
-                   level_v, sharpness, 1, bd);
+                   level_v, sharpness, 1, bd, w, h);
     dlf_plane_pass(img, stride, txdim, map_stride, rows, cols, is_luma,
-                   level_h, sharpness, 0, bd);
+                   level_h, sharpness, 0, bd, w, h);
 }
 
 /* Encoder level search: copy the plane, filter at `level`, return SSE vs
@@ -278,7 +285,7 @@ double tpud_try_level(const uint16_t *img, int stride, const uint16_t *src,
         memcpy(scratch + y * stride, img + y * stride, sizeof(uint16_t) *
                                                             (size_t)stride);
     tpud_apply_plane(scratch, stride, txdim, map_stride, rows, cols,
-                     is_luma, level, level, sharpness, bd);
+                     is_luma, level, level, sharpness, bd, w, h);
     double sse = 0;
     for (int y = 0; y < hh; y++)
         for (int x = 0; x < ww; x++) {

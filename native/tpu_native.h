@@ -191,9 +191,12 @@ void tpue_cdef_apply_idx(uint16_t *py, int ys, uint16_t *pu, uint16_t *pv,
                          int fbr0, int fbr1);
 
 /* ---- deblocking filter (dlf_backend.c) --------------------------------- */
+/* w/h: plane-space DISPLAY dims bounding which mi units filter
+ * (spec 7.14.1); 0 = unbounded (mi grid) */
 void tpud_apply_plane(uint16_t *img, int stride, const uint8_t *txdim,
                       int map_stride, int rows, int cols, int is_luma,
-                      int level_v, int level_h, int sharpness, int bd);
+                      int level_v, int level_h, int sharpness, int bd,
+                      int w, int h);
 double tpud_try_level(const uint16_t *img, int stride, const uint16_t *src,
                       int sstride, uint16_t *scratch, const uint8_t *txdim,
                       int map_stride, int rows, int cols, int is_luma,

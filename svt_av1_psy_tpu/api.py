@@ -67,9 +67,17 @@ class Encoder:
             from svt_av1_psy_tpu.models.fast_intra import FastIntraEncoder
             n_cands = {13: 1, 12: 2}.get(preset, 3)
             tc = self.cfg.tile_columns
+            # superres (spec 5.9.8): FIXED mode codes every frame at the
+            # downscaled width (all-intra only in this encoder)
+            sd = 0
+            if int(self.cfg.superres_mode) == 1:
+                sd = self.cfg.superres_denom
+                assert gop == 1, \
+                    "superres-mode 1 requires all-intra (intra-period 0)"
             enc = FastIntraEncoder(
                 width, height, qindex=qindex, bd=bd, n_cands=n_cands,
-                n_tiles=0 if tc == DEFAULT else max(1, 1 << tc))
+                n_tiles=0 if tc == DEFAULT else max(1, 1 << tc),
+                superres_denom=sd)
             enc.gop_size = gop
             enc.enable_variance_boost = self.cfg.enable_variance_boost
             enc.vb_strength = self.cfg.variance_boost_strength

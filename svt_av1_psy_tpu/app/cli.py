@@ -219,6 +219,14 @@ def main(argv=None) -> int:
                     help="binary ITU-T T.35 blob (DoVi RPU / HDR10+ "
                          "container) injected as a per-frame metadata "
                          "OBU (ref app_process_cmd.c:463-495)")
+    ap.add_argument("--superres-mode", type=int, default=0,
+                    choices=(0, 1),
+                    help="super-resolution: 1 codes frames at the "
+                         "downscaled width and signals the normative "
+                         "upscale (all-intra; ref --superres-mode)")
+    ap.add_argument("--superres-denom", type=int, default=16,
+                    help="superres denominator 9..16 (width scales by "
+                         "8/denom; ref --superres-denom)")
     ap.add_argument("--scm", type=int, default=2, choices=(0, 1, 2),
                     help="screen content tools: 0 off, 1 on (palette + "
                          "intra block copy, routes to the full RD path), "
@@ -279,6 +287,8 @@ def main(argv=None) -> int:
             tf_strength=args.enable_tf,
             psy_rd=args.psy_rd,
             screen_content_mode=args.scm,
+            superres_mode=args.superres_mode,
+            superres_denom=args.superres_denom,
             tune=2 if args.psy_rd else 2)
         if args.svtav1_params:
             cfg = parse_parameter_string(cfg, args.svtav1_params)

@@ -174,6 +174,11 @@ class FrameParams:
     disable_cdf_update: bool = False
     allow_screen_content_tools: bool = False
     allow_intrabc: bool = False               # key frames only (spec 5.9.2)
+    # super-resolution (spec 5.9.8): frame coded at
+    # (width*8 + denom/2)/denom, upscaled after CDEF (needs
+    # seq.enable_superres; intra frames only in this encoder)
+    use_superres: bool = False
+    superres_denom: int = 8
     order_hint: int = 0
     refresh_frame_flags: int = 0xFF
     # MFMV temporal MV prediction (needs seq.enable_ref_frame_mvs)
@@ -457,7 +462,9 @@ def _write_intra_header_head(w: BitWriter, seq: SequenceParams,
         w.f(fr.refresh_frame_flags, 8)
     # frame_size(): override == 0 -> sizes from sequence header
     if seq.enable_superres:
-        w.bit(0)                              # use_superres
+        w.bit(int(fr.use_superres))           # superres_params (5.9.8)
+        if fr.use_superres:
+            w.f(fr.superres_denom - 9, 3)     # coded_denom
     w.bit(0)                                  # render_and_frame_size_different
     if fr.allow_screen_content_tools:
         w.bit(int(fr.allow_intrabc))
@@ -470,12 +477,13 @@ def tile_log2(blk_size: int, target: int) -> int:
     return k
 
 
-def tile_info_bounds(seq: SequenceParams):
+def tile_info_bounds(seq: SequenceParams, coded_w: int = 0):
     """spec 5.9.15 derived bounds (uniform spacing):
     (min_log2_tile_cols, max_log2_tile_cols, min_log2_tile_rows_base,
-    max_log2_tile_rows, min_log2_tiles)."""
+    max_log2_tile_rows, min_log2_tiles). coded_w: the post-superres
+    downscaled frame width when it differs from seq.width."""
     sb_shift = 7 if seq.use_128x128_superblock else 6
-    sb_cols = (seq.width + (1 << sb_shift) - 1) >> sb_shift
+    sb_cols = ((coded_w or seq.width) + (1 << sb_shift) - 1) >> sb_shift
     sb_rows = (seq.height + (1 << sb_shift) - 1) >> sb_shift
     max_tile_width_sb = 4096 >> sb_shift
     max_tile_area_sb = (4096 * 2304) >> (2 * sb_shift)
@@ -492,8 +500,12 @@ def _write_tile_info(w: BitWriter, seq: SequenceParams, fr: FrameParams):
     """spec 5.9.15, uniform spacing only. Min/max bounds are DERIVED from the
     frame geometry (writing a stop bit when max==min shifts every later
     field and desyncs the whole frame)."""
+    coded_w = 0
+    if fr.use_superres:
+        from svt_av1_psy_tpu.ops.resize import superres_coded_width
+        coded_w = superres_coded_width(seq.width, fr.superres_denom)
     (min_log2_tile_cols, max_log2_tile_cols, max_log2_tile_rows,
-     min_log2_tiles) = tile_info_bounds(seq)
+     min_log2_tiles) = tile_info_bounds(seq, coded_w)
     assert fr.tile_cols_log2 >= min_log2_tile_cols, "too few tile cols"
     w.bit(1)                                  # uniform_tile_spacing_flag
     for _ in range(fr.tile_cols_log2 - min_log2_tile_cols):

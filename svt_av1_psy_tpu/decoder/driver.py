@@ -62,7 +62,11 @@ class Decoder:
         seq = self.seq
         fi = parse_frame_header(payload, seq, ref_order_hints=self.slot_hints,
                                 ref_gm=self.slot_gm)
-        W, H = seq.width, seq.height
+        # superres: the frame codes at the downscaled width and is
+        # upscaled back to seq.width after CDEF (spec 7.16)
+        W = fi.frame_width or seq.width
+        H = seq.height
+        up_w = seq.width
         mi_rows = 2 * ((H + 7) >> 3)
         mi_cols = 2 * ((W + 7) >> 3)
         is_inter = fi.frame_type == 1
@@ -228,17 +232,31 @@ class Decoder:
                                               fi.cdef_uv_sec)]
             if any(any(sv) for sv in sets):
                 fr.apply_cdef(sets, fi.cdef_damping, cdef_idx=cdef_idx)
-        if lr_active:
+        out_planes = fr.planes
+        if fi.use_superres:
+            # normative upscale (spec 7.16): after CDEF, before LR
+            from svt_av1_psy_tpu.ops.resize import superres_upscale_frame
+            assert not lr_active, \
+                "loop restoration on superres frames unsupported"
+            aw = mi_cols * 4
+            out_planes = list(superres_upscale_frame(
+                (fr.planes[0][:H, :aw],
+                 fr.planes[1][:(H + 1) // 2, :(aw + 1) // 2],
+                 fr.planes[2][:(H + 1) // 2, :(aw + 1) // 2]),
+                up_w, fi.superres_denom, seq.bit_depth,
+                tile_mi_starts=[s * 16 for s in col_starts], coded_w=W))
+        elif lr_active:
             from svt_av1_psy_tpu.ops.restoration import apply_lr_frame
             dims = [(W, H), ((W + 1) >> 1, (H + 1) >> 1),
                     ((W + 1) >> 1, (H + 1) >> 1)]
             apply_lr_frame(fr.planes, deblock_copy, dims, fi.lr_type,
                            fi.lr_unit_size, lr_units, bd=seq.bit_depth)
 
+        oW = up_w if fi.use_superres else W
         out = DecodedPlanes(
-            y=fr.planes[0][:H, :W].copy(),
-            u=fr.planes[1][:(H + 1) // 2, :(W + 1) // 2].copy(),
-            v=fr.planes[2][:(H + 1) // 2, :(W + 1) // 2].copy(),
+            y=out_planes[0][:H, :oW].copy(),
+            u=out_planes[1][:(H + 1) // 2, :(oW + 1) // 2].copy(),
+            v=out_planes[2][:(H + 1) // 2, :(oW + 1) // 2].copy(),
             order_hint=fi.order_hint)
         if fi.show_frame:
             self.frames.append(out)

@@ -115,6 +115,11 @@ class FrameInfo:
     frame_to_show_map_idx: int = 0
     disable_cdf_update: bool = False
     allow_screen_content_tools: bool = False
+    # super-resolution (spec 5.9.8): 0 = no superres (coded width =
+    # seq.width); else the downscaled coded width
+    use_superres: bool = False
+    superres_denom: int = 8
+    frame_width: int = 0
     order_hint: int = 0
     base_q_idx: int = 0
     delta_q_y_dc: int = 0
@@ -259,7 +264,14 @@ def parse_frame_header(payload: bytes, seq: SeqInfo,
             fi.use_ref_frame_mvs = bool(r.f(1))
     else:
         if seq.enable_superres:
-            assert r.f(1) == 0, "superres unsupported"
+            # superres_params (spec 5.9.8): frame coded at the
+            # downscaled width, upscaled after CDEF (spec 7.16)
+            fi.use_superres = bool(r.f(1))
+            if fi.use_superres:
+                fi.superres_denom = r.f(3) + 9
+                fi.frame_width = (seq.width * 8 +
+                                  fi.superres_denom // 2) // \
+                    fi.superres_denom
         assert r.f(1) == 0, "render size unsupported"
         if fi.allow_screen_content_tools:
             fi.allow_intrabc = bool(r.f(1))
@@ -267,9 +279,11 @@ def parse_frame_header(payload: bytes, seq: SeqInfo,
         fi.disable_frame_end_update_cdf = bool(r.f(1))
     else:
         fi.disable_frame_end_update_cdf = True
-    # tile_info (uniform only)
+    # tile_info (uniform only); geometry from the CODED (post-superres
+    # downscale) frame width
+    coded_w = fi.frame_width or seq.width
     sb_shift = 7 if seq.use_128x128_superblock else 6
-    sb_cols = (seq.width + (1 << sb_shift) - 1) >> sb_shift
+    sb_cols = (coded_w + (1 << sb_shift) - 1) >> sb_shift
     sb_rows = (seq.height + (1 << sb_shift) - 1) >> sb_shift
     sb_size_log2 = sb_shift
     max_tile_width_sb = 4096 >> sb_size_log2

@@ -104,17 +104,27 @@ class FastIntraEncoder:
     """Device-search + C-commit all-intra encoder (KEY frames only)."""
 
     def __init__(self, width: int, height: int, qindex: int, bd: int = 8,
-                 min_block: int = 8, n_tiles: int = 0, n_cands: int = 3):
+                 min_block: int = 8, n_tiles: int = 0, n_cands: int = 3,
+                 superres_denom: int = 0):
         """n_tiles: desired tile columns (0 = auto: one per host core,
         capped by frame width). Tiles are the host thread-parallel axis
         AND the device shard axis (SURVEY.md §2.2 P4; ref ec_process.c:208
         runs one EC kernel per tile).
         n_cands: top-K device mode candidates the commit walk RD-trials
-        per block (1..3; the md_stage_0 -> md_stage_3 funnel width)."""
+        per block (1..3; the md_stage_0 -> md_stage_3 funnel width).
+        superres_denom: 9..16 codes every frame at the horizontally
+        downscaled width and signals the normative upscale (spec 5.9.8 /
+        7.16; all-intra only — inter frames would need scaled refs)."""
         import os
 
         from svt_av1_psy_tpu import native
         assert width % 2 == 0 and height % 2 == 0
+        self.up_width = width
+        self.superres_denom = superres_denom
+        if superres_denom:
+            from svt_av1_psy_tpu.ops.resize import superres_coded_width
+            assert 9 <= superres_denom <= 16
+            width = superres_coded_width(width, superres_denom)
         self.width, self.height = width, height
         self.qindex = qindex
         self.bd = bd
@@ -126,16 +136,19 @@ class FastIntraEncoder:
         self.ah = self.mi_rows * 4
         self.paw = (self.aw + SB - 1) // SB * SB
         self.pah = (self.ah + SB - 1) // SB * SB
-        self.seq = SequenceParams(width=width, height=height, bit_depth=bd,
-                                  enable_cdef=True, enable_restoration=False)
+        self.seq = SequenceParams(width=self.up_width, height=height,
+                                  bit_depth=bd,
+                                  enable_cdef=True, enable_restoration=False,
+                                  enable_superres=bool(superres_denom))
         self.frame_index = 0
         self._native = native
-        # tile geometry (uniform spacing, spec 5.9.15)
+        # tile geometry (uniform spacing, spec 5.9.15; bounds from the
+        # CODED width)
         from svt_av1_psy_tpu.bitstream.headers import (tile_info_bounds,
                                                        tile_log2)
         sb_cols = (self.paw + 63) >> 6
         want = n_tiles if n_tiles > 0 else min(os.cpu_count() or 1, 8)
-        (min_l2c, max_l2c, _, min_l2t) = tile_info_bounds(self.seq)
+        (min_l2c, max_l2c, _, min_l2t) = tile_info_bounds(self.seq, width)
         self.tile_cols_log2 = min(max(tile_log2(1, want), min_l2c), max_l2c)
         tw_sb = (sb_cols + (1 << self.tile_cols_log2) - 1) >> \
             self.tile_cols_log2
@@ -334,7 +347,8 @@ class FastIntraEncoder:
             # slows the critical path (measured 2.05 -> 1.25 fps at
             # 1080p). Overlap only pays when decide runs on-chip.
             return
-        yp = _pad_to(np.asarray(y), self.pah, self.paw)
+        ys = self._downscale_y(y)
+        yp = _pad_to(np.asarray(ys), self.pah, self.paw)
         pend = getattr(self, "_pref", None)
         if not isinstance(pend, dict):
             pend = {}
@@ -344,6 +358,12 @@ class FastIntraEncoder:
         # key by object identity; holding y in the value keeps the id
         # stable (no GC reuse) until the entry is consumed or evicted
         pend[id(y)] = (y, self._decide_dispatch(yp))
+
+    def _downscale_y(self, y):
+        if not self.superres_denom:
+            return y
+        from svt_av1_psy_tpu.ops.resize import downscale_horiz
+        return downscale_horiz(np.asarray(y), self.width)
 
     def _take_decide(self, y, yp):
         pend = getattr(self, "_pref", None)
@@ -462,7 +482,18 @@ class FastIntraEncoder:
         self.seq.enable_interintra_compound = bool(
             getattr(self, "interintra_search", False))
         native = self._native
-        yp = _pad_to(np.asarray(y), self.pah, self.paw)
+        if self.superres_denom:
+            # superres (spec 5.9.8): code the horizontally downscaled
+            # frame; recon upscales normatively after CDEF (spec 7.16)
+            from svt_av1_psy_tpu.ops.resize import downscale_horiz
+            assert self.gop_size == 1 and not self.enable_lr, \
+                "superres: all-intra without LR only"
+            ds = downscale_horiz(np.asarray(y), self.width)
+            u = downscale_horiz(np.asarray(u), (self.width + 1) // 2)
+            v = downscale_horiz(np.asarray(v), (self.width + 1) // 2)
+            yp = _pad_to(ds, self.pah, self.paw)
+        else:
+            yp = _pad_to(np.asarray(y), self.pah, self.paw)
         up = _pad_to(np.asarray(u), self.pah // 2, self.paw // 2)
         vp = _pad_to(np.asarray(v), self.pah // 2, self.paw // 2)
 
@@ -588,7 +619,8 @@ class FastIntraEncoder:
         defer = (self.gop_size == 1 and self.hierarchical_levels == 0
                  and not getattr(self, "ra_mode", False)
                  and not self.enable_lr and self.enable_dlf
-                 and self.enable_cdef and cached)
+                 and self.enable_cdef and cached
+                 and not self.superres_denom)
         deferred_task = None
         if defer:
             ly, lu, lv_ = self._dlf_cache
@@ -637,6 +669,8 @@ class FastIntraEncoder:
                                 order_hint=(self.frame_index
                                             if order_hint is None
                                             else order_hint) & 0x7F,
+                                use_superres=bool(self.superres_denom),
+                                superres_denom=self.superres_denom or 8,
                                 using_qmatrix=qm is not None,
                                 qm_y=qm[0] if qm else 15,
                                 qm_u=qm[1] if qm else 15,
@@ -671,9 +705,19 @@ class FastIntraEncoder:
             from svt_av1_psy_tpu.utils.trace import next_frame as _tnext
             _tnext()
             return EncodedFrame(payload=payload, resolve=deferred_task)
-        rec_y = self._rec_y[:H, :W].copy()
-        rec_u = self._rec_u[:cH, :cW].copy()
-        rec_v = self._rec_v[:cH, :cW].copy()
+        if self.superres_denom:
+            from svt_av1_psy_tpu.ops.resize import superres_upscale_frame
+            rec_y, rec_u, rec_v = superres_upscale_frame(
+                (self._rec_y[:H, :self.aw],
+                 self._rec_u[:cH, :(self.aw + 1) // 2],
+                 self._rec_v[:cH, :(self.aw + 1) // 2]),
+                self.up_width, self.superres_denom, self.bd,
+                tile_mi_starts=[s * 16 for s in self.tile_col_starts],
+                coded_w=W)
+        else:
+            rec_y = self._rec_y[:H, :W].copy()
+            rec_u = self._rec_u[:cH, :cW].copy()
+            rec_v = self._rec_v[:cH, :cW].copy()
         if self.bd == 8:
             rec_y = rec_y.astype(np.uint8)
             rec_u = rec_u.astype(np.uint8)
@@ -1185,13 +1229,14 @@ class FastIntraEncoder:
         def task():
             ly, lu, lv_ = dlf_levels
             if ly:
-                native.dlf_apply(ry, lf_y, True, ly, ly, 0, bd, rows, cols)
+                native.dlf_apply(ry, lf_y, True, ly, ly, 0, bd, rows,
+                                 cols, W, H)
             if lu:
                 native.dlf_apply(ru, lf_uv, False, lu, lu, 0, bd,
-                                 crows, ccols)
+                                 crows, ccols, cW, cH)
             if lv_:
                 native.dlf_apply(rv, lf_uv, False, lv_, lv_, 0, bd,
-                                 crows, ccols)
+                                 crows, ccols, cW, cH)
             if any(cdef_st):
                 native.cdef_run((ry, ru, rv), (yp, up, vp), skip, W, H,
                                 bd, damping, cdef_st, apply=True)
@@ -1233,13 +1278,18 @@ class FastIntraEncoder:
             crows, ccols = (rows + 1) // 2, (cols + 1) // 2
             if ly:
                 native.dlf_apply(self._rec_y, self._lf_y, True, ly, ly, 0,
-                                 self.bd, rows, cols)
+                                 self.bd, rows, cols, self.width,
+                                 self.height)
             if lu:
                 native.dlf_apply(self._rec_u, self._lf_uv, False, lu, lu,
-                                 0, self.bd, crows, ccols)
+                                 0, self.bd, crows, ccols,
+                                 (self.width + 1) // 2,
+                                 (self.height + 1) // 2)
             if lv_:
                 native.dlf_apply(self._rec_v, self._lf_uv, False, lv_,
-                                 lv_, 0, self.bd, crows, ccols)
+                                 lv_, 0, self.bd, crows, ccols,
+                                 (self.width + 1) // 2,
+                                 (self.height + 1) // 2)
             return (ly, ly, lu, lv_)
         """Ladder level search around a q-derived guess, then apply
         (ref av1_pick_filter_level's bisection; dlf_process.c kernel)."""
@@ -1274,11 +1324,13 @@ class FastIntraEncoder:
         self._dlf_cache = (ly, lu, lv_)
         if ly:
             native.dlf_apply(self._rec_y, self._lf_y, True, ly, ly, 0,
-                             self.bd, rows, cols)
+                             self.bd, rows, cols, W, H)
         if lu:
             native.dlf_apply(self._rec_u, self._lf_uv, False, lu, lu, 0,
-                             self.bd, crows, ccols)
+                             self.bd, crows, ccols, (W + 1) // 2,
+                             (H + 1) // 2)
         if lv_:
             native.dlf_apply(self._rec_v, self._lf_uv, False, lv_, lv_, 0,
-                             self.bd, crows, ccols)
+                             self.bd, crows, ccols, (W + 1) // 2,
+                             (H + 1) // 2)
         return (ly, ly, lu, lv_)

@@ -375,6 +375,7 @@ def _ensure_commit_locked(lib):
                                      ctypes.c_int, ctypes.c_int,
                                      ctypes.c_int, ctypes.c_int,
                                      ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int,
                                      ctypes.c_int]
     lib.tpud_try_level.restype = ctypes.c_double
     lib.tpud_try_level.argtypes = [u16p, ctypes.c_int, u16p, ctypes.c_int,
@@ -820,15 +821,17 @@ def prof_get() -> dict:
 
 def dlf_apply(plane: np.ndarray, txdim: np.ndarray, is_luma: bool,
               level_v: int, level_h: int, sharpness: int, bd: int,
-              rows: int, cols: int):
-    """Apply the normative DLF in place to a uint16 plane."""
+              rows: int, cols: int, w: int = 0, h: int = 0):
+    """Apply the normative DLF in place to a uint16 plane. w/h: the
+    plane-space DISPLAY dims bounding which mi units filter (spec
+    7.14.1); 0 = the full mi grid (mi-aligned frames)."""
     lib = get_lib()
     u16p = ctypes.POINTER(ctypes.c_uint16)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.tpud_apply_plane(plane.ctypes.data_as(u16p), plane.shape[1],
                          txdim.ctypes.data_as(u8p), txdim.shape[1],
                          rows, cols, int(is_luma), level_v, level_h,
-                         sharpness, bd)
+                         sharpness, bd, w, h)
 
 
 def dlf_try_level(plane: np.ndarray, src: np.ndarray, scratch: np.ndarray,

@@ -148,7 +148,12 @@ def cdef_frame(planes, skip_map, levels, damping: int, dims, bd: int = 8,
         gw = (mi_cols * 4) >> sh          # unit-grid extent in px
         gh = (mi_rows * 4) >> sh
         buf = np.full((gh + 12, gw + 12), CDEF_VERY_LARGE, np.int32)
-        buf[2:2 + h, 2:2 + w] = planes[plane][:h, :w]
+        # the CDEF frame boundary is the MI AREA, not the display size
+        # (spec 7.15: MiCols*4 px; mi columns past an odd display width
+        # hold real reconstructed pixels)
+        ph, pw = planes[plane].shape
+        ch_, cw_ = min(gh, ph), min(gw, pw)
+        buf[2:2 + ch_, 2:2 + cw_] = planes[plane][:ch_, :cw_]
         srcs.append(buf)
     n64r = (mi_rows + 15) // 16
     n64c = (mi_cols + 15) // 16
