@@ -19,6 +19,33 @@ import sys
 import time
 
 
+def _progress(mode: int, n: int, total: int, nbytes: int, t0: float,
+              fps_hint: float) -> None:
+    """Per-frame progress line (ref app_process_cmd.c:962-1025; mode 3
+    is the PSY progress with fps/bitrate/ETA/projected size)."""
+    if mode == 0 or n == 0:
+        return
+    dt = max(time.time() - t0, 1e-6)
+    fps = n / dt
+    if mode == 1:
+        print(f"\rEncoding frame {n}", end="", file=sys.stderr)
+        return
+    kbps = nbytes * 8 * fps_hint / n / 1000.0
+    if mode == 2:
+        print(f"\rEncoding frame {n}  {fps:.2f} fps  {kbps:.1f} kbps",
+              end="", file=sys.stderr)
+        return
+    if total:
+        eta = (total - n) / fps
+        proj = nbytes / n * total / 1e6
+        print(f"\rEncoding frame {n}/{total}  {fps:.2f} fps  "
+              f"{kbps:.1f} kbps  ETA {eta:.0f}s  ~{proj:.2f} MB",
+              end="", file=sys.stderr)
+    else:
+        print(f"\rEncoding frame {n}  {fps:.2f} fps  {kbps:.1f} kbps  "
+              f"{nbytes / 1e6:.2f} MB", end="", file=sys.stderr)
+
+
 def crf_to_qindex(crf: float) -> int:
     """CRF -> base qindex. The reference's extended CRF maps crf to
     qindex = crf*4 with quarter-step offsets (ref enc_settings.c:1128
@@ -63,6 +90,9 @@ def _run_ra(args, reader, enc, t0, rc=None) -> int:
         npkt += 1
         if p.display_idx >= 0:
             nshown += 1
+            if not args.enable_stat_report:
+                _progress(args.progress, nshown, args.frames, total_bytes,
+                          t0, args.fps)
             if args.enable_stat_report and p.display_idx in sources:
                 from svt_av1_psy_tpu.ops.metrics import ssim_plane
                 sy, su, sv = sources.pop(p.display_idx)
@@ -90,6 +120,8 @@ def _run_ra(args, reader, enc, t0, rc=None) -> int:
     for p in enc.flush():
         handle(p)
     ivf.close()
+    if args.progress and nshown and not args.enable_stat_report:
+        print(file=sys.stderr)
     dt = time.time() - t0
     if nshown:
         print(f"encoded {nshown} frames, {total_bytes} bytes, "
@@ -219,6 +251,19 @@ def main(argv=None) -> int:
                     help="binary ITU-T T.35 blob (DoVi RPU / HDR10+ "
                          "container) injected as a per-frame metadata "
                          "OBU (ref app_process_cmd.c:463-495)")
+    ap.add_argument("-c", "--config", default=None,
+                    help="config file: one CLI token per line "
+                         "('crf 35' or '--crf 35'; # comments), same "
+                         "token set as the command line (the reference "
+                         "app's config-file layer, ref app_config.c)")
+    ap.add_argument("--progress", type=int, default=1, choices=(0, 1, 2, 3),
+                    help="0 none, 1 frame count, 2 single-line rate, "
+                         "3 ETA/size/fps (PSY progress-3; ref "
+                         "app_process_cmd.c:962)")
+    ap.add_argument("--nch", type=int, default=1,
+                    help="number of channels: comma-separate -i/-b "
+                         "(and optionally --crf) to encode N streams "
+                         "concurrently (ref app_main.c:153)")
     ap.add_argument("--superres-mode", type=int, default=0,
                     choices=(0, 1),
                     help="super-resolution: 1 codes frames at the "
@@ -235,7 +280,56 @@ def main(argv=None) -> int:
                     help="colon-separated key=value parameter string "
                          "(the svt_av1_enc_parse_parameter surface, "
                          "ref EbSvtAv1Enc.h:1143)")
+    if argv is None:
+        argv = sys.argv[1:]
+    argv = list(argv)
+    # config file (ref app_config.c read_config_file): one token pair per
+    # line, '#' comments; file tokens come first so the CLI overrides
+    if "-c" in argv or "--config" in argv:
+        ci = argv.index("-c") if "-c" in argv else argv.index("--config")
+        cfg_path = argv[ci + 1]
+        extra = []
+        with open(cfg_path) as cf:
+            for line in cf:
+                line = line.split("#", 1)[0].strip()
+                if not line:
+                    continue
+                tok, _, val = line.partition(" ")
+                if not tok.startswith("-"):
+                    tok = "--" + tok.lstrip("-")
+                extra.append(tok)
+                if val.strip():
+                    extra.append(val.strip())
+        argv = extra + argv
     args = ap.parse_args(argv)
+
+    # multi-channel (--nch; ref app_main.c:153-169): comma-separated
+    # -i/-b (and optionally --crf) run as independent encoder instances
+    # in threads (the reference's multi-instance process model)
+    if args.nch > 1:
+        inputs = args.input.split(",")
+        outputs = args.output.split(",")
+        assert len(inputs) == len(outputs) == args.nch, \
+            "--nch N needs N comma-separated -i and -b values"
+        import subprocess
+        procs = []
+        for k in range(args.nch):
+            sub = list(argv)
+
+            def repl(flag_names, value):
+                for fn2 in flag_names:
+                    if fn2 in sub:
+                        sub[sub.index(fn2) + 1] = value
+            repl(("-i", "--input"), inputs[k])
+            repl(("-b", "--output"), outputs[k])
+            i2 = sub.index("--nch")
+            del sub[i2:i2 + 2]
+            # one encoder instance per process (the reference's channel
+            # model, ref app_main.c:153; process isolation also keeps
+            # the native engines independent)
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "svt_av1_psy_tpu"] + sub))
+        return max(p.wait() for p in procs)
 
     if args.qindex is None:
         args.qindex = crf_to_qindex(args.crf) if args.crf is not None \
@@ -451,8 +545,16 @@ def main(argv=None) -> int:
                       f"V {stats[-1][4]:.2f}  SSIM {stats[-1][5]:.4f}",
                       file=sys.stderr)
             n += 1
+            _progress(args.progress, n, args.frames, total_bytes, t0,
+                      args.fps)
             if args.frames and n >= args.frames:
                 break
+        if args.progress and n:
+            print(file=sys.stderr)
+        # drain deferred filter threads before teardown (all-intra
+        # pipelining defers DLF/CDEF apply off the critical path)
+        for th in getattr(enc._enc, "_pending_filters", {}).values():
+            th.join()
         if ivf is not None:
             ivf.close()
         if fp_stats is not None:
