@@ -223,6 +223,10 @@ def main(argv=None) -> int:
                     help="1 = estimate AR grain from the source and signal "
                          "it for decoder-side synthesis (PSY adaptive "
                          "block size)")
+    ap.add_argument("--fgs-table", default=None,
+                    help="external film-grain table file (aom "
+                         "'filmgrn1' text format; ref --fgs-table, "
+                         "app_config.c:2654)")
     ap.add_argument("--variance-octile", type=int, default=6,
                     choices=range(1, 9))
     ap.add_argument("--enable-restoration", type=int, default=-1,
@@ -388,6 +392,9 @@ def main(argv=None) -> int:
             cfg = parse_parameter_string(cfg, args.svtav1_params)
         enc = Encoder(cfg, W, H, bit_depth=bd)
         enc._enc.qindex = args.qindex   # qindex-level precision
+        if args.fgs_table:
+            from svt_av1_psy_tpu.models.film_grain import load_fgs_table
+            enc._enc.film_grain = load_fgs_table(args.fgs_table)
 
         # --- HDR / T.35 metadata OBUs (ref metadata_handle.c) ---
         if args.content_light or args.mastering_display or args.t35_file:

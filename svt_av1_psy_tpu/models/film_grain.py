@@ -127,3 +127,61 @@ def estimate_film_grain(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         ar_coeffs_cr=coeffs + [0],
         ar_coeff_shift=ar_shift, grain_scale_shift=0,
         overlap_flag=True, clip_to_restricted_range=False)
+
+
+def load_fgs_table(path: str) -> FilmGrainParams:
+    """Parse an aom film-grain table file ("filmgrn1" text format; the
+    --fgs-table surface, ref App/app_config.c:2654 read_fgs_table) and
+    return the FIRST entry's parameters (applied sequence-wide)."""
+    with open(path) as f:
+        text = f.read()
+    if not text.startswith("filmgrn1"):
+        raise ValueError(f"invalid grain table magic in {path}")
+    toks = text.split()[1:]
+    pos = 0
+
+    def take(n):
+        nonlocal pos
+        out = toks[pos:pos + n]
+        pos += n
+        return out
+
+    def expect(t):
+        nonlocal pos
+        if pos >= len(toks) or toks[pos] != t:
+            raise ValueError(f"grain table: expected {t!r} at token {pos}")
+        pos += 1
+
+    expect("E")
+    _, _, apply_grain, seed, update = take(5)
+    if not int(update):
+        raise ValueError("grain table: first entry carries no parameters")
+    expect("p")
+    (lag, shift, gss, scaling_shift, csfl, overlap, cb_mult, cb_luma,
+     cb_off, cr_mult, cr_luma, cr_off) = [int(x) for x in take(12)]
+
+    def points(tag):
+        expect(tag)
+        n = int(take(1)[0])
+        vals = [int(x) for x in take(2 * n)]
+        return [(vals[2 * i], vals[2 * i + 1]) for i in range(n)]
+
+    sy = points("sY")
+    scb = points("sCb")
+    scr = points("sCr")
+    n_y_coeffs = 2 * lag * (lag + 1)
+    expect("cY")
+    cy = [int(x) for x in take(n_y_coeffs)]
+    expect("cCb")
+    ccb = [int(x) for x in take(n_y_coeffs + 1)]
+    expect("cCr")
+    ccr = [int(x) for x in take(n_y_coeffs + 1)]
+    return FilmGrainParams(
+        apply_grain=bool(int(apply_grain)), grain_seed=int(seed) & 0xFFFF,
+        scaling_y=sy, scaling_cb=scb, scaling_cr=scr,
+        chroma_scaling_from_luma=bool(csfl), grain_scaling=scaling_shift,
+        ar_coeff_lag=lag, ar_coeffs_y=cy, ar_coeffs_cb=ccb,
+        ar_coeffs_cr=ccr, ar_coeff_shift=shift, grain_scale_shift=gss,
+        cb_mult=cb_mult, cb_luma_mult=cb_luma, cb_offset=cb_off,
+        cr_mult=cr_mult, cr_luma_mult=cr_luma, cr_offset=cr_off,
+        overlap_flag=bool(overlap))

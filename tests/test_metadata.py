@@ -109,3 +109,26 @@ def test_logging_levels(monkeypatch, capsys, tmp_path):
     assert "to file" in open(path).read()
     monkeypatch.delenv("SVT_LOG_FILE")
     importlib.reload(slog)
+
+
+def test_fgs_table_roundtrip(tmp_path):
+    """--fgs-table: parse the aom 'filmgrn1' text format into
+    FilmGrainParams (ref App/app_config.c:2654 read_fgs_table)."""
+    p = tmp_path / "t.fgs"
+    p.write_text(
+        "filmgrn1\n"
+        "E 0 9223372036854775807 1 1234 1\n"
+        "\tp 2 6 0 8 0 1 128 192 256 128 192 256\n"
+        "\tsY 2  0 20 255 24\n"
+        "\tsCb 1 0 8\n"
+        "\tsCr 0\n"
+        "\tcY 0 0 0 0 0 0 0 0 0 0 0 1\n"
+        "\tcCb 0 0 0 0 0 0 0 0 0 0 0 0 0\n"
+        "\tcCr 0 0 0 0 0 0 0 0 0 0 0 0 0\n")
+    from svt_av1_psy_tpu.models.film_grain import load_fgs_table
+    fg = load_fgs_table(str(p))
+    assert fg.apply_grain and fg.grain_seed == 1234
+    assert fg.scaling_y == [(0, 20), (255, 24)]
+    assert fg.scaling_cb == [(0, 8)] and fg.scaling_cr == []
+    assert fg.ar_coeff_lag == 2 and fg.ar_coeffs_y[-1] == 1
+    assert len(fg.ar_coeffs_cb) == 13
