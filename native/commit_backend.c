@@ -1194,35 +1194,58 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
     int kmax = c->n_cands < N_MODE_CANDS ? c->n_cands : N_MODE_CANDS;
     double best_mode_cost = -1.0;
     if (kmax > 1) {
+        /* stage-0: cheap SAD rank of the candidate predictions; the
+         * full transform trial (the expensive part) only runs for
+         * candidates within 25% of the best SAD — the md_stage_0 ->
+         * md_stage_1 funnel cut (ref mode_decision.c class pruning) */
+        static __thread int32_t cres[N_MODE_CANDS][64 * 64];
+        long sads[N_MODE_CANDS];
+        long best_sad = -1;
+        const uint16_t *sp = c->src[0];
+        int ss = c->sstride[0];
         for (int k = 0; k < kmax; k++) {
+            sads[k] = -1;
             int m = cand_modes[k];
             int dup = 0;
             for (int k2 = 0; k2 < k; k2++)
                 if (cand_modes[k2] == m) dup = 1;
             if (dup) continue;
             tpu_predict_txb(c, 0, m, 0, r, c4, r, c4, ts_y, pred_cand);
-            const uint16_t *sp = c->src[0];
-            int ss = c->sstride[0];
+            long sad = 0;
             for (int i = 0; i < size; i++)
-                for (int j = 0; j < size; j++)
-                    resid_cand[i * size + j] =
+                for (int j = 0; j < size; j++) {
+                    int32_t d =
                         (int32_t)sp[(r * 4 + i) * ss + c4 * 4 + j] -
                         pred_cand[i * size + j];
-            tpu_trial_txb(c, 0, ts_y, 0, resid_cand, q, 0, sgn_y, 0, &tmp);
+                    cres[k][i * size + j] = d;
+                    sad += d < 0 ? -d : d;
+                }
+            sads[k] = sad;
+            if (best_sad < 0 || sad < best_sad) best_sad = sad;
+        }
+        for (int k = 0; k < kmax; k++) {
+            if (sads[k] < 0 || sads[k] > best_sad + (best_sad >> 2))
+                continue;
+            int m = cand_modes[k];
+            tpu_trial_txb(c, 0, ts_y, 0, cres[k], q, 0, sgn_y, 0, &tmp);
             double rate = tmp.rate512 / 512.0 +
                           tpu_sym_cost_bits(ymode_cdf, m);
             if (m >= 1 && m <= 8)
                 rate += tpu_sym_cost_bits(mc->angle_delta + (m - 1) * 8, 3);
-            double cost = tpu_dist_eval(c, ts_y, pred_cand, resid_cand,
+            if (c->tune_ssim)
+                tpu_predict_txb(c, 0, m, 0, r, c4, r, c4, ts_y,
+                                pred_cand);
+            double cost = tpu_dist_eval(c, ts_y, pred_cand, cres[k],
                                         &tmp) + c->rdmult * rate;
             if (best_mode_cost < 0 || cost < best_mode_cost) {
                 best_mode_cost = cost;
                 y_mode = m;
-                memcpy(s_pred_y, pred_cand, sizeof(int32_t) * size * size);
-                memcpy(s_resid_y, resid_cand,
+                memcpy(s_resid_y, cres[k],
                        sizeof(int32_t) * size * size);
             }
         }
+        /* rebuild the winner's prediction once (vs one copy per cand) */
+        tpu_predict_txb(c, 0, y_mode, 0, r, c4, r, c4, ts_y, s_pred_y);
     } else {
         tpu_predict_txb(c, 0, y_mode, 0, r, c4, r, c4, ts_y, s_pred_y);
         const uint16_t *sp = c->src[0];
