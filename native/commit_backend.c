@@ -734,6 +734,10 @@ void tpuc_set_max_tx32(TpuCommit *c, int on) {
     c->max_tx32 = on;
 }
 
+void tpuc_set_cfl(TpuCommit *c, int on) {
+    c->cfl_search = on;
+}
+
 void tpuc_set_qm(TpuCommit *c,
                  const int32_t *wt_y, const int32_t *iwt_y,
                  const int32_t *wt_u, const int32_t *iwt_u,
@@ -1132,6 +1136,8 @@ void tpu_write_txb_inter(TpuCommit *c, int plane, int u_row, int u_col,
 /* ---- intra block: trial + write/commit split --------------------------- */
 typedef struct {
     int y_mode, uv_mode, skip;
+    /* CfL (uv_mode 13): joint sign + alpha indices (spec 5.11.45) */
+    int cfl_js, cfl_iu, cfl_iv;
     double cost;     /* sse + rdmult*rate incl. mode signalling */
 } IntraChoice;
 
@@ -1496,10 +1502,152 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
         if (i == 0 && cu2.eob == 0 && cv2.eob == 0)
             break;   /* DC already lossless-at-this-q: modes tie */
     }
+    /* CfL candidate (uv_mode 13; spec 7.11.5; ref cfl alpha RD in
+     * product_coding_loop.c): least-squares alpha per plane from the
+     * RECONSTRUCTED luma AC (twin of ops/intra.cfl_luma_ac / cfl_pred),
+     * refined +-1, exact sign/alpha symbol rates. Intra frames, square
+     * <=32 blocks at the largest-tx luma choice. */
+    int cfl_js = -1, cfl_iu = 0, cfl_iv = 0;
+    if (c->cfl_search && cfl_ok && !s_split && frame_is_intra &&
+        !c->noise_norm) {
+        /* (noise-norm would change the committed luma recon after this
+         * trial, desyncing the decoder's CfL prediction) */
+        static __thread int32_t recy[64 * 64], rres[64 * 64];
+        static __thread int32_t lac[32 * 32];
+        static __thread int32_t dcu[32 * 32], dcv[32 * 32];
+        static __thread int32_t cpred[32 * 32];
+        int hi = (1 << c->bd) - 1;
+        if (s_ty.eob) {
+            tputx_inv2d(s_ty.dqc, rres, ts_y, s_ty.tt, c->bd);
+            for (int i = 0; i < size * size; i++) {
+                int v = s_pred_y[i] + rres[i];
+                recy[i] = v < 0 ? 0 : v > hi ? hi : v;
+            }
+        } else {
+            memcpy(recy, s_pred_y, sizeof(int32_t) * size * size);
+        }
+        /* subsampled luma minus average, Q3 (spec 7.11.5.2/.3) */
+        long tot = 0;
+        for (int i = 0; i < chh; i++)
+            for (int j = 0; j < cw; j++) {
+                int32_t t2 = (recy[(2 * i) * size + 2 * j] +
+                              recy[(2 * i) * size + 2 * j + 1] +
+                              recy[(2 * i + 1) * size + 2 * j] +
+                              recy[(2 * i + 1) * size + 2 * j + 1]) << 1;
+                lac[i * cw + j] = t2;
+                tot += t2;
+            }
+        int n = cw * chh;
+        int lg = 0;
+        while ((1 << lg) < n) lg++;
+        int32_t avg = (int32_t)((tot + (n >> 1)) >> lg);
+        long den = 0;
+        for (int i = 0; i < n; i++) {
+            lac[i] -= avg;
+            den += (long)lac[i] * lac[i];
+        }
+        tpu_predict_txb(c, 1, 0, 0, r, c4, cr, cc, ts_c, dcu);
+        tpu_predict_txb(c, 2, 0, 0, r, c4, cr, cc, ts_c, dcv);
+        const uint16_t *su2 = c->src[1], *sv2 = c->src[2];
+        int ss2 = c->sstride[1];
+        double pl_cost[2];
+        int pl_alpha[2];
+        static __thread TxTrial pl_trial[2];
+        static __thread int32_t pl_pred[2][32 * 32];
+        for (int pl = 0; pl < 2; pl++) {
+            const uint16_t *sp2 = pl ? sv2 : su2;
+            int32_t *dc = pl ? dcv : dcu;
+            int sgn = pl ? sgn_v : sgn_u;
+            long num = 0;
+            for (int i = 0; i < chh; i++)
+                for (int j = 0; j < cw; j++)
+                    num += (long)lac[i * cw + j] *
+                           ((int32_t)sp2[(cr * 4 + i) * ss2 + cc * 4 + j] -
+                            dc[i * cw + j]);
+            int a0 = 0;
+            if (den > 0) {
+                double af = 64.0 * (double)num / (double)den;
+                a0 = (int)(af >= 0 ? af + 0.5 : af - 0.5);
+                if (a0 > 16) a0 = 16;
+                if (a0 < -16) a0 = -16;
+            }
+            double bestc = -1.0;
+            int besta = 0;
+            int cands2[4] = {0, a0, a0 - 1, a0 + 1};
+            for (int ci = 0; ci < 4; ci++) {
+                int a = cands2[ci];
+                if (a < -16 || a > 16) continue;
+                int dup2 = 0;
+                for (int cj = 0; cj < ci; cj++)
+                    if (cands2[cj] == a) dup2 = 1;
+                if (dup2) continue;
+                for (int i = 0; i < n; i++) {
+                    long prod = (long)a * lac[i];
+                    int adj = prod >= 0 ? (int)((prod + 32) >> 6)
+                                        : -(int)((-prod + 32) >> 6);
+                    int v = dc[i] + adj;
+                    cpred[i] = v < 0 ? 0 : v > hi ? hi : v;
+                }
+                for (int i = 0; i < chh; i++)
+                    for (int j = 0; j < cw; j++)
+                        resid_u[i * cw + j] =
+                            (int32_t)sp2[(cr * 4 + i) * ss2 + cc * 4 + j] -
+                            cpred[i * cw + j];
+                static __thread TxTrial ct;
+                tpu_trial_txb(c, pl + 1, ts_c, 0, resid_u, q, 1, sgn, 0,
+                              &ct);
+                double cost = tpu_dist_eval(c, ts_c, cpred, resid_u, &ct) +
+                              c->rdmult * (ct.rate512 / 512.0);
+                if (bestc < 0 || cost < bestc) {
+                    bestc = cost;
+                    besta = a;
+                    pl_trial[pl] = ct;
+                    memcpy(pl_pred[pl], cpred, sizeof(int32_t) * n);
+                }
+            }
+            pl_cost[pl] = bestc;
+            pl_alpha[pl] = besta;
+        }
+        int au2 = pl_alpha[0], av2 = pl_alpha[1];
+        if (au2 || av2) {
+            int su3 = au2 == 0 ? 0 : au2 > 0 ? 2 : 1;
+            int sv3 = av2 == 0 ? 0 : av2 > 0 ? 2 : 1;
+            int js = su3 * 3 + sv3 - 1;
+            int iu = au2 ? (au2 > 0 ? au2 : -au2) - 1 : 0;
+            int iv = av2 ? (av2 > 0 ? av2 : -av2) - 1 : 0;
+            double rate_hdr =
+                tpu_sym_cost_bits(mc->uv_mode + (cfl_ok * 13 + y_mode) * 15,
+                                  13) +
+                tpu_sym_cost_bits(mc->cfl_sign, js);
+            if (su3)
+                rate_hdr += tpu_sym_cost_bits(
+                    mc->cfl_alpha + (js + 1 - 3) * 17, iu);
+            if (sv3)
+                rate_hdr += tpu_sym_cost_bits(
+                    mc->cfl_alpha + (sv3 * 3 + su3 - 3) * 17, iv);
+            double cost13 = pl_cost[0] + pl_cost[1] +
+                            c->rdmult * rate_hdr;
+            if (cost13 < best_uv_cost) {
+                best_uv_cost = cost13;
+                uv_mode = 13;
+                cfl_js = js;
+                cfl_iu = iu;
+                cfl_iv = iv;
+                au = pl_trial[0];
+                av = pl_trial[1];
+                memcpy(s_pred_u, pl_pred[0], sizeof(int32_t) * n);
+                memcpy(s_pred_v, pl_pred[1], sizeof(int32_t) * n);
+            }
+        }
+    }
+
     s_tu = au;
     s_tv = av;
     out->y_mode = y_mode;
     out->uv_mode = uv_mode;
+    out->cfl_js = cfl_js;
+    out->cfl_iu = cfl_iu;
+    out->cfl_iv = cfl_iv;
     int y_eob = s_split ? (s_sub_t[0].eob | s_sub_t[1].eob |
                            s_sub_t[2].eob | s_sub_t[3].eob)
                         : s_ty.eob;
@@ -1653,7 +1801,21 @@ static void intra_write_commit(TpuCommit *c, int r, int c4, int size,
                      7, 1);
     tpuec_symbol(c->ec, uv_mode, mc->uv_mode + (cfl_ok * 13 + y_mode) * 15,
                  cfl_ok ? 14 : 13, 1);
-    if (uv_mode >= 1 && uv_mode <= 8)
+    if (uv_mode == 13) {
+        /* cfl_alpha_signs + indices (spec 5.11.45; mirror of
+         * entropy/tile_writer.write_block's CfL branch) */
+        int js = ch->cfl_js;
+        tpuec_symbol(c->ec, js, mc->cfl_sign, 8, 1);
+        int sign_u = ((js + 1) * 11) >> 5;
+        int sign_v = (js + 1) - 3 * sign_u;
+        if (sign_u)
+            tpuec_symbol(c->ec, ch->cfl_iu,
+                         mc->cfl_alpha + (js + 1 - 3) * 17, 16, 1);
+        if (sign_v)
+            tpuec_symbol(c->ec, ch->cfl_iv,
+                         mc->cfl_alpha + (sign_v * 3 + sign_u - 3) * 17,
+                         16, 1);
+    } else if (uv_mode >= 1 && uv_mode <= 8)
         tpuec_symbol(c->ec, 3, mc->angle_delta + (uv_mode - 1) * 8, 7, 1);
 
     int aw4 = w4 < c->mi_cols - c4 ? w4 : c->mi_cols - c4;

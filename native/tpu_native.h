@@ -88,6 +88,8 @@ typedef struct {
     uint16_t *wiener_restore;     /* [3] */
     uint16_t *sgrproj_restore;    /* [3] */
     uint16_t *switchable_restore; /* [4] */
+    uint16_t *cfl_sign;           /* [9] */
+    uint16_t *cfl_alpha;          /* [6][17] */
 } ModeCdfs;
 
 /* inter-frame CDF pointers into FrameContext numpy arrays (uint16). */
@@ -256,6 +258,7 @@ void tpuc_set_tx_select(TpuCommit *c, int enable);
  * is_motion_mode_switchable / allow_warped_motion accordingly). */
 void tpuc_set_obmc(TpuCommit *c, int enable, int allow_warp);
 void tpuc_set_interintra(TpuCommit *c, int enable);
+void tpuc_set_cfl(TpuCommit *c, int enable);
 void tpuc_upload_ii(int mode, int size_idx, const int32_t *mask, int n);
 /* Normative warp constants (spec 7.11.3.5 Warp_Filter [193][8] and
  * 7.11.3.7 Div_Lut [257]), uploaded once from python. */

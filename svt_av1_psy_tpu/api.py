@@ -136,6 +136,9 @@ class Encoder:
             # inter-intra (smooth II blend; ref enc_mode_config.c
             # inter_intra_level)
             enc.interintra_search = preset <= 10
+            # CfL chroma candidate (ref enc_mode_config.c cfl_level:
+            # enabled at the quality presets)
+            enc.cfl_search = preset <= 11
             # TX_MODE_SELECT on intra frames: depth-1 tx split search
             # (ref enc_mode_config txs level; the funnel-width gate in
             # the C walk keeps p13 at largest-tx)

@@ -261,6 +261,8 @@ class FastIntraEncoder:
         self.masked_compound_search = False
         # inter-intra search (smooth II blend; spec 5.11.28)
         self.interintra_search = False
+        # CfL chroma candidate in the intra walk (spec 7.11.5)
+        self.cfl_search = False
 
     # --- sharded device search (multi-chip; SURVEY.md §2.2 P4) -----------
     def make_sharded_decide(self, mesh, axis: str = "sp"):
@@ -548,6 +550,8 @@ class FastIntraEncoder:
                 eng.set_tune_ssim(True)
             if self.max_tx32:
                 eng.set_max_tx32(True)
+            if getattr(self, "cfl_search", False):
+                eng.set_cfl(True)
             eng.attach_planes(self._rec_y, self._rec_u, self._rec_v)
             if self.enable_dlf:
                 eng.attach_lfmaps(self._lf_y, self._lf_uv)

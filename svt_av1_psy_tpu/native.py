@@ -229,7 +229,8 @@ class ModeCdfs(ctypes.Structure):
     _fields_ = [(n, ctypes.POINTER(ctypes.c_uint16)) for n in (
         "partition", "skip", "kf_y", "angle_delta", "uv_mode",
         "intra_ext_tx", "delta_q", "tx_size", "txb_skip",
-        "wiener_restore", "sgrproj_restore", "switchable_restore")]
+        "wiener_restore", "sgrproj_restore", "switchable_restore",
+        "cfl_sign", "cfl_alpha")]
 
 
 def make_mode_cdfs(fc) -> ModeCdfs:
@@ -239,7 +240,8 @@ def make_mode_cdfs(fc) -> ModeCdfs:
         _u16p(fc.angle_delta), _u16p(fc.uv_mode), _u16p(fc.intra_ext_tx),
         _u16p(fc.delta_q), _u16p(fc.tx_size), _u16p(fc.txb_skip),
         _u16p(fc.wiener_restore), _u16p(fc.sgrproj_restore),
-        _u16p(fc.switchable_restore))
+        _u16p(fc.switchable_restore), _u16p(fc.cfl_sign),
+        _u16p(fc.cfl_alpha))
 
 
 class InterCdfs(ctypes.Structure):
@@ -410,6 +412,7 @@ def _ensure_commit_locked(lib):
     lib.tpuc_set_obmc.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                   ctypes.c_int]
     lib.tpuc_set_interintra.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.tpuc_set_cfl.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.tpuc_set_tx_select.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.tpuc_upload_warp.argtypes = [i32p, i32p]
     lib.tpuc_set_tpl.argtypes = [ctypes.c_void_p, i16p, i16p, u8p,
@@ -579,6 +582,11 @@ class CommitEngine:
         allow_warped_motion) on eligible single-ref blocks + write the
         motion-mode symbol."""
         self.lib.tpuc_set_obmc(self._c, int(enable), int(allow_warp))
+
+    def set_cfl(self, enable: bool):
+        """CfL chroma candidate in the intra walk (spec 7.11.5):
+        LS-alpha search on the reconstructed-luma AC."""
+        self.lib.tpuc_set_cfl(self._c, int(enable))
 
     def set_interintra(self, enable: bool):
         """Inter-intra search (seq enable_interintra_compound): trial
