@@ -250,6 +250,10 @@ def apply_loop_filter(planes: List[np.ndarray], maps: LoopFilterMaps,
                 cur_w = txw[:, cu]
                 prev_w = txw[:, cu - 1]
                 is_edge = (xpx % np.maximum(cur_w, 1)) == 0
+                # mi units whose origin lies past the display dims are
+                # not filtered (spec 7.14.1); mask rows past `rows`
+                is_edge = is_edge.copy()
+                is_edge[rows:] = False
                 # inter skip blocks: interior (non-prediction-boundary) tx
                 # edges between two skipped blocks are not filtered
                 if maps.skip_inter is not None:
@@ -284,6 +288,9 @@ def apply_loop_filter(planes: List[np.ndarray], maps: LoopFilterMaps,
                 cur_h = txh[ru, :]
                 prev_h = txh[ru - 1, :]
                 is_edge = (ypx % np.maximum(cur_h, 1)) == 0
+                # skip mi units past the display width (spec 7.14.1)
+                is_edge = is_edge.copy()
+                is_edge[cols:] = False
                 if maps.skip_inter is not None:
                     sk_c = maps.skip_inter[plane][ru, :]
                     sk_p = maps.skip_inter[plane][ru - 1, :]

@@ -5,9 +5,9 @@ The fast path codes every frame at the horizontally downscaled width
 upscaler runs per tile column with the subpel accumulator carried
 across tiles and taps clamped at the mi-area edges (validated bit-exact
 against dav1d, which libaom's decoder corroborates). Encoder recon ==
-dav1d output is the conformance bar; the own decoder cross-checks
-mi-aligned widths (a known 1-LSB DLF+CDEF interaction remains at the
-right edge when whole mi columns lie past an odd display width).
+dav1d output is the conformance bar; the own decoder cross-checks every
+width class (the python loop filter now gates mi units past the display
+dims exactly like the native path / spec 7.14.1).
 """
 import io
 import os
@@ -55,7 +55,8 @@ def test_superres_encode_dav1d_bit_exact(nt, den):
         assert np.array_equal(a.v, o.recon_v), f"frame {i} v"
 
 
-@pytest.mark.parametrize("nt,den", [(4, 16), (2, 15), (1, 10)])
+@pytest.mark.parametrize("nt,den", [(4, 16), (2, 15), (1, 10),
+                                    (1, 12), (2, 9)])
 def test_superres_own_decoder(nt, den):
     W, H = 640, 360
     frames = _clip(W, H)
