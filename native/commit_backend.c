@@ -383,6 +383,51 @@ void tpu_bd_set(TpuCommit *c, int plane, int y4, int x4, int h4, int w4) {
         memset(&c->bdmap[plane][(ry + 1 + i) * 18 + rx + 1], 1, w4);
 }
 
+/* ---- filter intra (spec 7.11.6; twin of ops/intra.filter_intra_pred) -- */
+/* 5 modes x 8 outputs x 8 taps (7 used), uploaded from
+ * constants/av1_tables.npz filter_intra_taps */
+static int32_t FI_TAPS[5][8][8];
+
+void tpuc_upload_fi(const int32_t *taps) {
+    memcpy(FI_TAPS, taps, sizeof(FI_TAPS));
+}
+
+static void fi_predict(int bd, int fm, const int32_t *above,
+                       const int32_t *left, int32_t al, int w, int h,
+                       int32_t *pred) {
+    static __thread int32_t buf[33 * 33];
+    int bw = w + 1;
+    int hi = (1 << bd) - 1;
+    buf[0] = al;
+    for (int j = 0; j < w; j++) buf[1 + j] = above[j];
+    for (int i = 0; i < h; i++) buf[(i + 1) * bw] = left[i];
+    for (int r2 = 1; r2 <= h; r2 += 2)
+        for (int c2 = 1; c2 <= w; c2 += 4) {
+            int32_t p[7];
+            p[0] = buf[(r2 - 1) * bw + c2 - 1];
+            p[1] = buf[(r2 - 1) * bw + c2];
+            p[2] = buf[(r2 - 1) * bw + (c2 + 1 <= w ? c2 + 1 : w)];
+            p[3] = buf[(r2 - 1) * bw + (c2 + 2 <= w ? c2 + 2 : w)];
+            p[4] = buf[(r2 - 1) * bw + (c2 + 3 <= w ? c2 + 3 : w)];
+            p[5] = buf[r2 * bw + c2 - 1];
+            p[6] = buf[(r2 + 1 <= h ? r2 + 1 : h) * bw + c2 - 1];
+            for (int k = 0; k < 8; k++) {
+                int ro = k >> 2, co = k & 3;
+                long sum = 0;
+                for (int t = 0; t < 7; t++)
+                    sum += (long)FI_TAPS[fm][k][t] * p[t];
+                int val = sum >= 0 ? (int)((sum + 8) >> 4)
+                                   : -(int)((-sum + 8) >> 4);
+                if (val < 0) val = 0;
+                if (val > hi) val = hi;
+                buf[(r2 + ro) * bw + c2 + co] = val;
+            }
+        }
+    for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++)
+            pred[i * w + j] = buf[(i + 1) * bw + 1 + j];
+}
+
 /* ---- intra prediction (spec 7.11.2) ------------------------------------ */
 static void edge_filter_buf(int32_t *buf, int sz, int strength) {
     if (strength == 0 || sz <= 1) return;
@@ -464,6 +509,10 @@ static void predict_block(TpuCommit *c, int plane, int mode, int ad,
                           int32_t al, int w, int h, int have_above,
                           int have_left, int n_top_px, int n_left_px,
                           int ftype, int32_t *pred) {
+    if (mode >= 100) {    /* filter intra: mode = 100 + fi_mode */
+        fi_predict(c->bd, mode - 100, above, left, al, w, h, pred);
+        return;
+    }
     int bd = c->bd;
     int base = 1 << (bd - 1);
     int hi = (1 << bd) - 1;
@@ -736,6 +785,10 @@ void tpuc_set_max_tx32(TpuCommit *c, int on) {
 
 void tpuc_set_cfl(TpuCommit *c, int on) {
     c->cfl_search = on;
+}
+
+void tpuc_set_filter_intra(TpuCommit *c, int on) {
+    c->fi_search = on;
 }
 
 void tpuc_set_qm(TpuCommit *c,
@@ -1138,6 +1191,8 @@ typedef struct {
     int y_mode, uv_mode, skip;
     /* CfL (uv_mode 13): joint sign + alpha indices (spec 5.11.45) */
     int cfl_js, cfl_iu, cfl_iv;
+    /* filter intra (spec 5.11.7; DC blocks <= 32) */
+    int use_fi, fi_mode;
     double cost;     /* sse + rdmult*rate incl. mode signalling */
 } IntraChoice;
 
@@ -1312,6 +1367,50 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
         }
     }
 
+    /* filter-intra trial (spec 7.11.6; ref filter_intra_level in
+     * enc_mode_config.c): five recursive-filter candidates replace the
+     * DC prediction when they win the DCT-trial RD incl. the
+     * filter_intra flag + mode symbol rates. Intra frames, <=32. */
+    int s_use_fi = 0, s_fi_mode = 0;
+    if (c->fi_search && frame_is_intra && y_mode == 0 && size <= 32) {
+        const uint16_t *ficdf =
+            mc->filter_intra + tpu_sq_bsize(size) * 3;
+        const uint16_t *sp3 = c->src[0];
+        int ss3 = c->sstride[0];
+        tpu_trial_txb(c, 0, ts_y, 0, s_resid_y, q, 0, sgn_y, 0, &tmp);
+        double base = tpu_dist_eval(c, ts_y, s_pred_y, s_resid_y, &tmp) +
+                      c->rdmult * (tmp.rate512 / 512.0 +
+                                   tpu_sym_cost_bits(ficdf, 0));
+        for (int fm = 0; fm < 5; fm++) {
+            tpu_predict_txb(c, 0, 100 + fm, 0, r, c4, r, c4, ts_y,
+                            pred_cand);
+            for (int i = 0; i < size; i++)
+                for (int j = 0; j < size; j++)
+                    resid_cand[i * size + j] =
+                        (int32_t)sp3[(r * 4 + i) * ss3 + c4 * 4 + j] -
+                        pred_cand[i * size + j];
+            tpu_trial_txb(c, 0, ts_y, 0, resid_cand, q, 0, sgn_y, 0,
+                          &tmp);
+            double cost =
+                tpu_dist_eval(c, ts_y, pred_cand, resid_cand, &tmp) +
+                c->rdmult * (tmp.rate512 / 512.0 +
+                             tpu_sym_cost_bits(ficdf, 1) +
+                             tpu_sym_cost_bits(mc->filter_intra_mode, fm));
+            if (cost < base) {
+                base = cost;
+                s_use_fi = 1;
+                s_fi_mode = fm;
+                memcpy(s_pred_y, pred_cand, sizeof(int32_t) * size * size);
+                memcpy(s_resid_y, resid_cand,
+                       sizeof(int32_t) * size * size);
+            }
+        }
+    }
+    /* tx-type signalling context for filter-intra blocks maps the fi
+     * mode to an intra direction (spec read_tx_type; FIMODE_TO_INTRADIR) */
+    static const int FI2DIR[5] = {0, 1, 2, 6, 0};
+    int txmode = s_use_fi ? FI2DIR[s_fi_mode] : y_mode;
+
     /* tx-type trial for the winning mode (DCT reused from stage 1 when
      * the mode funnel ran) */
     int set = intra_tx_set_of(ts_y);
@@ -1326,7 +1425,7 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
         if (tmp.eob && set > 0)
             rate += tpu_sym_cost_bits(
                 mc->intra_ext_tx +
-                    ((set * 4 + TX_SQR[ts_y]) * 13 + y_mode) * 17,
+                    ((set * 4 + TX_SQR[ts_y]) * 13 + txmode) * 17,
                 txtype_sym(set, tt));
         double cost = (double)tmp.sse + c->psy_rd * tmp.psy +
                       c->rdmult * rate;
@@ -1343,7 +1442,7 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
      * per-txb skip/type rates (ref tx_search.c tx-depth RD). */
     s_split = 0;
     if (c->tx_select && frame_is_intra && ts_y >= 1 && ts_y <= 4 &&
-        c->n_cands >= 2) {
+        c->n_cands >= 2 && !s_use_fi) {
         int sub_ts = ts_y - 1;
         int h4q = (size / 2) / 4;
         int cat = ts_y - 1;
@@ -1355,7 +1454,7 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
         if (s_ty.eob && set0 > 0)
             tt0 = tpu_sym_cost_bits(
                 mc->intra_ext_tx +
-                    ((set0 * 4 + TX_SQR[ts_y]) * 13 + y_mode) * 17,
+                    ((set0 * 4 + TX_SQR[ts_y]) * 13 + txmode) * 17,
                 txtype_sym(set0, s_ty.tt));
         double skip0 = tpu_sym_cost_bits(
             mc->txb_skip + (txs_entropy_ctx_of(ts_y) * 13 + 0) * 3,
@@ -1417,7 +1516,7 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
                 if (qt.eob && sset > 0)
                     rate += tpu_sym_cost_bits(
                         mc->intra_ext_tx +
-                            ((sset * 4 + TX_SQR[sub_ts]) * 13 + y_mode) *
+                            ((sset * 4 + TX_SQR[sub_ts]) * 13 + txmode) *
                                 17,
                         txtype_sym(sset, qt.tt));
                 double qcst = (double)qt.sse + c->psy_rd * qt.psy +
@@ -1648,6 +1747,8 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
     out->cfl_js = cfl_js;
     out->cfl_iu = cfl_iu;
     out->cfl_iv = cfl_iv;
+    out->use_fi = s_use_fi;
+    out->fi_mode = s_fi_mode;
     int y_eob = s_split ? (s_sub_t[0].eob | s_sub_t[1].eob |
                            s_sub_t[2].eob | s_sub_t[3].eob)
                         : s_ty.eob;
@@ -1656,6 +1757,13 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
     if (y_mode >= 1 && y_mode <= 8)
         mode_rate += tpu_sym_cost_bits(mc->angle_delta + (y_mode - 1) * 8,
                                        3 + s_ad);
+    if (c->fi_search && y_mode == 0 && size <= 32) {
+        mode_rate += tpu_sym_cost_bits(
+            mc->filter_intra + tpu_sq_bsize(size) * 3, s_use_fi);
+        if (s_use_fi)
+            mode_rate += tpu_sym_cost_bits(mc->filter_intra_mode,
+                                           s_fi_mode);
+    }
     out->cost = best_cost + best_uv_cost + c->rdmult * mode_rate;
     PROF_MARK(6);
 }
@@ -1783,6 +1891,9 @@ static void intra_write_commit(TpuCommit *c, int r, int c4, int size,
     int cr = r >> 1, cc = c4 >> 1;
     int w4 = size / 4;
     int y_mode = ch->y_mode, uv_mode = ch->uv_mode, skip = ch->skip;
+    /* tx-type context mode: filter-intra maps to an intra direction */
+    static const int FI2DIR_W[5] = {0, 1, 2, 6, 0};
+    int wmode = ch->use_fi ? FI2DIR_W[ch->fi_mode] : y_mode;
     int cfl_ok = size <= 32;
 
     if (frame_is_intra) {
@@ -1817,6 +1928,15 @@ static void intra_write_commit(TpuCommit *c, int r, int c4, int size,
                          16, 1);
     } else if (uv_mode >= 1 && uv_mode <= 8)
         tpuec_symbol(c->ec, 3, mc->angle_delta + (uv_mode - 1) * 8, 7, 1);
+
+    /* filter_intra_mode_info (spec 5.11.7): flag for every DC block
+     * <= 32x32 once the sequence enables the tool */
+    if (c->fi_search && y_mode == 0 && size <= 32) {
+        tpuec_symbol(c->ec, ch->use_fi,
+                     mc->filter_intra + tpu_sq_bsize(size) * 3, 2, 1);
+        if (ch->use_fi)
+            tpuec_symbol(c->ec, ch->fi_mode, mc->filter_intra_mode, 5, 1);
+    }
 
     int aw4 = w4 < c->mi_cols - c4 ? w4 : c->mi_cols - c4;
     int lh4 = w4 < c->mi_rows - r ? w4 : c->mi_rows - r;
@@ -1890,7 +2010,7 @@ static void intra_write_commit(TpuCommit *c, int r, int c4, int size,
             if (c->noise_norm && s_sub_t[qi].eob)
                 noise_norm_commit(c, qr, qc, ts_y - 1, wqpred,
                                   &s_sub_t[qi]);
-            write_block_txb(c, 0, qr, qc, ts_y - 1, size, size, y_mode,
+            write_block_txb(c, 0, qr, qc, ts_y - 1, size, size, wmode,
                             0, &s_sub_t[qi]);
             tpu_commit_recon(c, 0, qr, qc, ts_y - 1, wqpred,
                              &s_sub_t[qi]);
@@ -1899,7 +2019,7 @@ static void intra_write_commit(TpuCommit *c, int r, int c4, int size,
     } else {
         if (c->noise_norm && s_ty.eob)
             noise_norm_commit(c, r, c4, ts_y, s_pred_y, &s_ty);
-        write_block_txb(c, 0, r, c4, ts_y, size, size, y_mode, 0, &s_ty);
+        write_block_txb(c, 0, r, c4, ts_y, size, size, wmode, 0, &s_ty);
         tpu_commit_recon(c, 0, r, c4, ts_y, s_pred_y, &s_ty);
         c->dist_acc += s_ty.sse;
     }
@@ -1937,10 +2057,11 @@ void tpu_intra_trial_only(TpuCommit *c, int r, int c4, int size,
 void tpu_intra_commit_choice(TpuCommit *c, int r, int c4, int size,
                              int y_mode, int uv_mode, int skip) {
     IntraChoice ch;
+    memset(&ch, 0, sizeof(ch));
     ch.y_mode = y_mode;
     ch.uv_mode = uv_mode;
     ch.skip = skip;
-    ch.cost = 0.0;
+    ch.cfl_js = -1;
     intra_write_commit(c, r, c4, size, &ch, 0);
 }
 

@@ -94,6 +94,8 @@ struct TpuCommit {
     int tx_select;
     /* CfL chroma candidate in the intra walk (spec 7.11.5) */
     int cfl_search;
+    /* filter-intra candidates in the intra walk (spec 7.11.6) */
+    int fi_search;
     uint8_t *above_txw, *left_txh;   /* AboveTxWidth / LeftTxHeight */
     /* MFMV temporal motion field (spec 7.9 projection; NULL = off) */
     const int16_t *tpl_mv;

@@ -90,6 +90,8 @@ typedef struct {
     uint16_t *switchable_restore; /* [4] */
     uint16_t *cfl_sign;           /* [9] */
     uint16_t *cfl_alpha;          /* [6][17] */
+    uint16_t *filter_intra;       /* [22][3] */
+    uint16_t *filter_intra_mode;  /* [6] */
 } ModeCdfs;
 
 /* inter-frame CDF pointers into FrameContext numpy arrays (uint16). */
@@ -259,6 +261,8 @@ void tpuc_set_tx_select(TpuCommit *c, int enable);
 void tpuc_set_obmc(TpuCommit *c, int enable, int allow_warp);
 void tpuc_set_interintra(TpuCommit *c, int enable);
 void tpuc_set_cfl(TpuCommit *c, int enable);
+void tpuc_set_filter_intra(TpuCommit *c, int enable);
+void tpuc_upload_fi(const int32_t *taps /* [5][8][8] */);
 void tpuc_upload_ii(int mode, int size_idx, const int32_t *mask, int n);
 /* Normative warp constants (spec 7.11.3.5 Warp_Filter [193][8] and
  * 7.11.3.7 Div_Lut [257]), uploaded once from python. */

@@ -139,6 +139,8 @@ class Encoder:
             # CfL chroma candidate (ref enc_mode_config.c cfl_level:
             # enabled at the quality presets)
             enc.cfl_search = preset <= 11
+            # filter intra (ref enc_mode_config.c filter_intra_level)
+            enc.fi_search = preset <= 10
             # TX_MODE_SELECT on intra frames: depth-1 tx split search
             # (ref enc_mode_config txs level; the funnel-width gate in
             # the C walk keeps p13 at largest-tx)

@@ -263,6 +263,8 @@ class FastIntraEncoder:
         self.interintra_search = False
         # CfL chroma candidate in the intra walk (spec 7.11.5)
         self.cfl_search = False
+        # filter-intra candidates in the intra walk (spec 7.11.6)
+        self.fi_search = False
 
     # --- sharded device search (multi-chip; SURVEY.md §2.2 P4) -----------
     def make_sharded_decide(self, mesh, axis: str = "sp"):
@@ -483,6 +485,8 @@ class FastIntraEncoder:
             getattr(self, "masked_compound_search", False))
         self.seq.enable_interintra_compound = bool(
             getattr(self, "interintra_search", False))
+        self.seq.enable_filter_intra = bool(
+            getattr(self, "fi_search", False))
         native = self._native
         if self.superres_denom:
             # superres (spec 5.9.8): code the horizontally downscaled
@@ -552,6 +556,8 @@ class FastIntraEncoder:
                 eng.set_max_tx32(True)
             if getattr(self, "cfl_search", False):
                 eng.set_cfl(True)
+            if getattr(self, "fi_search", False):
+                eng.set_filter_intra(True)
             eng.attach_planes(self._rec_y, self._rec_u, self._rec_v)
             if self.enable_dlf:
                 eng.attach_lfmaps(self._lf_y, self._lf_uv)
@@ -960,6 +966,10 @@ class FastIntraEncoder:
                 eng.set_obmc(True, self.warp_search)
             if getattr(self, "interintra_search", False):
                 eng.set_interintra(True)
+            if getattr(self, "fi_search", False):
+                # seq enable_filter_intra gates the flag on intra blocks
+                # of INTER frames too (spec 5.11.7)
+                eng.set_filter_intra(True)
             if ref2_slot is not None:
                 eng.set_ref2(*self._dpb[ref2_slot])
                 eng.set_compound(sm_present, sign_bias,

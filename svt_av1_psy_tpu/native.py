@@ -230,7 +230,7 @@ class ModeCdfs(ctypes.Structure):
         "partition", "skip", "kf_y", "angle_delta", "uv_mode",
         "intra_ext_tx", "delta_q", "tx_size", "txb_skip",
         "wiener_restore", "sgrproj_restore", "switchable_restore",
-        "cfl_sign", "cfl_alpha")]
+        "cfl_sign", "cfl_alpha", "filter_intra", "filter_intra_mode")]
 
 
 def make_mode_cdfs(fc) -> ModeCdfs:
@@ -241,7 +241,8 @@ def make_mode_cdfs(fc) -> ModeCdfs:
         _u16p(fc.delta_q), _u16p(fc.tx_size), _u16p(fc.txb_skip),
         _u16p(fc.wiener_restore), _u16p(fc.sgrproj_restore),
         _u16p(fc.switchable_restore), _u16p(fc.cfl_sign),
-        _u16p(fc.cfl_alpha))
+        _u16p(fc.cfl_alpha), _u16p(fc.filter_intra),
+        _u16p(fc.filter_intra_mode))
 
 
 class InterCdfs(ctypes.Structure):
@@ -413,6 +414,8 @@ def _ensure_commit_locked(lib):
                                   ctypes.c_int]
     lib.tpuc_set_interintra.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.tpuc_set_cfl.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.tpuc_set_filter_intra.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.tpuc_upload_fi.argtypes = [i32p]
     lib.tpuc_set_tx_select.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.tpuc_upload_warp.argtypes = [i32p, i32p]
     lib.tpuc_set_tpl.argtypes = [ctypes.c_void_p, i16p, i16p, u8p,
@@ -445,6 +448,9 @@ def _ensure_commit_locked(lib):
                 tab[wi, sg] = get_wedge_mask(bs, wi, sg)
         tab = np.ascontiguousarray(tab)
         lib.tpuc_upload_wedge(which, tab.ctypes.data_as(i32p), n)
+    # filter-intra taps (spec 7.11.6) for the fast-path fi candidates
+    fit = np.ascontiguousarray(tables()["filter_intra_taps"], np.int32)
+    lib.tpuc_upload_fi(fit.ctypes.data_as(i32p))
     # smooth inter-intra masks (spec 7.11.3.13) for the II search:
     # sizes 4..32 cover luma 8..32 + their chroma halves
     from svt_av1_psy_tpu.inter.masks import smooth_interintra_mask
@@ -587,6 +593,10 @@ class CommitEngine:
         """CfL chroma candidate in the intra walk (spec 7.11.5):
         LS-alpha search on the reconstructed-luma AC."""
         self.lib.tpuc_set_cfl(self._c, int(enable))
+
+    def set_filter_intra(self, enable: bool):
+        """Filter-intra candidates in the intra walk (spec 7.11.6)."""
+        self.lib.tpuc_set_filter_intra(self._c, int(enable))
 
     def set_interintra(self, enable: bool):
         """Inter-intra search (seq enable_interintra_compound): trial
