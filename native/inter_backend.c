@@ -2627,6 +2627,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
      * symbol rates. Eligible at single-ref non-skip-mode square blocks
      * 8x8..32x32 (the is_interintra_allowed_bsize ENUM range). */
     int use_ii = 0, ii_mode = 0;
+    int use_ii_wedge = 0, use_ii_wedge_idx = 0;
     int ii_eligible = c->interintra && !use_comp && !use_sm &&
                       size >= 8 && size <= 32;
     if (ii_eligible && !use_intra) {
@@ -2681,23 +2682,100 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                        sizeof(int32_t) * size * size);
             }
         }
+        /* wedge inter-intra refinement (spec 5.11.28 wedge_interintra):
+         * for the best II mode, rank the 16 wedge masks (sign 0) by
+         * blended-prediction SSE, full-trial the best one, and keep it
+         * when it beats the smooth blend incl. the wedge symbol rates */
+        int ii_wedge = 0, ii_wedge_idx = 0;
+        if (ii_best >= 0 && wedge_tab_of(bsize) >= 0) {
+            int wt2 = wedge_tab_of(bsize);
+            tpu_predict_txb(c, 0, II_TO_INTRA[ii_mode], 0, r, c4, r, c4,
+                            ts_y, ii_intra);
+            long best_ps = -1;
+            int best_wi = -1;
+            static __thread int32_t wblend[64 * 64];
+            for (int wi = 0; wi < 16; wi++) {
+                const uint8_t *wm = WEDGE_TAB[wt2][wi][0];
+                long ps = 0;
+                for (int i2 = 0; i2 < size * size; i2++) {
+                    int v = (wm[i2] * ii_intra[i2] +
+                             (64 - wm[i2]) * i_pred_y[i2] + 32) >> 6;
+                    int dsrc = (int)sp2[(r * 4 + i2 / size) * ss2 +
+                                        c4 * 4 + i2 % size] - v;
+                    ps += (long)dsrc * dsrc;
+                }
+                if (best_ps < 0 || ps < best_ps) {
+                    best_ps = ps;
+                    best_wi = wi;
+                }
+            }
+            if (best_wi >= 0) {
+                const uint8_t *wm = WEDGE_TAB[wt2][best_wi][0];
+                blend_ii(wm, ii_intra, i_pred_y, size * size, wblend);
+                for (int y = 0; y < size; y++)
+                    for (int x = 0; x < size; x++)
+                        ii_resid[y * size + x] =
+                            (int32_t)sp2[(r * 4 + y) * ss2 + c4 * 4 + x] -
+                            wblend[y * size + x];
+                tpu_trial_txb(c, 0, ts_y, 0, ii_resid, q, 0, sgn_ii, 1,
+                              &ii_ty);
+                int ii_grp2 = size == 8 ? 1 : size == 16 ? 2 : 3;
+                double rate =
+                    tpu_sym_cost_bits(ic->interintra + ii_grp2 * 3, 1) +
+                    tpu_sym_cost_bits(ic->interintra_mode + ii_grp2 * 5,
+                                      ii_mode) +
+                    tpu_sym_cost_bits(ic->wedge_interintra + bsize * 3,
+                                      1) +
+                    tpu_sym_cost_bits(ic->wedge_idx + bsize * 17,
+                                      best_wi);
+                double cost = tpu_dist_eval(c, ts_y, wblend, ii_resid,
+                                            &ii_ty) +
+                              c->rdmult * (rate + ii_ty.rate512 / 512.0);
+                if (cost < ii_best) {
+                    ii_best = cost;
+                    ii_wedge = 1;
+                    ii_wedge_idx = best_wi;
+                    ii_best_ty = ii_ty;
+                    memcpy(ii_best_pred, wblend,
+                           sizeof(int32_t) * size * size);
+                }
+            }
+        }
         if (ii_best >= 0 && ii_best < cost_simple) {
             use_ii = 1;
+            use_ii_wedge = ii_wedge;
+            use_ii_wedge_idx = ii_wedge_idx;
             memcpy(i_pred_y, ii_best_pred, sizeof(int32_t) * size * size);
             i_ty = ii_best_ty;
-            /* chroma: re-blend + re-trial under the chosen II mode */
+            /* chroma: re-blend + re-trial under the chosen II mode;
+             * wedge masks subsample 2x2 for chroma (spec 7.11.3.12) */
             int cw = TXW[ts_c], chh = TXH[ts_c];
             int csidx = sidx - 1;
             static __thread int32_t ci[32 * 32], ru2[32 * 32],
                 rv2[32 * 32];
+            static __thread uint8_t cmask[32 * 32];
+            const uint8_t *cm2;
+            if (use_ii_wedge) {
+                const uint8_t *wm =
+                    WEDGE_TAB[wedge_tab_of(bsize)][use_ii_wedge_idx][0];
+                for (int i2 = 0; i2 < chh; i2++)
+                    for (int j2 = 0; j2 < cw; j2++)
+                        cmask[i2 * cw + j2] =
+                            (uint8_t)((wm[(2 * i2) * size + 2 * j2] +
+                                       wm[(2 * i2) * size + 2 * j2 + 1] +
+                                       wm[(2 * i2 + 1) * size + 2 * j2] +
+                                       wm[(2 * i2 + 1) * size + 2 * j2 +
+                                          1] + 2) >> 2);
+                cm2 = cmask;
+            } else {
+                cm2 = II_TAB[ii_mode][csidx];
+            }
             tpu_predict_txb(c, 1, II_TO_INTRA[ii_mode], 0, r, c4, cr, cc,
                             ts_c, ci);
-            blend_ii(II_TAB[ii_mode][csidx], ci, i_pred_u, cw * chh,
-                     i_pred_u);
+            blend_ii(cm2, ci, i_pred_u, cw * chh, i_pred_u);
             tpu_predict_txb(c, 2, II_TO_INTRA[ii_mode], 0, r, c4, cr, cc,
                             ts_c, ci);
-            blend_ii(II_TAB[ii_mode][csidx], ci, i_pred_v, cw * chh,
-                     i_pred_v);
+            blend_ii(cm2, ci, i_pred_v, cw * chh, i_pred_v);
             const uint16_t *su2 = c->src[1], *sv2 = c->src[2];
             int ssc = c->sstride[1];
             for (int y = 0; y < chh; y++)
@@ -3039,8 +3117,11 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         if (use_ii) {
             tpuec_symbol(c->ec, ii_mode,
                          ic->interintra_mode + wgrp * 5, 4, 1);
-            tpuec_symbol(c->ec, 0, ic->wedge_interintra + bsize * 3, 2,
-                         1);
+            tpuec_symbol(c->ec, use_ii_wedge,
+                         ic->wedge_interintra + bsize * 3, 2, 1);
+            if (use_ii_wedge)
+                tpuec_symbol(c->ec, use_ii_wedge_idx,
+                             ic->wedge_idx + bsize * 17, 16, 1);
         }
     }
 

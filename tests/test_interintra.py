@@ -68,6 +68,27 @@ def test_interintra_bit_exact_and_chosen():
     assert n_ii[0] >= 20, "II should be chosen on noisy LD content"
 
 
+def test_wedge_interintra_chosen():
+    frames, W, H = _clip()
+    outs, data = _encode(frames, W, H, True)
+    import svt_av1_psy_tpu.decoder.reconstruct as R
+    from svt_av1_psy_tpu.decoder.driver import decode_ivf as own
+    n = [0]
+    orig = R.FrameReconstructor._decode_block
+
+    def patched(self, b):
+        if getattr(b, "interintra", False) and getattr(b, "ii_wedge", 0):
+            n[0] += 1
+        return orig(self, b)
+
+    R.FrameReconstructor._decode_block = patched
+    try:
+        own(data)
+    finally:
+        R.FrameReconstructor._decode_block = orig
+    assert n[0] >= 3, f"wedge II should be chosen sometimes, got {n[0]}"
+
+
 def test_interintra_saves_bits():
     frames, W, H = _clip()
     outs0, _ = _encode(frames, W, H, False)

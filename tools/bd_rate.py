@@ -91,6 +91,9 @@ def encode_ours(src, w, h, qindex, fps_hz, preset, gop=1, tpl=0):
         enc.obmc_search = preset <= 10
         enc.warp_search = preset <= 10
         enc.masked_compound_search = preset <= 10
+        enc.interintra_search = preset <= 10
+        enc.cfl_search = preset <= 11
+        enc.fi_search = preset <= 10
         enc.tx_split_search = preset <= 12
         drv = RaDriver(enc, gop_levels=4)
         if tpl:
@@ -114,6 +117,12 @@ def encode_ours(src, w, h, qindex, fps_hz, preset, gop=1, tpl=0):
         enc = FastIntraEncoder(w, h, qindex=qindex,
                                n_cands={13: 1, 12: 2}.get(preset, 3))
         enc.tx_split_search = preset <= 12
+        enc.interp_search = preset <= 11
+        enc.obmc_search = preset <= 10
+        enc.warp_search = preset <= 10
+        enc.interintra_search = preset <= 10
+        enc.cfl_search = preset <= 11
+        enc.fi_search = preset <= 10
         enc.gop_size = gop
     else:
         from svt_av1_psy_tpu.models.intra_encoder import IntraEncoder
