@@ -166,6 +166,7 @@ InterGrid *tpui_grid_new(int mi_rows, int mi_cols);
 void tpui_grid_free(InterGrid *g);
 void tpui_grid_set(InterGrid *g, int r, int c, int h4, int w4, int bsize,
                    int ref0, int mvr, int mvc, int has_newmv);
+void tpui_grid_mark_ii(InterGrid *g, int r, int c, int h4, int w4);
 
 void tpui_mc_block(const uint16_t *ref, int rstride, int rw, int rh,
                    int px, int py, int w, int h, int mvx_q4, int mvy_q4,

@@ -359,6 +359,17 @@ void tpui_grid_free(InterGrid *g) {
     free(g->comp_group);
     free(g);
 }
+/* mark a block's mi area as inter-intra: RefFrame[1] = INTRA_FRAME (0),
+ * which EXCLUDES it from warp-sample collection (libaom av1_find_samples
+ * requires ref1 == NONE) — the decoder-side grid does the same */
+void tpui_grid_mark_ii(InterGrid *g, int r, int c, int h4, int w4) {
+    int rr1 = r + h4 < g->mi_rows ? r + h4 : g->mi_rows;
+    int cc1 = c + w4 < g->mi_cols ? c + w4 : g->mi_cols;
+    for (int i = r; i < rr1; i++)
+        for (int j = c; j < cc1; j++)
+            g->ref1[(size_t)i * g->mi_cols + j] = 0;
+}
+
 void tpui_grid_set(InterGrid *g, int r, int c, int h4, int w4, int bsize,
                    int ref0, int mvr, int mvc, int has_newmv) {
     int rr1 = r + h4 < g->mi_rows ? r + h4 : g->mi_rows;
@@ -3159,9 +3170,12 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         tpui_grid_set_comp(c->grid, r, c4, w4, w4, bsize, 1, 7, cmv0r,
                            cmv0c, cmv1r, cmv1c, comp_cm == 7,
                            use_sm ? 0 : comp_masked_type > 0);
-    else
+    else {
         tpui_grid_set(c->grid, r, c4, w4, w4, bsize, 1, best_mvr,
                       best_mvc, best_mode == 3);
+        if (use_ii)
+            tpui_grid_mark_ii(c->grid, r, c4, w4, w4);
+    }
     {
         /* neighbor filter state for later interp-filter contexts */
         /* uncoded-filter blocks read back as REGULAR in the parser's

@@ -104,3 +104,41 @@ def test_interintra_saves_bits():
 
     assert b1 < b0, (b1, b0)
     assert psnr(outs1) > psnr(outs0) - 0.05
+
+
+def test_all_tools_ra_bit_exact():
+    """II + OBMC/warp + masked compound + interp + CfL + fi together in
+    an RA pyramid (the preset-8 feature set): the II grid mark
+    (RefFrame[1] = INTRA) must keep warp-sample counts in sync."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_test_clip import make_frame
+    from svt_av1_psy_tpu.models.ra import RaDriver
+    W, H = 352, 288
+    rng = np.random.default_rng(9)
+    frames = [make_frame(W, H, t, 8, 0.02, rng) for t in range(17)]
+    enc = FastIntraEncoder(W, H, qindex=100, n_cands=3)
+    for k in ("obmc_search", "warp_search", "masked_compound_search",
+              "interp_search", "tx_split_search", "interintra_search",
+              "cfl_search", "fi_search"):
+        setattr(enc, k, True)
+    drv = RaDriver(enc, gop_levels=4)
+    pkts = []
+    for f in frames:
+        pkts.extend(drv.push(*f))
+    pkts.extend(drv.flush())
+    buf = io.BytesIO()
+    w = IvfWriter(buf, W, H)
+    for i, p in enumerate(pkts):
+        w.write_frame(p.payload, i)
+    w.close()
+    from svt_av1_psy_tpu.decoder.dav1d import decode_ivf as dav
+    d = dav(buf.getvalue())
+    recs = {p.display_idx: p.recon for p in pkts if p.display_idx >= 0}
+    assert len(d) == len(frames)
+    for i in range(len(d)):
+        assert np.array_equal(d[i].y, recs[i][0]), f"frame {i}"
+        assert np.array_equal(d[i].u, recs[i][1])
+        assert np.array_equal(d[i].v, recs[i][2])
