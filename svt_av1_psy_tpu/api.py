@@ -119,7 +119,10 @@ class Encoder:
                 self._ra = RaDriver(
                     enc, gop_levels=min(self.cfg.hierarchical_levels, 5),
                     keyint=0 if gop == 0 else gop,
-                    tf_strength=self.cfg.tf_strength)
+                    tf_strength=self.cfg.tf_strength,
+                    # dynamic mini-GoP follows content analysis (ref
+                    # Docs/Appendix-Dynamic-Mini-GoP)
+                    dynamic_gop=bool(self.cfg.scene_change_detection))
             if self.cfg.film_grain_denoise_strength > 0:
                 enc.film_grain = 1
             enc.enable_scenecut = bool(self.cfg.scene_change_detection)

@@ -47,7 +47,7 @@ class RaDriver:
     """
 
     def __init__(self, enc, gop_levels: int = 4, keyint: int = 0,
-                 tf_strength: int = 0):
+                 tf_strength: int = 0, dynamic_gop: bool = False):
         enc.ra_mode = True
         self.enc = enc
         self.levels = max(1, min(gop_levels, 5))
@@ -55,6 +55,14 @@ class RaDriver:
         self.keyint = keyint          # key every N displayed frames (0 =
                                       # first frame only)
         self.tf_strength = tf_strength
+        # dynamic mini-GoP (ref Docs/Appendix-Dynamic-Mini-GoP +
+        # pd_process.c GoP typing): close the group early at a
+        # power-of-two size when the buffered motion is high — long
+        # pyramids only pay off when anchors predict the leaves
+        self.dynamic_gop = dynamic_gop
+        self.dyn_threshold = 12.0     # mean |diff|/px (8-bit units)
+        self._mads = []
+        self._dyn_prev = None
         self._buf = []                # [(display_idx, (y, u, v))]
         self._next_display = 0
         self._base_slot = 0
@@ -128,6 +136,20 @@ class RaDriver:
             out.append(self._encode_base_key(d, (y, u, v)))
             return out
         self._buf.append((d, (y, u, v)))
+        if self.dynamic_gop:
+            cur = np.asarray(y)[::4, ::4].astype(np.int32)
+            bd_sh = getattr(self.enc, "bd", 8) - 8
+            if self._dyn_prev is not None:
+                self._mads.append(
+                    float(np.abs(cur - self._dyn_prev).mean()) /
+                    (1 << bd_sh))
+            self._dyn_prev = cur
+            n = len(self._buf)
+            if n < self.M and n in (2, 4, 8, 16) and self._mads:
+                window = self._mads[-n:]
+                if sum(window) / len(window) > self.dyn_threshold:
+                    out.extend(self._encode_gop())
+                    return out
         if len(self._buf) >= self.M:
             out.extend(self._encode_gop())
         return out
@@ -176,6 +198,7 @@ class RaDriver:
 
     def _encode_gop(self) -> list[RaPacket]:
         buf, self._buf = self._buf, []
+        self._mads = []
         self._tpl_q = None
         if not buf:
             return []

@@ -155,3 +155,51 @@ def test_ra_scene_cut_rekeys():
                             fi.frame_type == 0:
                         hints[i] = fi.order_hint
     assert keys >= 2, f"expected a re-key at the cut, saw {keys} keys"
+
+
+def test_dynamic_mini_gop():
+    """Dynamic mini-GoP (ref Docs/Appendix-Dynamic-Mini-GoP): high
+    buffered motion closes the group early at a power-of-two size; calm
+    content keeps the full pyramid. Streams stay dav1d bit-exact."""
+    import io
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import numpy as np
+    from make_test_clip import make_frame
+    from svt_av1_psy_tpu.bitstream.ivf import IvfWriter
+    from svt_av1_psy_tpu.models.fast_intra import FastIntraEncoder
+    from svt_av1_psy_tpu.models.ra import RaDriver
+    W, H = 320, 192
+    rng = np.random.default_rng(9)
+    frames = [make_frame(W, H, t, 8, 0.01, rng) for t in range(8)]
+    for t in range(8):
+        y = rng.integers(0, 255, (H, W)).astype(np.uint8)
+        u = np.full((H // 2, W // 2), 128, np.uint8)
+        frames.append((y, u, u.copy()))
+    enc = FastIntraEncoder(W, H, qindex=120, n_cands=2, n_tiles=1)
+    drv = RaDriver(enc, gop_levels=3, dynamic_gop=True)
+    pkts = []
+    batches = []
+    for f in frames:
+        got = drv.push(*f)
+        if got:
+            batches.append(len(got))
+        pkts.extend(got)
+    pkts.extend(drv.flush())
+    # the calm 8-frame pyramid emits one big batch; the noisy section
+    # must close early (small batches)
+    assert max(batches) >= 10, batches
+    assert any(b <= 4 for b in batches[1:]), batches
+    buf = io.BytesIO()
+    w = IvfWriter(buf, W, H)
+    for i, p in enumerate(pkts):
+        w.write_frame(p.payload, i)
+    w.close()
+    from svt_av1_psy_tpu.decoder.dav1d import decode_ivf as dav
+    d = dav(buf.getvalue())
+    recs = {p.display_idx: p.recon for p in pkts if p.display_idx >= 0}
+    assert len(d) == len(frames)
+    for i in range(len(d)):
+        assert np.array_equal(d[i].y, recs[i][0]), f"frame {i}"
