@@ -95,7 +95,9 @@ def encode_ours(src, w, h, qindex, fps_hz, preset, gop=1, tpl=0):
         enc.cfl_search = preset <= 11
         enc.fi_search = preset <= 10
         enc.tx_split_search = preset <= 12
-        drv = RaDriver(enc, gop_levels=4)
+        # alt-ref temporal filtering on anchors (the reference runs TF
+        # at every RA preset)
+        drv = RaDriver(enc, gop_levels=4, tf_strength=2)
         if tpl:
             drv.tpl_strength = 1.0
         tmp = tempfile.mktemp(suffix=".ivf")
