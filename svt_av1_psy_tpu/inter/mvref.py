@@ -1,9 +1,11 @@
 """MV reference-stack construction (spec 7.10.2, ref adaptive_mv_pred.c
 setup_ref_mv_list).
 
-Single-reference path with identity global motion and no temporal MVP
-(use_ref_frame_mvs=0) — the configuration our encoder emits and the one
-the conformance streams exercise. The stack, weights, and the
+Python-side stack builder used by the slow path and the decoder.
+Supports global motion and temporal MVP (MFMV) candidates — the native
+C walk (native/inter_backend.c) mirrors the same derivation for the
+fast path, including the temporal candidates fed from
+inter/mfmv.setup_motion_field. The stack, weights, and the
 new/global/ref mode-context derivation must match the reference exactly;
 transcode identity over reference-encoded inter streams pins this.
 """
@@ -200,7 +202,7 @@ def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
                       gm_mv=(0, 0), ref_frame2: int = NONE_FRAME,
                       gm_mv2=(0, 0), sign_bias=None, tpl=None,
                       ibc=False) -> MvRefs:
-    """Build the MV stack (no temporal mvp), single-ref or compound
+    """Build the MV stack (temporal mvp via `tpl`), single-ref or compound
     (ref_frame2 > INTRA_FRAME). gm_mv/gm_mv2 are the precision-lowered
     global motion vectors per component (spec 7.10.2.1 setup_global_mv)
     used for the under-full stack fill; identity (TRANSLATION type never
