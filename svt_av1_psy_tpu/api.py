@@ -123,6 +123,11 @@ class Encoder:
                     # dynamic mini-GoP follows content analysis (ref
                     # Docs/Appendix-Dynamic-Mini-GoP)
                     dynamic_gop=bool(self.cfg.scene_change_detection))
+                # TPL r0/beta per-frame q from the GoP dependency flow
+                # (ref src_ops_process.c:1784 tpl_mc_flow ->
+                # rc_process.c:873 CRF qindex from r0)
+                if self.cfg.enable_tpl_la:
+                    self._ra.tpl_strength = 1.0
             if self.cfg.film_grain_denoise_strength > 0:
                 enc.film_grain = 1
             enc.enable_scenecut = bool(self.cfg.scene_change_detection)

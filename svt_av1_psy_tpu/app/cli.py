@@ -383,6 +383,7 @@ def main(argv=None) -> int:
             hierarchical_levels=args.hierarchical_levels,
             pred_structure=args.pred_struct,
             tf_strength=args.enable_tf,
+            enable_tpl_la=args.enable_tpl,
             psy_rd=args.psy_rd,
             screen_content_mode=args.scm,
             superres_mode=args.superres_mode,

@@ -86,6 +86,17 @@ def _jitted_hme():
     return jax.jit(packed)
 
 
+@functools.lru_cache(maxsize=1)
+def _jitted_gop_search():
+    """Jitted GoP-batched search program (ops/jax_backend.gop_search):
+    one dispatch per mini-GoP for all decide maps + all edge HMEs."""
+    import jax
+
+    from svt_av1_psy_tpu.ops.jax_backend import gop_search
+
+    return jax.jit(gop_search, static_argnums=(3, 4))
+
+
 def hme_mv_sad(src_p, ref_p):
     """Run the jitted full-pel ME on (padded) planes and return
     (mv16, sad16) as numpy — the packed transfer + unpack in one step
@@ -200,6 +211,7 @@ class FastIntraEncoder:
         # searched on frame N signal on frame N+1; ref restoration_pick.c)
         self.enable_lr = False
         self._lr_pending = None
+        self._lr_dev = None
         # TPL per-SB qindex offsets for the NEXT frame (set by the
         # lookahead driver from models/tpl.tpl_sb_offsets; None = off)
         self.tpl_offsets = None
@@ -528,7 +540,7 @@ class FastIntraEncoder:
 
         if self.frame_index == 0:
             self.seq.enable_restoration = bool(self.enable_lr)
-        lr_dec = self._lr_pending if self.enable_lr else None
+        lr_dec = self._take_lr_pending() if self.enable_lr else None
 
         qm = self._frame_qm_levels(base_q)
 
@@ -765,33 +777,45 @@ class FastIntraEncoder:
             ref2_slot = None
 
         mv16b = None
+        pre = ra.get("pre") if ra is not None else None
         with _tstage("device_search"):
-            from svt_av1_psy_tpu.ops.jax_backend import hme2_unpack
-
-            # dispatch every device program first (jax async dispatch),
-            # start the packed host copies, THEN sync — the transfers
-            # overlap each other and any still-running compute
-            if ra is not None:
-                hme_ref = self._dpb[ra["ref_slot"]][0]
+            if pre is not None:
+                # GoP-batched device search (ops/jax_backend.gop_search):
+                # the RA driver computed decide maps + every edge's HME in
+                # one dispatch at GoP start — nothing to wait for here
+                split, modes = pre["decide"]
+                mv16 = pre["mv16"]
+                if ref2_slot is not None:
+                    mv16b = pre.get("mv16b")
             else:
-                hme_ref = self._ref_y
-            yp_dev = jnp.asarray(yp)
-            hme_dev = _jitted_hme()(
-                yp_dev, jnp.asarray(hme_ref[:self.pah, :self.paw]))
-            _host_copy_async(hme_dev)
-            hme2_dev = None
-            if ref2_slot is not None:
-                hme2_ref = self._dpb[ref2_slot][0]
-                hme2_dev = _jitted_hme()(
-                    yp_dev, jnp.asarray(hme2_ref[:self.pah, :self.paw]))
-                _host_copy_async(hme2_dev)
-            split, modes = self._take_decide(y, yp)
-            n16r, n16c = self.pah // 16, self.paw // 16
-            mv16, _sad16 = hme2_unpack(np.asarray(hme_dev), n16r, n16c)
-            mv16 = np.clip(mv16, -127, 127).astype(np.int16)
-            if hme2_dev is not None:
-                mv16b, _s2 = hme2_unpack(np.asarray(hme2_dev), n16r, n16c)
-                mv16b = np.clip(mv16b, -127, 127).astype(np.int16)
+                from svt_av1_psy_tpu.ops.jax_backend import hme2_unpack
+
+                # dispatch every device program first (jax async
+                # dispatch), start the packed host copies, THEN sync —
+                # the transfers overlap each other and any still-running
+                # compute
+                if ra is not None:
+                    hme_ref = self._dpb[ra["ref_slot"]][0]
+                else:
+                    hme_ref = self._ref_y
+                yp_dev = jnp.asarray(yp)
+                hme_dev = _jitted_hme()(
+                    yp_dev, jnp.asarray(hme_ref[:self.pah, :self.paw]))
+                _host_copy_async(hme_dev)
+                hme2_dev = None
+                if ref2_slot is not None:
+                    hme2_ref = self._dpb[ref2_slot][0]
+                    hme2_dev = _jitted_hme()(
+                        yp_dev, jnp.asarray(hme2_ref[:self.pah, :self.paw]))
+                    _host_copy_async(hme2_dev)
+                split, modes = self._take_decide(y, yp)
+                n16r, n16c = self.pah // 16, self.paw // 16
+                mv16, _sad16 = hme2_unpack(np.asarray(hme_dev), n16r, n16c)
+                mv16 = np.clip(mv16, -127, 127).astype(np.int16)
+                if hme2_dev is not None:
+                    mv16b, _s2 = hme2_unpack(np.asarray(hme2_dev), n16r,
+                                             n16c)
+                    mv16b = np.clip(mv16b, -127, 127).astype(np.int16)
 
         # global motion: robust translation fit over the HME field
         # (ref global_me.c:126; params coded per spec 5.9.24)
@@ -926,7 +950,7 @@ class FastIntraEncoder:
         else:
             src_fc = self._fc_saved
             ref_planes = None
-        lr_dec = self._lr_pending if self.enable_lr else None
+        lr_dec = self._take_lr_pending() if self.enable_lr else None
 
         inherited = src_fc.inherit_copy()
         tile_fcs = [inherited if ti == 0 else inherited.copy()
@@ -1151,11 +1175,26 @@ class FastIntraEncoder:
         coded = {0: 0, 1: 2, 2: 3, 3: 1}
         return tuple(coded[t] for t in lr_dec.lr_type)
 
+    def _take_lr_pending(self):
+        """Resolve the pending LR decision: the device search for this
+        frame's signalling was dispatched at the END of the previous
+        frame (async) and is fetched here, right before the walk needs
+        it (SURVEY §2.2 P1 overlap)."""
+        p = self._lr_pending
+        if isinstance(p, tuple) and p and p[0] == "dev":
+            _, tok, rdm = p
+            p = self._lr_dev.finish(tok, rdm)
+            self._lr_pending = p
+        return p
+
     def _lr_apply_and_search(self, yp, up, vp, base_q, lr_dec, pre_cdef):
         """Apply this frame's signalled LR params (normative, in place on
-        the recon) and search params for the next frame on the pre-LR
-        post-CDEF recon (the cross-frame cache; ref rest_process.c)."""
-        from svt_av1_psy_tpu.models.lr_search import search_lr_frame
+        the recon) and dispatch the device search for the next frame's
+        params on the pre-LR post-CDEF recon (the cross-frame cache;
+        ref rest_process.c / restoration_pick.c:1471 — the solve +
+        filtered-SSE math runs on the chip, models/lr_search.py
+        DeviceLrSearch)."""
+        from svt_av1_psy_tpu.models.lr_search import DeviceLrSearch
         from svt_av1_psy_tpu.ops.quant import ac_q
         from svt_av1_psy_tpu.ops.restoration import apply_lr_frame
         H, W = self.height, self.width
@@ -1164,11 +1203,13 @@ class FastIntraEncoder:
         planes = [self._rec_y, self._rec_u, self._rec_v]
         qstep = ac_q(base_q, self.bd) / 8.0
         rdmult = 0.12 * qstep * qstep
-        nxt = search_lr_frame((yp, up, vp), planes, dims, rdmult, self.bd)
+        if self._lr_dev is None:
+            self._lr_dev = DeviceLrSearch(dims, self.bd)
+        tok = self._lr_dev.dispatch((yp, up, vp), planes)
         if lr_dec is not None:
             apply_lr_frame(planes, list(pre_cdef), dims, lr_dec.lr_type,
                            lr_dec.unit_size, lr_dec.units, bd=self.bd)
-        self._lr_pending = nxt
+        self._lr_pending = ("dev", tok, rdmult)
 
     def _search_apply_cdef(self, yp, up, vp, base_q, is_key=False):
         yp = np.ascontiguousarray(yp, np.uint16)

@@ -127,6 +127,169 @@ class LrDecision:
         self.est_gain = est_gain    # predicted SSE reduction (>= 0)
 
 
+class DeviceLrSearch:
+    """Device-resident Wiener LR search (the rest_process.c search moved
+    onto the chip): per-plane tap solve + filtered-SSE evaluation run as
+    ONE jitted program per frame, packed into a single f32 transfer.
+
+    The numpy path (search_lr_frame below) spends ~1 s/frame at 1080p in
+    float64 full-plane basis stacking; the same math in f32 on the VPU is
+    ~ms, and the dispatch/finish split lets the search for frame N+1's
+    signalling ride under host work. Tap rounding may differ from the
+    float64 path by ±1 occasionally — the decision feeds normative
+    signalling either way (application stays spec-exact)."""
+
+    def __init__(self, dims, bd: int = 8, unit_size=(64, 32, 32)):
+        self.dims = [tuple(d) for d in dims]
+        self.bd = bd
+        self.unit_size = tuple(unit_size)
+        self.grids = []
+        for plane in range(3):
+            pw, ph = self.dims[plane]
+            usize = unit_size[plane]
+            self.grids.append(_unit_grid(pw, ph, usize,
+                                         8 >> (1 if plane else 0)))
+        self._fn = self._build()
+
+    def _build(self):
+        import jax
+        import jax.numpy as jnp
+
+        bd = self.bd
+        hi = float((1 << bd) - 1)
+
+        def shift2(a, d, axis):
+            n = a.shape[axis]
+            ip = jnp.clip(jnp.arange(n) + d, 0, n - 1)
+            im = jnp.clip(jnp.arange(n) - d, 0, n - 1)
+            return jnp.take(a, ip, axis) + jnp.take(a, im, axis)
+
+        def solve_dir(dgd, src, axis, chroma):
+            r = (src - dgd) * 128.0
+            first = 1 if chroma else 0
+            basis = [shift2(dgd, d, axis) - 2.0 * dgd
+                     for d in (3, 2, 1)[first:]]
+            sl = (slice(3, -3), slice(3, -3))
+            B = jnp.stack([b[sl].reshape(-1) for b in basis])
+            rv = r[sl].reshape(-1)
+            G = B @ B.T
+            c = B @ rv
+            k = B.shape[0]
+            sol = jnp.linalg.solve(G + jnp.eye(k) * 1e-3, c)
+            taps = jnp.zeros(3)
+            taps = taps.at[first:].set(sol)
+            lo = jnp.asarray(_TAP_MIN, jnp.float32)
+            hu = jnp.asarray(_TAP_MAX, jnp.float32)
+            taps = jnp.clip(jnp.round(taps), lo, hu)
+            if chroma:
+                taps = taps.at[0].set(0.0)
+            return taps
+
+        def filt_dir(dgd, taps, axis):
+            out = dgd * 128.0
+            for j, d in enumerate((3, 2, 1)):
+                out = out + taps[j] * (shift2(dgd, d, axis) - 2.0 * dgd)
+            return out / 128.0
+
+        def unit_sums(err2, ys, xs):
+            c = jnp.pad(jnp.cumsum(jnp.cumsum(err2, 0), 1),
+                        ((1, 0), (1, 0)))
+            return (c[ys[1:, None], xs[None, 1:]]
+                    - c[ys[:-1, None], xs[None, 1:]]
+                    - c[ys[1:, None], xs[None, :-1]]
+                    + c[ys[:-1, None], xs[None, :-1]])
+
+        grids = self.grids
+
+        def program(*planes6):
+            outs = []
+            for plane in range(3):
+                dgd = planes6[plane].astype(jnp.float32)
+                src = planes6[3 + plane].astype(jnp.float32)
+                chroma = plane > 0
+                ht = solve_dir(dgd, src, 1, chroma)
+                dh = filt_dir(dgd, ht, 1)
+                vt = solve_dir(dh, src, 0, chroma)
+                F = filt_dir(dh, vt, 0)
+                Fq = jnp.clip(jnp.round(F), 0.0, hi)
+                _, _, ys, xs = grids[plane]
+                ysj = jnp.asarray(np.asarray(ys))
+                xsj = jnp.asarray(np.asarray(xs))
+                sse_n = unit_sums((dgd - src) ** 2, ysj, xsj)
+                sse_w = unit_sums((Fq - src) ** 2, ysj, xsj)
+                outs.append(jnp.concatenate(
+                    [vt, ht, sse_n.reshape(-1), sse_w.reshape(-1)]))
+            return jnp.concatenate(outs)
+
+        return jax.jit(program)
+
+    def dispatch(self, src_planes, recon_planes):
+        """Launch the search asynchronously; returns a token for finish().
+        Planes are sliced to exact dims on host (static device shapes)."""
+        import jax.numpy as jnp
+        args = []
+        for plane in range(3):
+            pw, ph = self.dims[plane]
+            args.append(jnp.asarray(
+                np.ascontiguousarray(recon_planes[plane][:ph, :pw])))
+        for plane in range(3):
+            pw, ph = self.dims[plane]
+            args.append(jnp.asarray(
+                np.ascontiguousarray(src_planes[plane][:ph, :pw])))
+        out = self._fn(*args)
+        try:
+            out.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+        return out
+
+    def finish(self, token, rdmult: float):
+        """Fetch + apply the per-unit RDO -> LrDecision (or None)."""
+        buf = np.asarray(token)
+        off = 0
+        lr_type = [0, 0, 0]
+        units = [{}, {}, {}]
+        flat = [None, None, None]
+        ucols_all = [0, 0, 0]
+        urows_all = [0, 0, 0]
+        total_gain = 0.0
+        for plane in range(3):
+            urows, ucols, _, _ = self.grids[plane]
+            n = urows * ucols
+            vt = tuple(int(v) for v in buf[off:off + 3])
+            ht = tuple(int(v) for v in buf[off + 3:off + 6])
+            sse_n = buf[off + 6:off + 6 + n].reshape(urows, ucols)
+            sse_w = buf[off + 6 + n:off + 6 + 2 * n].reshape(urows, ucols)
+            off += 6 + 2 * n
+            pw, ph = self.dims[plane]
+            if pw < 16 or ph < 16 or (not any(vt) and not any(ht)):
+                continue
+            take = (sse_w + rdmult * _BITS_WIENER) < \
+                   (sse_n + rdmult * _BITS_NONE)
+            if not take.any():
+                continue
+            lr_type[plane] = 1
+            fa = np.zeros((n, 10), np.int16)
+            for ur in range(urows):
+                for uc in range(ucols):
+                    if take[ur, uc]:
+                        units[plane][(ur, uc)] = {
+                            "type": 1, "vfilter": vt, "hfilter": ht}
+                        fa[ur * ucols + uc, 0] = 1
+                        fa[ur * ucols + uc, 1:4] = vt
+                        fa[ur * ucols + uc, 4:7] = ht
+                    else:
+                        units[plane][(ur, uc)] = {"type": 0}
+            flat[plane] = fa
+            ucols_all[plane] = ucols
+            urows_all[plane] = urows
+            total_gain += float((sse_n - sse_w)[take].sum())
+        if not any(lr_type):
+            return None
+        return LrDecision(tuple(lr_type), self.unit_size, units, flat,
+                          ucols_all, urows_all, total_gain)
+
+
 def search_lr_frame(src_planes, recon_planes, dims, rdmult: float,
                     bd: int = 8, unit_size=(64, 32, 32)):
     """Search Wiener LR over all three planes.

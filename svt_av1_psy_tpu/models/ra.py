@@ -99,24 +99,6 @@ class RaDriver:
             return True
         return self.keyint > 0 and d % self.keyint == 0
 
-    # -- source-level ref choice ------------------------------------------
-    def _pick_ref(self, src_y, lo_slot, hi_slot, lo_d, mid_d, hi_d):
-        """Frame-level reference selection between the past (lo) and
-        future (hi) anchors: subsampled SAD vs each anchor's recon (the
-        open-loop ME-cost role of pd_process ref pruning)."""
-        if lo_slot == hi_slot:
-            return lo_slot
-        s = np.asarray(src_y)[::4, ::4].astype(np.int32)
-        H, W = s.shape
-        best, best_cost = lo_slot, None
-        for slot, dist in ((lo_slot, mid_d - lo_d), (hi_slot,
-                                                     hi_d - mid_d)):
-            ry = self.enc._dpb[slot][0][:H * 4:4, :W * 4:4].astype(np.int32)
-            cost = float(np.abs(s - ry).mean()) * (1.0 + 0.02 * dist)
-            if best_cost is None or cost < best_cost:
-                best, best_cost = slot, cost
-        return best
-
     # -- public api --------------------------------------------------------
     def push(self, y, u, v) -> list[RaPacket]:
         d = self._next_display
@@ -163,9 +145,11 @@ class RaDriver:
         if self.tf_strength and self._buf:
             from svt_av1_psy_tpu.models.temporal_filter import \
                 temporal_filter
+            from svt_av1_psy_tpu.utils.trace import stage as _tstage
             win = [f for _, f in self._buf[-2:]] + [(y, u, v)]
-            y, u, v = temporal_filter(win, len(win) - 1,
-                                      strength=self.tf_strength)
+            with _tstage("temporal_filter"):
+                y, u, v = temporal_filter(win, len(win) - 1,
+                                          strength=self.tf_strength)
         f = self.enc._encode_key(y, u, v, order_hint=d)
         self._base_slot = 0
         self._base_display = d
@@ -182,19 +166,79 @@ class RaDriver:
               "order_hint": d, "show": show, "layer": depth,
               "base_q": self._layer_q(depth) if tq is None else tq,
               "ref_slot2": ref_slot2}
+        pre = getattr(self, "_pre_by_d", None)
+        if pre:
+            ra["pre"] = pre.pop(d, None)
         y, u, v = fuv
-        # pipeline: dispatch the NEXT planned frame's device decide so it
-        # overlaps this frame's host commit walk (SURVEY §2.2 P1)
-        plan = getattr(self, "_plan", None)
-        if plan:
-            plan.pop(0)
-            if plan and hasattr(self.enc, "prefetch_decide"):
-                nxt = plan[0][1]
-                self._pref_y = nxt       # keep the object alive for the
-                self.enc.prefetch_decide(nxt)   # id()-based match
         f = self.enc._encode_p(y, u, v, ra=ra)
         self._recon_by_display[d] = (f.recon_y, f.recon_u, f.recon_v)
         return f
+
+    # -- GoP-batched device search ----------------------------------------
+    def _gop_device_search(self, b, arf_d, frames, arf_src, plan):
+        """Run the whole mini-GoP's device work as ONE jitted dispatch
+        (ops/jax_backend.gop_search): per-frame intra decision maps plus
+        hierarchical full-pel ME for every prediction edge of the plan —
+        the open-loop ME-process model of the reference (ref
+        me_process.c: ME runs on source pictures before the closed loop;
+        the commit walk polishes subpel against the true recon).
+
+        Returns ({display -> pre dict for _encode_p},
+                 {(display, ref_display) -> (mv16, sad16)})."""
+        import jax.numpy as jnp
+
+        from svt_av1_psy_tpu.models.fast_intra import (_host_copy_async,
+                                                       _jitted_gop_search)
+        from svt_av1_psy_tpu.models.intra_encoder import _pad_to
+        from svt_av1_psy_tpu.ops.jax_backend import gop_search_unpack
+        from svt_av1_psy_tpu.ops.quant import ac_q
+
+        enc = self.enc
+        pah, paw = enc.pah, enc.paw
+        ds = [b] + [p[0] for p in plan]
+        idx = {d: i for i, d in enumerate(ds)}
+        fmax = self.M + 1
+        emax = 2 * self.M
+        dtype = np.uint8 if enc.bd == 8 else np.uint16
+        planes = np.zeros((fmax, pah, paw), dtype)
+        planes[0] = enc._dpb[self._base_slot][0][:pah, :paw].astype(dtype)
+        self._gop_padded = {}
+        for d, *_ in plan:
+            src_y = arf_src[0] if d == arf_d else frames[d][0]
+            p = _pad_to(np.asarray(src_y), pah, paw).astype(dtype)
+            planes[idx[d]] = p
+            self._gop_padded[d] = p
+        edge_keys = []
+        edges = np.zeros((emax, 2), np.int32)
+        for d, lo, hi, *_ in plan:
+            for r in ((lo,) if hi == lo else (lo, hi)):
+                edges[len(edge_keys)] = (idx[d], idx[r])
+                edge_keys.append((d, r))
+        bias = np.int32(8 * ac_q(enc.qindex, enc.bd))
+        from svt_av1_psy_tpu.utils.trace import stage as _tstage
+        with _tstage("gop_upload"):
+            planes_dev = jnp.asarray(planes)
+            planes_dev.block_until_ready()
+        with _tstage("gop_search_compute"):
+            out = _jitted_gop_search()(planes_dev, jnp.asarray(edges),
+                                       jnp.asarray(bias), enc.bd,
+                                       enc.min_block)
+            out.block_until_ready()
+        with _tstage("gop_fetch"):
+            _host_copy_async(out)
+            buf = np.asarray(out)
+        mv, sad, dec = gop_search_unpack(buf, fmax, emax, (pah, paw))
+        edge_ms = {k: (mv[i], sad[i]) for i, k in enumerate(edge_keys)}
+        pre_by_d = {}
+        for d, lo, hi, *_ in plan:
+            entry = {"decide": enc._decide_finish(dec[idx[d]]),
+                     "mv16": np.clip(edge_ms[(d, lo)][0], -127,
+                                     127).astype(np.int16)}
+            if hi != lo:
+                entry["mv16b"] = np.clip(edge_ms[(d, hi)][0], -127,
+                                         127).astype(np.int16)
+            pre_by_d[d] = entry
+        return pre_by_d, edge_ms
 
     def _encode_gop(self) -> list[RaPacket]:
         buf, self._buf = self._buf, []
@@ -210,6 +254,9 @@ class RaDriver:
 
         if len(buf) == 1:
             # degenerate GoP: one shown P off the base
+            plan = [(arf_d, b, b, 1)]
+            self._pre_by_d, _ = self._gop_device_search(
+                b, arf_d, frames, frames[arf_d], plan)
             slot = self._free_slots(in_use)[0]
             f = self._encode_inter(arf_d, frames[arf_d], self._base_slot,
                                    1 << slot, True, 1)
@@ -223,35 +270,34 @@ class RaDriver:
         if self.tf_strength:
             from svt_av1_psy_tpu.models.temporal_filter import \
                 temporal_filter
+            from svt_av1_psy_tpu.utils.trace import stage as _tstage
             win = [frames[dd] for dd in sorted(frames) if dd >= arf_d - 2]
-            arf_src = temporal_filter(win, len(win) - 1,
-                                      strength=self.tf_strength)
+            with _tstage("temporal_filter"):
+                arf_src = temporal_filter(win, len(win) - 1,
+                                          strength=self.tf_strength)
         arf_slot = self._free_slots(in_use)[0]
         in_use.add(arf_slot)
 
+        # one device dispatch for the whole GoP: decide maps + edge HME
+        plan = self._tpl_plan(b, arf_d)
+        self._pre_by_d, edge_ms = self._gop_device_search(
+            b, arf_d, frames, arf_src, plan)
+
         # TPL r0/beta: per-frame q from the GoP dependency flow
-        # (ref tpl_model.c tpl_mc_flow; rc_process.c:873 generate_r0beta)
+        # (ref tpl_model.c tpl_mc_flow; rc_process.c:873 generate_r0beta),
+        # fed from the SAME device HME results the walks consume
         self._tpl_q = None
         if self.tpl_strength > 0:
             from svt_av1_psy_tpu.models.tpl import tpl_gop_q
-            plan = self._tpl_plan(b, arf_d)
-            fy = {d: (arf_src[0] if d == arf_d else frames[d][0])
-                  for d, _, _, _ in plan}
-            sy = np.asarray(arf_src[0])
-            fy[b] = np.asarray(self.enc._dpb[self._base_slot][0])[
-                :sy.shape[0], :sy.shape[1]]
+            fy = dict(self._gop_padded)
+            fy[b] = np.asarray(
+                self.enc._dpb[self._base_slot][0])[:self.enc.pah,
+                                                   :self.enc.paw]
             self._tpl_q = tpl_gop_q(fy, plan, self.enc.qindex,
                                     bd=getattr(self.enc, "bd", 8),
-                                    strength=self.tpl_strength)
+                                    strength=self.tpl_strength,
+                                    edge_results=edge_ms)
 
-        def enc_order(lo, hi):
-            if hi - lo < 2:
-                return []
-            mid = (lo + hi) // 2
-            return [mid] + enc_order(lo, mid) + enc_order(mid, hi)
-
-        self._plan = [(d, (arf_src if d == arf_d else frames[d])[0])
-                      for d in [arf_d] + enc_order(b, arf_d)]
         f = self._encode_inter(arf_d, arf_src, self._base_slot,
                                1 << arf_slot, False, 0)
         packets.append(RaPacket(f.payload, -1, None))

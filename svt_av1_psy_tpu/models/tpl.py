@@ -149,7 +149,8 @@ def _splat8(credit8: np.ndarray, y0: np.ndarray, x0: np.ndarray,
 
 
 def tpl_gop_q(frames_y: dict, plan, base_q: int, bd: int = 8,
-              strength: float = 1.0) -> dict:
+              strength: float = 1.0, edge_results: dict | None = None
+              ) -> dict:
     """Per-frame qindex for a mini-GoP from TPL dependency flow — the
     r0/beta half of the reference's TPL (ref tpl_model.c tpl_mc_flow /
     tpl_model_update_b backward induction; rc_process.c:873
@@ -164,13 +165,10 @@ def tpl_gop_q(frames_y: dict, plan, base_q: int, bd: int = 8,
 
     frames_y: {display_idx: luma plane} (the base anchor entry may be
     its recon). plan: encode-order [(d, lo_ref_d, hi_ref_d, depth)];
-    references always precede their dependents. Returns {d: qindex}
-    for every planned frame."""
-    import jax
-    import jax.numpy as jnp
-
-    from svt_av1_psy_tpu.models.fast_intra import hme_mv_sad
-
+    references always precede their dependents. edge_results (optional):
+    {(d, ref_d) -> (mv16, sad16)} precomputed by the GoP-batched device
+    search (ops/jax_backend.gop_search) — when given, no device work
+    happens here at all. Returns {d: qindex} for every planned frame."""
     some = next(iter(frames_y.values()))
     H, W = np.asarray(some).shape[:2]
     ph, pw = (H + 15) // 16 * 16, (W + 15) // 16 * 16
@@ -180,7 +178,15 @@ def tpl_gop_q(frames_y: dict, plan, base_q: int, bd: int = 8,
         return np.pad(p, ((0, ph - H), (0, pw - W)), mode="edge")
 
     padded = {d: pad(y) for d, y in frames_y.items()}
-    jarr = {d: jnp.asarray(p) for d, p in padded.items()}
+    if edge_results is None:
+        import jax.numpy as jnp
+
+        from svt_av1_psy_tpu.models.fast_intra import hme_mv_sad
+        jarr = {d: jnp.asarray(p) for d, p in padded.items()}
+        edge_results = {}
+        for d, lo, hi, *_ in plan:
+            for r in sorted({lo, hi}):
+                edge_results[(d, r)] = hme_mv_sad(jarr[d], jarr[r])
     act = {d: np.maximum(_activity_halfres(_downsample2(p)),
                          1).astype(np.float64)
            for d, p in padded.items()}
@@ -194,9 +200,9 @@ def tpl_gop_q(frames_y: dict, plan, base_q: int, bd: int = 8,
     for d, lo, hi, *_ in reversed(list(plan)):
         best_sad = best_mv = best_ref = None
         for r in sorted({lo, hi}):
-            mv, sad = hme_mv_sad(jarr[d], jarr[r])
-            sad = np.asarray(sad, np.float64)
-            mv = np.asarray(mv, np.int64)
+            mv, sad = edge_results[(d, r)]
+            sad = np.asarray(sad, np.float64)[:n8r, :n8c]
+            mv = np.asarray(mv, np.int64)[:n8r, :n8c]
             if best_sad is None:
                 best_sad, best_mv = sad, mv
                 best_ref = np.full(sad.shape, r, np.int64)

@@ -611,6 +611,59 @@ def hme_search_pallas(src_u8: jnp.ndarray, ref_u8: jnp.ndarray,
     return (2 * mv).astype(jnp.int16), sad
 
 
+def gop_search(frames_u8: jnp.ndarray, edges: jnp.ndarray,
+               split_bias: jnp.ndarray, bd: int = 8, min_block: int = 8):
+    """GoP-batched device search: one program for a whole mini-GoP.
+
+    The TPU-first batching of the reference's per-picture ME/PA process
+    fan-out (ref me_process.c:97 — N ME kernels run concurrently on
+    different pictures; SURVEY.md §2.2 P2): every frame's intra decision
+    maps and every prediction edge's hierarchical full-pel ME run as ONE
+    jitted program over the frame axis, so the encoder pays exactly one
+    dispatch + one device->host transfer per mini-GoP instead of 2-3 per
+    frame (the tunnel transport charges ~100ms fixed cost per fetched
+    array).
+
+    frames_u8: (F, H, W) stacked padded source lumas (entry 0 may be the
+    previous anchor's recon). edges: (E, 2) int32 (src_idx, ref_idx)
+    prediction edges in frames_u8 indexing; padding edges (0, 0) are
+    computed and ignored by the host. Returns one uint8 vector:
+    [bitcast int32 mv (E,n16r,n16c,2) | bitcast int32 sad (E,n16r,n16c) |
+     per-frame intra_decide_packed buffers (F, dsz)]."""
+    F, H, W = frames_u8.shape
+
+    dec = jax.vmap(
+        lambda f: intra_decide_packed(f, split_bias, bd, min_block)
+    )(frames_u8)
+
+    def one_edge(e):
+        return hme_search2(frames_u8[e[0]], frames_u8[e[1]])
+
+    mv, sad = jax.vmap(one_edge)(edges)
+    mvsad = jnp.concatenate([mv.astype(jnp.int32).reshape(-1),
+                             sad.astype(jnp.int32).reshape(-1)])
+    mvsad_u8 = jax.lax.bitcast_convert_type(mvsad, jnp.uint8).reshape(-1)
+    return jnp.concatenate([mvsad_u8, dec.reshape(-1)])
+
+
+def gop_search_unpack(buf: np.ndarray, n_frames: int, n_edges: int,
+                      shape):
+    """Host-side unpack of gop_search. shape = padded (H, W).
+
+    Returns (mv (E, n16r, n16c, 2) int16 full-pel,
+             sad (E, n16r, n16c) int32,
+             decide (F, dsz) uint8 rows for intra_decide_unpack)."""
+    H, W = shape
+    n16r, n16c = H // 16, W // 16
+    nmv = n_edges * n16r * n16c * 2
+    nsad = n_edges * n16r * n16c
+    ints = np.frombuffer(buf[:4 * (nmv + nsad)].tobytes(), np.int32)
+    mv = ints[:nmv].reshape(n_edges, n16r, n16c, 2).astype(np.int16)
+    sad = ints[nmv:].reshape(n_edges, n16r, n16c).copy()
+    dec = buf[4 * (nmv + nsad):].reshape(n_frames, -1)
+    return mv, sad, dec
+
+
 def sb_mode_costs(plane: jnp.ndarray, sb: int = 64, bd: int = 8):
     """Open-loop intra mode search costs for every SB of a plane.
 
