@@ -97,6 +97,18 @@ def _jitted_gop_search():
     return jax.jit(gop_search, static_argnums=(3, 4))
 
 
+@functools.lru_cache(maxsize=1)
+def _jitted_gop_search_tf():
+    """Jitted GoP search with the ARF temporal filter fused in
+    (ops/jax_backend.gop_search_tf): TF + decide maps + edge HMEs in
+    one dispatch, one packed transfer."""
+    import jax
+
+    from svt_av1_psy_tpu.ops.jax_backend import gop_search_tf
+
+    return jax.jit(gop_search_tf, static_argnums=(8, 9))
+
+
 def hme_mv_sad(src_p, ref_p):
     """Run the jitted full-pel ME on (padded) planes and return
     (mv16, sad16) as numpy — the packed transfer + unpack in one step
@@ -737,10 +749,11 @@ class FastIntraEncoder:
                 tile_mi_starts=[s * 16 for s in self.tile_col_starts],
                 coded_w=W)
         else:
-            rec_y = self._rec_y[:H, :W].copy()
-            rec_u = self._rec_u[:cH, :cW].copy()
-            rec_v = self._rec_v[:cH, :cW].copy()
-        if self.bd == 8:
+            dt0 = np.uint8 if self.bd == 8 else np.uint16
+            rec_y = self._rec_y[:H, :W].astype(dt0)
+            rec_u = self._rec_u[:cH, :cW].astype(dt0)
+            rec_v = self._rec_v[:cH, :cW].astype(dt0)
+        if self.bd == 8 and rec_y.dtype != np.uint8:
             rec_y = rec_y.astype(np.uint8)
             rec_u = rec_u.astype(np.uint8)
             rec_v = rec_v.astype(np.uint8)
@@ -957,6 +970,17 @@ class FastIntraEncoder:
                     for ti in range(self.n_tiles)]
         qm = self._frame_qm_levels(base_q)
 
+        # refresh decision (known before the walk): a frame that refreshes
+        # no DPB slot is never referenced — its motion field is dead and
+        # its in-loop filter APPLY can leave the critical path
+        if ra is not None:
+            refresh = ra["refresh"]
+        elif L > 0:
+            refresh = (1 << layer) if layer < L else 0
+        else:
+            refresh = 0x01
+        never_referenced = refresh == 0
+
         def encode_tile(ti):
             c0 = self.tile_col_starts[ti] * 16
             c1 = min(self.tile_col_starts[ti + 1] * 16, self.mi_cols)
@@ -1007,11 +1031,14 @@ class FastIntraEncoder:
                              mi_bounds=(0, self.mi_rows, c0, c1),
                              n_cands=self.n_cands, mv16b=mv16b)
             grid_exp = None
-            if self.enable_mfmv:
+            if self.enable_mfmv and not never_referenced:
                 grid_exp = (eng.grid_read(), (0, self.mi_rows, c0, c1))
             return ec.done(), grid_exp
 
         import os as _os
+        # a deferred leaf filter from two frames ago may still be
+        # running on this ping-pong buffer
+        self._join_pending_filter(self._rec_y)
         with _tstage("inter_commit_walk"):
             if self.n_tiles == 1 or _os.environ.get("SVT_TILE_SEQ"):
                 tile_out = [encode_tile(i) for i in range(self.n_tiles)]
@@ -1022,9 +1049,10 @@ class FastIntraEncoder:
                                            range(self.n_tiles)))
         tile_bytes = [t[0] for t in tile_out]
 
-        # spec 7.20 motion-field storage for later frames' MFMV
+        # spec 7.20 motion-field storage for later frames' MFMV (dead
+        # when no DPB slot is refreshed — nothing can reference it)
         new_mf = None
-        if self.enable_mfmv:
+        if self.enable_mfmv and not never_referenced:
             from types import SimpleNamespace
             from svt_av1_psy_tpu.inter.mfmv import save_motion_field
             grids = []
@@ -1049,26 +1077,46 @@ class FastIntraEncoder:
             parts.append(tile_bytes[-1])
             tg = b"".join(parts)
 
-        lf = (0, 0, 0, 0)
-        if self.enable_dlf:
-            with _tstage("dlf"):
-                lf = self._pick_and_apply_dlf(yp, up, vp, base_q)
-        pre_cdef = None
-        if self.enable_lr:
-            pre_cdef = (self._rec_y.copy(), self._rec_u.copy(),
-                        self._rec_v.copy())
-        cdef_st, cdef_damp = ((0, 0, 0, 0), 3)
-        if self.enable_cdef:
-            with _tstage("cdef"):
-                cdef_st, cdef_damp = self._search_apply_cdef(yp, up, vp,
-                                                             base_q)
-        if self.enable_lr:
-            with _tstage("loop_restoration"):
-                self._lr_apply_and_search(yp, up, vp, base_q, lr_dec,
-                                          pre_cdef)
+        # in-loop filter stage. A never-referenced frame whose DLF/CDEF
+        # parameters come from the frame-level caches moves the APPLY
+        # (not the search — the header signals the cached levels) to a
+        # background thread that overlaps the next frame's walk — the
+        # P1-pipeline deferral the all-intra path uses, generalized to
+        # the pyramid's leaf frames (SURVEY §2.2 P1)
+        filters_cached = (
+            self._dlf_cache is not None and self._cdef_cache is not None
+            and (self.frame_index % max(self.cdef_search_interval, 1)))
+        defer = (never_referenced and filters_cached and self.enable_dlf
+                 and self.enable_cdef and not self.superres_denom)
+        deferred_task = None
+        if defer:
+            ly, lu, lv_ = self._dlf_cache
+            lf = (ly, ly, lu, lv_)
+            cdef_st = self._cdef_cache
+            cdef_damp = 3 + (base_q >> 6)
+            deferred_task = self._deferred_filter_task(
+                yp, up, vp, base_q, (ly, lu, lv_), cdef_st, cdef_damp,
+                lr_dec=lr_dec if self.enable_lr else None)
+        else:
+            lf = (0, 0, 0, 0)
+            if self.enable_dlf:
+                with _tstage("dlf"):
+                    lf = self._pick_and_apply_dlf(yp, up, vp, base_q)
+            pre_cdef = None
+            if self.enable_lr:
+                pre_cdef = (self._rec_y.copy(), self._rec_u.copy(),
+                            self._rec_v.copy())
+            cdef_st, cdef_damp = ((0, 0, 0, 0), 3)
+            if self.enable_cdef:
+                with _tstage("cdef"):
+                    cdef_st, cdef_damp = self._search_apply_cdef(
+                        yp, up, vp, base_q)
+            if self.enable_lr:
+                with _tstage("loop_restoration"):
+                    self._lr_apply_and_search(yp, up, vp, base_q, lr_dec,
+                                              pre_cdef)
 
         self._fc_saved = tile_fcs[0]
-        refresh = 0x01
         ref_idx = (0,) * 7
         show = True
         order_hint = self.frame_index & 0x7F
@@ -1077,15 +1125,10 @@ class FastIntraEncoder:
                 ref_idx = (ref_slot,) * 6 + (ref2_slot,)
             else:
                 ref_idx = (ref_slot,) + (0,) * 6
-            refresh = ra["refresh"]
             show = ra["show"]
             order_hint = ra["order_hint"] & 0x7F
         elif L > 0:
             ref_idx = (ref_slot,) + (0,) * 6
-            if layer < L:
-                refresh = 1 << layer      # store in the layer's slot
-            else:
-                refresh = 0               # top layer: never referenced
 
         gm_trans = None
         if gm_wm is not None:
@@ -1150,17 +1193,18 @@ class FastIntraEncoder:
             self.seq, fr_params, tg, with_seq_header=False,
             metadata=getattr(self, "metadata_frame", b""))
         self.frame_index += 1
+        from svt_av1_psy_tpu.utils.trace import next_frame as _tnext
+        if deferred_task is not None:
+            self._swap_recon()
+            _tnext()
+            return EncodedFrame(payload=payload, resolve=deferred_task)
         H, W = self.height, self.width
         cH, cW = (H + 1) // 2, (W + 1) // 2
-        rec_y = self._rec_y[:H, :W].copy()
-        rec_u = self._rec_u[:cH, :cW].copy()
-        rec_v = self._rec_v[:cH, :cW].copy()
-        if self.bd == 8:
-            rec_y = rec_y.astype(np.uint8)
-            rec_u = rec_u.astype(np.uint8)
-            rec_v = rec_v.astype(np.uint8)
+        dt = np.uint8 if self.bd == 8 else np.uint16
+        rec_y = self._rec_y[:H, :W].astype(dt)
+        rec_u = self._rec_u[:cH, :cW].astype(dt)
+        rec_v = self._rec_v[:cH, :cW].astype(dt)
         self._swap_recon()
-        from svt_av1_psy_tpu.utils.trace import next_frame as _tnext
         _tnext()
         return EncodedFrame(payload=payload, recon_y=rec_y, recon_u=rec_u,
                             recon_v=rec_v)
@@ -1261,9 +1305,10 @@ class FastIntraEncoder:
         return st, damping
 
     def _deferred_filter_task(self, yp, up, vp, base_q, dlf_levels,
-                              cdef_st, damping):
-        """Spawn the DLF/CDEF apply + recon crop on a background thread
-        over THIS frame's recon buffers (all-intra: never a reference).
+                              cdef_st, damping, lr_dec=None):
+        """Spawn the DLF/CDEF(/LR) apply + recon crop on a background
+        thread over THIS frame's recon buffers (never a reference:
+        all-intra frames, or pyramid leaves with refresh == 0).
         Returns a resolve() that joins and yields the cropped recon."""
         import threading
         native = self._native
@@ -1292,17 +1337,27 @@ class FastIntraEncoder:
             if lv_:
                 native.dlf_apply(rv, lf_uv, False, lv_, lv_, 0, bd,
                                  crows, ccols, cW, cH)
+            pre_cdef = None
+            if lr_dec is not None:
+                pre_cdef = (ry.copy(), ru.copy(), rv.copy())
             if any(cdef_st):
                 native.cdef_run((ry, ru, rv), (yp, up, vp), skip, W, H,
                                 bd, damping, cdef_st, apply=True)
-            a = ry[:H, :W].copy()
-            b = ru[:cH, :cW].copy()
-            c2 = rv[:cH, :cW].copy()
-            if bd == 8:
-                a = a.astype(np.uint8)
-                b = b.astype(np.uint8)
-                c2 = c2.astype(np.uint8)
-            out["rec"] = (a, b, c2)
+            if lr_dec is not None:
+                # signalled LR params apply normatively; the device
+                # search for the NEXT frame's params is NOT re-dispatched
+                # here — a leaf keeps the pending decision live for its
+                # successor (the cross-frame parameter cache tolerates
+                # one extra frame of staleness)
+                from svt_av1_psy_tpu.ops.restoration import apply_lr_frame
+                cw2, ch2 = (W + 1) // 2, (H + 1) // 2
+                dims = [(W, H), (cw2, ch2), (cw2, ch2)]
+                apply_lr_frame([ry, ru, rv], list(pre_cdef), dims,
+                               lr_dec.lr_type, lr_dec.unit_size,
+                               lr_dec.units, bd=bd)
+            dt = np.uint8 if bd == 8 else np.uint16
+            out["rec"] = (ry[:H, :W].astype(dt), ru[:cH, :cW].astype(dt),
+                          rv[:cH, :cW].astype(dt))
 
         th = threading.Thread(target=task, daemon=True)
         th.start()

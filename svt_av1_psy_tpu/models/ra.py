@@ -33,10 +33,34 @@ class RaPacket:
 
     display_idx: display position this TU *shows* (-1 for hidden coded
     frames); recon: clipped recon planes of the shown frame (None for
-    hidden TUs)."""
+    hidden TUs). recon may be a _LazyRecon — tuple-like, but resolving
+    a deferred in-loop-filter thread on first access."""
     payload: bytes
     display_idx: int
     recon: tuple | None
+
+
+class _LazyRecon:
+    """Tuple-like view over an EncodedFrame's recon planes: accessing
+    any element joins the frame's deferred filter task (leaf-frame
+    filter deferral, fast_intra._deferred_filter_task)."""
+
+    __slots__ = ("_f",)
+
+    def __init__(self, f):
+        self._f = f
+
+    def _t(self):
+        return (self._f.recon_y, self._f.recon_u, self._f.recon_v)
+
+    def __getitem__(self, i):
+        return self._t()[i]
+
+    def __iter__(self):
+        return iter(self._t())
+
+    def __len__(self):
+        return 3
 
 
 class RaDriver:
@@ -68,6 +92,20 @@ class RaDriver:
         self._base_slot = 0
         self._base_display = -1
         self._recon_by_display = {}
+        # one-GoP-deep pipeline (SURVEY §2.2 P1/P2): when a mini-GoP
+        # completes, its device search (TF + decide maps + edge HMEs) is
+        # DISPATCHED asynchronously and the GoP is parked; its host
+        # commit walks run when the NEXT GoP completes — so the device
+        # computes GoP N+1's search while the host walks GoP N. The
+        # open-loop search runs on SOURCE planes (the reference's ME
+        # process also searches sources, ref me_process.c:97), which is
+        # what makes the dispatch independent of the pending walks.
+        self._pending = None          # parked GopTask dict
+        # dispatch-time base frame (display + padded source luma): the
+        # last dispatched GoP's ARF, or the last key — the edge reference
+        # for the NEXT GoP's open-loop search
+        self._disp_base_display = -1
+        self._disp_base_src = None
 
     # -- q ladder (ref rc_process.c RA qindex offsets + PSY
     #    qp-scale-compress weights) ---------------------------------------
@@ -113,12 +151,18 @@ class RaDriver:
         if getattr(self.enc, "enable_scenecut", False):
             self.enc._prev_src_y = np.asarray(y)[::2, ::2].astype(np.int32)
         if self._is_key(d) or cut:
-            # close the pending GoP at the buffered tail, then key
-            out.extend(self._encode_gop())
+            # drain the pipeline: dispatch the buffered tail FIRST so its
+            # device search computes under the pending GoP's host walks,
+            # then walk both in order, then key
+            tail = self._dispatch_gop()
+            out.extend(self._finish_pending())
+            if tail is not None:
+                out.extend(self._walk_gop(tail))
             out.append(self._encode_base_key(d, (y, u, v)))
             return out
         self._buf.append((d, (y, u, v)))
-        if self.dynamic_gop:
+        close = len(self._buf) >= self.M
+        if self.dynamic_gop and not close:
             cur = np.asarray(y)[::4, ::4].astype(np.int32)
             bd_sh = getattr(self.enc, "bd", 8) - 8
             if self._dyn_prev is not None:
@@ -130,14 +174,22 @@ class RaDriver:
             if n < self.M and n in (2, 4, 8, 16) and self._mads:
                 window = self._mads[-n:]
                 if sum(window) / len(window) > self.dyn_threshold:
-                    out.extend(self._encode_gop())
-                    return out
-        if len(self._buf) >= self.M:
-            out.extend(self._encode_gop())
+                    close = True
+        if close:
+            # pipeline step: dispatch this GoP's device search (async),
+            # then run the PREVIOUS GoP's host walks while it computes
+            task = self._dispatch_gop()
+            out.extend(self._finish_pending())
+            self._pending = task
         return out
 
     def flush(self) -> list[RaPacket]:
-        return self._encode_gop()
+        # same dispatch-before-walk ordering as the key-boundary drain
+        tail = self._dispatch_gop()
+        out = self._finish_pending()
+        if tail is not None:
+            out.extend(self._walk_gop(tail))
+        return out
 
     # -- internals ---------------------------------------------------------
     def _encode_base_key(self, d: int, fuv) -> RaPacket:
@@ -153,6 +205,11 @@ class RaDriver:
         f = self.enc._encode_key(y, u, v, order_hint=d)
         self._base_slot = 0
         self._base_display = d
+        from svt_av1_psy_tpu.models.intra_encoder import _pad_to
+        dtype = np.uint8 if getattr(self.enc, "bd", 8) == 8 else np.uint16
+        self._disp_base_display = d
+        self._disp_base_src = _pad_to(np.asarray(y), self.enc.pah,
+                                      self.enc.paw).astype(dtype)
         self._recon_by_display[d] = (f.recon_y, f.recon_u, f.recon_v)
         return RaPacket(f.payload, d, (f.recon_y, f.recon_u, f.recon_v))
 
@@ -171,43 +228,57 @@ class RaDriver:
             ra["pre"] = pre.pop(d, None)
         y, u, v = fuv
         f = self.enc._encode_p(y, u, v, ra=ra)
-        self._recon_by_display[d] = (f.recon_y, f.recon_u, f.recon_v)
+        self._recon_by_display[d] = _LazyRecon(f)
         return f
 
-    # -- GoP-batched device search ----------------------------------------
-    def _gop_device_search(self, b, arf_d, frames, arf_src, plan):
-        """Run the whole mini-GoP's device work as ONE jitted dispatch
-        (ops/jax_backend.gop_search): per-frame intra decision maps plus
-        hierarchical full-pel ME for every prediction edge of the plan —
-        the open-loop ME-process model of the reference (ref
-        me_process.c: ME runs on source pictures before the closed loop;
-        the commit walk polishes subpel against the true recon).
-
-        Returns ({display -> pre dict for _encode_p},
-                 {(display, ref_display) -> (mv16, sad16)})."""
+    # -- GoP-batched device search (pipelined) -----------------------------
+    def _dispatch_gop(self) -> dict | None:
+        """Phase A of a mini-GoP: consume the source buffer and launch
+        the whole GoP's device work as ONE asynchronous jitted dispatch
+        (ops/jax_backend.gop_search / gop_search_tf): the ARF temporal
+        filter, per-frame intra decision maps and hierarchical full-pel
+        ME for every prediction edge of the plan — the open-loop
+        ME-process model of the reference (ref me_process.c: ME runs on
+        source pictures before the closed loop; the commit walk polishes
+        subpel against the true recon). Nothing blocks: the returned
+        task's packed result buffer is fetched by _walk_gop when the
+        NEXT GoP completes, so the device computes under the host walks
+        (SURVEY §2.2 P1/P2)."""
+        buf, self._buf = self._buf, []
+        self._mads = []
+        if not buf:
+            return None
         import jax.numpy as jnp
 
         from svt_av1_psy_tpu.models.fast_intra import (_host_copy_async,
-                                                       _jitted_gop_search)
+                                                       _jitted_gop_search,
+                                                       _jitted_gop_search_tf)
         from svt_av1_psy_tpu.models.intra_encoder import _pad_to
-        from svt_av1_psy_tpu.ops.jax_backend import gop_search_unpack
         from svt_av1_psy_tpu.ops.quant import ac_q
+        from svt_av1_psy_tpu.utils.trace import stage as _tstage
 
         enc = self.enc
         pah, paw = enc.pah, enc.paw
+        frames = dict(buf)            # display -> (y,u,v)
+        b = self._disp_base_display
+        arf_d = buf[-1][0]
+        if len(buf) == 1:
+            plan = [(arf_d, b, b, 1)]
+        else:
+            plan = self._tpl_plan(b, arf_d)
         ds = [b] + [p[0] for p in plan]
         idx = {d: i for i, d in enumerate(ds)}
         fmax = self.M + 1
         emax = 2 * self.M
         dtype = np.uint8 if enc.bd == 8 else np.uint16
         planes = np.zeros((fmax, pah, paw), dtype)
-        planes[0] = enc._dpb[self._base_slot][0][:pah, :paw].astype(dtype)
-        self._gop_padded = {}
+        if self._disp_base_src is not None:
+            planes[0] = self._disp_base_src
+        padded = {}
         for d, *_ in plan:
-            src_y = arf_src[0] if d == arf_d else frames[d][0]
-            p = _pad_to(np.asarray(src_y), pah, paw).astype(dtype)
+            p = _pad_to(np.asarray(frames[d][0]), pah, paw).astype(dtype)
             planes[idx[d]] = p
-            self._gop_padded[d] = p
+            padded[d] = p
         edge_keys = []
         edges = np.zeros((emax, 2), np.int32)
         for d, lo, hi, *_ in plan:
@@ -215,20 +286,100 @@ class RaDriver:
                 edges[len(edge_keys)] = (idx[d], idx[r])
                 edge_keys.append((d, r))
         bias = np.int32(8 * ac_q(enc.qindex, enc.bd))
-        from svt_av1_psy_tpu.utils.trace import stage as _tstage
-        with _tstage("gop_upload"):
+        tf_on = bool(self.tf_strength) and len(buf) > 1
+        with _tstage("gop_dispatch"):
             planes_dev = jnp.asarray(planes)
-            planes_dev.block_until_ready()
-        with _tstage("gop_search_compute"):
-            out = _jitted_gop_search()(planes_dev, jnp.asarray(edges),
-                                       jnp.asarray(bias), enc.bd,
-                                       enc.min_block)
-            out.block_until_ready()
-        with _tstage("gop_fetch"):
+            if tf_on:
+                # TF window: sources at arf_d-2, arf_d-1, center (ARF)
+                # last — gathered from the frame stack by index; masked
+                # slots (short GoPs) contribute nothing
+                T = 3
+                win_ds = [dd for dd in (arf_d - 2, arf_d - 1)
+                          if dd in frames]
+                win_idx = np.zeros(T, np.int32)
+                win_mask = np.zeros(T, np.float32)
+                chf = (pah // 2, paw // 2)
+                win_u = np.zeros((T,) + chf, dtype)
+                win_v = np.zeros((T,) + chf, dtype)
+                for k, dd in enumerate(win_ds):
+                    win_idx[k] = idx[dd]
+                    win_mask[k] = 1.0
+                    win_u[k] = _pad_to(np.asarray(frames[dd][1]),
+                                       *chf).astype(dtype)
+                    win_v[k] = _pad_to(np.asarray(frames[dd][2]),
+                                       *chf).astype(dtype)
+                win_idx[T - 1] = idx[arf_d]
+                win_mask[T - 1] = 1.0
+                win_u[T - 1] = _pad_to(np.asarray(frames[arf_d][1]),
+                                       *chf).astype(dtype)
+                win_v[T - 1] = _pad_to(np.asarray(frames[arf_d][2]),
+                                       *chf).astype(dtype)
+                out = _jitted_gop_search_tf()(
+                    planes_dev, jnp.asarray(edges), jnp.asarray(bias),
+                    jnp.asarray(win_u), jnp.asarray(win_v),
+                    jnp.asarray(win_idx), jnp.asarray(win_mask),
+                    jnp.asarray(np.float32(self.tf_strength)),
+                    enc.bd, enc.min_block)
+            else:
+                out = _jitted_gop_search()(planes_dev, jnp.asarray(edges),
+                                           jnp.asarray(bias), enc.bd,
+                                           enc.min_block)
             _host_copy_async(out)
-            buf = np.asarray(out)
-        mv, sad, dec = gop_search_unpack(buf, fmax, emax, (pah, paw))
-        edge_ms = {k: (mv[i], sad[i]) for i, k in enumerate(edge_keys)}
+        # dispatch-time base for the NEXT GoP's edges: this GoP's ARF
+        # source (open-loop; its recon does not exist yet)
+        self._disp_base_display = arf_d
+        self._disp_base_src = padded[arf_d]
+        return {"frames": frames, "b": b, "arf_d": arf_d, "plan": plan,
+                "n": len(buf), "out": out, "edge_keys": edge_keys,
+                "idx": idx, "fmax": fmax, "emax": emax, "padded": padded,
+                "tf": tf_on}
+
+    def _finish_pending(self) -> list[RaPacket]:
+        task, self._pending = self._pending, None
+        if task is None:
+            return []
+        return self._walk_gop(task)
+
+    def _encode_gop(self) -> list[RaPacket]:
+        """Non-pipelined fallback: dispatch + walk in one step (GoP
+        tails at flush/key boundaries)."""
+        task = self._dispatch_gop()
+        if task is None:
+            return []
+        return self._walk_gop(task)
+
+    def _walk_gop(self, task) -> list[RaPacket]:
+        """Phase B: fetch the GoP's packed device results and run the
+        host commit walks (ARF + pyramid recursion + show_existing
+        emission)."""
+        from svt_av1_psy_tpu.ops.jax_backend import (gop_search_tf_unpack,
+                                                     gop_search_unpack)
+        from svt_av1_psy_tpu.utils.trace import stage as _tstage
+
+        enc = self.enc
+        pah, paw = enc.pah, enc.paw
+        frames = task["frames"]
+        b, arf_d, plan = task["b"], task["arf_d"], task["plan"]
+        idx = task["idx"]
+        self._tpl_q = None
+        with _tstage("gop_fetch"):
+            buf = np.asarray(task["out"])
+        if task["tf"]:
+            mv, sad, dec, fy, fu, fv = gop_search_tf_unpack(
+                buf, task["fmax"], task["emax"], (pah, paw), enc.bd)
+            H, W = enc.height, enc.width
+            ch, cw = (H + 1) // 2, (W + 1) // 2
+            arf_src = (fy[:H, :W], fu[:ch, :cw], fv[:ch, :cw])
+            # the ARF decide/HME ran on the FILTERED plane; the walk
+            # must code the same source
+            arf_padded = fy
+        else:
+            mv, sad, dec = gop_search_unpack(buf, task["fmax"],
+                                             task["emax"], (pah, paw))
+            arf_src = frames[arf_d]
+            arf_padded = task["padded"][arf_d]
+        edge_ms = {k: (mv[i], sad[i])
+                   for i, k in enumerate(task["edge_keys"])}
         pre_by_d = {}
         for d, lo, hi, *_ in plan:
             entry = {"decide": enc._decide_finish(dec[idx[d]]),
@@ -238,25 +389,12 @@ class RaDriver:
                 entry["mv16b"] = np.clip(edge_ms[(d, hi)][0], -127,
                                          127).astype(np.int16)
             pre_by_d[d] = entry
-        return pre_by_d, edge_ms
+        self._pre_by_d = pre_by_d
 
-    def _encode_gop(self) -> list[RaPacket]:
-        buf, self._buf = self._buf, []
-        self._mads = []
-        self._tpl_q = None
-        if not buf:
-            return []
-        frames = dict(buf)            # display -> (y,u,v)
-        b = self._base_display
-        arf_d = buf[-1][0]
         packets: list[RaPacket] = []
         in_use = {self._base_slot}
 
-        if len(buf) == 1:
-            # degenerate GoP: one shown P off the base
-            plan = [(arf_d, b, b, 1)]
-            self._pre_by_d, _ = self._gop_device_search(
-                b, arf_d, frames, frames[arf_d], plan)
+        if task["n"] == 1:
             slot = self._free_slots(in_use)[0]
             f = self._encode_inter(arf_d, frames[arf_d], self._base_slot,
                                    1 << slot, True, 1)
@@ -265,38 +403,23 @@ class RaDriver:
             self._base_slot, self._base_display = slot, arf_d
             return packets
 
-        # ARF: temporal-filtered hidden anchor at the GoP end
-        arf_src = frames[arf_d]
-        if self.tf_strength:
-            from svt_av1_psy_tpu.models.temporal_filter import \
-                temporal_filter
-            from svt_av1_psy_tpu.utils.trace import stage as _tstage
-            win = [frames[dd] for dd in sorted(frames) if dd >= arf_d - 2]
-            with _tstage("temporal_filter"):
-                arf_src = temporal_filter(win, len(win) - 1,
-                                          strength=self.tf_strength)
         arf_slot = self._free_slots(in_use)[0]
         in_use.add(arf_slot)
-
-        # one device dispatch for the whole GoP: decide maps + edge HME
-        plan = self._tpl_plan(b, arf_d)
-        self._pre_by_d, edge_ms = self._gop_device_search(
-            b, arf_d, frames, arf_src, plan)
 
         # TPL r0/beta: per-frame q from the GoP dependency flow
         # (ref tpl_model.c tpl_mc_flow; rc_process.c:873 generate_r0beta),
         # fed from the SAME device HME results the walks consume
-        self._tpl_q = None
         if self.tpl_strength > 0:
             from svt_av1_psy_tpu.models.tpl import tpl_gop_q
-            fy = dict(self._gop_padded)
-            fy[b] = np.asarray(
-                self.enc._dpb[self._base_slot][0])[:self.enc.pah,
-                                                   :self.enc.paw]
-            self._tpl_q = tpl_gop_q(fy, plan, self.enc.qindex,
-                                    bd=getattr(self.enc, "bd", 8),
-                                    strength=self.tpl_strength,
-                                    edge_results=edge_ms)
+            with _tstage("tpl_gop_q"):
+                fy_map = dict(task["padded"])
+                fy_map[arf_d] = arf_padded
+                fy_map[b] = np.asarray(
+                    enc._dpb[self._base_slot][0])[:pah, :paw]
+                self._tpl_q = tpl_gop_q(fy_map, plan, enc.qindex,
+                                        bd=getattr(enc, "bd", 8),
+                                        strength=self.tpl_strength,
+                                        edge_results=edge_ms)
 
         f = self._encode_inter(arf_d, arf_src, self._base_slot,
                                1 << arf_slot, False, 0)

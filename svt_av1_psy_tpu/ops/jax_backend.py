@@ -664,6 +664,128 @@ def gop_search_unpack(buf: np.ndarray, n_frames: int, n_edges: int,
     return mv, sad, dec
 
 
+def _tf_align(center: jnp.ndarray, neigh: jnp.ndarray, mv16: jnp.ndarray,
+              sub: int):
+    """Clamped-gather MC alignment of `neigh` onto `center` with
+    per-16x16 (luma units) full-pel MVs — the device analog of
+    models/temporal_filter._align_plane. center/neigh: (H, W) int32;
+    mv16: (n16r, n16c, 2) int32. Returns (aligned (H, W) int32,
+    per-block mean-SSE (n16r, n16c) float32)."""
+    H, W = center.shape
+    bs = 16 >> sub
+    dy = mv16[..., 0] >> sub
+    dx = mv16[..., 1] >> sub
+    dyp = jnp.repeat(jnp.repeat(dy, bs, 0), bs, 1)[:H, :W]
+    dxp = jnp.repeat(jnp.repeat(dx, bs, 0), bs, 1)[:H, :W]
+    ys = jnp.clip(jnp.arange(H)[:, None] + dyp, 0, H - 1)
+    xs = jnp.clip(jnp.arange(W)[None, :] + dxp, 0, W - 1)
+    out = neigh[ys, xs]
+    d2 = (out - center).astype(jnp.float32) ** 2
+    n16r, n16c = mv16.shape[:2]
+    err = d2[:n16r * bs, :n16c * bs].reshape(n16r, bs, n16c, bs) \
+        .mean(axis=(1, 3))
+    return out, err
+
+
+def tf_filter_device(win_y: jnp.ndarray, win_u: jnp.ndarray,
+                     win_v: jnp.ndarray, win_mask: jnp.ndarray,
+                     strength: jnp.ndarray, bd: int = 8):
+    """Device temporal filter: models/temporal_filter.temporal_filter as
+    one fused program (ref temporal_filtering.c:1021 medium planewise
+    filter). win_y: (T, H, W) window lumas, center LAST; win_u/win_v:
+    (T, Hc, Wc) chromas; win_mask: (T,) float32 (0 = padding slot, the
+    center slot must be 1; a masked slot contributes nothing). Returns
+    filtered (y, u, v) planes, int32 in [0, 2^bd)."""
+    T, H, W = win_y.shape
+    wy = win_y.astype(jnp.int32)
+    wu = win_u.astype(jnp.int32)
+    wv = win_v.astype(jnp.int32)
+    cy, cu, cv = wy[T - 1], wu[T - 1], wv[T - 1]
+    sigma2 = jnp.maximum(
+        4.0, jnp.var(jnp.diff(cy, axis=1).astype(jnp.float32)) / 8.0)
+    inv = 1.0 / (sigma2 * (1.0 + strength.astype(jnp.float32)))
+    acc_y = cy.astype(jnp.float32)
+    acc_u = cu.astype(jnp.float32)
+    acc_v = cv.astype(jnp.float32)
+    wt_y = jnp.ones((H, W), jnp.float32)
+    wt_c = jnp.ones(cu.shape, jnp.float32)
+    for i in range(T - 1):
+        mv16, _ = hme_search2(wy[T - 1], wy[i])
+        mv16 = mv16.astype(jnp.int32)
+        ay, err = _tf_align(cy, wy[i], mv16, 0)
+        w_blk = jnp.exp(-err * inv)
+        w_blk = jnp.where(err > 16.0 * sigma2, 0.0, w_blk) * win_mask[i]
+        w_px = jnp.repeat(jnp.repeat(w_blk, 16, 0), 16, 1)[:H, :W]
+        acc_y += w_px * ay
+        wt_y += w_px
+        au, _ = _tf_align(cu, wu[i], mv16, 1)
+        av, _ = _tf_align(cv, wv[i], mv16, 1)
+        w_pc = jnp.repeat(jnp.repeat(w_blk, 8, 0),
+                          8, 1)[:cu.shape[0], :cu.shape[1]]
+        acc_u += w_pc * au
+        acc_v += w_pc * av
+        wt_c += w_pc
+    hi = (1 << bd) - 1
+    fy = jnp.clip(jnp.rint(acc_y / wt_y), 0, hi).astype(jnp.int32)
+    fu = jnp.clip(jnp.rint(acc_u / wt_c), 0, hi).astype(jnp.int32)
+    fv = jnp.clip(jnp.rint(acc_v / wt_c), 0, hi).astype(jnp.int32)
+    return fy, fu, fv
+
+
+def gop_search_tf(frames_u8: jnp.ndarray, edges: jnp.ndarray,
+                  split_bias: jnp.ndarray, win_u: jnp.ndarray,
+                  win_v: jnp.ndarray, win_idx: jnp.ndarray,
+                  win_mask: jnp.ndarray, strength: jnp.ndarray,
+                  bd: int = 8, min_block: int = 8):
+    """gop_search with the ARF temporal filter fused in: the window lumas
+    are gathered from the frame stack (win_idx, center = the ARF at stack
+    position 1), filtered on device, and the FILTERED ARF replaces stack
+    entry 1 before the decide/HME phase — so the whole mini-GoP costs one
+    dispatch and one packed transfer including the TF (the reference runs
+    TF as a separate host pass, ref temporal_filtering.c:4064).
+
+    win_u/win_v: (T, Hc, Wc) chroma planes of the window frames (same
+    order as win_idx; the luma comes from frames_u8[win_idx]).
+    Returns one uint8 vector:
+    [gop_search payload | filtered ARF y | u | v (u8, or u16 bitcast)]."""
+    dtype = frames_u8.dtype
+    win_y = frames_u8[win_idx].astype(jnp.int32)
+    fy, fu, fv = tf_filter_device(win_y, win_u, win_v, win_mask,
+                                  strength, bd)
+    frames_f = frames_u8.at[1].set(fy.astype(dtype))
+    main = gop_search(frames_f, edges, split_bias, bd, min_block)
+    planes = jnp.concatenate([fy.reshape(-1), fu.reshape(-1),
+                              fv.reshape(-1)])
+    if bd == 8:
+        planes_u8 = planes.astype(jnp.uint8)
+    else:
+        planes_u8 = jax.lax.bitcast_convert_type(
+            planes.astype(jnp.uint16), jnp.uint8).reshape(-1)
+    return jnp.concatenate([main, planes_u8])
+
+
+def gop_search_tf_unpack(buf: np.ndarray, n_frames: int, n_edges: int,
+                         shape, bd: int = 8):
+    """Host-side unpack of gop_search_tf: returns (mv, sad, dec, fy, fu,
+    fv) where the first three match gop_search_unpack and the filtered
+    ARF planes are uint8/uint16 (H, W) / (Hc, Wc)."""
+    H, W = shape
+    hc, wc = H // 2, W // 2
+    npl = H * W + 2 * hc * wc
+    nbytes = npl * (1 if bd == 8 else 2)
+    mv, sad, dec = gop_search_unpack(buf[:-nbytes], n_frames, n_edges,
+                                     shape)
+    tail = buf[-nbytes:]
+    if bd == 8:
+        pl = tail
+    else:
+        pl = np.frombuffer(tail.tobytes(), np.uint16)
+    fy = pl[:H * W].reshape(H, W)
+    fu = pl[H * W:H * W + hc * wc].reshape(hc, wc)
+    fv = pl[H * W + hc * wc:].reshape(hc, wc)
+    return mv, sad, dec, fy, fu, fv
+
+
 def sb_mode_costs(plane: jnp.ndarray, sb: int = 64, bd: int = 8):
     """Open-loop intra mode search costs for every SB of a plane.
 
