@@ -152,9 +152,10 @@ def main(argv=None) -> int:
                     help="constant rate factor 1..70 (4*crf = qindex)")
     ap.add_argument("-q", "--qindex", type=int, default=None,
                     help="base qindex 0..255 (overrides --crf)")
-    ap.add_argument("--keyint", "--gop", dest="gop", type=int, default=1,
-                    help="1 = all intra (default), 0 = IPPP low delay, "
-                         "N = key frame every N frames")
+    ap.add_argument("--keyint", "--gop", dest="gop", type=int, default=-2,
+                    help="-2 = auto (~5s of video, the reference default: "
+                         "random-access GoPs), 1 = all intra, 0 = IPPP "
+                         "low delay, N = key frame every N frames")
     ap.add_argument("-n", "--frames", type=int, default=0,
                     help="max frames to encode (0 = all)")
     ap.add_argument("--min-block", type=int, default=8)
@@ -235,10 +236,12 @@ def main(argv=None) -> int:
                          "(off at fast presets, the M10+ derivation), "
                          "1 = on (cross-frame param cache in the fast "
                          "path)")
-    ap.add_argument("--hierarchical-levels", type=int, default=0,
-                    choices=(0, 2, 3, 4, 5),
-                    help="pyramid levels (0 = flat/preset default). With "
-                         "--pred-struct 2 and --keyint != 1 this enables "
+    ap.add_argument("--hierarchical-levels", type=int, default=-1,
+                    choices=(-1, 0, 2, 3, 4, 5),
+                    help="pyramid levels (-1 = auto: 5 at presets <= 12 "
+                         "for periodic-keyint random access, matching the "
+                         "reference's preset derivation; 0 = flat). With "
+                         "--pred-struct 2 and --keyint > 1 this enables "
                          "the random-access mini-GoP pyramid (hidden "
                          "anchors + show_existing_frame)")
     ap.add_argument("--pred-struct", type=int, default=2, choices=(1, 2),
@@ -364,6 +367,17 @@ def main(argv=None) -> int:
         W = reader.header.width
         H = reader.header.height
         bd = reader.header.bit_depth
+        # auto keyint: ~5 seconds of video (the reference's default
+        # intra-period -2, ref pd_process.c keyint derivation)
+        if args.gop == -2:
+            fpsv = reader.header.fps_num / max(reader.header.fps_den, 1)
+            args.gop = max(1, int(round(fpsv * 5)))
+        # auto pyramid depth (the reference's preset derivation,
+        # ref set_param_based_on_input: 5 levels through M12): periodic
+        # keyint + random access = the mini-GoP pyramid by default
+        if args.hierarchical_levels == -1:
+            args.hierarchical_levels = (5 if args.preset <= 12 else 4) \
+                if (args.pred_struct == 2 and args.gop > 1) else 0
         from svt_av1_psy_tpu.api import Encoder
         from svt_av1_psy_tpu.config import (EncoderConfig,
                                             parse_parameter_string)
