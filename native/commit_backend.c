@@ -344,6 +344,28 @@ void tpuc_set_psy_rd(TpuCommit *c, double strength) {
     c->psy_rd = strength;
 }
 
+void tpuc_set_rdmult_scale(TpuCommit *c, double scale) {
+    c->rdmult_scale = scale;
+}
+
+/* SB lambda from its qindex: the base 0.12*qstep^2 point scaled by the
+ * frame-kind factor (tpuc_set_rdmult_scale) and, when the SB's q differs
+ * from the frame base q (delta-q AQ), by the reference's qdiff
+ * modulation (ref rc_process.c:1089-1108 stats_based_sb_lambda
+ * modulation: boosted-SB lambda follows the SB's operating point). */
+double tpu_lambda_for_q(const TpuCommit *c, const int32_t *pq, int q,
+                        int frame_base_q) {
+    double qstep = pq[8] / 8.0;
+    double l = 0.12 * qstep * qstep;
+    if (c->rdmult_scale > 0.0) l *= c->rdmult_scale;
+    int qdiff = q - frame_base_q;
+    if (qdiff < 0)
+        l = l * (qdiff <= -8 ? 90 : 115) / 128.0;
+    else if (qdiff > 0)
+        l = l * (qdiff <= 8 ? 135 : 150) / 128.0;
+    return l;
+}
+
 uint16_t *tpuc_plane(TpuCommit *c, int plane, int *stride) {
     *stride = plane ? c->cstride : c->ystride;
     return c->plane[plane];
@@ -2172,8 +2194,7 @@ int64_t tpuc_encode_intra(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,
             c->cur_q = q;
             {
                 const int32_t *pq = pq_of(c, q, 0);
-                double qstep = pq[8] / 8.0;
-                c->rdmult = 0.12 * qstep * qstep;
+                c->rdmult = tpu_lambda_for_q(c, pq, q, base_q);
             }
             int dq_pending = dq_res_log2 >= 0;
             walk_partition(c, sbr, sbc, 64, split64, split32, split16,

@@ -47,6 +47,10 @@ struct TpuCommit {
     ModeCdfs *mc;
     TxbCdfs *tc;
     double rdmult;
+    /* frame-kind lambda scale (ref rc_process.c svt_aom_compute_rd_mult:
+     * rd_frame_type_factor x def_*_rd_multiplier, normalized to the
+     * mid-pyramid INTNL_ARF point); 0 means "unset" = 1.0 */
+    double rdmult_scale;
     double psy_rd;        /* PSY energy-preservation strength (0 = off) */
     int cur_q;
     int n_cands;
@@ -126,6 +130,8 @@ double tpu_dist_eval(struct TpuCommit *c, int ts, const int32_t *pred,
 
 /* helpers exported by commit_backend.c for the inter walk */
 int tpu_sq_bsize(int size);
+double tpu_lambda_for_q(const TpuCommit *c, const int32_t *pq, int q,
+                        int frame_base_q);
 int tpu_sq_tx(int size);
 int tpu_uv_tx(int size);
 void tpu_predict_txb(TpuCommit *c, int plane, int mode, int ad, int mi_row,

@@ -3375,8 +3375,7 @@ int64_t tpuc_encode_inter(TpuCommit *c, TpuEc *ec, ModeCdfs *mc,
             {
                 const int32_t *pq =
                     c->qtab + ((q * 3) + 0) * 10;
-                double qstep = pq[8] / 8.0;
-                c->rdmult = 0.12 * qstep * qstep;
+                c->rdmult = tpu_lambda_for_q(c, pq, q, base_q);
             }
             int dq_pending = dq_res_log2 >= 0;
             walk_p(c, sbr, sbc, 64, split64, split32, split16, mode64,

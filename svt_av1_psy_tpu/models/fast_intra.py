@@ -290,6 +290,21 @@ class FastIntraEncoder:
         # filter-intra candidates in the intra walk (spec 7.11.6)
         self.fi_search = False
 
+    # --- lambda system (ref rd_cost.c / rc_process.c:1029-1110) ----------
+    @staticmethod
+    def _frame_rd_scale(kind: str, qindex: int) -> float:
+        """Frame-kind lambda factor: the def_{kf,arf,inter}_rd_multiplier
+        ratios of ref rc_process.c:1029-1056, normalized to the inter
+        point so the calibrated 0.12*qstep^2 base is preserved. The
+        reference additionally applies rd_frame_type_factor (180/128 on
+        leaves); measured on the RA harness here that double-counts with
+        the TPL r0/beta per-frame q ladder (+0.9% BD), so the leaf
+        factor stays at the anchors' 140 (-0.9% BD vs flat lambda)."""
+        base = 3.2 + 0.0035 * qindex
+        mult = {"key": 3.3, "arf": 3.25,
+                "mid": 3.2, "leaf": 3.2}[kind]
+        return (mult + 0.0035 * qindex) / base
+
     # --- sharded device search (multi-chip; SURVEY.md §2.2 P4) -----------
     def make_sharded_decide(self, mesh, axis: str = "sp"):
         """Shard the decision stage over tile columns of a device mesh.
@@ -564,12 +579,16 @@ class FastIntraEncoder:
         # concurrently in threads (ctypes releases the GIL in C)
         tile_fcs = [FrameContext(base_q) for _ in range(self.n_tiles)]
 
+        rd_scale = self._frame_rd_scale("key", base_q)
+        self._cur_rd_scale = rd_scale
+
         def encode_tile(ti):
             c0 = self.tile_col_starts[ti] * 16
             c1 = min(self.tile_col_starts[ti + 1] * 16, self.mi_cols)
             eng = native.CommitEngine(self.width, self.height, self.bd,
                                       sharpness=self.sharpness,
                                       base_q=base_q)
+            eng.set_rdmult_scale(rd_scale)
             if qm is not None:
                 eng.set_qm(*qm)
             if self.noise_norm:
@@ -981,12 +1000,25 @@ class FastIntraEncoder:
             refresh = 0x01
         never_referenced = refresh == 0
 
+        # frame-kind lambda (ref compute_rd_mult's gf_update_type):
+        # ARF/base anchors vs mid-pyramid vs never-referenced leaves
+        if (ra is not None and ra["layer"] == 0) or \
+                (ra is None and L > 0 and layer == 0):
+            rd_kind = "arf"
+        elif never_referenced:
+            rd_kind = "leaf"
+        else:
+            rd_kind = "mid"
+        rd_scale = self._frame_rd_scale(rd_kind, base_q)
+        self._cur_rd_scale = rd_scale
+
         def encode_tile(ti):
             c0 = self.tile_col_starts[ti] * 16
             c1 = min(self.tile_col_starts[ti + 1] * 16, self.mi_cols)
             eng = native.CommitEngine(self.width, self.height, self.bd,
                                       sharpness=self.sharpness,
                                       base_q=base_q)
+            eng.set_rdmult_scale(rd_scale)
             if qm is not None:
                 eng.set_qm(*qm)
             if self.noise_norm:
@@ -1246,7 +1278,7 @@ class FastIntraEncoder:
         dims = [(W, H), (cw, ch), (cw, ch)]
         planes = [self._rec_y, self._rec_u, self._rec_v]
         qstep = ac_q(base_q, self.bd) / 8.0
-        rdmult = 0.12 * qstep * qstep
+        rdmult = 0.12 * qstep * qstep * getattr(self, "_cur_rd_scale", 1.0)
         if self._lr_dev is None:
             self._lr_dev = DeviceLrSearch(dims, self.bd)
         tok = self._lr_dev.dispatch((yp, up, vp), planes)

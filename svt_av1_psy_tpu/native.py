@@ -338,6 +338,7 @@ def _ensure_commit_locked(lib):
                                        ctypes.c_int, ctypes.c_int]
     lib.tpuc_attach_skipmap.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int]
     lib.tpuc_set_psy_rd.argtypes = [ctypes.c_void_p, ctypes.c_double]
+    lib.tpuc_set_rdmult_scale.argtypes = [ctypes.c_void_p, ctypes.c_double]
     lib.tpuc_set_qm.argtypes = [ctypes.c_void_p] + [i32p] * 6
     lib.tpuc_set_noise_norm.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.tpuc_set_tune_ssim.argtypes = [ctypes.c_void_p, ctypes.c_int]
@@ -687,6 +688,11 @@ class CommitEngine:
     def set_psy_rd(self, strength: float):
         """PSY energy-preservation RD strength (the psy_rd.c analog)."""
         self.lib.tpuc_set_psy_rd(self._c, float(strength))
+
+    def set_rdmult_scale(self, scale: float):
+        """Frame-kind lambda scale (ref rc_process.c compute_rd_mult:
+        rd_frame_type_factor x def_*_rd_multiplier ratios)."""
+        self.lib.tpuc_set_rdmult_scale(self._c, float(scale))
 
     def set_noise_norm(self, strength: int):
         """PSY noise normalization strength 1..4 (ref full_loop.c:1464;
