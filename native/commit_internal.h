@@ -108,6 +108,19 @@ struct TpuCommit {
     int tpl_n8r, tpl_n8c;
     int tpl_cur_off[8];
     int tpl_allow_hp;
+    /* multi-reference prediction (MRP; ref pd_process.c ref lists):
+     * a third reference (GOLDEN) selectable per block via the device
+     * HME SAD map. srefp/sref_frame are the ACTIVE single reference of
+     * the block being coded (LAST by default). */
+    const uint16_t *ref3p[3];
+    int ref3_stride[3];
+    int has_ref3;
+    const uint16_t *srefp[3];
+    int sref_stride[3];
+    int sref_frame;
+    const uint8_t *ref_sel;     /* per-16x16 cell: 1 = prefer GOLDEN */
+    int ref_sel_cols;
+    const int16_t *mv16g;       /* GOLDEN HME seeds (mv16 layout) */
 };
 
 int16_t *tpu_scan(int ts, int tt, int *n);

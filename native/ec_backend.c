@@ -14,6 +14,7 @@
 
 #include <stdint.h>
 #include <stdlib.h>
+#include <stdio.h>
 #include <string.h>
 
 #define PROB_TOP 32768
@@ -130,9 +131,27 @@ static void cdf_update(uint16_t *icdf, int val, int nsymbs) {
     if (count < 32) icdf[nsymbs] = (uint16_t)(count + 1);
 }
 
+/* debug EC log (SVT_EC_LOG=<path>): one "s cdf0 cdf1 cdf2" line per
+ * coded symbol — diffable against the python tile parser's trace for
+ * encoder/decoder context-divergence hunts. Single-tile runs only. */
+static FILE *g_eclog;
+static int g_eclog_init;
+
+static void eclog_sym(int s, const uint16_t *icdf, int nsyms) {
+    if (!g_eclog_init) {
+        g_eclog_init = 1;
+        const char *p = getenv("SVT_EC_LOG");
+        if (p && *p) g_eclog = fopen(p, "w");
+    }
+    if (g_eclog)
+        fprintf(g_eclog, "%d %u %u %u\n", s, icdf[0],
+                nsyms > 1 ? icdf[1] : 0, nsyms > 2 ? icdf[2] : 0);
+}
+
 void tpuec_symbol(TpuEc *ec, int s, uint16_t *icdf, int nsyms, int adapt) {
     unsigned fl = s == 0 ? PROB_TOP : icdf[s - 1];
     unsigned fh = icdf[s];
+    eclog_sym(s, icdf, nsyms);
     ec_q15(ec, fl, fh, s, nsyms);
     if (adapt) cdf_update(icdf, s, nsyms);
 }

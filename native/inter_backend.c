@@ -563,8 +563,6 @@ static void obmc_blend_plane(TpuCommit *c, int plane, int r, int c4,
                              const ObmcNb *left, int nl, int32_t *pred) {
     int ss = plane ? 1 : 0;
     int bw = size >> ss, bh = size >> ss;
-    const uint16_t *refp = c->refp[plane];
-    int rstride = c->ref_stride[plane];
     int rw = ss ? (c->width + 1) >> 1 : c->width;
     int rh = ss ? (c->height + 1) >> 1 : c->height;
     static __thread int32_t tmp[64 * 32];
@@ -573,7 +571,18 @@ static void obmc_blend_plane(TpuCommit *c, int plane, int r, int c4,
     if (!skip_above) {
         for (int j = 0; j < na; j++) {
             const ObmcNb *nb = &above[j];
-            if (nb->ref != 1) continue;   /* encoder refs are LAST only */
+            /* the strip predicts from the NEIGHBOR's RefFrame[0]
+             * (spec 7.11.3.10): LAST or, under MRP, GOLDEN */
+            const uint16_t *refp;
+            int rstride;
+            if (nb->ref == 1) {
+                refp = c->refp[plane];
+                rstride = c->ref_stride[plane];
+            } else if (nb->ref == 4 && c->has_ref3) {
+                refp = c->ref3p[plane];
+                rstride = c->ref3_stride[plane];
+            } else
+                continue;
             int ov = (size < 64 ? size : 64) >> 1;
             int ph = ov >> ss;
             int pw = (nb->n4 * 4) >> ss;
@@ -594,7 +603,16 @@ static void obmc_blend_plane(TpuCommit *c, int plane, int r, int c4,
     }
     for (int j = 0; j < nl; j++) {
         const ObmcNb *nb = &left[j];
-        if (nb->ref != 1) continue;
+        const uint16_t *refp;
+        int rstride;
+        if (nb->ref == 1) {
+            refp = c->refp[plane];
+            rstride = c->ref_stride[plane];
+        } else if (nb->ref == 4 && c->has_ref3) {
+            refp = c->ref3p[plane];
+            rstride = c->ref3_stride[plane];
+        } else
+            continue;
         int ov = (size < 64 ? size : 64) >> 1;
         int pw = ov >> ss;
         int ph = (nb->n4 * 4) >> ss;
@@ -1743,37 +1761,52 @@ static void neighbor_ref_counts(TpuCommit *c, int r, int c4, int *counts) {
 }
 static int ctx3(int a, int b) { return a == b ? 1 : (a < b ? 0 : 2); }
 
-/* single-ref (LAST) reference-frame tree bits */
-static void write_single_ref_last(TpuCommit *c, int r, int c4) {
+/* single-ref reference-frame tree bits (spec 5.11.25 read_ref_frames
+ * single path): LAST (1) = p1:0 p3:0 p4:0; GOLDEN (4) = p1:0 p3:1
+ * p5:1. Contexts follow the neighbor-count rule per node. */
+static void write_single_ref(TpuCommit *c, int r, int c4, int rf) {
     InterCdfs *ic = c->ic;
     int cnt[8];
     neighbor_ref_counts(c, r, c4, cnt);
     int fwd = cnt[1] + cnt[2] + cnt[3] + cnt[4];
     int bwd = cnt[5] + cnt[6] + cnt[7];
-    /* ref=1 (LAST): !(ref>=5), !(ref>=3), !(ref==2) */
     tpuec_symbol(c->ec, 0, ic->single_ref + (ctx3(fwd, bwd) * 6 + 0) * 3,
                  2, 1);
-    tpuec_symbol(c->ec, 0,
+    int p3 = rf >= 3;
+    tpuec_symbol(c->ec, p3,
                  ic->single_ref +
                      (ctx3(cnt[1] + cnt[2], cnt[3] + cnt[4]) * 6 + 2) * 3,
                  2, 1);
-    tpuec_symbol(c->ec, 0, ic->single_ref + (ctx3(cnt[1], cnt[2]) * 6 + 3) *
-                               3, 2, 1);
+    if (!p3)
+        tpuec_symbol(c->ec, rf == 2,
+                     ic->single_ref + (ctx3(cnt[1], cnt[2]) * 6 + 3) * 3,
+                     2, 1);
+    else
+        tpuec_symbol(c->ec, rf == 4,
+                     ic->single_ref + (ctx3(cnt[3], cnt[4]) * 6 + 4) * 3,
+                     2, 1);
 }
-static double cost_single_ref_last(TpuCommit *c, int r, int c4) {
+static double cost_single_ref(TpuCommit *c, int r, int c4, int rf) {
     InterCdfs *ic = c->ic;
     int cnt[8];
     neighbor_ref_counts(c, r, c4, cnt);
     int fwd = cnt[1] + cnt[2] + cnt[3] + cnt[4];
     int bwd = cnt[5] + cnt[6] + cnt[7];
-    return tpu_sym_cost_bits(ic->single_ref + (ctx3(fwd, bwd) * 6 + 0) * 3,
-                             0) +
-           tpu_sym_cost_bits(
-               ic->single_ref +
-                   (ctx3(cnt[1] + cnt[2], cnt[3] + cnt[4]) * 6 + 2) * 3,
-               0) +
-           tpu_sym_cost_bits(
-               ic->single_ref + (ctx3(cnt[1], cnt[2]) * 6 + 3) * 3, 0);
+    int p3 = rf >= 3;
+    double bits =
+        tpu_sym_cost_bits(ic->single_ref + (ctx3(fwd, bwd) * 6 + 0) * 3,
+                          0) +
+        tpu_sym_cost_bits(
+            ic->single_ref +
+                (ctx3(cnt[1] + cnt[2], cnt[3] + cnt[4]) * 6 + 2) * 3,
+            p3);
+    if (!p3)
+        bits += tpu_sym_cost_bits(
+            ic->single_ref + (ctx3(cnt[1], cnt[2]) * 6 + 3) * 3, rf == 2);
+    else
+        bits += tpu_sym_cost_bits(
+            ic->single_ref + (ctx3(cnt[3], cnt[4]) * 6 + 4) * 3, rf == 4);
+    return bits;
 }
 
 /* ---- compound (LAST + ALTREF) syntax helpers --------------------------- */
@@ -1914,8 +1947,9 @@ static __thread TxTrial i_ty, i_tu, i_tv;
 /* Motion-compensated luma SSE of a candidate MV (trial preds kept) */
 static void mc_luma(TpuCommit *c, int r, int c4, int size, int mvr, int mvc,
                     int32_t *out) {
-    /* MC clamp bounds are the DISPLAY dims (spec 7.11.3.2 lastX/lastY) */
-    tpui_mc_block(c->refp[0], c->ref_stride[0], c->width, c->height,
+    /* MC clamp bounds are the DISPLAY dims (spec 7.11.3.2 lastX/lastY);
+     * srefp = the block's ACTIVE single reference (LAST or GOLDEN) */
+    tpui_mc_block(c->srefp[0], c->sref_stride[0], c->width, c->height,
                   c4 * 4, r * 4, size, size, mvc * 2, mvr * 2, c->bd, out);
 }
 
@@ -2012,6 +2046,30 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     int bsize = tpu_sq_bsize(size);
     int w4 = size / 4;
 
+    /* MRP: pick this block's ACTIVE single reference (LAST by default,
+     * GOLDEN where the device HME SAD map prefers it — the ME-SAD ref
+     * pruning model of ref motion_estimation.c:1615). The choice is
+     * made once per block, before any prediction state is touched. */
+    for (int p = 0; p < 3; p++) {
+        c->srefp[p] = c->refp[p];
+        c->sref_stride[p] = c->ref_stride[p];
+    }
+    c->sref_frame = 1;
+    int gm_r = c->gm_mv[0], gm_c = c->gm_mv[1];
+    const int16_t *seed16 = mv16;
+    if (c->has_ref3 && c->ref_sel) {
+        int cell = (r >> 2) * c->ref_sel_cols + (c4 >> 2);
+        if (c->ref_sel[cell]) {
+            c->sref_frame = 4;
+            for (int p = 0; p < 3; p++) {
+                c->srefp[p] = c->ref3p[p];
+                c->sref_stride[p] = c->ref3_stride[p];
+            }
+            gm_r = gm_c = 0;          /* GOLDEN gm is IDENTITY */
+            if (c->mv16g) seed16 = c->mv16g;
+        }
+    }
+
     TplArgs tplbuf, *tplp = NULL;
     if (c->tpl_mv) {
         tplbuf.mv = c->tpl_mv;
@@ -2019,15 +2077,15 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         tplbuf.valid = c->tpl_valid;
         tplbuf.n8r = c->tpl_n8r;
         tplbuf.n8c = c->tpl_n8c;
-        tplbuf.cur_off0 = c->tpl_cur_off[1];   /* LAST */
+        tplbuf.cur_off0 = c->tpl_cur_off[c->sref_frame];
         tplbuf.cur_off1 = c->tpl_cur_off[7];   /* ALTREF (compound) */
         tplbuf.allow_hp = c->tpl_allow_hp;
         tplp = &tplbuf;
     }
     MvRefsC refs;
-    tpui_ref_mv_list(c->grid, r, c4, bsize, 1, 16, c->t_mi_row0,
-                     c->t_mi_row1, c->t_mi_col0, c->t_mi_col1,
-                     c->gm_mv[0], c->gm_mv[1], -1, 0, 0, c->sign_bias,
+    tpui_ref_mv_list(c->grid, r, c4, bsize, c->sref_frame, 16,
+                     c->t_mi_row0, c->t_mi_row1, c->t_mi_col0,
+                     c->t_mi_col1, gm_r, gm_c, -1, 0, 0, c->sign_bias,
                      tplp, &refs);
     int near0r = refs.mv[0][0], near0c = refs.mv[0][1];
     lower_precision(&near0r, &near0c);
@@ -2048,7 +2106,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     {
         /* GLOBALMV candidate: this ref's (precision-lowered) global MV —
          * the zero-MV mode under identity gm (spec 7.10.2.1) */
-        int gmr = c->gm_mv[0], gmc = c->gm_mv[1];
+        int gmr = gm_r, gmc = gm_c;
         int dup = 0;
         for (int i = 0; i < ncand; i++)
             if (cm[i][1] == gmr && cm[i][2] == gmc) dup = 1;
@@ -2065,8 +2123,8 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     long near_sad = sad_luma(c, r, c4, size, near_pred);
     if (near_sad > (long)size * size * 2) {
         int cell_r = (r * 4) / 16, cell_c = (c4 * 4) / 16;
-        int seedr = mv16[(cell_r * mv16_cols + cell_c) * 2] * 8;
-        int seedc = mv16[(cell_r * mv16_cols + cell_c) * 2 + 1] * 8;
+        int seedr = seed16[(cell_r * mv16_cols + cell_c) * 2] * 8;
+        int seedc = seed16[(cell_r * mv16_cols + cell_c) * 2 + 1] * 8;
         static __thread int32_t tmp_pred[64 * 64];
         int bestr = seedr, bestc = seedc;
         mc_luma(c, r, c4, size, bestr, bestc, tmp_pred);
@@ -2107,7 +2165,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     }
     double inter_base_rate =
         tpu_sym_cost_bits(ic->intra_inter + ii_ctx * 3, 1) + comp_bit0 +
-        cost_single_ref_last(c, r, c4);
+        cost_single_ref(c, r, c4, c->sref_frame);
     double intra_base_rate =
         tpu_sym_cost_bits(ic->intra_inter + ii_ctx * 3, 0);
 
@@ -2206,16 +2264,17 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
      * not code the filter (is_nontrans_global_motion). */
     int best_filt = 0;
     int filt_coded = c->switchable_filter &&
-                     !(best_mode == 2 && !c->gm_coded);
+                     !(best_mode == 2 &&
+                       !(c->sref_frame == 1 && c->gm_coded));
     if (filt_coded && (((best_mvr | best_mvc) & 7) != 0)) {
-        int fctx = interp_filter_ctx_c(c, r, c4, 1, 0);
+        int fctx = interp_filter_ctx_c(c, r, c4, c->sref_frame, 0);
         const uint16_t *fcdf = ic->switchable_interp + fctx * 4;
         static __thread int32_t fpred[64 * 64];
         double best_fc = 0.0;
         for (int f = 0; f < 3; f++) {
             const int32_t *pp = i_pred_y;
             if (f) {
-                mc_block_f(c->refp[0], c->ref_stride[0], c->width,
+                mc_block_f(c->srefp[0], c->sref_stride[0], c->width,
                            c->height, c4 * 4, r * 4, size, size,
                            best_mvc * 2, best_mvr * 2, c->bd, f, f,
                            fpred);
@@ -2229,7 +2288,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
             }
         }
         if (best_filt) {
-            mc_block_f(c->refp[0], c->ref_stride[0], c->width, c->height,
+            mc_block_f(c->srefp[0], c->sref_stride[0], c->width, c->height,
                        c4 * 4, r * 4, size, size, best_mvc * 2,
                        best_mvr * 2, c->bd, best_filt, best_filt,
                        i_pred_y);
@@ -2248,11 +2307,11 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     /* chroma for the inter winner */
     {
         int cw = TXW[ts_c], chh = TXH[ts_c];
-        mc_block_f(c->refp[1], c->ref_stride[1], (c->width + 1) >> 1,
+        mc_block_f(c->srefp[1], c->sref_stride[1], (c->width + 1) >> 1,
                    (c->height + 1) >> 1, cc * 4, cr * 4, cw, chh,
                    best_mvc, best_mvr, c->bd, best_filt, best_filt,
                    i_pred_u);
-        mc_block_f(c->refp[2], c->ref_stride[2], (c->width + 1) >> 1,
+        mc_block_f(c->srefp[2], c->sref_stride[2], (c->width + 1) >> 1,
                    (c->height + 1) >> 1, cc * 4, cr * 4, cw, chh,
                    best_mvc, best_mvr, c->bd, best_filt, best_filt,
                    i_pred_v);
@@ -2283,10 +2342,19 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     int comp_masked_type = 0;       /* 0 avg, 1 wedge, 2 diffwtd */
     int comp_wedge_idx = 0, comp_wedge_sign = 0, comp_mask_type = 0;
     if (comp_ok) {
+        /* the compound pair is always (LAST, ALTREF): its temporal-MVP
+         * offsets must use LAST's distance even when the block's single
+         * trial runs on GOLDEN */
+        TplArgs ctplbuf, *ctplp = NULL;
+        if (c->tpl_mv) {
+            ctplbuf = tplbuf;
+            ctplbuf.cur_off0 = c->tpl_cur_off[1];
+            ctplp = &ctplbuf;
+        }
         tpui_ref_mv_list(c->grid, r, c4, bsize, 1, 16, c->t_mi_row0,
                          c->t_mi_row1, c->t_mi_col0, c->t_mi_col1,
                          c->gm_mv[0], c->gm_mv[1], 7, 0, 0, c->sign_bias,
-                         tplp, &crefs);
+                         ctplp, &crefs);
         int cc_cm[3], cc_mv[3][4], ncc = 0;
         {
             int m0r = crefs.mv[0][0], m0c = crefs.mv[0][1];
@@ -2821,7 +2889,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         int wpts[8][2], wpts_ref[8][2];
         int nsamp = 0;
         if (c->allow_warp)
-            nsamp = find_warp_samples_c(c, r, c4, w4, w4, 1, wpts,
+            nsamp = find_warp_samples_c(c, r, c4, w4, w4, c->sref_frame, wpts,
                                         wpts_ref);
         /* the symbol's cdf: 3-ary motion_mode when warp is possible
          * (spec 5.11.27 read_motion_mode; allow_hp/force_int are 0/0) */
@@ -2842,8 +2910,9 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
              * symbol to the warp candidate (av1_is_interp_needed) */
             double filt_rate = 0.0;
             if (c->switchable_filter &&
-                !(best_mode == 2 && !c->gm_coded)) {
-                int fctx2 = interp_filter_ctx_c(c, r, c4, 1, 0);
+                !(best_mode == 2 &&
+                  !(c->sref_frame == 1 && c->gm_coded))) {
+                int fctx2 = interp_filter_ctx_c(c, r, c4, c->sref_frame, 0);
                 filt_rate = tpu_sym_cost_bits(
                     ic->switchable_interp + fctx2 * 4, best_filt);
             }
@@ -2889,7 +2958,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                                              size, best_mvr, best_mvc, r,
                                              c4, &wp);
                 if (wp_valid) {
-                    warp_plane_c(&wp, c->refp[0], c->ref_stride[0],
+                    warp_plane_c(&wp, c->srefp[0], c->sref_stride[0],
                                  c->width, c->height, c4 * 4, r * 4,
                                  size, size, 0, 0, c->bd, wp_y);
                     for (int y = 0; y < size; y++)
@@ -2928,11 +2997,11 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                     obmc_blend_plane(c, 2, r, c4, size, ob_above, ob_na,
                                      ob_left, ob_nl, i_pred_v);
                 } else if (size >= 16) {
-                    warp_plane_c(&wp, c->refp[1], c->ref_stride[1],
+                    warp_plane_c(&wp, c->srefp[1], c->sref_stride[1],
                                  (c->width + 1) >> 1,
                                  (c->height + 1) >> 1, cc * 4, cr * 4,
                                  cw, chh, 1, 1, c->bd, i_pred_u);
-                    warp_plane_c(&wp, c->refp[2], c->ref_stride[2],
+                    warp_plane_c(&wp, c->srefp[2], c->sref_stride[2],
                                  (c->width + 1) >> 1,
                                  (c->height + 1) >> 1, cc * 4, cr * 4,
                                  cw, chh, 1, 1, c->bd, i_pred_v);
@@ -2942,10 +3011,10 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                      * chroma pred must be re-done with filter 0 */
                     int pw2 = (c->width + 1) >> 1,
                         ph2 = (c->height + 1) >> 1;
-                    mc_block_f(c->refp[1], c->ref_stride[1], pw2, ph2,
+                    mc_block_f(c->srefp[1], c->sref_stride[1], pw2, ph2,
                                cc * 4, cr * 4, cw, chh, best_mvc,
                                best_mvr, c->bd, 0, 0, i_pred_u);
-                    mc_block_f(c->refp[2], c->ref_stride[2], pw2, ph2,
+                    mc_block_f(c->srefp[2], c->sref_stride[2], pw2, ph2,
                                cc * 4, cr * 4, cw, chh, best_mvc,
                                best_mvr, c->bd, 0, 0, i_pred_v);
                 } else {
@@ -3075,7 +3144,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                 }
             }
         } else {
-            write_single_ref_last(c, r, c4);
+            write_single_ref(c, r, c4, c->sref_frame);
             int newmv_ctx = refs.mode_context & 7;
             int zeromv_ctx = (refs.mode_context >> 3) & 1;
             int refmv_ctx = (refs.mode_context >> 4) & 15;
@@ -3151,9 +3220,12 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
      * not coded for skip_mode, WARPED_CAUSAL (av1_is_interp_needed),
      * or GLOBALMV-under-identity-gm blocks */
     if (c->switchable_filter && !use_sm && !use_warp &&
-        !(!use_comp && best_mode == 2 && !c->gm_coded)) {
+        !(!use_comp && best_mode == 2 &&
+          !(c->sref_frame == 1 && c->gm_coded))) {
         int wf = use_comp ? 0 : best_filt;
-        int fctx = interp_filter_ctx_c(c, r, c4, 1, use_comp);
+        int fctx = interp_filter_ctx_c(c, r, c4,
+                                       use_comp ? 1 : c->sref_frame,
+                                       use_comp);
         tpuec_symbol(c->ec, wf, ic->switchable_interp + fctx * 4, 3, 1);
     }
 
@@ -3171,7 +3243,8 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                            cmv0c, cmv1r, cmv1c, comp_cm == 7,
                            use_sm ? 0 : comp_masked_type > 0);
     else {
-        tpui_grid_set(c->grid, r, c4, w4, w4, bsize, 1, best_mvr,
+        tpui_grid_set(c->grid, r, c4, w4, w4, bsize, c->sref_frame,
+                      best_mvr,
                       best_mvc, best_mode == 3);
         if (use_ii)
             tpui_grid_mark_ii(c->grid, r, c4, w4, w4);
@@ -3317,6 +3390,29 @@ void tpuc_set_ref2(TpuCommit *c, const uint16_t *y, const uint16_t *u,
     c->ref2_stride[1] = cstride;
     c->ref2_stride[2] = cstride;
     c->has_ref2 = y != NULL;
+}
+
+/* Third (GOLDEN) reference for multi-reference prediction (MRP; ref
+ * pd_process.c ref lists). Selected per block via tpuc_set_ref_sel. */
+void tpuc_set_ref3(TpuCommit *c, const uint16_t *y, const uint16_t *u,
+                   const uint16_t *v, int ystride, int cstride) {
+    c->ref3p[0] = y;
+    c->ref3p[1] = u;
+    c->ref3p[2] = v;
+    c->ref3_stride[0] = ystride;
+    c->ref3_stride[1] = cstride;
+    c->ref3_stride[2] = cstride;
+    c->has_ref3 = y != NULL;
+}
+
+/* Per-16x16 single-reference selection map (1 = prefer GOLDEN) + the
+ * GOLDEN HME seed field — the ref-pruning-by-ME-SAD model of the
+ * reference (ref motion_estimation.c:1615 ref pruning). */
+void tpuc_set_ref_sel(TpuCommit *c, const uint8_t *sel,
+                      const int16_t *mv16g, int cols) {
+    c->ref_sel = sel;
+    c->mv16g = mv16g;
+    c->ref_sel_cols = cols;
 }
 
 /* Frame-level compound signalling state: skip_mode_present (spec

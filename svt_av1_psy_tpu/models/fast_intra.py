@@ -810,6 +810,23 @@ class FastIntraEncoder:
 
         mv16b = None
         pre = ra.get("pre") if ra is not None else None
+
+        # MRP third reference (GOLDEN = the mini-GoP base; ref
+        # pd_process.c ref lists): per-block LAST/GOLDEN choice from the
+        # device HME SAD maps. Requires the compound pair (the sign-bias
+        # /skip-mode slot derivation assumes the full RA ref list).
+        ref3_slot = ra.get("ref_slot3") if ra is not None else None
+        mv16g = ref_sel = None
+        if ref3_slot is not None and (
+                ref3_slot == ra["ref_slot"] or ref2_slot is None or
+                ref3_slot == ref2_slot or ref3_slot not in self._dpb or
+                pre is None):
+            ref3_slot = None
+        if ref3_slot is not None:
+            mv16g = pre.get("mv16g")
+            ref_sel = pre.get("refsel")
+            if mv16g is None or ref_sel is None or not ref_sel.any():
+                ref3_slot = None
         with _tstage("device_search"):
             if pre is not None:
                 # GoP-batched device search (ops/jax_backend.gop_search):
@@ -874,6 +891,8 @@ class FastIntraEncoder:
             hint_last = self._slot_hint[ra["ref_slot"]]
             hint_alt = self._slot_hint[ref2_slot]
             hints7 = [hint_last] * 6 + [hint_alt]
+            if ref3_slot is not None:
+                hints7[3] = self._slot_hint[ref3_slot]   # GOLDEN
             for k in range(7):
                 sign_bias[k + 1] = int(_rel(hints7[k], cur_hint) > 0)
             fwd_h = bwd_h = None
@@ -919,8 +938,11 @@ class FastIntraEncoder:
         cur_hint_mf = (self.frame_index if ra is None
                        else ra["order_hint"]) & 0x7F
         if ra is not None:
-            ref_idx7 = (ref_slot,) * 6 + (ref2_slot,) \
-                if ref2_slot is not None else (ref_slot,) + (0,) * 6
+            rl7 = [ref_slot] * 6 + [ref2_slot] \
+                if ref2_slot is not None else [ref_slot] + [0] * 6
+            if ref3_slot is not None:
+                rl7[3] = ref3_slot                       # GOLDEN
+            ref_idx7 = tuple(rl7)
         else:
             ref_idx7 = (ref_slot,) + (0,) * 6
         hints7_mf = [self._slot_hint[ref_idx7[k]] for k in range(7)]
@@ -1054,6 +1076,9 @@ class FastIntraEncoder:
                 eng.set_ref2(*self._dpb[ref2_slot])
                 eng.set_compound(sm_present, sign_bias,
                                  self.masked_compound_search)
+            if ref3_slot is not None:
+                eng.set_ref3(*self._dpb[ref3_slot])
+                eng.set_ref_sel(ref_sel, mv16g)
             if tpl_pack is not None:
                 eng.set_tpl(*tpl_pack)
             ec = native.NativeRangeEncoder()
@@ -1154,9 +1179,12 @@ class FastIntraEncoder:
         order_hint = self.frame_index & 0x7F
         if ra is not None:
             if ref2_slot is not None:
-                ref_idx = (ref_slot,) * 6 + (ref2_slot,)
+                rl = [ref_slot] * 6 + [ref2_slot]
             else:
-                ref_idx = (ref_slot,) + (0,) * 6
+                rl = [ref_slot] + [0] * 6
+            if ref3_slot is not None:
+                rl[3] = ref3_slot                        # GOLDEN
+            ref_idx = tuple(rl)
             show = ra["show"]
             order_hint = ra["order_hint"] & 0x7F
         elif L > 0:

@@ -222,7 +222,11 @@ class RaDriver:
         ra = {"ref_slot": ref_slot, "refresh": refresh,
               "order_hint": d, "show": show, "layer": depth,
               "base_q": self._layer_q(depth) if tq is None else tq,
-              "ref_slot2": ref_slot2}
+              "ref_slot2": ref_slot2,
+              # MRP GOLDEN = the mini-GoP base anchor's slot (disabled
+              # per frame when it coincides with LAST/ALTREF or no
+              # refsel map was produced)
+              "ref_slot3": getattr(self, "_gop_base_slot", None)}
         pre = getattr(self, "_pre_by_d", None)
         if pre:
             ra["pre"] = pre.pop(d, None)
@@ -269,7 +273,7 @@ class RaDriver:
         ds = [b] + [p[0] for p in plan]
         idx = {d: i for i, d in enumerate(ds)}
         fmax = self.M + 1
-        emax = 2 * self.M
+        emax = 3 * self.M       # <= 3 prediction edges per frame (MRP)
         dtype = np.uint8 if enc.bd == 8 else np.uint16
         planes = np.zeros((fmax, pah, paw), dtype)
         if self._disp_base_src is not None:
@@ -282,7 +286,12 @@ class RaDriver:
         edge_keys = []
         edges = np.zeros((emax, 2), np.int32)
         for d, lo, hi, *_ in plan:
-            for r in ((lo,) if hi == lo else (lo, hi)):
+            refs = [lo] if hi == lo else [lo, hi]
+            if b not in refs:
+                # MRP GOLDEN edge: every frame also searches the GoP
+                # base (ref pd_process.c ref lists / GOLDEN role)
+                refs.append(b)
+            for r in refs:
                 edges[len(edge_keys)] = (idx[d], idx[r])
                 edge_keys.append((d, r))
         bias = np.int32(8 * ac_q(enc.qindex, enc.bd))
@@ -388,8 +397,23 @@ class RaDriver:
             if hi != lo:
                 entry["mv16b"] = np.clip(edge_ms[(d, hi)][0], -127,
                                          127).astype(np.int16)
+            ge = edge_ms.get((d, b))
+            if b != lo and b != hi and ge is not None:
+                # per-16x16 LAST/GOLDEN choice from the HME SADs (the
+                # ME-SAD ref pruning of motion_estimation.c:1615); the
+                # 5/8 margin charges GOLDEN its ref-coding overhead and
+                # weaker MVP (measured: -4.1% BD on occlusion content,
+                # -0.4% on smooth motion; laxer margins lose the latter)
+                mv_g, sad_g = ge
+                sad_l = edge_ms[(d, lo)][1]
+                sel = (sad_g.astype(np.int64) * 8 <
+                       sad_l.astype(np.int64) * 5)
+                entry["mv16g"] = np.clip(mv_g, -127,
+                                         127).astype(np.int16)
+                entry["refsel"] = sel.astype(np.uint8)
             pre_by_d[d] = entry
         self._pre_by_d = pre_by_d
+        self._gop_base_slot = self._base_slot
 
         packets: list[RaPacket] = []
         in_use = {self._base_slot}

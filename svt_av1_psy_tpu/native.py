@@ -404,6 +404,10 @@ def _ensure_commit_locked(lib):
     lib.tpuc_set_gm.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
     lib.tpuc_set_interp.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                     ctypes.c_int]
+    lib.tpuc_set_ref3.argtypes = [ctypes.c_void_p, u16p, u16p, u16p,
+                                  ctypes.c_int, ctypes.c_int]
+    lib.tpuc_set_ref_sel.argtypes = [ctypes.c_void_p, u8p, i16p,
+                                     ctypes.c_int]
     lib.tpuc_set_ref2.argtypes = [ctypes.c_void_p, u16p, u16p, u16p,
                                   ctypes.c_int, ctypes.c_int]
     lib.tpuc_set_compound.argtypes = [ctypes.c_void_p, ctypes.c_int, u8p,
@@ -564,6 +568,27 @@ class CommitEngine:
                                u.ctypes.data_as(u16p),
                                v.ctypes.data_as(u16p), y.shape[1],
                                u.shape[1])
+
+    def set_ref3(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+        """Third (GOLDEN) reference recon for multi-reference
+        prediction (ref pd_process.c ref lists)."""
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        self._ref3 = (y, u, v)
+        self.lib.tpuc_set_ref3(self._c, y.ctypes.data_as(u16p),
+                               u.ctypes.data_as(u16p),
+                               v.ctypes.data_as(u16p), y.shape[1],
+                               u.shape[1])
+
+    def set_ref_sel(self, sel: np.ndarray, mv16g: np.ndarray):
+        """Per-16x16 single-ref choice map (1 = GOLDEN) + GOLDEN HME
+        seed field (the ME-SAD ref pruning of motion_estimation.c:1615)."""
+        sel = np.ascontiguousarray(sel, np.uint8)
+        mv16g = np.ascontiguousarray(mv16g, np.int16)
+        self._refsel = (sel, mv16g)
+        self.lib.tpuc_set_ref_sel(
+            self._c, sel.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            mv16g.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            sel.shape[1])
 
     def set_compound(self, skip_mode_present: bool, sign_bias,
                      masked: bool = False):
