@@ -63,6 +63,30 @@ class _LazyRecon:
         return 3
 
 
+_SHARDED_GOP_CACHE = {}
+
+
+def _sharded_gop_search(mesh):
+    """jit of ops/jax_backend.gop_search width-sharded over `mesh`'s
+    'sp' axis (cached per mesh). Returns (fn, frames_sharding,
+    replicated_sharding)."""
+    key = id(mesh)
+    hit = _SHARDED_GOP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from svt_av1_psy_tpu.ops.jax_backend import gop_search
+
+    in_sh = NamedSharding(mesh, P(None, None, "sp"))
+    rep = NamedSharding(mesh, P())
+    fn = jax.jit(gop_search, static_argnums=(3, 4),
+                 in_shardings=(in_sh, rep, rep), out_shardings=rep)
+    _SHARDED_GOP_CACHE[key] = (fn, in_sh, rep)
+    return fn, in_sh, rep
+
+
 class RaDriver:
     """Buffers a mini-GoP of source frames and encodes it out of order.
 
@@ -329,6 +353,22 @@ class RaDriver:
                     jnp.asarray(win_idx), jnp.asarray(win_mask),
                     jnp.asarray(np.float32(self.tf_strength)),
                     enc.bd, enc.min_block)
+            elif getattr(self, "gop_meshes", None):
+                # multi-chip GoP parallelism (SURVEY §2.2 P2): successive
+                # mini-GoPs round-robin over DISJOINT device meshes; each
+                # GoP's search is width-sharded over its mesh's 'sp' axis
+                # (XLA inserts the halo collectives), so two GoPs compute
+                # concurrently on separate device groups — open-loop
+                # search on sources is what makes them independent
+                import jax
+                mesh = self.gop_meshes[
+                    getattr(self, "_gop_seq", 0) % len(self.gop_meshes)]
+                self._gop_seq = getattr(self, "_gop_seq", 0) + 1
+                fn, in_sh, rep = _sharded_gop_search(mesh)
+                planes_dev = jax.device_put(planes, in_sh)
+                out = fn(planes_dev,
+                         jax.device_put(np.asarray(edges), rep),
+                         jax.device_put(bias, rep), enc.bd, enc.min_block)
             else:
                 out = _jitted_gop_search()(planes_dev, jnp.asarray(edges),
                                            jnp.asarray(bias), enc.bd,
