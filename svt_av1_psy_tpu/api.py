@@ -187,6 +187,35 @@ class Encoder:
                 enc.scm_auto = True
         self._enc = enc
         self._frames = 0
+        # library-level one-pass rate control (ref rc_process.c:3269 —
+        # the reference keeps RC inside the library; the CLI merely
+        # forwards flags). VBR/CBR target the configured bitrate; CRF
+        # with a max_bit_rate caps the rate (the --mbr analog).
+        self._rc = None
+        from svt_av1_psy_tpu.config import RateControlMode
+        rcm = self.cfg.rate_control_mode
+        if rcm in (RateControlMode.VBR, RateControlMode.CBR) or \
+                (rcm == RateControlMode.CQP_OR_CRF and
+                 self.cfg.max_bit_rate > 0):
+            from svt_av1_psy_tpu.models.ratecontrol import RateController
+            fps = (self.cfg.frame_rate_numerator /
+                   max(self.cfg.frame_rate_denominator, 1)) or 30.0
+            if fps > 1000:
+                fps /= 1000.0
+            self._rc = RateController(
+                mode=("vbr" if rcm == RateControlMode.VBR else
+                      "cbr" if rcm == RateControlMode.CBR else "crf"),
+                base_qindex=qindex,
+                target_bps=self.cfg.target_bit_rate,
+                max_bps=self.cfg.max_bit_rate,
+                fps=fps, bd=bd,
+                buf_size_ms=(self.cfg.vbv_bufsize
+                             if self.cfg.vbv_bufsize > 0 else 1000),
+                undershoot_pct=(self.cfg.under_shoot_pct
+                                if self.cfg.under_shoot_pct >= 0 else 25),
+                overshoot_pct=(self.cfg.over_shoot_pct
+                               if self.cfg.over_shoot_pct >= 0 else 25),
+                gop_size=gop, recode=False)
 
     def encode(self, y, u, v):
         """send_picture + get_packet: encode one frame, return the
@@ -194,7 +223,16 @@ class Encoder:
         only — RA sessions must use send_picture()/flush()."""
         assert self._ra is None, \
             "random-access reorders frames: use send_picture()/flush()"
+        is_key = self._enc.gop_size == 1 or (
+            self._enc.gop_size > 1 and
+            self._frames % self._enc.gop_size == 0)
+        if self._rc is not None:
+            self._enc.qindex = max(1, min(255,
+                                          self._rc.frame_qindex(is_key)))
         out = self._enc.encode_frame(y, u, v)
+        if self._rc is not None:
+            self._rc.update(self._enc.qindex, 8 * len(out.payload),
+                            is_key)
         self._frames += 1
         return out
 
@@ -205,17 +243,34 @@ class Encoder:
         packets when complete (the send_picture/get_packet split of
         ref EbSvtAv1Enc.h)."""
         from svt_av1_psy_tpu.models.ra import RaPacket
-        self._frames += 1
         if self._ra is not None:
-            return self._ra.push(y, u, v)
-        out = self._enc.encode_frame(y, u, v)
+            self._frames += 1
+            if self._rc is not None:
+                # GoP-granular in RA (recode disabled at fast presets,
+                # like the reference)
+                self._enc.qindex = max(1, min(
+                    255, self._rc.frame_qindex(is_key=False)))
+            pkts = self._ra.push(y, u, v)
+            self._rc_track(pkts)
+            return pkts
+        out = self.encode(y, u, v)
         return [RaPacket(out.payload, self._frames - 1,
                          (out.recon_y, out.recon_u, out.recon_v))]
+
+    def _rc_track(self, pkts):
+        if self._rc is None:
+            return
+        for p in pkts:
+            if len(p.payload) > 32:
+                self._rc.update(self._enc.qindex, 8 * len(p.payload),
+                                is_key=False)
 
     def flush(self):
         """End of stream: drain the buffered mini-GoP tail (RA)."""
         if self._ra is not None:
-            return self._ra.flush()
+            pkts = self._ra.flush()
+            self._rc_track(pkts)
+            return pkts
         return []
 
     @property

@@ -210,14 +210,15 @@ def main(argv=None) -> int:
                          "--enable-stat-report / svt_psnr.c analog)")
     ap.add_argument("--stat-file", default=None,
                     help="write the per-frame stats to a file")
-    ap.add_argument("--enable-tf", type=int, default=0,
-                    help="alt-ref temporal filtering strength 0..4 for key "
-                         "frames (2-frame lookahead; PSY tf-strength "
+    ap.add_argument("--enable-tf", type=int, default=1,
+                    help="alt-ref temporal filtering strength 0..4 "
+                         "(default 1 like the reference; PSY tf-strength "
                          "semantics)")
-    ap.add_argument("--enable-tpl", type=int, default=0,
-                    help="1 = TPL lookahead AQ: per-SB qindex offsets "
-                         "from temporal dependency propagation (the "
-                         "enable-tpl-la / tpl_model.c analog)")
+    ap.add_argument("--enable-tpl", type=int, default=1,
+                    help="1 = TPL lookahead AQ (default 1 like the "
+                         "reference): per-SB qindex offsets / RA r0-beta "
+                         "per-frame q from temporal dependency "
+                         "propagation (the enable-tpl-la analog)")
     ap.add_argument("--psy-rd", type=float, default=0.0,
                     help="PSY psy-rd 0..6: energy-preservation RD bias")
     ap.add_argument("--film-grain", type=int, default=0,

@@ -161,3 +161,63 @@ int main(void) {
                        timeout=300, env=env)
     assert r.returncode == 0, (r.returncode, r.stdout, r.stderr)
     assert "packet" in r.stdout
+
+
+def test_capi_vbr_tf_random_access(lib):
+    """Library-level RC + TF + TPL through the .so (ref keeps RC/TF/TPL
+    inside the library — rc_process.c:3269, temporal_filtering.c:4064):
+    a VBR random-access encode driven purely via parse_parameter, no
+    app-side orchestration. The stream must decode in dav1d and land
+    near the requested average bitrate."""
+    from make_test_clip import make_frame
+    h = ctypes.c_void_p()
+    cfg = Cfg()
+    assert lib.svt_tpu_enc_init_handle(ctypes.byref(h),
+                                       ctypes.byref(cfg)) == 0
+    cfg.width, cfg.height = 192, 128
+    cfg.enc_mode, cfg.crf = 8, 35.0
+    cfg.intra_period = -1                  # one key, open GoP
+    cfg.hierarchical_levels = 2            # 4-frame RA mini-GoPs
+    cfg.pred_structure = 2
+    assert lib.svt_tpu_enc_set_parameter(h, ctypes.byref(cfg)) == 0
+    assert lib.svt_tpu_enc_parse_parameter(
+        h, b"rc=1:tbr=200:enable-tf=1:enable-tpl-la=1") == 0
+    assert lib.svt_tpu_enc_init(h) == 0
+
+    data = ctypes.POINTER(ctypes.c_uint8)()
+    size = ctypes.c_size_t()
+    pts = ctypes.c_int64()
+    payloads = []
+
+    def drain():
+        while lib.svt_tpu_enc_get_packet(h, ctypes.byref(data),
+                                         ctypes.byref(size),
+                                         ctypes.byref(pts)) == 0:
+            raw = ctypes.cast(
+                data, ctypes.POINTER(ctypes.c_uint8 * size.value)).contents
+            payloads.append((bytes(bytearray(raw)), pts.value))
+
+    n = 13
+    for t in range(n):
+        y, u, v = make_frame(192, 128, t, 8, 0.02)
+        y = np.ascontiguousarray(y)
+        u = np.ascontiguousarray(u)
+        v = np.ascontiguousarray(v)
+        assert lib.svt_tpu_enc_send_picture(
+            h, y.ctypes.data, y.shape[1], u.ctypes.data, v.ctypes.data,
+            u.shape[1]) == 0
+        drain()
+    assert lib.svt_tpu_enc_send_picture(h, None, 0, None, None, 0) == 0
+    drain()
+    lib.svt_tpu_enc_deinit(h)
+
+    shown = [p for p, d in payloads if d >= 0]
+    assert len(shown) == n
+    stream = b"".join(p for p, _ in payloads)
+    from svt_av1_psy_tpu.decoder.dav1d import decode_obus
+    assert len(decode_obus(stream)) == n
+    # VBR convergence: within 3x of the 200 kbps target on this tiny
+    # clip (the controller needs frames to converge; the point is that
+    # RC demonstrably ran inside the library)
+    kbps = sum(len(p) for p, _ in payloads) * 8 * 30 / n / 1000
+    assert 40 < kbps < 600, kbps
