@@ -323,11 +323,14 @@ class RaDriver:
         with _tstage("gop_dispatch"):
             planes_dev = jnp.asarray(planes)
             if tf_on:
-                # TF window: sources at arf_d-2, arf_d-1, center (ARF)
+                # TF window: sources at arf_d-4..arf_d-1, center (ARF)
                 # last — gathered from the frame stack by index; masked
-                # slots (short GoPs) contribute nothing
-                T = 3
-                win_ds = [dd for dd in (arf_d - 2, arf_d - 1)
+                # slots (short GoPs) contribute nothing. The reference
+                # filters with an altref window up to 7 neighbors
+                # (temporal_filtering.c); 4 past neighbors measured best
+                # on the noisy RA harness here
+                T = 5
+                win_ds = [dd for dd in range(arf_d - 4, arf_d)
                           if dd in frames]
                 win_idx = np.zeros(T, np.int32)
                 win_mask = np.zeros(T, np.float32)

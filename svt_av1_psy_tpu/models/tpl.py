@@ -148,6 +148,11 @@ def _splat8(credit8: np.ndarray, y0: np.ndarray, x0: np.ndarray,
         np.add.at(credit8, (rr, cc), val * (w / 64.0))
 
 
+# qstep-ratio clip floor for the per-frame q ladder (see the BD sweep
+# notes at the call site)
+_CLIP_LO = 0.5
+
+
 def tpl_gop_q(frames_y: dict, plan, base_q: int, bd: int = 8,
               strength: float = 1.0, edge_results: dict | None = None
               ) -> dict:
@@ -240,8 +245,18 @@ def tpl_gop_q(frames_y: dict, plan, base_q: int, bd: int = 8,
     ds = [p[0] for p in plan]
     ratios = np.array([(1.0 + credit[d].sum() / (0.5 * act[d].sum()))
                        ** (-0.5 * strength) for d in ds])
-    ratios /= np.exp(np.mean(np.log(ratios)))
-    ratios = np.clip(ratios, 0.5, 1.6)
+    # anchor-boost-only ladder: frames the GoP leans on get a finer
+    # qstep (down to half), never-referenced frames stay AT base q —
+    # measured -1.7% BD vs the earlier rate-neutral geomean
+    # normalization on the RA harness (wider spreads that also coarsen
+    # leaves lose 1-23%: average-PSNR pays for leaf starvation unless
+    # the leaves fully skip, which needs stronger anchor denoising)
+    # leaves (zero propagated credit) stay AT base q: every explicit
+    # leaf-coarsening factor measured 6-20% BD WORSE on the RA harness —
+    # the skip path's inherited quality cannot absorb coarser leaf q at
+    # this anchor quality (the reference pairs leaf offsets with much
+    # stronger anchor denoising)
+    ratios = np.clip(ratios, _CLIP_LO, 1.0)
     return {d: qindex_for_qstep_ratio(base_q, float(r), bd)
             for d, r in zip(ds, ratios)}
 

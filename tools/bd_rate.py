@@ -78,75 +78,46 @@ def read_clip(path, n):
     return out
 
 
-def encode_ours(src, w, h, qindex, fps_hz, preset, gop=1, tpl=0):
-    from svt_av1_psy_tpu.bitstream.ivf import IvfWriter
+def encode_ours(src, w, h, crf, fps_hz, preset, gop=1, params=""):
+    """Production-path encode via api.Encoder (the same configuration
+    the CLI/C-API produce; gop: 1 = all intra, 0 = flat low delay,
+    -1 = random access pyramid). params: svtav1-params key=value string
+    applied on top (film-grain, tune, variance boost, ...)."""
     import time
-    if gop == -1:
-        # random access: mini-GoP pyramid + bidirectional compound
-        from svt_av1_psy_tpu.models.fast_intra import FastIntraEncoder
-        from svt_av1_psy_tpu.models.ra import RaDriver
-        enc = FastIntraEncoder(w, h, qindex=qindex,
-                               n_cands={13: 1, 12: 2}.get(preset, 3))
-        enc.interp_search = preset <= 11
-        enc.obmc_search = preset <= 10
-        enc.warp_search = preset <= 10
-        enc.masked_compound_search = preset <= 10
-        enc.interintra_search = preset <= 10
-        enc.cfl_search = preset <= 11
-        enc.fi_search = preset <= 10
-        enc.tx_split_search = preset <= 12
-        # alt-ref temporal filtering on anchors (the reference runs TF
-        # at every RA preset)
-        drv = RaDriver(enc, gop_levels=4, tf_strength=2)
-        if tpl:
-            drv.tpl_strength = 1.0
-        tmp = tempfile.mktemp(suffix=".ivf")
-        wtr = IvfWriter(tmp, w, h)
-        total = 0
-        t0 = time.time()
-        pkts = []
-        for f in src:
-            pkts.extend(drv.push(*f))
-        pkts.extend(drv.flush())
-        for i, p in enumerate(pkts):
-            wtr.write_frame(p.payload, i)
-            total += len(p.payload)
-        wtr.close()
-        dt = time.time() - t0
-        return tmp, total, len(src) / dt
-    if preset >= 4:
-        from svt_av1_psy_tpu.models.fast_intra import FastIntraEncoder
-        enc = FastIntraEncoder(w, h, qindex=qindex,
-                               n_cands={13: 1, 12: 2}.get(preset, 3))
-        enc.tx_split_search = preset <= 12
-        enc.interp_search = preset <= 11
-        enc.obmc_search = preset <= 10
-        enc.warp_search = preset <= 10
-        enc.interintra_search = preset <= 10
-        enc.cfl_search = preset <= 11
-        enc.fi_search = preset <= 10
-        enc.gop_size = gop
-    else:
-        from svt_av1_psy_tpu.models.intra_encoder import IntraEncoder
-        enc = IntraEncoder(w, h, qindex=qindex)
+
+    from svt_av1_psy_tpu.api import Encoder
+    from svt_av1_psy_tpu.bitstream.ivf import IvfWriter
+    from svt_av1_psy_tpu.config import (EncoderConfig, PredStructure,
+                                        parse_parameter_string)
+
+    cfg = EncoderConfig(
+        enc_mode=preset, qp=crf,
+        intra_period_length=(0 if gop == 1 else -1),
+        hierarchical_levels=(5 if gop == -1 and preset <= 12 else 0),
+        pred_structure=(PredStructure.RANDOM_ACCESS if gop == -1
+                        else PredStructure.LOW_DELAY_B))
+    if params:
+        cfg = parse_parameter_string(cfg, params)
+    enc = Encoder(cfg, w, h, bit_depth=8)
     tmp = tempfile.mktemp(suffix=".ivf")
     wtr = IvfWriter(tmp, w, h)
     total = 0
+    npkt = 0
     t0 = time.time()
-    for i, f in enumerate(src):
-        if tpl and preset >= 10:
-            from svt_av1_psy_tpu.models.tpl import tpl_sb_offsets
-            enc.tpl_offsets = tpl_sb_offsets(
-                np.asarray(f[0]), [g[0] for g in src[i + 1:i + 4]])
-        out = enc.encode_frame(*f)
-        wtr.write_frame(out.payload, i)
-        total += len(out.payload)
+    pkts = []
+    for f in src:
+        pkts.extend(enc.send_picture(*f))
+    pkts.extend(enc.flush())
+    for p in pkts:
+        wtr.write_frame(p.payload, npkt)
+        total += len(p.payload)
+        npkt += 1
     wtr.close()
     dt = time.time() - t0
     return tmp, total, len(src) / dt
 
 
-def encode_ref(ref_bin, clip, n, crf, preset, gop=1):
+def encode_ref(ref_bin, clip, n, crf, preset, gop=1, ref_args=()):
     tmp = tempfile.mktemp(suffix=".ivf")
     env = dict(os.environ, LD_LIBRARY_PATH=os.path.dirname(ref_bin))
     cmd = [ref_bin, "-i", clip, "-b", tmp, "--preset", str(preset),
@@ -157,6 +128,7 @@ def encode_ref(ref_bin, clip, n, crf, preset, gop=1):
         cmd += ["--keyint", str(n), "--tune", "1"]   # RA (default struct)
     else:
         cmd += ["--pred-struct", "1", "--tune", "1"]
+    cmd += list(ref_args)
     subprocess.run(cmd, env=env, capture_output=True, check=True)
     return tmp, os.path.getsize(tmp)
 
@@ -165,16 +137,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--clip", required=True)
     ap.add_argument("--frames", type=int, default=16)
-    ap.add_argument("--ref-bin", default="/tmp/refbin/Bin/Release/SvtAv1EncApp")
+    ap.add_argument("--ref-bin", default="/tmp/refbin/SvtAv1EncApp")
     ap.add_argument("--crfs", default="25,32,39,46")
     ap.add_argument("--preset", type=int, default=12)
     ap.add_argument("--our-preset", type=int, default=12)
     ap.add_argument("--fps", type=float, default=30.0)
     ap.add_argument("--out", default=None)
     ap.add_argument("--gop", type=int, default=1,
-                    help="1 = all-intra; 0 = low-delay IPPP")
-    ap.add_argument("--tpl", type=int, default=0,
-                    help="1 = enable TPL lookahead AQ in our encoder")
+                    help="1 = all-intra; 0 = low-delay IPPP; -1 = RA")
+    ap.add_argument("--params", default="",
+                    help="svtav1-params string for OUR encoder "
+                         "(film-grain=8:tune=3:...)")
+    ap.add_argument("--ref-args", default="",
+                    help="extra raw args for the reference app "
+                         "(space-separated)")
+    ap.add_argument("--tag", default="",
+                    help="result key suffix (content class / config id)")
     args = ap.parse_args()
 
     src = read_clip(args.clip, args.frames)
@@ -185,7 +163,8 @@ def main():
     ref_pts = []
     for crf in crfs:
         path, size = encode_ref(args.ref_bin, args.clip, n, crf,
-                                args.preset, args.gop)
+                                args.preset, args.gop,
+                                args.ref_args.split())
         py, pyuv = psnr_stream(path, src)
         kbps = size * 8 * args.fps / n / 1000
         ref_pts.append({"crf": crf, "kbps": kbps, "psnr_y": py,
@@ -194,15 +173,14 @@ def main():
 
     our_pts = []
     for crf in crfs:
-        q = min(255, crf * 4)
-        path, size, fps_enc = encode_ours(src, w, h, q, args.fps,
+        path, size, fps_enc = encode_ours(src, w, h, crf, args.fps,
                                           args.our_preset, args.gop,
-                                          args.tpl)
+                                          args.params)
         py, pyuv = psnr_stream(path, src)
         kbps = size * 8 * args.fps / n / 1000
-        our_pts.append({"qindex": q, "kbps": kbps, "psnr_y": py,
+        our_pts.append({"crf": crf, "kbps": kbps, "psnr_y": py,
                         "psnr_yuv": pyuv, "enc_fps": round(fps_enc, 2)})
-        print(f"ours q{q}:  {kbps:9.1f} kbps  {py:.2f} dB-Y  "
+        print(f"ours crf{crf}:  {kbps:9.1f} kbps  {py:.2f} dB-Y  "
               f"({fps_enc:.2f} fps)", flush=True)
 
     bd_y = bd_rate([p["kbps"] for p in ref_pts],
@@ -235,6 +213,8 @@ def main():
         key = os.path.basename(args.clip) + \
             ("_ra" if args.gop == -1 else
              "_lowdelay" if args.gop != 1 else "")
+        if args.tag:
+            key += "_" + args.tag
         existing[key] = result
         open(args.out, "w").write(json.dumps(existing, indent=1))
     return 0
