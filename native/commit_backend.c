@@ -1208,6 +1208,11 @@ void tpu_write_txb_inter(TpuCommit *c, int plane, int u_row, int u_col,
     write_block_txb(c, plane, u_row, u_col, ts, bw, bh, 0, 1, t);
 }
 
+/* exported helper for the inter var-tx search (inter_backend.c) */
+int tpu_txs_entropy_ctx(int ts) {
+    return txs_entropy_ctx_of(ts);
+}
+
 /* ---- intra block: trial + write/commit split --------------------------- */
 typedef struct {
     int y_mode, uv_mode, skip;
@@ -1241,6 +1246,11 @@ static int cul_of_trial(const TxTrial *t, int ts) {
     else if (dc > 0)
         cul += 128;
     return cul;
+}
+
+/* exported for the inter var-tx ctx-row speculation */
+int tpu_cul_of_trial(const TxTrial *t, int ts) {
+    return cul_of_trial(t, ts);
 }
 
 /* get_tx_size_context (all-intra frames: txfm-context rows only) */
@@ -1966,13 +1976,17 @@ static void intra_write_commit(TpuCommit *c, int r, int c4, int size,
     /* tx_size depth symbol (TX_MODE_SELECT, spec 5.11.15) + the
      * AboveTxWidth/LeftTxHeight context rows */
     int ts_eff = ts_y;
-    if (c->tx_select && frame_is_intra) {
+    if (c->tx_select) {
+        /* intra blocks code the tx depth symbol in BOTH frame kinds
+         * (spec read_tx_size; the split search runs on intra frames
+         * only — intra-in-inter blocks always code depth 0) */
+        int spl = frame_is_intra ? s_split : 0;
         int cat = ts_y - 1;
         int nsyms = ts_y == 1 ? 2 : 3;
         uint16_t *dcdf =
             mc->tx_size + (cat * 3 + tx_depth_ctx(c, r, c4, ts_y)) * 4;
-        tpuec_symbol(c->ec, s_split, dcdf, nsyms, 1);
-        if (s_split) ts_eff = ts_y - 1;
+        tpuec_symbol(c->ec, spl, dcdf, nsyms, 1);
+        if (spl) ts_eff = ts_y - 1;
         memset(c->above_txw + c4, TXW[ts_eff], aw4);
         memset(c->left_txh + r, TXH[ts_eff], lh4);
     }

@@ -165,6 +165,8 @@ void tpu_write_delta_q(TpuCommit *c, int absv, int sign);
 void tpu_write_txb_inter(TpuCommit *c, int plane, int u_row, int u_col,
                          int ts, int bw, int bh, const TxTrial *t);
 double tpu_sym_cost_bits(const uint16_t *icdf, int s);
+int tpu_txs_entropy_ctx(int ts);
+int tpu_cul_of_trial(const TxTrial *t, int ts);
 int tpu_clamp_w4(TpuCommit *c, int plane, int u_col, int tw4);
 int tpu_clamp_h4(TpuCommit *c, int plane, int u_row, int th4);
 void tpu_bd_reset_sb(TpuCommit *c, int sbr4, int sbc4);

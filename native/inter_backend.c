@@ -2033,6 +2033,20 @@ static void mc_comp_chroma(TpuCommit *c, int plane, int cr, int cc, int cw,
     blend_comp_avg(p0, p1, cw * chh, c->bd, out);
 }
 
+/* txfm_partition ctx (behavioral twin of entropy/tile_writer
+ * _txfm_split_ctx; ref entropy_coding.c:4367). Square tx only (the
+ * walk's blocks/tx units are square). */
+static int txfm_split_ctx_c(TpuCommit *c, int r, int c4, int size,
+                            int ts) {
+    int above = c->above_txw[c4] < TXW[ts];
+    int left = c->left_txh[r] < TXH[ts];
+    int max_tx = size == 64 ? 4 : size == 32 ? 3 : size == 16 ? 2
+                 : size == 8 ? 1 : 0;
+    /* square ts: TX_SIZE_SQR_UP[ts] == ts */
+    int cat = (ts != max_tx && max_tx > 1) + (4 - max_tx) * 2;
+    return cat * 3 + above + left;
+}
+
 /* Encode one P/B-frame leaf block (inter-vs-intra decision inside;
  * compound LAST+ALTREF candidates when a second ref is attached). */
 static void encode_block_p(TpuCommit *c, int r, int c4, int size,
@@ -3054,6 +3068,92 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         skip = (i_ty.eob == 0 && i_tu.eob == 0 && i_tv.eob == 0);
     }
 
+    /* depth-1 inter TX split search (var-tx, TX_MODE_SELECT; ref
+     * tx_search.c inter tx depth RD): the prediction is TX-size
+     * independent on inter blocks, so the four sub-TXBs recode the SAME
+     * residual quadrants — compare against the full-size winner incl.
+     * the txfm_split flag rates and per-sub txb_skip/tx-type rates. */
+    int itx_split = 0;
+    static __thread TxTrial i_sub_t[4];
+    if (c->tx_select && !skip && !use_intra && ts_y >= 1 && ts_y <= 4) {
+        const uint16_t *sy0 = c->src[0];
+        int ss0 = c->sstride[0];
+        static __thread int32_t sp_resid[64 * 64];
+        for (int i = 0; i < size; i++)
+            for (int j = 0; j < size; j++)
+                sp_resid[i * size + j] =
+                    (int32_t)sy0[(r * 4 + i) * ss0 + c4 * 4 + j] -
+                    i_pred_y[i * size + j];
+        int sub_ts = ts_y - 1;
+        int sub_px = size / 2;
+        int h4q = sub_px / 4;
+        int pctx = txfm_split_ctx_c(c, r, c4, size, ts_y);
+        const uint16_t *pcdf = ic->txfm_partition + pctx * 3;
+        int sctx0 = tpu_txb_skip_ctx(c, 0, r, c4, ts_y, size, size);
+        double cost0 =
+            tpu_dist_eval(c, ts_y, i_pred_y, sp_resid, &i_ty) +
+            c->rdmult *
+                (i_ty.rate512 / 512.0 + tpu_sym_cost_bits(pcdf, 0) +
+                 tpu_sym_cost_bits(
+                     c->mc->txb_skip +
+                         (tpu_txs_entropy_ctx(ts_y) * 13 + sctx0) * 3,
+                     i_ty.eob == 0));
+        /* speculative ctx-row walk over the quadrants (coef rows +
+         * txfm rows feed the later quadrants' contexts) */
+        int aw4s = w4 < c->mi_cols - c4 ? w4 : c->mi_cols - c4;
+        int lh4s = w4 < c->mi_rows - r ? w4 : c->mi_rows - r;
+        uint8_t sv_ac[16], sv_lc[16], sv_tw[16], sv_th[16];
+        memcpy(sv_ac, c->above_coef[0] + c4, aw4s);
+        memcpy(sv_lc, c->left_coef[0] + r, lh4s);
+        memcpy(sv_tw, c->above_txw + c4, aw4s);
+        memcpy(sv_th, c->left_txh + r, lh4s);
+        double cost1 = c->rdmult * tpu_sym_cost_bits(pcdf, 1);
+        static __thread int32_t qresid[32 * 32];
+        static __thread TxTrial qt;
+        double split_dist = 0.0;
+        for (int qi = 0; qi < 4; qi++) {
+            int qr = r + (qi >> 1) * h4q, qc = c4 + (qi & 1) * h4q;
+            if (sub_ts >= 1) {
+                /* each splittable child codes its own flag = 0 */
+                int cctx = txfm_split_ctx_c(c, qr, qc, size, sub_ts);
+                cost1 += c->rdmult * tpu_sym_cost_bits(
+                    ic->txfm_partition + cctx * 3, 0);
+            }
+            {
+                int caw = h4q < c->mi_cols - qc ? h4q : c->mi_cols - qc;
+                int clh = h4q < c->mi_rows - qr ? h4q : c->mi_rows - qr;
+                if (caw > 0) memset(c->above_txw + qc, TXW[sub_ts], caw);
+                if (clh > 0) memset(c->left_txh + qr, TXH[sub_ts], clh);
+            }
+            for (int i = 0; i < sub_px; i++)
+                memcpy(qresid + i * sub_px,
+                       sp_resid + ((qi >> 1) * sub_px + i) * size +
+                           (qi & 1) * sub_px,
+                       sizeof(int32_t) * sub_px);
+            int sctx = tpu_txb_skip_ctx(c, 0, qr, qc, sub_ts, size, size);
+            int qsgn = tpu_dc_sign_ctx(c, 0, qr, qc, sub_ts);
+            tpu_trial_txb(c, 0, sub_ts, 0, qresid, q, 0, qsgn, 1, &qt);
+            double rate =
+                qt.rate512 / 512.0 +
+                tpu_sym_cost_bits(
+                    c->mc->txb_skip +
+                        (tpu_txs_entropy_ctx(sub_ts) * 13 + sctx) * 3,
+                    qt.eob == 0);
+            i_sub_t[qi] = qt;
+            split_dist += (double)qt.sse;
+            cost1 += c->rdmult * rate;
+            tpu_set_coef_ctx(c, 0, qr, qc, sub_ts,
+                             tpu_cul_of_trial(&qt, sub_ts));
+        }
+        cost1 += split_dist;
+        /* rollback the speculative rows */
+        memcpy(c->above_coef[0] + c4, sv_ac, aw4s);
+        memcpy(c->left_coef[0] + r, sv_lc, lh4s);
+        memcpy(c->above_txw + c4, sv_tw, aw4s);
+        memcpy(c->left_txh + r, sv_th, lh4s);
+        if (cost1 < cost0) itx_split = 1;
+    }
+
     /* syntax: [skip_mode] -> skip -> delta q -> is_inter -> info ->
      * residual (mirrors the parser's read order exactly) */
     int aw4 = w4 < c->mi_cols - c4 ? w4 : c->mi_cols - c4;
@@ -3229,6 +3329,47 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         tpuec_symbol(c->ec, wf, ic->switchable_interp + fctx * 4, 3, 1);
     }
 
+    /* inter var-tx signalling (spec 5.11.16 read_var_tx_size; mirrors
+     * the parser: non-skip inter blocks code the txfm_split tree, skip
+     * blocks imply the largest tx and only update the ctx rows) */
+    int ts_eff = ts_y;
+    if (c->tx_select) {
+        if (!skip) {
+            int pctx = txfm_split_ctx_c(c, r, c4, size, ts_y);
+            tpuec_symbol(c->ec, itx_split, ic->txfm_partition + pctx * 3,
+                         2, 1);
+            if (itx_split) {
+                ts_eff = ts_y - 1;
+                int sub_px2 = size / 2;
+                int h4q2 = sub_px2 / 4;
+                for (int qi = 0; qi < 4; qi++) {
+                    int qr = r + (qi >> 1) * h4q2;
+                    int qc = c4 + (qi & 1) * h4q2;
+                    if (qr >= c->mi_rows || qc >= c->mi_cols) continue;
+                    if (ts_eff >= 1) {
+                        int cctx =
+                            txfm_split_ctx_c(c, qr, qc, size, ts_eff);
+                        tpuec_symbol(c->ec, 0,
+                                     ic->txfm_partition + cctx * 3, 2,
+                                     1);
+                    }
+                    int caw = h4q2 < c->mi_cols - qc ? h4q2
+                                                     : c->mi_cols - qc;
+                    int clh = h4q2 < c->mi_rows - qr ? h4q2
+                                                     : c->mi_rows - qr;
+                    memset(c->above_txw + qc, TXW[ts_eff], caw);
+                    memset(c->left_txh + qr, TXH[ts_eff], clh);
+                }
+            } else {
+                memset(c->above_txw + c4, TXW[ts_y], aw4);
+                memset(c->left_txh + r, TXH[ts_y], lh4);
+            }
+        } else {
+            memset(c->above_txw + c4, TXW[ts_y], aw4);
+            memset(c->left_txh + r, TXH[ts_y], lh4);
+        }
+    }
+
     /* neighbor rows + grid */
     memset(c->above_mode + c4, 0, aw4);
     memset(c->left_mode + r, 0, lh4);
@@ -3263,7 +3404,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     if (c->lf_txdim[0]) {
         for (int i = 0; i < lh4; i++)
             memset(c->lf_txdim[0] + (r + i) * c->lf_stride[0] + c4,
-                   TXW[ts_y] > 64 ? 64 : TXW[ts_y], aw4);
+                   TXW[ts_eff] > 64 ? 64 : TXW[ts_eff], aw4);
         int ch4 = tpu_clamp_h4(c, 1, cr, w4 >> 1 ? w4 >> 1 : 1);
         int cw4c = tpu_clamp_w4(c, 1, cc, w4 >> 1 ? w4 >> 1 : 1);
         for (int i = 0; i < ch4; i++)
@@ -3288,26 +3429,48 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         c->dist_acc += i_ty.sse + i_tu.sse + i_tv.sse;
         return;
     }
-    if (c->noise_norm && i_ty.eob) {
-        /* PSY noise normalization on the final luma txb (the inter arm
-         * of the encode-pass gate, ref full_loop.c:1818) */
-        const uint16_t *sy = c->src[0];
-        int ss = c->sstride[0];
-        int w = TXW[ts_y], h = TXH[ts_y];
-        for (int i = 0; i < h; i++)
-            for (int j = 0; j < w; j++)
-                i_resid_y[i * w + j] =
-                    (int32_t)sy[(r * 4 + i) * ss + c4 * 4 + j] -
-                    i_pred_y[i * w + j];
-        tpu_noise_norm_txb(c, ts_y, i_resid_y, i_ty.q, &i_ty);
+    if (itx_split) {
+        /* var-tx: four sub-TXBs at ts_y-1 over the same prediction;
+         * per-sub recon via quadrant pred views */
+        int sub_px = size / 2;
+        int h4q = sub_px / 4;
+        static __thread int32_t qpred[32 * 32];
+        for (int qi = 0; qi < 4; qi++) {
+            int qr = r + (qi >> 1) * h4q, qc = c4 + (qi & 1) * h4q;
+            for (int i = 0; i < sub_px; i++)
+                memcpy(qpred + i * sub_px,
+                       i_pred_y + ((qi >> 1) * sub_px + i) * size +
+                           (qi & 1) * sub_px,
+                       sizeof(int32_t) * sub_px);
+            tpu_write_txb_inter(c, 0, qr, qc, ts_y - 1, size, size,
+                                &i_sub_t[qi]);
+            tpu_commit_recon(c, 0, qr, qc, ts_y - 1, qpred,
+                             &i_sub_t[qi]);
+            c->dist_acc += i_sub_t[qi].sse;
+        }
+    } else {
+        if (c->noise_norm && i_ty.eob) {
+            /* PSY noise normalization on the final luma txb (the inter
+             * arm of the encode-pass gate, ref full_loop.c:1818) */
+            const uint16_t *sy = c->src[0];
+            int ss = c->sstride[0];
+            int w = TXW[ts_y], h = TXH[ts_y];
+            for (int i = 0; i < h; i++)
+                for (int j = 0; j < w; j++)
+                    i_resid_y[i * w + j] =
+                        (int32_t)sy[(r * 4 + i) * ss + c4 * 4 + j] -
+                        i_pred_y[i * w + j];
+            tpu_noise_norm_txb(c, ts_y, i_resid_y, i_ty.q, &i_ty);
+        }
+        tpu_write_txb_inter(c, 0, r, c4, ts_y, size, size, &i_ty);
+        tpu_commit_recon(c, 0, r, c4, ts_y, i_pred_y, &i_ty);
+        c->dist_acc += i_ty.sse;
     }
-    tpu_write_txb_inter(c, 0, r, c4, ts_y, size, size, &i_ty);
-    tpu_commit_recon(c, 0, r, c4, ts_y, i_pred_y, &i_ty);
     tpu_write_txb_inter(c, 1, cr, cc, ts_c, size >> 1, size >> 1, &i_tu);
     tpu_commit_recon(c, 1, cr, cc, ts_c, i_pred_u, &i_tu);
     tpu_write_txb_inter(c, 2, cr, cc, ts_c, size >> 1, size >> 1, &i_tv);
     tpu_commit_recon(c, 2, cr, cc, ts_c, i_pred_v, &i_tv);
-    c->dist_acc += i_ty.sse + i_tu.sse + i_tv.sse;
+    c->dist_acc += i_tu.sse + i_tv.sse;
 }
 
 /* ---- P-frame partition walk -------------------------------------------- */

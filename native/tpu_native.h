@@ -131,6 +131,8 @@ typedef struct {
     uint16_t *fp[2];        /* [5] */
     uint16_t *class0_hp[2]; /* [3] */
     uint16_t *hp[2];        /* [3] */
+    /* inter var-tx (TX_MODE_SELECT; spec 5.11.16 txfm_split) */
+    uint16_t *txfm_partition; /* [21][3] */
 } InterCdfs;
 
 typedef struct TpuCommit TpuCommit;

@@ -153,6 +153,9 @@ class Encoder:
             # (ref enc_mode_config txs level; the funnel-width gate in
             # the C walk keeps p13 at largest-tx)
             enc.tx_split_search = preset <= 12
+            # inter var-tx: depth-1 TX split on inter blocks (ref
+            # tx_search.c inter tx depth; quality presets)
+            enc.inter_tx_split = preset <= 9
             # PSY max-32-tx-size caps TX at 32x32 (README.md:67-69);
             # requires the tx split search to express the cap
             if self.cfg.max_32_tx_size:

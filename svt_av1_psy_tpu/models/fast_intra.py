@@ -283,6 +283,9 @@ class FastIntraEncoder:
         self.tx_split_search = False
         # masked compound (wedge/diffwtd) search on RA compound blocks
         self.masked_compound_search = False
+        # inter var-tx: depth-1 TX split search on inter blocks
+        # (TX_MODE_SELECT, spec 5.11.16; ref tx_search.c inter tx depth)
+        self.inter_tx_split = False
         # inter-intra search (smooth II blend; spec 5.11.28)
         self.interintra_search = False
         # CfL chroma candidate in the intra walk (spec 7.11.5)
@@ -1081,6 +1084,8 @@ class FastIntraEncoder:
                 eng.set_ref_sel(ref_sel, mv16g)
             if tpl_pack is not None:
                 eng.set_tpl(*tpl_pack)
+            if getattr(self, "inter_tx_split", False):
+                eng.set_tx_select(True)
             ec = native.NativeRangeEncoder()
             eng.encode_inter(ec, tile_fcs[ti], split, modes, mv16,
                              sbq=sbq, dq_res_log2=dq_res_log2,
@@ -1201,7 +1206,8 @@ class FastIntraEncoder:
             qm_u=qm[1] if qm else 15,
             qm_v=qm[2] if qm else 15,
             show_frame=show, showable_frame=not show,
-            tx_mode_select=False, primary_ref_frame=0,
+            tx_mode_select=getattr(self, "inter_tx_split", False),
+            primary_ref_frame=0,
             gm_trans=gm_trans,
             gm_prev=self._slot_gm[ref_idx[0]],
             reference_select=ref2_slot is not None,

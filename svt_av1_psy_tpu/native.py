@@ -272,7 +272,8 @@ class InterCdfs(ctypes.Structure):
                 ("wedge_interintra", ctypes.POINTER(ctypes.c_uint16))] + [
                 (n, ctypes.POINTER(ctypes.c_uint16) * 2) for n in (
                     "sign", "classes", "class0", "bits", "class0_fp",
-                    "fp", "class0_hp", "hp")]
+                    "fp", "class0_hp", "hp")] + [
+                ("txfm_partition", ctypes.POINTER(ctypes.c_uint16))]
 
 
 def make_inter_cdfs(fc) -> InterCdfs:
@@ -294,6 +295,7 @@ def make_inter_cdfs(fc) -> InterCdfs:
             _u16p(fc.nmv_comp[f"comp0_{name}_cdf"]),
             _u16p(fc.nmv_comp[f"comp1_{name}_cdf"]))
         setattr(ic, name, pair)
+    ic.txfm_partition = _u16p(fc.txfm_partition)
     return ic
 
 
