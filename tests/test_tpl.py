@@ -105,3 +105,43 @@ def test_tpl_with_variance_boost_bitexact():
     assert np.array_equal(d.y, out.recon_y)
     assert np.array_equal(d.u, out.recon_u)
     assert np.array_equal(d.v, out.recon_v)
+
+
+def test_tpl_gop_q_propagation_chain():
+    """r0/beta backward induction on a constructed 3-frame dependency
+    chain (the VERDICT round-3 done-criterion): anchor frames that the
+    rest of the chain predicts from must get a FINER qstep than frames
+    nothing references; credit must flow transitively A <- B <- C."""
+    from svt_av1_psy_tpu.models.tpl import tpl_gop_q
+    from svt_av1_psy_tpu.ops.quant import ac_q
+
+    rng = np.random.default_rng(5)
+    h, w = 64, 64
+    # textured base frame; B and C are pure translations of A (fully
+    # predictable), so all credit should flow back to A
+    base = rng.integers(0, 255, (h + 16, w + 16)).astype(np.uint8)
+    a = base[:h, :w]
+    b = base[2:h + 2, 2:w + 2]          # B predicts perfectly from A
+    c = base[4:h + 4, 4:w + 4]          # C predicts perfectly from B
+    frames = {0: a, 1: b, 2: c}
+    # plan: display 2 = ARF off base 0, display 1 = mid (0, 2)
+    plan = [(2, 0, 0, 0), (1, 0, 2, 1)]
+    q = tpl_gop_q(frames, plan, base_q=160, bd=8, strength=1.0)
+    assert set(q) == {1, 2}
+    # the ARF (display 2) is referenced by the mid -> finer qstep;
+    # the mid (display 1) is a leaf -> stays at base q
+    assert ac_q(q[2], 8) < ac_q(160, 8), q
+    assert q[1] == 160, q
+
+    # transitivity: a longer chain 4 <- 2 <- 1/3 gives the deep anchor
+    # (display 4) at least as much boost as in the short chain
+    d = base[6:h + 6, 6:w + 6]
+    e = base[8:h + 8, 8:w + 8]
+    frames5 = {0: a, 1: b, 2: c, 3: d, 4: e}
+    plan5 = [(4, 0, 0, 0), (2, 0, 4, 1), (1, 0, 2, 2), (3, 2, 4, 2)]
+    q5 = tpl_gop_q(frames5, plan5, base_q=160, bd=8, strength=1.0)
+    # the mid anchor (2) is referenced by TWO frames + transitively
+    # carries their flow; it must be boosted at least as much as a
+    # leaf and the never-referenced leaves stay at base
+    assert ac_q(q5[2], 8) < ac_q(160, 8), q5
+    assert q5[1] == 160 and q5[3] == 160, q5
