@@ -130,6 +130,60 @@ class RaDriver:
         # for the NEXT GoP's open-loop search
         self._disp_base_display = -1
         self._disp_base_src = None
+        # warm the device executables in the background: loading the
+        # compiled decide/GoP-search programs through the tunnel costs
+        # seconds per process even on compile-cache hits; overlapping
+        # the load with the key-frame encode and the first GoP's source
+        # accumulation takes it off the critical path
+        self._warmup_async()
+
+    def _warmup_async(self) -> None:
+        import threading
+
+        enc = self.enc
+        if not hasattr(enc, "pah"):
+            return
+
+        def warm():
+            try:
+                import jax
+                import jax.numpy as jnp
+                if jax.default_backend() == "cpu":
+                    return      # tests/CPU: threads would steal cores
+                from svt_av1_psy_tpu.models.fast_intra import (
+                    _jitted_decide, _jitted_gop_search,
+                    _jitted_gop_search_tf)
+                from svt_av1_psy_tpu.ops.quant import ac_q
+                pah, paw = enc.pah, enc.paw
+                dtype = np.uint8 if enc.bd == 8 else np.uint16
+                bias = jnp.asarray(np.int32(8 * ac_q(enc.qindex,
+                                                     enc.bd)))
+                z = jnp.zeros((pah, paw), dtype)
+                _jitted_decide()(z, bias, enc.bd,
+                                 enc.min_block).block_until_ready()
+                fmax, emax = self.M + 1, 3 * self.M
+                planes = jnp.zeros((fmax, pah, paw), dtype)
+                edges = jnp.zeros((emax, 2), jnp.int32)
+                if self.tf_strength:
+                    T = 5
+                    chf = (pah // 2, paw // 2)
+                    mask = np.zeros(T, np.float32)
+                    mask[T - 1] = 1.0
+                    out = _jitted_gop_search_tf()(
+                        planes, edges, bias,
+                        jnp.zeros((T,) + chf, dtype),
+                        jnp.zeros((T,) + chf, dtype),
+                        jnp.zeros(T, jnp.int32), jnp.asarray(mask),
+                        jnp.asarray(np.float32(self.tf_strength)),
+                        enc.bd, enc.min_block)
+                else:
+                    out = _jitted_gop_search()(planes, edges, bias,
+                                               enc.bd, enc.min_block)
+                out.block_until_ready()
+            except Exception:
+                pass            # warm-up is best-effort
+
+        threading.Thread(target=warm, daemon=True).start()
 
     # -- q ladder (ref rc_process.c RA qindex offsets + PSY
     #    qp-scale-compress weights) ---------------------------------------
