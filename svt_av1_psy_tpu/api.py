@@ -74,9 +74,11 @@ class Encoder:
                 sd = self.cfg.superres_denom
                 assert gop == 1, \
                     "superres-mode 1 requires all-intra (intra-period 0)"
+            tr = self.cfg.tile_rows
             enc = FastIntraEncoder(
                 width, height, qindex=qindex, bd=bd, n_cands=n_cands,
                 n_tiles=0 if tc == DEFAULT else max(1, 1 << tc),
+                n_tile_rows=0 if tr == DEFAULT else max(1, 1 << tr),
                 superres_denom=sd)
             enc.gop_size = gop
             enc.enable_variance_boost = self.cfg.enable_variance_boost

@@ -159,6 +159,10 @@ def main(argv=None) -> int:
     ap.add_argument("-n", "--frames", type=int, default=0,
                     help="max frames to encode (0 = all)")
     ap.add_argument("--min-block", type=int, default=8)
+    ap.add_argument("--tile-columns", type=int, default=-1,
+                    help="log2 tile columns (-1 = auto)")
+    ap.add_argument("--tile-rows", type=int, default=-1,
+                    help="log2 tile rows (-1 = none)")
     ap.add_argument("--no-device-search", action="store_true",
                     help="disable the TPU open-loop mode search stage")
     ap.add_argument("--device", default="auto",
@@ -391,6 +395,9 @@ def main(argv=None) -> int:
             enable_variance_boost=bool(args.enable_variance_boost),
             variance_boost_strength=args.variance_boost_strength,
             variance_octile=args.variance_octile,
+            tile_columns=(args.tile_columns if args.tile_columns >= 0
+                          else -1),
+            tile_rows=args.tile_rows if args.tile_rows >= 0 else -1,
             sharpness=args.sharpness,
             frame_luma_bias=args.frame_luma_bias,
             film_grain_denoise_strength=args.film_grain,

@@ -128,7 +128,7 @@ class FastIntraEncoder:
 
     def __init__(self, width: int, height: int, qindex: int, bd: int = 8,
                  min_block: int = 8, n_tiles: int = 0, n_cands: int = 3,
-                 superres_denom: int = 0):
+                 superres_denom: int = 0, n_tile_rows: int = 0):
         """n_tiles: desired tile columns (0 = auto: one per host core,
         capped by frame width). Tiles are the host thread-parallel axis
         AND the device shard axis (SURVEY.md §2.2 P4; ref ec_process.c:208
@@ -170,12 +170,26 @@ class FastIntraEncoder:
         from svt_av1_psy_tpu.bitstream.headers import (tile_info_bounds,
                                                        tile_log2)
         sb_cols = (self.paw + 63) >> 6
+        sb_rows = (self.pah + 63) >> 6
         want = n_tiles if n_tiles > 0 else min(os.cpu_count() or 1, 8)
-        (min_l2c, max_l2c, _, min_l2t) = tile_info_bounds(self.seq, width)
+        (min_l2c, max_l2c, max_l2r, min_l2t) = tile_info_bounds(self.seq,
+                                                                width)
         self.tile_cols_log2 = min(max(tile_log2(1, want), min_l2c), max_l2c)
         tw_sb = (sb_cols + (1 << self.tile_cols_log2) - 1) >> \
             self.tile_cols_log2
         self.tile_col_starts = list(range(0, sb_cols, tw_sb)) + [sb_cols]
+        # uniform tile ROWS (spec 5.9.15; ref Parameters.md:274
+        # --tile-rows): a second host-parallel axis over SB rows
+        self.tile_rows_log2 = 0
+        if n_tile_rows > 0:
+            want_r = min(n_tile_rows, sb_rows)
+            self.tile_rows_log2 = min(tile_log2(1, want_r), max_l2r)
+        min_l2r = max(min_l2t - self.tile_cols_log2, 0)
+        self.tile_rows_log2 = max(self.tile_rows_log2, min_l2r)
+        th_sb = (sb_rows + (1 << self.tile_rows_log2) - 1) >> \
+            self.tile_rows_log2
+        self.tile_row_starts = list(range(0, sb_rows, th_sb)) + [sb_rows]
+        self.n_tile_rows = len(self.tile_row_starts) - 1
         self.n_tiles = len(self.tile_col_starts) - 1
         # initialize the native layer once, single-threaded (tile engines
         # are constructed inside worker threads)
@@ -580,14 +594,18 @@ class FastIntraEncoder:
 
         # one engine + CDF context + range coder per tile; tile walks run
         # concurrently in threads (ctypes releases the GIL in C)
-        tile_fcs = [FrameContext(base_q) for _ in range(self.n_tiles)]
+        n_tiles_total = self.n_tiles * self.n_tile_rows
+        tile_fcs = [FrameContext(base_q) for _ in range(n_tiles_total)]
 
         rd_scale = self._frame_rd_scale("key", base_q)
         self._cur_rd_scale = rd_scale
 
         def encode_tile(ti):
-            c0 = self.tile_col_starts[ti] * 16
-            c1 = min(self.tile_col_starts[ti + 1] * 16, self.mi_cols)
+            tr, tc = divmod(ti, self.n_tiles)
+            r0 = self.tile_row_starts[tr] * 16
+            r1 = min(self.tile_row_starts[tr + 1] * 16, self.mi_rows)
+            c0 = self.tile_col_starts[tc] * 16
+            c1 = min(self.tile_col_starts[tc + 1] * 16, self.mi_cols)
             eng = native.CommitEngine(self.width, self.height, self.bd,
                                       sharpness=self.sharpness,
                                       base_q=base_q)
@@ -619,24 +637,24 @@ class FastIntraEncoder:
             ec = native.NativeRangeEncoder()
             eng.encode_intra(ec, tile_fcs[ti], split, modes, sbq=sbq,
                              dq_res_log2=dq_res_log2, base_q=base_q,
-                             mi_bounds=(0, self.mi_rows, c0, c1),
+                             mi_bounds=(r0, r1, c0, c1),
                              n_cands=self.n_cands)
             return ec.done()
 
         import os as _os
         with _tstage("intra_commit_walk"):
-            if self.n_tiles == 1 or _os.environ.get("SVT_TILE_SEQ"):
-                tile_bytes = [encode_tile(i) for i in range(self.n_tiles)]
+            if n_tiles_total == 1 or _os.environ.get("SVT_TILE_SEQ"):
+                tile_bytes = [encode_tile(i) for i in range(n_tiles_total)]
             else:
                 from concurrent.futures import ThreadPoolExecutor
-                with ThreadPoolExecutor(max_workers=self.n_tiles) as tp:
+                with ThreadPoolExecutor(max_workers=n_tiles_total) as tp:
                     tile_bytes = list(tp.map(encode_tile,
-                                             range(self.n_tiles)))
+                                             range(n_tiles_total)))
 
         # tile group assembly (spec 5.11.1): OBU_FRAME requires
         # tile_start_and_end_present_flag == 0 (one aligned zero bit),
         # then per-tile size fields for all but the last tile
-        if self.n_tiles == 1:
+        if n_tiles_total == 1:
             tg = tile_bytes[0]
         else:
             parts = [b"\x00"]
@@ -738,6 +756,7 @@ class FastIntraEncoder:
                                 lr_type=self._lr_coded_type(lr_dec),
                                 lr_unit_shift=0, lr_uv_shift=1,
                                 tile_cols_log2=self.tile_cols_log2,
+                                tile_rows_log2=self.tile_rows_log2,
                                 filter_level=(lf[0], lf[1]),
                                 filter_level_uv=(lf[2], lf[3]),
                                 film_grain=self._fg_params,
@@ -1010,8 +1029,9 @@ class FastIntraEncoder:
         lr_dec = self._take_lr_pending() if self.enable_lr else None
 
         inherited = src_fc.inherit_copy()
+        n_tiles_total = self.n_tiles * self.n_tile_rows
         tile_fcs = [inherited if ti == 0 else inherited.copy()
-                    for ti in range(self.n_tiles)]
+                    for ti in range(n_tiles_total)]
         qm = self._frame_qm_levels(base_q)
 
         # refresh decision (known before the walk): a frame that refreshes
@@ -1038,8 +1058,11 @@ class FastIntraEncoder:
         self._cur_rd_scale = rd_scale
 
         def encode_tile(ti):
-            c0 = self.tile_col_starts[ti] * 16
-            c1 = min(self.tile_col_starts[ti + 1] * 16, self.mi_cols)
+            tr, tc = divmod(ti, self.n_tiles)
+            r0 = self.tile_row_starts[tr] * 16
+            r1 = min(self.tile_row_starts[tr + 1] * 16, self.mi_rows)
+            c0 = self.tile_col_starts[tc] * 16
+            c1 = min(self.tile_col_starts[tc + 1] * 16, self.mi_cols)
             eng = native.CommitEngine(self.width, self.height, self.bd,
                                       sharpness=self.sharpness,
                                       base_q=base_q)
@@ -1090,11 +1113,11 @@ class FastIntraEncoder:
             eng.encode_inter(ec, tile_fcs[ti], split, modes, mv16,
                              sbq=sbq, dq_res_log2=dq_res_log2,
                              base_q=base_q,
-                             mi_bounds=(0, self.mi_rows, c0, c1),
+                             mi_bounds=(r0, r1, c0, c1),
                              n_cands=self.n_cands, mv16b=mv16b)
             grid_exp = None
             if self.enable_mfmv and not never_referenced:
-                grid_exp = (eng.grid_read(), (0, self.mi_rows, c0, c1))
+                grid_exp = (eng.grid_read(), (r0, r1, c0, c1))
             return ec.done(), grid_exp
 
         import os as _os
@@ -1102,13 +1125,13 @@ class FastIntraEncoder:
         # running on this ping-pong buffer
         self._join_pending_filter(self._rec_y)
         with _tstage("inter_commit_walk"):
-            if self.n_tiles == 1 or _os.environ.get("SVT_TILE_SEQ"):
-                tile_out = [encode_tile(i) for i in range(self.n_tiles)]
+            if n_tiles_total == 1 or _os.environ.get("SVT_TILE_SEQ"):
+                tile_out = [encode_tile(i) for i in range(n_tiles_total)]
             else:
                 from concurrent.futures import ThreadPoolExecutor
-                with ThreadPoolExecutor(max_workers=self.n_tiles) as tp:
+                with ThreadPoolExecutor(max_workers=n_tiles_total) as tp:
                     tile_out = list(tp.map(encode_tile,
-                                           range(self.n_tiles)))
+                                           range(n_tiles_total)))
         tile_bytes = [t[0] for t in tile_out]
 
         # spec 7.20 motion-field storage for later frames' MFMV (dead
@@ -1224,6 +1247,7 @@ class FastIntraEncoder:
             lr_type=self._lr_coded_type(lr_dec),
             lr_unit_shift=0, lr_uv_shift=1,
             tile_cols_log2=self.tile_cols_log2,
+            tile_rows_log2=self.tile_rows_log2,
             filter_level=(lf[0], lf[1]),
             filter_level_uv=(lf[2], lf[3]),
             film_grain=self._fg_params,
