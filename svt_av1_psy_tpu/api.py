@@ -121,7 +121,9 @@ class Encoder:
                 self._ra = RaDriver(
                     enc, gop_levels=min(self.cfg.hierarchical_levels, 5),
                     keyint=0 if gop == 0 else gop,
-                    tf_strength=self.cfg.tf_strength,
+                    tf_strength=(self.cfg.tf_strength
+                                 if self.cfg.enable_tf else 0),
+                    tf_adaptive=self.cfg.enable_tf == 2,
                     # dynamic mini-GoP follows content analysis (ref
                     # Docs/Appendix-Dynamic-Mini-GoP)
                     dynamic_gop=bool(self.cfg.scene_change_detection))

@@ -214,10 +214,13 @@ def main(argv=None) -> int:
                          "--enable-stat-report / svt_psnr.c analog)")
     ap.add_argument("--stat-file", default=None,
                     help="write the per-frame stats to a file")
-    ap.add_argument("--enable-tf", type=int, default=1,
-                    help="alt-ref temporal filtering strength 0..4 "
-                         "(default 1 like the reference; PSY tf-strength "
-                         "semantics)")
+    ap.add_argument("--enable-tf", type=int, default=1, choices=(0, 1, 2),
+                    help="alt-ref temporal filtering: 0 off, 1 on, "
+                         "2 adaptive (skips TF on high-motion windows; "
+                         "the reference's EnableTF semantics)")
+    ap.add_argument("--tf-strength", type=int, default=1,
+                    help="PSY tf-strength 0..4 (4x weaker scaling than "
+                         "mainline)")
     ap.add_argument("--enable-tpl", type=int, default=1,
                     help="1 = TPL lookahead AQ (default 1 like the "
                          "reference): per-SB qindex offsets / RA r0-beta "
@@ -404,7 +407,8 @@ def main(argv=None) -> int:
             enable_restoration_filtering=args.enable_restoration,
             hierarchical_levels=args.hierarchical_levels,
             pred_structure=args.pred_struct,
-            tf_strength=args.enable_tf,
+            enable_tf=args.enable_tf,
+            tf_strength=(args.tf_strength if args.enable_tf else 0),
             enable_tpl_la=args.enable_tpl,
             psy_rd=args.psy_rd,
             screen_content_mode=args.scm,
@@ -488,7 +492,7 @@ def main(argv=None) -> int:
                         from svt_av1_psy_tpu.models.temporal_filter import                             temporal_filter
                         win = history[-2:] + [cur] + pending[:2]
                         cur = temporal_filter(win, len(history[-2:]),
-                                              strength=args.enable_tf)
+                                              strength=args.tf_strength)
                     history.append(cur if not args.enable_tf else
                                    (pending[0] if pending else cur))
                     if len(history) > 2:
@@ -501,7 +505,7 @@ def main(argv=None) -> int:
                     from svt_av1_psy_tpu.models.temporal_filter import                         temporal_filter
                     win = history[-2:] + [cur] + pending[:2]
                     cur = temporal_filter(win, len(history[-2:]),
-                                          strength=args.enable_tf)
+                                          strength=args.tf_strength)
                 history.append(cur)
                 if len(history) > 2:
                     history.pop(0)

@@ -95,7 +95,8 @@ class RaDriver:
     """
 
     def __init__(self, enc, gop_levels: int = 4, keyint: int = 0,
-                 tf_strength: int = 0, dynamic_gop: bool = False):
+                 tf_strength: int = 0, dynamic_gop: bool = False,
+                 tf_adaptive: bool = False):
         enc.ra_mode = True
         self.enc = enc
         self.levels = max(1, min(gop_levels, 5))
@@ -103,6 +104,12 @@ class RaDriver:
         self.keyint = keyint          # key every N displayed frames (0 =
                                       # first frame only)
         self.tf_strength = tf_strength
+        # adaptive TF (the reference's --enable-tf 2, ref
+        # Parameters.md:281 / temporal_filtering.c adaptive gate): skip
+        # the ARF filter on high-motion windows where the full-pel
+        # alignment would blend mismatched content
+        self.tf_adaptive = tf_adaptive
+        self.tf_adaptive_threshold = 10.0   # mean |diff|/px, 8-bit
         # dynamic mini-GoP (ref Docs/Appendix-Dynamic-Mini-GoP +
         # pd_process.c GoP typing): close the group early at a
         # power-of-two size when the buffered motion is high — long
@@ -374,6 +381,16 @@ class RaDriver:
                 edge_keys.append((d, r))
         bias = np.int32(8 * ac_q(enc.qindex, enc.bd))
         tf_on = bool(self.tf_strength) and len(buf) > 1
+        if tf_on and self.tf_adaptive:
+            # adaptive gate: quarter-res MAD of the TF window
+            bd_sh = getattr(enc, "bd", 8) - 8
+            wfr = [np.asarray(frames[dd][0])[::4, ::4].astype(np.int32)
+                   for dd in sorted(frames) if dd >= arf_d - 4]
+            if len(wfr) >= 2:
+                mads = [float(np.abs(wfr[k + 1] - wfr[k]).mean()) /
+                        (1 << bd_sh) for k in range(len(wfr) - 1)]
+                if sum(mads) / len(mads) > self.tf_adaptive_threshold:
+                    tf_on = False
         with _tstage("gop_dispatch"):
             planes_dev = jnp.asarray(planes)
             if tf_on:
