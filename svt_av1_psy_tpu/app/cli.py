@@ -262,6 +262,13 @@ def main(argv=None) -> int:
                     help="HDR MDCV metadata "
                          "'G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)' "
                          "(the reference CLI string format)")
+    ap.add_argument("--dolby-vision-rpu", type=str, default=None,
+                    help="per-frame T.35 metadata file (the DoVi RPU "
+                         "attach surface, ref app_process_cmd.c:463): "
+                         "binary records of [u32le length][payload], one "
+                         "per display frame, each wrapped as an ITU-T "
+                         "T.35 metadata OBU on its frame (no libdovi in "
+                         "this image, so raw payloads attach as-is)")
     ap.add_argument("--t35-file", default=None,
                     help="binary ITU-T T.35 blob (DoVi RPU / HDR10+ "
                          "container) injected as a per-frame metadata "
@@ -434,6 +441,24 @@ def main(argv=None) -> int:
                 with open(args.t35_file, "rb") as tf:
                     enc._enc.metadata_frame = build_metadata_payload(
                         t35_blob=tf.read())
+        if args.dolby_vision_rpu:
+            from svt_av1_psy_tpu.bitstream.metadata import \
+                build_metadata_payload
+            per = {}
+            with open(args.dolby_vision_rpu, "rb") as rf:
+                idx = 0
+                while True:
+                    hdr = rf.read(4)
+                    if len(hdr) < 4:
+                        break
+                    ln = int.from_bytes(hdr, "little")
+                    payload = rf.read(ln)
+                    if len(payload) < ln:
+                        break
+                    per[idx & 0x7F] = build_metadata_payload(
+                        t35_blob=payload)
+                    idx += 1
+            enc._enc.metadata_per_frame = per
 
         # --- rate control setup (ref rc_process.c; pass2_strategy.c) ---
         rc = None

@@ -771,7 +771,8 @@ class FastIntraEncoder:
         payload = key_frame_temporal_unit(
             self.seq, fr_params, tg, with_seq_header=(self.frame_index == 0),
             metadata=(getattr(self, "metadata_key", b"") +
-                      getattr(self, "metadata_frame", b"")))
+                      getattr(self, "metadata_frame", b"") +
+                      self._per_frame_metadata(fr_params.order_hint)))
         self.frame_index += 1
         H, W = self.height, self.width
         cH, cW = (H + 1) // 2, (W + 1) // 2
@@ -1281,7 +1282,8 @@ class FastIntraEncoder:
 
         payload = key_frame_temporal_unit(
             self.seq, fr_params, tg, with_seq_header=False,
-            metadata=getattr(self, "metadata_frame", b""))
+            metadata=(getattr(self, "metadata_frame", b"") +
+                      self._per_frame_metadata(order_hint)))
         self.frame_index += 1
         from svt_av1_psy_tpu.utils.trace import next_frame as _tnext
         if deferred_task is not None:
@@ -1299,6 +1301,17 @@ class FastIntraEncoder:
         return EncodedFrame(payload=payload, recon_y=rec_y, recon_u=rec_u,
                             recon_v=rec_v)
 
+
+    def _per_frame_metadata(self, display_idx: int) -> bytes:
+        """Per-display-frame metadata OBUs (the DoVi-RPU / HDR10+ attach
+        model of ref app_process_cmd.c:463-495 retrieve_dovi_rpu_for
+        _frame: one T.35 payload per picture). metadata_per_frame maps
+        display index (mod 128, the order-hint space) -> raw OBU bytes
+        built by bitstream/metadata.build_metadata_payload."""
+        m = getattr(self, "metadata_per_frame", None)
+        if not m:
+            return b""
+        return m.get(display_idx & 0x7F, b"")
 
     @staticmethod
     def _lr_coded_type(lr_dec):

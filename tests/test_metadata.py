@@ -132,3 +132,39 @@ def test_fgs_table_roundtrip(tmp_path):
     assert fg.scaling_cb == [(0, 8)] and fg.scaling_cr == []
     assert fg.ar_coeff_lag == 2 and fg.ar_coeffs_y[-1] == 1
     assert len(fg.ar_coeffs_cb) == 13
+
+
+def test_dolby_vision_rpu_per_frame(tmp_path):
+    """--dolby-vision-rpu: per-display-frame T.35 payloads (the DoVi
+    attach surface of ref app_process_cmd.c:463-495) land on their
+    frames as ITU-T T.35 metadata OBUs."""
+    import subprocess
+    import sys as _sys
+
+    clip = tmp_path / "c.y4m"
+    subprocess.run([_sys.executable,
+                    os.path.join(_ROOT, "tools", "make_test_clip.py"),
+                    "--width", "192", "--height", "128", "--frames", "4",
+                    str(clip)], check=True)
+    rpu = tmp_path / "rpu.bin"
+    payloads = [bytes([0xB5, 0x00, 0x3B, i, i + 1]) for i in range(4)]
+    with open(rpu, "wb") as f:
+        for p in payloads:
+            f.write(len(p).to_bytes(4, "little"))
+            f.write(p)
+    out = tmp_path / "o.ivf"
+    env = dict(os.environ, SVT_TPU_PLATFORM="cpu",
+               PYTHONPATH=os.path.abspath(_ROOT))
+    r = subprocess.run([_sys.executable, "-m", "svt_av1_psy_tpu",
+                        "-i", str(clip), "-b", str(out),
+                        "--preset", "12", "--crf", "35", "--keyint", "1",
+                        "-n", "4", "--dolby-vision-rpu", str(rpu)],
+                       capture_output=True, text=True, timeout=600,
+                       env=env)
+    assert r.returncode == 0, r.stderr
+    data = open(out, "rb").read()
+    # every per-frame payload must appear in the stream exactly once
+    for p in payloads:
+        assert data.count(p) == 1, p
+    from svt_av1_psy_tpu.decoder.dav1d import decode_ivf
+    assert len(decode_ivf(str(out))) == 4
