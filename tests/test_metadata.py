@@ -138,9 +138,11 @@ def test_dolby_vision_rpu_per_frame(tmp_path):
     """--dolby-vision-rpu: per-display-frame T.35 payloads (the DoVi
     attach surface of ref app_process_cmd.c:463-495) land on their
     frames as ITU-T T.35 metadata OBUs."""
+    import os
     import subprocess
     import sys as _sys
 
+    _ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
     clip = tmp_path / "c.y4m"
     subprocess.run([_sys.executable,
                     os.path.join(_ROOT, "tools", "make_test_clip.py"),
