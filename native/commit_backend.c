@@ -1253,10 +1253,19 @@ int tpu_cul_of_trial(const TxTrial *t, int ts) {
     return cul_of_trial(t, ts);
 }
 
-/* get_tx_size_context (all-intra frames: txfm-context rows only) */
+/* get_tx_size_context: INTER neighbors contribute their BLOCK dims
+ * instead of the txfm-context rows (libaom get_tx_size_context
+ * is_inter override; twin of tile_parser._tx_size_ctx) */
 static int tx_depth_ctx(TpuCommit *c, int r, int c4, int ts_y) {
-    int av = r > c->t_mi_row0 ? (c->above_txw[c4] >= TXW[ts_y]) : -1;
-    int lh = c4 > c->t_mi_col0 ? (c->left_txh[r] >= TXH[ts_y]) : -1;
+    int av = -1, lh = -1;
+    if (r > c->t_mi_row0) {
+        int bw = tpui_grid_inter_bw(c->grid, r - 1, c4);
+        av = (bw ? bw : (int)c->above_txw[c4]) >= TXW[ts_y];
+    }
+    if (c4 > c->t_mi_col0) {
+        int bh = tpui_grid_inter_bh(c->grid, r, c4 - 1);
+        lh = (bh ? bh : (int)c->left_txh[r]) >= TXH[ts_y];
+    }
     if (av >= 0 && lh >= 0) return av + lh;
     if (av >= 0) return av;
     if (lh >= 0) return lh;

@@ -167,6 +167,8 @@ void tpu_write_txb_inter(TpuCommit *c, int plane, int u_row, int u_col,
 double tpu_sym_cost_bits(const uint16_t *icdf, int s);
 int tpu_txs_entropy_ctx(int ts);
 int tpu_cul_of_trial(const TxTrial *t, int ts);
+int tpui_grid_inter_bw(InterGrid *g, int r, int c);
+int tpui_grid_inter_bh(InterGrid *g, int r, int c);
 int tpu_clamp_w4(TpuCommit *c, int plane, int u_col, int tw4);
 int tpu_clamp_h4(TpuCommit *c, int plane, int u_row, int th4);
 void tpu_bd_reset_sb(TpuCommit *c, int sbr4, int sbc4);

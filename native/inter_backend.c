@@ -2033,6 +2033,26 @@ static void mc_comp_chroma(TpuCommit *c, int plane, int cr, int cc, int cw,
     blend_comp_avg(p0, p1, cw * chh, c->bd, out);
 }
 
+/* neighbor inter-block width in px for the intra tx-depth ctx
+ * (libaom get_tx_size_context is_inter override: inter neighbors
+ * contribute their BLOCK dims, not the txfm-context rows). Returns 0
+ * when the mi is not inter. */
+int tpui_grid_inter_bw(InterGrid *g, int r, int c) {
+    if (!g || r < 0 || c < 0 || r >= g->mi_rows || c >= g->mi_cols)
+        return 0;
+    size_t o = (size_t)r * g->mi_cols + c;
+    if (g->ref0[o] <= 0) return 0;
+    return BW4[g->bsize[o]] * 4;
+}
+
+int tpui_grid_inter_bh(InterGrid *g, int r, int c) {
+    if (!g || r < 0 || c < 0 || r >= g->mi_rows || c >= g->mi_cols)
+        return 0;
+    size_t o = (size_t)r * g->mi_cols + c;
+    if (g->ref0[o] <= 0) return 0;
+    return BH4[g->bsize[o]] * 4;
+}
+
 /* txfm_partition ctx (behavioral twin of entropy/tile_writer
  * _txfm_split_ctx; ref entropy_coding.c:4367). Square tx only (the
  * walk's blocks/tx units are square). */
