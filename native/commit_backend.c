@@ -159,8 +159,8 @@ static int txtype_sym(int set, int tt) {
 #define N_MODE_CANDS 3
 /* candidate luma tx types per set (mirrors IntraEncoder._luma_tx_types) */
 static const int SET0_CANDS[1] = {0};
-static const int SET1_CANDS[4] = {0, 3, 10, 11};
-static const int SET2_CANDS[2] = {0, 3};
+static const int SET1_CANDS[5] = {0, 3, 9, 10, 11};
+static const int SET2_CANDS[3] = {0, 3, 9};
 
 /* inter ext-tx set types (tx_sets.py inter_tx_set_type):
  * type 0 DCTONLY, 1 DCT_IDTX(2), 4 DTT9_IDTX_1DDCT(12), 5 ALL16(16) */
@@ -1213,6 +1213,18 @@ int tpu_txs_entropy_ctx(int ts) {
     return txs_entropy_ctx_of(ts);
 }
 
+/* inter ext-tx symbol cost for a candidate tx type (0.0 when the size's
+ * set codes no symbol); exported for the inter walk's IDTX tail trial */
+double tpu_inter_txtype_cost(TpuCommit *c, int ts, int tt) {
+    int st = inter_tx_set_type_of(ts);
+    if (st == 0) return 0.0;
+    const int *fwd = st == 1 ? INTER_FWD_T1
+                     : st == 4 ? INTER_FWD_T4 : INTER_FWD_T5;
+    return tpu_sym_cost_bits(
+        c->ic->inter_ext_tx + (INTER_SET_TO_IDX[st] * 4 + TX_SQR[ts]) * 17,
+        fwd[tt]);
+}
+
 /* ---- intra block: trial + write/commit split --------------------------- */
 typedef struct {
     int y_mode, uv_mode, skip;
@@ -1457,7 +1469,7 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
     int set = intra_tx_set_of(ts_y);
     const int *cands = set == 0 ? SET0_CANDS
                        : set == 1 ? SET1_CANDS : SET2_CANDS;
-    int ncands = set == 0 ? 1 : set == 1 ? 4 : 2;
+    int ncands = set == 0 ? 1 : set == 1 ? 5 : 3;
     double best_cost = -1.0;
     for (int i = 0; i < ncands; i++) {
         int tt = cands[i];
@@ -1525,7 +1537,7 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
         const int *scands = sset == 0   ? SET0_CANDS
                             : sset == 1 ? SET1_CANDS
                                         : SET2_CANDS;
-        int nsc = sset == 0 ? 1 : sset == 1 ? 4 : 2;
+        int nsc = sset == 0 ? 1 : sset == 1 ? 5 : 3;
         double cost1 = c->rdmult * tpu_sym_cost_bits(dcdf, 1);
         static __thread int32_t qpred[32 * 32], qresid[32 * 32];
         static __thread TxTrial qt;

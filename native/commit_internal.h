@@ -166,6 +166,7 @@ void tpu_write_txb_inter(TpuCommit *c, int plane, int u_row, int u_col,
                          int ts, int bw, int bh, const TxTrial *t);
 double tpu_sym_cost_bits(const uint16_t *icdf, int s);
 int tpu_txs_entropy_ctx(int ts);
+double tpu_inter_txtype_cost(TpuCommit *c, int ts, int tt);
 int tpu_cul_of_trial(const TxTrial *t, int ts);
 int tpui_grid_inter_bw(InterGrid *g, int r, int c);
 int tpui_grid_inter_bh(InterGrid *g, int r, int c);

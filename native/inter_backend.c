@@ -3077,6 +3077,82 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         }
     }
 
+    /* final luma residual off the winning prediction (shared by the
+     * IDTX tail trial and the var-tx split search) */
+    static __thread int32_t sp_resid[64 * 64];
+    int have_resid = 0;
+    if (!use_intra && !use_sm) {
+        const uint16_t *sy0 = c->src[0];
+        int ss0 = c->sstride[0];
+        for (int i = 0; i < size; i++)
+            for (int j = 0; j < size; j++)
+                sp_resid[i * size + j] =
+                    (int32_t)sy0[(r * 4 + i) * ss0 + c4 * 4 + j] -
+                    i_pred_y[i * size + j];
+        have_resid = 1;
+        /* IDTX tail trial on the winner (sharp/screen content: the
+         * identity transform wins on hard edges; ref tx_type_search's
+         * inter ext-tx set — previously only DCT was trialled). Chroma
+         * tx type FOLLOWS the luma's for inter blocks (spec
+         * compute_tx_type plane>0), so the chroma TXBs must be
+         * re-trialled under IDTX and join the RD decision. */
+        if (i_ty.eob && i_ty.tt != 9) {
+            double tc9 = tpu_inter_txtype_cost(c, ts_y, 9);
+            /* chroma ts here is a square <= 32x32: every inter ext-tx
+             * set at those sizes (types 1/4/5) includes IDTX */
+            if (tc9 > 0.0) {
+                static __thread TxTrial t9, tu9, tv9;
+                tpu_trial_txb(c, 0, ts_y, 9, sp_resid, q, 0, sgn_y, 1,
+                              &t9);
+                double c_old =
+                    tpu_dist_eval(c, ts_y, i_pred_y, sp_resid, &i_ty) +
+                    c->rdmult * (i_ty.rate512 / 512.0 +
+                                 tpu_inter_txtype_cost(c, ts_y,
+                                                       i_ty.tt));
+                double c_new =
+                    tpu_dist_eval(c, ts_y, i_pred_y, sp_resid, &t9) +
+                    c->rdmult * (t9.rate512 / 512.0 + tc9);
+                {
+                    static __thread int32_t cres[32 * 32];
+                    int cw = TXW[ts_c], chh = TXH[ts_c];
+                    const uint16_t *su = c->src[1], *sv = c->src[2];
+                    int scs = c->sstride[1];
+                    int sgn_u = tpu_dc_sign_ctx(c, 1, cr, cc, ts_c);
+                    int sgn_v = tpu_dc_sign_ctx(c, 2, cr, cc, ts_c);
+                    for (int i = 0; i < chh; i++)
+                        for (int j = 0; j < cw; j++)
+                            cres[i * cw + j] =
+                                (int32_t)su[(cr * 4 + i) * scs + cc * 4 +
+                                            j] - i_pred_u[i * cw + j];
+                    tpu_trial_txb(c, 1, ts_c, 9, cres, q, 1, sgn_u, 1,
+                                  &tu9);
+                    c_new += (double)tu9.sse - (double)i_tu.sse +
+                             c->rdmult * (tu9.rate512 - i_tu.rate512) /
+                                 512.0;
+                    for (int i = 0; i < chh; i++)
+                        for (int j = 0; j < cw; j++)
+                            cres[i * cw + j] =
+                                (int32_t)sv[(cr * 4 + i) * scs + cc * 4 +
+                                            j] - i_pred_v[i * cw + j];
+                    tpu_trial_txb(c, 2, ts_c, 9, cres, q, 1, sgn_v, 1,
+                                  &tv9);
+                    c_new += (double)tv9.sse - (double)i_tv.sse +
+                             c->rdmult * (tv9.rate512 - i_tv.rate512) /
+                                 512.0;
+                }
+                /* t9.eob must stay nonzero: an all-zero luma TXB makes
+                 * the decoder derive DCT for the chroma (txtype map
+                 * resets on eob==0), which would break the IDTX chroma
+                 * recon committed below */
+                if (t9.eob && c_new < c_old) {
+                    i_ty = t9;
+                    i_tu = tu9;
+                    i_tv = tv9;
+                }
+            }
+        }
+    }
+
     int skip;
     if (use_intra) {
         use_sm = 0;
@@ -3095,15 +3171,12 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
      * the txfm_split flag rates and per-sub txb_skip/tx-type rates. */
     int itx_split = 0;
     static __thread TxTrial i_sub_t[4];
-    if (c->tx_select && !skip && !use_intra && ts_y >= 1 && ts_y <= 4) {
-        const uint16_t *sy0 = c->src[0];
-        int ss0 = c->sstride[0];
-        static __thread int32_t sp_resid[64 * 64];
-        for (int i = 0; i < size; i++)
-            for (int j = 0; j < size; j++)
-                sp_resid[i * size + j] =
-                    (int32_t)sy0[(r * 4 + i) * ss0 + c4 * 4 + j] -
-                    i_pred_y[i * size + j];
+    /* i_ty.tt must be DCT here: the split children code DCT, and the
+     * decoder's chroma tx type follows the txtype map at the block's
+     * top-left — replacing an IDTX winner with split-DCT luma would
+     * orphan the IDTX chroma recon committed above */
+    if (c->tx_select && !skip && !use_intra && have_resid &&
+        i_ty.tt == 0 && ts_y >= 1 && ts_y <= 4) {
         int sub_ts = ts_y - 1;
         int sub_px = size / 2;
         int h4q = sub_px / 4;
