@@ -562,16 +562,22 @@ class FastIntraEncoder:
         with _tstage("device_search"):
             split, modes = self._take_decide(y, yp)
 
-        # key-frame boost in GOP modes (the kf_boost analog,
-        # ref rc_process.c kf qindex derivation): keys carry the GOP
-        base_q = self.qindex if self.gop_size == 1 else             max(0, self.qindex - self.qindex // 4)
+        # key-frame boost in GOP modes (the kf_boost analog, ref
+        # rc_process.c kf qindex derivation): keys carry the GOP. The
+        # fraction is adaptive when a GoP driver measured the following
+        # GoP's activity (RaDriver._emit_pending_key sets kf_qfrac).
+        base_q = self.qindex if self.gop_size == 1 else \
+            max(0, int(self.qindex * getattr(self, "kf_qfrac", 0.75)))
         sbq = None
         dq_res_log2 = -1
         if self.enable_variance_boost:
             from svt_av1_psy_tpu.models.variance_boost import (
                 adjust_sb_qindex, sb_8x8_variances)
+            # operate on the kf-boosted base (a VB frame must not lose
+            # the key-frame boost; this previously re-derived from the
+            # unboosted session qindex)
             base_q, dq_res_log2, vb = adjust_sb_qindex(
-                self.qindex, sb_8x8_variances(yp), self.vb_strength,
+                base_q, sb_8x8_variances(yp), self.vb_strength,
                 self.vb_octile, self.bd)
             sbq = vb.astype(np.int16)
         if self.tpl_offsets is not None:

@@ -132,6 +132,7 @@ class RaDriver:
         # process also searches sources, ref me_process.c:97), which is
         # what makes the dispatch independent of the pending walks.
         self._pending = None          # parked GopTask dict
+        self._key_pending = None      # stashed key frame (deferred encode)
         # dispatch-time base frame (display + padded source luma): the
         # last dispatched GoP's ARF, or the last key — the edge reference
         # for the NEXT GoP's open-loop search
@@ -238,12 +239,22 @@ class RaDriver:
         if self._is_key(d) or cut:
             # drain the pipeline: dispatch the buffered tail FIRST so its
             # device search computes under the pending GoP's host walks,
-            # then walk both in order, then key
+            # then walk both in order, then stash the key. The key's
+            # ENCODE is deferred to the next GoP close so its kf boost
+            # can follow the measured GoP activity (the lookahead-driven
+            # kf_boost model of ref rc_process.c get_kf_boost).
             tail = self._dispatch_gop()
+            out.extend(self._emit_pending_key())
             out.extend(self._finish_pending())
             if tail is not None:
                 out.extend(self._walk_gop(tail))
-            out.append(self._encode_base_key(d, (y, u, v)))
+            self._key_pending = (d, (y, u, v))
+            from svt_av1_psy_tpu.models.intra_encoder import _pad_to
+            dtype = np.uint8 if getattr(self.enc, "bd", 8) == 8 \
+                else np.uint16
+            self._disp_base_display = d
+            self._disp_base_src = _pad_to(np.asarray(y), self.enc.pah,
+                                          self.enc.paw).astype(dtype)
             return out
         self._buf.append((d, (y, u, v)))
         close = len(self._buf) >= self.M
@@ -262,19 +273,70 @@ class RaDriver:
                     close = True
         if close:
             # pipeline step: dispatch this GoP's device search (async),
-            # then run the PREVIOUS GoP's host walks while it computes
+            # encode any deferred key (its kf boost now knows the GoP's
+            # activity), then run the PREVIOUS GoP's host walks while
+            # the device computes
+            gop_frames = dict(self._buf)
             task = self._dispatch_gop()
+            out.extend(self._emit_pending_key(gop_frames))
             out.extend(self._finish_pending())
             self._pending = task
         return out
 
     def flush(self) -> list[RaPacket]:
         # same dispatch-before-walk ordering as the key-boundary drain
+        gop_frames = dict(self._buf)
         tail = self._dispatch_gop()
-        out = self._finish_pending()
+        out = self._emit_pending_key(gop_frames)
+        out.extend(self._finish_pending())
         if tail is not None:
             out.extend(self._walk_gop(tail))
         return out
+
+    def _gop_activity(self, frames: dict | None) -> float | None:
+        """STATIC-AREA fraction (pixels whose quarter-res diff stays
+        under 2 across sampled frame pairs) of the GoP following a key
+        — the lookahead statistic its kf boost follows (ref
+        rc_process.c kf_boost from first-pass zero-motion stats). A
+        mean-MAD statistic mis-reads partially-moving content (one busy
+        region hides a dominant static area that would skip to the
+        key)."""
+        if not frames:
+            return None
+        ds = sorted(frames)
+        if len(ds) < 2:
+            return None
+        picks = ds[:: max(1, len(ds) // 4)][:5]
+        bd_sh = getattr(self.enc, "bd", 8) - 8
+        fr = []
+        for a, b in zip(picks, picks[1:]):
+            fa = np.asarray(frames[a][0])[::4, ::4].astype(np.int32)
+            fb = np.asarray(frames[b][0])[::4, ::4].astype(np.int32)
+            fr.append(float((np.abs(fb - fa) <= (2 << bd_sh)).mean()))
+        return sum(fr) / len(fr)
+
+    def _emit_pending_key(self, gop_frames: dict | None = None
+                          ) -> list[RaPacket]:
+        if self._key_pending is None:
+            return []
+        d, fuv = self._key_pending
+        self._key_pending = None
+        static_ratio = self._gop_activity(gop_frames)
+        # adaptive kf boost: static/clean content concentrates GoP
+        # quality in the key (everything skips to it), busy content
+        # keeps the default (extra key bits are re-randomized away).
+        # Measured: frac 0.55 on the text class = -20% BD, but +5% on
+        # noisy motion — hence the static-area gate.
+        if static_ratio is None:
+            frac = 0.75
+        elif static_ratio > 0.85:
+            frac = 0.5
+        elif static_ratio > 0.6:
+            frac = 0.65
+        else:
+            frac = 0.75
+        self.enc.kf_qfrac = frac
+        return [self._encode_base_key(d, fuv)]
 
     # -- internals ---------------------------------------------------------
     def _encode_base_key(self, d: int, fuv) -> RaPacket:
@@ -290,11 +352,8 @@ class RaDriver:
         f = self.enc._encode_key(y, u, v, order_hint=d)
         self._base_slot = 0
         self._base_display = d
-        from svt_av1_psy_tpu.models.intra_encoder import _pad_to
-        dtype = np.uint8 if getattr(self.enc, "bd", 8) == 8 else np.uint16
-        self._disp_base_display = d
-        self._disp_base_src = _pad_to(np.asarray(y), self.enc.pah,
-                                      self.enc.paw).astype(dtype)
+        # NOTE: _disp_base_* is set at key STASH time (push), not here —
+        # by emit time the next GoP's dispatch has already advanced it
         self._recon_by_display[d] = (f.recon_y, f.recon_u, f.recon_v)
         return RaPacket(f.payload, d, (f.recon_y, f.recon_u, f.recon_v))
 
