@@ -563,11 +563,17 @@ class FastIntraEncoder:
             split, modes = self._take_decide(y, yp)
 
         # key-frame boost in GOP modes (the kf_boost analog, ref
-        # rc_process.c kf qindex derivation): keys carry the GOP. The
-        # fraction is adaptive when a GoP driver measured the following
-        # GoP's activity (RaDriver._emit_pending_key sets kf_qfrac).
-        base_q = self.qindex if self.gop_size == 1 else \
-            max(0, int(self.qindex * getattr(self, "kf_qfrac", 0.75)))
+        # rc_process.c crf_qindex_calc): keys carry the GOP. kf_qindex
+        # (absolute, from the RA driver's TPL r0 ladder) wins when set;
+        # otherwise the kf_qfrac fallback fraction applies.
+        kq = getattr(self, "kf_qindex", None)
+        if self.gop_size == 1:
+            base_q = self.qindex
+        elif kq is not None:
+            base_q = int(kq)
+        else:
+            base_q = max(0, int(self.qindex *
+                                getattr(self, "kf_qfrac", 0.75)))
         sbq = None
         dq_res_log2 = -1
         if self.enable_variance_boost:
@@ -1014,6 +1020,15 @@ class FastIntraEncoder:
             adj = round(-(((255.0 - avg_luma) / denom) ** 0.5) *
                         (base_q / 8.0))
             base_q = int(np.clip(base_q + adj, 0, 255))
+        # eighth-pel MVs only at fine quantizers (the libaom
+        # HIGH_PRECISION_MV_QTHRESH rule, ref enc_mode_config.c:8479;
+        # the reference further restricts hp to <=480p inputs). Default
+        # OFF: with the SAD-driven subpel search, the hp bits measured
+        # +2-5% BD on the pan/occl harness even with the q gate — the
+        # capability stays available via the allow_hp attr for
+        # RD-aware-subpel work later.
+        self._frame_allow_hp = bool(getattr(self, "allow_hp", False)) \
+            and base_q < 128
         sbq = None
         dq_res_log2 = -1
         if self.tpl_offsets is not None:
@@ -1114,6 +1129,8 @@ class FastIntraEncoder:
                 eng.set_ref_sel(ref_sel, mv16g)
             if tpl_pack is not None:
                 eng.set_tpl(*tpl_pack)
+            # after set_tpl: both share the allow_hp field in C
+            eng.set_allow_hp(self._frame_allow_hp)
             if getattr(self, "inter_tx_split", False):
                 eng.set_tx_select(True)
             ec = native.NativeRangeEncoder()
@@ -1247,7 +1264,8 @@ class FastIntraEncoder:
             use_ref_frame_mvs=use_rfm,
             is_motion_mode_switchable=self.obmc_search or self.warp_search,
             allow_warped_motion=self.warp_search,
-            allow_high_precision_mv=False, interp_filter=0,
+            allow_high_precision_mv=self._frame_allow_hp,
+            interp_filter=0,
             is_filter_switchable=getattr(self, "interp_search", False),
             delta_q_present=sbq is not None,
             delta_q_res_log2=max(dq_res_log2, 0),

@@ -240,21 +240,24 @@ class RaDriver:
             # drain the pipeline: dispatch the buffered tail FIRST so its
             # device search computes under the pending GoP's host walks,
             # then walk both in order, then stash the key. The key's
-            # ENCODE is deferred to the next GoP close so its kf boost
-            # can follow the measured GoP activity (the lookahead-driven
-            # kf_boost model of ref rc_process.c get_kf_boost).
+            # ENCODE is deferred into the walk of the mini-GoP that
+            # follows it, so its q can come from the same TPL r0 model
+            # that ladders the GoP (the lookahead-driven kf_boost of
+            # ref rc_process.c crf_qindex_calc; the dispenser sees the
+            # frames the key's quality will propagate into).
             tail = self._dispatch_gop()
             out.extend(self._emit_pending_key())
             out.extend(self._finish_pending())
             if tail is not None:
                 out.extend(self._walk_gop(tail))
-            self._key_pending = (d, (y, u, v))
             from svt_av1_psy_tpu.models.intra_encoder import _pad_to
             dtype = np.uint8 if getattr(self.enc, "bd", 8) == 8 \
                 else np.uint16
+            src = _pad_to(np.asarray(y), self.enc.pah,
+                          self.enc.paw).astype(dtype)
+            self._key_pending = (d, (y, u, v), src)
             self._disp_base_display = d
-            self._disp_base_src = _pad_to(np.asarray(y), self.enc.pah,
-                                          self.enc.paw).astype(dtype)
+            self._disp_base_src = src
             return out
         self._buf.append((d, (y, u, v)))
         close = len(self._buf) >= self.M
@@ -273,82 +276,52 @@ class RaDriver:
                     close = True
         if close:
             # pipeline step: dispatch this GoP's device search (async),
-            # encode any deferred key (its kf boost now knows the GoP's
-            # activity), then run the PREVIOUS GoP's host walks while
-            # the device computes
-            gop_frames = dict(self._buf)
+            # then run the PREVIOUS GoP's host walks while the device
+            # computes. A stashed key rides the new task: it encodes at
+            # the top of that task's walk, with its q from the GoP's
+            # TPL r0 ladder.
             task = self._dispatch_gop()
-            out.extend(self._emit_pending_key(gop_frames))
             out.extend(self._finish_pending())
             self._pending = task
         return out
 
     def flush(self) -> list[RaPacket]:
         # same dispatch-before-walk ordering as the key-boundary drain
-        gop_frames = dict(self._buf)
         tail = self._dispatch_gop()
-        out = self._emit_pending_key(gop_frames)
-        out.extend(self._finish_pending())
+        out = self._finish_pending()
         if tail is not None:
             out.extend(self._walk_gop(tail))
+        out.extend(self._emit_pending_key())
         return out
 
-    def _gop_activity(self, frames: dict | None) -> float | None:
-        """STATIC-AREA fraction (pixels whose quarter-res diff stays
-        under 2 across sampled frame pairs) of the GoP following a key
-        — the lookahead statistic its kf boost follows (ref
-        rc_process.c kf_boost from first-pass zero-motion stats). A
-        mean-MAD statistic mis-reads partially-moving content (one busy
-        region hides a dominant static area that would skip to the
-        key)."""
-        if not frames:
-            return None
-        ds = sorted(frames)
-        if len(ds) < 2:
-            return None
-        picks = ds[:: max(1, len(ds) // 4)][:5]
-        bd_sh = getattr(self.enc, "bd", 8) - 8
-        fr = []
-        for a, b in zip(picks, picks[1:]):
-            fa = np.asarray(frames[a][0])[::4, ::4].astype(np.int32)
-            fb = np.asarray(frames[b][0])[::4, ::4].astype(np.int32)
-            fr.append(float((np.abs(fb - fa) <= (2 << bd_sh)).mean()))
-        return sum(fr) / len(fr)
-
-    def _emit_pending_key(self, gop_frames: dict | None = None
-                          ) -> list[RaPacket]:
+    def _emit_pending_key(self) -> list[RaPacket]:
+        """Fallback for a stashed key with NO mini-GoP after it (flush
+        right after the key, or back-to-back keys): encode at the
+        default kf fraction — there is no dependency information."""
         if self._key_pending is None:
             return []
-        d, fuv = self._key_pending
+        d, fuv, _src = self._key_pending
         self._key_pending = None
-        static_ratio = self._gop_activity(gop_frames)
-        # adaptive kf boost: static/clean content concentrates GoP
-        # quality in the key (everything skips to it), busy content
-        # keeps the default (extra key bits are re-randomized away).
-        # Measured: frac 0.55 on the text class = -20% BD, but +5% on
-        # noisy motion — hence the static-area gate.
-        if static_ratio is None:
-            frac = 0.75
-        elif static_ratio > 0.85:
-            frac = 0.5
-        elif static_ratio > 0.6:
-            frac = 0.65
-        else:
-            frac = 0.75
-        self.enc.kf_qfrac = frac
+        self.enc.kf_qindex = None
         return [self._encode_base_key(d, fuv)]
 
     # -- internals ---------------------------------------------------------
-    def _encode_base_key(self, d: int, fuv) -> RaPacket:
+    def _encode_base_key(self, d: int, fuv, future: dict | None = None
+                         ) -> RaPacket:
         y, u, v = fuv
-        if self.tf_strength and self._buf:
+        if self.tf_strength and future:
+            # key-frame alt-ref filter over FUTURE sources (the
+            # reference filters I-frames with a forward window,
+            # ref temporal_filtering.c key-frame path)
             from svt_av1_psy_tpu.models.temporal_filter import \
                 temporal_filter
             from svt_av1_psy_tpu.utils.trace import stage as _tstage
-            win = [f for _, f in self._buf[-2:]] + [(y, u, v)]
-            with _tstage("temporal_filter"):
-                y, u, v = temporal_filter(win, len(win) - 1,
-                                          strength=self.tf_strength)
+            win = [(y, u, v)] + [future[dd] for dd in sorted(future)
+                                 if dd > d][:2]
+            if len(win) > 1:
+                with _tstage("temporal_filter"):
+                    y, u, v = temporal_filter(win, 0,
+                                              strength=self.tf_strength)
         f = self.enc._encode_key(y, u, v, order_hint=d)
         self._base_slot = 0
         self._base_display = d
@@ -511,10 +484,13 @@ class RaDriver:
         # source (open-loop; its recon does not exist yet)
         self._disp_base_display = arf_d
         self._disp_base_src = padded[arf_d]
+        # a stashed key rides this task: it is this GoP's base b and
+        # encodes at the top of the walk with its q from the TPL ladder
+        key, self._key_pending = self._key_pending, None
         return {"frames": frames, "b": b, "arf_d": arf_d, "plan": plan,
                 "n": len(buf), "out": out, "edge_keys": edge_keys,
                 "idx": idx, "fmax": fmax, "emax": emax, "padded": padded,
-                "tf": tf_on}
+                "tf": tf_on, "key": key}
 
     def _finish_pending(self) -> list[RaPacket]:
         task, self._pending = self._pending, None
@@ -586,9 +562,37 @@ class RaDriver:
                 entry["refsel"] = sel.astype(np.uint8)
             pre_by_d[d] = entry
         self._pre_by_d = pre_by_d
-        self._gop_base_slot = self._base_slot
 
         packets: list[RaPacket] = []
+        key = task.get("key")
+
+        # TPL r0/beta ladder: per-frame q from the GoP dependency flow
+        # (ref tpl_model.c tpl_mc_flow; rc_process.c:783 crf_qindex_calc),
+        # fed from the SAME device HME results the walks consume. A
+        # pending key is the GoP base b: its q comes from the same r0
+        # model (the kf_boost role) before it encodes below.
+        if self.tpl_strength > 0:
+            from svt_av1_psy_tpu.models.tpl import tpl_gop_q
+            with _tstage("tpl_gop_q"):
+                fy_map = dict(task["padded"])
+                fy_map[arf_d] = arf_padded
+                fy_map[b] = key[2][:pah, :paw] if key is not None else \
+                    np.asarray(enc._dpb[self._base_slot][0])[:pah, :paw]
+                self._tpl_q = tpl_gop_q(
+                    fy_map, plan, enc.qindex, bd=getattr(enc, "bd", 8),
+                    strength=self.tpl_strength, edge_results=edge_ms,
+                    key_d=b if key is not None else None,
+                    base_q_coded=getattr(self, "_base_q_coded", None))
+
+        if key is not None:
+            kd, kfuv, _ksrc = key
+            kq = self._tpl_q.get(kd) if self._tpl_q else None
+            self.enc.kf_qindex = kq
+            packets.append(self._encode_base_key(kd, kfuv,
+                                                 future=frames))
+            self._base_q_coded = kq
+
+        self._gop_base_slot = self._base_slot
         in_use = {self._base_slot}
 
         if task["n"] == 1:
@@ -598,25 +602,12 @@ class RaDriver:
             packets.append(RaPacket(f.payload, arf_d,
                                     self._recon_by_display[arf_d]))
             self._base_slot, self._base_display = slot, arf_d
+            self._base_q_coded = self._tpl_q.get(arf_d) \
+                if getattr(self, "_tpl_q", None) else None
             return packets
 
         arf_slot = self._free_slots(in_use)[0]
         in_use.add(arf_slot)
-
-        # TPL r0/beta: per-frame q from the GoP dependency flow
-        # (ref tpl_model.c tpl_mc_flow; rc_process.c:873 generate_r0beta),
-        # fed from the SAME device HME results the walks consume
-        if self.tpl_strength > 0:
-            from svt_av1_psy_tpu.models.tpl import tpl_gop_q
-            with _tstage("tpl_gop_q"):
-                fy_map = dict(task["padded"])
-                fy_map[arf_d] = arf_padded
-                fy_map[b] = np.asarray(
-                    enc._dpb[self._base_slot][0])[:pah, :paw]
-                self._tpl_q = tpl_gop_q(fy_map, plan, enc.qindex,
-                                        bd=getattr(enc, "bd", 8),
-                                        strength=self.tpl_strength,
-                                        edge_results=edge_ms)
 
         f = self._encode_inter(arf_d, arf_src, self._base_slot,
                                1 << arf_slot, False, 0)
@@ -631,6 +622,8 @@ class RaDriver:
                                 arf_d, self._recon_by_display[arf_d]))
         in_use.discard(self._base_slot)
         self._base_slot, self._base_display = arf_slot, arf_d
+        self._base_q_coded = self._tpl_q.get(arf_d) \
+            if getattr(self, "_tpl_q", None) else None
         return packets
 
     def _tpl_plan(self, b, arf_d):

@@ -148,32 +148,69 @@ def _splat8(credit8: np.ndarray, y0: np.ndarray, x0: np.ndarray,
         np.add.at(credit8, (rr, cc), val * (w / 64.0))
 
 
-# qstep-ratio clip floor for the per-frame q ladder (see the BD sweep
-# notes at the call site)
-_CLIP_LO = 0.5
+# reference boost-formula constants (behavioral model of
+# ref rc_process.c:776 r0_weight {0.75 I, 0.9 BASE} and the r0
+# adjustment divisors rc_process.c:831/:847 with the preset-6
+# initial_rc_process.c r0_adjust_factor 2.8 and islice factor 0.7 at
+# 5 hierarchical levels: key divides by 2.8*0.7, base frames by 2.8)
+_KEY_W, _KEY_DIV = 0.75, 1.96
+_ARF_W, _ARF_DIV = 0.9, 2.8
+
+
+def _knob(name: str, default: float) -> float:
+    import os
+    v = os.environ.get(name)
+    return float(v) if v else default
+# skip-ability gate: dependency credit only flows through cells whose
+# best inter SAD sits below tau * qstep — a dependent block whose
+# residual exceeds the quantizer deadzone re-codes itself at the
+# operating point and the anchor's extra fidelity dies there (the
+# quantized-cost propagation fraction of ref tpl_model.c
+# tpl_model_update). tau swept against BD-rate on 5 content classes
+# (occl/default/grain/text/pan) x 4 CRFs vs the measured reference:
+# 0.03 won overall (deep boosts survive only for exactly-predictable
+# content like static text; noisy content converges to the flat
+# r0=1 ladder whose anchors sit at the w/sqrt(div) ratio floor).
+# Thresholds in halfres-SAD units per 64-px cell, qstep = ac_q/8.
+_GATE_TAU = 0.03
 
 
 def tpl_gop_q(frames_y: dict, plan, base_q: int, bd: int = 8,
-              strength: float = 1.0, edge_results: dict | None = None
-              ) -> dict:
-    """Per-frame qindex for a mini-GoP from TPL dependency flow — the
-    r0/beta half of the reference's TPL (ref tpl_model.c tpl_mc_flow /
-    tpl_model_update_b backward induction; rc_process.c:873
-    generate_r0beta -> qindex), re-designed for the two-phase
-    architecture: the device HME supplies per-16x16 inter costs, gradient
-    activity the intra costs; dependency credit is splatted through the
-    MV onto the referenced frame's cell grid (bilinear overlap weights);
-    each coded frame's qstep then scales with beta^-1/2 where
-    beta = 1 + (propagated credit)/(own cost) — frames the rest of the
-    GoP leans on get finer quantization, never-referenced leaves stay at
-    base q.
+              strength: float = 1.0, edge_results: dict | None = None,
+              key_d=None, base_q_coded: int | None = None) -> dict:
+    """Per-frame qindex ladder for a mini-GoP from TPL dependency flow —
+    the r0/beta half of the reference's TPL (ref tpl_model.c tpl_mc_flow
+    / tpl_model_update_b backward induction; rc_process.c:783
+    crf_qindex_calc), re-designed for the two-phase architecture: the
+    device HME supplies per-16x16 inter costs, gradient activity the
+    intra costs; dependency credit is splatted through the MV onto the
+    referenced frame's cell grid (bilinear overlap weights), gated by
+    skip-ability (see _GATE_TAU).
+
+    The ladder follows the reference shape:
+    - base-layer frames (the GoP base when key_d is given, and the ARF)
+      get qstep(base_q) * sqrt(r0/div) * weight where
+      r0 = own/(own + credit) (ref rc_process.c:873 qstep_ratio);
+    - non-base referenced frames interpolate halfway from their worst
+      reference's qindex toward base_q per pyramid level (the
+      non_base_qindex_weight rule, rc_process.c:902-916);
+    - leaves code slightly below base_q (the INTER_NORMAL frame-type
+      qdelta analog).
 
     frames_y: {display_idx: luma plane} (the base anchor entry may be
     its recon). plan: encode-order [(d, lo_ref_d, hi_ref_d, depth)];
     references always precede their dependents. edge_results (optional):
     {(d, ref_d) -> (mv16, sad16)} precomputed by the GoP-batched device
     search (ops/jax_backend.gop_search) — when given, no device work
-    happens here at all. Returns {d: qindex} for every planned frame."""
+    happens here at all. key_d: display index of the GoP base when it
+    is a not-yet-coded key frame whose q should come from the same r0
+    model (included in the returned dict). Returns {d: qindex} for
+    every planned frame (+ key_d). base_q_coded: the qindex the GoP
+    base anchor was actually coded at (the ref_pic_qp_array role,
+    rc_process.c:808) — used as the interpolation start for frames that
+    reference it; defaults to the key's computed q or base_q."""
+    from svt_av1_psy_tpu.ops.quant import ac_q
+
     some = next(iter(frames_y.values()))
     H, W = np.asarray(some).shape[:2]
     ph, pw = (H + 15) // 16 * 16, (W + 15) // 16 * 16
@@ -198,6 +235,8 @@ def tpl_gop_q(frames_y: dict, plan, base_q: int, bd: int = 8,
     n8r, n8c = next(iter(act.values())).shape
     credit = {d: np.zeros((n8r, n8c)) for d in frames_y}
     gy, gx = np.mgrid[0:n8r, 0:n8c]
+    gate_thr = _knob("SVT_TPL_TAU", _GATE_TAU) \
+        * (ac_q(base_q, bd) / (8.0 * (1 << (bd - 8)))) * 64.0
 
     # reverse encode order = backward induction: every frame that
     # references d is processed before d, so credit[d] is complete when
@@ -223,7 +262,11 @@ def tpl_gop_q(frames_y: dict, plan, base_q: int, bd: int = 8,
         # dependency credit) and stay positive only where the future
         # genuinely predicts from this frame
         a = np.maximum(act[d] * 0.5, 1.0)
-        delta = np.clip(a - best_sad, 0.0, None)
+        # smooth skip-ability weight (hard thresholding is knife-edge
+        # sensitive when the SAD distribution is narrow/noise-driven)
+        gate = 1.0 / (1.0 + (best_sad / gate_thr) **
+                      _knob("SVT_TPL_GATE_P", 4.0))
+        delta = np.clip(a - best_sad, 0.0, None) * gate
         # benefit + the transitive share of this frame's own accumulated
         # dependency (the (intra-inter)/intra propagation fraction of
         # tpl_model_update)
@@ -236,29 +279,42 @@ def tpl_gop_q(frames_y: dict, plan, base_q: int, bd: int = 8,
                 _splat8(credit[r], y0[m].ravel(), x0[m].ravel(),
                         flow[m].ravel())
 
-    # rate-neutral redistribution: normalize the per-frame qstep ratios
-    # by their geometric mean, so referenced frames get finer steps only
-    # as unreferenced ones get coarser (the GoP's average rate stays at
-    # the CRF operating point — the same zero-mean rule the per-SB
-    # variant applies; measured: an un-normalized pure boost loses 33%
-    # BD-rate on noisy content where anchors cannot predict the leaves)
-    ds = [p[0] for p in plan]
-    ratios = np.array([(1.0 + credit[d].sum() / (0.5 * act[d].sum()))
-                       ** (-0.5 * strength) for d in ds])
-    # anchor-boost-only ladder: frames the GoP leans on get a finer
-    # qstep (down to half), never-referenced frames stay AT base q —
-    # measured -1.7% BD vs the earlier rate-neutral geomean
-    # normalization on the RA harness (wider spreads that also coarsen
-    # leaves lose 1-23%: average-PSNR pays for leaf starvation unless
-    # the leaves fully skip, which needs stronger anchor denoising)
-    # leaves (zero propagated credit) stay AT base q: every explicit
-    # leaf-coarsening factor measured 6-20% BD WORSE on the RA harness —
-    # the skip path's inherited quality cannot absorb coarser leaf q at
-    # this anchor quality (the reference pairs leaf offsets with much
-    # stronger anchor denoising)
-    ratios = np.clip(ratios, _CLIP_LO, 1.0)
-    return {d: qindex_for_qstep_ratio(base_q, float(r), bd)
-            for d, r in zip(ds, ratios)}
+    def _r0(d):
+        own = float(np.maximum(act[d] * 0.5, 1.0).sum())
+        s = strength * _knob("SVT_TPL_CRED", 1.0)
+        return own / (own + s * float(credit[d].sum()))
+
+    qmap = {}
+    b, arf_d = plan[0][1], plan[0][0]
+    if key_d is not None:
+        ratio = min(1.0, float(np.sqrt(
+            _r0(key_d) / _knob("SVT_TPL_KEY_DIV", _KEY_DIV))) * _KEY_W)
+        qmap[key_d] = qindex_for_qstep_ratio(base_q, ratio, bd)
+    if b not in qmap:
+        qmap[b] = base_q_coded if base_q_coded is not None else base_q
+    referenced = set()
+    for d, lo, hi, *_ in plan:
+        referenced.add(lo)
+        referenced.add(hi)
+    # leaves at base q (the reference refines them ~base-10, but both a
+    # fixed and a gate-pass-adaptive leaf refinement measured 2-4% BD
+    # worse across occl/default/pan; only the grain class likes finer
+    # leaves)
+    leaf_q = base_q - int(_knob("SVT_TPL_LEAF", 0.0) *
+                          max(4, base_q // 16))
+    for d, lo, hi, dep in plan:
+        if d == arf_d:
+            ratio = min(1.0, float(np.sqrt(
+                _r0(arf_d) / _knob("SVT_TPL_ARF_DIV", _ARF_DIV)))
+                * _ARF_W)
+            qmap[d] = qindex_for_qstep_ratio(base_q, ratio, bd)
+        elif d in referenced:
+            # worst reference's q, halved toward base per level gap
+            refq = max(qmap.get(lo, base_q), qmap.get(hi, base_q))
+            qmap[d] = (refq + base_q + 1) // 2
+        else:
+            qmap[d] = leaf_q
+    return qmap
 
 
 def snap_sb_q(base_q: int, sbq: np.ndarray):

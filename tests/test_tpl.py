@@ -126,10 +126,14 @@ def test_tpl_gop_q_propagation_chain():
     frames = {0: a, 1: b, 2: c}
     # plan: display 2 = ARF off base 0, display 1 = mid (0, 2)
     plan = [(2, 0, 0, 0), (1, 0, 2, 1)]
-    q = tpl_gop_q(frames, plan, base_q=160, bd=8, strength=1.0)
-    assert set(q) == {1, 2}
-    # the ARF (display 2) is referenced by the mid -> finer qstep;
-    # the mid (display 1) is a leaf -> stays at base q
+    q = tpl_gop_q(frames, plan, base_q=160, bd=8, strength=1.0,
+                  key_d=0)
+    # the ladder includes the key/base anchor's q (the kf_boost role)
+    assert {0, 1, 2} <= set(q)
+    # fully-predictable chain: the key takes a deep r0 boost, the ARF
+    # (display 2) is referenced by the mid -> finer qstep; the mid
+    # (display 1) is a leaf -> stays at base q
+    assert ac_q(q[0], 8) < ac_q(q[2], 8), q
     assert ac_q(q[2], 8) < ac_q(160, 8), q
     assert q[1] == 160, q
 
@@ -139,7 +143,8 @@ def test_tpl_gop_q_propagation_chain():
     e = base[8:h + 8, 8:w + 8]
     frames5 = {0: a, 1: b, 2: c, 3: d, 4: e}
     plan5 = [(4, 0, 0, 0), (2, 0, 4, 1), (1, 0, 2, 2), (3, 2, 4, 2)]
-    q5 = tpl_gop_q(frames5, plan5, base_q=160, bd=8, strength=1.0)
+    q5 = tpl_gop_q(frames5, plan5, base_q=160, bd=8, strength=1.0,
+                   key_d=0)
     # the mid anchor (2) is referenced by TWO frames + transitively
     # carries their flow; it must be boosted at least as much as a
     # leaf and the never-referenced leaves stay at base
