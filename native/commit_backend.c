@@ -264,6 +264,13 @@ TpuCommit *tpuc_new(int width, int height, int bd) {
 
 /* TX_MODE_SELECT for the intra walk: per-block depth-1 TX split search
  * + tx_size signalling (spec 5.11.15 read_tx_size). */
+/* allow_high_precision_mv for the inter walk: MV writer hp bits, MVP
+ * precision lowering and the eighth-pel subpel search all key off it
+ * (spec 5.9.10; the field doubles as the MVP builder's allow_hp) */
+void tpuc_set_allow_hp(TpuCommit *c, int enable) {
+    c->tpl_allow_hp = enable;
+}
+
 void tpuc_set_tx_select(TpuCommit *c, int enable) {
     c->tx_select = enable;
 }
@@ -1233,6 +1240,7 @@ typedef struct {
     /* filter intra (spec 5.11.7; DC blocks <= 32) */
     int use_fi, fi_mode;
     double cost;     /* sse + rdmult*rate incl. mode signalling */
+    int64_t ydist;   /* luma SSE of the winner (post TX-split choice) */
 } IntraChoice;
 
 static __thread int32_t s_pred_y[64 * 64], s_resid_y[64 * 64];
@@ -1795,6 +1803,9 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
 
     s_tu = au;
     s_tv = av;
+    out->ydist = s_split ? (s_sub_t[0].sse + s_sub_t[1].sse +
+                            s_sub_t[2].sse + s_sub_t[3].sse)
+                         : s_ty.sse;
     out->y_mode = y_mode;
     out->uv_mode = uv_mode;
     out->cfl_js = cfl_js;
@@ -2162,6 +2173,37 @@ static void walk_partition(TpuCommit *c, int r, int c4, int size,
         int nc = size == 64 ? ncols64 : size == 32 ? ncols32 : ncols16;
         split = forced || sm[((r * 4) / size) * nc + (c4 * 4) / size];
     }
+    IntraChoice pre;
+    int have_pre = 0;
+    if (!split && size > 8) {
+        /* residual-quality partition override: the device split tree
+         * scores prediction SAD only, which is blind to residual
+         * CODING quality — an isolated sharp feature (glyph/text) has
+         * the same SAD at every size, so the tree never splits, and a
+         * large transform (TX_64 zero-out, steep large-TX QM bands)
+         * destroys it. Trial the block first; when its distortion
+         * lands far above the quantization-noise floor (expected
+         * ~npx*step^2/12 for residual the TX can represent), the big
+         * transform is failing the content — code a SPLIT instead and
+         * recurse (the reference's partition RD reaches the same
+         * outcome through full nsq cost comparison,
+         * ref product_coding_loop.c md_stage partition costs). */
+        const uint8_t *mm = size == 64 ? mode64
+                            : size == 32 ? mode32 : mode16;
+        int nc = size == 64 ? ncols64
+                 : size == 32 ? ncols32 : ncols16;
+        const uint8_t *cand =
+            mm + (((r * 4) / size) * nc + (c4 * 4) / size) * N_MODE_CANDS;
+        intra_trial(c, r, c4, size, cand, q, 1, &pre);
+        have_pre = 1;
+        const int32_t *pq = pq_of(c, q, 0);
+        double step = (double)pq[9] / 8.0;   /* AC qstep, pixel units */
+        double npx = (double)size * size;
+        if ((double)pre.ydist > npx * step * step * 0.5) {
+            split = 1;
+            have_pre = 0;
+        }
+    }
     if (split) {
         tpu_write_partition(c, r, c4, size, 3);
         int h4 = w4 >> 1;
@@ -2181,14 +2223,28 @@ static void walk_partition(TpuCommit *c, int r, int c4, int size,
         return;
     }
     tpu_write_partition(c, r, c4, size, 0);
-    const uint8_t *mm = size == 64 ? mode64
-                        : size == 32 ? mode32
-                        : size == 16 ? mode16 : mode8;
-    int nc = size == 64 ? ncols64
-             : size == 32 ? ncols32
-             : size == 16 ? ncols16 : ncols8;
-    encode_block_intra_frame(c, r, c4, size, mm, nc, q, dq_pending, prev_q,
-                             dq_res_log2);
+    if (have_pre) {
+        /* commit the probe trial (trial state is still live: no other
+         * trial ran since) */
+        int skip_ctx = c->above_skip[c4] + c->left_skip[r];
+        tpuec_symbol(c->ec, pre.skip, c->mc->skip + skip_ctx * 3, 2, 1);
+        if (*dq_pending && !(size == 64 && pre.skip)) {
+            int delta = (q - *prev_q) >> dq_res_log2;
+            tpu_write_delta_q(c, delta < 0 ? -delta : delta, delta < 0);
+            *prev_q = q;
+            *dq_pending = 0;
+        }
+        intra_write_commit(c, r, c4, size, &pre, 1);
+    } else {
+        const uint8_t *mm = size == 64 ? mode64
+                            : size == 32 ? mode32
+                            : size == 16 ? mode16 : mode8;
+        int nc = size == 64 ? ncols64
+                 : size == 32 ? ncols32
+                 : size == 16 ? ncols16 : ncols8;
+        encode_block_intra_frame(c, r, c4, size, mm, nc, q, dq_pending,
+                                 prev_q, dq_res_log2);
+    }
     tpu_update_part_ctx(c, r, c4, size);
 }
 

@@ -1669,7 +1669,11 @@ static void write_mv_comp(TpuCommit *c, int comp, int val) {
         tpuec_symbol(c->ec, fr, ic->class0_fp[comp] + d * 5, 4, 1);
     else
         tpuec_symbol(c->ec, fr, ic->fp[comp], 4, 1);
-    /* allow_hp == 0: no hp bit */
+    if (c->tpl_allow_hp) {
+        int hp = rem & 1;
+        tpuec_symbol(c->ec, hp,
+                     cls == 0 ? ic->class0_hp[comp] : ic->hp[comp], 2, 1);
+    }
 }
 
 static double cost_mv_comp(TpuCommit *c, int comp, int val) {
@@ -1698,6 +1702,9 @@ static double cost_mv_comp(TpuCommit *c, int comp, int val) {
         bits += tpu_sym_cost_bits(ic->class0_fp[comp] + d * 5, fr);
     else
         bits += tpu_sym_cost_bits(ic->fp[comp], fr);
+    if (c->tpl_allow_hp)
+        bits += tpu_sym_cost_bits(
+            cls == 0 ? ic->class0_hp[comp] : ic->hp[comp], rem & 1);
     return bits;
 }
 
@@ -1718,7 +1725,9 @@ static double cost_mv(TpuCommit *c, int mvr, int mvc, int pr, int pc) {
     return bits;
 }
 
-static void lower_precision(int *r, int *c2) {
+static void lower_precision_hp(TpuCommit *c, int *r, int *c2) {
+    /* spec lower_mv_precision: only when !allow_high_precision_mv */
+    if (c->tpl_allow_hp) return;
     if (*r & 1) *r += *r > 0 ? -1 : 1;
     if (*c2 & 1) *c2 += *c2 > 0 ? -1 : 1;
 }
@@ -2122,7 +2131,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                      c->t_mi_col1, gm_r, gm_c, -1, 0, 0, c->sign_bias,
                      tplp, &refs);
     int near0r = refs.mv[0][0], near0c = refs.mv[0][1];
-    lower_precision(&near0r, &near0c);
+    lower_precision_hp(c, &near0r, &near0c);
 
     /* candidate list: (mode, mvr, mvc, drl) */
     int cm[6][4];
@@ -2131,7 +2140,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     cm[ncand][3] = 0; ncand++;
     if (refs.n_found >= 2) {
         int m1r = refs.mv[1][0], m1c = refs.mv[1][1];
-        lower_precision(&m1r, &m1c);
+        lower_precision_hp(c, &m1r, &m1c);
         if (m1r != near0r || m1c != near0c) {
             cm[ncand][0] = 1; cm[ncand][1] = m1r; cm[ncand][2] = m1c;
             cm[ncand][3] = 0; ncand++;
@@ -2163,7 +2172,13 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         int bestr = seedr, bestc = seedc;
         mc_luma(c, r, c4, size, bestr, bestc, tmp_pred);
         long best_sad = sad_luma(c, r, c4, size, tmp_pred);
-        for (int step = 8; step >= 2; step >>= 1) {
+        for (int step = 8; step >= (c->tpl_allow_hp ? 1 : 2);
+             step >>= 1) {
+            /* the eighth-pel tail must BUY its hp bits: pure-SAD
+             * acceptance at step 1 takes moves whose gain is below the
+             * MV-rate cost (the reference's subpel search is RD-aware,
+             * ref mcomp.c) */
+            long margin = step == 1 ? (long)size : 0;
             int improved = 1;
             int iters = 0;
             while (improved && iters++ < 3) {
@@ -2175,7 +2190,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                     int mc2 = bestc + D[k][1] * step;
                     mc_luma(c, r, c4, size, mr, mc2, tmp_pred);
                     long s = sad_luma(c, r, c4, size, tmp_pred);
-                    if (s < best_sad) {
+                    if (s + margin < best_sad) {
                         best_sad = s;
                         bestr = mr;
                         bestc = mc2;
@@ -2266,7 +2281,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         }
         if (mode == 3) {
             int pr = refs.mv[0][0], pc = refs.mv[0][1];
-            lower_precision(&pr, &pc);
+            lower_precision_hp(c, &pr, &pc);
             rate += cost_mv(c, mvr, mvc, pr, pc);
             if (refs.n_found > 1)
                 rate += tpu_sym_cost_bits(
@@ -2393,8 +2408,8 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         {
             int m0r = crefs.mv[0][0], m0c = crefs.mv[0][1];
             int m1r = crefs.mv2[0][0], m1c = crefs.mv2[0][1];
-            lower_precision(&m0r, &m0c);
-            lower_precision(&m1r, &m1c);
+            lower_precision_hp(c, &m0r, &m0c);
+            lower_precision_hp(c, &m1r, &m1c);
             cc_cm[ncc] = 0;                      /* NEAREST_NEARESTMV */
             cc_mv[ncc][0] = m0r; cc_mv[ncc][1] = m0c;
             cc_mv[ncc][2] = m1r; cc_mv[ncc][3] = m1c;
@@ -2402,8 +2417,8 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
             if (crefs.n >= 2) {
                 int n0r = crefs.mv[1][0], n0c = crefs.mv[1][1];
                 int n1r = crefs.mv2[1][0], n1c = crefs.mv2[1][1];
-                lower_precision(&n0r, &n0c);
-                lower_precision(&n1r, &n1c);
+                lower_precision_hp(c, &n0r, &n0c);
+                lower_precision_hp(c, &n1r, &n1c);
                 if (n0r != m0r || n0c != m0c || n1r != m1r ||
                     n1c != m1c) {
                     cc_cm[ncc] = 1;              /* NEAR_NEARMV */
@@ -2422,7 +2437,8 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
             static __thread int32_t tmp2[64 * 64];
             mc_luma2(c, r, c4, size, b1r, b1c, tmp2);
             long bs2 = sad_luma(c, r, c4, size, tmp2);
-            for (int step = 8; step >= 2; step >>= 1) {
+            for (int step = 8; step >= (c->tpl_allow_hp ? 1 : 2);
+             step >>= 1) {
                 int improved = 1, iters = 0;
                 while (improved && iters++ < 3) {
                     improved = 0;
@@ -2480,8 +2496,8 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                         ic->drl + tpui_drl_ctx(&crefs, 0) * 3, 0);
                 int p0r = crefs.mv[0][0], p0c = crefs.mv[0][1];
                 int p1r = crefs.mv2[0][0], p1c = crefs.mv2[0][1];
-                lower_precision(&p0r, &p0c);
-                lower_precision(&p1r, &p1c);
+                lower_precision_hp(c, &p0r, &p0c);
+                lower_precision_hp(c, &p1r, &p1c);
                 rate += cost_mv(c, cc_mv[i][0], cc_mv[i][1], p0r, p0c);
                 rate += cost_mv(c, cc_mv[i][2], cc_mv[i][3], p1r, p1c);
             } else if (cc_cm[i] == 1 && crefs.n_found > 2) {
@@ -3298,8 +3314,8 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                 }
                 int p0r = crefs.mv[0][0], p0c = crefs.mv[0][1];
                 int p1r = crefs.mv2[0][0], p1c = crefs.mv2[0][1];
-                lower_precision(&p0r, &p0c);
-                lower_precision(&p1r, &p1c);
+                lower_precision_hp(c, &p0r, &p0c);
+                lower_precision_hp(c, &p1r, &p1c);
                 write_mv(c, cmv0r, cmv0c, p0r, p0c);
                 write_mv(c, cmv1r, cmv1c, p1r, p1c);
             } else if (comp_cm == 1) {        /* NEAR_NEARMV, idx = 1 */
@@ -3377,7 +3393,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
             if (best_mode == 3) {
                 int pos = refs.n_found > 1 ? best_drl : 0;
                 int pr = refs.mv[pos][0], pc = refs.mv[pos][1];
-                lower_precision(&pr, &pc);
+                lower_precision_hp(c, &pr, &pc);
                 write_mv(c, best_mvr, best_mvc, pr, pc);
             }
         }
@@ -3585,6 +3601,44 @@ static void walk_p(TpuCommit *c, int r, int c4, int size,
         const uint8_t *sm = size == 64 ? s64 : size == 32 ? s32 : s16;
         int nc = size == 64 ? nc64 : size == 32 ? nc32 : nc16;
         split = forced || sm[((r * 4) / size) * nc + (c4 * 4) / size];
+    }
+    if (split && !forced && size >= 32) {
+        /* skip-merge override: the device split tree scores source SADs,
+         * which on noisy-but-static content splits deep — and the
+         * partition tree alone costs ~20% of a leaf frame's bits (the
+         * reference's partition RD folds the skip path's cheapness into
+         * the no-split cost and codes 64x64 skips). When the whole
+         * block's zero/GM-MV prediction already sits below half the
+         * quantization-noise floor, nothing a finer partition codes can
+         * beat skip: collapse to an unsplit block (its own RD then
+         * picks skip/skip_mode). */
+        const int32_t *pq = c->qtab + ((q * 3) + 0) * 10;
+        double step = (double)pq[9] / 8.0;
+        double npx = (double)size * size;
+        static __thread int32_t mg_pred[64 * 64];
+        /* LAST recon planes (always attached) — srefp is per-block */
+        tpui_mc_block(c->refp[0], c->ref_stride[0], c->width, c->height,
+                      c4 * 4, r * 4, size, size, c->gm_mv[1] * 2,
+                      c->gm_mv[0] * 2, c->bd, mg_pred);
+        long psse = 0;
+        {
+            const uint16_t *sy = c->src[0];
+            int ss = c->sstride[0];
+            for (int i = 0; i < size; i++)
+                for (int j = 0; j < size; j++) {
+                    long dd = (long)sy[(r * 4 + i) * ss + c4 * 4 + j] -
+                              mg_pred[i * size + j];
+                    psse += dd * dd;
+                }
+        }
+        {
+            static double beta = -1.0;
+            if (beta < 0) {
+                const char *e = getenv("SVT_MERGE_BETA");
+                beta = e ? atof(e) : 1.0 / 12.0;
+            }
+            if ((double)psse < npx * step * step * beta) split = 0;
+        }
     }
     if (split) {
         tpu_write_partition(c, r, c4, size, 3);
