@@ -256,6 +256,7 @@ void tpuc_upload_wedge(int which, const int32_t *masks, int n);
 /* TX_MODE_SELECT for the intra walk: per-block depth-1 TX split search
  * + tx_size signalling (frame header must code tx_mode_select = 1). */
 void tpuc_set_tx_select(TpuCommit *c, int enable);
+void tpuc_set_allow_hp(TpuCommit *c, int enable);
 /* Motion-mode search: when enabled the walk trials OBMC_CAUSAL (and
  * WARPED_CAUSAL when allow_warp) on eligible single-ref blocks and
  * writes the motion-mode symbol (frame header must set

@@ -424,6 +424,7 @@ def _ensure_commit_locked(lib):
     lib.tpuc_set_filter_intra.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.tpuc_upload_fi.argtypes = [i32p]
     lib.tpuc_set_tx_select.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.tpuc_set_allow_hp.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.tpuc_upload_warp.argtypes = [i32p, i32p]
     lib.tpuc_set_tpl.argtypes = [ctypes.c_void_p, i16p, i16p, u8p,
                                  ctypes.c_int, ctypes.c_int, i32p,
@@ -604,6 +605,13 @@ class CommitEngine:
             self._c, int(skip_mode_present),
             sb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             int(masked))
+
+    def set_allow_hp(self, enable: bool):
+        """allow_high_precision_mv: eighth-pel MV search + hp bits in
+        the MV writer; MVP candidates keep eighth precision (spec
+        lower_mv_precision is skipped). Call AFTER set_tpl (which also
+        initializes the flag for the MVP builder)."""
+        self.lib.tpuc_set_allow_hp(self._c, int(enable))
 
     def set_tx_select(self, enable: bool):
         """TX_MODE_SELECT intra walk: per-block depth-1 TX split search
