@@ -311,17 +311,16 @@ class RaDriver:
         y, u, v = fuv
         if self.tf_strength and future:
             # key-frame alt-ref filter over FUTURE sources (the
-            # reference filters I-frames with a forward window,
-            # ref temporal_filtering.c key-frame path)
-            from svt_av1_psy_tpu.models.temporal_filter import \
-                temporal_filter
-            from svt_av1_psy_tpu.utils.trace import stage as _tstage
-            win = [(y, u, v)] + [future[dd] for dd in sorted(future)
-                                 if dd > d][:2]
+            # reference filters I-frames with a forward window, ref
+            # temporal_filtering.c key-frame path) — on device, one
+            # fused call (the host block-loop filter costs seconds per
+            # 1080p key)
+            win = [future[dd] for dd in sorted(future) if dd > d][:2] \
+                + [(y, u, v)]
             if len(win) > 1:
+                from svt_av1_psy_tpu.utils.trace import stage as _tstage
                 with _tstage("temporal_filter"):
-                    y, u, v = temporal_filter(win, 0,
-                                              strength=self.tf_strength)
+                    y, u, v = self._tf_device(win)
         f = self.enc._encode_key(y, u, v, order_hint=d)
         self._base_slot = 0
         self._base_display = d
@@ -329,6 +328,47 @@ class RaDriver:
         # by emit time the next GoP's dispatch has already advanced it
         self._recon_by_display[d] = (f.recon_y, f.recon_u, f.recon_v)
         return RaPacket(f.payload, d, (f.recon_y, f.recon_u, f.recon_v))
+
+    def _tf_device(self, win):
+        """Device temporal filter of win[-1] (center LAST) against the
+        other window frames; returns cropped (y, u, v) uint arrays."""
+        import jax
+        import jax.numpy as jnp
+
+        from svt_av1_psy_tpu.ops.jax_backend import tf_filter_device
+
+        enc = self.enc
+        H, W = np.asarray(win[-1][0]).shape
+        ph, pw = enc.pah, enc.paw
+        chf = (ph // 2, pw // 2)
+        dtype = np.uint8 if getattr(enc, "bd", 8) == 8 else np.uint16
+        T = len(win)
+
+        def pad(p, hh, ww):
+            p = np.asarray(p)
+            return np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])),
+                          mode="edge").astype(dtype)
+
+        wy = np.stack([pad(f[0], ph, pw) for f in win])
+        wu = np.stack([pad(f[1], *chf) for f in win])
+        wv = np.stack([pad(f[2], *chf) for f in win])
+        mask = np.ones(T, np.float32)
+        key = (T, ph, pw, enc.bd)
+        cache = getattr(RaDriver, "_tfdev_cache", None)
+        if cache is None:
+            cache = RaDriver._tfdev_cache = {}
+        fn = cache.get(key)
+        if fn is None:
+            fn = jax.jit(tf_filter_device, static_argnums=(5,))
+            cache[key] = fn
+        fy, fu, fv = fn(jnp.asarray(wy), jnp.asarray(wu),
+                        jnp.asarray(wv), jnp.asarray(mask),
+                        jnp.asarray(np.float32(self.tf_strength)),
+                        enc.bd)
+        ch, cw = (H + 1) // 2, (W + 1) // 2
+        return (np.asarray(fy)[:H, :W].astype(dtype),
+                np.asarray(fu)[:ch, :cw].astype(dtype),
+                np.asarray(fv)[:ch, :cw].astype(dtype))
 
     def _free_slots(self, in_use):
         return [s for s in range(8) if s not in in_use]

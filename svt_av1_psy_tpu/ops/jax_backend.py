@@ -507,16 +507,22 @@ def hme_search2(src_u8: jnp.ndarray, ref_u8: jnp.ndarray,
     # wrap-around scroll bands, occlusion-reveal areas and small
     # regions moving against a pan need exactly the second/third
     # global mode (ref motion_estimation.c hme candidate seeding).
-    K_GLOB = 4
+    import os
+    K_GLOB = int(os.environ.get("SVT_HME_GLOBK", "4"))
     seed_flat = seed_q.reshape(-1, 2)
-    vote_idx = (seed_flat[:, 0] + r0) * side0 + (seed_flat[:, 1] + r0)
-    votes = jnp.zeros((side0 * side0,), jnp.int32).at[vote_idx].add(1)
-    _, top_idx = jax.lax.top_k(votes, K_GLOB)
-    glob_mv = jnp.stack([top_idx // side0 - r0, top_idx % side0 - r0],
-                        axis=-1)                        # (K_GLOB, 2)
+    if K_GLOB:
+        vote_idx = (seed_flat[:, 0] + r0) * side0 + (seed_flat[:, 1] + r0)
+        # histogram as a one-hot reduction (a scatter-add serializes on
+        # TPU: ~1k scalar updates per block across the batched GoP
+        # program measured minutes of device time)
+        votes = (vote_idx[:, None] ==
+                 jnp.arange(side0 * side0, dtype=jnp.int32)[None, :]) \
+            .sum(axis=0, dtype=jnp.int32)
+        _, top_idx = jax.lax.top_k(votes, K_GLOB)
+        glob_mv = jnp.stack([top_idx // side0 - r0, top_idx % side0 - r0],
+                            axis=-1)                    # (K_GLOB, 2)
 
     # level 1: half-res per-block window refinement +-r1 around 2*seed
-    # for each candidate seed (own + K_GLOB global)
     P = 2 * r0 + r1 + 8
     rp1 = jnp.pad(rh, ((P, P), (P, P)), mode="edge")
     wsz = 8 + 2 * r1
@@ -524,22 +530,16 @@ def hme_search2(src_u8: jnp.ndarray, ref_u8: jnp.ndarray,
     bi = jnp.arange(nb)
     by = bi // n16c
     bx = bi % n16c
-    # (nb, 1+K_GLOB, 2) candidate quarter-res seeds per block
-    cands = jnp.concatenate(
-        [seed_flat[:, None, :],
-         jnp.broadcast_to(glob_mv[None, :, :], (nb, K_GLOB, 2))], axis=1)
-    ncand = 1 + K_GLOB
-    cy = (by[:, None] * 8 + 2 * cands[..., 0] - r1 + P).reshape(-1)
-    cx = (bx[:, None] * 8 + 2 * cands[..., 1] - r1 + P).reshape(-1)
+    blks = sh.reshape(n16r, 8, n16c, 8).transpose(0, 2, 1, 3) \
+        .reshape(-1, 8, 8)
+    side1 = 2 * r1 + 1
+    cy = by * 8 + 2 * seed_flat[:, 0] - r1 + P
+    cx = bx * 8 + 2 * seed_flat[:, 1] - r1 + P
 
     def get_win(y0, x0):
         return jax.lax.dynamic_slice(rp1, (y0, x0), (wsz, wsz))
 
-    wins = jax.vmap(get_win)(cy, cx)            # (nb*ncand, wsz, wsz)
-    blks = sh.reshape(n16r, 8, n16c, 8).transpose(0, 2, 1, 3) \
-        .reshape(-1, 8, 8)
-    blks = jnp.repeat(blks, ncand, axis=0)      # (nb*ncand, 8, 8)
-    side1 = 2 * r1 + 1
+    wins = jax.vmap(get_win)(cy, cx)                    # (n, wsz, wsz)
 
     def body1(k, carry):
         best_sad, best_off = carry
@@ -554,18 +554,47 @@ def hme_search2(src_u8: jnp.ndarray, ref_u8: jnp.ndarray,
         best_sad = jnp.where(better, sad, best_sad)
         return best_sad, best_off
 
-    init1 = (jnp.full((nb * ncand,), 1 << 30, jnp.int32),
-             jnp.zeros((nb * ncand, 2), jnp.int32))
+    init1 = (jnp.full((nb,), 1 << 30, jnp.int32),
+             jnp.zeros((nb, 2), jnp.int32))
     best_sad, best_off = jax.lax.fori_loop(0, side1 * side1, body1, init1)
-    # pick the best candidate per block (ties break to the own seed,
-    # which comes first)
-    best_sad = best_sad.reshape(nb, ncand)
-    best_off = best_off.reshape(nb, ncand, 2)
-    ci = jnp.argmin(best_sad, axis=1)
-    mv_h = 2 * jnp.take_along_axis(cands, ci[:, None, None],
-                                   axis=1)[:, 0] + \
-        jnp.take_along_axis(best_off, ci[:, None, None], axis=1)[:, 0]
-    best_sad = jnp.min(best_sad, axis=1)
+    mv_h = 2 * seed_flat + best_off                     # half-res units
+    best_sad = best_sad.reshape(n16r, n16c)
+    mv_h = mv_h.reshape(n16r, n16c, 2)
+
+    # global candidates refined DENSELY (plane shifts like level 0 — a
+    # per-candidate gather refine measured minutes of device time in
+    # the batched GoP program): each of the K_GLOB frame-dominant MV
+    # modes gets a small +-R1G half-res window evaluated as whole-plane
+    # shifts with per-8x8 box sums; a block whose own-seed refinement
+    # lost to a global mode (wrap-around scroll bands, occlusion
+    # reveals, counter-pan objects) takes the global MV.
+    R1G = 2
+    Hh2, Wh2 = n16r * 8, n16c * 8
+    shc = sh[:Hh2, :Wh2]
+    sideg = 2 * R1G + 1
+
+    def bodyg(t, carry):
+        best_sad2, best_mv2 = carry
+        k = t // (sideg * sideg)
+        rem = t % (sideg * sideg)
+        dy = rem // sideg - R1G
+        dx = rem % sideg - R1G
+        oy = 2 * glob_mv[k, 0] + dy
+        ox = 2 * glob_mv[k, 1] + dx
+        shifted = jax.lax.dynamic_slice(rp1, (oy + P, ox + P),
+                                        (Hh2, Wh2))
+        d = jnp.abs(shc - shifted)
+        sad = d.reshape(n16r, 8, n16c, 8).sum(axis=(1, 3))
+        better = sad < best_sad2
+        mv2 = jnp.stack([jnp.full((n16r, n16c), oy),
+                         jnp.full((n16r, n16c), ox)], axis=-1)
+        best_mv2 = jnp.where(better[..., None], mv2, best_mv2)
+        best_sad2 = jnp.where(better, sad, best_sad2)
+        return best_sad2, best_mv2
+
+    if K_GLOB:
+        best_sad, mv_h = jax.lax.fori_loop(0, K_GLOB * sideg * sideg,
+                                           bodyg, (best_sad, mv_h))
     mv16 = (2 * mv_h).reshape(n16r, n16c, 2).astype(jnp.int16)
     return mv16, best_sad.reshape(n16r, n16c)
 
