@@ -387,6 +387,11 @@ class RaDriver:
         pre = getattr(self, "_pre_by_d", None)
         if pre:
             ra["pre"] = pre.pop(d, None)
+        filt = getattr(self, "_filtered_src", None)
+        if filt and d in filt:
+            # anchor was temporal-filtered on device; decide/HME ran on
+            # the filtered plane, so the walk codes the same source
+            fuv = filt[d][0]
         y, u, v = fuv
         f = self.enc._encode_p(y, u, v, ra=ra)
         self._recon_by_display[d] = _LazyRecon(f)
@@ -493,12 +498,53 @@ class RaDriver:
                                        *chf).astype(dtype)
                 win_v[T - 1] = _pad_to(np.asarray(frames[arf_d][2]),
                                        *chf).astype(dtype)
+                # depth-1 mid anchor TF (+-2 window; the reference TFs
+                # its layer-1 pictures too, tf_params_per_type[1]).
+                # Stack position 2 = plan[1] by construction.
+                mid_d = plan[1][0] if len(plan) > 1 else None
+                tf_mid = mid_d is not None and idx[mid_d] == 2
+                w2_idx = np.zeros(T, np.int32)
+                w2_mask = np.zeros(T, np.float32)
+                w2_u = np.zeros((T,) + chf, dtype)
+                w2_v = np.zeros((T,) + chf, dtype)
+                # no mid: the "filter" must be the identity on stack
+                # pos 2 (center = itself, no weighted neighbors)
+                w2_idx[T - 1] = 2 if fmax > 2 else 0
+                if tf_mid:
+                    w2_ds = [dd for dd in (mid_d - 2, mid_d - 1,
+                                           mid_d + 1, mid_d + 2)
+                             if dd in frames or dd == b]
+                    for k, dd in enumerate(w2_ds):
+                        w2_idx[k] = idx[dd] if dd != b else 0
+                        w2_mask[k] = 1.0
+                        fr2 = frames.get(dd)
+                        if fr2 is not None:
+                            w2_u[k] = _pad_to(np.asarray(fr2[1]),
+                                              *chf).astype(dtype)
+                            w2_v[k] = _pad_to(np.asarray(fr2[2]),
+                                              *chf).astype(dtype)
+                        else:
+                            # base anchor: luma comes from the stack;
+                            # chroma unavailable at dispatch — weight
+                            # the slot out of the chroma accumulation
+                            # is not possible per-plane, so drop it
+                            w2_mask[k] = 0.0
+                    w2_idx[T - 1] = idx[mid_d]
+                    w2_mask[T - 1] = 1.0
+                    w2_u[T - 1] = _pad_to(np.asarray(frames[mid_d][1]),
+                                          *chf).astype(dtype)
+                    w2_v[T - 1] = _pad_to(np.asarray(frames[mid_d][2]),
+                                          *chf).astype(dtype)
                 out = _jitted_gop_search_tf()(
                     planes_dev, jnp.asarray(edges), jnp.asarray(bias),
                     jnp.asarray(win_u), jnp.asarray(win_v),
                     jnp.asarray(win_idx), jnp.asarray(win_mask),
                     jnp.asarray(np.float32(self.tf_strength)),
-                    enc.bd, enc.min_block)
+                    enc.bd, enc.min_block,
+                    jnp.asarray(w2_u), jnp.asarray(w2_v),
+                    jnp.asarray(w2_idx), jnp.asarray(w2_mask))
+                tf_n = 2
+                tf_mid = mid_d if tf_mid else None
             elif getattr(self, "gop_meshes", None):
                 # multi-chip GoP parallelism (SURVEY §2.2 P2): successive
                 # mini-GoPs round-robin over DISJOINT device meshes; each
@@ -530,7 +576,8 @@ class RaDriver:
         return {"frames": frames, "b": b, "arf_d": arf_d, "plan": plan,
                 "n": len(buf), "out": out, "edge_keys": edge_keys,
                 "idx": idx, "fmax": fmax, "emax": emax, "padded": padded,
-                "tf": tf_on, "key": key}
+                "tf": tf_on, "tf_n": tf_n if tf_on else 0,
+                "tf_mid": tf_mid if tf_on else None, "key": key}
 
     def _finish_pending(self) -> list[RaPacket]:
         task, self._pending = self._pending, None
@@ -562,15 +609,22 @@ class RaDriver:
         self._tpl_q = None
         with _tstage("gop_fetch"):
             buf = np.asarray(task["out"])
+        self._filtered_src = {}
         if task["tf"]:
-            mv, sad, dec, fy, fu, fv = gop_search_tf_unpack(
-                buf, task["fmax"], task["emax"], (pah, paw), enc.bd)
+            mv, sad, dec, filt = gop_search_tf_unpack(
+                buf, task["fmax"], task["emax"], (pah, paw), enc.bd,
+                n_filtered=task.get("tf_n", 1))
+            fy, fu, fv = filt[0]
             H, W = enc.height, enc.width
             ch, cw = (H + 1) // 2, (W + 1) // 2
             arf_src = (fy[:H, :W], fu[:ch, :cw], fv[:ch, :cw])
             # the ARF decide/HME ran on the FILTERED plane; the walk
             # must code the same source
             arf_padded = fy
+            if len(filt) > 1 and task.get("tf_mid") is not None:
+                f2y, f2u, f2v = filt[1]
+                self._filtered_src[task["tf_mid"]] = (
+                    (f2y[:H, :W], f2u[:ch, :cw], f2v[:ch, :cw]), f2y)
         else:
             mv, sad, dec = gop_search_unpack(buf, task["fmax"],
                                              task["emax"], (pah, paw))
@@ -616,6 +670,8 @@ class RaDriver:
             with _tstage("tpl_gop_q"):
                 fy_map = dict(task["padded"])
                 fy_map[arf_d] = arf_padded
+                for fd, (_fuv, fpad) in self._filtered_src.items():
+                    fy_map[fd] = fpad
                 fy_map[b] = key[2][:pah, :paw] if key is not None else \
                     np.asarray(enc._dpb[self._base_slot][0])[:pah, :paw]
                 self._tpl_q = tpl_gop_q(

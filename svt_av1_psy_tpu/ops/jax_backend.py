@@ -796,26 +796,38 @@ def gop_search_tf(frames_u8: jnp.ndarray, edges: jnp.ndarray,
                   split_bias: jnp.ndarray, win_u: jnp.ndarray,
                   win_v: jnp.ndarray, win_idx: jnp.ndarray,
                   win_mask: jnp.ndarray, strength: jnp.ndarray,
-                  bd: int = 8, min_block: int = 8):
-    """gop_search with the ARF temporal filter fused in: the window lumas
-    are gathered from the frame stack (win_idx, center = the ARF at stack
-    position 1), filtered on device, and the FILTERED ARF replaces stack
-    entry 1 before the decide/HME phase — so the whole mini-GoP costs one
-    dispatch and one packed transfer including the TF (the reference runs
-    TF as a separate host pass, ref temporal_filtering.c:4064).
+                  bd: int = 8, min_block: int = 8,
+                  win2_u: jnp.ndarray = None, win2_v: jnp.ndarray = None,
+                  win2_idx: jnp.ndarray = None,
+                  win2_mask: jnp.ndarray = None):
+    """gop_search with the anchor temporal filters fused in: the window
+    lumas are gathered from the frame stack (win_idx, center = the ARF
+    at stack position 1), filtered on device, and the FILTERED planes
+    replace their stack entries before the decide/HME phase — so the
+    whole mini-GoP costs one dispatch and one packed transfer including
+    the TF (the reference runs TF as a separate host pass,
+    ref temporal_filtering.c:4064). When win2_* is given, the depth-1
+    mid anchor (stack position 2) filters too with a +-2 window — the
+    reference also TFs its layer-1 pictures (tf_params_per_type[1]).
 
     win_u/win_v: (T, Hc, Wc) chroma planes of the window frames (same
     order as win_idx; the luma comes from frames_u8[win_idx]).
     Returns one uint8 vector:
-    [gop_search payload | filtered ARF y | u | v (u8, or u16 bitcast)]."""
+    [gop_search payload | ARF y u v | (mid y u v) (u8/u16 bitcast)]."""
     dtype = frames_u8.dtype
     win_y = frames_u8[win_idx].astype(jnp.int32)
     fy, fu, fv = tf_filter_device(win_y, win_u, win_v, win_mask,
                                   strength, bd)
     frames_f = frames_u8.at[1].set(fy.astype(dtype))
+    parts = [fy.reshape(-1), fu.reshape(-1), fv.reshape(-1)]
+    if win2_idx is not None:
+        win2_y = frames_u8[win2_idx].astype(jnp.int32)
+        f2y, f2u, f2v = tf_filter_device(win2_y, win2_u, win2_v,
+                                         win2_mask, strength, bd)
+        frames_f = frames_f.at[2].set(f2y.astype(dtype))
+        parts += [f2y.reshape(-1), f2u.reshape(-1), f2v.reshape(-1)]
     main = gop_search(frames_f, edges, split_bias, bd, min_block)
-    planes = jnp.concatenate([fy.reshape(-1), fu.reshape(-1),
-                              fv.reshape(-1)])
+    planes = jnp.concatenate(parts)
     if bd == 8:
         planes_u8 = planes.astype(jnp.uint8)
     else:
@@ -825,14 +837,15 @@ def gop_search_tf(frames_u8: jnp.ndarray, edges: jnp.ndarray,
 
 
 def gop_search_tf_unpack(buf: np.ndarray, n_frames: int, n_edges: int,
-                         shape, bd: int = 8):
-    """Host-side unpack of gop_search_tf: returns (mv, sad, dec, fy, fu,
-    fv) where the first three match gop_search_unpack and the filtered
-    ARF planes are uint8/uint16 (H, W) / (Hc, Wc)."""
+                         shape, bd: int = 8, n_filtered: int = 1):
+    """Host-side unpack of gop_search_tf: returns (mv, sad, dec,
+    [(fy, fu, fv), ...]) where the first three match gop_search_unpack
+    and each filtered anchor's planes are uint8/uint16 (H, W) /
+    (Hc, Wc). n_filtered: 1 = ARF only, 2 = ARF + depth-1 mid."""
     H, W = shape
     hc, wc = H // 2, W // 2
     npl = H * W + 2 * hc * wc
-    nbytes = npl * (1 if bd == 8 else 2)
+    nbytes = n_filtered * npl * (1 if bd == 8 else 2)
     mv, sad, dec = gop_search_unpack(buf[:-nbytes], n_frames, n_edges,
                                      shape)
     tail = buf[-nbytes:]
@@ -840,10 +853,14 @@ def gop_search_tf_unpack(buf: np.ndarray, n_frames: int, n_edges: int,
         pl = tail
     else:
         pl = np.frombuffer(tail.tobytes(), np.uint16)
-    fy = pl[:H * W].reshape(H, W)
-    fu = pl[H * W:H * W + hc * wc].reshape(hc, wc)
-    fv = pl[H * W + hc * wc:].reshape(hc, wc)
-    return mv, sad, dec, fy, fu, fv
+    out = []
+    for k in range(n_filtered):
+        o = k * npl
+        fy = pl[o:o + H * W].reshape(H, W)
+        fu = pl[o + H * W:o + H * W + hc * wc].reshape(hc, wc)
+        fv = pl[o + H * W + hc * wc:o + npl].reshape(hc, wc)
+        out.append((fy, fu, fv))
+    return mv, sad, dec, out
 
 
 def sb_mode_costs(plane: jnp.ndarray, sb: int = 64, bd: int = 8):
