@@ -57,6 +57,7 @@ def bench_northstar(frames):
         total += len(p.payload)
         nshown += p.display_idx >= 0
     dt = time.perf_counter() - t0
+    enc.close()
     assert nshown == len(frames)
     return len(frames) / dt, total
 
@@ -77,6 +78,7 @@ def bench_allintra(frames):
         out = enc.encode_frame(*f)
         total += len(out.payload)
     dt = time.perf_counter() - t0
+    enc.close()
     return len(frames) / dt, total
 
 
@@ -91,7 +93,8 @@ def main():
     n_ns = int(os.environ.get("SVT_BENCH_FRAMES", "64"))
     frames = make_frames(n_ns)
 
-    fps_ai, bytes_ai = bench_allintra(frames[:16])
+    n_ai = min(16, n_ns)
+    fps_ai, bytes_ai = bench_allintra(frames[:n_ai])
     fps_ns, bytes_ns = bench_northstar(frames)
 
     ref = {}
@@ -119,7 +122,7 @@ def main():
                 "vs_baseline": round(fps_ai / base_ai, 3)
                 if base_ai else 0.0,
                 "baseline_fps": base_ai,
-                "bytes_per_frame": bytes_ai // 16,
+                "bytes_per_frame": bytes_ai // n_ai,
             },
         },
     }))

@@ -3218,6 +3218,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         memcpy(sv_th, c->left_txh + r, lh4s);
         double cost1 = c->rdmult * tpu_sym_cost_bits(pcdf, 1);
         static __thread int32_t qresid[32 * 32];
+        static __thread int32_t qpred[32 * 32];
         static __thread TxTrial qt;
         double split_dist = 0.0;
         for (int qi = 0; qi < 4; qi++) {
@@ -3234,11 +3235,16 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                 if (caw > 0) memset(c->above_txw + qc, TXW[sub_ts], caw);
                 if (clh > 0) memset(c->left_txh + qr, TXH[sub_ts], clh);
             }
-            for (int i = 0; i < sub_px; i++)
+            for (int i = 0; i < sub_px; i++) {
                 memcpy(qresid + i * sub_px,
                        sp_resid + ((qi >> 1) * sub_px + i) * size +
                            (qi & 1) * sub_px,
                        sizeof(int32_t) * sub_px);
+                memcpy(qpred + i * sub_px,
+                       i_pred_y + ((qi >> 1) * sub_px + i) * size +
+                           (qi & 1) * sub_px,
+                       sizeof(int32_t) * sub_px);
+            }
             int sctx = tpu_txb_skip_ctx(c, 0, qr, qc, sub_ts, size, size);
             int qsgn = tpu_dc_sign_ctx(c, 0, qr, qc, sub_ts);
             tpu_trial_txb(c, 0, sub_ts, 0, qresid, q, 0, qsgn, 1, &qt);
@@ -3249,7 +3255,11 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                         (tpu_txs_entropy_ctx(sub_ts) * 13 + sctx) * 3,
                     qt.eob == 0);
             i_sub_t[qi] = qt;
-            split_dist += (double)qt.sse;
+            /* same distortion metric as the no-split arm (cost0 uses
+             * tpu_dist_eval, which adds the psy energy term and the
+             * tune-ssim distortion): a raw-SSE split arm never pays the
+             * psy penalty and over-splits under tune-PSY */
+            split_dist += tpu_dist_eval(c, sub_ts, qpred, qresid, &qt);
             cost1 += c->rdmult * rate;
             tpu_set_coef_ctx(c, 0, qr, qc, sub_ts,
                              tpu_cul_of_trial(&qt, sub_ts));

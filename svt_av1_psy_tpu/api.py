@@ -230,7 +230,7 @@ class Encoder:
         only — RA sessions must use send_picture()/flush()."""
         assert self._ra is None, \
             "random-access reorders frames: use send_picture()/flush()"
-        is_key = self._enc.gop_size == 1 or (
+        is_key = self._enc.gop_size == 1 or self._frames == 0 or (
             self._enc.gop_size > 1 and
             self._frames % self._enc.gop_size == 0)
         if self._rc is not None:
@@ -238,8 +238,13 @@ class Encoder:
                                           self._rc.frame_qindex(is_key)))
         out = self._enc.encode_frame(y, u, v)
         if self._rc is not None:
-            self._rc.update(self._enc.qindex, 8 * len(out.payload),
-                            is_key)
+            # feed back the ACTUALLY coded base q (kf boost / luma bias /
+            # TPL ladders override the session q) and the encoder's own
+            # frame-type verdict (scene cuts re-key inside encode_frame)
+            self._rc.update(
+                getattr(self._enc, "_last_coded_q", self._enc.qindex),
+                8 * len(out.payload),
+                getattr(self._enc, "_last_is_key", is_key))
         self._frames += 1
         return out
 
@@ -268,9 +273,13 @@ class Encoder:
         if self._rc is None:
             return
         for p in pkts:
-            if len(p.payload) > 32:
-                self._rc.update(self._enc.qindex, 8 * len(p.payload),
-                                is_key=False)
+            # qindex >= 0 marks TUs that actually code a frame
+            # (show_existing TUs repeat a stored recon and carry no coded
+            # q); keys are flagged by the RA driver so their bit spike is
+            # modelled as key, not inter
+            if p.qindex >= 0:
+                self._rc.update(p.qindex, 8 * len(p.payload),
+                                is_key=p.is_key)
 
     def flush(self):
         """End of stream: drain the buffered mini-GoP tail (RA)."""
@@ -283,6 +292,25 @@ class Encoder:
     @property
     def frames_encoded(self) -> int:
         return self._frames
+
+    def close(self) -> None:
+        """svt_av1_enc_deinit analog (ref enc_handle.c:2748): join every
+        background thread (deferred leaf filters, device warm-up) so no
+        daemon thread dies at interpreter teardown. Idempotent. Does NOT
+        flush — call flush() first to drain buffered RA frames."""
+        if self._ra is not None:
+            self._ra.close()
+        else:
+            close = getattr(self._enc, "close", None)
+            if close is not None:
+                close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     def stream_header(self) -> bytes:
         """svt_av1_enc_stream_header analog: standalone sequence header."""

@@ -119,6 +119,7 @@ def _run_ra(args, reader, enc, t0, rc=None) -> int:
             handle(p)
     for p in enc.flush():
         handle(p)
+    enc.close()
     ivf.close()
     if args.progress and nshown and not args.enable_stat_report:
         print(file=sys.stderr)
@@ -455,7 +456,10 @@ def main(argv=None) -> int:
                     payload = rf.read(ln)
                     if len(payload) < ln:
                         break
-                    per[idx & 0x7F] = build_metadata_payload(
+                    # keyed by TRUE display index (order hints wrap at
+                    # 128; a masked key would misattach payloads on any
+                    # stream longer than 128 frames)
+                    per[idx] = build_metadata_payload(
                         t35_blob=payload)
                     idx += 1
             enc._enc.metadata_per_frame = per
@@ -612,8 +616,7 @@ def main(argv=None) -> int:
             print(file=sys.stderr)
         # drain deferred filter threads before teardown (all-intra
         # pipelining defers DLF/CDEF apply off the critical path)
-        for th in getattr(enc._enc, "_pending_filters", {}).values():
-            th.join()
+        enc.close()
         if ivf is not None:
             ivf.close()
         if fp_stats is not None:

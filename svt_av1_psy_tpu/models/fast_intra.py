@@ -594,6 +594,12 @@ class FastIntraEncoder:
                                             base + self.tpl_offsets)
             sbq = merged.astype(np.int16)
 
+        # record the frame's actually-coded base q for the library RC
+        # feedback loop (api.Encoder._rc_track; TPL/kf ladders override
+        # the session qindex, and the controller must model coded q)
+        self._last_coded_q = base_q
+        self._last_is_key = True
+
         if self.frame_index == 0:
             self.seq.enable_restoration = bool(self.enable_lr)
         lr_dec = self._take_lr_pending() if self.enable_lr else None
@@ -784,7 +790,9 @@ class FastIntraEncoder:
             self.seq, fr_params, tg, with_seq_header=(self.frame_index == 0),
             metadata=(getattr(self, "metadata_key", b"") +
                       getattr(self, "metadata_frame", b"") +
-                      self._per_frame_metadata(fr_params.order_hint)))
+                      self._per_frame_metadata(
+                          self.frame_index if order_hint is None
+                          else order_hint)))
         self.frame_index += 1
         H, W = self.height, self.width
         cH, cW = (H + 1) // 2, (W + 1) // 2
@@ -1029,6 +1037,8 @@ class FastIntraEncoder:
         # RD-aware-subpel work later.
         self._frame_allow_hp = bool(getattr(self, "allow_hp", False)) \
             and base_q < 128
+        self._last_coded_q = base_q
+        self._last_is_key = False
         sbq = None
         dq_res_log2 = -1
         if self.tpl_offsets is not None:
@@ -1307,7 +1317,9 @@ class FastIntraEncoder:
         payload = key_frame_temporal_unit(
             self.seq, fr_params, tg, with_seq_header=False,
             metadata=(getattr(self, "metadata_frame", b"") +
-                      self._per_frame_metadata(order_hint)))
+                      self._per_frame_metadata(
+                          self.frame_index if ra is None
+                          else ra["order_hint"])))
         self.frame_index += 1
         from svt_av1_psy_tpu.utils.trace import next_frame as _tnext
         if deferred_task is not None:
@@ -1330,12 +1342,12 @@ class FastIntraEncoder:
         """Per-display-frame metadata OBUs (the DoVi-RPU / HDR10+ attach
         model of ref app_process_cmd.c:463-495 retrieve_dovi_rpu_for
         _frame: one T.35 payload per picture). metadata_per_frame maps
-        display index (mod 128, the order-hint space) -> raw OBU bytes
-        built by bitstream/metadata.build_metadata_payload."""
+        TRUE display index -> raw OBU bytes built by
+        bitstream/metadata.build_metadata_payload."""
         m = getattr(self, "metadata_per_frame", None)
         if not m:
             return b""
-        return m.get(display_idx & 0x7F, b"")
+        return m.get(display_idx, b"")
 
     @staticmethod
     def _lr_coded_type(lr_dec):
@@ -1502,6 +1514,16 @@ class FastIntraEncoder:
         th = self._pending_filters.pop(id(buf), None)
         if th is not None:
             th.join()
+
+    def close(self) -> None:
+        """Drain every deferred in-loop-filter thread (the deinit join of
+        ref enc_handle.c:2748 — the reference joins all 16 process
+        threads before teardown). Without this, daemon filter threads
+        die mid-write at interpreter shutdown (stray tracebacks today;
+        corrupted recon the day a caller reads it late)."""
+        for th in list(self._pending_filters.values()):
+            th.join()
+        self._pending_filters.clear()
 
     def _pick_and_apply_dlf(self, yp, up, vp, base_q):
         yp = np.ascontiguousarray(yp, np.uint16)

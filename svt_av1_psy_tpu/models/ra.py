@@ -34,10 +34,16 @@ class RaPacket:
     display_idx: display position this TU *shows* (-1 for hidden coded
     frames); recon: clipped recon planes of the shown frame (None for
     hidden TUs). recon may be a _LazyRecon — tuple-like, but resolving
-    a deferred in-loop-filter thread on first access."""
+    a deferred in-loop-filter thread on first access.
+    qindex / is_key: the coded base qindex and frame type of the coded
+    frame inside this TU (-1 for show_existing TUs that code nothing) —
+    the library RC feedback (api.Encoder._rc_track) models coded q, not
+    the session base q."""
     payload: bytes
     display_idx: int
     recon: tuple | None
+    qindex: int = -1
+    is_key: bool = False
 
 
 class _LazyRecon:
@@ -177,13 +183,21 @@ class RaDriver:
                     chf = (pah // 2, paw // 2)
                     mask = np.zeros(T, np.float32)
                     mask[T - 1] = 1.0
+                    # the win2_* dummies matter: the production TF
+                    # dispatch (ra.py _dispatch_gop) always passes them,
+                    # and a warm-up traced without them loads a DIFFERENT
+                    # jit specialization — leaving the real program load
+                    # on the critical path
                     out = _jitted_gop_search_tf()(
                         planes, edges, bias,
                         jnp.zeros((T,) + chf, dtype),
                         jnp.zeros((T,) + chf, dtype),
                         jnp.zeros(T, jnp.int32), jnp.asarray(mask),
                         jnp.asarray(np.float32(self.tf_strength)),
-                        enc.bd, enc.min_block)
+                        enc.bd, enc.min_block,
+                        jnp.zeros((T,) + chf, dtype),
+                        jnp.zeros((T,) + chf, dtype),
+                        jnp.zeros(T, jnp.int32), jnp.asarray(mask))
                 else:
                     out = _jitted_gop_search()(planes, edges, bias,
                                                enc.bd, enc.min_block)
@@ -191,7 +205,9 @@ class RaDriver:
             except Exception:
                 pass            # warm-up is best-effort
 
-        threading.Thread(target=warm, daemon=True).start()
+        self._warm_thread = threading.Thread(target=warm,
+                                             daemon=True)
+        self._warm_thread.start()
 
     # -- q ladder (ref rc_process.c RA qindex offsets + PSY
     #    qp-scale-compress weights) ---------------------------------------
@@ -294,6 +310,18 @@ class RaDriver:
         out.extend(self._emit_pending_key())
         return out
 
+    def close(self) -> None:
+        """Join the background warm-up thread and the encoder's deferred
+        filter threads (the deinit drain of ref enc_handle.c:2748).
+        Idempotent; safe before or after flush()."""
+        th = getattr(self, "_warm_thread", None)
+        if th is not None:
+            th.join()
+            self._warm_thread = None
+        close = getattr(self.enc, "close", None)
+        if close is not None:
+            close()
+
     def _emit_pending_key(self) -> list[RaPacket]:
         """Fallback for a stashed key with NO mini-GoP after it (flush
         right after the key, or back-to-back keys): encode at the
@@ -327,7 +355,9 @@ class RaDriver:
         # NOTE: _disp_base_* is set at key STASH time (push), not here —
         # by emit time the next GoP's dispatch has already advanced it
         self._recon_by_display[d] = (f.recon_y, f.recon_u, f.recon_v)
-        return RaPacket(f.payload, d, (f.recon_y, f.recon_u, f.recon_v))
+        return RaPacket(f.payload, d, (f.recon_y, f.recon_u, f.recon_v),
+                        qindex=getattr(self.enc, '_last_coded_q', -1),
+                        is_key=True)
 
     def _tf_device(self, win):
         """Device temporal filter of win[-1] (center LAST) against the
@@ -696,7 +726,9 @@ class RaDriver:
             f = self._encode_inter(arf_d, frames[arf_d], self._base_slot,
                                    1 << slot, True, 1)
             packets.append(RaPacket(f.payload, arf_d,
-                                    self._recon_by_display[arf_d]))
+                                    self._recon_by_display[arf_d],
+                                    qindex=getattr(self.enc,
+                                                   '_last_coded_q', -1)))
             self._base_slot, self._base_display = slot, arf_d
             self._base_q_coded = self._tpl_q.get(arf_d) \
                 if getattr(self, "_tpl_q", None) else None
@@ -707,7 +739,9 @@ class RaDriver:
 
         f = self._encode_inter(arf_d, arf_src, self._base_slot,
                                1 << arf_slot, False, 0)
-        packets.append(RaPacket(f.payload, -1, None))
+        packets.append(RaPacket(f.payload, -1, None,
+                                qindex=getattr(self.enc,
+                                               '_last_coded_q', -1)))
 
         self._rec_pyramid(b, arf_d, self._base_slot, arf_slot, 1,
                           frames, packets, in_use)
@@ -753,13 +787,17 @@ class RaDriver:
             f = self._encode_inter(mid, frames[mid], ref, 0, True, depth,
                                    ref_slot2=ref2)
             packets.append(RaPacket(f.payload,
-                                    mid, self._recon_by_display[mid]))
+                                    mid, self._recon_by_display[mid],
+                                    qindex=getattr(self.enc,
+                                                   '_last_coded_q', -1)))
             return
         mid_slot = self._free_slots(in_use)[0]
         in_use.add(mid_slot)
         f = self._encode_inter(mid, frames[mid], ref, 1 << mid_slot,
                                False, depth, ref_slot2=ref2)
-        packets.append(RaPacket(f.payload, -1, None))
+        packets.append(RaPacket(f.payload, -1, None,
+                                qindex=getattr(self.enc,
+                                               '_last_coded_q', -1)))
         self._rec_pyramid(lo, mid, lo_slot, mid_slot, depth + 1, frames,
                           packets, in_use)
         from svt_av1_psy_tpu.bitstream.headers import \
