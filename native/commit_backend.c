@@ -55,8 +55,15 @@ static inline long long prof_now(void) {
         }                                                              \
     } while (0)
 
+static _Atomic long long g_trial_ct[19];
+
 void tpuc_prof_reset(void) {
     for (int i = 0; i < 8; i++) g_prof_ns[i] = 0;
+    for (int i = 0; i < 19; i++) g_trial_ct[i] = 0;
+}
+
+void tpuc_prof_counts(long long *out19) {
+    for (int i = 0; i < 19; i++) out19[i] = g_trial_ct[i];
 }
 
 void tpuc_prof_get(long long *out) {
@@ -196,6 +203,8 @@ static int tx_class_of(int tt) {
 
 /* ---- uploads ----------------------------------------------------------- */
 static int16_t *g_scan[19][16];
+static int16_t *g_iscan[19][16];    /* raster pos -> scan index + 1;
+                                       0 = pos not in the scan */
 static int g_scan_n[19][16];
 static int32_t g_dr[90];
 
@@ -205,6 +214,16 @@ void tpuc_upload_scan(int tx_size, int tx_type, const int16_t *scan, int n) {
     free(g_scan[tx_size][tx_type]);
     g_scan[tx_size][tx_type] = p;
     g_scan_n[tx_size][tx_type] = n;
+    /* inverse scan: lets the trial find eob in ONE linear pass over the
+     * quantized buffer (gathering only at nonzero positions) instead of
+     * an O(n) gather walk through the scan table */
+    int adj = TX_ADJ[tx_size];
+    int npos = TXW[adj] * TXH[adj];
+    int16_t *iv = (int16_t *)calloc(npos, sizeof(int16_t));
+    for (int i = 0; i < n; i++)
+        if (scan[i] < npos) iv[scan[i]] = (int16_t)(i + 1);
+    free(g_iscan[tx_size][tx_type]);
+    g_iscan[tx_size][tx_type] = iv;
 }
 void tpuc_upload_dr(const int32_t *dr) { memcpy(g_dr, dr, sizeof(g_dr)); }
 int16_t *tpu_scan(int ts, int tt, int *n) {
@@ -853,6 +872,7 @@ void tpu_trial_txb(TpuCommit *c, int plane, int ts, int tt,
     int32_t rresid[64 * 64];
     (void)is_inter;
     PROF_BEGIN;
+    if (prof_enabled()) atomic_fetch_add(&g_trial_ct[ts], 1);
     tputx_fwd2d(resid, coeff, ts, tt, c->bd);
     PROF_MARK(0);
     const int32_t *pq = pq_of(c, q, plane);
@@ -873,9 +893,14 @@ void tpu_trial_txb(TpuCommit *c, int plane, int ts, int tt,
     PROF_MARK(1);
     int eob = 0;
     const int16_t *scan = g_scan[ts][tt];
-    int n = g_scan_n[ts][tt];
-    for (int i = 0; i < n; i++)
-        if (out->qc[scan[i]]) eob = i + 1;
+    const int16_t *iscan = g_iscan[ts][tt];
+    /* eob in one linear pass (vectorizable): gather the scan index only
+     * at nonzero coefficients */
+    for (int i = 0; i < cw * ch; i++)
+        if (out->qc[i]) {
+            int s = iscan[i];
+            if (s > eob) eob = s;
+        }
     out->eob = eob;
     out->tt = tt;
     out->q = q;
@@ -896,10 +921,11 @@ void tpu_trial_txb(TpuCommit *c, int plane, int ts, int tt,
         }
         return;
     }
-    out->rate512 = tpuec_cost_txb(c->tc, out->qc, scan, n, cw, ch, TXW[ts],
-                                  TXH[ts], eob_multi_size_of(ts),
-                                  txs_entropy_ctx_of(ts), tx_class_of(tt),
-                                  ptype, sctx_sign);
+    out->rate512 = tpuec_cost_txb_eob(c->tc, out->qc, scan, eob, cw, ch,
+                                      TXW[ts], TXH[ts],
+                                      eob_multi_size_of(ts),
+                                      txs_entropy_ctx_of(ts),
+                                      tx_class_of(tt), ptype, sctx_sign);
     PROF_MARK(2);
     if (TXW[ts] <= 32 && TXH[ts] <= 32) {
         /* transform-domain distortion (ref av1_block_error): the integer

@@ -475,29 +475,42 @@ int tpuec_cost_symbol(const uint16_t *icdf, int nsyms, int s) {
 
 static int cost_bool_half(void) { return 512; }
 
-/* Rate of one txb's post-skip symbols (same walk as tpuec_encode_txb but
- * accumulating costs, never writing and never adapting CDFs). */
-int tpuec_cost_txb(TxbCdfs *cdfs, const int32_t *qcoeff,
-                   const int16_t *scan, int n, int w, int h, int rw, int rh,
-                   int ems, int txs_ctx, int tx_class, int ptype,
-                   int sign_ctx) {
+/* Rate of one txb's post-skip symbols with the eob ALREADY known (the
+ * trial path computes it once via the inverse scan): fills the levels
+ * neighborhood only for the eob-prefix scan positions and zeroes only
+ * the touched rows — the per-trial cost becomes O(eob + rows-touched)
+ * instead of O(n) gather scans (the reference's SIMD cost kernels get
+ * the same effect from the eob-bounded loops in av1_cost_coeffs_txb,
+ * ref md_rate_estimation.c). */
+int tpuec_cost_txb_eob(TxbCdfs *cdfs, const int32_t *qcoeff,
+                       const int16_t *scan, int eob, int w, int h,
+                       int rw, int rh, int ems, int txs_ctx, int tx_class,
+                       int ptype, int sign_ctx) {
     static const int eob_syms[7] = {5, 6, 7, 8, 9, 10, 11};
     uint8_t levels_buf[(32 + 4) * (32 + TX_PAD_HOR)];
     int stride = w + TX_PAD_HOR;
-    int eob = 0, i, c, eob_pt, extra, nbits, cost = 0;
+    int i, c, eob_pt, extra, nbits, cost = 0;
     uint16_t *cdf;
 
-    prob_cost_init();
-    memset(levels_buf, 0, sizeof(uint8_t) * (h + 4) * stride);
-    for (i = 0; i < n; i++) {
-        int pos = scan[i];
-        if (qcoeff[pos]) eob = i + 1;
-    }
     if (eob == 0) return 0;
-    for (i = 0; i < h * w; i++) {
-        int v = qcoeff[i] < 0 ? -qcoeff[i] : qcoeff[i];
-        levels_buf[(i / w) * stride + (i % w)] =
-            (uint8_t)(v > 127 ? 127 : v);
+    prob_cost_init();
+    {
+        /* zero exactly the rows the ctx reads can touch (row+4 max),
+         * then scatter the eob-prefix levels */
+        int max_row = 0;
+        for (c = 0; c < eob; c++) {
+            int r = scan[c] / w;
+            if (r > max_row) max_row = r;
+        }
+        int zrows = max_row + 5;
+        if (zrows > h + 4) zrows = h + 4;
+        memset(levels_buf, 0, sizeof(uint8_t) * zrows * stride);
+        for (c = 0; c < eob; c++) {
+            int pos = scan[c];
+            int v = qcoeff[pos] < 0 ? -qcoeff[pos] : qcoeff[pos];
+            levels_buf[(pos / w) * stride + (pos % w)] =
+                (uint8_t)(v > 127 ? 127 : v);
+        }
     }
 
     if (eob <= 2)
@@ -583,4 +596,17 @@ int tpuec_cost_txb(TxbCdfs *cdfs, const int32_t *qcoeff,
         }
     }
     return cost;
+}
+
+/* compatibility entry (Python slow path): derives eob with the scan
+ * walk, then defers to the eob-bounded implementation */
+int tpuec_cost_txb(TxbCdfs *cdfs, const int32_t *qcoeff,
+                   const int16_t *scan, int n, int w, int h, int rw, int rh,
+                   int ems, int txs_ctx, int tx_class, int ptype,
+                   int sign_ctx) {
+    int eob = 0, i;
+    for (i = 0; i < n; i++)
+        if (qcoeff[scan[i]]) eob = i + 1;
+    return tpuec_cost_txb_eob(cdfs, qcoeff, scan, eob, w, h, rw, rh, ems,
+                              txs_ctx, tx_class, ptype, sign_ctx);
 }

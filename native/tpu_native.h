@@ -52,6 +52,10 @@ int tpuec_encode_txb(TpuEc *ec, TxbCdfs *cdfs, const int32_t *qcoeff,
                      const int16_t *scan, int n, int w, int h, int rw, int rh,
                      int ems, int txs_ctx, int tx_class, int ptype,
                      int sign_ctx);
+int tpuec_cost_txb_eob(TxbCdfs *cdfs, const int32_t *qcoeff,
+                       const int16_t *scan, int eob, int w, int h,
+                       int rw, int rh, int ems, int txs_ctx, int tx_class,
+                       int ptype, int sign_ctx);
 int tpuec_cost_txb(TxbCdfs *cdfs, const int32_t *qcoeff,
                    const int16_t *scan, int n, int w, int h, int rw, int rh,
                    int ems, int txs_ctx, int tx_class, int ptype,

@@ -165,6 +165,12 @@ class Encoder:
             if self.cfg.max_32_tx_size:
                 enc.max_tx32 = True
                 enc.tx_split_search = True
+            # screen content (--scm; ref enc_settings.c:1020 default
+            # scm 2 auto-detect): detected/forced KEY frames route
+            # through the full-RD palette+IBC walk (_encode_key_sc);
+            # inter frames stay on the fast path referencing that key
+            if self.cfg.screen_content_mode == 2:
+                enc.scm_auto = True
             # restoration: auto (-1) follows the reference's preset
             # derivation — off at the fast presets (ref enc_mode_config.c
             # derives enable_restoration=0 for M10+), opt-in via

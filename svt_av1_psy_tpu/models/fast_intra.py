@@ -535,6 +535,20 @@ class FastIntraEncoder:
     def _encode_key(self, y, u, v, order_hint=None) -> EncodedFrame:
         from svt_av1_psy_tpu.utils.trace import stage as _tstage
 
+        # screen-content key frames (--scm 2 auto-detection at the fast
+        # presets; ref pic_analysis_process.c SC detection +
+        # palette.c:553 / hash_motion.c:351 searches): a detected key
+        # routes through the full-RD intra path with palette + IBC —
+        # text/UI content codes orders of magnitude better there — and
+        # its recon/contexts feed the fast inter walk's DPB
+        if getattr(self, "scm_auto", False) or \
+                getattr(self, "screen_content", False):
+            from svt_av1_psy_tpu.models.intra_encoder import IntraEncoder
+            ypad = _pad_to(np.asarray(y), self.pah, self.paw)
+            if getattr(self, "screen_content", False) or \
+                    IntraEncoder._detect_screen_content(ypad):
+                return self._encode_key_sc(y, u, v, order_hint)
+
         # masked compound changes compound-block syntax: the seq flag
         # must be armed before the stream's sequence header is written
         self.seq.enable_masked_compound = bool(
@@ -904,6 +918,7 @@ class FastIntraEncoder:
                 n16r, n16c = self.pah // 16, self.paw // 16
                 mv16, _sad16 = hme2_unpack(np.asarray(hme_dev), n16r, n16c)
                 mv16 = np.clip(mv16, -127, 127).astype(np.int16)
+                self._ld_sad16 = _sad16
                 if hme2_dev is not None:
                     mv16b, _s2 = hme2_unpack(np.asarray(hme2_dev), n16r,
                                              n16c)
@@ -1046,6 +1061,24 @@ class FastIntraEncoder:
             merged, dq_res_log2 = snap_sb_q(
                 base_q, base_q + self.tpl_offsets.astype(np.int32))
             sbq = merged.astype(np.int16)
+
+        # inter partition tree from the device HME field (ref: the
+        # open-loop ME SAD tree drives MD depth; our intra source-SAD
+        # tree over-splits noisy inter content to 8x8 — an order of
+        # magnitude more commit trials than needed, and a partition-bit
+        # tax at low rates). models/inter_tree derives split maps from
+        # MV-field coherence + prediction quality vs the quantizer.
+        import os as _os0
+        tree_l = pre.get("tree") if pre is not None else None
+        if tree_l is not None and \
+                _os0.environ.get("SVT_INTER_TREE", "1") != "0":
+            from svt_av1_psy_tpu.models.inter_tree import inter_split_maps
+            tree_edges = [(pre["sad16"],) + tuple(tree_l)]
+            if mv16b is not None and pre.get("treeb") is not None:
+                tree_edges.append((pre["sad16b"],) + tuple(pre["treeb"]))
+            if ref3_slot is not None and pre.get("treeg") is not None:
+                tree_edges.append((pre["sad16g"],) + tuple(pre["treeg"]))
+            split = inter_split_maps(tree_edges, split, base_q, self.bd)
 
         self._lf_y[:] = 0
         self._lf_uv[:] = 0
@@ -1337,6 +1370,99 @@ class FastIntraEncoder:
         return EncodedFrame(payload=payload, recon_y=rec_y, recon_u=rec_u,
                             recon_v=rec_v)
 
+
+    def _encode_key_sc(self, y, u, v, order_hint=None) -> EncodedFrame:
+        """Screen-content KEY frame through the full-RD intra path
+        (palette + intra-block-copy searches, models/intra_encoder.py;
+        ref palette.c:553 k-means + hash_motion.c:351 IBC hash search).
+        The fast path owns the stream: the slow encoder shares this
+        stream's SequenceParams, and its recon + end-of-frame CDF
+        context bridge into the fast DPB so the inter walk references
+        the SC key exactly like a fast-coded one."""
+        from svt_av1_psy_tpu.models.intra_encoder import IntraEncoder
+        from svt_av1_psy_tpu.utils.trace import stage as _tstage
+
+        d = self.frame_index if order_hint is None else order_hint
+        # frame-kind q: same kf ladder as the fast key path
+        kq = getattr(self, "kf_qindex", None)
+        if self.gop_size == 1:
+            base_q = self.qindex
+        elif kq is not None:
+            base_q = int(kq)
+        else:
+            base_q = max(0, int(self.qindex *
+                                getattr(self, "kf_qfrac", 0.75)))
+        self._last_coded_q = base_q
+        self._last_is_key = True
+
+        # seq flags must be armed before frame 0 writes the seq header
+        # (same block as the fast key path)
+        self.seq.enable_masked_compound = bool(
+            getattr(self, "masked_compound_search", False))
+        self.seq.enable_interintra_compound = bool(
+            getattr(self, "interintra_search", False))
+        self.seq.enable_filter_intra = bool(
+            getattr(self, "fi_search", False))
+        if self.frame_index == 0:
+            self.seq.enable_restoration = bool(self.enable_lr)
+
+        sc = IntraEncoder(self.width, self.height, qindex=base_q,
+                          bd=self.bd, search_top_k=2)
+        sc.seq = self.seq                    # one stream, one seq header
+        sc.screen_content = True
+        sc.enable_intrabc = True
+        sc.frame_index = d                   # order_hint + seq-header gate
+        with _tstage("sc_key_walk"):
+            f = sc.encode_frame(y, u, v)
+
+        # bridge recon into the fast ping-pong planes (edge-replicated
+        # into the padded area like every walked frame leaves them)
+        H, W = self.height, self.width
+        cH, cW = (H + 1) // 2, (W + 1) // 2
+        self._join_pending_filter(self._rec_y)
+        self._rec_y[:H, :W] = f.recon_y
+        self._rec_y[:H, W:self.paw] = self._rec_y[:H, W - 1:W]
+        self._rec_y[H:self.pah, :self.paw] = \
+            self._rec_y[H - 1:H, :self.paw]
+        for buf, plane, (h2, w2, pw2) in (
+                (self._rec_u, f.recon_u, (cH, cW, self.paw // 2)),
+                (self._rec_v, f.recon_v, (cH, cW, self.paw // 2))):
+            buf[:h2, :w2] = plane
+            buf[:h2, w2:pw2] = buf[:h2, w2 - 1:w2]
+            buf[h2:self.pah // 2, :pw2] = buf[h2 - 1:h2, :pw2]
+
+        # end-of-frame CDF context + DPB refresh (a shown KEY refreshes
+        # every slot), identical to the fast key tail
+        fc = sc.tw.fc
+        self._fc_saved = fc
+        if getattr(self, "ra_mode", False):
+            self._dpb_fc = {s: fc for s in range(8)}
+        elif self.hierarchical_levels > 0:
+            self._dpb_fc[0] = fc
+            self._last_slot_by_layer = {0: 0}
+        if self.hierarchical_levels > 0 or getattr(self, "ra_mode", False):
+            rec = (self._rec_y.copy(), self._rec_u.copy(),
+                   self._rec_v.copy())
+            self._dpb = {s: rec for s in range(8)} \
+                if getattr(self, "ra_mode", False) else {0: rec}
+        self._slot_gm = [((0, 0),) * 7 for _ in range(8)]
+        if self.enable_mfmv:
+            from svt_av1_psy_tpu.inter.mfmv import save_motion_field
+            kh = d & 0x7F
+            mf = save_motion_field([], self.mi_rows, self.mi_cols, kh,
+                                   [kh] * 7, [kh] * 7, 7, is_intra=True)
+            self._slot_mf = [mf] * 8
+        self._slot_hint = [d & 0x7F] * 8
+        # the IBC key coded with all in-loop filters off: drop the
+        # cross-frame filter caches so the next inter frame re-searches
+        self._dlf_cache = None
+        self._cdef_cache = None
+        self._lr_pending = None
+        self.frame_index += 1
+        self._swap_recon()
+        from svt_av1_psy_tpu.utils.trace import next_frame as _tnext
+        _tnext()
+        return f
 
     def _per_frame_metadata(self, display_idx: int) -> bytes:
         """Per-display-frame metadata OBUs (the DoVi-RPU / HDR10+ attach

@@ -265,6 +265,13 @@ class IntraEncoder:
                              cdef_bits=-1 if ibc else 0,
                              allow_screen_content=self.screen_content,
                              bd=bd, allow_intrabc=ibc,
+                             # the seq may be shared with a fast-path
+                             # stream that armed filter-intra: the
+                             # writer must code the (always-0) flags
+                             # the decoder will parse
+                             enable_filter_intra=bool(
+                                 getattr(self.seq, "enable_filter_intra",
+                                         False)),
                              seg=(None if seg_info is None else
                                   dict(last_active=seg_info["last_active"],
                                        map=seg_info["map"])))

@@ -202,6 +202,35 @@ class RaDriver:
                     out = _jitted_gop_search()(planes, edges, bias,
                                                enc.bd, enc.min_block)
                 out.block_until_ready()
+                if self.tf_strength:
+                    # the KEY frame filters through a standalone
+                    # tf_filter_device program (_tf_device, T=3 window:
+                    # 2 future sources + center): pre-load that
+                    # executable too — it measured ~15 s on the critical
+                    # path when first touched at the key's encode
+                    import jax as _jax
+                    from svt_av1_psy_tpu.ops.jax_backend import \
+                        tf_filter_device
+                    T3 = 3
+                    chf = (pah // 2, paw // 2)
+                    key3 = (T3, pah, paw, enc.bd)
+                    cache = getattr(RaDriver, "_tfdev_cache", None)
+                    if cache is None:
+                        cache = RaDriver._tfdev_cache = {}
+                    fn = cache.get(key3)
+                    if fn is None:
+                        fn = _jax.jit(tf_filter_device,
+                                      static_argnums=(5,))
+                        cache[key3] = fn
+                    m3 = np.ones(T3, np.float32)
+                    fy, _fu, _fv = fn(
+                        jnp.zeros((T3, pah, paw), dtype),
+                        jnp.zeros((T3,) + chf, dtype),
+                        jnp.zeros((T3,) + chf, dtype),
+                        jnp.asarray(m3),
+                        jnp.asarray(np.float32(self.tf_strength)),
+                        enc.bd)
+                    fy.block_until_ready()
             except Exception:
                 pass            # warm-up is best-effort
 
@@ -641,7 +670,7 @@ class RaDriver:
             buf = np.asarray(task["out"])
         self._filtered_src = {}
         if task["tf"]:
-            mv, sad, dec, filt = gop_search_tf_unpack(
+            mv, sad, sad32, sad64, dec, filt = gop_search_tf_unpack(
                 buf, task["fmax"], task["emax"], (pah, paw), enc.bd,
                 n_filtered=task.get("tf_n", 1))
             fy, fu, fv = filt[0]
@@ -656,20 +685,26 @@ class RaDriver:
                 self._filtered_src[task["tf_mid"]] = (
                     (f2y[:H, :W], f2u[:ch, :cw], f2v[:ch, :cw]), f2y)
         else:
-            mv, sad, dec = gop_search_unpack(buf, task["fmax"],
-                                             task["emax"], (pah, paw))
+            mv, sad, sad32, sad64, dec = gop_search_unpack(
+                buf, task["fmax"], task["emax"], (pah, paw))
             arf_src = frames[arf_d]
             arf_padded = task["padded"][arf_d]
         edge_ms = {k: (mv[i], sad[i])
                    for i, k in enumerate(task["edge_keys"])}
+        edge_tree = {k: (sad32[i], sad64[i])
+                     for i, k in enumerate(task["edge_keys"])}
         pre_by_d = {}
         for d, lo, hi, *_ in plan:
             entry = {"decide": enc._decide_finish(dec[idx[d]]),
                      "mv16": np.clip(edge_ms[(d, lo)][0], -127,
-                                     127).astype(np.int16)}
+                                     127).astype(np.int16),
+                     "sad16": edge_ms[(d, lo)][1],
+                     "tree": edge_tree[(d, lo)]}
             if hi != lo:
                 entry["mv16b"] = np.clip(edge_ms[(d, hi)][0], -127,
                                          127).astype(np.int16)
+                entry["sad16b"] = edge_ms[(d, hi)][1]
+                entry["treeb"] = edge_tree[(d, hi)]
             ge = edge_ms.get((d, b))
             if b != lo and b != hi and ge is not None:
                 # per-16x16 LAST/GOLDEN choice from the HME SADs (the
@@ -683,6 +718,8 @@ class RaDriver:
                        sad_l.astype(np.int64) * 5)
                 entry["mv16g"] = np.clip(mv_g, -127,
                                          127).astype(np.int16)
+                entry["sad16g"] = sad_g
+                entry["treeg"] = edge_tree[(d, b)]
                 entry["refsel"] = sel.astype(np.uint8)
             pre_by_d[d] = entry
         self._pre_by_d = pre_by_d

@@ -878,6 +878,14 @@ def prof_get() -> dict:
     return {n: v / 1e6 for n, v in zip(_PROF_NAMES, buf)}
 
 
+def prof_trial_counts() -> dict:
+    """tx_size -> tpu_trial_txb call count since the last reset
+    (SVT_NATIVE_PROF=1 only; zeroes otherwise)."""
+    buf = (ctypes.c_longlong * 19)()
+    get_lib().tpuc_prof_counts(buf)
+    return {i: int(v) for i, v in enumerate(buf) if v}
+
+
 def dlf_apply(plane: np.ndarray, txdim: np.ndarray, is_luma: bool,
               level_v: int, level_h: int, sharpness: int, bd: int,
               rows: int, cols: int, w: int = 0, h: int = 0):

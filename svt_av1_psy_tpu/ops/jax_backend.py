@@ -599,6 +599,67 @@ def hme_search2(src_u8: jnp.ndarray, ref_u8: jnp.ndarray,
     return mv16, best_sad.reshape(n16r, n16c)
 
 
+def _gather_sad_nodes(sh, rh, off, bs):
+    """Half-res SAD of every bs x bs node of `sh` against `rh` shifted
+    by the per-node offset map `off` (half-res units, (nr, nc, 2));
+    clamped gather like _tf_align. Returns (nr, nc) int32."""
+    nr, nc = off.shape[:2]
+    H2, W2 = nr * bs, nc * bs
+    s = sh[:H2, :W2]
+    dy = jnp.repeat(jnp.repeat(off[..., 0], bs, 0), bs, 1)
+    dx = jnp.repeat(jnp.repeat(off[..., 1], bs, 0), bs, 1)
+    ys = jnp.clip(jnp.arange(H2)[:, None] + dy, 0, rh.shape[0] - 1)
+    xs = jnp.clip(jnp.arange(W2)[None, :] + dx, 0, rh.shape[1] - 1)
+    d = jnp.abs(s - rh[ys, xs])
+    return d.reshape(nr, bs, nc, bs).sum(axis=(1, 3))
+
+
+def hme_sad_tree(src_u8: jnp.ndarray, ref_u8: jnp.ndarray,
+                 mv16: jnp.ndarray):
+    """The open-loop fullpel SAD tree above 16x16 (ref
+    motion_estimation.c open_loop_me_fullpel_search_sblock:781 — the
+    reference's ME produces SADs for the whole 8x8..64x64 block tree;
+    here the 32- and 64-levels, each node evaluated at its children's
+    winning MVs and taking the best single MV). Feeds the inter
+    partition-tree decisions (models/inter_tree.py): a node whose best
+    single-MV SAD is close to its children's sum gains nothing from
+    splitting.
+
+    mv16: (n16r, n16c, 2) int full-pel (even values — half-res grid).
+    Returns (sad32 (n32r, n32c), sad64 (n64r, n64c)) int32 half-res
+    SADs."""
+    src = src_u8.astype(jnp.int32)
+    ref = ref_u8.astype(jnp.int32)
+    sh = (src[0::2, 0::2] + src[0::2, 1::2] + src[1::2, 0::2] +
+          src[1::2, 1::2] + 2) >> 2
+    rh = (ref[0::2, 0::2] + ref[0::2, 1::2] + ref[1::2, 0::2] +
+          ref[1::2, 1::2] + 2) >> 2
+    mvh = (mv16.astype(jnp.int32) >> 1)          # half-res units
+    n16r, n16c = mvh.shape[:2]
+    n32r, n32c = n16r // 2, n16c // 2
+
+    def level(off_child, bs):
+        """off_child: (2nr, 2nc, 2) child offsets; evaluate each of the
+        4 child MVs over the whole parent node."""
+        best = None
+        best_off = None
+        for i in (0, 1):
+            for j in (0, 1):
+                off = off_child[i::2, j::2]
+                sad = _gather_sad_nodes(sh, rh, off, bs)
+                if best is None:
+                    best, best_off = sad, off
+                else:
+                    take = sad < best
+                    best_off = jnp.where(take[..., None], off, best_off)
+                    best = jnp.minimum(best, sad)
+        return best, best_off
+
+    sad32, mv32 = level(mvh, 16)
+    sad64, _ = level(mv32, 32)
+    return sad32, sad64
+
+
 def hme_search_pallas(src_u8: jnp.ndarray, ref_u8: jnp.ndarray,
                       search_range: int = 12, interpret: bool = False):
     """Pallas ME kernel: the hme_search cost volume as an on-chip kernel.
@@ -697,11 +758,17 @@ def gop_search(frames_u8: jnp.ndarray, edges: jnp.ndarray,
     )(frames_u8)
 
     def one_edge(e):
-        return hme_search2(frames_u8[e[0]], frames_u8[e[1]])
+        mv, sad = hme_search2(frames_u8[e[0]], frames_u8[e[1]])
+        # fullpel SAD tree above 16x16 (ref open-loop ME tree): feeds
+        # the inter partition decisions without extra dispatches
+        s32, s64 = hme_sad_tree(frames_u8[e[0]], frames_u8[e[1]], mv)
+        return mv, sad, s32, s64
 
-    mv, sad = jax.vmap(one_edge)(edges)
+    mv, sad, s32, s64 = jax.vmap(one_edge)(edges)
     mvsad = jnp.concatenate([mv.astype(jnp.int32).reshape(-1),
-                             sad.astype(jnp.int32).reshape(-1)])
+                             sad.astype(jnp.int32).reshape(-1),
+                             s32.astype(jnp.int32).reshape(-1),
+                             s64.astype(jnp.int32).reshape(-1)])
     mvsad_u8 = jax.lax.bitcast_convert_type(mvsad, jnp.uint8).reshape(-1)
     return jnp.concatenate([mvsad_u8, dec.reshape(-1)])
 
@@ -712,16 +779,25 @@ def gop_search_unpack(buf: np.ndarray, n_frames: int, n_edges: int,
 
     Returns (mv (E, n16r, n16c, 2) int16 full-pel,
              sad (E, n16r, n16c) int32,
+             sad32 (E, n32r, n32c) int32, sad64 (E, n64r, n64c) int32,
              decide (F, dsz) uint8 rows for intra_decide_unpack)."""
     H, W = shape
     n16r, n16c = H // 16, W // 16
-    nmv = n_edges * n16r * n16c * 2
-    nsad = n_edges * n16r * n16c
-    ints = np.frombuffer(buf[:4 * (nmv + nsad)].tobytes(), np.int32)
+    n16 = n16r * n16c
+    nmv = n_edges * n16 * 2
+    nsad = n_edges * n16
+    n32 = n_edges * (n16 // 4)
+    n64 = n_edges * (n16 // 16)
+    tot = nmv + nsad + n32 + n64
+    ints = np.frombuffer(buf[:4 * tot].tobytes(), np.int32)
     mv = ints[:nmv].reshape(n_edges, n16r, n16c, 2).astype(np.int16)
-    sad = ints[nmv:].reshape(n_edges, n16r, n16c).copy()
-    dec = buf[4 * (nmv + nsad):].reshape(n_frames, -1)
-    return mv, sad, dec
+    sad = ints[nmv:nmv + nsad].reshape(n_edges, n16r, n16c).copy()
+    sad32 = ints[nmv + nsad:nmv + nsad + n32].reshape(
+        n_edges, n16r // 2, n16c // 2).copy()
+    sad64 = ints[nmv + nsad + n32:tot].reshape(
+        n_edges, n16r // 4, n16c // 4).copy()
+    dec = buf[4 * tot:].reshape(n_frames, -1)
+    return mv, sad, sad32, sad64, dec
 
 
 def _tf_align(center: jnp.ndarray, neigh: jnp.ndarray, mv16: jnp.ndarray,
@@ -838,16 +914,17 @@ def gop_search_tf(frames_u8: jnp.ndarray, edges: jnp.ndarray,
 
 def gop_search_tf_unpack(buf: np.ndarray, n_frames: int, n_edges: int,
                          shape, bd: int = 8, n_filtered: int = 1):
-    """Host-side unpack of gop_search_tf: returns (mv, sad, dec,
-    [(fy, fu, fv), ...]) where the first three match gop_search_unpack
-    and each filtered anchor's planes are uint8/uint16 (H, W) /
-    (Hc, Wc). n_filtered: 1 = ARF only, 2 = ARF + depth-1 mid."""
+    """Host-side unpack of gop_search_tf: returns (mv, sad, sad32,
+    sad64, dec, [(fy, fu, fv), ...]) where the first five match
+    gop_search_unpack and each filtered anchor's planes are
+    uint8/uint16 (H, W) / (Hc, Wc). n_filtered: 1 = ARF only,
+    2 = ARF + depth-1 mid."""
     H, W = shape
     hc, wc = H // 2, W // 2
     npl = H * W + 2 * hc * wc
     nbytes = n_filtered * npl * (1 if bd == 8 else 2)
-    mv, sad, dec = gop_search_unpack(buf[:-nbytes], n_frames, n_edges,
-                                     shape)
+    mv, sad, sad32, sad64, dec = gop_search_unpack(
+        buf[:-nbytes], n_frames, n_edges, shape)
     tail = buf[-nbytes:]
     if bd == 8:
         pl = tail
@@ -860,7 +937,7 @@ def gop_search_tf_unpack(buf: np.ndarray, n_frames: int, n_edges: int,
         fu = pl[o + H * W:o + H * W + hc * wc].reshape(hc, wc)
         fv = pl[o + H * W + hc * wc:o + npl].reshape(hc, wc)
         out.append((fy, fu, fv))
-    return mv, sad, dec, out
+    return mv, sad, sad32, sad64, dec, out
 
 
 def sb_mode_costs(plane: jnp.ndarray, sb: int = 64, bd: int = 8):
