@@ -1528,8 +1528,13 @@ static void intra_trial(TpuCommit *c, int r, int c4, int size,
      * against the full-size winner incl. the tx_size depth symbol and
      * per-txb skip/type rates (ref tx_search.c tx-depth RD). */
     s_split = 0;
+    /* eob == 0 gate: a full-size winner that quantizes to nothing
+     * leaves the split arm nothing to improve (children of a zero
+     * residual also skip) — the probe's 4 x n_types trials are pure
+     * waste there (most blocks at speed presets on flat content) */
     if (c->tx_select && frame_is_intra && ts_y >= 1 && ts_y <= 4 &&
-        c->n_cands >= 2 && !s_use_fi) {
+        c->n_cands >= 2 && !s_use_fi &&
+        (s_ty.eob || (c->max_tx32 && ts_y == 4))) {
         int sub_ts = ts_y - 1;
         int h4q = (size / 2) / 4;
         int cat = ts_y - 1;

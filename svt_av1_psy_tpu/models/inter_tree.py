@@ -74,18 +74,38 @@ def inter_split_maps(edges: list, intra_split: dict, qindex: int,
     noise_k = float(os.environ.get("SVT_TREE_NOISE", "0.5"))
     bias = bias_k * qstep
 
-    # mean abs prediction error per half-res pixel, per 16x16 cell
+    # Measured calibration (40f CIF classes, p6 RA, 4-CRF BD vs the
+    # same-preset reference):
+    #   - blocking 16->8 splits where inter prediction is adequate
+    #     turned the default class +17% -> -1.4% (8x8 partitions of
+    #     noise-like residual are pure partition-bit tax);
+    #   - COLLAPSING 32/64 nodes regressed pan badly at every floor
+    #     threshold tried (0.5q: +147, 0.15q: +43 vs +35 baseline) —
+    #     full-pel SADs cannot see the subpel-phase gains finer MVs buy
+    #     on textured motion (zoom/parallax fields), so the intra
+    #     tree's depth is kept at 32/64;
+    #   - the gain rule (children SAD sum + bias beats the node's best
+    #     single-MV SAD) measured BD-neutral on pan and adds the splits
+    #     scroll seams / occlusion boundaries need.
+    # CONTENT-relative poor-prediction threshold: the frame's own
+    # best-predicted cells (10th percentile) estimate the sensor-noise
+    # floor; cells meaningfully above it carry structure finer MVs /
+    # modes can still win on. A quantizer-scaled threshold here
+    # (earlier variants) killed pan's 8x8 partitions exactly at the
+    # low-rate end of the BD integral (qstep grows, texture doesn't).
     mad16 = s16.astype(np.float64) / 64.0
-    poor16 = mad16 > noise_k * qstep
+    floor = np.percentile(mad16, 10)
+    poor16 = mad16 > noise_k * 3.0 * max(floor, 1e-3)
 
     i16 = np.asarray(intra_split[16]).astype(bool)
     i32 = np.asarray(intra_split[32]).astype(bool)
     i64 = np.asarray(intra_split[64]).astype(bool)
 
-    split32 = (_pool_sum(s16) + bias < s32) | \
-        (i32 & _pool_max(poor16.astype(np.uint8), 2).astype(bool))
-    split64 = (_pool_sum(s32) + bias < s64) | \
-        (i64 & _pool_max(poor16.astype(np.uint8), 4).astype(bool))
+    gain32 = _pool_sum(s16) + bias < s32
+    gain64 = _pool_sum(s32) + bias < s64
+
+    split64 = i64 | gain64
+    split32 = i32 | gain32
     split16 = i16 & poor16
     return {64: split64.astype(np.uint8), 32: split32.astype(np.uint8),
             16: split16.astype(np.uint8)}
