@@ -29,7 +29,7 @@
  * Buckets: 0 fwd txfm, 1 quantize, 2 coeff rate, 3 inv txfm,
  *          4 intra predict, 5 txb write (EC), 6 trial-total, 7 spare. */
 static int g_prof_on = -1;
-static _Atomic long long g_prof_ns[8];
+static _Atomic long long g_prof_ns[12];
 
 static inline int prof_enabled(void) {
     if (g_prof_on < 0) {
@@ -58,7 +58,7 @@ static inline long long prof_now(void) {
 static _Atomic long long g_trial_ct[19];
 
 void tpuc_prof_reset(void) {
-    for (int i = 0; i < 8; i++) g_prof_ns[i] = 0;
+    for (int i = 0; i < 12; i++) g_prof_ns[i] = 0;
     for (int i = 0; i < 19; i++) g_trial_ct[i] = 0;
 }
 
@@ -66,8 +66,15 @@ void tpuc_prof_counts(long long *out19) {
     for (int i = 0; i < 19; i++) out19[i] = g_trial_ct[i];
 }
 
+/* cross-TU accumulation hook for inter_backend.c's phase spans */
+int tpuc_prof_enabled(void) { return prof_enabled(); }
+long long tpuc_prof_now(void) { return prof_now(); }
+void tpuc_prof_add(int k, long long ns) {
+    atomic_fetch_add(&g_prof_ns[k % 12], ns);
+}
+
 void tpuc_prof_get(long long *out) {
-    for (int i = 0; i < 8; i++) out[i] = g_prof_ns[i];
+    for (int i = 0; i < 12; i++) out[i] = g_prof_ns[i];
 }
 
 /* ---- geometry tables (AV1 spec constants) ------------------------------ */

@@ -16,6 +16,23 @@
 
 #include "commit_internal.h"
 
+/* phase profiler hooks (commit_backend.c owns the buckets; see
+ * native.py _PROF_NAMES: 8 mc_singleref, 9 mc_compound,
+ * 10 masked_search, 11 motion_modes) */
+int tpuc_prof_enabled(void);
+long long tpuc_prof_now(void);
+void tpuc_prof_add(int k, long long ns);
+#define IPROF_BEGIN long long _ipt = tpuc_prof_enabled() ? tpuc_prof_now() : 0
+#define IPROF_RESET (_ipt = tpuc_prof_enabled() ? tpuc_prof_now() : 0)
+#define IPROF_MARK(k)                                                  \
+    do {                                                               \
+        if (_ipt) {                                                    \
+            long long _n = tpuc_prof_now();                            \
+            tpuc_prof_add(k, _n - _ipt);                               \
+            _ipt = _n;                                                 \
+        }                                                              \
+    } while (0)
+
 static const int TXW[19] = {4, 8, 16, 32, 64, 4, 8, 8, 16, 16,
                             32, 32, 64, 4, 16, 8, 32, 16, 64};
 static const int TXH[19] = {4, 8, 16, 32, 64, 8, 4, 16, 8, 32,
@@ -2224,6 +2241,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     static __thread TxTrial cand_trial;
     /* MC once per candidate; SAD pre-rank keeps the best 2 for the full
      * trial (md_stage_0 -> md_stage_3 funnel) */
+    IPROF_BEGIN;
     long cand_sad[6];
     if (ncand > 4) ncand = 4;
     for (int i = 0; i < ncand; i++) {
@@ -2381,6 +2399,17 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                      c->rdmult * ((i_tu.rate512 + i_tv.rate512) / 512.0);
     }
 
+    /* fast-skip gate (the reference's MD class pruning role): a
+     * NEAREST winner whose luma+chroma residual quantizes to nothing
+     * is a coded skip — NEAR/NEW/masked/II/OBMC searches cannot beat
+     * it by more than their own symbol costs. Only the skip_mode
+     * shortcut (fewer bits for the same prediction) remains worth
+     * evaluating, through a light compound branch below. */
+    int fast_skip = best_mode == 0 && i_ty.eob == 0 && i_tu.eob == 0 &&
+                    i_tv.eob == 0;
+    { const char *e = getenv("SVT_NO_FAST_SKIP"); if (e && *e == '1') fast_skip = 0; }
+
+    IPROF_MARK(8);
     /* compound (LAST + ALTREF) candidates: NEAREST_NEARESTMV /
      * NEAR_NEARMV / NEW_NEWMV with average blend; plus the skip_mode
      * shortcut (one symbol codes refs+mode+mvs+skip). Evaluated
@@ -2391,6 +2420,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     int comp_masked_type = 0;       /* 0 avg, 1 wedge, 2 diffwtd */
     int comp_wedge_idx = 0, comp_wedge_sign = 0, comp_mask_type = 0;
     if (comp_ok) {
+        IPROF_BEGIN;
         /* the compound pair is always (LAST, ALTREF): its temporal-MVP
          * offsets must use LAST's distance even when the block's single
          * trial runs on GOLDEN */
@@ -2414,7 +2444,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
             cc_mv[ncc][0] = m0r; cc_mv[ncc][1] = m0c;
             cc_mv[ncc][2] = m1r; cc_mv[ncc][3] = m1c;
             ncc++;
-            if (crefs.n >= 2) {
+            if (!fast_skip && crefs.n >= 2) {
                 int n0r = crefs.mv[1][0], n0c = crefs.mv[1][1];
                 int n1r = crefs.mv2[1][0], n1c = crefs.mv2[1][1];
                 lower_precision_hp(c, &n0r, &n0c);
@@ -2428,7 +2458,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                 }
             }
         }
-        if (mv16b) {
+        if (!fast_skip && mv16b) {
             /* NEW_NEWMV: comp0 = single-ref winner MV, comp1 = device
              * HME seed on the second ref refined by SAD diamond */
             int cell_r = (r * 4) / 16, cell_c = (c4 * 4) / 16;
@@ -2437,10 +2467,14 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
             static __thread int32_t tmp2[64 * 64];
             mc_luma2(c, r, c4, size, b1r, b1c, tmp2);
             long bs2 = sad_luma(c, r, c4, size, tmp2);
-            for (int step = 8; step >= (c->tpl_allow_hp ? 1 : 2);
+            /* the seed comes from the device HME refined on ref2
+             * already: a fullpel step-8 stage re-walks what the seed
+             * covers (measured: mc_compound is the walk's largest
+             * bucket) — start at step 4 */
+            for (int step = 4; step >= (c->tpl_allow_hp ? 1 : 2);
              step >>= 1) {
                 int improved = 1, iters = 0;
-                while (improved && iters++ < 3) {
+                while (improved && iters++ < 2) {
                     improved = 0;
                     static const int D[4][2] = {{-1, 0}, {1, 0}, {0, -1},
                                                 {0, 1}};
@@ -2473,49 +2507,90 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         double cbest = -1.0;
         int cbi = -1;
         long cb_predsse = 0;
-        for (int i = 0; i < ncc; i++) {
-            mc_comp_luma(c, r, c4, size, cc_mv[i][0], cc_mv[i][1],
-                         cc_mv[i][2], cc_mv[i][3], comp_pred);
+        /* md_stage_0 funnel for the compound candidates: rank by
+         * prediction-domain SSE + mode/MV rate (the MC runs anyway)
+         * and run the FULL transform trial only for the winner — the
+         * per-candidate mode rates differ by whole symbols, so the
+         * rate term keeps NEW_NEWMV honest about its MV cost */
+        double cand_rate[3];
+        if (fast_skip) {
+            /* light branch: NEAREST_NEAREST prediction only, no
+             * transform trials — feeds the skip_mode comparison */
+            mc_comp_luma(c, r, c4, size, cc_mv[0][0], cc_mv[0][1],
+                         cc_mv[0][2], cc_mv[0][3], best_comp_pred);
             const uint16_t *sp = c->src[0];
             int ss = c->sstride[0];
             long predsse = 0;
             for (int y = 0; y < size; y++)
                 for (int x = 0; x < size; x++) {
                     int d = (int)sp[(r * 4 + y) * ss + c4 * 4 + x] -
-                            comp_pred[y * size + x];
-                    cand_resid[y * size + x] = d;
+                            best_comp_pred[y * size + x];
                     predsse += (long)d * d;
                 }
-            tpu_trial_txb(c, 0, ts_y, 0, cand_resid, q, 0, sgn_y, 1,
-                          &cand_trial);
-            double rate = tpu_sym_cost_bits(
-                ic->inter_compound_mode + cm_ctx * 9, cc_cm[i]);
-            if (cc_cm[i] == 7) {
-                if (crefs.n_found > 1)
+            cbi = 0;
+            cb_predsse = predsse;
+        } else {
+            double pbest = -1.0;
+            for (int i = 0; i < ncc; i++) {
+                mc_comp_luma(c, r, c4, size, cc_mv[i][0], cc_mv[i][1],
+                             cc_mv[i][2], cc_mv[i][3], comp_pred);
+                const uint16_t *sp = c->src[0];
+                int ss = c->sstride[0];
+                long predsse = 0;
+                for (int y = 0; y < size; y++)
+                    for (int x = 0; x < size; x++) {
+                        int d = (int)sp[(r * 4 + y) * ss + c4 * 4 + x] -
+                                comp_pred[y * size + x];
+                        predsse += (long)d * d;
+                    }
+                double rate = tpu_sym_cost_bits(
+                    ic->inter_compound_mode + cm_ctx * 9, cc_cm[i]);
+                if (cc_cm[i] == 7) {
+                    if (crefs.n_found > 1)
+                        rate += tpu_sym_cost_bits(
+                            ic->drl + tpui_drl_ctx(&crefs, 0) * 3, 0);
+                    int p0r = crefs.mv[0][0], p0c = crefs.mv[0][1];
+                    int p1r = crefs.mv2[0][0], p1c = crefs.mv2[0][1];
+                    lower_precision_hp(c, &p0r, &p0c);
+                    lower_precision_hp(c, &p1r, &p1c);
+                    rate += cost_mv(c, cc_mv[i][0], cc_mv[i][1], p0r,
+                                    p0c);
+                    rate += cost_mv(c, cc_mv[i][2], cc_mv[i][3], p1r,
+                                    p1c);
+                } else if (cc_cm[i] == 1 && crefs.n_found > 2) {
                     rate += tpu_sym_cost_bits(
-                        ic->drl + tpui_drl_ctx(&crefs, 0) * 3, 0);
-                int p0r = crefs.mv[0][0], p0c = crefs.mv[0][1];
-                int p1r = crefs.mv2[0][0], p1c = crefs.mv2[0][1];
-                lower_precision_hp(c, &p0r, &p0c);
-                lower_precision_hp(c, &p1r, &p1c);
-                rate += cost_mv(c, cc_mv[i][0], cc_mv[i][1], p0r, p0c);
-                rate += cost_mv(c, cc_mv[i][2], cc_mv[i][3], p1r, p1c);
-            } else if (cc_cm[i] == 1 && crefs.n_found > 2) {
-                rate += tpu_sym_cost_bits(
-                    ic->drl + tpui_drl_ctx(&crefs, 1) * 3, 0);
-            }
-            double cost = tpu_dist_eval(c, ts_y, comp_pred, cand_resid,
-                                        &cand_trial) +
-                          c->rdmult * (rate + cand_trial.rate512 / 512.0);
-            if (cbest < 0 || cost < cbest) {
-                cbest = cost;
-                cbi = i;
-                cb_predsse = predsse;
-                cmp_ty = cand_trial;
-                memcpy(best_comp_pred, comp_pred,
-                       sizeof(int32_t) * size * size);
+                        ic->drl + tpui_drl_ctx(&crefs, 1) * 3, 0);
+                }
+                cand_rate[i] = rate;
+                double pcost = (double)predsse + c->rdmult * rate;
+                if (pbest < 0 || pcost < pbest) {
+                    pbest = pcost;
+                    cbi = i;
+                    cb_predsse = predsse;
+                }
             }
         }
+        if (!fast_skip) {
+            mc_comp_luma(c, r, c4, size, cc_mv[cbi][0], cc_mv[cbi][1],
+                         cc_mv[cbi][2], cc_mv[cbi][3], comp_pred);
+            const uint16_t *sp = c->src[0];
+            int ss = c->sstride[0];
+            for (int y = 0; y < size; y++)
+                for (int x = 0; x < size; x++)
+                    cand_resid[y * size + x] =
+                        (int)sp[(r * 4 + y) * ss + c4 * 4 + x] -
+                        comp_pred[y * size + x];
+            tpu_trial_txb(c, 0, ts_y, 0, cand_resid, q, 0, sgn_y, 1,
+                          &cand_trial);
+            cbest = tpu_dist_eval(c, ts_y, comp_pred, cand_resid,
+                                  &cand_trial) +
+                    c->rdmult * (cand_rate[cbi] +
+                                 cand_trial.rate512 / 512.0);
+            cmp_ty = cand_trial;
+            memcpy(best_comp_pred, comp_pred,
+                   sizeof(int32_t) * size * size);
+        }
+        IPROF_MARK(9);
         /* masked compound refinement on the avg winner (spec 7.11.3.11:
          * wedge from the normative tables, DIFFWTD from the d16 comps;
          * ref compound_type RD in enc_inter_prediction.c). Pred-domain
@@ -2525,7 +2600,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         static __thread int32_t mbest_pred[64 * 64];
         static __thread uint8_t dwmask[2][64 * 64];
         const uint8_t *msk_luma = NULL;
-        if (c->masked_comp) {
+        if (!fast_skip && c->masked_comp && cmp_ty.eob) {
             mc_comp_part(c->refp[0], c->ref_stride[0], c->width,
                          c->height, c4 * 4, r * 4, size, size,
                          cc_mv[cbi][1] * 2, cc_mv[cbi][0] * 2, c->bd,
@@ -2629,6 +2704,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                 cbest += c->rdmult * tpu_sym_cost_bits(cgcdf, 0);
             }
         }
+        IPROF_MARK(10);
         /* chroma for the compound winner */
         static __thread int32_t cu[32 * 32], cv[32 * 32];
         static __thread TxTrial cmp_tu, cmp_tv;
@@ -2671,10 +2747,14 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                     rv2[y * cw + x] = dv;
                     chroma_predsse += (long)du * du + (long)dv * dv;
                 }
-            int sgn_u = tpu_dc_sign_ctx(c, 1, cr, cc, ts_c);
-            int sgn_v = tpu_dc_sign_ctx(c, 2, cr, cc, ts_c);
-            tpu_trial_txb(c, 1, ts_c, 0, ru2, q, 1, sgn_u, 1, &cmp_tu);
-            tpu_trial_txb(c, 2, ts_c, 0, rv2, q, 1, sgn_v, 1, &cmp_tv);
+            if (!fast_skip) {
+                int sgn_u = tpu_dc_sign_ctx(c, 1, cr, cc, ts_c);
+                int sgn_v = tpu_dc_sign_ctx(c, 2, cr, cc, ts_c);
+                tpu_trial_txb(c, 1, ts_c, 0, ru2, q, 1, sgn_u, 1,
+                              &cmp_tu);
+                tpu_trial_txb(c, 2, ts_c, 0, rv2, q, 1, sgn_v, 1,
+                              &cmp_tv);
+            }
         }
         double comp_total = cbest + c->rdmult * comp_base +
                             (double)(cmp_tu.sse + cmp_tv.sse) +
@@ -2682,7 +2762,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                                 ((cmp_tu.rate512 + cmp_tv.rate512) /
                                  512.0);
         int comp_was_masked = comp_masked_type;
-        if (comp_total < best_cost) {
+        if (!fast_skip && comp_total < best_cost) {
             best_cost = comp_total;
             use_comp = 1;
             comp_cm = cc_cm[cbi];
@@ -2749,6 +2829,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
             use_intra = intra_cost < best_cost;
         }
     }
+    IPROF_RESET;
     /* inter-intra search (spec 5.11.28 / 7.11.3.13; ref
      * enc_inter_prediction.c inter_intra path): blend the single-ref MC
      * prediction with a DC/V/H/SMOOTH intra prediction through the
@@ -2758,7 +2839,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     int use_ii = 0, ii_mode = 0;
     int use_ii_wedge = 0, use_ii_wedge_idx = 0;
     int ii_eligible = c->interintra && !use_comp && !use_sm &&
-                      size >= 8 && size <= 32;
+                      !fast_skip && size >= 8 && size <= 32;
     if (ii_eligible && !use_intra) {
         static const int II_TO_INTRA[4] = {0, 1, 2, 9};
         int ii_grp = size == 8 ? 1 : size == 16 ? 2 : 3;
@@ -2935,6 +3016,10 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     WarpParams wp;
     if (c->motion_mode_sw && !use_sm && !use_comp && !use_ii &&
         has_overlappable_c(c, r, c4, w4, w4)) {
+        /* NOTE: obmc_eligible is the SPEC eligibility — it gates the
+         * motion_mode SYMBOL the decoder will read, so it must not
+         * depend on encoder-side pruning (fast_skip gates only the
+         * search below; the symbol then codes SIMPLE) */
         obmc_eligible = 1;
         int wpts[8][2], wpts_ref[8][2];
         int nsamp = 0;
@@ -2944,7 +3029,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         /* the symbol's cdf: 3-ary motion_mode when warp is possible
          * (spec 5.11.27 read_motion_mode; allow_hp/force_int are 0/0) */
         warp_cdf = c->allow_warp && nsamp > 0;
-        if (!use_intra) {
+        if (!use_intra && !fast_skip) {
             const uint16_t *mmcdf = warp_cdf
                                         ? ic->motion_mode + bsize * 4
                                         : ic->obmc + bsize * 3;
@@ -3095,6 +3180,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
 
     /* final luma residual off the winning prediction (shared by the
      * IDTX tail trial and the var-tx split search) */
+    IPROF_MARK(11);
     static __thread int32_t sp_resid[64 * 64];
     int have_resid = 0;
     if (!use_intra && !use_sm) {
@@ -3191,8 +3277,12 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
      * decoder's chroma tx type follows the txtype map at the block's
      * top-left — replacing an IDTX winner with split-DCT luma would
      * orphan the IDTX chroma recon committed above */
+    /* eob > 2 gate: with only DC + one AC surviving quantization, the
+     * split arm's 4x (flag + skip + coeff) rates cannot beat the
+     * full-size code — the probe's 4 sub-trials are waste (most
+     * blocks at the low-rate end) */
     if (c->tx_select && !skip && !use_intra && have_resid &&
-        i_ty.tt == 0 && ts_y >= 1 && ts_y <= 4) {
+        i_ty.tt == 0 && ts_y >= 1 && ts_y <= 4 && i_ty.eob > 2) {
         int sub_ts = ts_y - 1;
         int sub_px = size / 2;
         int h4q = sub_px / 4;

@@ -21,6 +21,8 @@ run the full RD funnel.
 
 from __future__ import annotations
 
+import numpy as np
+
 from svt_av1_psy_tpu.config import (DEFAULT, EncoderConfig, PredStructure,
                                     validate_config)
 
@@ -133,7 +135,14 @@ class Encoder:
                 if self.cfg.enable_tpl_la:
                     self._ra.tpl_strength = 1.0
             if self.cfg.film_grain_denoise_strength > 0:
-                enc.film_grain = 1
+                # film-grain synthesis path (ref noise_model.c:2132
+                # av1_denoise_and_model_run): estimate the AR grain
+                # model from the RAW first frame, then encode DENOISED
+                # sources — coding the noisy source while synthesizing
+                # grain on top measured ~6.5 dB under the reference at
+                # matched rates (round-4 cfg4). Estimation + denoise
+                # happen lazily on the first send_picture.
+                self._fg_denoise = True
             enc.enable_scenecut = bool(self.cfg.scene_change_detection)
             # per-block interpolation-filter search (ref
             # interpolation_filter_search; preset-gated like
@@ -230,10 +239,44 @@ class Encoder:
                                if self.cfg.over_shoot_pct >= 0 else 25),
                 gop_size=gop, recode=False)
 
+    def _fg_prepare(self, y, u, v):
+        """Film-grain-synthesis source conditioning: on the first frame
+        estimate the AR grain model + noise level from the RAW source
+        and arm it as the stream's film_grain params; every frame then
+        encodes DENOISED (ref noise_model.c denoise-and-model)."""
+        if not getattr(self, "_fg_denoise", False):
+            return y, u, v
+        from svt_av1_psy_tpu.models.denoise import (denoise_frame,
+                                                    estimate_noise_sigma)
+        bd = self.cfg.encoder_bit_depth
+        if getattr(self, "_fg_sigma", None) is None:
+            from svt_av1_psy_tpu.models.film_grain import \
+                estimate_film_grain
+            full = max(estimate_noise_sigma(np.asarray(y), bd), 0.25)
+            # denoise depth scales with --film-grain level (the
+            # reference's denoise_noise_level role): higher levels
+            # remove — and therefore re-synthesize — more of the grain
+            lvl = min(int(self.cfg.film_grain_denoise_strength), 50)
+            self._fg_sigma = full * lvl / 16.0
+            dn = denoise_frame(y, u, v, self._fg_sigma, bd)
+            # model exactly the REMOVED portion: synthesis restores what
+            # the denoiser took out (ref noise_model.c denoiser-residual
+            # modelling), so light denoise signals light grain
+            resid = np.asarray(y).astype(np.int32) - dn[0].astype(np.int32)
+            params = estimate_film_grain(np.asarray(y), np.asarray(u),
+                                         np.asarray(v), bd,
+                                         noise_field=resid)
+            if params is not None:
+                self._enc.film_grain = params
+                self._enc.seq.film_grain_params_present = True
+            return dn
+        return denoise_frame(y, u, v, self._fg_sigma, bd)
+
     def encode(self, y, u, v):
         """send_picture + get_packet: encode one frame, return the
         EncodedFrame (payload + reconstruction). Display-order modes
         only — RA sessions must use send_picture()/flush()."""
+        y, u, v = self._fg_prepare(y, u, v)
         assert self._ra is None, \
             "random-access reorders frames: use send_picture()/flush()"
         is_key = self._enc.gop_size == 1 or self._frames == 0 or (
@@ -262,6 +305,7 @@ class Encoder:
         ref EbSvtAv1Enc.h)."""
         from svt_av1_psy_tpu.models.ra import RaPacket
         if self._ra is not None:
+            y, u, v = self._fg_prepare(y, u, v)
             self._frames += 1
             if self._rc is not None:
                 # GoP-granular in RA (recode disabled at fast presets,

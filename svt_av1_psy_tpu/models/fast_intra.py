@@ -541,8 +541,9 @@ class FastIntraEncoder:
         # routes through the full-RD intra path with palette + IBC —
         # text/UI content codes orders of magnitude better there — and
         # its recon/contexts feed the fast inter walk's DPB
-        if getattr(self, "scm_auto", False) or \
-                getattr(self, "screen_content", False):
+        if (getattr(self, "scm_auto", False) or
+                getattr(self, "screen_content", False)) and \
+                not self.superres_denom:
             from svt_av1_psy_tpu.models.intra_encoder import IntraEncoder
             ypad = _pad_to(np.asarray(y), self.pah, self.paw)
             if getattr(self, "screen_content", False) or \

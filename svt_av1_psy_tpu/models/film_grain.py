@@ -50,9 +50,15 @@ def _flat_mask(y: np.ndarray, block: int = 16) -> np.ndarray:
 
 def estimate_film_grain(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                         bd: int = 8, seed: int = 7391,
-                        adaptive_block: bool = True):
+                        adaptive_block: bool = True,
+                        noise_field: np.ndarray | None = None):
     """Fit grain params from one frame. Returns FilmGrainParams or None
-    when the content carries no measurable grain."""
+    when the content carries no measurable grain.
+
+    noise_field: when given, fit THIS field (e.g. source - denoised,
+    the portion the encoder removed and synthesis must restore — ref
+    noise_model.c models the denoiser residual) instead of the
+    high-pass noise proxy; intensity binning still follows y."""
     shift = bd - 8
     y8 = (y >> shift).astype(np.uint8) if shift else y
     H, W = y8.shape
@@ -60,7 +66,9 @@ def estimate_film_grain(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     block = min(block, H // 4, W // 4)
     if block < 8:
         return None
-    noise = _highpass(y8)
+    noise = _highpass(y8) if noise_field is None else \
+        (noise_field.astype(np.float64) / (1 << shift) if shift
+         else noise_field.astype(np.float64))
     mask = _flat_mask(y8, block)
     nh, nw = mask.shape
     flat_noise = []

@@ -625,6 +625,22 @@ class RaDriver:
                                            jnp.asarray(bias), enc.bd,
                                            enc.min_block)
             _host_copy_async(out)
+        # active background fetch: the tunnel backend only drives an
+        # enqueued program + transfer when the client touches the
+        # result, so a passive park would serialize GoP N+1's device
+        # time behind GoP N's walks; a fetch thread keeps the device
+        # busy under the walks and _walk_gop just joins it
+        import threading as _th
+        fetch_box = {}
+
+        def _fetch():
+            try:
+                fetch_box["buf"] = np.asarray(out)
+            except Exception as e:      # surfaced at join
+                fetch_box["err"] = e
+
+        fetch_th = _th.Thread(target=_fetch, daemon=True)
+        fetch_th.start()
         # dispatch-time base for the NEXT GoP's edges: this GoP's ARF
         # source (open-loop; its recon does not exist yet)
         self._disp_base_display = arf_d
@@ -633,6 +649,7 @@ class RaDriver:
         # encodes at the top of the walk with its q from the TPL ladder
         key, self._key_pending = self._key_pending, None
         return {"frames": frames, "b": b, "arf_d": arf_d, "plan": plan,
+                "fetch_th": fetch_th, "fetch_box": fetch_box,
                 "n": len(buf), "out": out, "edge_keys": edge_keys,
                 "idx": idx, "fmax": fmax, "emax": emax, "padded": padded,
                 "tf": tf_on, "tf_n": tf_n if tf_on else 0,
@@ -667,7 +684,15 @@ class RaDriver:
         idx = task["idx"]
         self._tpl_q = None
         with _tstage("gop_fetch"):
-            buf = np.asarray(task["out"])
+            th = task.get("fetch_th")
+            if th is not None:
+                th.join()
+            box = task.get("fetch_box") or {}
+            if "err" in box:
+                raise box["err"]
+            buf = box.get("buf")
+            if buf is None:
+                buf = np.asarray(task["out"])
         self._filtered_src = {}
         if task["tf"]:
             mv, sad, sad32, sad64, dec, filt = gop_search_tf_unpack(

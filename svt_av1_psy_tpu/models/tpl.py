@@ -279,16 +279,23 @@ def tpl_gop_q(frames_y: dict, plan, base_q: int, bd: int = 8,
                 _splat8(credit[r], y0[m].ravel(), x0[m].ravel(),
                         flow[m].ravel())
 
-    def _r0(d):
+    def _r0(d, continuation=1.0):
+        """continuation: structural multiplier for credit the GoP-local
+        plan cannot see — the ARF of GoP N becomes the BASE of GoP N+1
+        and serves ~one more mini-GoP of dependents (the reference's
+        TPL group spans tpl_lad_mg extra mini-GoPs of lookahead, ref
+        src_ops_process.c tpl_group; our pipeline walks GoP-locally, so
+        the ARF's continuation is known structurally, not measured)."""
         own = float(np.maximum(act[d] * 0.5, 1.0).sum())
-        s = strength * _knob("SVT_TPL_CRED", 1.0)
+        s = strength * _knob("SVT_TPL_CRED", 1.0) * continuation
         return own / (own + s * float(credit[d].sum()))
 
     qmap = {}
     b, arf_d = plan[0][1], plan[0][0]
     if key_d is not None:
         ratio = min(1.0, float(np.sqrt(
-            _r0(key_d) / _knob("SVT_TPL_KEY_DIV", _KEY_DIV))) * _KEY_W)
+            _r0(key_d, continuation=2.0)
+            / _knob("SVT_TPL_KEY_DIV", _KEY_DIV))) * _KEY_W)
         qmap[key_d] = qindex_for_qstep_ratio(base_q, ratio, bd)
     if b not in qmap:
         qmap[b] = base_q_coded if base_q_coded is not None else base_q
@@ -305,7 +312,8 @@ def tpl_gop_q(frames_y: dict, plan, base_q: int, bd: int = 8,
     for d, lo, hi, dep in plan:
         if d == arf_d:
             ratio = min(1.0, float(np.sqrt(
-                _r0(arf_d) / _knob("SVT_TPL_ARF_DIV", _ARF_DIV)))
+                _r0(arf_d, continuation=2.0)
+                / _knob("SVT_TPL_ARF_DIV", _ARF_DIV)))
                 * _ARF_W)
             qmap[d] = qindex_for_qstep_ratio(base_q, ratio, bd)
         elif d in referenced:

@@ -862,7 +862,9 @@ class CommitEngine:
 
 
 _PROF_NAMES = ("fwd_txfm", "quantize", "coeff_rate", "inv_txfm",
-               "predict", "commit_ec", "trial_total", "spare")
+               "predict", "commit_ec", "trial_total", "spare",
+               "mc_singleref", "mc_compound", "masked_search",
+               "motion_modes")
 
 
 def prof_reset() -> None:
@@ -873,7 +875,7 @@ def prof_reset() -> None:
 def prof_get() -> dict:
     """Phase-name -> milliseconds accumulated since the last reset,
     summed across tile threads (buckets 0-4 nest inside 5/6)."""
-    buf = (ctypes.c_longlong * 8)()
+    buf = (ctypes.c_longlong * 12)()
     get_lib().tpuc_prof_get(buf)
     return {n: v / 1e6 for n, v in zip(_PROF_NAMES, buf)}
 

@@ -477,28 +477,35 @@ def hme_search2(src_u8: jnp.ndarray, ref_u8: jnp.ndarray,
     n16r, n16c = Hh // 8, Wh // 8          # 16x16 full-res blocks
 
     # level 0: quarter-res plane-shift SAD over +-r0, one 4x4 block per
-    # 16x16 full-res block
+    # 16x16 full-res block. The dx axis is unrolled STATICALLY into a
+    # stacked tensor so each of the (2*r0+1) sequential dy steps does
+    # (2*r0+1) * Hq * Wq of vector work — a flat fori over all
+    # (2*r0+1)^2 offsets leaves the VPU idle on tiny per-step slices
+    # (measured: the GoP program's device seconds live here).
     rp0 = jnp.pad(rq, ((r0, r0), (r0, r0)), mode="edge")
     side0 = 2 * r0 + 1
+    # (side0, Hq + 2*r0, Wq): all static x-shifts
+    xshift0 = jnp.stack([rp0[:, k:k + Wq] for k in range(side0)])
 
     def body0(i, carry):
         best_sad, best_mv = carry
-        dy = i // side0 - r0
-        dx = i % side0 - r0
-        shifted = jax.lax.dynamic_slice(rp0, (dy + r0, dx + r0), (Hq, Wq))
-        d = jnp.abs(sq - shifted)
-        sad = d.reshape(n16r, 4, n16c, 4).sum(axis=(1, 3))
-        better = sad < best_sad
-        best_mv = jnp.where(better[..., None],
-                            jnp.stack([jnp.full((n16r, n16c), dy),
-                                       jnp.full((n16r, n16c), dx)],
-                                      axis=-1), best_mv)
-        best_sad = jnp.where(better, sad, best_sad)
+        dy = i - r0
+        sh_rows = jax.lax.dynamic_slice(
+            xshift0, (0, i, 0), (side0, Hq, Wq))      # (side0, Hq, Wq)
+        d = jnp.abs(sq[None] - sh_rows)
+        sad = d.reshape(side0, n16r, 4, n16c, 4).sum(axis=(2, 4))
+        k = jnp.argmin(sad, axis=0)                   # (n16r, n16c)
+        s_min = jnp.min(sad, axis=0)
+        better = s_min < best_sad
+        cand_mv = jnp.stack([jnp.full((n16r, n16c), dy),
+                             k.astype(jnp.int32) - r0], axis=-1)
+        best_mv = jnp.where(better[..., None], cand_mv, best_mv)
+        best_sad = jnp.where(better, s_min, best_sad)
         return best_sad, best_mv
 
     init0 = (jnp.full((n16r, n16c), 1 << 30, jnp.int32),
              jnp.zeros((n16r, n16c, 2), jnp.int32))
-    _, seed_q = jax.lax.fori_loop(0, side0 * side0, body0, init0)
+    _, seed_q = jax.lax.fori_loop(0, side0, body0, init0)
 
     # global seed candidates: top-K most-voted level-0 MVs across the
     # frame (the reference's HME candidate injection role). A block
@@ -540,23 +547,26 @@ def hme_search2(src_u8: jnp.ndarray, ref_u8: jnp.ndarray,
         return jax.lax.dynamic_slice(rp1, (y0, x0), (wsz, wsz))
 
     wins = jax.vmap(get_win)(cy, cx)                    # (n, wsz, wsz)
+    # static dx unroll (same rationale as level 0): (side1, n, wsz, 8)
+    winx = jnp.stack([wins[:, :, k:k + 8] for k in range(side1)])
 
-    def body1(k, carry):
+    def body1(dy, carry):
         best_sad, best_off = carry
-        dy = k // side1
-        dx = k % side1
         win = jax.lax.dynamic_slice(
-            wins, (0, dy, dx), (wins.shape[0], 8, 8))
-        sad = jnp.abs(win - blks).sum(axis=(1, 2))
-        better = sad < best_sad
-        off = jnp.stack([dy - r1, dx - r1]).astype(jnp.int32)
+            winx, (0, 0, dy, 0), (side1, winx.shape[1], 8, 8))
+        sad = jnp.abs(win - blks[None]).sum(axis=(2, 3))  # (side1, n)
+        k = jnp.argmin(sad, axis=0)
+        s_min = jnp.min(sad, axis=0)
+        better = s_min < best_sad
+        off = jnp.stack([jnp.full((nb,), dy - r1),
+                         k.astype(jnp.int32) - r1], axis=-1)
         best_off = jnp.where(better[:, None], off, best_off)
-        best_sad = jnp.where(better, sad, best_sad)
+        best_sad = jnp.where(better, s_min, best_sad)
         return best_sad, best_off
 
     init1 = (jnp.full((nb,), 1 << 30, jnp.int32),
              jnp.zeros((nb, 2), jnp.int32))
-    best_sad, best_off = jax.lax.fori_loop(0, side1 * side1, body1, init1)
+    best_sad, best_off = jax.lax.fori_loop(0, side1, body1, init1)
     mv_h = 2 * seed_flat + best_off                     # half-res units
     best_sad = best_sad.reshape(n16r, n16c)
     mv_h = mv_h.reshape(n16r, n16c, 2)
@@ -574,44 +584,58 @@ def hme_search2(src_u8: jnp.ndarray, ref_u8: jnp.ndarray,
     sideg = 2 * R1G + 1
 
     def bodyg(t, carry):
+        # one (candidate, dy) pair per sequential step; the dx axis is
+        # unrolled statically inside a single dynamic window slice
+        # (same utilization rationale as level 0)
         best_sad2, best_mv2 = carry
-        k = t // (sideg * sideg)
-        rem = t % (sideg * sideg)
-        dy = rem // sideg - R1G
-        dx = rem % sideg - R1G
+        k = t // sideg
+        dy = t % sideg - R1G
         oy = 2 * glob_mv[k, 0] + dy
-        ox = 2 * glob_mv[k, 1] + dx
-        shifted = jax.lax.dynamic_slice(rp1, (oy + P, ox + P),
-                                        (Hh2, Wh2))
-        d = jnp.abs(shc - shifted)
-        sad = d.reshape(n16r, 8, n16c, 8).sum(axis=(1, 3))
-        better = sad < best_sad2
+        ox0 = 2 * glob_mv[k, 1] - R1G
+        win = jax.lax.dynamic_slice(rp1, (oy + P, ox0 + P),
+                                    (Hh2, Wh2 + sideg - 1))
+        d = jnp.stack([jnp.abs(shc - win[:, j:j + Wh2])
+                       for j in range(sideg)])
+        sad = d.reshape(sideg, n16r, 8, n16c, 8).sum(axis=(2, 4))
+        j = jnp.argmin(sad, axis=0)
+        s_min = jnp.min(sad, axis=0)
+        better = s_min < best_sad2
         mv2 = jnp.stack([jnp.full((n16r, n16c), oy),
-                         jnp.full((n16r, n16c), ox)], axis=-1)
+                         ox0 + j.astype(jnp.int32)], axis=-1)
         best_mv2 = jnp.where(better[..., None], mv2, best_mv2)
-        best_sad2 = jnp.where(better, sad, best_sad2)
+        best_sad2 = jnp.where(better, s_min, best_sad2)
         return best_sad2, best_mv2
 
     if K_GLOB:
-        best_sad, mv_h = jax.lax.fori_loop(0, K_GLOB * sideg * sideg,
+        best_sad, mv_h = jax.lax.fori_loop(0, K_GLOB * sideg,
                                            bodyg, (best_sad, mv_h))
     mv16 = (2 * mv_h).reshape(n16r, n16c, 2).astype(jnp.int16)
     return mv16, best_sad.reshape(n16r, n16c)
 
 
-def _gather_sad_nodes(sh, rh, off, bs):
+def _gather_sad_nodes(sh, rh, off, bs, pad):
     """Half-res SAD of every bs x bs node of `sh` against `rh` shifted
-    by the per-node offset map `off` (half-res units, (nr, nc, 2));
-    clamped gather like _tf_align. Returns (nr, nc) int32."""
+    by the per-node offset map `off` (half-res units, (nr, nc, 2)).
+    `rh` must already be edge-padded by `pad` on every side (offsets
+    are clamped into it). Implemented as a vmap of dynamic_slice per
+    node — a full-plane 2-D gather lowers to an XLA gather the TPU
+    executes orders of magnitude slower. Returns (nr, nc) int32."""
+    import jax
+
     nr, nc = off.shape[:2]
-    H2, W2 = nr * bs, nc * bs
-    s = sh[:H2, :W2]
-    dy = jnp.repeat(jnp.repeat(off[..., 0], bs, 0), bs, 1)
-    dx = jnp.repeat(jnp.repeat(off[..., 1], bs, 0), bs, 1)
-    ys = jnp.clip(jnp.arange(H2)[:, None] + dy, 0, rh.shape[0] - 1)
-    xs = jnp.clip(jnp.arange(W2)[None, :] + dx, 0, rh.shape[1] - 1)
-    d = jnp.abs(s - rh[ys, xs])
-    return d.reshape(nr, bs, nc, bs).sum(axis=(1, 3))
+    blocks = sh[:nr * bs, :nc * bs].reshape(nr, bs, nc, bs) \
+        .transpose(0, 2, 1, 3).reshape(-1, bs, bs)
+    oy = jnp.clip(off[..., 0].reshape(-1), -pad, pad)
+    ox = jnp.clip(off[..., 1].reshape(-1), -pad, pad)
+    bi = jnp.arange(nr * nc)
+    y0 = (bi // nc) * bs + oy + pad
+    x0 = (bi % nc) * bs + ox + pad
+
+    def one(y, x):
+        return jax.lax.dynamic_slice(rh, (y, x), (bs, bs))
+
+    wins = jax.vmap(one)(y0, x0)
+    return jnp.abs(wins - blocks).sum(axis=(1, 2)).reshape(nr, nc)
 
 
 def hme_sad_tree(src_u8: jnp.ndarray, ref_u8: jnp.ndarray,
@@ -634,6 +658,8 @@ def hme_sad_tree(src_u8: jnp.ndarray, ref_u8: jnp.ndarray,
           src[1::2, 1::2] + 2) >> 2
     rh = (ref[0::2, 0::2] + ref[0::2, 1::2] + ref[1::2, 0::2] +
           ref[1::2, 1::2] + 2) >> 2
+    PAD = 48                                     # >= hme_search2 reach/2
+    rhp = jnp.pad(rh, ((PAD, PAD), (PAD, PAD)), mode="edge")
     mvh = (mv16.astype(jnp.int32) >> 1)          # half-res units
     n16r, n16c = mvh.shape[:2]
     n32r, n32c = n16r // 2, n16c // 2
@@ -646,7 +672,7 @@ def hme_sad_tree(src_u8: jnp.ndarray, ref_u8: jnp.ndarray,
         for i in (0, 1):
             for j in (0, 1):
                 off = off_child[i::2, j::2]
-                sad = _gather_sad_nodes(sh, rh, off, bs)
+                sad = _gather_sad_nodes(sh, rhp, off, bs, PAD)
                 if best is None:
                     best, best_off = sad, off
                 else:
@@ -753,9 +779,13 @@ def gop_search(frames_u8: jnp.ndarray, edges: jnp.ndarray,
      per-frame intra_decide_packed buffers (F, dsz)]."""
     F, H, W = frames_u8.shape
 
-    dec = jax.vmap(
-        lambda f: intra_decide_packed(f, split_bias, bd, min_block)
-    )(frames_u8)
+    # lax.map, NOT vmap: one frame's decide holds a (blocks, 13, 64,
+    # 64) prediction tensor (~100 MB at 1080p); batching F frames
+    # multiplies it into HBM-thrashing territory. A single frame
+    # already fills the VPU.
+    dec = jax.lax.map(
+        lambda f: intra_decide_packed(f, split_bias, bd, min_block),
+        frames_u8)
 
     def one_edge(e):
         mv, sad = hme_search2(frames_u8[e[0]], frames_u8[e[1]])
@@ -764,7 +794,20 @@ def gop_search(frames_u8: jnp.ndarray, edges: jnp.ndarray,
         s32, s64 = hme_sad_tree(frames_u8[e[0]], frames_u8[e[1]], mv)
         return mv, sad, s32, s64
 
-    mv, sad, s32, s64 = jax.vmap(one_edge)(edges)
+    # chunked vmap: the restructured HME holds multi-10MB static shift
+    # stacks per edge, so a full-width vmap over ~3*M edges multiplies
+    # them into gigabytes of HBM traffic, while a pure sequential
+    # lax.map leaves batching efficiency on the table. Eight edges per
+    # step measured best on the tunnel TPU.
+    E = edges.shape[0]
+    CH = 8
+    pad_e = (-E) % CH
+    edges_p = jnp.concatenate(
+        [edges, jnp.zeros((pad_e, 2), edges.dtype)]) if pad_e else edges
+    outs = jax.lax.map(lambda ch: jax.vmap(one_edge)(ch),
+                       edges_p.reshape(-1, CH, 2))
+    mv, sad, s32, s64 = [o.reshape((-1,) + o.shape[2:])[:E]
+                         for o in outs]
     mvsad = jnp.concatenate([mv.astype(jnp.int32).reshape(-1),
                              sad.astype(jnp.int32).reshape(-1),
                              s32.astype(jnp.int32).reshape(-1),
@@ -802,22 +845,36 @@ def gop_search_unpack(buf: np.ndarray, n_frames: int, n_edges: int,
 
 def _tf_align(center: jnp.ndarray, neigh: jnp.ndarray, mv16: jnp.ndarray,
               sub: int):
-    """Clamped-gather MC alignment of `neigh` onto `center` with
-    per-16x16 (luma units) full-pel MVs — the device analog of
+    """MC alignment of `neigh` onto `center` with per-16x16 (luma
+    units) full-pel MVs — the device analog of
     models/temporal_filter._align_plane. center/neigh: (H, W) int32;
-    mv16: (n16r, n16c, 2) int32. Returns (aligned (H, W) int32,
-    per-block mean-SSE (n16r, n16c) float32)."""
+    mv16: (n16r, n16c, 2) int32. Per-block dynamic_slice of an
+    edge-padded plane (a full-plane 2-D gather lowers to an XLA gather
+    the TPU executes orders of magnitude slower). Returns
+    (aligned (H, W) int32, per-block mean-SSE (n16r, n16c) float32)."""
+    import jax
+
     H, W = center.shape
     bs = 16 >> sub
-    dy = mv16[..., 0] >> sub
-    dx = mv16[..., 1] >> sub
-    dyp = jnp.repeat(jnp.repeat(dy, bs, 0), bs, 1)[:H, :W]
-    dxp = jnp.repeat(jnp.repeat(dx, bs, 0), bs, 1)[:H, :W]
-    ys = jnp.clip(jnp.arange(H)[:, None] + dyp, 0, H - 1)
-    xs = jnp.clip(jnp.arange(W)[None, :] + dxp, 0, W - 1)
-    out = neigh[ys, xs]
-    d2 = (out - center).astype(jnp.float32) ** 2
     n16r, n16c = mv16.shape[:2]
+    PAD = 96 >> sub          # >= hme_search2 full-pel reach (+-82)
+    np_pad = jnp.pad(neigh, ((PAD, PAD), (PAD, PAD)), mode="edge")
+    oy = jnp.clip(mv16[..., 0] >> sub, -PAD, PAD).reshape(-1)
+    ox = jnp.clip(mv16[..., 1] >> sub, -PAD, PAD).reshape(-1)
+    bi = jnp.arange(n16r * n16c)
+    y0 = (bi // n16c) * bs + oy + PAD
+    x0 = (bi % n16c) * bs + ox + PAD
+
+    def one(y, x):
+        return jax.lax.dynamic_slice(np_pad, (y, x), (bs, bs))
+
+    wins = jax.vmap(one)(y0, x0)                 # (n, bs, bs)
+    out = wins.reshape(n16r, n16c, bs, bs).transpose(0, 2, 1, 3) \
+        .reshape(n16r * bs, n16c * bs)
+    if out.shape != (H, W):
+        out = jnp.pad(out, ((0, H - out.shape[0]), (0, W - out.shape[1])),
+                      mode="edge")
+    d2 = (out - center).astype(jnp.float32) ** 2
     err = d2[:n16r * bs, :n16c * bs].reshape(n16r, bs, n16c, bs) \
         .mean(axis=(1, 3))
     return out, err

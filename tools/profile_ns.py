@@ -26,6 +26,11 @@ def main():
     W, H = 1920, 1080
     frames = [make_frame(W, H, t, 8, 0.02, rng) for t in range(n)]
 
+    # same platform/probe/persistent-jit-cache setup as bench.py —
+    # without it every run pays full device compiles (~40s+)
+    from svt_av1_psy_tpu.utils.device import select_platform
+    select_platform(os.environ.get("SVT_BENCH_DEVICE", "auto"))
+
     from svt_av1_psy_tpu import native
     from svt_av1_psy_tpu.api import Encoder
     from svt_av1_psy_tpu.config import EncoderConfig
@@ -52,10 +57,13 @@ def main():
     print("native buckets (ms, summed over tile threads):")
     for k, v in prof.items():
         print(f"  {k:12s} {v:10.1f}")
-    if walk:
-        hot = (prof["fwd_txfm"] + prof["quantize"] + prof["coeff_rate"])
+    hot = (prof["fwd_txfm"] + prof["quantize"] + prof["coeff_rate"])
+    mc = sum(prof.get(k, 0) for k in ("mc_singleref", "mc_compound",
+                                      "masked_search", "motion_modes"))
+    tot = hot + mc
+    if tot:
         print(f"  fwd+quant+rate = {hot:.1f} ms = "
-              f"{100 * hot / walk:.1f}% of walk (trial+commit)")
+              f"{100 * hot / tot:.1f}% of instrumented walk thread-time")
     cts = native.prof_trial_counts()
     if cts:
         txn = ("4x4", "8x8", "16x16", "32x32", "64x64", "4x8", "8x4",
