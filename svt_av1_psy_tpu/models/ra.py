@@ -170,14 +170,21 @@ class RaDriver:
                 from svt_av1_psy_tpu.ops.quant import ac_q
                 pah, paw = enc.pah, enc.paw
                 dtype = np.uint8 if enc.bd == 8 else np.uint16
-                bias = jnp.asarray(np.int32(8 * ac_q(enc.qindex,
-                                                     enc.bd)))
-                z = jnp.zeros((pah, paw), dtype)
-                _jitted_decide()(z, bias, enc.bd,
-                                 enc.min_block).block_until_ready()
+                bias = jax.ShapeDtypeStruct((), np.int32)
+                sds = jax.ShapeDtypeStruct
+                z = sds((pah, paw), dtype)
+                # AOT compile+load WITHOUT executing: the warm-up's job
+                # is hiding the compile (cold: 40-170 s) and the
+                # per-process executable load (~2-9 s each through the
+                # tunnel); actually RUNNING the programs on zeros would
+                # queue ~10+ s of dummy device work AHEAD of the first
+                # GoP's real dispatch (measured: first-GoP fetch waited
+                # 25 s for exactly that)
+                _jitted_decide().lower(z, bias, enc.bd,
+                                       enc.min_block).compile()
                 fmax, emax = self.M + 1, 3 * self.M
-                planes = jnp.zeros((fmax, pah, paw), dtype)
-                edges = jnp.zeros((emax, 2), jnp.int32)
+                planes = sds((fmax, pah, paw), dtype)
+                edges = sds((emax, 2), jnp.int32)
                 if self.tf_strength:
                     T = 5
                     chf = (pah // 2, paw // 2)
@@ -188,20 +195,19 @@ class RaDriver:
                     # and a warm-up traced without them loads a DIFFERENT
                     # jit specialization — leaving the real program load
                     # on the critical path
-                    out = _jitted_gop_search_tf()(
+                    _jitted_gop_search_tf().lower(
                         planes, edges, bias,
-                        jnp.zeros((T,) + chf, dtype),
-                        jnp.zeros((T,) + chf, dtype),
-                        jnp.zeros(T, jnp.int32), jnp.asarray(mask),
-                        jnp.asarray(np.float32(self.tf_strength)),
+                        sds((T,) + chf, dtype), sds((T,) + chf, dtype),
+                        sds((T,), jnp.int32), sds((T,), jnp.float32),
+                        sds((), jnp.float32),
                         enc.bd, enc.min_block,
-                        jnp.zeros((T,) + chf, dtype),
-                        jnp.zeros((T,) + chf, dtype),
-                        jnp.zeros(T, jnp.int32), jnp.asarray(mask))
+                        sds((T,) + chf, dtype), sds((T,) + chf, dtype),
+                        sds((T,), jnp.int32),
+                        sds((T,), jnp.float32)).compile()
                 else:
-                    out = _jitted_gop_search()(planes, edges, bias,
-                                               enc.bd, enc.min_block)
-                out.block_until_ready()
+                    _jitted_gop_search().lower(
+                        planes, edges, bias, enc.bd,
+                        enc.min_block).compile()
                 if self.tf_strength:
                     # the KEY frame filters through a standalone
                     # tf_filter_device program (_tf_device, T=3 window:
@@ -222,15 +228,11 @@ class RaDriver:
                         fn = _jax.jit(tf_filter_device,
                                       static_argnums=(5,))
                         cache[key3] = fn
-                    m3 = np.ones(T3, np.float32)
-                    fy, _fu, _fv = fn(
-                        jnp.zeros((T3, pah, paw), dtype),
-                        jnp.zeros((T3,) + chf, dtype),
-                        jnp.zeros((T3,) + chf, dtype),
-                        jnp.asarray(m3),
-                        jnp.asarray(np.float32(self.tf_strength)),
-                        enc.bd)
-                    fy.block_until_ready()
+                    fn.lower(
+                        sds((T3, pah, paw), dtype),
+                        sds((T3,) + chf, dtype), sds((T3,) + chf, dtype),
+                        sds((T3,), np.float32),
+                        sds((), np.float32), enc.bd).compile()
             except Exception:
                 pass            # warm-up is best-effort
 
@@ -305,6 +307,16 @@ class RaDriver:
             self._disp_base_src = src
             return out
         self._buf.append((d, (y, u, v)))
+        # pre-dispatch the pending KEY's temporal filter as soon as its
+        # forward window (the next 2 sources) is buffered: dispatched at
+        # walk time it queues BEHIND the next GoP's search on the device
+        # and its fetch sits on the critical path (measured ~7-10 s)
+        if (self.tf_strength and self._key_pending is not None and
+                len(self._key_pending) == 3 and len(self._buf) >= 2):
+            kd, kfuv, ksrc = self._key_pending
+            win = [self._buf[0][1], self._buf[1][1], kfuv]
+            tok = self._tf_device_dispatch(win)
+            self._key_pending = (kd, kfuv, ksrc, tok)
         close = len(self._buf) >= self.M
         if self.dynamic_gop and not close:
             cur = np.asarray(y)[::4, ::4].astype(np.int32)
@@ -357,16 +369,23 @@ class RaDriver:
         default kf fraction — there is no dependency information."""
         if self._key_pending is None:
             return []
-        d, fuv, _src = self._key_pending
+        d, fuv = self._key_pending[0], self._key_pending[1]
+        tok = self._key_pending[3] if len(self._key_pending) > 3 else None
         self._key_pending = None
         self.enc.kf_qindex = None
-        return [self._encode_base_key(d, fuv)]
+        return [self._encode_base_key(d, fuv, tf_tok=tok)]
 
     # -- internals ---------------------------------------------------------
-    def _encode_base_key(self, d: int, fuv, future: dict | None = None
-                         ) -> RaPacket:
+    def _encode_base_key(self, d: int, fuv, future: dict | None = None,
+                         tf_tok=None) -> RaPacket:
         y, u, v = fuv
-        if self.tf_strength and future:
+        if self.tf_strength and tf_tok is not None:
+            # pre-dispatched at push time (the forward-window frames
+            # arrived long before the walk): only the fetch remains
+            from svt_av1_psy_tpu.utils.trace import stage as _tstage
+            with _tstage("temporal_filter"):
+                y, u, v = self._tf_device_fetch(tf_tok)
+        elif self.tf_strength and future:
             # key-frame alt-ref filter over FUTURE sources (the
             # reference filters I-frames with a forward window, ref
             # temporal_filtering.c key-frame path) — on device, one
@@ -391,6 +410,20 @@ class RaDriver:
     def _tf_device(self, win):
         """Device temporal filter of win[-1] (center LAST) against the
         other window frames; returns cropped (y, u, v) uint arrays."""
+        return self._tf_device_fetch(self._tf_device_dispatch(win))
+
+    def _tf_device_fetch(self, tok):
+        (fy, fu, fv), (H, W) = tok
+        from svt_av1_psy_tpu.models.fast_intra import _host_copy_async
+        dtype = np.uint8 if getattr(self.enc, "bd", 8) == 8 else np.uint16
+        ch, cw = (H + 1) // 2, (W + 1) // 2
+        return (np.asarray(fy)[:H, :W].astype(dtype),
+                np.asarray(fu)[:ch, :cw].astype(dtype),
+                np.asarray(fv)[:ch, :cw].astype(dtype))
+
+    def _tf_device_dispatch(self, win):
+        """Asynchronously dispatch the key TF; returns a token for
+        _tf_device_fetch."""
         import jax
         import jax.numpy as jnp
 
@@ -420,14 +453,14 @@ class RaDriver:
         if fn is None:
             fn = jax.jit(tf_filter_device, static_argnums=(5,))
             cache[key] = fn
+        from svt_av1_psy_tpu.models.fast_intra import _host_copy_async
         fy, fu, fv = fn(jnp.asarray(wy), jnp.asarray(wu),
                         jnp.asarray(wv), jnp.asarray(mask),
                         jnp.asarray(np.float32(self.tf_strength)),
                         enc.bd)
-        ch, cw = (H + 1) // 2, (W + 1) // 2
-        return (np.asarray(fy)[:H, :W].astype(dtype),
-                np.asarray(fu)[:ch, :cw].astype(dtype),
-                np.asarray(fv)[:ch, :cw].astype(dtype))
+        for a in (fy, fu, fv):
+            _host_copy_async(a)
+        return (fy, fu, fv), (H, W)
 
     def _free_slots(self, in_use):
         return [s for s in range(8) if s not in in_use]
@@ -634,10 +667,13 @@ class RaDriver:
         fetch_box = {}
 
         def _fetch():
+            import time as _t
+            fetch_box["t0"] = _t.perf_counter()
             try:
                 fetch_box["buf"] = np.asarray(out)
             except Exception as e:      # surfaced at join
                 fetch_box["err"] = e
+            fetch_box["t1"] = _t.perf_counter()
 
         fetch_th = _th.Thread(target=_fetch, daemon=True)
         fetch_th.start()
@@ -684,9 +720,21 @@ class RaDriver:
         idx = task["idx"]
         self._tpl_q = None
         with _tstage("gop_fetch"):
+            import os as _os9
             th = task.get("fetch_th")
             if th is not None:
-                th.join()
+                if _os9.environ.get("SVT_DEBUG_PIPE"):
+                    import time as _t
+                    _tj = _t.perf_counter()
+                    done = not th.is_alive()
+                    th.join()
+                    box9 = task.get("fetch_box") or {}
+                    print(f"[pipe] b={task['b']} fetch done_at_join={done}"
+                          f" thread_span={box9.get('t1', 0) - box9.get('t0', 0):.2f}"
+                          f" join_wait={_t.perf_counter() - _tj:.2f}",
+                          flush=True)
+                else:
+                    th.join()
             box = task.get("fetch_box") or {}
             if "err" in box:
                 raise box["err"]
@@ -773,11 +821,13 @@ class RaDriver:
                     base_q_coded=getattr(self, "_base_q_coded", None))
 
         if key is not None:
-            kd, kfuv, _ksrc = key
+            kd, kfuv = key[0], key[1]
+            ktok = key[3] if len(key) > 3 else None
             kq = self._tpl_q.get(kd) if self._tpl_q else None
             self.enc.kf_qindex = kq
             packets.append(self._encode_base_key(kd, kfuv,
-                                                 future=frames))
+                                                 future=frames,
+                                                 tf_tok=ktok))
             self._base_q_coded = kq
 
         self._gop_base_slot = self._base_slot
