@@ -2268,6 +2268,20 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         }
         for (int i = 0; i < ncand; i++) pruned[i] = order[i] >= 0;
     }
+    /* md_stage_0 margin cut: the runner-up only gets the full trial
+     * within 12.5% of the best SAD (the reference's class pruning
+     * thresholds; beyond that the trial never wins) */
+    {
+        long bs0 = -1;
+        for (int i = 0; i < ncand; i++)
+            if (!pruned[i] && cand_sad[i] >= 0 &&
+                (bs0 < 0 || cand_sad[i] < bs0))
+                bs0 = cand_sad[i];
+        for (int i = 1; i < ncand; i++)   /* NEAREST (0) keeps its
+                                             trial: it is the skip path */
+            if (!pruned[i] && cand_sad[i] > bs0 + (bs0 >> 3))
+                pruned[i] = 1;
+    }
     double best_cost = -1.0;
     int best_mode = 0, best_mvr = 0, best_mvc = 0, best_drl = 0;
     int best_i = 0;
@@ -2333,7 +2347,10 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     int filt_coded = c->switchable_filter &&
                      !(best_mode == 2 &&
                        !(c->sref_frame == 1 && c->gm_coded));
-    if (filt_coded && (((best_mvr | best_mvc) & 7) != 0)) {
+    /* i_ty.eob gate: with a zero-residual winner the filter choice
+     * cannot change the coded block (pred-domain SSE differences are
+     * below the quantizer); REGULAR is coded for free */
+    if (filt_coded && i_ty.eob && (((best_mvr | best_mvc) & 7) != 0)) {
         int fctx = interp_filter_ctx_c(c, r, c4, c->sref_frame, 0);
         const uint16_t *fcdf = ic->switchable_interp + fctx * 4;
         static __thread int32_t fpred[64 * 64];

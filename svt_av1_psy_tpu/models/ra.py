@@ -414,7 +414,6 @@ class RaDriver:
 
     def _tf_device_fetch(self, tok):
         (fy, fu, fv), (H, W) = tok
-        from svt_av1_psy_tpu.models.fast_intra import _host_copy_async
         dtype = np.uint8 if getattr(self.enc, "bd", 8) == 8 else np.uint16
         ch, cw = (H + 1) // 2, (W + 1) // 2
         return (np.asarray(fy)[:H, :W].astype(dtype),
