@@ -47,6 +47,11 @@ def _pool_max(a: np.ndarray, f: int) -> np.ndarray:
     return a.reshape(r // f, f, c // f, f).max(axis=(1, 3))
 
 
+def _pool_min(a: np.ndarray, f: int) -> np.ndarray:
+    r, c = a.shape
+    return a.reshape(r // f, f, c // f, f).min(axis=(1, 3))
+
+
 def inter_split_maps(edges: list, intra_split: dict, qindex: int,
                      bd: int = 8):
     """Build {64: s64, 32: s32, 16: s16} split maps for an inter frame.
@@ -104,6 +109,11 @@ def inter_split_maps(edges: list, intra_split: dict, qindex: int,
     gain32 = _pool_sum(s16) + bias < s32
     gain64 = _pool_sum(s32) + bias < s64
 
+    # NOTE: collapsing 32/64 nodes was ALSO tried with this
+    # content-relative floor (all cells transparent) — it regressed
+    # every class (default -3.1% -> +11.9%): even noise-like content
+    # wants 16x16 granularity (per-block MV/compound choices), so only
+    # the 16->8 descent is gated
     split64 = i64 | gain64
     split32 = i32 | gain32
     split16 = i16 & poor16
