@@ -940,16 +940,21 @@ class IntraEncoder:
     def _detect_screen_content(yp: np.ndarray) -> bool:
         """Screen-content heuristic (the pic_analysis_process.c detector
         role): a frame is screen-like when a large share of 16x16 blocks
-        uses very few distinct luma values."""
+        uses very few distinct luma values. Vectorized (sort + count
+        transitions per block) — runs on every key at --scm 2."""
         H, W = yp.shape
-        few = total = 0
-        for y in range(0, H - 15, 32):
-            for x in range(0, W - 15, 32):
-                blk = yp[y:y + 16, x:x + 16]
-                total += 1
-                if len(np.unique(blk)) <= 8:
-                    few += 1
-        return total > 0 and few / total >= 0.35
+        nh, nw = (H - 16) // 32 + 1, (W - 16) // 32 + 1
+        if nh <= 0 or nw <= 0:
+            return False
+        # gather the sampled 16x16 blocks on a 32-px grid as rows
+        idx_y = (np.arange(nh) * 32)[:, None] + np.arange(16)[None, :]
+        idx_x = (np.arange(nw) * 32)[:, None] + np.arange(16)[None, :]
+        blocks = yp[idx_y.reshape(-1)][:, idx_x.reshape(-1)] \
+            .reshape(nh, 16, nw, 16).transpose(0, 2, 1, 3) \
+            .reshape(nh * nw, 256)
+        s = np.sort(blocks, axis=1)
+        ndistinct = 1 + (np.diff(s, axis=1) != 0).sum(axis=1)
+        return float((ndistinct <= 8).mean()) >= 0.35
 
     # --- palette search (screen content; ref palette.c k-means) ----------
     @staticmethod

@@ -170,3 +170,20 @@ def test_dolby_vision_rpu_per_frame(tmp_path):
         assert data.count(p) == 1, p
     from svt_av1_psy_tpu.decoder.dav1d import decode_ivf
     assert len(decode_ivf(str(out))) == 4
+
+
+def test_dolby_vision_rpu_beyond_128_frames():
+    """RPU payloads key by TRUE display index: order hints wrap at 128,
+    and a masked key would attach the wrong wrap's payload to every
+    frame in a residue class (advisor finding, round 5)."""
+    from svt_av1_psy_tpu.models.fast_intra import FastIntraEncoder
+
+    enc = FastIntraEncoder(64, 64, qindex=100, bd=8)
+    p0 = b"\xb5\x00\x3b\x00\x01"
+    p130 = b"\xb5\x00\x3b\x82\x83"
+    enc.metadata_per_frame = {0: p0, 130: p130}
+    # display 130 wraps to order_hint 2; index 2 has NO payload, index
+    # 130 has its own
+    assert enc._per_frame_metadata(2) == b""
+    assert enc._per_frame_metadata(130) == p130
+    assert enc._per_frame_metadata(0) == p0
