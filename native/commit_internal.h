@@ -87,7 +87,13 @@ struct TpuCommit {
     uint8_t *above_skip_mode, *left_skip_mode;
     /* per-block interpolation filter search (is_filter_switchable) */
     int switchable_filter;
-    int gm_coded;   /* gm type > IDENTITY (is_nontrans gate needs it) */
+    int gm_coded;   /* gm TRANSLATION coded (is_nontrans gate needs it) */
+    /* LAST-ref ROTZOOM global motion (spec 5.9.24 type 2): full affine
+     * mat + shear params; gm_wp_ok = shear-valid, GLOBALMV blocks then
+     * predict through the warp filter (spec 7.11.3.2 globalValid) */
+    int32_t gm_wp_mat[6];
+    int gm_wp_shear[4];           /* alpha, beta, gamma, delta */
+    int gm_wp_ok;
     /* motion-mode search (frame is_motion_mode_switchable): OBMC +
      * optionally WARPED_CAUSAL (frame allow_warped_motion) */
     int motion_mode_sw;

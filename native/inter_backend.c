@@ -345,6 +345,7 @@ struct InterGrid {
     uint8_t *bsize;
     uint8_t *filt;    /* interp filter (both dirs; dual_filter off) */
     uint8_t *comp_group;  /* comp_group_idx per mi (masked-compound ctx) */
+    uint8_t *gmv;     /* >=8x8 block coded GLOBALMV (spec 7.10.2.7) */
 };
 
 InterGrid *tpui_grid_new(int mi_rows, int mi_cols) {
@@ -362,6 +363,7 @@ InterGrid *tpui_grid_new(int mi_rows, int mi_cols) {
     g->bsize = calloc(n, 1);
     g->filt = calloc(n, 1);
     g->comp_group = calloc(n, 1);
+    g->gmv = calloc(n, 1);
     return g;
 }
 void tpui_grid_free(InterGrid *g) {
@@ -374,7 +376,17 @@ void tpui_grid_free(InterGrid *g) {
     free(g->bsize);
     free(g->filt);
     free(g->comp_group);
+    free(g->gmv);
     free(g);
+}
+/* mark a block's mi area as GLOBALMV-coded (>= 8x8 only; spec 7.10.2.7
+ * candidate substitution under non-translational gm) */
+void tpui_grid_set_gmv(InterGrid *g, int r, int c, int h4, int w4, int v) {
+    int rr1 = r + h4 < g->mi_rows ? r + h4 : g->mi_rows;
+    int cc1 = c + w4 < g->mi_cols ? c + w4 : g->mi_cols;
+    for (int i = r; i < rr1; i++)
+        for (int j = c; j < cc1; j++)
+            g->gmv[(size_t)i * g->mi_cols + j] = (uint8_t)v;
 }
 /* mark a block's mi area as inter-intra: RefFrame[1] = INTRA_FRAME (0),
  * which EXCLUDES it from warp-sample collection (libaom av1_find_samples
@@ -598,6 +610,9 @@ static void obmc_blend_plane(TpuCommit *c, int plane, int r, int c4,
             } else if (nb->ref == 4 && c->has_ref3) {
                 refp = c->ref3p[plane];
                 rstride = c->ref3_stride[plane];
+            } else if (nb->ref == 7 && c->ref2p[plane]) {
+                refp = c->ref2p[plane];
+                rstride = c->ref2_stride[plane];
             } else
                 continue;
             int ov = (size < 64 ? size : 64) >> 1;
@@ -628,6 +643,9 @@ static void obmc_blend_plane(TpuCommit *c, int plane, int r, int c4,
         } else if (nb->ref == 4 && c->has_ref3) {
             refp = c->ref3p[plane];
             rstride = c->ref3_stride[plane];
+        } else if (nb->ref == 7 && c->ref2p[plane]) {
+            refp = c->ref2p[plane];
+            rstride = c->ref2_stride[plane];
         } else
             continue;
         int ov = (size < 64 ? size : 64) >> 1;
@@ -877,6 +895,30 @@ static int shear_params_c(WarpParams *wm) {
     return 1;
 }
 
+/* gm_get_motion_vector for non-translational models (spec 7.10.2.1):
+ * block-center 1/8-px mv with precision lowering. */
+static void gm_block_mv_c(TpuCommit *c, int r, int c4, int w4,
+                          int *mr_out, int *mc_out) {
+    const int32_t *mat = c->gm_wp_mat;
+    int64_t x = c4 * 4 + w4 * 2 - 1;
+    int64_t y = r * 4 + w4 * 2 - 1;
+    int64_t xc = (int64_t)(mat[2] - (1 << WM_PREC_BITS)) * x +
+                 (int64_t)mat[3] * y + mat[0];
+    int64_t yc = (int64_t)mat[4] * x +
+                 (int64_t)(mat[5] - (1 << WM_PREC_BITS)) * y + mat[1];
+    int sh = c->tpl_allow_hp ? WM_PREC_BITS - 3 : WM_PREC_BITS - 2;
+    int64_t mr = yc >= 0 ? ((yc + (1ll << (sh - 1))) >> sh)
+                         : -((-yc + (1ll << (sh - 1))) >> sh);
+    int64_t mc2 = xc >= 0 ? ((xc + (1ll << (sh - 1))) >> sh)
+                          : -((-xc + (1ll << (sh - 1))) >> sh);
+    if (!c->tpl_allow_hp) {
+        mr *= 2;
+        mc2 *= 2;
+    }
+    *mr_out = (int)mr;
+    *mc_out = (int)mc2;
+}
+
 /* find_affine_int (ref warped_motion.c:364): integer LS solve.
  * Returns 1 + fills wm when the params are valid. */
 static int find_projection_c(const int pts[8][2], const int pts_ref[8][2],
@@ -1079,6 +1121,10 @@ typedef struct {
     int processed_rows, processed_cols;
     int max_row_offset, max_col_offset;
     int tpl_gm_bit;                       /* GLOBALMV_OFFSET ctx bit */
+    /* spec 7.10.2.7: >=8x8 GLOBALMV neighbors contribute the CURRENT
+     * block's gm mv when the component ref's GmType > TRANSLATION */
+    int gm_nt, gm_nt2;
+    int gm_r, gm_c, gm2_r, gm2_c;
 } MvCtx;
 
 /* MFMV temporal candidates (spec 7.10.2 add_tpl_ref_mv; behavioral twin
@@ -1191,6 +1237,11 @@ static int add_candidate(MvCtx *m, int r, int c, int len, int weight) {
             return 0;
         int m0r = g->mv[o * 2], m0c = g->mv[o * 2 + 1];
         int m1r = g->mv1[o * 2], m1c = g->mv1[o * 2 + 1];
+        if (g->gmv[o]) {
+            /* spec 7.10.2.7 global-mode neighbor substitution */
+            if (m->gm_nt) { m0r = m->gm_r; m0c = m->gm_c; }
+            if (m->gm_nt2) { m1r = m->gm2_r; m1c = m->gm2_c; }
+        }
         int found = 0;
         for (int i = 0; i < s->n; i++)
             if (s->mv[i][0] == m0r && s->mv[i][1] == m0c &&
@@ -1216,6 +1267,10 @@ static int add_candidate(MvCtx *m, int r, int c, int len, int weight) {
         if (cref != m->ref_frame) continue;
         const int16_t *cmv = ri == 0 ? g->mv + o * 2 : g->mv1 + o * 2;
         int mvr = cmv[0], mvc = cmv[1];
+        if (m->gm_nt && g->gmv[o]) {
+            mvr = m->gm_r;
+            mvc = m->gm_c;
+        }
         int found = 0;
         for (int i = 0; i < s->n; i++)
             if (s->mv[i][0] == mvr && s->mv[i][1] == mvc) {
@@ -1351,12 +1406,18 @@ void tpui_ref_mv_list(InterGrid *g, int mi_row, int mi_col, int bsize,
                       int t_col0, int t_col1, int gm_r, int gm_c,
                       int ref_frame2, int gm2_r, int gm2_c,
                       const uint8_t *sign_bias, const TplArgs *tpl,
-                      MvRefsC *out) {
+                      MvRefsC *out, int gm_nt, int gm_nt2) {
     static const uint8_t zero_bias[8] = {0};
     if (!sign_bias) sign_bias = zero_bias;
     int n8_w = BW4[bsize], n8_h = BH4[bsize];
     memset(out, 0, sizeof(*out));
     MvCtx m = {0};
+    m.gm_nt = gm_nt;
+    m.gm_nt2 = gm_nt2;
+    m.gm_r = gm_r;
+    m.gm_c = gm_c;
+    m.gm2_r = gm2_r;
+    m.gm2_c = gm2_c;
     m.g = g;
     m.mi_row = mi_row;
     m.mi_col = mi_col;
@@ -1789,15 +1850,29 @@ static int ctx3(int a, int b) { return a == b ? 1 : (a < b ? 0 : 2); }
 
 /* single-ref reference-frame tree bits (spec 5.11.25 read_ref_frames
  * single path): LAST (1) = p1:0 p3:0 p4:0; GOLDEN (4) = p1:0 p3:1
- * p5:1. Contexts follow the neighbor-count rule per node. */
+ * p5:1; ALTREF (7) = p1:1 p2:1. Contexts follow the neighbor-count
+ * rule per node (mirrors decoder/tile_parser._read_single_ref). */
 static void write_single_ref(TpuCommit *c, int r, int c4, int rf) {
     InterCdfs *ic = c->ic;
     int cnt[8];
     neighbor_ref_counts(c, r, c4, cnt);
     int fwd = cnt[1] + cnt[2] + cnt[3] + cnt[4];
     int bwd = cnt[5] + cnt[6] + cnt[7];
-    tpuec_symbol(c->ec, 0, ic->single_ref + (ctx3(fwd, bwd) * 6 + 0) * 3,
-                 2, 1);
+    tpuec_symbol(c->ec, rf >= 5,
+                 ic->single_ref + (ctx3(fwd, bwd) * 6 + 0) * 3, 2, 1);
+    if (rf >= 5) {
+        /* backward group: only ALTREF is produced by the walk */
+        tpuec_symbol(c->ec, rf == 7,
+                     ic->single_ref +
+                         (ctx3(cnt[5] + cnt[6], cnt[7]) * 6 + 1) * 3,
+                     2, 1);
+        if (rf != 7)
+            tpuec_symbol(c->ec, rf == 6,
+                         ic->single_ref +
+                             (ctx3(cnt[5], cnt[6]) * 6 + 5) * 3,
+                         2, 1);
+        return;
+    }
     int p3 = rf >= 3;
     tpuec_symbol(c->ec, p3,
                  ic->single_ref +
@@ -1818,6 +1893,19 @@ static double cost_single_ref(TpuCommit *c, int r, int c4, int rf) {
     neighbor_ref_counts(c, r, c4, cnt);
     int fwd = cnt[1] + cnt[2] + cnt[3] + cnt[4];
     int bwd = cnt[5] + cnt[6] + cnt[7];
+    if (rf >= 5) {
+        double bb = tpu_sym_cost_bits(
+            ic->single_ref + (ctx3(fwd, bwd) * 6 + 0) * 3, 1) +
+            tpu_sym_cost_bits(
+                ic->single_ref +
+                    (ctx3(cnt[5] + cnt[6], cnt[7]) * 6 + 1) * 3,
+                rf == 7);
+        if (rf != 7)
+            bb += tpu_sym_cost_bits(
+                ic->single_ref + (ctx3(cnt[5], cnt[6]) * 6 + 5) * 3,
+                rf == 6);
+        return bb;
+    }
     int p3 = rf >= 3;
     double bits =
         tpu_sym_cost_bits(ic->single_ref + (ctx3(fwd, bwd) * 6 + 0) * 3,
@@ -2116,10 +2204,16 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     }
     c->sref_frame = 1;
     int gm_r = c->gm_mv[0], gm_c = c->gm_mv[1];
+    if (c->gm_wp_ok)
+        gm_block_mv_c(c, r, c4, w4, &gm_r, &gm_c);
+    int gmb_last_r = gm_r, gmb_last_c = gm_c;  /* LAST per-block gm mv
+                                                  (compound list needs
+                                                  it after sref switch) */
     const int16_t *seed16 = mv16;
-    if (c->has_ref3 && c->ref_sel) {
+    if (c->ref_sel) {
         int cell = (r >> 2) * c->ref_sel_cols + (c4 >> 2);
-        if (c->ref_sel[cell]) {
+        int sel = c->ref_sel[cell];
+        if (sel == 1 && c->has_ref3) {
             c->sref_frame = 4;
             for (int p = 0; p < 3; p++) {
                 c->srefp[p] = c->ref3p[p];
@@ -2127,6 +2221,17 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
             }
             gm_r = gm_c = 0;          /* GOLDEN gm is IDENTITY */
             if (c->mv16g) seed16 = c->mv16g;
+        } else if (sel == 2 && c->ref2p[0] && mv16b) {
+            /* ALTREF single reference: the future anchor predicts
+             * content the past refs cannot see (occlusion uncover;
+             * ref pd_process.c RA ref lists carry BWD/ALT roles) */
+            c->sref_frame = 7;
+            for (int p = 0; p < 3; p++) {
+                c->srefp[p] = c->ref2p[p];
+                c->sref_stride[p] = c->ref2_stride[p];
+            }
+            gm_r = gm_c = 0;          /* bwd-ref gm is IDENTITY */
+            seed16 = mv16b;
         }
     }
 
@@ -2146,7 +2251,8 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     tpui_ref_mv_list(c->grid, r, c4, bsize, c->sref_frame, 16,
                      c->t_mi_row0, c->t_mi_row1, c->t_mi_col0,
                      c->t_mi_col1, gm_r, gm_c, -1, 0, 0, c->sign_bias,
-                     tplp, &refs);
+                     tplp, &refs,
+                     c->gm_wp_ok && c->sref_frame == 1, 0);
     int near0r = refs.mv[0][0], near0c = refs.mv[0][1];
     lower_precision_hp(c, &near0r, &near0c);
 
@@ -2244,6 +2350,15 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     IPROF_BEGIN;
     long cand_sad[6];
     if (ncand > 4) ncand = 4;
+    int glob_warp_ok = c->gm_wp_ok && c->sref_frame == 1;
+    WarpParams gwp;
+    if (glob_warp_ok) {
+        for (int k = 0; k < 6; k++) gwp.mat[k] = c->gm_wp_mat[k];
+        gwp.alpha = c->gm_wp_shear[0];
+        gwp.beta = c->gm_wp_shear[1];
+        gwp.gamma = c->gm_wp_shear[2];
+        gwp.delta = c->gm_wp_shear[3];
+    }
     for (int i = 0; i < ncand; i++) {
         if (i == 0) {
             memcpy(cand_preds[0], near_pred,
@@ -2251,7 +2366,14 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
             cand_sad[0] = near_sad;
             continue;
         }
-        mc_luma(c, r, c4, size, cm[i][1], cm[i][2], cand_preds[i]);
+        if (cm[i][0] == 2 && glob_warp_ok)
+            /* GLOBALMV under ROTZOOM: the warp filter IS the
+             * prediction (spec 7.11.3.2 globalValid) */
+            warp_plane_c(&gwp, c->srefp[0], c->sref_stride[0], c->width,
+                         c->height, c4 * 4, r * 4, size, size, 0, 0,
+                         c->bd, cand_preds[i]);
+        else
+            mc_luma(c, r, c4, size, cm[i][1], cm[i][2], cand_preds[i]);
         cand_sad[i] = sad_luma(c, r, c4, size, cand_preds[i]);
     }
     int pruned[6] = {0};
@@ -2391,6 +2513,16 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     /* chroma for the inter winner */
     {
         int cw = TXW[ts_c], chh = TXH[ts_c];
+        if (best_mode == 2 && glob_warp_ok && size >= 16) {
+            /* global warp chroma (>= 8x8 planes; 8x8 luma keeps the
+             * translational chroma below — do_warp plane-dims gate) */
+            warp_plane_c(&gwp, c->srefp[1], c->sref_stride[1],
+                         (c->width + 1) >> 1, (c->height + 1) >> 1,
+                         cc * 4, cr * 4, cw, chh, 1, 1, c->bd, i_pred_u);
+            warp_plane_c(&gwp, c->srefp[2], c->sref_stride[2],
+                         (c->width + 1) >> 1, (c->height + 1) >> 1,
+                         cc * 4, cr * 4, cw, chh, 1, 1, c->bd, i_pred_v);
+        } else {
         mc_block_f(c->srefp[1], c->sref_stride[1], (c->width + 1) >> 1,
                    (c->height + 1) >> 1, cc * 4, cr * 4, cw, chh,
                    best_mvc, best_mvr, c->bd, best_filt, best_filt,
@@ -2399,6 +2531,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
                    (c->height + 1) >> 1, cc * 4, cr * 4, cw, chh,
                    best_mvc, best_mvr, c->bd, best_filt, best_filt,
                    i_pred_v);
+        }
         static __thread int32_t ru[32 * 32], rv[32 * 32];
         const uint16_t *su = c->src[1], *sv = c->src[2];
         int ss = c->sstride[1];
@@ -2449,8 +2582,8 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         }
         tpui_ref_mv_list(c->grid, r, c4, bsize, 1, 16, c->t_mi_row0,
                          c->t_mi_row1, c->t_mi_col0, c->t_mi_col1,
-                         c->gm_mv[0], c->gm_mv[1], 7, 0, 0, c->sign_bias,
-                         ctplp, &crefs);
+                         gmb_last_r, gmb_last_c, 7, 0, 0, c->sign_bias,
+                         ctplp, &crefs, c->gm_wp_ok, 0);
         int cc_cm[3], cc_mv[3][4], ncc = 0;
         {
             int m0r = crefs.mv[0][0], m0c = crefs.mv[0][1];
@@ -2838,7 +2971,7 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     {
         const int32_t *pq0 = c->qtab + ((q * 3) + 0) * 10;
         double qstep = pq0[8] / 8.0;
-        double poor = 1.5 * qstep * qstep * size * size;
+        double poor = 0.25 * qstep * qstep * size * size;
         if ((double)i_ty.sse > poor) {
             tpu_intra_trial_only(c, r, c4, size, icand, q, &intra_cost,
                                  &iy, &iuv, &iskip);
@@ -2856,7 +2989,8 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     int use_ii = 0, ii_mode = 0;
     int use_ii_wedge = 0, use_ii_wedge_idx = 0;
     int ii_eligible = c->interintra && !use_comp && !use_sm &&
-                      !fast_skip && size >= 8 && size <= 32;
+                      !fast_skip && size >= 8 && size <= 32 &&
+                      !(best_mode == 2 && glob_warp_ok);
     if (ii_eligible && !use_intra) {
         static const int II_TO_INTRA[4] = {0, 1, 2, 9};
         int ii_grp = size == 8 ? 1 : size == 16 ? 2 : 3;
@@ -3031,8 +3165,12 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
     ObmcNb ob_above[4], ob_left[4];
     int ob_na = 0, ob_nl = 0;
     WarpParams wp;
+    /* GLOBALMV under a non-translational gm forces SIMPLE without a
+     * motion_mode symbol (spec 5.11.27 GmType > TRANSLATION gate) */
+    int glob_warp_blk = best_mode == 2 && !use_comp && !use_sm &&
+                        c->gm_wp_ok && c->sref_frame == 1;
     if (c->motion_mode_sw && !use_sm && !use_comp && !use_ii &&
-        has_overlappable_c(c, r, c4, w4, w4)) {
+        !glob_warp_blk && has_overlappable_c(c, r, c4, w4, w4)) {
         /* NOTE: obmc_eligible is the SPEC eligibility — it gates the
          * motion_mode SYMBOL the decoder will read, so it must not
          * depend on encoder-side pruning (fast_skip gates only the
@@ -3613,6 +3751,8 @@ static void encode_block_p(TpuCommit *c, int r, int c4, int size,
         tpui_grid_set(c->grid, r, c4, w4, w4, bsize, c->sref_frame,
                       best_mvr,
                       best_mvc, best_mode == 3);
+        if (best_mode == 2 && size >= 8)
+            tpui_grid_set_gmv(c->grid, r, c4, w4, w4, 1);
         if (use_ii)
             tpui_grid_mark_ii(c->grid, r, c4, w4, w4);
     }
@@ -3806,6 +3946,25 @@ void tpuc_set_gm(TpuCommit *c, int mv8_r, int mv8_c) {
     c->gm_mv[0] = mv8_r;
     c->gm_mv[1] = mv8_c;
 }
+
+/* LAST-ref ROTZOOM global motion (spec 5.9.24 type 2). Returns 1 when
+ * the shear params validate (caller must not signal the model
+ * otherwise). mat6 = {m0, m1, m2, m3, -m3, m2}. */
+int tpuc_set_gm_warp(TpuCommit *c, const int32_t *mat6) {
+    c->gm_wp_ok = 0;
+    if (!mat6) return 0;
+    WarpParams wp;
+    for (int i = 0; i < 6; i++) wp.mat[i] = mat6[i];
+    if (!shear_params_c(&wp)) return 0;
+    for (int i = 0; i < 6; i++) c->gm_wp_mat[i] = mat6[i];
+    c->gm_wp_shear[0] = wp.alpha;
+    c->gm_wp_shear[1] = wp.beta;
+    c->gm_wp_shear[2] = wp.gamma;
+    c->gm_wp_shear[3] = wp.delta;
+    c->gm_wp_ok = 1;
+    return 1;
+}
+
 
 /* Second (future / ALTREF) reference for compound prediction. */
 void tpuc_set_ref2(TpuCommit *c, const uint16_t *y, const uint16_t *u,

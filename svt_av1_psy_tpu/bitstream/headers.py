@@ -319,20 +319,28 @@ def write_frame_header_bits(w: BitWriter, seq: SequenceParams,
             w.bit(int(fr.allow_warped_motion))
     w.bit(fr.reduced_tx_set)
     if not fr.is_intra:
-        # global_motion_params (spec 5.9.24): TRANSLATION-only coding,
-        # deltas vs the primary reference frame's params (ref
+        # global_motion_params (spec 5.9.24): TRANSLATION or ROTZOOM
+        # per ref (a 2-tuple codes translation, a 6-tuple mat codes
+        # ROTZOOM); deltas vs the primary reference frame's params (ref
         # entropy_coding.c:2958 write_global_motion_params)
-        from svt_av1_psy_tpu.inter.global_motion import \
-            write_translation_params
+        from svt_av1_psy_tpu.inter.global_motion import (
+            write_rotzoom_params, write_translation_params)
         for ref in range(7):
             wm = fr.gm_trans[ref] if fr.gm_trans else None
             w.bit(wm is not None)             # is_global
             if wm is not None:
-                w.bit(0)                      # is_rot_zoom
-                w.bit(1)                      # is_translation
                 prev = fr.gm_prev[ref] if fr.gm_prev else (0, 0)
-                write_translation_params(w, wm, prev,
+                if len(wm) == 6:
+                    w.bit(1)                  # is_rot_zoom
+                    write_rotzoom_params(w, wm, prev,
                                          fr.allow_high_precision_mv)
+                else:
+                    w.bit(0)                  # is_rot_zoom
+                    w.bit(1)                  # is_translation
+                    if prev is not None and len(prev) == 6:
+                        prev = prev[:2]
+                    write_translation_params(w, wm, prev or (0, 0),
+                                             fr.allow_high_precision_mv)
     _write_film_grain_params(w, seq, fr)
 
 

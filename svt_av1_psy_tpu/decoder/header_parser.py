@@ -494,11 +494,13 @@ def parse_frame_header(payload: bytes, seq: SeqInfo,
             fi.allow_warped_motion = bool(r.f(1))
     fi.reduced_tx_set = bool(r.f(1))
     if is_inter:
-        # global_motion_params (spec 5.9.24): TRANSLATION only; deltas
-        # are coded against the primary reference frame's saved params
-        # (ref entropy_coding.c:2958 / dec read_global_motion)
-        from svt_av1_psy_tpu.inter.global_motion import \
-            read_translation_params
+        # global_motion_params (spec 5.9.24): TRANSLATION + ROTZOOM;
+        # deltas are coded against the primary reference frame's saved
+        # params (ref entropy_coding.c:2958 / dec read_global_motion).
+        # gm_trans[ref]: 2-tuple (translation wm0/wm1) or 6-tuple
+        # (ROTZOOM mat).
+        from svt_av1_psy_tpu.inter.global_motion import (
+            read_rotzoom_params, read_translation_params)
         if fi.primary_ref_frame != 7 and ref_gm is not None:
             prev = ref_gm[fi.ref_frame_idx[fi.primary_ref_frame]]
         else:
@@ -506,10 +508,15 @@ def parse_frame_header(payload: bytes, seq: SeqInfo,
         fi.gm_trans = [None] * 7
         for ref in range(7):
             if r.f(1):                         # is_global
-                assert r.f(1) == 0, "ROTZOOM gm unsupported"
-                assert r.f(1) == 1, "AFFINE gm unsupported"
-                fi.gm_trans[ref] = read_translation_params(
-                    r, prev[ref], fi.allow_high_precision_mv)
+                if r.f(1):                     # is_rot_zoom
+                    fi.gm_trans[ref] = read_rotzoom_params(r, prev[ref])
+                else:
+                    assert r.f(1) == 1, "AFFINE gm unsupported"
+                    pr = prev[ref]
+                    if pr is not None and len(pr) == 6:
+                        pr = pr[:2]
+                    fi.gm_trans[ref] = read_translation_params(
+                        r, pr or (0, 0), fi.allow_high_precision_mv)
     # film grain
     if seq.film_grain_params_present and fi.show_frame:
         if r.f(1):

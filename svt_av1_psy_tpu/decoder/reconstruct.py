@@ -532,10 +532,13 @@ class FrameReconstructor:
                     if ss:
                         mask = mk.subsample_mask(mask, subw, subh)
                     pred = mk.blend_masked_d16(mask, p0, p1, bd=self.bd)
-            elif getattr(b, "motion_mode", 0) == 2 and \
-                    b.warp_params is not None and w >= 8 and h >= 8:
-                # warped motion (spec 7.11.3.5); planes smaller than 8x8
-                # fall back to translation (do_warp plane-dims gate)
+            elif (getattr(b, "motion_mode", 0) == 2 or
+                  getattr(b, "inter_mode", -1) == 2) and \
+                    getattr(b, "warp_params", None) is not None and \
+                    w >= 8 and h >= 8:
+                # warped motion, local OR global rotzoom (spec 7.11.3.5);
+                # planes smaller than 8x8 fall back to translation
+                # (do_warp plane-dims gate)
                 from svt_av1_psy_tpu.inter.warp import warp_plane
                 rp = np.asarray(ref[plane])
                 pred = warp_plane(b.warp_params, rp,

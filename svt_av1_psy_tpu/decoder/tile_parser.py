@@ -196,11 +196,21 @@ class TileParser:
         from svt_av1_psy_tpu.inter.global_motion import gm_mv8
         self.gm_mv = [(0, 0)] * 7
         self.gm_trans = gm_trans
+        # shear-validated warp params per ROTZOOM ref (spec setup_shear;
+        # GLOBALMV blocks >= 8x8 then predict through the warp filter)
+        self.gm_warp = [None] * 7
         if gm_trans is not None:
+            from svt_av1_psy_tpu.inter.warp import _shear_params
             for i, wm in enumerate(gm_trans):
-                if wm is not None:
+                if wm is None:
+                    continue
+                if len(wm) == 2:
                     self.gm_mv[i] = gm_mv8(wm, allow_hp,
                                            bool(force_integer_mv))
+                else:
+                    wmd = {"mat": list(wm)}
+                    if _shear_params(wmd):
+                        self.gm_warp[i] = wmd
         self.dec = RangeDecoder(data)
         self.mi_rows, self.mi_cols = mi_rows, mi_cols
         # tile bounds (mi units): (row_start, row_end, col_start, col_end).
@@ -764,6 +774,16 @@ class TileParser:
                     return True
         return False
 
+    def _gm_mv_block(self, ref, r, c, w4, h4):
+        """Per-block global mv (spec 7.10.2.1): frame-constant for
+        IDENTITY/TRANSLATION, block-center-derived for ROTZOOM."""
+        wm = self.gm_trans[ref - 1] if self.gm_trans else None
+        if wm is None or len(wm) == 2:
+            return self.gm_mv[ref - 1]
+        from svt_av1_psy_tpu.inter.global_motion import gm_block_mv8
+        return gm_block_mv8(wm, r, c, w4, h4, self.allow_hp,
+                            bool(self.force_integer_mv))
+
     def _count_warp_samples(self, r, c, bsize, ref, mv) -> int:
         """find_warp_samples sample count (spec 7.10.4): neighbors with
         the same single reference whose MV is close to ours."""
@@ -1128,12 +1148,18 @@ class TileParser:
                                       self.ref_hints[ref2 - 1]) \
                 if is_comp else 0
             tpl = self.tpl_mvs + (cur_off0, cur_off1, self.allow_hp)
+        def _nt(rf):
+            wm = self.gm_trans[rf - 1] if self.gm_trans else None
+            return wm is not None and len(wm) == 6
         refs = setup_ref_mv_list(
             self.grid, r, c, bsize, ref, sb_mi=self.sb_mi,
-            gm_mv=self.gm_mv[ref - 1],
+            gm_mv=self._gm_mv_block(ref, r, c, w4, h4),
             ref_frame2=ref2 if is_comp else -1,
-            gm_mv2=self.gm_mv[ref2 - 1] if is_comp else (0, 0),
-            sign_bias=self.sign_bias, tpl=tpl)
+            gm_mv2=self._gm_mv_block(ref2, r, c, w4, h4)
+            if is_comp else (0, 0),
+            sign_bias=self.sign_bias, tpl=tpl,
+            gm_nontrans=_nt(ref),
+            gm_nontrans2=_nt(ref2) if is_comp else False)
 
         cmode = -1
         if skip_mode:
@@ -1190,7 +1216,7 @@ class TileParser:
         # assign_mv (spec 5.11.26)
         def assign(sub_mode, stack_i, ref_i, mv_comp_read):
             if sub_mode == 2:                    # GLOBALMV component
-                return self.gm_mv[ref_i - 1]
+                return self._gm_mv_block(ref_i, r, c, w4, h4)
             if sub_mode == 3:                    # NEWMV component
                 pos = ref_mv_idx if refs.count > 1 else 0
                 pred = self._lower_precision(stack_i[pos], self.allow_hp,
@@ -1234,8 +1260,15 @@ class TileParser:
         mm = 0
         warp_params = None
         obmc_above = obmc_left = None
+        # GLOBALMV under a non-translational gm forces SIMPLE without a
+        # symbol (spec 5.11.27 read_motion_mode GmType > TRANSLATION)
+        nontrans_global = (not self.force_integer_mv and
+                           (mode == 2 or cmode == 6) and
+                           self.gm_trans is not None and
+                           self.gm_trans[ref - 1] is not None and
+                           len(self.gm_trans[ref - 1]) == 6)
         if self.motion_mode_switchable and not skip_mode and not is_comp \
-                and not ii \
+                and not ii and not nontrans_global \
                 and min(BLOCK_SIZE_WIDE[bsize],
                         BLOCK_SIZE_HIGH[bsize]) >= 8 \
                 and self._has_overlappable(r, c, w4, h4):
@@ -1257,6 +1290,12 @@ class TileParser:
                                                       bsize, mv, r, c)
             elif mm == 1:               # OBMC_CAUSAL
                 obmc_above, obmc_left = self._collect_obmc(r, c, bsize)
+        if mm == 0 and not is_comp and not ii and mode == 2 and \
+                warp_params is None and not self.force_integer_mv:
+            # global warp (spec 7.11.3.2): GLOBALMV blocks under a
+            # shear-valid ROTZOOM model predict through the warp filter
+            # (>= 8x8 planes; smaller fall back in the reconstructor)
+            warp_params = self.gm_warp[ref - 1]
 
         # read_compound_type (spec 5.11.29): average / dist-wtd when
         # comp_group_idx == 0, else wedge / diffwtd masked compound
@@ -1301,7 +1340,8 @@ class TileParser:
                 and min(w4, h4) >= 2:
             gms = self.gm_trans or [None] * 7
             used = (ref, ref2) if is_comp else (ref,)
-            nontrans_gm = all(gms[rf - 1] is None for rf in used)
+            nontrans_gm = all(gms[rf - 1] is None or
+                              len(gms[rf - 1]) == 6 for rf in used)
         filters = (0, 0)
         if self.switchable_filter and not skip_mode and mm != 2 and \
                 not nontrans_gm:
@@ -1381,7 +1421,10 @@ class TileParser:
                             ref2 if is_comp else (0 if ii else -1), mv, mv2,
                             has_newmv, filters=filters,
                             comp_group=comp_group_idx,
-                            cmp_idx=compound_idx)
+                            cmp_idx=compound_idx,
+                            is_gmv=int((mode == 2 or cmode == 6) and
+                                       min(BLOCK_SIZE_WIDE[bsize],
+                                           BLOCK_SIZE_HIGH[bsize]) >= 8))
 
         # sub-8x8 chroma group: the covered luma 4x4s' mv/ref/filters
         # (ref enc_inter_prediction.c:3944; libaom dec_build_inter_pred

@@ -191,6 +191,172 @@ def mv8_to_wm01(mv8_row: int, mv8_col: int):
             mv8_col << (WARPEDMODEL_PREC_BITS - 3))
 
 
+# --- ROTZOOM param coding (spec 5.9.24/5.9.25 idx 2,3 then 0,1) --------------
+
+GM_ABS_ALPHA_BITS = 12
+GM_ALPHA_PREC_BITS = 15
+GM_ALPHA_PREC_DIFF = WARPEDMODEL_PREC_BITS - GM_ALPHA_PREC_BITS   # 1
+GM_TRANS_PREC_BITS_FULL = 6
+GM_TRANS_PREC_DIFF_FULL = WARPEDMODEL_PREC_BITS - GM_TRANS_PREC_BITS_FULL
+
+
+def norm_gm6(wm):
+    """Normalize a stored gm value (None / (wm0, wm1) translation /
+    6-tuple mat) to a full 6-param affine mat."""
+    if wm is None:
+        return (0, 0, 1 << WARPEDMODEL_PREC_BITS, 0, 0,
+                1 << WARPEDMODEL_PREC_BITS)
+    if len(wm) == 2:
+        return (wm[0], wm[1], 1 << WARPEDMODEL_PREC_BITS, 0, 0,
+                1 << WARPEDMODEL_PREC_BITS)
+    return tuple(wm)
+
+
+def write_rotzoom_params(w, mat, prev, allow_hp: bool) -> None:
+    """mat: 6-tuple (mat[4] = -mat[3], mat[5] = mat[2] for ROTZOOM);
+    prev: previous-frame gm in any stored form. allow_hp unused for
+    non-translation types (kept for signature symmetry)."""
+    p = norm_gm6(prev)
+    n_a = (1 << GM_ABS_ALPHA_BITS) + 1
+    sub = 1 << GM_ALPHA_PREC_BITS
+    write_signed_primitive_refsubexpfin(
+        w, n_a, SUBEXPFIN_K,
+        (p[2] >> GM_ALPHA_PREC_DIFF) - sub,
+        (mat[2] >> GM_ALPHA_PREC_DIFF) - sub)
+    write_signed_primitive_refsubexpfin(
+        w, n_a, SUBEXPFIN_K,
+        p[3] >> GM_ALPHA_PREC_DIFF, mat[3] >> GM_ALPHA_PREC_DIFF)
+    n_t = (1 << GM_ABS_TRANS_BITS) + 1
+    for idx in range(2):
+        write_signed_primitive_refsubexpfin(
+            w, n_t, SUBEXPFIN_K,
+            p[idx] >> GM_TRANS_PREC_DIFF_FULL,
+            mat[idx] >> GM_TRANS_PREC_DIFF_FULL)
+
+
+def read_rotzoom_params(r, prev):
+    """Returns the full 6-tuple mat (ROTZOOM: mat4 = -mat3,
+    mat5 = mat2)."""
+    p = norm_gm6(prev)
+    n_a = (1 << GM_ABS_ALPHA_BITS) + 1
+    sub = 1 << GM_ALPHA_PREC_BITS
+    v2 = read_signed_primitive_refsubexpfin(
+        r, n_a, SUBEXPFIN_K, (p[2] >> GM_ALPHA_PREC_DIFF) - sub)
+    m2 = (v2 << GM_ALPHA_PREC_DIFF) + (1 << WARPEDMODEL_PREC_BITS)
+    v3 = read_signed_primitive_refsubexpfin(
+        r, n_a, SUBEXPFIN_K, p[3] >> GM_ALPHA_PREC_DIFF)
+    m3 = v3 << GM_ALPHA_PREC_DIFF
+    n_t = (1 << GM_ABS_TRANS_BITS) + 1
+    tr = []
+    for idx in range(2):
+        v = read_signed_primitive_refsubexpfin(
+            r, n_t, SUBEXPFIN_K, p[idx] >> GM_TRANS_PREC_DIFF_FULL)
+        tr.append(v << GM_TRANS_PREC_DIFF_FULL)
+    return (tr[0], tr[1], m2, m3, -m3, m2)
+
+
+def gm_block_mv8(mat, mi_row: int, mi_col: int, w4: int, h4: int,
+                 allow_hp: bool = False, force_int: bool = False):
+    """gm_get_motion_vector for non-translational models
+    (spec 7.10.2.1): block-center-dependent 1/8-px mv with precision
+    lowering. mat: 6-tuple."""
+    x = mi_col * 4 + w4 * 2 - 1
+    y = mi_row * 4 + h4 * 2 - 1
+    xc = (mat[2] - (1 << WARPEDMODEL_PREC_BITS)) * x + mat[3] * y + mat[0]
+    yc = mat[4] * x + (mat[5] - (1 << WARPEDMODEL_PREC_BITS)) * y + mat[1]
+
+    def round2signed(v, n):
+        # ROUND_POWER_OF_TWO_SIGNED
+        if v < 0:
+            return -((-v + (1 << (n - 1))) >> n)
+        return (v + (1 << (n - 1))) >> n
+
+    if allow_hp:
+        mr = round2signed(yc, WARPEDMODEL_PREC_BITS - 3)
+        mc = round2signed(xc, WARPEDMODEL_PREC_BITS - 3)
+    else:
+        mr = round2signed(yc, WARPEDMODEL_PREC_BITS - 2) * 2
+        mc = round2signed(xc, WARPEDMODEL_PREC_BITS - 2) * 2
+    if force_int:
+        def toint(v):
+            mod = v % 8 if v >= 0 else -((-v) % 8)
+            if mod:
+                v -= mod
+                if abs(mod) > 4:
+                    v += 8 if mod > 0 else -8
+            return v
+        mr, mc = toint(mr), toint(mc)
+    return mr, mc
+
+
+def estimate_rotzoom(mv_field: np.ndarray, *, unit_mv8: int = 8,
+                     block: int = 16, min_inlier_frac: float = 0.5):
+    """LSQ ROTZOOM fit over the dense per-16x16 HME motion field
+    (TPU-native replacement for the reference's corner+RANSAC
+    global_me.c pipeline, run on the field the device already
+    produced). Model (px): mv_x = s*x + b*y + tx, mv_y = -b*x + s*y
+    + ty. Two robust refinement rounds; returns the coded-precision
+    6-tuple mat or None when the fit is degenerate, out of coded
+    range, or no better than a pure translation."""
+    mv = np.asarray(mv_field, np.float64)
+    rows, cols = mv.shape[:2]
+    if rows * cols < 16:
+        return None
+    yy, xx = np.mgrid[0:rows, 0:cols].astype(np.float64)
+    xs = (xx * block + block / 2 - 1).reshape(-1)
+    ys = (yy * block + block / 2 - 1).reshape(-1)
+    vr = mv[..., 0].reshape(-1) * (unit_mv8 / 8.0)   # px
+    vc = mv[..., 1].reshape(-1) * (unit_mv8 / 8.0)
+    keep = np.ones(xs.shape, bool)
+    sol = None
+    for _ in range(3):
+        if keep.sum() < 16:
+            return None
+        x, y = xs[keep], ys[keep]
+        r_, c_ = vr[keep], vc[keep]
+        # unknowns (s, b, tx, ty); rows: vc = s*x + b*y + tx;
+        #                                vr = -b*x + s*y + ty
+        n = x.size
+        A = np.zeros((2 * n, 4))
+        rhs = np.empty(2 * n)
+        A[:n, 0] = x; A[:n, 1] = y; A[:n, 2] = 1.0
+        rhs[:n] = c_
+        A[n:, 0] = y; A[n:, 1] = -x; A[n:, 3] = 1.0
+        rhs[n:] = r_
+        sol, *_ = np.linalg.lstsq(A, rhs, rcond=None)
+        s, b, tx, ty = sol
+        pc = s * xs + b * ys + tx
+        pr = -b * xs + s * ys + ty
+        res = np.maximum(np.abs(pc - vc), np.abs(pr - vr))
+        keep = res <= max(1.0, float(np.median(res[keep])) * 2.0)
+    if keep.mean() < min_inlier_frac:
+        return None
+    s, b, tx, ty = sol
+    one = 1 << WARPEDMODEL_PREC_BITS
+    # quantize to coded precision
+    m2 = ((round((1.0 + s) * one) - one) >> 0)
+    m2 = ((m2 >> GM_ALPHA_PREC_DIFF) << GM_ALPHA_PREC_DIFF) + one
+    m3 = (round(b * one) >> GM_ALPHA_PREC_DIFF) << GM_ALPHA_PREC_DIFF
+    m0 = (round(tx * one) >> GM_TRANS_PREC_DIFF_FULL) << \
+        GM_TRANS_PREC_DIFF_FULL
+    m1 = (round(ty * one) >> GM_TRANS_PREC_DIFF_FULL) << \
+        GM_TRANS_PREC_DIFF_FULL
+    # coded-range checks (values are centered subexp-coded)
+    lim_a = (1 << GM_ABS_ALPHA_BITS) << GM_ALPHA_PREC_DIFF
+    lim_t = (1 << GM_ABS_TRANS_BITS) << GM_TRANS_PREC_DIFF_FULL
+    if abs(m2 - one) >= lim_a or abs(m3) >= lim_a or \
+            abs(m0) >= lim_t or abs(m1) >= lim_t:
+        return None
+    if m2 == one and m3 == 0:
+        return None          # pure translation: cheaper coded as such
+    mat = (m0, m1, m2, m3, -m3, m2)
+    from svt_av1_psy_tpu.inter.warp import _shear_params
+    wm = {"mat": list(mat)}
+    if not _shear_params(wm):
+        return None
+    return mat
+
+
 # --- estimation --------------------------------------------------------------
 
 def estimate_translation(mv_field: np.ndarray, *, unit_mv8: int = 8,

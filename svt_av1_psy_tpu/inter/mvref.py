@@ -57,9 +57,14 @@ class MiGrid:
         self.comp_group = np.zeros(shape, np.uint8)
         self.cmp_idx = np.ones(shape, np.uint8)
         self.ibc = np.zeros(shape, np.uint8)     # use_intrabc blocks
+        # mode was GLOBALMV / GLOBAL_GLOBALMV: under a non-translational
+        # gm these neighbors contribute the CURRENT block's global mv to
+        # the candidate stack (spec 7.10.2.7 add_ref_mv_candidate)
+        self.gmv = np.zeros(shape, np.uint8)
 
     _FIELDS = ("ref0", "ref1", "mv0", "mv1", "newmv", "bsize",
-               "partition", "filters", "comp_group", "cmp_idx", "ibc")
+               "partition", "filters", "comp_group", "cmp_idx", "ibc",
+               "gmv")
 
     def snapshot(self, r, c, h4, w4):
         sl = (slice(r, r + h4), slice(c, c + w4))
@@ -73,7 +78,7 @@ class MiGrid:
 
     def set_block(self, r, c, h4, w4, bsize, ref0, ref1, mv0, mv1,
                   has_newmv, partition=0, filters=(0, 0),
-                  comp_group=0, cmp_idx=1):
+                  comp_group=0, cmp_idx=1, is_gmv=0):
         self.ref0[r:r + h4, c:c + w4] = ref0
         self.ref1[r:r + h4, c:c + w4] = ref1
         self.mv0[r:r + h4, c:c + w4] = mv0
@@ -84,6 +89,7 @@ class MiGrid:
         self.filters[r:r + h4, c:c + w4] = filters
         self.comp_group[r:r + h4, c:c + w4] = comp_group
         self.cmp_idx[r:r + h4, c:c + w4] = cmp_idx
+        self.gmv[r:r + h4, c:c + w4] = int(is_gmv)
 
 
 def _clamp(v, lo, hi):
@@ -201,7 +207,8 @@ def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
                       ref_frame: int, sb_mi: int = 16,
                       gm_mv=(0, 0), ref_frame2: int = NONE_FRAME,
                       gm_mv2=(0, 0), sign_bias=None, tpl=None,
-                      ibc=False) -> MvRefs:
+                      ibc=False, gm_nontrans=False,
+                      gm_nontrans2=False) -> MvRefs:
     """Build the MV stack (temporal mvp via `tpl`), single-ref or compound
     (ref_frame2 > INTRA_FRAME). gm_mv/gm_mv2 are the precision-lowered
     global motion vectors per component (spec 7.10.2.1 setup_global_mv)
@@ -263,11 +270,17 @@ def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
             return
         if grid.ref0[r, c] <= INTRA_FRAME:
             return
+        # spec 7.10.2.7 / libaom is_global_mv_block: >=8x8 neighbors
+        # coded GLOBALMV contribute the CURRENT block's global mv when
+        # the component ref's GmType > TRANSLATION (the stored mv was
+        # derived at the NEIGHBOR's center under ROTZOOM/AFFINE models)
+        sub_gm = grid.gmv[r, c] and gm_nontrans
         if is_comp:
             if int(grid.ref0[r, c]) == ref_frame and \
                     int(grid.ref1[r, c]) == ref_frame2:
-                m0 = grid.mv0[r, c]
-                m1 = grid.mv1[r, c]
+                m0 = (gm_mv if sub_gm else grid.mv0[r, c])
+                m1 = (gm_mv2 if grid.gmv[r, c] and gm_nontrans2
+                      else grid.mv1[r, c])
                 key = (int(m0[0]), int(m0[1]), int(m1[0]), int(m1[1]))
                 for ent in stack:
                     if tuple(ent[:4]) == key:
@@ -284,6 +297,8 @@ def setup_ref_mv_list(grid: MiGrid, mi_row: int, mi_col: int, bsize: int,
             if refs[r, c] == ref_frame:
                 mv = grid.mv0[r, c] if ref_i == 0 else grid.mv1[r, c]
                 mv = (int(mv[0]), int(mv[1]))
+                if sub_gm:
+                    mv = (gm_mv[0], gm_mv[1])
                 for ent in stack:
                     if (ent[0], ent[1]) == mv:
                         ent[4] += weight * len_

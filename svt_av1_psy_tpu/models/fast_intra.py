@@ -875,6 +875,8 @@ class FastIntraEncoder:
         # /skip-mode slot derivation assumes the full RA ref list).
         ref3_slot = ra.get("ref_slot3") if ra is not None else None
         mv16g = ref_sel = None
+        if pre is not None:
+            ref_sel = pre.get("refsel")
         if ref3_slot is not None and (
                 ref3_slot == ra["ref_slot"] or ref2_slot is None or
                 ref3_slot == ref2_slot or ref3_slot not in self._dpb or
@@ -882,9 +884,22 @@ class FastIntraEncoder:
             ref3_slot = None
         if ref3_slot is not None:
             mv16g = pre.get("mv16g")
-            ref_sel = pre.get("refsel")
-            if mv16g is None or ref_sel is None or not ref_sel.any():
+            if mv16g is None:
                 ref3_slot = None
+        # sel values: 0 = LAST, 1 = GOLDEN (needs ref3), 2 = ALTREF
+        # (needs the compound second ref + its HME field). Demote
+        # selections whose reference did not survive the slot checks.
+        if ref_sel is not None:
+            if ref3_slot is None and (ref_sel == 1).any():
+                ref_sel = np.where(ref_sel == 1, 0, ref_sel)
+            if (ref2_slot is None or pre is None or
+                    pre.get("mv16b") is None) and (ref_sel == 2).any():
+                ref_sel = np.where(ref_sel == 2, 0, ref_sel)
+            ref_sel = np.ascontiguousarray(ref_sel, np.uint8)
+            if not ref_sel.any():
+                ref_sel = None
+        if ref_sel is None:
+            ref3_slot = None
         with _tstage("device_search"):
             if pre is not None:
                 # GoP-batched device search (ops/jax_backend.gop_search):
@@ -925,17 +940,33 @@ class FastIntraEncoder:
                                              n16c)
                     mv16b = np.clip(mv16b, -127, 127).astype(np.int16)
 
-        # global motion: robust translation fit over the HME field
+        # global motion: ROTZOOM (LSQ over the device HME field; pan +
+        # zoom/rotation content) with robust-translation fallback
         # (ref global_me.c:126; params coded per spec 5.9.24)
         gm_wm = None
         gm_mv8v = (0, 0)
+        gm_rz = None
         if self.enable_gm:
+            import os as _osgm
             from svt_av1_psy_tpu.inter.global_motion import (
+                WARPEDMODEL_PREC_BITS, estimate_rotzoom,
                 estimate_translation, mv8_to_wm01)
-            est = estimate_translation(mv16)
-            if est is not None:
-                gm_mv8v = est
-                gm_wm = mv8_to_wm01(*est)
+            rz = None
+            if _osgm.environ.get("SVT_GM_RZ", "1") != "0":
+                rz = estimate_rotzoom(mv16)
+            one = 1 << WARPEDMODEL_PREC_BITS
+            # the non-translational part must move a frame corner by
+            # >= 1 px — below that the model is noise-fit and plain
+            # translation codes cheaper
+            if rz is not None and \
+                    (abs(rz[2] - one) + abs(rz[3])) * \
+                    max(self.pah, self.paw) >= one:
+                gm_rz = rz
+            else:
+                est = estimate_translation(mv16)
+                if est is not None:
+                    gm_mv8v = est
+                    gm_wm = mv8_to_wm01(*est)
 
         # RefFrameSignBias + skip-mode allowance (spec 5.9.2 / 5.9.22;
         # must equal the decoder's derivation from slot order hints)
@@ -1154,6 +1185,8 @@ class FastIntraEncoder:
                            lr_dec.ucols, lr_dec.urows)
             eng.set_src(yp, up, vp)
             eng.set_gm(gm_mv8v)
+            if gm_rz is not None:
+                eng.set_gm_warp(gm_rz)
             if getattr(self, "interp_search", False):
                 eng.set_interp(True, gm_wm is not None)
             if self.obmc_search or self.warp_search:
@@ -1170,7 +1203,10 @@ class FastIntraEncoder:
                                  self.masked_compound_search)
             if ref3_slot is not None:
                 eng.set_ref3(*self._dpb[ref3_slot])
-                eng.set_ref_sel(ref_sel, mv16g)
+            if ref_sel is not None:
+                eng.set_ref_sel(
+                    ref_sel, mv16g if mv16g is not None
+                    else np.zeros(ref_sel.shape + (2,), np.int16))
             if tpl_pack is not None:
                 eng.set_tpl(*tpl_pack)
             # after set_tpl: both share the allow_hp field in C
@@ -1287,7 +1323,9 @@ class FastIntraEncoder:
             ref_idx = (ref_slot,) + (0,) * 6
 
         gm_trans = None
-        if gm_wm is not None:
+        if gm_rz is not None:
+            gm_trans = (gm_rz,) + (None,) * 6      # LAST only, ROTZOOM
+        elif gm_wm is not None:
             gm_trans = (gm_wm,) + (None,) * 6      # LAST only
         fr_params = FrameParams(
             frame_type=1, base_q_idx=base_q,
@@ -1340,7 +1378,9 @@ class FastIntraEncoder:
             self._dpb_fc[slot] = tile_fcs[0]
             self._last_slot_by_layer[layer] = slot
         # mirror the decoder's SavedGmParams + slot-hint updates (7.20)
-        cur_gm = ((gm_wm if gm_wm is not None else (0, 0)),) + ((0, 0),) * 6
+        cur_gm = ((gm_rz if gm_rz is not None else
+                   gm_wm if gm_wm is not None else (0, 0)),) + \
+            ((0, 0),) * 6
         for s in range(8):
             if refresh & (1 << s):
                 self._slot_gm[s] = cur_gm

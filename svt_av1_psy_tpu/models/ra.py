@@ -777,22 +777,33 @@ class RaDriver:
                                          127).astype(np.int16)
                 entry["sad16b"] = edge_ms[(d, hi)][1]
                 entry["treeb"] = edge_tree[(d, hi)]
+            # per-16x16 single-ref choice from the HME SADs (the ME-SAD
+            # ref pruning of motion_estimation.c:1615): 0 = LAST,
+            # 1 = GOLDEN (GoP base), 2 = ALTREF (future anchor). Each
+            # alternative must beat the incumbent by a 5/8 margin — it
+            # pays ref-coding overhead and a weaker MVP (measured:
+            # -4.1% BD on occlusion content, -0.4% on smooth motion;
+            # laxer margins lose the latter). ALTREF single-ref covers
+            # occlusion UNCOVER regions the past refs cannot see (the
+            # BWD/ALT role of the reference's RA ref lists).
+            best = edge_ms[(d, lo)][1].astype(np.int64)
+            sel = np.zeros(best.shape, np.uint8)
             ge = edge_ms.get((d, b))
             if b != lo and b != hi and ge is not None:
-                # per-16x16 LAST/GOLDEN choice from the HME SADs (the
-                # ME-SAD ref pruning of motion_estimation.c:1615); the
-                # 5/8 margin charges GOLDEN its ref-coding overhead and
-                # weaker MVP (measured: -4.1% BD on occlusion content,
-                # -0.4% on smooth motion; laxer margins lose the latter)
                 mv_g, sad_g = ge
-                sad_l = edge_ms[(d, lo)][1]
-                sel = (sad_g.astype(np.int64) * 8 <
-                       sad_l.astype(np.int64) * 5)
+                gwin = sad_g.astype(np.int64) * 8 < best * 5
+                sel[gwin] = 1
+                best = np.where(gwin, sad_g.astype(np.int64), best)
                 entry["mv16g"] = np.clip(mv_g, -127,
                                          127).astype(np.int16)
                 entry["sad16g"] = sad_g
                 entry["treeg"] = edge_tree[(d, b)]
-                entry["refsel"] = sel.astype(np.uint8)
+            if hi != lo:
+                sad_a = edge_ms[(d, hi)][1]
+                awin = sad_a.astype(np.int64) * 8 < best * 5
+                sel[awin] = 2
+            if sel.any():
+                entry["refsel"] = sel
             pre_by_d[d] = entry
         self._pre_by_d = pre_by_d
 

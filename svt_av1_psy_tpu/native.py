@@ -404,6 +404,9 @@ def _ensure_commit_locked(lib):
     lib.tpuc_set_ref.argtypes = [ctypes.c_void_p, u16p, u16p, u16p,
                                  ctypes.c_int, ctypes.c_int]
     lib.tpuc_set_gm.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+    lib.tpuc_set_gm_warp.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_int32)]
+    lib.tpuc_set_gm_warp.restype = ctypes.c_int
     lib.tpuc_set_interp.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                     ctypes.c_int]
     lib.tpuc_set_ref3.argtypes = [ctypes.c_void_p, u16p, u16p, u16p,
@@ -552,6 +555,13 @@ class CommitEngine:
                               v.ctypes.data_as(u16p), y.shape[1],
                               u.shape[1])
 
+    def set_gm_warp(self, mat6) -> bool:
+        """LAST-ref ROTZOOM global motion (full 6-param mat); returns
+        False when the shear params do not validate (the model must
+        then not be signalled)."""
+        arr = (ctypes.c_int32 * 6)(*[int(v) for v in mat6])
+        return bool(self.lib.tpuc_set_gm_warp(self._c, arr))
+
     def set_gm(self, mv8):
         """LAST-ref TRANSLATION global MV (1/8 px, precision-lowered);
         (0, 0) disarms (identity gm)."""
@@ -583,8 +593,10 @@ class CommitEngine:
                                u.shape[1])
 
     def set_ref_sel(self, sel: np.ndarray, mv16g: np.ndarray):
-        """Per-16x16 single-ref choice map (1 = GOLDEN) + GOLDEN HME
-        seed field (the ME-SAD ref pruning of motion_estimation.c:1615)."""
+        """Per-16x16 single-ref choice map (0 = LAST, 1 = GOLDEN,
+        2 = ALTREF) + GOLDEN HME seed field (the ME-SAD ref pruning of
+        motion_estimation.c:1615; ALTREF seeds ride the compound mv16b
+        field already passed to encode_inter)."""
         sel = np.ascontiguousarray(sel, np.uint8)
         mv16g = np.ascontiguousarray(mv16g, np.int16)
         self._refsel = (sel, mv16g)

@@ -906,6 +906,10 @@ def tf_filter_device(win_y: jnp.ndarray, win_u: jnp.ndarray,
         mv16, _ = hme_search2(wy[T - 1], wy[i])
         mv16 = mv16.astype(jnp.int32)
         ay, err = _tf_align(cy, wy[i], mv16, 0)
+        # NOTE a percentile noise-floor subtraction (err - P25(err)) was
+        # tried here to reach sqrt(T) denoising on static content; it
+        # regressed pan-class BD ~1 dB — on all-motion content the
+        # floor absorbs real subpel misalignment error and over-blends.
         w_blk = jnp.exp(-err * inv)
         w_blk = jnp.where(err > 16.0 * sigma2, 0.0, w_blk) * win_mask[i]
         w_px = jnp.repeat(jnp.repeat(w_blk, 16, 0), 16, 1)[:H, :W]
