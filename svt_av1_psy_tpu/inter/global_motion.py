@@ -329,6 +329,15 @@ def estimate_rotzoom(mv_field: np.ndarray, *, unit_mv8: int = 8,
         pr = -b * xs + s * ys + ty
         res = np.maximum(np.abs(pc - vc), np.abs(pr - vr))
         keep = res <= max(1.0, float(np.median(res[keep])) * 2.0)
+    # FINAL acceptance at a FIXED 1-px tolerance over the whole field:
+    # the adaptive refinement tolerance above scales with the fit's own
+    # residual, so a garbage fit on piecewise motion (scrolling bands,
+    # independent objects) can declare itself "consistent" — measured on
+    # the text class it produced wild models (|b| ~ 0.08 rotations on
+    # pure scroll). A true global model explains >= 60% of blocks to
+    # within full-pel quantization; anything else is not global motion.
+    if float((res <= 1.0).mean()) < 0.6:
+        return None
     if keep.mean() < min_inlier_frac:
         return None
     s, b, tx, ty = sol
